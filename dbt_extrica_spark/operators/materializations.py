@@ -1,0 +1,381 @@
+"""Materialization orchestration: table / view / incremental / materialized
+view (SURVEY §2 A1-A2, A5-A11, A25).
+
+The reference implements these as Jinja materialization blocks emitting Trino
+DDL/DML (reference: macros/materializations/*.sql, macros/adapters.sql). Here
+each is a Python function against a shared :class:`~..engine.Engine`.
+
+Commit protocol: all destructive writes stage into a ``__dbt_tmp`` table and
+swap via renames — the reference's table 'rename' mode
+(reference: table.sql:12-48) — so there is no window with a missing target
+and a failed build never corrupts the previous version.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+from ..errors import CompilationError, DatabaseError
+from ..relation import Relation, RelationType
+from . import merge as merge_ops
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..engine import Engine
+    from ..plans.model import Model
+
+
+# --------------------------------------------------------------------------
+# DDL helpers (A1, A2, A25)
+# --------------------------------------------------------------------------
+
+def properties_clause(properties: dict | None) -> str:
+    """A25 — WITH (k = v) -> TBLPROPERTIES (reference: macros/adapters.sql:81-90)."""
+    if not properties:
+        return ""
+    kv = ", ".join(
+        f"'{k}' = '{str(v)}'" for k, v in properties.items()
+    )
+    return f" TBLPROPERTIES ({kv})"
+
+
+def create_table_as(
+    engine: "Engine",
+    relation: Relation,
+    sql: str,
+    properties: dict | None = None,
+    comment: str | None = None,
+    contract: list[dict] | None = None,
+) -> None:
+    """A1 — CTAS (reference: macros/adapters.sql:102-133). With an enforced
+    contract, splits into CREATE TABLE (cols) + schema-asserted INSERT
+    (reference: macros/adapters.sql:105-121)."""
+    comment_clause = ""
+    if comment:
+        comment_clause = " COMMENT '%s'" % comment.replace("'", "''")
+    if contract:
+        cols_ddl = ", ".join(
+            f"`{c['name']}` {c['data_type']}" for c in contract
+        )
+        engine.spark.sql(
+            f"CREATE TABLE {relation.render()} ({cols_ddl}) USING PARQUET"
+            f"{comment_clause}{properties_clause(properties)}"
+        )
+        assert_columns_equivalent(engine, relation, sql, contract)
+        enforce_not_null(engine, sql, contract)
+        engine.spark.sql(f"INSERT INTO {relation.render()} {sql}")
+    else:
+        engine.spark.sql(
+            f"CREATE TABLE {relation.render()} USING PARQUET"
+            f"{comment_clause}{properties_clause(properties)} AS {sql}"
+        )
+
+
+def assert_columns_equivalent(engine: "Engine", relation: Relation, sql: str,
+                              contract: list[dict]) -> None:
+    """Contract enforcement (reference: macros/adapters.sql:105-121 via dbt's
+    assert_columns_equivalent): the SELECT's column names/order must match the
+    declared contract."""
+    actual = [f.name.lower() for f in engine.spark.sql(sql).schema.fields]
+    declared = [c["name"].lower() for c in contract]
+    if actual != declared:
+        raise CompilationError(
+            "This model has an enforced contract that failed.\n"
+            f"Declared columns: {declared}\nActual columns:   {actual}"
+        )
+
+
+def enforce_not_null(engine: "Engine", sql: str, contract: list[dict]) -> None:
+    """A35 — not_null is the only ENFORCED constraint (reference:
+    impl.py:31-37); checked before write since parquet has no constraints."""
+    nn_cols = [
+        c["name"] for c in contract
+        if any(k.get("type") == "not_null" for k in c.get("constraints", []))
+    ]
+    if not nn_cols:
+        return
+    cond = " OR ".join(f"`{c}` IS NULL" for c in nn_cols)
+    bad = engine.spark.sql(f"SELECT 1 FROM ({sql}) WHERE {cond} LIMIT 1").count()
+    if bad:
+        raise DatabaseError(
+            f"NOT NULL constraint violated on columns {nn_cols}"
+        )
+
+
+def create_view_as(engine: "Engine", relation: Relation, sql: str,
+                   security: str = "definer") -> None:
+    """A2 — CREATE OR REPLACE VIEW (reference: macros/adapters.sql:136-153).
+    Trino's SECURITY definer|invoker clause has no Spark equivalent; the
+    config is validated and recorded but not enforced (default 'definer',
+    reference: impl.py:22)."""
+    if security not in ("definer", "invoker"):
+        raise CompilationError(
+            f"Invalid value for view_security: {security!r}"
+        )  # reference validates the config the same way
+    engine.spark.sql(f"CREATE OR REPLACE VIEW {relation.render()} AS {sql}")
+    engine.catalog.view_definitions[(relation.schema, relation.identifier)] = sql
+
+
+# --------------------------------------------------------------------------
+# table materialization (A9)
+# --------------------------------------------------------------------------
+
+def materialize_table(engine: "Engine", model: "Model") -> Relation:
+    """A9 — two modes (reference: table.sql:1-70): 'rename' (default) builds
+    __dbt_tmp, swaps via backup rename (near-atomic); 'drop' drops then CTAS."""
+    config = model.config
+    mode = config.get("on_table_exists", "rename")
+    if mode not in ("rename", "drop"):
+        raise CompilationError(
+            f"Invalid value for on_table_exists: {mode!r}"
+        )  # reference: table.sql:2-7
+    target = engine.relation(model.name, RelationType.Table)
+    existing = engine.catalog.get_relation(target)
+    sql = engine.compile_sql(model)
+    props = config.get("properties")
+    comment = model.description if config.get("persist_docs") else None
+    contract = config.get("contract_columns") if (
+        config.get("contract", {}).get("enforced")
+    ) else None
+
+    if mode == "drop" or existing is None:
+        if existing is not None:
+            engine.catalog.drop_relation(existing)
+        create_table_as(engine, target, sql, props, comment, contract)
+    else:
+        # rename mode (reference: table.sql:12-48)
+        tmp = target.with_identifier(target.identifier + "__dbt_tmp")
+        backup = target.with_identifier(target.identifier + "__dbt_backup")
+        engine.catalog.drop_relation(tmp.incorporate(RelationType.Table))
+        engine.catalog.drop_relation(backup.incorporate(existing.type))
+        create_table_as(engine, tmp, sql, props, comment, contract)
+        if existing.is_view:
+            # views can't be renamed nor occupy the name: drop
+            engine.catalog.drop_relation(existing)
+        else:
+            engine.catalog.rename_relation(target.incorporate(existing.type), backup)
+        engine.catalog.rename_relation(tmp, target)
+        engine.catalog.drop_relation(backup)
+    engine.apply_model_hooks_and_grants(model, target)
+    return target
+
+
+# --------------------------------------------------------------------------
+# view materialization (A10)
+# --------------------------------------------------------------------------
+
+def materialize_view(engine: "Engine", model: "Model",
+                     full_refresh: bool = False) -> Relation:
+    """A10 — create_or_replace_view (reference: view.sql:1-8 +
+    macros/adapters.sql:266-295): a non-view occupant is dropped only under
+    --full-refresh."""
+    target = engine.relation(model.name, RelationType.View)
+    existing = engine.catalog.get_relation(target)
+    if existing is not None and not existing.is_view:
+        if full_refresh:
+            engine.catalog.drop_relation(existing)
+        else:
+            raise DatabaseError(
+                f"Trying to create view {target} but it is a "
+                f"{existing.type.value}. Run with --full-refresh to drop it."
+            )  # reference: macros/adapters.sql:280-287
+    sql = engine.compile_sql(model)
+    create_view_as(engine, target, sql,
+                   security=model.config.get("view_security", "definer"))
+    engine.apply_model_hooks_and_grants(model, target)
+    return target
+
+
+# --------------------------------------------------------------------------
+# incremental materialization (A5-A8)
+# --------------------------------------------------------------------------
+
+VALID_STRATEGIES = ("default", "append", "merge", "delete+insert")  # impl.py:80-81
+SCHEMA_CHANGE_MODES = ("ignore", "fail", "append_new_columns", "sync_all_columns")
+
+
+def tmp_relation_type(strategy: str, unique_key, views_enabled: bool = True) -> str:
+    """Reference: incremental.sql:1-19 — view for single-statement strategies,
+    table (materialized input) for delete+insert's two passes."""
+    if views_enabled and (strategy in ("default", "append", "merge") or unique_key is None):
+        return "view"
+    return "table"
+
+
+def materialize_incremental(engine: "Engine", model: "Model",
+                            full_refresh: bool = False) -> Relation:
+    """A5 — the incremental state machine (reference: incremental.sql:21-110)."""
+    config = model.config
+    strategy = config.get("incremental_strategy") or "default"
+    if strategy not in VALID_STRATEGIES:
+        raise CompilationError(
+            f"Invalid incremental strategy provided: {strategy}"
+        )
+    unique_key = config.get("unique_key")
+    on_schema_change = config.get("on_schema_change", "ignore")
+    if on_schema_change not in SCHEMA_CHANGE_MODES:
+        on_schema_change = "ignore"
+
+    target = engine.relation(model.name, RelationType.Table)
+    existing = engine.catalog.get_relation(target)
+    sql = engine.compile_sql(model, is_incremental=existing is not None
+                             and not full_refresh and not existing.is_view)
+
+    # first run / view occupant / full refresh -> plain CTAS
+    if existing is None:
+        create_table_as(engine, target, sql, config.get("properties"))
+        engine.apply_model_hooks_and_grants(model, target)
+        return target
+    if existing.is_view:
+        engine.catalog.drop_relation(existing)
+        create_table_as(engine, target, sql, config.get("properties"))
+        engine.apply_model_hooks_and_grants(model, target)
+        return target
+    if full_refresh:
+        engine.catalog.drop_relation(existing)
+        create_table_as(engine, target, sql, config.get("properties"))
+        engine.apply_model_hooks_and_grants(model, target)
+        return target
+
+    # create the temp relation: view (lazy) for merge/append, table
+    # (materialized) for delete+insert's two passes (incremental.sql:1-19)
+    ttype = tmp_relation_type(strategy, unique_key,
+                              config.get("views_enabled", True))
+    tmp = target.make_temp().incorporate(
+        RelationType.View if ttype == "view" else RelationType.Table
+    )
+    pre = engine.catalog.get_relation(tmp)
+    if pre is not None:
+        engine.catalog.drop_relation(pre)
+    if ttype == "view":
+        create_view_as(engine, tmp, sql)
+    else:
+        engine.spark.sql(
+            f"CREATE TABLE {tmp.render()} USING PARQUET AS {sql}"
+        )
+
+    try:
+        engine.catalog.expand_target_column_types(tmp, target)
+        dest_columns = process_schema_changes(engine, on_schema_change, tmp, target)
+        if not dest_columns:
+            dest_columns = [c.name for c in
+                            engine.catalog.get_columns_in_relation(target)]
+
+        predicates = config.get("predicates") or config.get("incremental_predicates")
+        src_df = engine.spark.table(tmp.render_unquoted())
+        tgt_df = engine.spark.table(target.render_unquoted())
+
+        if strategy in ("default", "append") or (
+            strategy == "merge" and not unique_key
+        ):
+            rows = merge_ops.append_only(src_df, tgt_df, dest_columns)
+            rows.write.insertInto(target.render_unquoted(), overwrite=False)
+        elif strategy == "merge":
+            update_columns = merge_ops.get_merge_update_columns(
+                config.get("merge_update_columns"),
+                config.get("merge_exclude_columns"),
+                dest_columns,
+            )
+            result = merge_ops.merge_upsert(
+                tgt_df, src_df, unique_key, dest_columns,
+                update_columns, predicates,
+            )
+            engine.overwrite_table_atomic(target, result)
+        else:  # delete+insert
+            result = merge_ops.delete_insert(
+                tgt_df, src_df, unique_key, dest_columns, predicates,
+            )
+            engine.overwrite_table_atomic(target, result)
+    finally:
+        tmp_existing = engine.catalog.get_relation(tmp)
+        if tmp_existing is not None:
+            engine.catalog.drop_relation(tmp_existing)
+
+    engine.apply_model_hooks_and_grants(model, target)
+    return target
+
+
+def process_schema_changes(engine: "Engine", mode: str, source: Relation,
+                           target: Relation) -> list[str] | None:
+    """dbt's on_schema_change processing (reference: incremental.sql:79-86
+    delegates to dbt-core; semantics reproduced):
+
+    - ignore: no DDL; dest columns = current target columns
+    - fail: raise on any add/remove
+    - append_new_columns: ADD new source columns to target
+    - sync_all_columns: ADD new + DROP removed (parquet drop = rewrite)
+    Returns the post-change dest column list (None for ignore/no-op).
+    """
+    src_cols = engine.catalog.get_columns_in_relation(source)
+    tgt_cols = engine.catalog.get_columns_in_relation(target)
+    src_names = {c.name.lower() for c in src_cols}
+    tgt_names = {c.name.lower() for c in tgt_cols}
+    added = [c for c in src_cols if c.name.lower() not in tgt_names]
+    removed = [c for c in tgt_cols if c.name.lower() not in src_names]
+    if mode == "ignore" or (not added and not removed):
+        return None
+    if mode == "fail":
+        raise CompilationError(
+            "The source and target schemas on this incremental model are out "
+            f"of sync.\n  added: {[c.name for c in added]}\n"
+            f"  removed: {[c.name for c in removed]}"
+        )
+    if mode == "append_new_columns":
+        engine.catalog.add_columns(target, added)
+        return [c.name for c in tgt_cols] + [c.name for c in added]
+    # sync_all_columns
+    engine.catalog.add_columns(target, added)
+    engine.catalog.remove_columns(target, removed)
+    return [c.name for c in engine.catalog.get_columns_in_relation(target)]
+
+
+# --------------------------------------------------------------------------
+# materialized view emulation (A11)
+# --------------------------------------------------------------------------
+
+def materialize_materialized_view(engine: "Engine", model: "Model",
+                                  full_refresh: bool = False) -> Relation:
+    """A11 — Spark has no MVs; emulate as managed table + stored defining SQL
+    (reference: materialized_view.sql:1-35). Any config change forces full
+    refresh (materialized_view.sql:24-30); replace uses the same
+    intermediate+rename swap as tables (materialized_view.sql:11-21)."""
+    target = engine.relation(model.name, RelationType.MaterializedView)
+    key = (target.schema, target.identifier)
+    sql = engine.compile_sql(model)
+    existing = engine.catalog.get_relation(target)
+    stored = engine.catalog.mv_definitions.get(key)
+    if existing is not None and stored == sql and not full_refresh:
+        return target  # no-op, like dbt's 'alter' path with no changes
+    if existing is not None:
+        # replace via intermediate + rename swap
+        tmp = target.with_identifier(target.identifier + "__dbt_tmp")
+        backup = target.with_identifier(target.identifier + "__dbt_backup")
+        engine.catalog.drop_relation(tmp)
+        engine.catalog.drop_relation(backup)
+        engine.spark.sql(
+            f"CREATE TABLE {tmp.render()} USING PARQUET"
+            f"{properties_clause(model.config.get('properties'))} AS {sql}"
+        )
+        engine.catalog.rename_relation(target.incorporate(RelationType.Table), backup)
+        engine.catalog.rename_relation(tmp, target)
+        engine.catalog.drop_relation(backup)
+    else:
+        engine.spark.sql(
+            f"CREATE TABLE {target.render()} USING PARQUET"
+            f"{properties_clause(model.config.get('properties'))} AS {sql}"
+        )
+    engine.catalog.mv_definitions[key] = sql
+    engine.apply_model_hooks_and_grants(model, target)
+    return target
+
+
+def refresh_materialized_view(engine: "Engine", relation: Relation) -> None:
+    """A11 — REFRESH MATERIALIZED VIEW (reference: materialized_view.sql:33-35):
+    re-run the stored definition and swap."""
+    key = (relation.schema, relation.identifier)
+    sql = engine.catalog.mv_definitions.get(key)
+    if sql is None:
+        raise DatabaseError(f"{relation} is not a materialized view")
+    df = engine.spark.sql(sql)
+    engine.overwrite_table_atomic(relation, df)

@@ -1,0 +1,3 @@
+from .registry import register_sources, read_parquet_table, TEST_TABLES
+
+__all__ = ["register_sources", "read_parquet_table", "TEST_TABLES"]

@@ -1,0 +1,75 @@
+"""Source registration: parquet dirs -> catalog temp views.
+
+Reference analog: Trino connectors expose ``catalog.schema.table`` names
+(reference: README.md:17-28); here ``spark.read.parquet`` + temp views play
+that role (SURVEY §2C "Scans / sources").
+
+Scale notes:
+- Views are lazy — registering is metadata-only; Catalyst pushes filters and
+  prunes columns down to the parquet scan.
+- TIMESTAMP(NANOS) columns (unsupported by Spark's vectorized reader) are
+  surfaced as longs via ``spark.sql.legacy.parquet.nanosAsLong`` and converted
+  with integer ``div 1000`` (truncation — matches DuckDB's ns->us cast). The
+  conversion is a cheap projection that stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TEST_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet timestamp[ns] (footer inspection only)."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return ()
+    return tuple(
+        f.name for f in schema if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read one parquet file/dir, restoring ns-timestamp columns to
+    TimestampType (microsecond precision, truncated like the oracle)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(path)
+    for c in _nanos_columns(path):
+        if c in df.columns:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def register_sources(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TEST_TABLES,
+    prefix: str = "",
+) -> dict[str, DataFrame]:
+    """Register every test table under ``sf_dir`` as a temp view.
+
+    Idempotent and cheap (no data read until a query runs).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_parquet_table(spark, path)
+        df.createOrReplaceTempView(prefix + name)
+        out[name] = df
+    return out
