@@ -1,0 +1,320 @@
+"""[EXTENSION] Deduplication operators for large-scale training-data
+pipelines (SURVEY §7.1 M6; not present in the reference, which is SQL
+pass-through only).
+
+All operators are table-in/table-out DataFrame transforms built from JVM-side
+higher-order functions (transform/aggregate/array_*) — no Python UDFs in the
+hot path — so they whole-stage-codegen and scale with executors.
+
+Scale notes per operator:
+- exact:   one shuffle on the content hash (groupBy), then a semi-join back.
+- minhash: signatures are computed scan-side (no shuffle); the only shuffle
+           is the band-bucket explode + self-join, whose fan-out is bounded
+           by (bands × docs). Candidate verification re-joins shingle sets
+           only for candidate pairs (tiny compared to all-pairs).
+- simhash: one 64-bit signature per doc computed scan-side; candidates via
+           banded chunk equality (pigeonhole: hamming ≤ 3 over 4 chunks
+           guarantees one equal chunk).
+- ngram_jaccard: exact; explodes distinct shingles (shuffle ∝ corpus token
+           count) — the correctness baseline for minhash, quadratic only
+           within shared-shingle groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Keep, per exact-content group, the row with the smallest id.
+
+    hash-groupBy pattern: md5 over the concatenated content defines the
+    group; min(id) picks the canonical survivor deterministically.
+    """
+    fp = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    with_fp = df.withColumn("__fp", fp)
+    keepers = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(keepers, on=["__fp", id_col], how="left_semi")
+        .drop("__fp")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Duplicate-group report: (fingerprint, n_dups, keeper_id) for groups
+    with >1 member."""
+    fp = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling (shared)
+# --------------------------------------------------------------------------
+
+def char_shingles(text_col: str, k: int = 5) -> F.Column:
+    """Distinct character k-grams, computed with JVM higher-order functions."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
+        f" i -> substring({text_col}, i, {k})))"
+    )
+
+
+def word_ngrams(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-grams (space-joined)."""
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+        f" i -> array_join(slice({toks}, i, {n}), ' ')))"
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(shingles_col: str, num_perm: int = 64) -> F.Column:
+    """num_perm minhash values: permutation j = min over shingles of
+    xxhash64(shingle, j). Pure codegen — one pass over the shingle array."""
+    return F.expr(
+        f"transform(sequence(0, {num_perm - 1}),"
+        f" j -> array_min(transform({shingles_col}, s -> xxhash64(s, j))))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, optionally verified with the
+    exact Jaccard of the shingle sets. Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
+
+    shingle -> minhash -> band -> bucket-join, then verification re-computes
+    exact Jaccard only for candidates (array_intersect/array_union sizes).
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            char_shingles(text_col, k).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature("sh", num_perm))
+    )
+    banded = sig.select(
+        "id", "sh",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> named_struct('band', b, 'bh',"
+                f" xxhash64(array_join(transform("
+                f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}),"
+                f" x -> cast(x as string)), ','))))"
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            on=[F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.id") < F.col("b.id")],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand.select("id_a", "id_b").withColumn(
+            "jaccard", F.lit(None).cast("double")
+        )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        cand.withColumn("jaccard", jac.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text_col: str, bits: int = 64) -> F.Column:
+    """Classic simhash over whitespace tokens: per bit position, sign of the
+    sum of ±1 over token hashes. Emitted as a bigint.
+
+    Expressed as nested higher-order functions; one scan, no shuffle.
+    """
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    bit = (
+        f"(b, j) -> b + IF(((xxhash64(t) >> j) & 1L) = 1L, 1, -1)"
+    )
+    # per bit j: fold tokens; >=0 -> set bit j
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) ->"
+        f" acc | IF(aggregate({toks}, 0, (cnt, t) ->"
+        f" cnt + IF(((xxhash64(t) >> j) & 1L) = 1L, 1, -1)) >= 0,"
+        f" shiftleft(1L, j), 0L))"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``chunks`` 16-bit chunks; any pair
+    within hamming ``chunks-1`` shares at least one equal chunk, so a
+    bucket-join per chunk finds all candidates; exact hamming (bit_count of
+    xor) filters."""
+    assert max_hamming < chunks, "pigeonhole requires max_hamming < chunks"
+    width = 64 // chunks
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        simhash(text_col).alias("sig"),
+    )
+    chunked = sigs.select(
+        "id", "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), c ->"
+                f" named_struct('c', c, 'v',"
+                f" (sig >> (c * {width})) & {(1 << width) - 1}L))"
+            )
+        ).alias("ch"),
+    ).select("id", "sig", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(b, on=[F.col("a.c") == F.col("b.c"),
+                      F.col("a.v") == F.col("b.v"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.sig ^ b.sig)").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (correctness baseline for minhash)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for every pair sharing at least
+    one n-gram. Shuffle ∝ total distinct n-grams; per-shingle groups bound
+    the pair fan-out."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(text_col, n).alias("g"),
+    ).withColumn("n_g", F.size("g"))
+    exploded = grams.select("id", "n_g", F.explode("g").alias("gram"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(b, on=[F.col("a.gram") == F.col("b.gram"),
+                      F.col("a.id") < F.col("b.id")])
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_g").alias("na"),
+            F.col("b.n_g").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        shared.withColumn("jaccard", jac.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by cosine similarity of an array<float> column.
+
+    Brute-force within optional blocks (``block_col``); the similarity is an
+    exact sequential double fold (aggregate over zip_with), so results are
+    reproducible bit-for-bit. For the sub-quadratic path at scale see
+    similarity.brp_lsh_topk."""
+    norm = (
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> cast(x as double) * y),"
+        " 0D, (acc, x) -> acc + x))"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    ).withColumn("nrm", F.expr(norm))
+    a, b = base.alias("a"), base.alias("b")
+    join_cond = [F.col("a.id") < F.col("b.id")]
+    if block_col:
+        join_cond.append(F.col("a.blk") == F.col("b.blk"))
+    dot = (
+        "aggregate(zip_with(a.v, b.v, (x, y) -> cast(x as double) * y),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, on=join_cond)
+        .withColumn("cosine", F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("cosine"),
+        )
+    )

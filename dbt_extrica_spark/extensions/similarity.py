@@ -1,0 +1,175 @@
+"""[EXTENSION] Similarity search over embedding columns (array<float>).
+
+Baseline: exact brute-force cosine top-k (self-join or query-join) with the
+dot product as a sequential double fold — deterministic, codegen'd, oracle-
+comparable.
+
+Scale paths:
+- ``brp_lsh_topk``: BucketedRandomProjectionLSH (pyspark.ml) — sub-quadratic
+  candidate generation via random hyperplane buckets.
+- ``ivf_topk``: inverted-file (IVF) — k-means-lite centroids, search only the
+  ``nprobe`` nearest cells. Centroids are seeded deterministically from the
+  data (no RNG at query time), so results are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y),"
+    " 0D, (acc, x) -> acc + x)"
+)
+_NORM = "sqrt(" + _DOT.format(a="{v}", b="{v}") + ")"
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str,
+               extra: list[str] | None = None) -> DataFrame:
+    sel = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    for c in extra or []:
+        sel.append(F.col(c))
+    return df.select(*sel).withColumn("nrm", F.expr(_NORM.format(v="v")))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    queries: DataFrame | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors. Self-search when ``queries`` is None
+    (excludes self-matches). Returns (query_id, neighbor_id, cosine, rank).
+
+    Brute force = one shuffle-free broadcastable join at small query counts;
+    at large scale swap in brp_lsh_topk/ivf_topk candidates and keep this
+    ranking stage."""
+    base = _with_norm(df, id_col, vec_col).alias("b")
+    q = (
+        _with_norm(queries, query_id_col or id_col, vec_col)
+        if queries is not None else _with_norm(df, id_col, vec_col)
+    ).alias("q")
+    cond = [F.col("q.id") != F.col("b.id")] if queries is None else []
+    dot = _DOT.format(a="q.v", b="b.v")
+    scored = (
+        q.join(base, on=cond if cond else F.lit(True))
+        .withColumn("cosine", F.expr(dot) / (F.col("q.nrm") * F.col("b.nrm")))
+    )
+    w = Window.partitionBy("q.id").orderBy(
+        F.desc("cosine"), F.asc(F.col("b.id"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("cosine"),
+            F.col("rank"),
+        )
+    )
+
+
+def brp_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH over euclidean
+    distance of L2-normalized vectors (monotone in cosine). Returns
+    (query_id, neighbor_id, approx_cosine, rank)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    prepared = (
+        df.select(F.col(id_col).alias("id"),
+                  array_to_vector(F.col(vec_col).cast("array<double>"))
+                  .alias("raw"))
+    )
+    normalizer = Normalizer(inputCol="raw", outputCol="features", p=2.0)
+    feats = normalizer.transform(prepared).select("id", "features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(feats)
+    # ||a-b||^2 = 2 - 2cos for unit vectors -> distance threshold sqrt(2)
+    # admits every non-negative-cosine candidate
+    joined = model.approxSimilarityJoin(feats, feats, 1.4142135, "dist")
+    pairs = (
+        joined.where(F.col("datasetA.id") != F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("query_id"),
+            F.col("datasetB.id").alias("neighbor_id"),
+            (1 - F.col("dist") * F.col("dist") / 2).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k: deterministic centroids (the n_cells
+    lowest-id vectors — a seed-free, reproducible choice), assign every
+    vector to its nearest centroid, then search each query only within its
+    ``nprobe`` nearest cells.
+
+    At 100 TB: centroid list is tiny (broadcast); assignment is one scan; the
+    search join shuffles on cell id instead of exploding all pairs."""
+    base = _with_norm(df, id_col, vec_col)
+    centroids = base.orderBy("id").limit(n_cells).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    dot = _DOT.format(a="v", b="cv")
+    sim_to_cell = F.expr(dot) / (F.col("nrm") * F.col("cnrm"))
+    assigned = (
+        base.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", sim_to_cell)
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    cells = (
+        assigned.withColumn("crank", F.row_number().over(w_assign))
+        .where(F.col("crank") == 1)
+        .select("id", "v", "nrm", "cid")
+    )
+    probes = (
+        assigned.withColumn("crank", F.row_number().over(w_assign))
+        .where(F.col("crank") <= nprobe)
+        .select(F.col("id").alias("qid"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"), "cid")
+    )
+    dotqb = _DOT.format(a="qv", b="v")
+    scored = (
+        probes.join(cells, on="cid")
+        .where(F.col("qid") != F.col("id"))
+        .withColumn("cosine", F.expr(dotqb) / (F.col("qnrm") * F.col("nrm")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.col("cosine"),
+            F.col("rank"),
+        )
+    )

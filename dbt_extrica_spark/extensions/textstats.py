@@ -1,0 +1,119 @@
+"""[EXTENSION] Text analysis for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in pyspark.sql.functions (codegen, no UDFs). The regex
+patterns are restricted to constructs with identical semantics in Java regex
+(Spark) and RE2-ish engines (oracles) — character classes and quantifiers
+only, no lookarounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# small deterministic stopword lists for the n-gram/stopword language
+# heuristic; extend freely (order = tie-break preference)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une"),
+    "es": ("el", "la", "los", "de", "que", "es", "en", "por", "para", "una"),
+}
+
+
+def _tokens(text_col: str) -> str:
+    return f"split(trim(lower({text_col})), '\\\\s+')"
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality metrics: token/char counts, word length, ratio
+    features, and a composite quality score in [0,1]."""
+    toks = _tokens(text_col)
+    n_tokens = F.expr(f"size({toks})")
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    digit_chars = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    punct_chars = F.length(
+        F.regexp_replace(F.col(text_col), "[^.,;:!?'\"()-]", "")
+    )
+    upper_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Z]", ""))
+    uniq_tokens = F.expr(f"size(array_distinct({toks}))")
+    out = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        (n_chars / n_tokens).cast("double").alias("avg_token_len"),
+        (alpha_chars / n_chars).cast("double").alias("alpha_ratio"),
+        (digit_chars / n_chars).cast("double").alias("digit_ratio"),
+        (punct_chars / n_chars).cast("double").alias("punct_ratio"),
+        (upper_chars / n_chars).cast("double").alias("upper_ratio"),
+        (uniq_tokens / n_tokens).cast("double").alias("distinct_token_ratio"),
+    )
+    quality = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.3
+        + F.col("alpha_ratio") * 0.3
+        + (1 - F.col("digit_ratio")) * 0.1
+        + F.least(F.col("punct_ratio") * 10, F.lit(1.0)) * 0.1
+        + F.col("distinct_token_ratio") * 0.2
+    )
+    return out.withColumn("quality_score", quality.cast("double"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language heuristic: per language, count tokens that are
+    stopwords of that language; argmax wins ('und' = undetermined when no
+    hits). Deterministic tie-break by language-list order."""
+    toks = _tokens(text_col)
+    scores = []
+    for lang, words in STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            F.expr(
+                f"size(filter({toks}, t -> array_contains(array({arr}), t)))"
+            ).alias(f"score_{lang}")
+        )
+    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pick = F.when(best <= 0, F.lit("und"))
+    for l in langs:
+        pick = pick.when(F.col(f"score_{l}") == best, F.lit(l))
+    return scored.select(
+        F.col(id_col),
+        pick.alias("lang_pred"),
+        best.alias("stopword_hits"),
+    )
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish sub-word
+    proxy (runs of letters, runs of digits, and single punctuation marks each
+    count as one token — approximates byte-pair tokenizers within ~15%)."""
+    ws = F.expr(f"size({_tokens(text_col)})")
+    bpe_ish = F.expr(
+        f"size(regexp_extract_all({text_col},"
+        r" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))"
+    )
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe_ish.alias("bpe_ish_tokens"),
+        F.ceil(ws * 4 / 3).cast("bigint").alias("est_llm_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over word
+    n-grams (a deterministic 1-of-N sample of the rolling-hash family), plus
+    the n-gram cardinality. Documents sharing a fingerprint are near-dup
+    candidates."""
+    toks = _tokens(text_col)
+    grams = (
+        f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+        f" i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"array_min(transform({grams}, g -> md5(g)))").alias("fingerprint"),
+        F.expr(f"size(array_distinct({grams}))").alias("n_grams"),
+    )

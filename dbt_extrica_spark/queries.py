@@ -1,0 +1,1113 @@
+"""Declared query battery: every entry pairs a Spark implementation with a
+DuckDB oracle (ANSI SQL over the same parquet), per the driver contract in
+``__spark_entry__.py``.
+
+Conventions that make the value-hash comparison deterministic:
+- Sums over doubles go through ``CAST(x AS DECIMAL(18,4))`` (exact, order-
+  independent) and back to DOUBLE; averages divide two exact values.
+- Array dot products are sequential double folds — bitwise identical between
+  Spark's ``aggregate`` and DuckDB's ``list_reduce``.
+- Every computed column is aliased identically on both sides; int widths are
+  pinned with explicit casts.
+- Rankings always carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from .engine import Engine
+from .functions import shims
+from .plans.model import Model
+from .sources.registry import register_sources
+from .extensions import dedup, similarity, textstats
+
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _o) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: o for name, (_fn, o) in _REGISTRY.items() if o is not None}
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    register_sources(spark, sf_dir)
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> Engine:
+    eng = Engine(spark)
+    eng.register_sources(sf_dir)
+    return eng
+
+
+# exact decimal-routed sum rendered back to double (identical text works in
+# both Spark SQL and DuckDB)
+def dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+# ==========================================================================
+# §2C pass-through suite (Catalyst-native)
+# ==========================================================================
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       {sum_qty} AS sum_qty,
+       {sum_base} AS sum_base_price,
+       {sum_disc} AS sum_disc_price,
+       {sum_charge} AS sum_charge,
+       {sum_qty} / COUNT(*) AS avg_qty,
+       {sum_base} / COUNT(*) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""".format(
+    sum_qty=dsum("l_quantity"),
+    sum_base=dsum("l_extendedprice"),
+    sum_disc=dsum("l_extendedprice * (1 - l_discount)"),
+    sum_charge=dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+)
+
+
+@q("q1_pricing_summary", _Q1)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate. Catalyst: partial+final HashAggregate, scan
+    prunes to 7 columns with the shipdate filter pushed to parquet."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q1)
+
+
+_Q3 = f"""
+SELECT o_orderkey,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@q("q3_top_orders", _Q3)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join+agg+top-k. Catalyst broadcasts customer, sort-merge
+    or broadcast joins lineitem↔orders, TakeOrderedAndProject for the top-10."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q3)
+
+
+_Q5 = f"""
+SELECT n_name,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@q("q5_region_revenue", _Q5)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join; the dimension chain broadcasts."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q5)
+
+
+_QWIN = """
+WITH rev AS (
+  SELECT c_custkey, c_nationkey, c_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_nationkey, c_name
+)
+SELECT c_nationkey, c_custkey, c_name,
+       CAST(spend AS DOUBLE) AS spend,
+       CAST(rnk AS INT) AS rnk,
+       CAST(drnk AS INT) AS drnk,
+       CAST(nation_total AS DOUBLE) AS nation_total
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend DESC, c_custkey) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend DESC, c_custkey) AS drnk,
+         SUM(spend) OVER (PARTITION BY c_nationkey) AS nation_total
+  FROM rev
+)
+WHERE rnk <= 3
+"""
+
+
+@q("q_window_rank", _QWIN)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic window functions; the window sum stays DECIMAL so
+    it is order-independent."""
+    _views(spark, sf_dir)
+    return spark.sql(_QWIN)
+
+
+_QSET = """
+WITH rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000),
+     big  AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000)
+SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM rich INTERSECT SELECT custkey FROM big)
+UNION ALL
+SELECT 'rich_only' AS tag, custkey FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM big)
+"""
+
+
+@q("q_setops", _QSET)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_QSET)
+
+
+_QROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@q("q_rollup", _QROLLUP)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_QROLLUP)
+
+
+_QSEMI = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+@q("q_semi_anti", _QSEMI)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/NOT EXISTS -> Catalyst RewritePredicateSubquery turns both into
+    left-semi / left-anti hash joins."""
+    _views(spark, sf_dir)
+    return spark.sql(_QSEMI)
+
+
+_QEVW_SPARK = """
+SELECT user_id, event_id,
+       LAG(event_id) OVER w AS prev_event_id,
+       CAST(unix_micros(ts) - unix_micros(LAG(ts) OVER w) AS BIGINT) AS gap_us,
+       CAST(ROW_NUMBER() OVER w AS INT) AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+_QEVW_DUCK = """
+SELECT user_id, event_id,
+       LAG(event_id) OVER w AS prev_event_id,
+       CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS gap_us,
+       CAST(ROW_NUMBER() OVER w AS INT) AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@q("q_events_lag", _QEVW_DUCK)
+def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_QEVW_SPARK)
+
+
+# ==========================================================================
+# §2B shims
+# ==========================================================================
+
+_REF_TS = "TIMESTAMP '1996-03-13 07:30:00'"
+
+
+def _datediff_oracle() -> str:
+    a, b = "o_orderdate", _REF_TS
+    day = f"(CAST({b} AS DATE) - CAST({a} AS DATE))"
+    day_rev = f"(CAST({a} AS DATE) - CAST({b} AS DATE))"
+    week = (
+        f"({day} // 7 + CASE WHEN isodow({a}) <= isodow({b}) THEN"
+        f" CASE WHEN {a} <= {b} THEN 0 ELSE -1 END ELSE"
+        f" CASE WHEN {a} <= {b} THEN 1 ELSE 0 END END)"
+    )
+    week_rev = (
+        f"({day_rev} // 7 + CASE WHEN isodow({b}) <= isodow({a}) THEN"
+        f" CASE WHEN {b} <= {a} THEN 0 ELSE -1 END ELSE"
+        f" CASE WHEN {b} <= {a} THEN 1 ELSE 0 END END)"
+    )
+    yr = f"(year({b}) - year({a}))"
+    return f"""
+SELECT o_orderkey,
+  CAST({yr} AS INT) AS dd_year,
+  CAST(({yr} * 4 + quarter({b}) - quarter({a})) AS INT) AS dd_quarter,
+  CAST(({yr} * 12 + month({b}) - month({a})) AS INT) AS dd_month,
+  CAST({day} AS INT) AS dd_day,
+  CAST({week} AS INT) AS dd_week,
+  CAST({week_rev} AS INT) AS dd_week_rev,
+  CAST(({day} * 24 + hour({b}) - hour({a})) AS INT) AS dd_hour,
+  CAST((({day} * 24 + hour({b}) - hour({a})) * 60 + minute({b}) - minute({a})) AS INT) AS dd_minute,
+  CAST((epoch_us({b}) - epoch_us({a})) // 1000 AS BIGINT) AS dd_ms
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+@q("shim_datediff", _datediff_oracle())
+def shim_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — field-difference datediff across all parts, both signs (the
+    reversed week exercises the dow correction branches)."""
+    _views(spark, sf_dir)
+    a, b = "o_orderdate", _REF_TS
+    dd = shims.datediff
+    return spark.sql(f"""
+SELECT o_orderkey,
+  CAST({dd(a, b, 'year')} AS INT) AS dd_year,
+  CAST({dd(a, b, 'quarter')} AS INT) AS dd_quarter,
+  CAST({dd(a, b, 'month')} AS INT) AS dd_month,
+  CAST({dd(a, b, 'day')} AS INT) AS dd_day,
+  CAST({dd(a, b, 'week')} AS INT) AS dd_week,
+  CAST({dd(b, a, 'week')} AS INT) AS dd_week_rev,
+  CAST({dd(a, b, 'hour')} AS INT) AS dd_hour,
+  CAST({dd(a, b, 'minute')} AS INT) AS dd_minute,
+  CAST({dd(a, b, 'millisecond')} AS BIGINT) AS dd_ms
+FROM orders WHERE o_orderkey <= 2000
+""")
+
+
+_DATEADD_DUCK = """
+SELECT o_orderkey,
+  o_orderdate + INTERVAL 3 DAY AS add_day,
+  o_orderdate + INTERVAL 2 MONTH AS add_month,
+  o_orderdate + INTERVAL 1 YEAR AS add_year,
+  o_orderdate + INTERVAL 36 HOUR AS add_hour,
+  o_orderdate - INTERVAL 1 WEEK AS sub_week,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS trunc_month,
+  CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS trunc_week,
+  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS trunc_quarter
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+@q("shim_dateadd_trunc", _DATEADD_DUCK)
+def shim_dateadd_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 + B10 — dateadd across parts (incl. negative) and date_trunc."""
+    _views(spark, sf_dir)
+    da = shims.dateadd
+    dt = shims.date_trunc
+    return spark.sql(f"""
+SELECT o_orderkey,
+  {da('day', 3, 'o_orderdate')} AS add_day,
+  {da('month', 2, 'o_orderdate')} AS add_month,
+  {da('year', 1, 'o_orderdate')} AS add_year,
+  {da('hour', 36, 'o_orderdate')} AS add_hour,
+  {da('week', -1, 'o_orderdate')} AS sub_week,
+  {dt('month', 'o_orderdate')} AS trunc_month,
+  {dt('week', 'o_orderdate')} AS trunc_week,
+  {dt('quarter', 'o_orderdate')} AS trunc_quarter
+FROM orders WHERE o_orderkey <= 2000
+""")
+
+
+_STR_DUCK = """
+SELECT p_partkey,
+  md5(CAST(p_name AS VARCHAR)) AS name_hash,
+  md5(CAST(p_size AS VARCHAR)) AS size_hash,
+  TRY_CAST(p_name AS INT) AS bad_int,
+  TRY_CAST(p_size AS VARCHAR) AS size_str,
+  split_part(p_type, ' ', 1) AS type_head,
+  str_split(p_type, ' ')[-1] AS type_tail,
+  right(p_name, 3) AS last3,
+  '' AS last0
+FROM part
+"""
+
+
+@q("shim_string_fns", _STR_DUCK)
+def shim_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 hash (byte parity), B5 safe_cast, B6 split_part (±n), B7 right."""
+    _views(spark, sf_dir)
+    return spark.sql(f"""
+SELECT p_partkey,
+  {shims.hash('p_name')} AS name_hash,
+  {shims.hash('p_size')} AS size_hash,
+  {shims.safe_cast('p_name', 'int')} AS bad_int,
+  {shims.safe_cast('p_size', 'string')} AS size_str,
+  {shims.split_part('p_type', "' '", 1)} AS type_head,
+  {shims.split_part('p_type', "' '", -1)} AS type_tail,
+  {shims.right('p_name', 3)} AS last3,
+  {shims.right('p_name', 0)} AS last0
+FROM part
+""")
+
+
+_ARR_DUCK = """
+SELECT r_regionkey,
+  array_to_string(list_concat([r_name], ['x', 'y']), ',') AS concat_str,
+  array_to_string(list_append([r_name], CAST(r_regionkey AS VARCHAR)), ',') AS append_str,
+  CAST(len(list_concat([r_name], [r_name])) AS INT) AS arr_sz,
+  CAST(NULL AS VARCHAR[]) IS NULL AS empty_is_null
+FROM region
+"""
+
+
+@q("shim_arrays", _ARR_DUCK)
+def shim_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12-B14 — array_construct (empty -> NULL), array_concat, array_append."""
+    _views(spark, sf_dir)
+    ac = shims.array_construct
+    return spark.sql(f"""
+SELECT r_regionkey,
+  array_join({shims.array_concat(ac(['r_name']), "array('x','y')")}, ',') AS concat_str,
+  array_join({shims.array_append(ac(['r_name']), 'CAST(r_regionkey AS STRING)')}, ',') AS append_str,
+  CAST(size({shims.array_concat(ac(['r_name']), ac(['r_name']))}) AS INT) AS arr_sz,
+  {ac([], 'string')} IS NULL AS empty_is_null
+FROM region
+""")
+
+
+_LISTAGG_DUCK = """
+SELECT c_nationkey,
+  array_to_string(list_slice(list(c_name ORDER BY c_acctbal DESC, c_name ASC), 1, 5), '|') AS top_names,
+  array_to_string(list(c_name ORDER BY c_name ASC), ',') AS all_names
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@q("shim_listagg", _LISTAGG_DUCK)
+def shim_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — ordered + limited listagg (limit AFTER ordering), plus a plain
+    ordered variant."""
+    _views(spark, sf_dir)
+    top5 = shims.listagg("c_name", "'|'",
+                         order_by=[("c_acctbal", "desc"), ("c_name", "asc")],
+                         limit_num=5)
+    all_names = shims.listagg("c_name", "','", order_by=[("c_name", "asc")])
+    return spark.sql(f"""
+SELECT c_nationkey, {top5} AS top_names, {all_names} AS all_names
+FROM customer GROUP BY c_nationkey
+""")
+
+
+_SPINE_DAY_DUCK = """
+SELECT CAST(r.range AS DATE) AS date_day
+FROM range(DATE '1995-01-01', DATE '1995-03-01', INTERVAL 1 DAY) r
+"""
+
+
+@q("shim_date_spine_day", _SPINE_DAY_DUCK)
+def shim_date_spine_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 — end-exclusive day spine via sequence+explode."""
+    return spark.sql(
+        shims.date_spine_sql("day", "DATE '1995-01-01'", "DATE '1995-03-01'")
+    )
+
+
+_SPINE_MONTH_DUCK = """
+SELECT CAST(r.range AS DATE) AS date_month
+FROM range(DATE '1995-01-01', DATE '1996-01-01', INTERVAL 1 MONTH) r
+"""
+
+
+@q("shim_date_spine_month", _SPINE_MONTH_DUCK)
+def shim_date_spine_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        shims.date_spine_sql("month", "DATE '1995-01-01'", "DATE '1996-01-01'")
+    )
+
+
+_ANYVAL_DUCK = """
+SELECT event_type,
+  MIN(user_id) AS any_user,
+  bool_or(value > 150) AS any_big,
+  bool_or(value > 1e12) AS any_huge,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@q("shim_anyvalue_boolor", _ANYVAL_DUCK)
+def shim_anyvalue_boolor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 any_value==min (deterministic on purpose), B2 bool_or."""
+    _views(spark, sf_dir)
+    return spark.sql(f"""
+SELECT event_type,
+  {shims.any_value('user_id')} AS any_user,
+  {shims.bool_or('value > 150')} AS any_big,
+  {shims.bool_or('value > 1e12')} AS any_huge,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""")
+
+
+# ==========================================================================
+# §2A materializations (engine end-to-end)
+# ==========================================================================
+
+_MAT_TABLE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       {s} AS sum_qty, CAST(COUNT(*) AS BIGINT) AS count_order
+FROM {{source:lineitem}} GROUP BY l_returnflag, l_linestatus
+""".format(s=dsum("l_quantity"))
+
+_MAT_TABLE_DUCK = """
+SELECT l_returnflag, l_linestatus,
+       {s} AS sum_qty, CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""".format(s=dsum("l_quantity"))
+
+
+@q("mat_table", _MAT_TABLE_DUCK)
+def mat_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — table materialization, both paths: initial CTAS then a
+    re-materialization through the rename/backup swap."""
+    eng = _engine(spark, sf_dir)
+    m = Model("agg_t", sql=_MAT_TABLE_SQL, config={"materialized": "table"})
+    eng.materialize(m)
+    eng.materialize(m)  # exercises the rename-swap branch
+    return eng.table("agg_t")
+
+
+_MAT_CONTRACT_DUCK = """
+SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+FROM orders WHERE o_orderkey <= 3000
+"""
+
+
+@q("mat_table_contract", _MAT_CONTRACT_DUCK)
+def mat_table_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 contract path — CREATE(schema) + column-equivalence assert +
+    NOT NULL enforcement + INSERT."""
+    eng = _engine(spark, sf_dir)
+    m = Model(
+        "contract_t",
+        sql="SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price"
+            " FROM {source:orders} WHERE o_orderkey <= 3000",
+        config={
+            "materialized": "table",
+            "contract": {"enforced": True},
+            "contract_columns": [
+                {"name": "o_orderkey", "data_type": "bigint",
+                 "constraints": [{"type": "not_null"}]},
+                {"name": "status", "data_type": "string"},
+                {"name": "price", "data_type": "double"},
+            ],
+        },
+    )
+    eng.materialize(m)
+    return eng.table("contract_t")
+
+
+_MAT_VIEW_DUCK = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@q("mat_view", _MAT_VIEW_DUCK)
+def mat_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A10 — create-or-replace view (run twice)."""
+    eng = _engine(spark, sf_dir)
+    m = Model("open_orders",
+              sql="SELECT o_orderkey, o_totalprice FROM {source:orders}"
+                  " WHERE o_orderstatus = 'O'",
+              config={"materialized": "view"})
+    eng.materialize(m)
+    eng.materialize(m)
+    return eng.table("open_orders")
+
+
+_MAT_MV_DUCK = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@q("mat_mview_refresh", _MAT_MV_DUCK)
+def mat_mview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — materialized-view emulation incl. REFRESH."""
+    eng = _engine(spark, sf_dir)
+    m = Model("li_mv",
+              sql="SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n"
+                  " FROM {source:lineitem} GROUP BY l_returnflag",
+              config={"materialized": "materialized_view"})
+    eng.materialize(m)
+    eng.refresh_materialized_view("li_mv")
+    return eng.table("li_mv")
+
+
+_INC_APPEND_DUCK = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 6000
+"""
+
+
+@q("inc_append", _INC_APPEND_DUCK)
+def inc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6 — incremental append across two runs with an is_incremental
+    high-watermark filter."""
+    eng = _engine(spark, sf_dir)
+    cfg = {"materialized": "incremental", "incremental_strategy": "append"}
+    run1 = Model("inc_a", sql="SELECT o_orderkey, o_totalprice FROM"
+                 " {source:orders} WHERE o_orderkey <= 5000", config=cfg)
+    run2 = Model("inc_a", sql="SELECT o_orderkey, o_totalprice FROM"
+                 " {source:orders} WHERE o_orderkey <= 6000"
+                 " {is_incremental: AND o_orderkey > (SELECT MAX(o_orderkey) FROM {this})}",
+                 config=cfg)
+    eng.materialize(run1)
+    eng.materialize(run2)
+    return eng.table("inc_a")
+
+
+_INC_MERGE_DUCK = """
+SELECT event_id, event_type, value FROM events WHERE event_id < 600
+UNION ALL
+SELECT event_id, event_type, value * 2 AS value FROM events
+WHERE event_id BETWEEN 600 AND 1000
+"""
+
+
+@q("inc_merge", _INC_MERGE_DUCK)
+def inc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — merge upsert: overlapping batch updates matched rows, inserts new."""
+    eng = _engine(spark, sf_dir)
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "event_id"}
+    run1 = Model("inc_m", sql="SELECT event_id, event_type, value FROM"
+                 " {source:events} WHERE event_id <= 800", config=cfg)
+    run2 = Model("inc_m", sql="SELECT event_id, event_type, value * 2 AS value"
+                 " FROM {source:events} WHERE event_id BETWEEN 600 AND 1000",
+                 config=cfg)
+    eng.materialize(run1)
+    eng.materialize(run2)
+    return eng.table("inc_m")
+
+
+_INC_MERGE_UPD_DUCK = """
+SELECT event_id, event_type, value + 1 AS value FROM events WHERE event_id <= 500
+UNION ALL
+SELECT event_id, 'UPDATED' AS event_type, value + 1 AS value FROM events
+WHERE event_id BETWEEN 501 AND 700
+"""
+
+
+@q("inc_merge_update_cols", _INC_MERGE_UPD_DUCK)
+def inc_merge_update_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — merge_update_columns: matched rows update ONLY ``value``; the
+    source's event_type is ignored for matches but kept for inserts
+    (reference: incremental.sql:156-158)."""
+    eng = _engine(spark, sf_dir)
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "event_id", "merge_update_columns": ["value"]}
+    run1 = Model("inc_mu", sql="SELECT event_id, event_type, value FROM"
+                 " {source:events} WHERE event_id <= 500", config=cfg)
+    run2 = Model("inc_mu", sql="SELECT event_id, 'UPDATED' AS event_type,"
+                 " value + 1 AS value FROM {source:events} WHERE event_id <= 700",
+                 config=cfg)
+    eng.materialize(run1)
+    eng.materialize(run2)
+    return eng.table("inc_mu")
+
+
+_INC_DI_DUCK = """
+WITH src AS (SELECT user_id, event_type, event_id, value FROM events
+             WHERE event_id BETWEEN 1400 AND 1600)
+SELECT user_id, event_type, event_id, value FROM events
+WHERE event_id <= 1500
+  AND NOT (user_id IN (SELECT user_id FROM src)
+           AND event_type IN (SELECT event_type FROM src))
+UNION ALL
+SELECT user_id, event_type, event_id, value FROM src
+"""
+
+
+@q("inc_delete_insert", _INC_DI_DUCK)
+def inc_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — delete+insert with a composite key, reproducing the reference's
+    column-wise IN semantics (deletes the superset where EACH key column
+    matches independently — reference: incremental.sql:116-128)."""
+    eng = _engine(spark, sf_dir)
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "delete+insert",
+           "unique_key": ["user_id", "event_type"]}
+    run1 = Model("inc_di", sql="SELECT user_id, event_type, event_id, value FROM"
+                 " {source:events} WHERE event_id <= 1500", config=cfg)
+    run2 = Model("inc_di", sql="SELECT user_id, event_type, event_id, value FROM"
+                 " {source:events} WHERE event_id BETWEEN 1400 AND 1600",
+                 config=cfg)
+    eng.materialize(run1)
+    eng.materialize(run2)
+    return eng.table("inc_di")
+
+
+_INC_SCHEMA_DUCK = """
+SELECT event_id, value, CAST(NULL AS VARCHAR) AS event_type FROM events
+WHERE event_id <= 300
+UNION ALL
+SELECT event_id, value, event_type FROM events WHERE event_id BETWEEN 301 AND 400
+"""
+
+
+@q("inc_schema_evolution", _INC_SCHEMA_DUCK)
+def inc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A21 — on_schema_change=append_new_columns: the new source column is
+    added to the target (NULL-backfilled) before the append."""
+    eng = _engine(spark, sf_dir)
+    run1 = Model("inc_sc", sql="SELECT event_id, value FROM {source:events}"
+                 " WHERE event_id <= 300",
+                 config={"materialized": "incremental",
+                         "incremental_strategy": "append"})
+    run2 = Model("inc_sc", sql="SELECT event_id, value, event_type FROM"
+                 " {source:events} WHERE event_id BETWEEN 301 AND 400",
+                 config={"materialized": "incremental",
+                         "incremental_strategy": "append",
+                         "on_schema_change": "append_new_columns"})
+    eng.materialize(run1)
+    eng.materialize(run2)
+    return eng.table("inc_sc")
+
+
+_SNAP_HASH_B = ("md5(concat_ws('|', coalesce(CAST(event_id AS VARCHAR), ''),"
+                " coalesce(CAST(ts AS VARCHAR), '')))")
+_SNAPSHOT_DUCK = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value, ts FROM events WHERE event_id <= 300
+), run2 AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id <= 10 THEN value * 2 ELSE value END AS value,
+         CASE WHEN event_id <= 10 THEN ts + INTERVAL 1 HOUR ELSE ts END AS ts
+  FROM events WHERE event_id <= 350
+)
+SELECT b.event_id, b.user_id, b.event_type, b.value, b.ts,
+       b.ts AS dbt_updated_at, b.ts AS dbt_valid_from, r.ts AS dbt_valid_to,
+       md5(concat_ws('|', coalesce(CAST(b.event_id AS VARCHAR), ''),
+                     coalesce(CAST(b.ts AS VARCHAR), ''))) AS dbt_scd_id
+FROM base b JOIN run2 r USING (event_id) WHERE b.event_id <= 10
+UNION ALL
+SELECT event_id, user_id, event_type, value, ts,
+       ts, ts, CAST(NULL AS TIMESTAMP), {_SNAP_HASH_B}
+FROM base WHERE event_id > 10
+UNION ALL
+SELECT event_id, user_id, event_type, value, ts,
+       ts, ts, CAST(NULL AS TIMESTAMP), {_SNAP_HASH_B}
+FROM run2 WHERE event_id <= 10 OR event_id > 300
+"""
+
+
+@q("snapshot_scd2", _SNAPSHOT_DUCK)
+def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+A13 — two snapshot passes (timestamp strategy): changed rows close
+    out and re-insert; scd_id md5 must match the oracle byte-for-byte."""
+    eng = _engine(spark, sf_dir)
+    cfg = {"materialized": "snapshot", "unique_key": "event_id",
+           "strategy": "timestamp", "updated_at": "ts"}
+    run1 = Model("snap_ev", sql="SELECT event_id, user_id, event_type, value,"
+                 " ts FROM {source:events} WHERE event_id <= 300", config=cfg)
+    run2 = Model("snap_ev", sql="""SELECT event_id, user_id, event_type,
+        CASE WHEN event_id <= 10 THEN value * 2 ELSE value END AS value,
+        CASE WHEN event_id <= 10 THEN ts + INTERVAL '1' HOUR ELSE ts END AS ts
+        FROM {source:events} WHERE event_id <= 350""", config=cfg)
+    eng.materialize(run1)
+    eng.materialize(run2)
+    return eng.table("snap_ev")
+
+
+_SEED_CSV = """id,ratio,flag,name,d,t,n
+1,0.5,true,alice,2024-01-05,2024-01-05 10:00:00,7
+2,1.25,false,bob,2024-02-06,2024-02-06 11:30:15,
+3,2,true,carol,2024-03-07,2024-03-07 23:59:59,9
+"""
+
+_SEED_DUCK = """
+SELECT CAST(id AS INT) AS id, CAST(ratio AS DOUBLE) AS ratio,
+       CAST(flag AS BOOLEAN) AS flag, CAST(name AS VARCHAR) AS name,
+       CAST(d AS DATE) AS d, CAST(t AS TIMESTAMP) AS t, CAST(n AS INT) AS n
+FROM (VALUES
+  (1, 0.5, true, 'alice', DATE '2024-01-05', TIMESTAMP '2024-01-05 10:00:00', 7),
+  (2, 1.25, false, 'bob', DATE '2024-02-06', TIMESTAMP '2024-02-06 11:30:15', NULL),
+  (3, 2.0, true, 'carol', DATE '2024-03-07', TIMESTAMP '2024-03-07 23:59:59', 9)
+) AS t(id, ratio, flag, name, d, t, n)
+"""
+
+
+@q("seed_types", _SEED_DUCK)
+def seed_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4 — seed load with agate-rule type inference (DOUBLE iff any
+    decimals, ISO date/timestamp, booleans, nullable int)."""
+    eng = _engine(spark, sf_dir)
+    eng.materialize(Model("typed_seed", sql=_SEED_CSV,
+                          config={"materialized": "seed"}))
+    return eng.table("typed_seed")
+
+
+_CATALOG_COLS_DUCK = """
+SELECT * FROM (VALUES
+  ('l_orderkey', 'bigint', 0), ('l_partkey', 'bigint', 1),
+  ('l_suppkey', 'bigint', 2), ('l_linenumber', 'int', 3),
+  ('l_quantity', 'double', 4), ('l_extendedprice', 'double', 5),
+  ('l_discount', 'double', 6), ('l_tax', 'double', 7),
+  ('l_returnflag', 'string', 8), ('l_linestatus', 'string', 9),
+  ('l_shipdate', 'timestamp_ntz', 10)
+) AS t(column_name, data_type, column_index)
+"""
+
+
+@q("catalog_columns", _CATALOG_COLS_DUCK)
+def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — get_columns_in_relation over the lineitem source."""
+    eng = _engine(spark, sf_dir)
+    cols = eng.catalog.get_columns_in_relation(eng.sources["lineitem"])
+    rows = [Row(column_name=c.name, data_type=c.dtype, column_index=i)
+            for i, c in enumerate(cols)]
+    return spark.createDataFrame(
+        rows, "column_name string, data_type string, column_index int"
+    )
+
+
+_CATALOG_RELS_DUCK = """
+SELECT * FROM (VALUES
+  ('rel_t', 'table'), ('rel_v', 'view'), ('rel_mv', 'materialized_view')
+) AS t(identifier, relation_type)
+"""
+
+
+@q("catalog_relations", _CATALOG_RELS_DUCK)
+def catalog_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — list_relations_without_caching classifies table/view/MV."""
+    eng = Engine(spark)  # no sources: keep the listing exactly 3 relations
+    eng.spark.sql(f"CREATE TABLE {eng.relation('rel_t').render()} USING PARQUET"
+                  f" AS SELECT 1 AS x")
+    eng.spark.sql(f"CREATE VIEW {eng.relation('rel_v').render()} AS"
+                  f" SELECT 2 AS y")
+    eng.materialize(Model("rel_mv", sql="SELECT 3 AS z",
+                          config={"materialized": "materialized_view"}))
+    rows = [
+        Row(identifier=r.identifier, relation_type=r.type.value)
+        for r in eng.catalog.list_relations_without_caching(eng.schema)
+    ]
+    return spark.createDataFrame(rows, "identifier string, relation_type string")
+
+
+# ==========================================================================
+# [EXTENSION] M6 — LLM-data-pipeline operators
+# ==========================================================================
+
+_DEDUP_EXACT_DUCK = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(text) AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS keeper_id
+FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+@q("dedup_exact", _DEDUP_EXACT_DUCK)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): duplicate groups over a corpus with
+    planted exact copies."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dup_groups(planted, "doc_id", ["text"])
+
+
+_DEDUP_KEEP_DUCK = """
+SELECT MIN(doc_id) AS doc_id FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+) GROUP BY md5(text)
+"""
+
+
+@q("dedup_exact_keep", _DEDUP_KEEP_DUCK)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-min-id survivors."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup(planted, "doc_id", ["text"]).select("doc_id")
+
+
+_NGRAM_JACCARD_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 200
+), grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 1)),
+    i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks
+), sized AS (
+  SELECT doc_id, g, len(g) AS n_g FROM grams
+), ex AS (
+  SELECT doc_id, n_g, unnest(g) AS gram FROM sized
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_g AS na, b.n_g AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(CAST(inter AS DOUBLE) / (na + nb - inter) AS DOUBLE) AS jaccard
+FROM shared WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+"""
+
+
+@q("dedup_ngram_jaccard", _NGRAM_JACCARD_DUCK)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (the correctness baseline minhash
+    approximates)."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 200")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@q("dedup_minhash", None)  # probabilistic candidate set -> rows-only check
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (verified by exact Jaccard of shingle
+    sets). Deterministic (seeded xxhash64 permutations) but the candidate
+    set is LSH-dependent, so no SQL oracle is declared."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                   k=5, num_perm=64, bands=16, threshold=0.5)
+
+
+@q("dedup_simhash", None)  # xxhash64 not available in the oracle engine
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk banding."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 300")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_EMB_PAIRS_DUCK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+           p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+         / (a.nrm * b.nrm) AS cosine
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+        / (a.nrm * b.nrm) >= 0.35
+"""
+
+
+@q("dedup_embedding_cosine", _EMB_PAIRS_DUCK)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs; the dot product is a sequential double fold
+    so Spark and the oracle agree bit-for-bit."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.35)
+
+
+_ANN_DUCK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+           / (q.nrm * b.nrm) AS cosine
+  FROM base q, base b WHERE q.vec_id < 50
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@q("ann_cosine_topk", _ANN_DUCK)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the baseline the LSH/IVF paths
+    approximate)."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qs = emb.where("vec_id < 50")
+    return similarity.cosine_topk(emb, "vec_id", "embedding", k=5,
+                                  queries=qs, query_id_col="vec_id")
+
+
+@q("ann_ivf_topk", None)  # approximate; probe-set dependent -> rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k — the 100 TB scale path."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return similarity.ivf_topk(emb, "vec_id", "embedding", k=5,
+                               n_cells=16, nprobe=3)
+
+
+_PUNCT_CLASS = ".,;:!?'\"()-"
+_TS_DUCK = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS uniq_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+         length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct_chars
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  CAST(n_chars AS INT) AS n_chars,
+  CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+  CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio,
+  CAST(digit_chars AS DOUBLE) / n_chars AS digit_ratio,
+  CAST(punct_chars AS DOUBLE) / n_chars AS punct_ratio,
+  CAST(uniq_tokens AS DOUBLE) / n_tokens AS distinct_token_ratio
+FROM t
+"""
+
+
+@q("text_stats", _TS_DUCK)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = textstats.text_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "avg_token_len", "alpha_ratio", "digit_ratio", "punct_ratio",
+        "distinct_token_ratio",
+    )
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, words in textstats.STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            f" x -> list_contains([{arr}], x))) AS score_{lang}"
+        )
+    langs = list(textstats.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN score_{l} = {best} THEN '{l}' "
+    case += "END"
+    return f"""
+WITH scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents)
+SELECT doc_id, {case} AS lang_pred, CAST({best} AS INT) AS stopword_hits
+FROM scored
+"""
+
+
+@q("text_language_id", _langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = textstats.language_id(docs, "doc_id", "text")
+    return out.select("doc_id", "lang_pred",
+                      F.col("stopword_hits").cast("int").alias("stopword_hits"))
+
+
+_TOKCOUNT_DUCK = r"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS INT) AS bpe_ish_tokens,
+  CAST(ceil(len(regexp_split_to_array(trim(lower(text)), '\s+')) * 4 / 3) AS BIGINT) AS est_llm_tokens
+FROM documents
+"""
+
+
+@q("text_token_count", _TOKCOUNT_DUCK)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = textstats.token_count(docs, "doc_id", "text")
+    return out.select("doc_id",
+                      F.col("ws_tokens").cast("int").alias("ws_tokens"),
+                      F.col("bpe_ish_tokens").cast("int").alias("bpe_ish_tokens"),
+                      "est_llm_tokens")
+
+
+_FP_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                i -> array_to_string(t[i:i+2], ' ')) AS g
+  FROM toks
+)
+SELECT doc_id,
+       list_min(list_transform(g, x -> md5(x))) AS fingerprint,
+       CAST(len(list_distinct(g)) AS INT) AS n_grams
+FROM grams
+"""
+
+
+@q("text_fingerprint", _FP_DUCK)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return textstats.fingerprint(docs, "doc_id", "text", n=3)
+
+
+@q("multimodal_features", None)  # binary plumbing; no SQL-oracle equivalent
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media -> mapInPandas feature extraction
+    (decode stubbed deterministically; schema/batching production-shaped),
+    then a JVM-side aggregate."""
+    from .extensions import multimodal
+
+    media = multimodal.synthetic_media(spark, n=64)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha",
+        F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 6)
+        .alias("feature_sum"),
+    )
+
+
+@q("multimodal_frame_sample", None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (sequence+explode on duration metadata)."""
+    from .extensions import multimodal
+
+    media = multimodal.synthetic_media(spark, n=16, kind="video")
+    return multimodal.sample_frames(media, every_ms=250)
