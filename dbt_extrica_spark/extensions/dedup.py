@@ -23,7 +23,18 @@ Scale notes per operator:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
+
+
+def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition compute-heavy inputs: a small parquet file arrives as one
+    partition, which would serialize per-row hashing onto one core. One cheap
+    round-robin shuffle before an expensive map is the right trade at every
+    scale (at 100 TB the input already has thousands of splits and this is a
+    no-op)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -64,13 +75,17 @@ def exact_dup_groups(df: DataFrame, id_col: str, content_cols: list[str]) -> Dat
 # shingling (shared)
 # --------------------------------------------------------------------------
 
-def char_shingles(text_col: str, k: int = 5) -> F.Column:
-    """Distinct character k-grams, computed with JVM higher-order functions."""
-    return F.expr(
+def _shingle_expr(text_col: str, k: int) -> str:
+    return (
         f"array_distinct(transform("
         f"sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
         f" i -> substring({text_col}, i, {k})))"
     )
+
+
+def char_shingles(text_col: str, k: int = 5) -> F.Column:
+    """Distinct character k-grams, computed with JVM higher-order functions."""
+    return F.expr(_shingle_expr(text_col, k))
 
 
 def word_ngrams(text_col: str, n: int = 3) -> F.Column:
@@ -87,12 +102,35 @@ def word_ngrams(text_col: str, n: int = 3) -> F.Column:
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signature(shingles_col: str, num_perm: int = 64) -> F.Column:
-    """num_perm minhash values: permutation j = min over shingles of
-    xxhash64(shingle, j). Pure codegen — one pass over the shingle array."""
+def _perm_constants(num_perm: int) -> list[int]:
+    """Fixed pseudo-random 63-bit constants (seeded, reproducible)."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [rng.getrandbits(63) for _ in range(num_perm)]
+
+
+def minhash_signature_from_hashes(hashes_col: str, num_perm: int = 64) -> F.Column:
+    """num_perm minhash values from pre-hashed shingles. The permutation
+    family is XOR with fixed constants — a 64-bit bijection per permutation,
+    so min-over-XORed-hashes is a valid minwise family at ~1/num_perm the
+    hashing cost of hashing per (shingle, perm). XOR cannot overflow, so this
+    is safe under ANSI mode. Pure codegen — no shuffle."""
+    consts = ", ".join(f"{r}L" for r in _perm_constants(num_perm))
     return F.expr(
-        f"transform(sequence(0, {num_perm - 1}),"
-        f" j -> array_min(transform({shingles_col}, s -> xxhash64(s, j))))"
+        f"transform(array({consts}),"
+        f" r -> array_min(transform({hashes_col}, h -> h ^ r)))"
+    )
+
+
+def minhash_signature(shingles_col: str, num_perm: int = 64) -> F.Column:
+    """num_perm minhash values straight from a shingle array (hashes each
+    shingle once, inline)."""
+    consts = ", ".join(f"{r}L" for r in _perm_constants(num_perm))
+    return F.expr(
+        f"transform(array({consts}),"
+        f" r -> array_min(transform(transform({shingles_col},"
+        f" s -> xxhash64(s)), h -> h ^ r)))"
     )
 
 
@@ -116,15 +154,21 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 
+    texts = _spread(df.select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("text")))
     sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            char_shingles(text_col, k).alias("sh"),
-        )
-        .withColumn("sig", minhash_signature("sh", num_perm))
+        texts
+        .withColumn("h1", F.expr(
+            f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"
+        ))
+        .withColumn("sig", minhash_signature_from_hashes("h1", num_perm))
+        .select("id", "sig")
     )
+
+    # band rows are (id, band, band-hash) ONLY — the wide shingle arrays do
+    # not travel through the explode+self-join shuffle
     banded = sig.select(
-        "id", "sh",
+        "id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
@@ -134,7 +178,7 @@ def minhash_lsh_pairs(
                 f" x -> cast(x as string)), ','))))"
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -145,24 +189,40 @@ def minhash_lsh_pairs(
                 F.col("a.bh") == F.col("b.bh"),
                 F.col("a.id") < F.col("b.id")],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        return cand.select("id_a", "id_b").withColumn(
-            "jaccard", F.lit(None).cast("double")
-        )
+        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+
+    # candidates are tiny relative to the corpus; persist so the broadcast
+    # id-set below doesn't re-run the whole signature+banding pipeline
+    cand = cand.persist()
+
+    # verification: shingle sets are recomputed ONLY for candidate docs
+    # (semi-join on the candidate id set before the expensive shingling, so
+    # at corpus scale the exact-Jaccard pass touches a tiny fraction)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        texts.join(F.broadcast(cand_ids), on="id", how="left_semi")
+        .select("id", char_shingles("text", k).alias("sh"))
+    )
+    pairs = (
+        cand.join(sh.withColumnRenamed("sh", "sh_a"),
+                  cand.id_a == sh.id).drop("id")
+        .join(sh.withColumnRenamed("sh", "sh_b"),
+              cand.id_b == sh.id).drop("id")
+    )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b"))
         / F.size(F.array_union("sh_a", "sh_b"))
     )
     return (
-        cand.withColumn("jaccard", jac.cast("double"))
+        pairs.withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -206,7 +266,7 @@ def simhash_pairs(
     xor) filters."""
     assert max_hamming < chunks, "pigeonhole requires max_hamming < chunks"
     width = 64 // chunks
-    sigs = df.select(
+    sigs = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         simhash(text_col).alias("sig"),
     )
@@ -249,10 +309,10 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over word n-gram sets for every pair sharing at least
     one n-gram. Shuffle ∝ total distinct n-grams; per-shingle groups bound
     the pair fan-out."""
-    grams = df.select(
+    grams = _spread(df.select(
         F.col(id_col).alias("id"),
         word_ngrams(text_col, n).alias("g"),
-    ).withColumn("n_g", F.size("g"))
+    )).withColumn("n_g", F.size("g"))
     exploded = grams.select("id", "n_g", F.explode("g").alias("gram"))
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
@@ -295,11 +355,11 @@ def embedding_cosine_pairs(
         "sqrt(aggregate(zip_with(v, v, (x, y) -> cast(x as double) * y),"
         " 0D, (acc, x) -> acc + x))"
     )
-    base = df.select(
+    base = _spread(df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    ).withColumn("nrm", F.expr(norm))
+    )).withColumn("nrm", F.expr(norm))
     a, b = base.alias("a"), base.alias("b")
     join_cond = [F.col("a.id") < F.col("b.id")]
     if block_col:
