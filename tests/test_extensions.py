@@ -1,0 +1,128 @@
+"""Extension-operator behavior: planted duplicates are found, approximate
+paths agree with exact baselines, multimodal plumbing is deterministic."""
+
+from pyspark.sql import functions as F
+
+from dbt_extrica_spark.extensions import dedup, multimodal, similarity, textstats
+
+
+def _docs(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    return spark.table("documents")
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 50")
+    # plant a near-duplicate of doc 0 (tiny suffix edit)
+    planted = docs.unionByName(spark.sql(
+        "SELECT 99999 AS doc_id, concat(text, ' extra') AS text FROM documents"
+        " WHERE doc_id = 0"))
+    pairs = dedup.minhash_lsh_pairs(planted, "doc_id", "text",
+                                    k=5, num_perm=64, bands=16, threshold=0.7)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 99999) in found
+
+
+def test_simhash_finds_exact_dup_at_zero_hamming(spark):
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 50")
+    planted = docs.unionByName(spark.sql(
+        "SELECT 99999 AS doc_id, text FROM documents WHERE doc_id = 0"))
+    pairs = dedup.simhash_pairs(planted, "doc_id", "text", max_hamming=3)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert found.get((0, 99999)) == 0
+
+
+def test_simhash_small_edit_small_hamming(spark):
+    # a one-token edit on a ~60-token doc should stay within a loose
+    # hamming budget (bits flip where the per-bit sum was near zero)
+    df = spark.sql(
+        "SELECT 1 AS id, text AS txt FROM documents WHERE doc_id = 0"
+        " UNION ALL"
+        " SELECT 2 AS id, concat(text, ' zzz') AS txt FROM documents"
+        " WHERE doc_id = 0")
+    sigs = df.select("id", dedup.simhash("txt").alias("sig")).collect()
+    s = {r.id: r.sig for r in sigs}
+    hamming = bin((s[1] ^ s[2]) & ((1 << 64) - 1)).count("1")
+    assert hamming <= 16
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.sql("SELECT * FROM VALUES (5, 'x'), (2, 'x'), (9, 'y')"
+                   " AS t(id, txt)")
+    kept = dedup.exact_dedup(df, "id", ["txt"])
+    assert {r.id for r in kept.collect()} == {2, 9}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.sql("SELECT * FROM VALUES (1, 'a b c d e'), (2, 'a b c d e'),"
+                   " (3, 'q r s t u') AS t(id, txt)")
+    pairs = dedup.ngram_jaccard_pairs(df, "id", "txt", n=3, threshold=0.99)
+    rows = pairs.collect()
+    assert len(rows) == 1
+    assert (rows[0].id_a, rows[0].id_b, rows[0].jaccard) == (1, 2, 1.0)
+
+
+def test_ivf_matches_bruteforce_top1(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 200")
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", k=1)
+    approx = similarity.ivf_topk(emb, "vec_id", "embedding", k=1,
+                                 n_cells=8, nprobe=4)
+    e = {r.query_id: r.neighbor_id for r in exact.collect()}
+    a = {r.query_id: r.neighbor_id for r in approx.collect()}
+    # IVF with generous nprobe should recover most exact top-1 neighbors
+    hits = sum(1 for q in e if a.get(q) == e[q])
+    assert hits / len(e) > 0.5
+
+
+def test_brp_lsh_runs(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 100")
+    out = similarity.brp_lsh_topk(emb, "vec_id", "embedding", k=3)
+    assert out.count() > 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "approx_cosine",
+                                "rank"}
+
+
+def test_language_id_picks_stopword_language(spark):
+    df = spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, 'the cat and the dog is in the house'),"
+        " (2, 'der hund und die katze ist nicht ein'),"
+        " (3, 'xyzzy plugh') AS t(id, txt)")
+    out = {r.id: r.lang_pred
+           for r in textstats.language_id(df, "id", "txt").collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_text_stats_ranges(spark):
+    docs = _docs(spark)
+    out = textstats.text_stats(docs, "doc_id", "text")
+    bad = out.where("quality_score < 0 OR quality_score > 1"
+                    " OR alpha_ratio > 1 OR n_tokens <= 0").count()
+    assert bad == 0
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.synthetic_media(spark, n=32)
+    f1 = multimodal.extract_features(media).orderBy("media_id").collect()
+    f2 = multimodal.extract_features(media).orderBy("media_id").collect()
+    assert [(r.media_id, r.sha, r.n_bytes) for r in f1] == \
+        [(r.media_id, r.sha, r.n_bytes) for r in f2]
+    assert all(len(r.feature) == 8 for r in f1)
+    assert all(not r.decoded for r in f1)  # no codec libs in this container
+
+
+def test_frame_sample_counts(spark):
+    media = multimodal.synthetic_media(spark, n=4, kind="video")
+    out = multimodal.sample_frames(media, every_ms=500)
+    counts = {r.media_id: r.n for r in
+              out.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    # duration 1000+i ms -> frames at 0,500,1000 -> 3 each
+    assert counts == {0: 3, 1: 3, 2: 3, 3: 3}

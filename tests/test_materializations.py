@@ -1,0 +1,222 @@
+"""Materialization e2e behavior: edge branches not covered by the oracle
+battery (occupant types, full refresh, contracts, schema-change modes,
+grants/comments bookkeeping)."""
+
+import pytest
+
+from dbt_extrica_spark import Model
+from dbt_extrica_spark.errors import CompilationError, DatabaseError
+from dbt_extrica_spark.relation import RelationType
+
+
+def test_table_drop_mode(engine):
+    m = Model("t_drop", sql="SELECT 1 AS a",
+              config={"materialized": "table", "on_table_exists": "drop"})
+    engine.materialize(m)
+    engine.materialize(m)
+    assert engine.table("t_drop").count() == 1
+
+
+def test_table_invalid_mode_raises(engine):
+    with pytest.raises(CompilationError):
+        engine.materialize(Model("t_bad", sql="SELECT 1 AS a",
+                                 config={"materialized": "table",
+                                         "on_table_exists": "nope"}))
+
+
+def test_table_replaces_view_occupant(engine):
+    engine.materialize(Model("occ", sql="SELECT 1 AS a",
+                             config={"materialized": "view"}))
+    engine.materialize(Model("occ", sql="SELECT 2 AS a",
+                             config={"materialized": "table"}))
+    rel = engine.catalog.get_relation(engine.relation("occ"))
+    assert rel.is_table
+    assert engine.table("occ").collect()[0].a == 2
+
+
+def test_view_over_table_requires_full_refresh(engine):
+    engine.materialize(Model("vocc", sql="SELECT 1 AS a",
+                             config={"materialized": "table"}))
+    with pytest.raises(DatabaseError):
+        engine.materialize(Model("vocc", sql="SELECT 2 AS a",
+                                 config={"materialized": "view"}))
+    engine.materialize(Model("vocc", sql="SELECT 2 AS a",
+                             config={"materialized": "view"}),
+                       full_refresh=True)
+    assert engine.catalog.get_relation(engine.relation("vocc")).is_view
+
+
+def test_view_security_validated(engine):
+    with pytest.raises(CompilationError):
+        engine.materialize(Model("vsec", sql="SELECT 1 AS a",
+                                 config={"materialized": "view",
+                                         "view_security": "bogus"}))
+
+
+def test_contract_column_mismatch_raises(engine):
+    with pytest.raises(CompilationError):
+        engine.materialize(Model(
+            "c_bad", sql="SELECT 1 AS x, 2 AS y",
+            config={"materialized": "table",
+                    "contract": {"enforced": True},
+                    "contract_columns": [{"name": "x", "data_type": "int"},
+                                         {"name": "z", "data_type": "int"}]},
+        ))
+
+
+def test_not_null_enforcement(engine):
+    # A35: not_null is ENFORCED (reference: impl.py:31-37)
+    with pytest.raises(DatabaseError):
+        engine.materialize(Model(
+            "c_nn", sql="SELECT CAST(NULL AS INT) AS x",
+            config={"materialized": "table",
+                    "contract": {"enforced": True},
+                    "contract_columns": [
+                        {"name": "x", "data_type": "int",
+                         "constraints": [{"type": "not_null"}]}]},
+        ))
+
+
+def test_incremental_full_refresh(engine):
+    cfg = {"materialized": "incremental", "incremental_strategy": "append"}
+    engine.materialize(Model("ifr", sql="SELECT 1 AS a", config=cfg))
+    engine.materialize(Model("ifr", sql="SELECT 2 AS a", config=cfg),
+                       full_refresh=True)
+    rows = engine.table("ifr").collect()
+    assert [r.a for r in rows] == [2]
+
+
+def test_incremental_invalid_strategy(engine):
+    with pytest.raises(CompilationError):
+        engine.materialize(Model("ibad", sql="SELECT 1 AS a",
+                                 config={"materialized": "incremental",
+                                         "incremental_strategy": "upsert"}))
+
+
+def test_incremental_schema_change_fail_mode(engine):
+    cfg1 = {"materialized": "incremental", "incremental_strategy": "append"}
+    engine.materialize(Model("isc", sql="SELECT 1 AS a", config=cfg1))
+    with pytest.raises(CompilationError):
+        engine.materialize(Model(
+            "isc", sql="SELECT 1 AS a, 2 AS b",
+            config={**cfg1, "on_schema_change": "fail"},
+        ))
+
+
+def test_incremental_sync_all_columns(engine):
+    cfg = {"materialized": "incremental", "incremental_strategy": "append"}
+    engine.materialize(Model("isync", sql="SELECT 1 AS a, 2 AS b", config=cfg))
+    engine.materialize(Model(
+        "isync", sql="SELECT 10 AS a, 'x' AS c",
+        config={**cfg, "on_schema_change": "sync_all_columns"},
+    ))
+    df = engine.table("isync")
+    assert sorted(df.columns) == ["a", "c"]
+    assert df.count() == 2
+
+
+def test_merge_exclude_columns(engine):
+    from dbt_extrica_spark.operators.merge import get_merge_update_columns
+
+    assert get_merge_update_columns(None, ["b"], ["a", "b", "c"]) == ["a", "c"]
+    assert get_merge_update_columns(["a"], None, ["a", "b"]) == ["a"]
+    with pytest.raises(ValueError):
+        get_merge_update_columns(["a"], ["b"], ["a", "b"])
+
+
+def test_delete_insert_with_predicates(engine):
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "delete+insert",
+           "unique_key": ["k"]}
+    engine.materialize(Model(
+        "dip", sql="SELECT k, v FROM VALUES (1, 'old'), (2, 'keep') AS t(k, v)",
+        config=cfg))
+    # predicate restricts the delete to v='old' rows only
+    engine.materialize(Model(
+        "dip", sql="SELECT k, v FROM VALUES (1, 'new'), (2, 'new2') AS t(k, v)",
+        config={**cfg, "incremental_predicates": ["v = 'old'"]}))
+    rows = {(r.k, r.v) for r in engine.table("dip").collect()}
+    # k=1 'old' deleted+reinserted; k=2 'keep' survives (predicate false),
+    # plus the new k=2 row appended
+    assert rows == {(1, "new"), (2, "keep"), (2, "new2")}
+
+
+def test_mv_requires_definition_for_refresh(engine):
+    with pytest.raises(DatabaseError):
+        engine.refresh_materialized_view("not_an_mv")
+
+
+def test_grants_registry(engine):
+    engine.materialize(Model(
+        "gt", sql="SELECT 1 AS a",
+        config={"materialized": "table",
+                "grants": {"select": ["alice", "bob"]}},
+    ))
+    got = engine.catalog.show_grants(engine.relation("gt"))
+    assert got == {"select": {"alice", "bob"}}
+
+
+def test_comments_persist(engine):
+    engine.materialize(Model(
+        "ct", sql="SELECT 1 AS a", description="my table docs",
+        config={"materialized": "table", "persist_docs": True},
+    ))
+    assert engine.catalog.get_relation_comment(
+        engine.relation("ct")) == "my table docs"
+
+
+def test_rename_view_via_registry(engine):
+    engine.materialize(Model("rv", sql="SELECT 5 AS a",
+                             config={"materialized": "view"}))
+    engine.catalog.rename_relation(engine.relation("rv"),
+                                   engine.relation("rv2"))
+    assert engine.table("rv2").collect()[0].a == 5
+    assert engine.catalog.get_relation(engine.relation("rv")) is None
+
+
+def test_alter_column_type(engine):
+    engine.materialize(Model("act", sql="SELECT 1 AS a, 'x' AS b",
+                             config={"materialized": "table"}))
+    engine.catalog.alter_column_type(engine.relation("act"), "a", "double")
+    assert dict(engine.table("act").dtypes)["a"] == "double"
+
+
+def test_get_catalog(engine):
+    engine.materialize(Model("cat_t", sql="SELECT 1 AS a, 'x' AS b",
+                             config={"materialized": "table"}))
+    df = engine.catalog.get_catalog([engine.schema])
+    rows = [r for r in df.collect() if r.table_name == "cat_t"]
+    assert [r.column_name for r in rows] == ["a", "b"]
+    assert rows[0].table_type == "TABLE"
+
+
+def test_drop_schema_cascade(spark):
+    from dbt_extrica_spark import Engine
+
+    eng = Engine(spark)
+    eng.materialize(Model("x1", sql="SELECT 1 AS a",
+                          config={"materialized": "table"}))
+    schema = eng.schema
+    eng.close()
+    assert not spark.catalog.databaseExists(schema)
+
+
+def test_project_runner(engine):
+    from dbt_extrica_spark.plans.model import Project
+    from dbt_extrica_spark.plans.runner import run_project
+
+    models = [
+        Model("base_m", sql="SELECT o_orderkey AS k FROM {source:orders}"
+              " WHERE o_orderkey <= 100", config={"materialized": "table"}),
+        Model("dep_m", sql="SELECT COUNT(*) AS n FROM {ref:base_m}",
+              config={"materialized": "table"}),
+        Model("other_m", sql="SELECT 1 AS one",
+              config={"materialized": "view"}),
+    ]
+    project = Project(models)
+    levels = project.topo_order()
+    assert levels[0] == ["base_m", "other_m"] and levels[1] == ["dep_m"]
+    results = run_project(engine, project, threads=2)
+    assert engine.table("dep_m").collect()[0].n == \
+        engine.table("base_m").count()
+    assert set(results) == {"base_m", "dep_m", "other_m"}
