@@ -1111,3 +1111,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.synthetic_media(spark, n=16, kind="video")
     return multimodal.sample_frames(media, every_ms=250)
+
+
+# ==========================================================================
+# [EXTENSION] Structured Streaming (batch-equivalent under availableNow)
+# ==========================================================================
+
+_STREAM_WIN_DUCK = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+@q("streaming_window_counts", _STREAM_WIN_DUCK)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermark+window aggregate executed as an
+    availableNow catch-up batch — result equals the batch GROUP BY, so the
+    oracle is plain SQL."""
+    from .streaming import read_event_stream, run_available_now, windowed_counts
+
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(windowed_counts(stream, "1 day", "1 hour"))
+
+
+_SESSIONIZE_SQL = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN unix_ts - LAG(unix_ts) OVER w > 1800000000 THEN 1 ELSE 0
+         END AS new_session
+  FROM (SELECT user_id, ts, {unix}(ts) AS unix_ts FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gapped
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(COUNT(*) AS INT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@q("q_sessionize", _SESSIONIZE_SQL.format(unix="epoch_us"))
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity) in pure window
+    functions — the batch twin of the stateful streaming operator."""
+    _views(spark, sf_dir)
+    return spark.sql(_SESSIONIZE_SQL.format(unix="unix_micros"))
+
+
+@q("streaming_sessionize", None)  # emits only CLOSED sessions (stateful)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization run as an availableNow batch.
+    Open sessions stay in state (timeout-based close), so the emitted set is
+    a prefix of the batch result — checked rows-only."""
+    from .streaming import read_event_stream, run_available_now, sessionize_stateful
+
+    stream = read_event_stream(spark, sf_dir).select("user_id", "ts")
+    return run_available_now(sessionize_stateful(stream, 30), "append")

@@ -1,0 +1,8 @@
+from .incremental import (
+    read_event_stream, windowed_counts, run_available_now, sessionize_stateful,
+)
+
+__all__ = [
+    "read_event_stream", "windowed_counts", "run_available_now",
+    "sessionize_stateful",
+]

@@ -1,0 +1,159 @@
+"""[EXTENSION] Structured Streaming operators over the ``events`` table.
+
+The reference is batch-only (dbt "incremental" = micro-batch-by-rerun,
+SURVEY §1.1/§2C) — this module is the streaming analog flagged as an
+extension: file-source streams, watermarked windowed aggregation, and a
+custom stateful operator via ``applyInPandasWithState``.
+
+`trigger(availableNow=True)` turns any of these into a deterministic
+catch-up batch — the bridge between dbt-style reruns and a live stream: the
+same code serves both.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.registry import _nanos_columns, read_parquet_table
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet, with the same ns-timestamp
+    restoration as the batch reader (sources/registry.py)."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # schema inference needs the batch reader (streams require a schema);
+    # the file source wants a DIRECTORY, so stream the sf dir with a glob
+    batch = read_parquet_table(spark, path)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    for c in _nanos_columns(path):
+        if c in stream.columns:
+            stream = stream.withColumn(
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)")
+            )
+    return stream.select(*[F.col(f.name) for f in batch.schema.fields])
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 day",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregate: count + exact (decimal-routed)
+    value sum per (window, event_type). The watermark bounds state for
+    continuous runs; under availableNow nothing is late and the result equals
+    the batch GROUP BY."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum_dec"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("value_sum_dec").cast("double").alias("value_sum"),
+        )
+    )
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame as a one-shot catch-up batch into a
+    memory sink; returns the sink contents as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    query = (
+        result.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+_SESSION_SCHEMA = (
+    "user_id bigint, session_id int, n_events int, "
+    "session_start timestamp, session_end timestamp"
+)
+_STATE_SCHEMA = "last_ts long, session_id int, n int, start_ts long"
+
+
+def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30,
+                        use_timeout: bool = False) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user session
+    assembly with an inactivity gap. Emits closed sessions; open sessions
+    remain in state.
+
+    ``use_timeout=True`` adds a processing-time timeout that flushes idle
+    sessions — use it ONLY for continuous streams: under
+    ``trigger(availableNow)`` a processing-time timeout keeps scheduling
+    wake-up batches and the query never terminates (observed on Spark 4.1).
+
+    The Spark-provided primitives (window/session_window) can't express
+    per-group custom state transitions; this is the documented escape hatch
+    (SURVEY §2C UDF row: pandas-grouped-state)."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter: Iterable["pd.DataFrame"], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, session_id, n, start_ts = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id], "session_id": [session_id],
+                "n_events": [n],
+                "session_start": [pd.Timestamp(start_ts, unit="us")],
+                "session_end": [pd.Timestamp(last_ts, unit="us")],
+            })
+            return
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        # Arrow batches may arrive as datetime64[us] or [ns]; normalize
+        ts_us = (
+            pd.to_datetime(rows["ts"]).astype("datetime64[us]")
+            .astype("int64").tolist()
+        )
+        if state.exists:
+            last_ts, session_id, n, start_ts = state.get
+        else:
+            last_ts, session_id, n, start_ts = None, 0, 0, None
+        out = []
+        for t in ts_us:
+            if last_ts is not None and t - last_ts > gap_us:
+                out.append((user_id, session_id, n,
+                            pd.Timestamp(start_ts, unit="us"),
+                            pd.Timestamp(last_ts, unit="us")))
+                session_id += 1
+                n, start_ts = 0, t
+            if start_ts is None:
+                start_ts = t
+            n += 1
+            last_ts = t
+        state.update((last_ts, session_id, n, start_ts))
+        if use_timeout:
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "session_id", "n_events", "session_start",
+                "session_end",
+            ])
+
+    return (
+        stream.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if use_timeout
+                         else GroupStateTimeout.NoTimeout),
+        )
+    )
