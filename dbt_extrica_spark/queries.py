@@ -239,6 +239,71 @@ def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QEVW_SPARK)
 
 
+_QJSON_DUCK = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT) AS INT) AS k_int,
+       CAST(TRY_CAST(json_extract_string(props, '$.missing') AS INT) AS INT) AS missing_int
+FROM events WHERE event_id <= 500
+"""
+
+
+@q("q_json_access", _QJSON_DUCK)
+def q_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON stored as string + get_json_object access (SURVEY §1.2: the
+    reference classifies json as a string type; access happens at use sites)."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+SELECT event_id,
+       get_json_object(props, '$.k') AS k_str,
+       CAST(try_cast(get_json_object(props, '$.k') AS INT) AS INT) AS k_int,
+       CAST(try_cast(get_json_object(props, '$.missing') AS INT) AS INT) AS missing_int
+FROM events WHERE event_id <= 500
+""")
+
+
+_QGSETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@q("q_grouping_sets", _QGSETS)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_QGSETS)
+
+
+_QTHETA = """
+SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_cheaper_parts
+FROM supplier s JOIN part p ON p.p_retailprice < s.s_acctbal / 100
+GROUP BY s.s_suppkey
+"""
+
+
+@q("q_theta_join", _QTHETA)
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join -> BroadcastNestedLoopJoin; Catalyst broadcasts
+    the small side automatically."""
+    _views(spark, sf_dir)
+    return spark.sql(_QTHETA)
+
+
+@q("q_approx_distinct", None)  # approximate by design -> rows-only
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — sketch values differ across engines, so
+    rows-only; exact distinct parity is covered by q_rollup's n_cust."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+SELECT l_returnflag,
+       approx_count_distinct(l_partkey) AS approx_parts,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+FROM lineitem GROUP BY l_returnflag
+""")
+
+
 # ==========================================================================
 # §2B shims
 # ==========================================================================
