@@ -4,7 +4,8 @@ from .shims import (
     dateadd, datediff, date_trunc, date_spine_sql, array_construct,
     array_concat, array_append, current_timestamp, snapshot_string_as_time,
     type_float, type_string, type_numeric, type_int, type_boolean,
-    type_timestamp, type_bigint,
+    type_timestamp, type_bigint, date_function, snapshot_hash_arguments,
+    timestamp_add_sql,
 )
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "date_spine_sql", "array_construct", "array_concat", "array_append",
     "current_timestamp", "snapshot_string_as_time", "type_float",
     "type_string", "type_numeric", "type_int", "type_boolean",
-    "type_timestamp", "type_bigint",
+    "type_timestamp", "type_bigint", "date_function",
+    "snapshot_hash_arguments", "timestamp_add_sql",
 ]

@@ -295,3 +295,8 @@ def snapshot_hash_arguments(args: list[str]) -> str:
 def timestamp_add_sql(add_to: str, number: int = 1, interval: str = "hour") -> str:
     """A33 — (reference: impl.py:68-69 ``{ts} + interval '{n}' {unit}``)."""
     return f"{add_to} + INTERVAL '{number}' {interval}"
+
+
+def date_function() -> str:
+    """A34 — current-date expression (reference: impl.py:47-49 ``datenow()``)."""
+    return "current_date()"

@@ -47,10 +47,16 @@ def create_table_as(
     properties: dict | None = None,
     comment: str | None = None,
     contract: list[dict] | None = None,
+    file_format: str = "parquet",
 ) -> None:
     """A1 — CTAS (reference: macros/adapters.sql:102-133). With an enforced
     contract, splits into CREATE TABLE (cols) + schema-asserted INSERT
-    (reference: macros/adapters.sql:105-121)."""
+    (reference: macros/adapters.sql:105-121).
+
+    ``file_format`` is the Spark datasource (parquet default; orc/json/csv
+    supported) — the analog of the reference's Trino-connector-determined
+    storage."""
+    using = file_format.upper()
     comment_clause = ""
     if comment:
         comment_clause = " COMMENT '%s'" % comment.replace("'", "''")
@@ -59,7 +65,7 @@ def create_table_as(
             f"`{c['name']}` {c['data_type']}" for c in contract
         )
         engine.spark.sql(
-            f"CREATE TABLE {relation.render()} ({cols_ddl}) USING PARQUET"
+            f"CREATE TABLE {relation.render()} ({cols_ddl}) USING {using}"
             f"{comment_clause}{properties_clause(properties)}"
         )
         assert_columns_equivalent(engine, relation, sql, contract)
@@ -67,7 +73,7 @@ def create_table_as(
         engine.spark.sql(f"INSERT INTO {relation.render()} {sql}")
     else:
         engine.spark.sql(
-            f"CREATE TABLE {relation.render()} USING PARQUET"
+            f"CREATE TABLE {relation.render()} USING {using}"
             f"{comment_clause}{properties_clause(properties)} AS {sql}"
         )
 
@@ -134,6 +140,7 @@ def materialize_table(engine: "Engine", model: "Model") -> Relation:
     existing = engine.catalog.get_relation(target)
     sql = engine.compile_sql(model)
     props = config.get("properties")
+    fmt = config.get("file_format", "parquet")
     comment = model.description if config.get("persist_docs") else None
     contract = config.get("contract_columns") if (
         config.get("contract", {}).get("enforced")
@@ -142,14 +149,14 @@ def materialize_table(engine: "Engine", model: "Model") -> Relation:
     if mode == "drop" or existing is None:
         if existing is not None:
             engine.catalog.drop_relation(existing)
-        create_table_as(engine, target, sql, props, comment, contract)
+        create_table_as(engine, target, sql, props, comment, contract, fmt)
     else:
         # rename mode (reference: table.sql:12-48)
         tmp = target.with_identifier(target.identifier + "__dbt_tmp")
         backup = target.with_identifier(target.identifier + "__dbt_backup")
         engine.catalog.drop_relation(tmp.incorporate(RelationType.Table))
         engine.catalog.drop_relation(backup.incorporate(existing.type))
-        create_table_as(engine, tmp, sql, props, comment, contract)
+        create_table_as(engine, tmp, sql, props, comment, contract, fmt)
         if existing.is_view:
             # views can't be renamed nor occupy the name: drop
             engine.catalog.drop_relation(existing)
@@ -224,17 +231,20 @@ def materialize_incremental(engine: "Engine", model: "Model",
 
     # first run / view occupant / full refresh -> plain CTAS
     if existing is None:
-        create_table_as(engine, target, sql, config.get("properties"))
+        create_table_as(engine, target, sql, config.get("properties"),
+                        file_format=config.get("file_format", "parquet"))
         engine.apply_model_hooks_and_grants(model, target)
         return target
     if existing.is_view:
         engine.catalog.drop_relation(existing)
-        create_table_as(engine, target, sql, config.get("properties"))
+        create_table_as(engine, target, sql, config.get("properties"),
+                        file_format=config.get("file_format", "parquet"))
         engine.apply_model_hooks_and_grants(model, target)
         return target
     if full_refresh:
         engine.catalog.drop_relation(existing)
-        create_table_as(engine, target, sql, config.get("properties"))
+        create_table_as(engine, target, sql, config.get("properties"),
+                        file_format=config.get("file_format", "parquet"))
         engine.apply_model_hooks_and_grants(model, target)
         return target
 

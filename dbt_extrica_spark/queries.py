@@ -511,13 +511,18 @@ SELECT event_type,
   bool_or(value > 150) AS any_big,
   bool_or(value > 1e12) AS any_huge,
   CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY event_type
+FROM events
+WHERE ts < CAST(current_timestamp AS TIMESTAMP)
+  AND CAST(ts AS DATE) < current_date
+GROUP BY event_type
 """
 
 
 @q("shim_anyvalue_boolor", _ANYVAL_DUCK)
 def shim_anyvalue_boolor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 any_value==min (deterministic on purpose), B2 bool_or."""
+    """B1 any_value==min (deterministic on purpose), B2 bool_or; the filter
+    exercises B15 current_timestamp and A34 date_function against 2024 data
+    (always true, so the result stays deterministic)."""
     _views(spark, sf_dir)
     return spark.sql(f"""
 SELECT event_type,
@@ -525,7 +530,10 @@ SELECT event_type,
   {shims.bool_or('value > 150')} AS any_big,
   {shims.bool_or('value > 1e12')} AS any_huge,
   CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY event_type
+FROM events
+WHERE ts < {shims.current_timestamp()}
+  AND CAST(ts AS DATE) < {shims.date_function()}
+GROUP BY event_type
 """)
 
 

@@ -54,6 +54,28 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_table(spark: SparkSession, path: str, format: str = "parquet",
+               schema: str | None = None, **options) -> DataFrame:
+    """Generic source reader (the reference reaches any storage through
+    Trino connectors, README.md:17-28; ours is Spark's datasource API).
+
+    parquet gets the ns-timestamp repair; csv defaults header=true with
+    schema inference unless an explicit DDL ``schema`` is given."""
+    fmt = format.lower()
+    if fmt == "parquet":
+        return read_parquet_table(spark, path)
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if not schema:
+            options.setdefault("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
 def register_sources(
     spark: SparkSession,
     sf_dir: str,

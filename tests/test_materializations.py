@@ -220,3 +220,31 @@ def test_project_runner(engine):
     assert engine.table("dep_m").collect()[0].n == \
         engine.table("base_m").count()
     assert set(results) == {"base_m", "dep_m", "other_m"}
+
+
+def test_table_file_format_and_properties(engine):
+    engine.materialize(Model(
+        "fmt_t", sql="SELECT 1 AS a, 'x' AS b",
+        config={"materialized": "table", "file_format": "orc",
+                "properties": {"owner_team": "data-eng"}},
+    ))
+    assert engine.table("fmt_t").count() == 1
+    detail = engine.spark.sql(
+        f"DESCRIBE TABLE EXTENDED {engine.relation('fmt_t').render()}"
+    ).collect()
+    blob = "\n".join(f"{r.col_name}={r.data_type}" for r in detail)
+    assert "orc" in blob.lower()
+    assert "owner_team" in blob
+
+
+def test_multi_format_sources(engine, tmp_path):
+    from dbt_extrica_spark.sources.registry import read_table
+
+    csv = tmp_path / "src.csv"
+    csv.write_text("k,v\n1,a\n2,b\n")
+    df = read_table(engine.spark, str(csv), format="csv")
+    assert df.count() == 2 and dict(df.dtypes)["k"] == "int"
+    jsonp = tmp_path / "src.json"
+    jsonp.write_text('{"k": 1}\n{"k": 2}\n')
+    dj = read_table(engine.spark, str(jsonp), format="json")
+    assert dj.count() == 2

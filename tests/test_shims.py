@@ -112,3 +112,22 @@ def test_timestamp_add_sql(spark):
     expr = shims.timestamp_add_sql("TIMESTAMP '2024-01-01 00:00:00'", 2, "hour")
     got = spark.sql(f"SELECT {expr} AS v").collect()[0].v
     assert str(got) == "2024-01-01 02:00:00"
+
+
+def test_type_macros():
+    # B17 (reference: utils/datatypes.sql) + A34 date_function
+    assert shims.type_float() == "double"
+    assert shims.type_string() == "string"
+    assert shims.type_numeric() == "decimal(28,6)"
+    assert shims.type_int() == "int"
+    assert shims.date_function() == "current_date()"
+    assert shims.snapshot_string_as_time("2024-01-02 03:04:05") == \
+        "TIMESTAMP '2024-01-02 03:04:05'"
+
+
+def test_current_timestamp_executes(spark):
+    row = spark.sql(
+        f"SELECT {shims.current_timestamp()} AS now_ts,"
+        f" {shims.date_function()} AS today"
+    ).collect()[0]
+    assert row.now_ts is not None and row.today is not None
