@@ -48,15 +48,32 @@ def create_table_as(
     comment: str | None = None,
     contract: list[dict] | None = None,
     file_format: str = "parquet",
+    partition_by: list[str] | None = None,
+    bucket_by: list[str] | None = None,
+    buckets: int = 0,
 ) -> None:
     """A1 — CTAS (reference: macros/adapters.sql:102-133). With an enforced
     contract, splits into CREATE TABLE (cols) + schema-asserted INSERT
     (reference: macros/adapters.sql:105-121).
 
-    ``file_format`` is the Spark datasource (parquet default; orc/json/csv
-    supported) — the analog of the reference's Trino-connector-determined
-    storage."""
+    Scale levers the reference delegates to Trino connectors, exposed here
+    as Spark-native clauses:
+    - ``file_format``: the Spark datasource (parquet default; orc/json/csv)
+    - ``partition_by``: PARTITIONED BY -> static + dynamic partition
+      pruning on downstream reads
+    - ``bucket_by``/``buckets``: CLUSTERED BY ... INTO n BUCKETS ->
+      co-located (exchange-free) joins/aggs on the bucket key
+    """
     using = file_format.upper()
+    layout = ""
+    if partition_by:
+        layout += " PARTITIONED BY (%s)" % ", ".join(
+            f"`{c}`" for c in partition_by
+        )
+    if bucket_by and buckets:
+        layout += " CLUSTERED BY (%s) INTO %d BUCKETS" % (
+            ", ".join(f"`{c}`" for c in bucket_by), int(buckets)
+        )
     comment_clause = ""
     if comment:
         comment_clause = " COMMENT '%s'" % comment.replace("'", "''")
@@ -66,7 +83,7 @@ def create_table_as(
         )
         engine.spark.sql(
             f"CREATE TABLE {relation.render()} ({cols_ddl}) USING {using}"
-            f"{comment_clause}{properties_clause(properties)}"
+            f"{comment_clause}{layout}{properties_clause(properties)}"
         )
         assert_columns_equivalent(engine, relation, sql, contract)
         enforce_not_null(engine, sql, contract)
@@ -74,7 +91,7 @@ def create_table_as(
     else:
         engine.spark.sql(
             f"CREATE TABLE {relation.render()} USING {using}"
-            f"{comment_clause}{properties_clause(properties)} AS {sql}"
+            f"{comment_clause}{layout}{properties_clause(properties)} AS {sql}"
         )
 
 
@@ -146,17 +163,24 @@ def materialize_table(engine: "Engine", model: "Model") -> Relation:
         config.get("contract", {}).get("enforced")
     ) else None
 
+    layout = dict(
+        partition_by=config.get("partition_by"),
+        bucket_by=config.get("bucket_by"),
+        buckets=config.get("buckets", 0),
+    )
     if mode == "drop" or existing is None:
         if existing is not None:
             engine.catalog.drop_relation(existing)
-        create_table_as(engine, target, sql, props, comment, contract, fmt)
+        create_table_as(engine, target, sql, props, comment, contract, fmt,
+                        **layout)
     else:
         # rename mode (reference: table.sql:12-48)
         tmp = target.with_identifier(target.identifier + "__dbt_tmp")
         backup = target.with_identifier(target.identifier + "__dbt_backup")
         engine.catalog.drop_relation(tmp.incorporate(RelationType.Table))
         engine.catalog.drop_relation(backup.incorporate(existing.type))
-        create_table_as(engine, tmp, sql, props, comment, contract, fmt)
+        create_table_as(engine, tmp, sql, props, comment, contract, fmt,
+                        **layout)
         if existing.is_view:
             # views can't be renamed nor occupy the name: drop
             engine.catalog.drop_relation(existing)

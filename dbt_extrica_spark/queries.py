@@ -46,9 +46,24 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
     register_sources(spark, sf_dir)
 
 
-def _engine(spark: SparkSession, sf_dir: str) -> Engine:
-    eng = Engine(spark)
-    eng.register_sources(sf_dir)
+_ENGINES: dict[tuple[int, str], Engine] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str, *reset: str) -> Engine:
+    """One shared Engine per (session, sf_dir) — source registration and
+    schema DDL are paid once. ``reset`` names model tables this query is
+    about to build; any leftovers from a prior invocation are dropped so
+    first-run paths (CTAS vs incremental) stay deterministic."""
+    key = (id(spark), sf_dir)
+    eng = _ENGINES.get(key)
+    if eng is None or not spark.catalog.databaseExists(eng.schema):
+        eng = Engine(spark)
+        eng.register_sources(sf_dir)
+        _ENGINES[key] = eng
+    for name in reset:
+        existing = eng.catalog.get_relation(eng.relation(name))
+        if existing is not None:
+            eng.catalog.drop_relation(existing)
     return eng
 
 
@@ -558,7 +573,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def mat_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — table materialization, both paths: initial CTAS then a
     re-materialization through the rename/backup swap."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "agg_t")
     m = Model("agg_t", sql=_MAT_TABLE_SQL, config={"materialized": "table"})
     eng.materialize(m)
     eng.materialize(m)  # exercises the rename-swap branch
@@ -575,7 +590,7 @@ FROM orders WHERE o_orderkey <= 3000
 def mat_table_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 contract path — CREATE(schema) + column-equivalence assert +
     NOT NULL enforcement + INSERT."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "contract_t")
     m = Model(
         "contract_t",
         sql="SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price"
@@ -603,7 +618,7 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
 @q("mat_view", _MAT_VIEW_DUCK)
 def mat_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A10 — create-or-replace view (run twice)."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "open_orders")
     m = Model("open_orders",
               sql="SELECT o_orderkey, o_totalprice FROM {source:orders}"
                   " WHERE o_orderstatus = 'O'",
@@ -621,7 +636,7 @@ SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_retu
 @q("mat_mview_refresh", _MAT_MV_DUCK)
 def mat_mview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — materialized-view emulation incl. REFRESH."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "li_mv")
     m = Model("li_mv",
               sql="SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n"
                   " FROM {source:lineitem} GROUP BY l_returnflag",
@@ -640,7 +655,7 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 6000
 def inc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+A6 — incremental append across two runs with an is_incremental
     high-watermark filter."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "inc_a")
     cfg = {"materialized": "incremental", "incremental_strategy": "append"}
     run1 = Model("inc_a", sql="SELECT o_orderkey, o_totalprice FROM"
                  " {source:orders} WHERE o_orderkey <= 5000", config=cfg)
@@ -664,7 +679,7 @@ WHERE event_id BETWEEN 600 AND 1000
 @q("inc_merge", _INC_MERGE_DUCK)
 def inc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — merge upsert: overlapping batch updates matched rows, inserts new."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "inc_m")
     cfg = {"materialized": "incremental", "incremental_strategy": "merge",
            "unique_key": "event_id"}
     run1 = Model("inc_m", sql="SELECT event_id, event_type, value FROM"
@@ -690,7 +705,7 @@ def inc_merge_update_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — merge_update_columns: matched rows update ONLY ``value``; the
     source's event_type is ignored for matches but kept for inserts
     (reference: incremental.sql:156-158)."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "inc_mu")
     cfg = {"materialized": "incremental", "incremental_strategy": "merge",
            "unique_key": "event_id", "merge_update_columns": ["value"]}
     run1 = Model("inc_mu", sql="SELECT event_id, event_type, value FROM"
@@ -720,7 +735,7 @@ def inc_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 — delete+insert with a composite key, reproducing the reference's
     column-wise IN semantics (deletes the superset where EACH key column
     matches independently — reference: incremental.sql:116-128)."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "inc_di")
     cfg = {"materialized": "incremental",
            "incremental_strategy": "delete+insert",
            "unique_key": ["user_id", "event_type"]}
@@ -746,7 +761,7 @@ SELECT event_id, value, event_type FROM events WHERE event_id BETWEEN 301 AND 40
 def inc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+A21 — on_schema_change=append_new_columns: the new source column is
     added to the target (NULL-backfilled) before the append."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "inc_sc")
     run1 = Model("inc_sc", sql="SELECT event_id, value FROM {source:events}"
                  " WHERE event_id <= 300",
                  config={"materialized": "incremental",
@@ -792,7 +807,7 @@ FROM run2 WHERE event_id <= 10 OR event_id > 300
 def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12+A13 — two snapshot passes (timestamp strategy): changed rows close
     out and re-insert; scd_id md5 must match the oracle byte-for-byte."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "snap_ev")
     cfg = {"materialized": "snapshot", "unique_key": "event_id",
            "strategy": "timestamp", "updated_at": "ts"}
     run1 = Model("snap_ev", sql="SELECT event_id, user_id, event_type, value,"
@@ -828,7 +843,7 @@ FROM (VALUES
 def seed_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3+A4 — seed load with agate-rule type inference (DOUBLE iff any
     decimals, ISO date/timestamp, booleans, nullable int)."""
-    eng = _engine(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "typed_seed")
     eng.materialize(Model("typed_seed", sql=_SEED_CSV,
                           config={"materialized": "seed"}))
     return eng.table("typed_seed")

@@ -7,6 +7,7 @@ import pytest
 from dbt_extrica_spark import Model
 from dbt_extrica_spark.errors import CompilationError, DatabaseError
 from dbt_extrica_spark.relation import RelationType
+from pyspark.sql import functions as F
 
 
 def test_table_drop_mode(engine):
@@ -248,3 +249,59 @@ def test_multi_format_sources(engine, tmp_path):
     jsonp.write_text('{"k": 1}\n{"k": 2}\n')
     dj = read_table(engine.spark, str(jsonp), format="json")
     assert dj.count() == 2
+
+
+def test_partitioned_and_bucketed_table(engine):
+    engine.materialize(Model(
+        "part_t",
+        sql="SELECT o_orderkey, o_orderstatus, o_totalprice FROM"
+            " {source:orders} WHERE o_orderkey <= 500",
+        config={"materialized": "table", "partition_by": ["o_orderstatus"],
+                "bucket_by": ["o_orderkey"], "buckets": 4},
+    ))
+    assert engine.table("part_t").count() == 501
+    detail = "\n".join(
+        f"{r.col_name}={r.data_type}" for r in engine.spark.sql(
+            f"DESCRIBE TABLE EXTENDED {engine.relation('part_t').render()}"
+        ).collect())
+    assert "o_orderstatus" in detail and "Bucket" in detail
+    # partition pruning: a filter on the partition col prunes partitions
+    plan = engine.spark.sql(
+        f"SELECT COUNT(*) FROM {engine.relation('part_t').render()}"
+        f" WHERE o_orderstatus = 'O'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_salted_agg_matches_plain(engine):
+    from dbt_extrica_spark.operators.skew import salted_agg
+
+    ev = engine.spark.table(
+        engine.sources["events"].render_unquoted())
+    got = salted_agg(ev.select("event_type", "user_id", "event_id"),
+                     ["event_type"],
+                     {"n": "count(1)", "mx": "max(user_id)",
+                      "mn": "min(event_id)"})
+    expected = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("user_id").alias("mx"),
+        F.min("event_id").alias("mn"))
+    g = {r.event_type: (r.n, r.mx, r.mn) for r in got.collect()}
+    e = {r.event_type: (r.n, r.mx, r.mn) for r in expected.collect()}
+    assert g == e
+
+
+def test_salted_join_matches_plain(engine):
+    from dbt_extrica_spark.operators.skew import salted_join
+
+    spark = engine.spark
+    left = spark.table(engine.sources["events"].render_unquoted()) \
+        .select("event_id", "user_id")
+    right = spark.table(engine.sources["events"].render_unquoted()) \
+        .groupBy("user_id").count()
+    got = salted_join(left, right, on=["user_id"], salt_buckets=4)
+    expected = left.join(right, on=["user_id"])
+    assert got.count() == expected.count()
+    g = got.groupBy("user_id").count().collect()
+    e = expected.groupBy("user_id").count().collect()
+    assert {(r.user_id, r["count"]) for r in g} == \
+        {(r.user_id, r["count"]) for r in e}
