@@ -115,11 +115,19 @@ def minhash_signature_from_hashes(hashes_col: str, num_perm: int = 64) -> F.Colu
     family is XOR with fixed constants — a 64-bit bijection per permutation,
     so min-over-XORed-hashes is a valid minwise family at ~1/num_perm the
     hashing cost of hashing per (shingle, perm). XOR cannot overflow, so this
-    is safe under ANSI mode. Pure codegen — no shuffle."""
+    is safe under ANSI mode. Pure codegen — no shuffle.
+
+    Shaped as ONE fold over the hash array (element-wise least against all
+    permutations) so the hash array is consumed exactly once structurally —
+    a transform-per-permutation shape invites CollapseProject to inline the
+    upstream xxhash pass into every lambda (a measured 64x blowup)."""
     consts = ", ".join(f"{r}L" for r in _perm_constants(num_perm))
+    lmax = 9223372036854775807
     return F.expr(
-        f"transform(array({consts}),"
-        f" r -> array_min(transform({hashes_col}, h -> h ^ r)))"
+        f"aggregate({hashes_col},"
+        f" array_repeat({lmax}L, {num_perm}),"
+        f" (acc, h) -> zip_with(acc, array({consts}),"
+        f" (a, r) -> least(a, h ^ r)))"
     )
 
 
@@ -179,6 +187,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # the self-join below scans `banded` twice; persisting the (tiny:
+    # docs × bands rows) band table makes the expensive shingle+signature
+    # pipeline run exactly once
+    banded = banded.persist()
 
     left = banded.alias("a")
     right = banded.alias("b")
