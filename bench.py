@@ -48,6 +48,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = battery.queries()
+
+    # one untimed warmup absorbs one-time costs (codegen JIT, parquet footer
+    # reads, Arrow/py4j init) so timings reflect steady-state throughput
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -296,14 +296,16 @@ class CatalogClient:
         if grant_config is None:
             return
         key = (relation.schema, relation.identifier)
+        desired = {priv.lower(): set(gs) for priv, gs in grant_config.items()}
         with self._lock:
-            current = self.grants.get(key, {}) if should_revoke else {}
-            desired = {
-                priv.lower(): set(gs) for priv, gs in grant_config.items()
-            }
-            self.grants[key] = desired if not should_revoke else {
-                **{p: g for p, g in desired.items()},
-            }
+            if should_revoke:
+                # diff semantics: anything not in the config is revoked
+                self.grants[key] = desired
+            else:
+                merged = {p: set(g) for p, g in self.grants.get(key, {}).items()}
+                for p, gs in desired.items():
+                    merged.setdefault(p, set()).update(gs)
+                self.grants[key] = merged
 
     # -- full catalog (A17) -------------------------------------------------------
     CATALOG_COLUMNS = (

@@ -254,6 +254,53 @@ def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QEVW_SPARK)
 
 
+_Q7 = f"""
+SELECT n_name, l_year,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM (
+  SELECT n.n_name, year(l.l_shipdate) AS l_year,
+         l.l_extendedprice, l.l_discount
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY n_name, l_year
+"""
+
+
+@q("q7_volume_by_nation_year", _Q7)
+def q7_volume_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style shipping volume by supplier nation and year."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q7)
+
+
+_Q10 = f"""
+SELECT c.c_custkey, c.c_name,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@q("q10_returned_items", _Q10)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item revenue ranking."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q10)
+
+
 _QJSON_DUCK = """
 SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,

@@ -305,3 +305,43 @@ def test_salted_join_matches_plain(engine):
     e = expected.groupBy("user_id").count().collect()
     assert {(r.user_id, r["count"]) for r in g} == \
         {(r.user_id, r["count"]) for r in e}
+
+
+def test_hooks_run(engine):
+    hook_tbl = engine.relation("hook_log").render()
+    engine.spark.sql(f"CREATE TABLE {hook_tbl} (msg STRING) USING PARQUET")
+    engine.materialize(Model(
+        "hooked", sql="SELECT 1 AS a",
+        config={"materialized": "table"},
+        post_hooks=[f"INSERT INTO {hook_tbl} VALUES ('post-ran')"],
+    ))
+    assert [r.msg for r in engine.spark.sql(
+        f"SELECT msg FROM {hook_tbl}").collect()] == ["post-ran"]
+
+
+def test_merge_with_incremental_predicates(engine):
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "k"}
+    engine.materialize(Model(
+        "mp", sql="SELECT k, v, seg FROM VALUES (1, 'a', 'hot'),"
+        " (2, 'b', 'cold') AS t(k, v, seg)", config=cfg))
+    # predicate limits matching to hot rows: k=2 treated as unmatched ->
+    # target row kept AND source row inserted (reference ON-clause semantics)
+    engine.materialize(Model(
+        "mp", sql="SELECT k, v, seg FROM VALUES (1, 'A2', 'hot'),"
+        " (2, 'B2', 'cold') AS t(k, v, seg)",
+        config={**cfg,
+                "incremental_predicates": ["DBT_INTERNAL_DEST.seg = 'hot'"]}))
+    rows = {(r.k, r.v) for r in engine.table("mp").collect()}
+    assert rows == {(1, "A2"), (2, "b"), (2, "B2")}
+
+
+def test_grants_merge_vs_revoke(engine):
+    engine.materialize(Model(
+        "gr2", sql="SELECT 1 AS a",
+        config={"materialized": "table", "grants": {"select": ["alice"]}}))
+    rel = engine.relation("gr2")
+    engine.catalog.apply_grants(rel, {"select": ["bob"]}, should_revoke=False)
+    assert engine.catalog.show_grants(rel) == {"select": {"alice", "bob"}}
+    engine.catalog.apply_grants(rel, {"insert": ["carol"]}, should_revoke=True)
+    assert engine.catalog.show_grants(rel) == {"insert": {"carol"}}
