@@ -139,6 +139,15 @@ class Engine:
     # compilation
     # ------------------------------------------------------------------
     def compile_sql(self, model: Model, is_incremental: bool = False) -> str:
+        """Resolve a model to executable SQL. Python models (df_builder)
+        register their DataFrame as a temp view and compile to a SELECT over
+        it — the analog of dbt's python-model materialization, letting every
+        SQL materialization path work unchanged."""
+        if model.df_builder is not None:
+            df = model.df_builder(self)
+            view = f"__py_model_{model.name}_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            return f"SELECT * FROM {view}"
         this = self.relation(model.name).render()
         return model.render(self.ref, self.source, this, is_incremental)
 
@@ -147,6 +156,12 @@ class Engine:
     # ------------------------------------------------------------------
     def materialize(self, model: Model, full_refresh: bool = False) -> Relation:
         kind = model.materialized
+        if model.df_builder is not None and kind in ("view", "materialized_view"):
+            raise CompilationError(
+                "Python (df_builder) models must materialize as table/"
+                "incremental — a persistent view cannot reference the "
+                "temporary view a DataFrame compiles to."
+            )
         if kind == "table":
             return mats.materialize_table(self, model)
         if kind == "view":

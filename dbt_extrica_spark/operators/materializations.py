@@ -273,9 +273,11 @@ def materialize_incremental(engine: "Engine", model: "Model",
         return target
 
     # create the temp relation: view (lazy) for merge/append, table
-    # (materialized) for delete+insert's two passes (incremental.sql:1-19)
-    ttype = tmp_relation_type(strategy, unique_key,
-                              config.get("views_enabled", True))
+    # (materialized) for delete+insert's two passes (incremental.sql:1-19);
+    # python models always materialize (a persistent view can't reference
+    # the temp view their DataFrame compiles to)
+    ttype = "table" if model.df_builder is not None else tmp_relation_type(
+        strategy, unique_key, config.get("views_enabled", True))
     tmp = target.make_temp().incorporate(
         RelationType.View if ttype == "view" else RelationType.Table
     )

@@ -944,6 +944,44 @@ def catalog_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "identifier string, relation_type string")
 
 
+_DQ_DUCK = """
+SELECT * FROM (VALUES
+  ('unique:orders.o_orderkey', CAST(0 AS BIGINT)),
+  ('not_null:lineitem.l_orderkey', CAST(0 AS BIGINT)),
+  ('accepted_values:orders.o_orderstatus', CAST(0 AS BIGINT)),
+  ('accepted_values:orders.o_orderpriority', CAST(
+     (SELECT COUNT(DISTINCT o_orderpriority) FROM orders
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT)),
+  ('relationships:lineitem.l_orderkey', CAST(0 AS BIGINT)),
+  ('unique:lineitem.l_orderkey', CAST(
+     (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(*) > 1)) AS BIGINT))
+) AS t("check", violations)
+"""
+
+
+@q("dq_checks", _DQ_DUCK)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt schema-test surface (`dbt test`): unique / not_null /
+    accepted_values / relationships — passing checks plus two that count
+    real violations."""
+    from . import testing
+
+    _views(spark, sf_dir)
+    return testing.run_checks(spark, [
+        {"check": "unique", "table": "orders", "column": "o_orderkey"},
+        {"check": "not_null", "table": "lineitem", "column": "l_orderkey"},
+        {"check": "accepted_values", "table": "orders",
+         "column": "o_orderstatus", "values": ["O", "F", "P"]},
+        {"check": "accepted_values", "table": "orders",
+         "column": "o_orderpriority", "values": ["1-URGENT", "2-HIGH"]},
+        {"check": "relationships", "table": "lineitem",
+         "column": "l_orderkey", "to_table": "orders",
+         "to_column": "o_orderkey"},
+        {"check": "unique", "table": "lineitem", "column": "l_orderkey"},
+    ])
+
+
 # ==========================================================================
 # [EXTENSION] M6 — LLM-data-pipeline operators
 # ==========================================================================

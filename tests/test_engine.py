@@ -1,0 +1,82 @@
+"""Engine-level surface: python models, capabilities, auth stub, profile,
+cancellation scaffolding."""
+
+import pytest
+
+from dbt_extrica_spark import Engine, Model
+from dbt_extrica_spark.errors import CompilationError
+
+
+def test_python_model_table(engine):
+    def build(eng):
+        src = eng.spark.table(eng.sources["orders"].render_unquoted())
+        return src.where("o_orderkey <= 100").groupBy("o_orderstatus").count()
+
+    engine.materialize(Model("py_t", df_builder=build,
+                             config={"materialized": "table"}))
+    assert engine.table("py_t").count() >= 1
+
+
+def test_python_model_incremental_merge(engine):
+    def build1(eng):
+        return eng.spark.sql("SELECT 1 AS k, 'a' AS v")
+
+    def build2(eng):
+        return eng.spark.sql("SELECT k, v FROM VALUES (1,'A'), (2,'b') AS t(k,v)")
+
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "k"}
+    engine.materialize(Model("py_i", df_builder=build1, config=cfg))
+    engine.materialize(Model("py_i", df_builder=build2, config=cfg))
+    assert {(r.k, r.v) for r in engine.table("py_i").collect()} == \
+        {(1, "A"), (2, "b")}
+
+
+def test_python_model_view_rejected(engine):
+    with pytest.raises(CompilationError):
+        engine.materialize(Model(
+            "py_v", df_builder=lambda e: e.spark.sql("SELECT 1 AS a"),
+            config={"materialized": "view"}))
+
+
+def test_capability_flags():
+    assert Engine.CAPABILITIES["SchemaMetadataByRelations"] == "Full"
+    assert Engine.CAPABILITIES["TableLastModifiedMetadata"] == "Unsupported"
+    assert Engine.CONSTRAINT_SUPPORT["not_null"] == "ENFORCED"
+    assert Engine.CONSTRAINT_SUPPORT["check"] == "NOT_SUPPORTED"
+
+
+def test_auth_stub_and_profile():
+    from dbt_extrica_spark.session import AuthStub, Profile
+
+    p = Profile(schema="s1", threads=8,
+                session_properties={"spark.sql.shuffle.partitions": "8"})
+    assert AuthStub(p).get_token() == "local-no-auth"
+    assert p.prepared_statements_enabled is True  # reference default
+
+
+def test_job_group_cancellation_scaffold(spark):
+    from dbt_extrica_spark.connections import ExecutionManager
+
+    mgr = ExecutionManager(spark)
+    out = mgr.run_in_job_group("grp1", lambda: spark.sql("SELECT 1").collect())
+    assert out[0][0] == 1
+    mgr.cancel("grp1")  # no-op on a finished group; must not raise
+
+
+def test_data_quality_checks(engine):
+    from dbt_extrica_spark import testing
+
+    spark = engine.spark
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (1, 'b'), (NULL, 'c')"
+              " AS t(k, v)").createOrReplaceTempView("dq_t")
+    assert testing.test_unique(spark, "dq_t", "k").count() == 1
+    assert testing.test_not_null(spark, "dq_t", "k").count() == 1
+    assert testing.test_accepted_values(spark, "dq_t", "v",
+                                        ["a", "b"]).count() == 1
+    spark.sql("SELECT 1 AS pk").createOrReplaceTempView("dq_parent")
+    spark.sql("SELECT * FROM VALUES (1), (9) AS t(fk)") \
+        .createOrReplaceTempView("dq_child")
+    bad = testing.test_relationships(spark, "dq_child", "fk",
+                                     "dq_parent", "pk")
+    assert [r.fk for r in bad.collect()] == [9]
