@@ -252,23 +252,15 @@ def materialize_incremental(engine: "Engine", model: "Model",
     existing = engine.catalog.get_relation(target)
     sql = engine.compile_sql(model, is_incremental=existing is not None
                              and not full_refresh and not existing.is_view)
+    partition_by = config.get("partition_by")
 
     # first run / view occupant / full refresh -> plain CTAS
-    if existing is None:
+    if existing is None or existing.is_view or full_refresh:
+        if existing is not None:
+            engine.catalog.drop_relation(existing)
         create_table_as(engine, target, sql, config.get("properties"),
-                        file_format=config.get("file_format", "parquet"))
-        engine.apply_model_hooks_and_grants(model, target)
-        return target
-    if existing.is_view:
-        engine.catalog.drop_relation(existing)
-        create_table_as(engine, target, sql, config.get("properties"),
-                        file_format=config.get("file_format", "parquet"))
-        engine.apply_model_hooks_and_grants(model, target)
-        return target
-    if full_refresh:
-        engine.catalog.drop_relation(existing)
-        create_table_as(engine, target, sql, config.get("properties"),
-                        file_format=config.get("file_format", "parquet"))
+                        file_format=config.get("file_format", "parquet"),
+                        partition_by=partition_by)
         engine.apply_model_hooks_and_grants(model, target)
         return target
 
@@ -302,6 +294,10 @@ def materialize_incremental(engine: "Engine", model: "Model",
         src_df = engine.spark.table(tmp.render_unquoted())
         tgt_df = engine.spark.table(target.render_unquoted())
 
+        scoped = bool(partition_by) and all(
+            pc.lower() in {c.lower() for c in dest_columns}
+            for pc in partition_by
+        )
         if strategy in ("default", "append") or (
             strategy == "merge" and not unique_key
         ):
@@ -313,16 +309,55 @@ def materialize_incremental(engine: "Engine", model: "Model",
                 config.get("merge_exclude_columns"),
                 dest_columns,
             )
-            result = merge_ops.merge_upsert(
-                tgt_df, src_df, unique_key, dest_columns,
-                update_columns, predicates,
-            )
-            engine.overwrite_table_atomic(target, result)
+            if scoped:
+                # partition-scoped path: scope = source partitions ∪
+                # partitions holding key-matched target rows (a key-only
+                # superset of the真 matched set is safe — extra partitions
+                # just rewrite unchanged)
+                keys = ([unique_key] if isinstance(unique_key, str)
+                        else list(unique_key))
+                matched_parts = tgt_df.join(
+                    src_df.select(*keys).distinct(), on=keys, how="left_semi"
+                )
+                merge_ops.partition_scoped_overwrite(
+                    engine, target, src_df.select(*dest_columns),
+                    lambda scope: merge_ops.merge_upsert(
+                        scope, src_df, unique_key, dest_columns,
+                        update_columns, predicates),
+                    partition_by, extra_affected=matched_parts,
+                )
+            else:
+                result = merge_ops.merge_upsert(
+                    tgt_df, src_df, unique_key, dest_columns,
+                    update_columns, predicates,
+                )
+                engine.overwrite_table_atomic(target, result)
         else:  # delete+insert
-            result = merge_ops.delete_insert(
-                tgt_df, src_df, unique_key, dest_columns, predicates,
-            )
-            engine.overwrite_table_atomic(target, result)
+            if scoped and unique_key:
+                keys = ([unique_key] if isinstance(unique_key, str)
+                        else list(unique_key))
+                # rows the column-wise delete will remove determine extra
+                # affected partitions (their partition values may lie outside
+                # the source batch's)
+                doomed = tgt_df
+                for k in keys:
+                    doomed = doomed.join(
+                        src_df.select(k).where(src_df[k].isNotNull())
+                        .distinct(),
+                        on=k, how="left_semi")
+                for p in predicates or []:
+                    doomed = doomed.where(p)
+                merge_ops.partition_scoped_overwrite(
+                    engine, target, src_df.select(*dest_columns),
+                    lambda scope: merge_ops.delete_insert(
+                        scope, src_df, unique_key, dest_columns, predicates),
+                    partition_by, extra_affected=doomed,
+                )
+            else:
+                result = merge_ops.delete_insert(
+                    tgt_df, src_df, unique_key, dest_columns, predicates,
+                )
+                engine.overwrite_table_atomic(target, result)
     finally:
         tmp_existing = engine.catalog.get_relation(tmp)
         if tmp_existing is not None:

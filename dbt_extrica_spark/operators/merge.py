@@ -139,6 +139,62 @@ def delete_insert(
     return kept.unionByName(inserted)
 
 
+def partition_scoped_overwrite(
+    engine,
+    target,  # Relation
+    src_df: DataFrame,
+    rewrite,  # (tgt_scope: DataFrame) -> DataFrame — final rows for the scope
+    partition_cols: list[str],
+    extra_affected: DataFrame | None = None,
+) -> None:
+    """Apply an upsert by rewriting ONLY affected partitions (the 100 TB
+    incremental path: a 1 GB batch must not rewrite the whole table).
+
+    - affected = source batch's partition values ∪ ``extra_affected`` (e.g.
+      partitions that lose rows to deletes outside the source's partitions)
+    - the rewrite runs over the target restricted to affected partitions
+    - commit via dynamic partition overwrite (only partitions present in the
+      result are replaced)
+    - partitions whose final content is EMPTY are dropped explicitly —
+      dynamic overwrite cannot clear a partition it writes no rows to.
+    """
+    spark = engine.spark
+    tgt_df = spark.table(target.render_unquoted())
+    affected = src_df.select(*partition_cols).distinct()
+    if extra_affected is not None:
+        affected = affected.unionByName(
+            extra_affected.select(*partition_cols).distinct()
+        ).distinct()
+    affected = affected.persist()
+    tgt_scope = tgt_df.join(F.broadcast(affected), on=partition_cols,
+                            how="left_semi")
+    final_scope = rewrite(tgt_scope)
+
+    emptied = [
+        r.asDict() for r in
+        affected.join(
+            final_scope.select(*partition_cols).distinct(),
+            on=partition_cols, how="left_anti",
+        ).collect()
+    ]
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        final_scope.write.insertInto(target.render_unquoted(), overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for part in emptied:
+        clause = ", ".join(
+            "`%s` = '%s'" % (k, str(v).replace("'", "''"))
+            for k, v in part.items()
+        )
+        spark.sql(
+            f"ALTER TABLE {target.render()} DROP IF EXISTS PARTITION ({clause})"
+        )
+    affected.unpersist()
+
+
 def get_merge_update_columns(
     merge_update_columns: list[str] | None,
     merge_exclude_columns: list[str] | None,

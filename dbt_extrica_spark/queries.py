@@ -739,6 +739,32 @@ def inc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table("inc_m")
 
 
+_INC_MERGE_PART_DUCK = """
+SELECT event_id, value, event_type FROM events WHERE event_id < 600
+UNION ALL
+SELECT event_id, value * 2 AS value, event_type FROM events
+WHERE event_id BETWEEN 600 AND 1000
+"""
+
+
+@q("inc_merge_partitioned", _INC_MERGE_PART_DUCK)
+def inc_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 at scale: merge on a PARTITIONED target rewrites only affected
+    partitions (dynamic partition overwrite + matched-partition scoping) —
+    same semantics, bounded write amplification."""
+    eng = _engine(spark, sf_dir, "inc_mp")
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "event_id", "partition_by": ["event_type"]}
+    run1 = Model("inc_mp", sql="SELECT event_id, value, event_type FROM"
+                 " {source:events} WHERE event_id <= 800", config=cfg)
+    run2 = Model("inc_mp", sql="SELECT event_id, value * 2 AS value,"
+                 " event_type FROM {source:events}"
+                 " WHERE event_id BETWEEN 600 AND 1000", config=cfg)
+    eng.materialize(run1)
+    eng.materialize(run2)
+    return eng.table("inc_mp")
+
+
 _INC_MERGE_UPD_DUCK = """
 SELECT event_id, event_type, value + 1 AS value FROM events WHERE event_id <= 500
 UNION ALL

@@ -345,3 +345,58 @@ def test_grants_merge_vs_revoke(engine):
     assert engine.catalog.show_grants(rel) == {"select": {"alice", "bob"}}
     engine.catalog.apply_grants(rel, {"insert": ["carol"]}, should_revoke=True)
     assert engine.catalog.show_grants(rel) == {"insert": {"carol"}}
+
+
+def _inc(engine, name, sql, cfg):
+    engine.materialize(Model(name, sql=sql, config=cfg))
+
+
+def test_partition_scoped_merge_matches_full(engine):
+    base = ("SELECT event_id, value, event_type FROM {source:events}"
+            " WHERE event_id <= 400")
+    batch = ("SELECT event_id, value * 10 AS value, event_type FROM"
+             " {source:events} WHERE event_id BETWEEN 300 AND 500")
+    for name, extra in [("pm_scoped", {"partition_by": ["event_type"]}),
+                        ("pm_full", {})]:
+        cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+               "unique_key": "event_id", **extra}
+        _inc(engine, name, base, cfg)
+        _inc(engine, name, batch, cfg)
+    got = {(r.event_id, r.value, r.event_type)
+           for r in engine.table("pm_scoped").collect()}
+    want = {(r.event_id, r.value, r.event_type)
+            for r in engine.table("pm_full").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_partition_scoped_delete_insert_matches_full(engine):
+    base = ("SELECT user_id, event_type, event_id, value FROM {source:events}"
+            " WHERE event_id <= 400")
+    batch = ("SELECT user_id, event_type, event_id, value FROM {source:events}"
+             " WHERE event_id BETWEEN 300 AND 500")
+    for name, extra in [("pdi_scoped", {"partition_by": ["event_type"]}),
+                        ("pdi_full", {})]:
+        cfg = {"materialized": "incremental",
+               "incremental_strategy": "delete+insert",
+               "unique_key": ["user_id"], **extra}
+        _inc(engine, name, base, cfg)
+        _inc(engine, name, batch, cfg)
+    got = sorted((r.user_id, r.event_type, r.event_id, r.value)
+                 for r in engine.table("pdi_scoped").collect())
+    want = sorted((r.user_id, r.event_type, r.event_id, r.value)
+                  for r in engine.table("pdi_full").collect())
+    assert got == want and len(got) > 0
+
+
+def test_partition_scoped_merge_emptied_partition(engine):
+    # every row of partition 'A' moves to 'B' -> 'A' must be dropped, not
+    # left with stale files (dynamic overwrite can't clear it by itself)
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "k", "partition_by": ["part"]}
+    _inc(engine, "pempty",
+         "SELECT k, v, part FROM VALUES (1, 10, 'A'), (2, 20, 'B')"
+         " AS t(k, v, part)", cfg)
+    _inc(engine, "pempty",
+         "SELECT k, v, part FROM VALUES (1, 11, 'B') AS t(k, v, part)", cfg)
+    rows = {(r.k, r.v, r.part) for r in engine.table("pempty").collect()}
+    assert rows == {(1, 11, "B"), (2, 20, "B")}
