@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): invariants the goldens can't sweep.
+
+Strategy notes: Spark round-trips are expensive, so properties that need the
+engine evaluate BATCHED — hypothesis generates the cases, one VALUES query
+evaluates them all, and the DuckDB oracle cross-checks in one shot.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from dbt_extrica_spark.connections import split_statements
+from dbt_extrica_spark.operators.seeds import infer_column
+
+# -- statement splitting ----------------------------------------------------
+
+_stmt = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N"), whitelist_characters=" _,()="
+    ),
+    min_size=1, max_size=40,
+).map(lambda s: "SELECT " + s.strip()).filter(lambda s: len(s) > 7)
+
+
+@given(st.lists(_stmt, min_size=1, max_size=6))
+def test_split_roundtrip(statements):
+    script = "; ".join(statements) + ";"
+    assert split_statements(script) == [s.strip() for s in statements]
+
+
+@given(st.lists(_stmt, min_size=1, max_size=4))
+def test_split_with_quoted_semicolons(statements):
+    # embed a quoted ';' in the first statement — must not split there
+    statements = [statements[0] + " WHERE x = 'a;b'"] + statements[1:]
+    script = ";".join(statements)
+    assert split_statements(script) == [s.strip() for s in statements]
+
+
+# -- seed type inference -----------------------------------------------------
+
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=30))
+def test_integers_infer_integer(xs):
+    vals = [str(x) for x in xs]
+    got = infer_column(vals)
+    if all(str(x) in ("0", "1") for x in xs):
+        assert got == "boolean"  # agate tester order
+    else:
+        assert got == "integer"
+
+
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                min_size=1, max_size=20),
+       st.floats(allow_nan=False, allow_infinity=False,
+                 min_value=-1e6, max_value=1e6))
+def test_one_decimal_makes_double(xs, f):
+    if float(f).is_integer():
+        f += 0.5
+    vals = [str(x) for x in xs] + [repr(f)]
+    assert infer_column(vals) == "double"
+
+
+@given(st.lists(st.dates(min_value=dt.date(1970, 1, 1),
+                         max_value=dt.date(2100, 1, 1)),
+                min_size=1, max_size=20))
+def test_iso_dates_infer_date(ds):
+    assert infer_column([d.isoformat() for d in ds]) == "date"
+
+
+# -- datediff antisymmetry (batched through Spark) ---------------------------
+
+_TS = st.datetimes(min_value=dt.datetime(1980, 1, 5),
+                   max_value=dt.datetime(2060, 12, 20))
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(_TS, _TS), min_size=40, max_size=40))
+def test_datediff_antisymmetric_and_oracle_parity(spark, duck, pairs):
+    """For every part: datediff(a,b) == -datediff(b,a), AND the Spark
+    expression equals the DuckDB field-difference formulation."""
+    from dbt_extrica_spark.functions import shims
+
+    rows = ", ".join(
+        f"(TIMESTAMP '{a:%Y-%m-%d %H:%M:%S}', TIMESTAMP '{b:%Y-%m-%d %H:%M:%S}')"
+        for a, b in pairs
+    )
+    parts = ["year", "quarter", "month", "day", "week", "hour",
+             "minute", "second"]
+    fwd = ", ".join(
+        f"CAST({shims.datediff('a', 'b', p)} AS BIGINT) AS f_{p}" for p in parts
+    )
+    rev = ", ".join(
+        f"CAST({shims.datediff('b', 'a', p)} AS BIGINT) AS r_{p}" for p in parts
+    )
+    got = spark.sql(
+        f"SELECT {fwd}, {rev} FROM VALUES {rows} AS t(a, b)"
+    ).collect()
+    for r in got:
+        for p in parts:
+            assert r[f"f_{p}"] == -r[f"r_{p}"], (p, r)
+
+    day = "(CAST(b AS DATE) - CAST(a AS DATE))"
+    week = (
+        f"({day} // 7 + CASE WHEN isodow(a) <= isodow(b) THEN"
+        f" CASE WHEN a <= b THEN 0 ELSE -1 END ELSE"
+        f" CASE WHEN a <= b THEN 1 ELSE 0 END END)"
+    )
+    yr = "(year(b) - year(a))"
+    duck_rows = duck.sql(f"""
+        SELECT CAST({yr} AS BIGINT) AS f_year,
+               CAST({yr} * 4 + quarter(b) - quarter(a) AS BIGINT) AS f_quarter,
+               CAST({yr} * 12 + month(b) - month(a) AS BIGINT) AS f_month,
+               CAST({day} AS BIGINT) AS f_day,
+               CAST({week} AS BIGINT) AS f_week,
+               CAST({day} * 24 + hour(b) - hour(a) AS BIGINT) AS f_hour
+        FROM (SELECT * FROM (VALUES {rows}) AS t(a, b))
+    """).fetchall()
+    for spark_r, duck_r in zip(got, duck_rows):
+        for i, p in enumerate(["year", "quarter", "month", "day", "week",
+                               "hour"]):
+            assert spark_r[f"f_{p}"] == duck_r[i], (p, spark_r, duck_r)
