@@ -9,7 +9,7 @@ calls — no cluster work, safe at any scale.
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+
 
 from pyspark.sql import DataFrame, Row, SparkSession
 

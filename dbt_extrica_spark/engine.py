@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import CatalogClient
 from .connections import AdapterResponse, ExecutionManager, ResultCursor
-from .errors import CompilationError
+from .errors import CompilationError, EngineError, map_exception
 from .operators import materializations as mats
 from .operators import seeds as seed_ops
 from .operators import snapshot as snap_ops
@@ -155,6 +155,17 @@ class Engine:
     # materialization dispatch
     # ------------------------------------------------------------------
     def materialize(self, model: Model, full_refresh: bool = False) -> Relation:
+        """Dispatch a model build. Exceptions surface through the reference's
+        taxonomy (DatabaseError / FailedToConnectError / RuntimeEngineError,
+        reference: connections.py:236-258)."""
+        try:
+            return self._materialize(model, full_refresh)
+        except EngineError:
+            raise
+        except Exception as exc:  # noqa: BLE001
+            raise map_exception(exc) from exc
+
+    def _materialize(self, model: Model, full_refresh: bool = False) -> Relation:
         kind = model.materialized
         if model.df_builder is not None and kind in ("view", "materialized_view"):
             raise CompilationError(

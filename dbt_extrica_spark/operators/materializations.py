@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+
 
 from ..errors import CompilationError, DatabaseError
 from ..relation import Relation, RelationType

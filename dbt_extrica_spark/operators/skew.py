@@ -13,7 +13,7 @@ one shuffle with a straggler by a wide margin at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 SALT_COL = "__dbt_salt"
 

@@ -16,7 +16,7 @@ import uuid
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
+
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sources.registry import _nanos_columns, read_parquet_table
