@@ -400,3 +400,29 @@ def test_partition_scoped_merge_emptied_partition(engine):
          "SELECT k, v, part FROM VALUES (1, 11, 'B') AS t(k, v, part)", cfg)
     rows = {(r.k, r.v, r.part) for r in engine.table("pempty").collect()}
     assert rows == {(1, 11, "B"), (2, 20, "B")}
+
+
+def test_bucketed_join_avoids_exchange(engine):
+    spark = engine.spark
+    for name in ("bk_a", "bk_b"):
+        engine.materialize(Model(
+            name,
+            sql="SELECT o_orderkey AS k, o_totalprice AS v FROM"
+                " {source:orders} WHERE o_orderkey <= 1000",
+            config={"materialized": "table",
+                    "bucket_by": ["k"], "buckets": 4},
+        ))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = spark.sql(
+            f"SELECT a.k, a.v, b.v AS v2 FROM"
+            f" {engine.relation('bk_a').render()} a JOIN"
+            f" {engine.relation('bk_b').render()} b ON a.k = b.k"
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # co-located bucketed scan: the sort-merge join reads both sides
+    # pre-partitioned -> no shuffle Exchange in the plan
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
