@@ -340,7 +340,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QTHETA = """
 SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_cheaper_parts
-FROM supplier s JOIN part p ON p.p_retailprice < s.s_acctbal / 100
+FROM supplier s JOIN part p ON p.p_retailprice < s.s_acctbal / 10
 GROUP BY s.s_suppkey
 """
 

@@ -74,3 +74,24 @@ def test_snapshot_new_key_insert(engine):
     rows = engine.table("sn1").collect()
     assert len(rows) == 2
     assert all(r.dbt_valid_to is None for r in rows)
+
+
+def test_snapshot_composite_key(engine):
+    from dbt_extrica_spark import Model
+
+    cfg = {"materialized": "snapshot", "unique_key": ["k1", "k2"],
+           "strategy": "timestamp", "updated_at": "u"}
+    engine.materialize(Model(
+        "scomp",
+        sql="SELECT k1, k2, v, CAST('2024-01-01' AS TIMESTAMP) AS u FROM"
+            " VALUES (1, 'x', 10), (1, 'y', 20) AS t(k1, k2, v)", config=cfg))
+    engine.materialize(Model(
+        "scomp",
+        sql="SELECT k1, k2, v, CAST(u AS TIMESTAMP) AS u FROM VALUES"
+            " (1, 'x', 11, '2024-01-02'), (1, 'y', 20, '2024-01-01')"
+            " AS t(k1, k2, v, u)", config=cfg))
+    rows = engine.table("scomp").collect()
+    # (1,x) changed -> closed + new version; (1,y) unchanged
+    assert len(rows) == 3
+    open_rows = {(r.k1, r.k2, r.v) for r in rows if r.dbt_valid_to is None}
+    assert open_rows == {(1, "x", 11), (1, "y", 20)}
