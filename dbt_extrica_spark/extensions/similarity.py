@@ -25,25 +25,11 @@ _DOT = (
 _NORM = "sqrt(" + _DOT.format(a="{v}", b="{v}") + ")"
 
 
-def _vectorized_cosine():
-    """Arrow-batched numpy cosine for the approximate paths. Spark's
-    higher-order functions are interpreted (not codegen'd), so a fold per
-    pair is the slow path; numpy's SIMD sum is ~10x faster. NOT used for the
-    oracle-checked exact queries — pairwise summation rounds differently
-    than a sequential fold."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def cos(qv: pd.Series, bv: pd.Series) -> pd.Series:
-        import numpy as np
-
-        a = np.stack(qv.to_numpy()).astype(np.float64)
-        b = np.stack(bv.to_numpy()).astype(np.float64)
-        num = (a * b).sum(axis=1)
-        den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
-        return pd.Series(num / den)
-
-    return cos
+# NOTE on numeric paths: the exact, oracle-checked operators (cosine_topk,
+# dedup.embedding_cosine_pairs) use sequential JVM folds — bit-reproducible
+# against DuckDB's list_reduce. The approximate paths (ivf_topk, brp_lsh)
+# use numpy matmul per cell — pairwise summation rounds differently, which
+# is fine where no oracle parity is claimed.
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str,
