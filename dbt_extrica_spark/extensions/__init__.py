@@ -1,3 +1,3 @@
-from . import dedup, similarity, textstats, multimodal
+from . import dedup, similarity, textstats, multimodal, pipeline
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal"]
+__all__ = ["dedup", "similarity", "textstats", "multimodal", "pipeline"]

@@ -1287,6 +1287,91 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(docs, "doc_id", "text", n=3)
 
 
+def _pipeline_oracle() -> str:
+    lang_scores = []
+    for lang, words in textstats.STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        lang_scores.append(
+            f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            f" x -> list_contains([{arr}], x))) AS score_{lang}"
+        )
+    langs = list(textstats.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN score_{l} = {best} THEN '{l}' "
+    case += "END"
+    return rf"""
+WITH stats AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS uniq_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+         length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct_chars
+  FROM documents
+), quality AS (
+  SELECT doc_id, n_tokens,
+         least(n_tokens / 100.0, 1.0) * 0.3
+           + (CAST(alpha_chars AS DOUBLE) / n_chars) * 0.3
+           + (1 - CAST(digit_chars AS DOUBLE) / n_chars) * 0.1
+           + least((CAST(punct_chars AS DOUBLE) / n_chars) * 10, 1.0) * 0.1
+           + (CAST(uniq_tokens AS DOUBLE) / n_tokens) * 0.2 AS q
+  FROM stats
+), kept1 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN quality USING (doc_id)
+  WHERE q >= 0.55 AND n_tokens >= 20
+), kept2 AS (
+  SELECT doc_id, text FROM kept1
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM kept1 GROUP BY md5(text))
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM kept2
+), grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 1)),
+    i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks
+), sized AS (
+  SELECT doc_id, len(g) AS n_g, g FROM grams
+), ex AS (
+  SELECT doc_id, n_g, unnest(g) AS gram FROM sized
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_g AS na, b.n_g AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_g + b.n_g - COUNT(*)) >= 0.2
+), kept3 AS (
+  SELECT doc_id, text FROM kept2
+  WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+), lang_scored AS (
+  SELECT doc_id, {', '.join(lang_scores)} FROM kept3
+), kept4 AS (
+  SELECT k.doc_id, k.text FROM kept3 k
+  JOIN lang_scored s USING (doc_id)
+  WHERE ({case}) = 'en'
+)
+SELECT doc_id,
+       CAST(ceil(len(regexp_split_to_array(trim(lower(text)), '\s+')) * 4 / 3)
+            AS BIGINT) AS est_llm_tokens
+FROM kept4
+"""
+
+
+@q("pipeline_clean_corpus", _pipeline_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning: quality gate -> exact dedup ->
+    near-dup removal -> language filter -> token accounting. Composition of
+    individually-verified operators; full SQL oracle."""
+    from .extensions import pipeline
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return pipeline.clean_corpus(docs)
+
+
 @q("multimodal_features", None)  # binary plumbing; no SQL-oracle equivalent
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media -> mapInPandas feature extraction

@@ -126,3 +126,16 @@ def test_frame_sample_counts(spark):
               out.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
     # duration 1000+i ms -> frames at 0,500,1000 -> 3 each
     assert counts == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pipeline_clean_corpus_monotone(spark):
+    from dbt_extrica_spark.extensions import pipeline
+
+    docs = _docs(spark)
+    out = pipeline.clean_corpus(docs)
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out < n_in
+    # output ids are a subset of input ids, with positive token estimates
+    assert out.where("est_llm_tokens <= 0").count() == 0
+    joined = out.join(docs, on="doc_id", how="left_anti")
+    assert joined.count() == 0
