@@ -21,17 +21,24 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q7_volume_by_nation_year",
+    "q10_returned_items",
     "q_window_rank",
     "q_rollup",
     "q_events_lag",
+    "q_sessionize",
     "mat_table",
     "inc_merge",
+    "inc_merge_partitioned",
     "inc_delete_insert",
     "snapshot_scd2",
+    "streaming_window_counts",
     "dedup_exact",
     "dedup_minhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_stats",
+    "pipeline_clean_corpus",
 ]
 
 

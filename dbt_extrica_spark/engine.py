@@ -185,6 +185,7 @@ class Engine:
             return seed_ops.seed(
                 self, model.name, model.sql or "",
                 column_types=model.config.get("column_types"),
+                delimiter=model.config.get("delimiter", ","),
                 properties=model.config.get("properties"),
             )
         if kind == "snapshot":

@@ -45,6 +45,9 @@ def clean_corpus(
     kept = base.join(quality_ids, on="doc_id", how="left_semi")
 
     # 2. exact dedup (keep min doc_id per identical text)
+    # (no persist: the downstream consumers re-scan this subtree, but the
+    # scans are cheap projections — caching the wide text rows measured
+    # SLOWER than recomputing at both test scales)
     kept = dedup.exact_dedup(kept, "doc_id", ["text"])
 
     # 3. near-dup removal (exact n-gram Jaccard; drop the higher id)

@@ -121,8 +121,8 @@ def _coerce(v: str, dtype: str):
     return v
 
 
-def parse_csv(text: str) -> tuple[list[str], list[list[str]]]:
-    reader = csv.reader(io.StringIO(text))
+def parse_csv(text: str, delimiter: str = ",") -> tuple[list[str], list[list[str]]]:
+    reader = csv.reader(io.StringIO(text), delimiter=delimiter)
     rows = list(reader)
     return rows[0], rows[1:]
 
@@ -133,12 +133,13 @@ def seed(
     csv_text: str,
     column_types: dict[str, str] | None = None,
     properties: dict | None = None,
+    delimiter: str = ",",
 ) -> Relation:
     """A3+A4 — reset (drop + recreate, macros/adapters.sql:69-79) and load in
     one shot. ``column_types`` overrides inferred types by column name."""
     from pyspark.sql import types as T
 
-    header, raw_rows = parse_csv(csv_text)
+    header, raw_rows = parse_csv(csv_text, delimiter)
     overrides = {k.lower(): v for k, v in (column_types or {}).items()}
 
     dtypes: list[str] = []
