@@ -41,13 +41,22 @@ def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 # exact dedup
 # --------------------------------------------------------------------------
 
+def _content_fingerprint(content_cols: list[str]) -> F.Column:
+    """md5 over the content columns. Multi-column content joins on the unit
+    separator (\\x1f) so ("ab","c") and ("a","bc") cannot collide; a single
+    column hashes as-is (concat_ws of one value is the value)."""
+    return F.md5(F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in content_cols]
+    ))
+
+
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
     """Keep, per exact-content group, the row with the smallest id.
 
     hash-groupBy pattern: md5 over the concatenated content defines the
     group; min(id) picks the canonical survivor deterministically.
     """
-    fp = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    fp = _content_fingerprint(content_cols)
     with_fp = df.withColumn("__fp", fp)
     keepers = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return (
@@ -59,7 +68,7 @@ def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFram
 def exact_dup_groups(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
     """Duplicate-group report: (fingerprint, n_dups, keeper_id) for groups
     with >1 member."""
-    fp = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    fp = _content_fingerprint(content_cols)
     return (
         df.withColumn("fingerprint", fp)
         .groupBy("fingerprint")

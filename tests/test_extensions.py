@@ -37,6 +37,7 @@ def test_simhash_finds_exact_dup_at_zero_hamming(spark):
 def test_simhash_small_edit_small_hamming(spark):
     # a one-token edit on a ~60-token doc should stay within a loose
     # hamming budget (bits flip where the per-bit sum was near zero)
+    _docs(spark)  # registers the documents view (order-independent)
     df = spark.sql(
         "SELECT 1 AS id, text AS txt FROM documents WHERE doc_id = 0"
         " UNION ALL"
@@ -53,6 +54,15 @@ def test_exact_dedup_keeps_min_id(spark):
                    " AS t(id, txt)")
     kept = dedup.exact_dedup(df, "id", ["txt"])
     assert {r.id for r in kept.collect()} == {2, 9}
+
+
+def test_exact_dedup_multicol_no_boundary_collision(spark):
+    # ("ab","c") and ("a","bc") are DIFFERENT content — unit-separator join
+    # prevents the concat collision
+    df = spark.sql("SELECT * FROM VALUES (1, 'ab', 'c'), (2, 'a', 'bc')"
+                   " AS t(id, x, y)")
+    kept = dedup.exact_dedup(df, "id", ["x", "y"])
+    assert kept.count() == 2
 
 
 def test_ngram_jaccard_identical_docs(spark):
