@@ -259,6 +259,29 @@ class Engine:
         return self.spark.table(self.relation(name).render_unquoted())
 
     # ------------------------------------------------------------------
+    # docs (A17 consumer — the `dbt docs generate` analog)
+    # ------------------------------------------------------------------
+    def generate_docs(self) -> dict:
+        """Catalog document for this engine's schema: one entry per relation
+        with type, comment, and ordered columns (built from get_catalog,
+        which mirrors the reference's catalog query output columns,
+        reference: macros/catalog.sql:124-140)."""
+        out: dict = {"schema": self.schema, "relations": {}}
+        for row in self.catalog.get_catalog([self.schema]).collect():
+            rel = out["relations"].setdefault(row.table_name, {
+                "type": row.table_type,
+                "comment": row.table_comment,
+                "columns": [],
+            })
+            rel["columns"].append({
+                "name": row.column_name,
+                "index": row.column_index,
+                "type": row.column_type,
+                "comment": row.column_comment,
+            })
+        return out
+
+    # ------------------------------------------------------------------
     # lifecycle
     # ------------------------------------------------------------------
     def close(self) -> None:

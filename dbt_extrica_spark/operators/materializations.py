@@ -98,15 +98,27 @@ def create_table_as(
 def assert_columns_equivalent(engine: "Engine", relation: Relation, sql: str,
                               contract: list[dict]) -> None:
     """Contract enforcement (reference: macros/adapters.sql:105-121 via dbt's
-    assert_columns_equivalent): the SELECT's column names/order must match the
-    declared contract."""
-    actual = [f.name.lower() for f in engine.spark.sql(sql).schema.fields]
+    assert_columns_equivalent): the SELECT's column names/order AND data
+    types must match the declared contract."""
+    from ..column import Column as EngineColumn
+
+    fields = engine.spark.sql(sql).schema.fields
+    actual = [f.name.lower() for f in fields]
     declared = [c["name"].lower() for c in contract]
     if actual != declared:
         raise CompilationError(
             "This model has an enforced contract that failed.\n"
             f"Declared columns: {declared}\nActual columns:   {actual}"
         )
+    for f, c in zip(fields, contract):
+        want = EngineColumn.from_description(c["name"], c["data_type"]) \
+            .spark_type()
+        if f.dataType != want:
+            raise CompilationError(
+                "This model has an enforced contract that failed.\n"
+                f"Column {f.name!r}: declared type {c['data_type']!r} "
+                f"({want.simpleString()}), actual {f.dataType.simpleString()}"
+            )
 
 
 def enforce_not_null(engine: "Engine", sql: str, contract: list[dict]) -> None:

@@ -147,7 +147,9 @@ def seed(
         if col.lower() in overrides:
             dtypes.append(overrides[col.lower()])
         else:
-            dtypes.append(infer_column([r[i] for r in raw_rows]))
+            dtypes.append(infer_column(
+                [r[i] if i < len(r) else "" for r in raw_rows]
+            ))
 
     fields = [
         T.StructField(col, Column.from_description(col, dt).spark_type(), True)
@@ -155,7 +157,10 @@ def seed(
     ]
     schema = T.StructType(fields)
     data = [
-        tuple(_coerce(r[i], dtypes[i]) for i in range(len(header)))
+        tuple(
+            _coerce(r[i] if i < len(r) else "", dtypes[i])
+            for i in range(len(header))
+        )
         for r in raw_rows
     ]
     df = engine.spark.createDataFrame(data, schema)

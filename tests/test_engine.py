@@ -80,3 +80,36 @@ def test_data_quality_checks(engine):
     bad = testing.test_relationships(spark, "dq_child", "fk",
                                      "dq_parent", "pk")
     assert [r.fk for r in bad.collect()] == [9]
+
+
+def test_contract_type_mismatch_raises(engine):
+    import pytest as _pytest
+    from dbt_extrica_spark.errors import CompilationError as _CE
+
+    with _pytest.raises(_CE):
+        engine.materialize(Model(
+            "c_type", sql="SELECT CAST(1 AS STRING) AS x",
+            config={"materialized": "table",
+                    "contract": {"enforced": True},
+                    "contract_columns": [{"name": "x", "data_type": "int"}]},
+        ))
+
+
+def test_generate_docs(engine):
+    engine.materialize(Model("doc_t", sql="SELECT 1 AS a, 'x' AS b",
+                             description="documented table",
+                             config={"materialized": "table",
+                                     "persist_docs": True}))
+    docs = engine.generate_docs()
+    rel = docs["relations"]["doc_t"]
+    assert rel["type"] == "TABLE"
+    assert rel["comment"] == "documented table"
+    assert [c["name"] for c in rel["columns"]] == ["a", "b"]
+
+
+def test_seed_ragged_rows(engine):
+    engine.materialize(Model(
+        "ragged", sql="a,b,c\n1,x\n2,y,9",
+        config={"materialized": "seed"}))
+    rows = {r.a: (r.b, r.c) for r in engine.table("ragged").collect()}
+    assert rows == {1: ("x", None), 2: ("y", 9)}
