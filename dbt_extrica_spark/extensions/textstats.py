@@ -102,6 +102,33 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnow(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+           window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken style): hash every
+    word n-gram IN ORDER, slide a ``window``-wide frame, keep each frame's
+    minimum hash, dedupe. Guarantees any shared run of ~window+n-1 tokens
+    between two documents shares a fingerprint.
+
+    Output: (doc_id, fp) exploded — join on fp to find overlap candidates.
+    Pure higher-order functions; one scan, shuffle only if the caller joins.
+    """
+    toks = _tokens(text_col)
+    grams = (
+        f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+        f" i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+    hashes = f"transform({grams}, g -> md5(g))"
+    mins = (
+        f"array_distinct(transform(sequence(1, size(__h) - {window} + 1),"
+        f" i -> array_min(slice(__h, i, {window}))))"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(hashes).alias("__h"))
+        .where(F.size("__h") >= window)
+        .select(F.col(id_col), F.explode(F.expr(mins)).alias("fp"))
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over word
     n-grams (a deterministic 1-of-N sample of the rolling-hash family), plus

@@ -1287,6 +1287,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(docs, "doc_id", "text", n=3)
 
 
+_WINNOW_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 100
+), hashes AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(t) - 2, 1)),
+    i -> md5(array_to_string(t[i:i+2], ' '))) AS h
+  FROM toks
+)
+SELECT doc_id, unnest(list_distinct(list_transform(
+  generate_series(1, greatest(len(h) - 3, 1)),
+  i -> list_min(h[i:i+3])))) AS fp
+FROM hashes WHERE len(h) >= 4
+"""
+
+
+@q("text_winnow", _WINNOW_DUCK)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (sliding-window minima over ordered n-gram
+    hashes) — the rolling-hash fingerprint family, exploded per doc."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 100")
+    return textstats.winnow(docs, "doc_id", "text", n=3, window=4)
+
+
 def _pipeline_oracle() -> str:
     lang_scores = []
     for lang, words in textstats.STOPWORDS.items():

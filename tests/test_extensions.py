@@ -149,3 +149,19 @@ def test_pipeline_clean_corpus_monotone(spark):
     assert out.where("est_llm_tokens <= 0").count() == 0
     joined = out.join(docs, on="doc_id", how="left_anti")
     assert joined.count() == 0
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    # two docs sharing a long token run must share at least one fingerprint
+    df = spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, 'alpha beta gamma delta epsilon zeta eta theta iota kappa'),"
+        " (2, 'prefix alpha beta gamma delta epsilon zeta eta theta other'),"
+        " (3, 'completely different words entirely here now ok right yes')"
+        " AS t(id, txt)")
+    fps = textstats.winnow(df, "id", "txt", n=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
