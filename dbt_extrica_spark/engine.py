@@ -198,6 +198,7 @@ class Engine:
                 check_cols=cfg.get("check_cols"),
                 invalidate_hard_deletes=cfg.get("invalidate_hard_deletes", False),
                 snapshot_time=cfg.get("snapshot_time"),
+                partition_by=cfg.get("partition_by"),
             )
         raise CompilationError(f"Unknown materialization: {kind!r}")
 

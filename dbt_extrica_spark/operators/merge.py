@@ -166,9 +166,12 @@ def partition_scoped_overwrite(
             extra_affected.select(*partition_cols).distinct()
         ).distinct()
     affected = affected.persist()
+    # a USING-style join reorders the key columns to the front; restore the
+    # table's column order — the dynamic-overwrite insertInto below is
+    # POSITIONAL
     tgt_scope = tgt_df.join(F.broadcast(affected), on=partition_cols,
-                            how="left_semi")
-    final_scope = rewrite(tgt_scope)
+                            how="left_semi").select(*tgt_df.columns)
+    final_scope = rewrite(tgt_scope).select(*tgt_df.columns)
 
     emptied = [
         r.asDict() for r in

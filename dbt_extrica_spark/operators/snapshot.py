@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..errors import CompilationError
 from ..functions.shims import snapshot_hash_arguments
 from ..relation import Relation, RelationType
+from . import merge as merge_ops
 
 if TYPE_CHECKING:  # pragma: no cover
     from ..engine import Engine
@@ -63,10 +64,17 @@ def snapshot(
     check_cols: list[str] | str | None = None,
     invalidate_hard_deletes: bool = False,
     snapshot_time: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> Relation:
     """Run one snapshot pass. ``snapshot_time`` overrides the wall-clock
      'now' used by the check strategy and hard-delete close-outs (keeps tests
-    deterministic; dbt uses snapshot_get_time())."""
+    deterministic; dbt uses snapshot_get_time()).
+
+    ``partition_by`` (scale path): the snapshot table is PARTITIONED BY the
+    given data columns and each pass rewrites only partitions holding
+    closed-out rows plus partitions receiving new versions — a history table
+    grows forever, so unbounded full rewrites are the first thing to break
+    at 100 TB."""
     keys = _key_list(unique_key)
     if strategy == "timestamp":
         if not updated_at:
@@ -89,8 +97,13 @@ def snapshot(
         initial = _with_meta(src, keys, updated_expr)
         view = f"__snap_init_{uuid.uuid4().hex[:8]}"
         initial.createOrReplaceTempView(view)
+        layout = ""
+        if partition_by:
+            layout = " PARTITIONED BY (%s)" % ", ".join(
+                f"`{c}`" for c in partition_by
+            )
         engine.spark.sql(
-            f"CREATE TABLE {target.render()} USING PARQUET AS "
+            f"CREATE TABLE {target.render()} USING PARQUET{layout} AS "
             f"SELECT * FROM {view}"
         )
         engine.spark.catalog.dropTempView(view)
@@ -155,17 +168,38 @@ def snapshot(
     else:
         deleted = None
 
-    untouched = snap.join(
-        to_close.withColumnRenamed("dbt_scd_id", "__closing_id"),
-        on=F.expr("dbt_scd_id = __closing_id"),
-        how="left_anti",
-    )
+    to_close = to_close.withColumnRenamed("dbt_scd_id", "__closing_id")
 
-    final = untouched.unionByName(closed)
-    if deleted is not None:
-        final = final.unionByName(deleted)
-    final = final.unionByName(insert_new.select(*snap.columns))
-    final = final.unionByName(insert_changed.select(*snap.columns))
+    def assemble(base):
+        """base minus closing ids, plus close-outs, deletes, and inserts.
+        The change sets are computed against the GLOBAL open rows (above),
+        so `base` may be the full table or just the affected partitions."""
+        out = base.join(to_close, on=F.expr("dbt_scd_id = __closing_id"),
+                        how="left_anti").unionByName(closed)
+        if deleted is not None:
+            out = out.unionByName(deleted)
+        return (
+            out.unionByName(insert_new.select(*snap.columns))
+            .unionByName(insert_changed.select(*snap.columns))
+        )
 
-    engine.overwrite_table_atomic(target, final)
+    scoped = bool(partition_by) and all(c in snap.columns for c in partition_by)
+    if scoped:
+        # affected = partitions receiving new versions ∪ partitions whose
+        # open rows close out (a changed key's old partition may differ
+        # from its new one)
+        new_version_parts = (
+            insert_new.select(*partition_by)
+            .unionByName(insert_changed.select(*partition_by))
+        )
+        closing_parts = closed.select(*partition_by)
+        if deleted is not None:
+            closing_parts = closing_parts.unionByName(
+                deleted.select(*partition_by))
+        merge_ops.partition_scoped_overwrite(
+            engine, target, new_version_parts, assemble, partition_by,
+            extra_affected=closing_parts,
+        )
+    else:
+        engine.overwrite_table_atomic(target, assemble(snap))
     return target

@@ -95,3 +95,28 @@ def test_snapshot_composite_key(engine):
     assert len(rows) == 3
     open_rows = {(r.k1, r.k2, r.v) for r in rows if r.dbt_valid_to is None}
     assert open_rows == {(1, "x", 11), (1, "y", 20)}
+
+
+def test_partitioned_snapshot_matches_full(engine):
+    from dbt_extrica_spark import Model
+
+    base = ("SELECT event_id, event_type, value, ts FROM {source:events}"
+            " WHERE event_id <= 300")
+    run2 = """SELECT event_id,
+        CASE WHEN event_id <= 5 THEN 'moved' ELSE event_type END AS event_type,
+        CASE WHEN event_id <= 10 THEN value * 2 ELSE value END AS value,
+        CASE WHEN event_id <= 10 THEN ts + INTERVAL '1' HOUR ELSE ts END AS ts
+        FROM {source:events} WHERE event_id <= 350"""
+    for name, extra in [("snap_part", {"partition_by": ["event_type"]}),
+                        ("snap_flat", {})]:
+        cfg = {"materialized": "snapshot", "unique_key": "event_id",
+               "strategy": "timestamp", "updated_at": "ts", **extra}
+        engine.materialize(Model(name, sql=base, config=cfg))
+        engine.materialize(Model(name, sql=run2, config=cfg))
+    cols = ["event_id", "event_type", "value", "ts", "dbt_updated_at",
+            "dbt_valid_from", "dbt_valid_to", "dbt_scd_id"]
+    got = sorted(tuple(str(r[c]) for c in cols)
+                 for r in engine.table("snap_part").collect())
+    want = sorted(tuple(str(r[c]) for c in cols)
+                  for r in engine.table("snap_flat").collect())
+    assert got == want and len(got) > 300
