@@ -301,6 +301,51 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q10)
 
 
+_Q17 = """
+SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l1.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+  )
+"""
+
+
+@q("q17_small_quantity_revenue", _Q17)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery — Catalyst decorrelates to
+    an aggregate + join; the per-part average routes through DECIMAL so both
+    engines agree exactly."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q17)
+
+
+_Q18 = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {dsum('l.l_quantity')} AS total_qty
+FROM customer c, orders o, lineitem l
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 120
+  )
+  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@q("q18_large_volume_customers", _Q18)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style IN-subquery with HAVING -> semi-join over a grouped
+    subquery."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q18)
+
+
 _QJSON_DUCK = """
 SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,

@@ -79,6 +79,50 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     return result.sparkSession.table(name)
 
 
+def streaming_incremental_merge(
+    engine,
+    stream: DataFrame,
+    table_name: str,
+    unique_key,
+    dest_columns: list[str] | None = None,
+) -> "object":
+    """Streaming incremental materialization: every micro-batch upserts into
+    an engine table through the SAME merge rewrite the batch incremental
+    strategy uses (operators/merge.py) — the live-stream version of dbt's
+    rerun-the-model loop.
+
+    Returns the StreamingQuery; combine with ``trigger(availableNow=True)``
+    upstream of .start() via run semantics below (we always use availableNow
+    so tests/catch-up runs terminate)."""
+    from ..operators import merge as merge_ops
+    from ..relation import RelationType
+
+    target = engine.relation(table_name, RelationType.Table)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        existing = engine.catalog.get_relation(target)
+        cols = dest_columns or batch_df.columns
+        if existing is None:
+            batch_df.select(*cols).write.format("parquet").saveAsTable(
+                target.render_unquoted())
+            return
+        tgt_df = engine.spark.table(target.render_unquoted())
+        result = merge_ops.merge_upsert(
+            tgt_df, batch_df, unique_key, cols, None, None)
+        engine.overwrite_table_atomic(target, result)
+
+    query = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation",
+                f"{engine.warehouse_dir}/_checkpoints/{table_name}")
+        .start()
+    )
+    return query
+
+
 _SESSION_SCHEMA = (
     "user_id bigint, session_id int, n_events int, "
     "session_start timestamp, session_end timestamp"

@@ -57,3 +57,25 @@ def test_stateful_sessions_subset_of_batch(spark):
         per_user_open.setdefault(u, []).append(sid)
     for u, sids in per_user_open.items():
         assert len(sids) == 1
+
+
+def test_streaming_incremental_merge_equals_batch(spark):
+    from dbt_extrica_spark import Engine
+
+    eng = Engine(spark)
+    eng.register_sources(SF)
+    stream = read_event_stream(spark, SF) \
+        .select("event_id", "event_type", "value")
+    from dbt_extrica_spark.streaming import streaming_incremental_merge
+
+    q = streaming_incremental_merge(eng, stream, "stream_inc", "event_id")
+    q.awaitTermination(120)
+    got = eng.table("stream_inc")
+    expected = spark.sql(
+        f"SELECT event_id, event_type, value FROM"
+        f" {eng.sources['events'].render()}")
+    assert got.count() == expected.count()
+    g = {(r.event_id, r.value) for r in got.collect()}
+    e = {(r.event_id, r.value) for r in expected.collect()}
+    assert g == e
+    eng.close()
