@@ -224,14 +224,29 @@ class Engine:
     # ------------------------------------------------------------------
     # commit protocol
     # ------------------------------------------------------------------
+    def _table_format(self, relation: Relation) -> str:
+        """Datasource format of an existing table (DESCRIBE EXTENDED
+        Provider row); parquet when undetectable."""
+        try:
+            for r in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {relation.render()}"
+            ).collect():
+                if r.col_name == "Provider":
+                    return (r.data_type or "parquet").lower()
+        except Exception:
+            pass
+        return "parquet"
+
     def overwrite_table_atomic(self, relation: Relation, df: DataFrame) -> None:
         """Stage df as a new table, swap via renames, drop backup. The write
         (the expensive part) happens before the old table disappears; readers
-        never observe a missing relation (reference: table.sql:12-48)."""
+        never observe a missing relation (reference: table.sql:12-48). The
+        staged table keeps the target's datasource format."""
         token = uuid.uuid4().hex[:8]
         tmp = relation.with_identifier(f"{relation.identifier}__stg_{token}")
         backup = relation.with_identifier(f"{relation.identifier}__bak_{token}")
-        df.write.format("parquet").saveAsTable(tmp.render_unquoted())
+        df.write.format(self._table_format(relation)).saveAsTable(
+            tmp.render_unquoted())
         try:
             self.spark.sql(
                 f"ALTER TABLE {relation.render()} RENAME TO {backup.render()}"

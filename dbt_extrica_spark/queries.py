@@ -1221,6 +1221,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_cells=16, nprobe=3)
 
 
+@q("ann_recall_report", None)  # deterministic self-evaluation, no SQL oracle
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF approximate path against the exact brute-force
+    baseline — the quality metric an ANN deployment monitors."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where("vec_id < 300")
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", k=5)
+    approx = similarity.ivf_topk(emb, "vec_id", "embedding", k=5,
+                                 n_cells=16, nprobe=3)
+    hits = exact.alias("e").join(
+        approx.alias("a"),
+        on=[F.col("e.query_id") == F.col("a.query_id"),
+            F.col("e.neighbor_id") == F.col("a.neighbor_id")],
+        how="left_semi",
+    )
+    return (
+        hits.groupBy().count()
+        .crossJoin(exact.groupBy().count().withColumnRenamed("count", "total"))
+        .select(
+            (F.col("count") / F.col("total")).cast("double").alias("recall_at_5"),
+            F.col("total").cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
 _PUNCT_CLASS = ".,;:!?'\"()-"
 _TS_DUCK = r"""
 WITH t AS (

@@ -426,3 +426,18 @@ def test_bucketed_join_avoids_exchange(engine):
     # pre-partitioned -> no shuffle Exchange in the plan
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_incremental_preserves_orc_format(engine):
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "k", "file_format": "orc"}
+    engine.materialize(Model("orc_inc", sql="SELECT 1 AS k, 'a' AS v",
+                             config=cfg))
+    engine.materialize(Model("orc_inc", sql="SELECT 1 AS k, 'A' AS v",
+                             config=cfg))
+    detail = "\n".join(
+        f"{r.col_name}={r.data_type}" for r in engine.spark.sql(
+            f"DESCRIBE TABLE EXTENDED {engine.relation('orc_inc').render()}"
+        ).collect())
+    assert "Provider=orc" in detail
+    assert engine.table("orc_inc").collect()[0].v == "A"
