@@ -441,3 +441,24 @@ def test_incremental_preserves_orc_format(engine):
         ).collect())
     assert "Provider=orc" in detail
     assert engine.table("orc_inc").collect()[0].v == "A"
+
+
+def test_list_schemas_and_exists(engine):
+    assert engine.schema in engine.catalog.list_schemas()
+    assert engine.catalog.check_schema_exists(engine.schema)
+    assert not engine.catalog.check_schema_exists("no_such_schema_xyz")
+
+
+def test_delete_insert_null_keys_survive(engine):
+    # Trino `k IN (...)` never matches NULL keys -> NULL-key target rows
+    # survive the delete (reference: incremental.sql:116-142 semantics)
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "delete+insert", "unique_key": ["k"]}
+    engine.materialize(Model(
+        "di_null",
+        sql="SELECT k, v FROM VALUES (1, 'a'), (CAST(NULL AS INT), 'keepme')"
+            " AS t(k, v)", config=cfg))
+    engine.materialize(Model(
+        "di_null", sql="SELECT 1 AS k, 'a2' AS v", config=cfg))
+    rows = {(r.k, r.v) for r in engine.table("di_null").collect()}
+    assert rows == {(1, "a2"), (None, "keepme")}
