@@ -336,9 +336,17 @@ def ngram_jaccard_pairs(
     )).withColumn("n_g", F.size("g"))
     exploded = grams.select("id", "n_g", F.explode("g").alias("gram"))
     a, b = exploded.alias("a"), exploded.alias("b")
+    # size-ratio prefilter: jaccard >= t requires t*max(|A|,|B|) <= min(...)
+    # — a necessary condition, so pruning here cannot change the result but
+    # cuts the pair-aggregation mass substantially at low thresholds
+    ratio_ok = (
+        (F.greatest(F.col("a.n_g"), F.col("b.n_g")) * float(threshold))
+        <= F.least(F.col("a.n_g"), F.col("b.n_g"))
+    )
     shared = (
         a.join(b, on=[F.col("a.gram") == F.col("b.gram"),
-                      F.col("a.id") < F.col("b.id")])
+                      F.col("a.id") < F.col("b.id"),
+                      ratio_ok])
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
