@@ -33,8 +33,10 @@ def clean_corpus(
     lang: str = "en",
 ) -> DataFrame:
     """Returns (doc_id, est_llm_tokens) for the cleaned corpus."""
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.col(text_col).alias("text"))
+    # spread first: a small parquet arrives as one split, and every stage
+    # here is per-row compute (regex, shingling) that must parallelize
+    base = dedup._spread(docs.select(F.col(id_col).alias("doc_id"),
+                                     F.col(text_col).alias("text")))
 
     # 1. quality gate
     stats = textstats.text_stats(base, "doc_id", "text")
