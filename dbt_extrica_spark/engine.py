@@ -275,6 +275,21 @@ class Engine:
         return self.spark.table(self.relation(name).render_unquoted())
 
     # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def compact_table(self, name: str, target_files: int | None = None) -> None:
+        """Small-file compaction: rewrite a table into ~target_files files
+        per partition-less table (or per partition, via the same atomic
+        swap). Incremental appends accumulate small files; periodic
+        compaction restores scan efficiency — the OPTIMIZE analog for plain
+        parquet tables."""
+        relation = self.relation(name)
+        df = self.spark.table(relation.render_unquoted())
+        n = target_files or max(
+            1, self.spark.sparkContext.defaultParallelism // 4)
+        self.overwrite_table_atomic(relation, df.coalesce(n))
+
+    # ------------------------------------------------------------------
     # docs (A17 consumer — the `dbt docs generate` analog)
     # ------------------------------------------------------------------
     def generate_docs(self) -> dict:

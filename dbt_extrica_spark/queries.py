@@ -1221,6 +1221,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_cells=16, nprobe=3)
 
 
+_EMB_STATS_DUCK = """
+WITH nrm AS (
+  SELECT label,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)) AS n
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(n AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+       CAST(MIN(CAST(n AS DECIMAL(18,6))) AS DOUBLE) AS min_norm,
+       CAST(MAX(CAST(n AS DECIMAL(18,6))) AS DOUBLE) AS max_norm
+FROM nrm GROUP BY label
+"""
+
+
+@q("embedding_label_stats", _EMB_STATS_DUCK)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (the health check before training on
+    an embedding table): counts and norm distribution, decimal-routed."""
+    _views(spark, sf_dir)
+    nrm = (
+        "sqrt(aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> cast(x as double) * y), 0D, (acc, x) -> acc + x))"
+    )
+    return spark.sql(f"""
+WITH nrm AS (SELECT label, {nrm} AS n FROM embeddings)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(n AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+       CAST(MIN(CAST(n AS DECIMAL(18,6))) AS DOUBLE) AS min_norm,
+       CAST(MAX(CAST(n AS DECIMAL(18,6))) AS DOUBLE) AS max_norm
+FROM nrm GROUP BY label
+""")
+
+
 @q("ann_recall_report", None)  # deterministic self-evaluation, no SQL oracle
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF approximate path against the exact brute-force

@@ -113,3 +113,25 @@ def test_seed_ragged_rows(engine):
         config={"materialized": "seed"}))
     rows = {r.a: (r.b, r.c) for r in engine.table("ragged").collect()}
     assert rows == {1: ("x", None), 2: ("y", 9)}
+
+
+def test_compact_table(engine):
+    import glob as _glob
+
+    cfg = {"materialized": "incremental", "incremental_strategy": "append"}
+    for i in range(5):
+        engine.materialize(Model(
+            "frag", sql=f"SELECT {i} AS k, 'v{i}' AS v"
+            + (" {is_incremental:}" if i else ""), config=cfg))
+    rel = engine.relation("frag")
+    loc = [r.data_type for r in engine.spark.sql(
+        f"DESCRIBE TABLE EXTENDED {rel.render()}").collect()
+        if r.col_name == "Location"][0]
+    before = len(_glob.glob(loc.replace("file:", "") + "/*.parquet"))
+    engine.compact_table("frag", target_files=1)
+    loc2 = [r.data_type for r in engine.spark.sql(
+        f"DESCRIBE TABLE EXTENDED {rel.render()}").collect()
+        if r.col_name == "Location"][0]
+    after = len(_glob.glob(loc2.replace("file:", "") + "/*.parquet"))
+    assert engine.table("frag").count() == 5
+    assert after < before and after == 1
