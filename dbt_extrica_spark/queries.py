@@ -346,6 +346,40 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q18)
 
 
+_ASOF_DUCK = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts,
+         CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_value AS purchase_value_right
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@q("q_asof_join", _ASOF_DUCK)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — an operator the Spark API lacks,
+    composed as a one-shuffle union+window (operators/asof.py). The oracle
+    is DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    _views(spark, sf_dir)
+    events = spark.table("events")
+    clicks = events.where("event_type = 'click'") \
+        .select("event_id", "user_id", "ts")
+    purchases = events.where("event_type = 'purchase'") \
+        .groupBy("user_id", "ts") \
+        .agg(F.expr("CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE)")
+             .alias("purchase_value"))
+    return asof_join(clicks, purchases, on="ts", by="user_id",
+                     value_cols=["purchase_value"])
+
+
 _QJSON_DUCK = """
 SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,

@@ -462,3 +462,41 @@ def test_delete_insert_null_keys_survive(engine):
         "di_null", sql="SELECT 1 AS k, 'a2' AS v", config=cfg))
     rows = {(r.k, r.v) for r in engine.table("di_null").collect()}
     assert rows == {(1, "a2"), (None, "keepme")}
+
+
+def test_asof_join_tolerance_and_unmatched(engine):
+    from dbt_extrica_spark.operators.asof import asof_join
+
+    spark = engine.spark
+    left = spark.sql(
+        "SELECT * FROM VALUES (1, 'u1', TIMESTAMP '2024-01-01 10:00:00'),"
+        " (2, 'u1', TIMESTAMP '2024-01-01 12:00:00'),"
+        " (3, 'u2', TIMESTAMP '2024-01-01 09:00:00')"
+        " AS t(id, u, ts)")
+    right = spark.sql(
+        "SELECT * FROM VALUES ('u1', TIMESTAMP '2024-01-01 09:30:00', 5.0),"
+        " ('u1', TIMESTAMP '2024-01-01 11:00:00', 7.0)"
+        " AS t(u, ts, px)")
+    out = {r.id: r.px_right for r in
+           asof_join(left, right, on="ts", by="u",
+                     value_cols=["px"]).collect()}
+    assert out == {1: 5.0, 2: 7.0, 3: None}
+    # 30-minute tolerance: the 10:00 click is within 30min of 09:30; the
+    # 12:00 click is 60min past 11:00 -> nulled
+    out2 = {r.id: r.px_right for r in
+            asof_join(left, right, on="ts", by="u", value_cols=["px"],
+                      tolerance_seconds=1800).collect()}
+    assert out2 == {1: 5.0, 2: None, 3: None}
+
+
+def test_asof_join_tie_matches(engine):
+    from dbt_extrica_spark.operators.asof import asof_join
+
+    spark = engine.spark
+    left = spark.sql("SELECT 1 AS id, 'u' AS u,"
+                     " TIMESTAMP '2024-01-01 10:00:00' AS ts")
+    right = spark.sql("SELECT 'u' AS u,"
+                      " TIMESTAMP '2024-01-01 10:00:00' AS ts, 9.0 AS px")
+    out = asof_join(left, right, on="ts", by="u",
+                    value_cols=["px"]).collect()
+    assert out[0].px_right == 9.0  # equal timestamps match (>= semantics)
