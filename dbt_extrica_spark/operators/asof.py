@@ -18,6 +18,50 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | None = None,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Point-in-interval (range) join: left rows matched to right intervals
+    with ``start <= point <= end`` (inclusive), optionally per ``by`` keys.
+
+    A plain non-equi join plans as BroadcastNestedLoop (quadratic). This
+    bucketizes: each interval explodes into the fixed-width buckets it
+    covers, the point joins its single bucket as an EQUI key, and the exact
+    BETWEEN predicate filters within the bucket. Shuffle cost ∝ rows ×
+    intervals-per-bucket instead of |left| × |right|. Choose bucket_width
+    near the typical interval length."""
+    keys = list(by or [])
+    w = float(bucket_width)
+    r_b = right.withColumn(
+        "__b",
+        F.explode(F.sequence(
+            F.floor(F.col(start_col) / w).cast("long"),
+            F.floor(F.col(end_col) / w).cast("long"),
+        )),
+    )
+    l_b = left.withColumn("__b", F.floor(F.col(point_col) / w).cast("long"))
+    cond = [l_b["__b"] == r_b["__b"]] + [
+        l_b[k] == r_b[k] for k in keys
+    ]
+    out = (
+        l_b.join(r_b, on=cond, how="inner")
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+    )
+    keep = [l_b[c] for c in left.columns] + [
+        r_b[c] for c in right.columns if c not in set(keys)
+    ]
+    return out.select(*keep)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -346,6 +346,42 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q18)
 
 
+_RANGE_DUCK = """
+WITH bands AS (
+  SELECT CAST(i AS INT) AS band_id,
+         880.0 + i * 10 AS lo, 880.0 + i * 10 + 9.999 AS hi
+  FROM (SELECT unnest(generate_series(0, 12)) AS i)
+)
+SELECT p.p_partkey, b.band_id,
+       CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi
+FROM part p JOIN bands b
+  ON p.p_retailprice >= b.lo AND p.p_retailprice <= b.hi
+"""
+
+
+@q("q_range_join", _RANGE_DUCK)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketized range_join operator (equi
+    bucket key + exact BETWEEN filter — no nested-loop blowup); oracle is
+    the plain BETWEEN join."""
+    from .operators.asof import range_join
+
+    _views(spark, sf_dir)
+    bands = spark.sql("""
+        SELECT CAST(i AS INT) AS band_id,
+               880.0 + i * 10 AS lo, 880.0 + i * 10 + 9.999 AS hi
+        FROM (SELECT explode(sequence(0, 12)) AS i)
+    """)
+    parts = spark.table("part").select("p_partkey", "p_retailprice")
+    out = range_join(parts, bands, point_col="p_retailprice",
+                     start_col="lo", end_col="hi", bucket_width=10.0)
+    return out.select(
+        "p_partkey", "band_id",
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+    )
+
+
 _ASOF_DUCK = """
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'

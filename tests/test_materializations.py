@@ -500,3 +500,21 @@ def test_asof_join_tie_matches(engine):
     out = asof_join(left, right, on="ts", by="u",
                     value_cols=["px"]).collect()
     assert out[0].px_right == 9.0  # equal timestamps match (>= semantics)
+
+
+def test_range_join_matches_nested_loop(engine):
+    from dbt_extrica_spark.operators.asof import range_join
+
+    spark = engine.spark
+    left = spark.sql("SELECT explode(sequence(0, 200)) AS x") \
+        .selectExpr("x", "CAST(x * 1.5 AS DOUBLE) AS point")
+    right = spark.sql("SELECT explode(sequence(0, 30)) AS iv") \
+        .selectExpr("iv", "CAST(iv * 10 AS DOUBLE) AS lo",
+                    "CAST(iv * 10 + 25 AS DOUBLE) AS hi")  # overlapping
+    got = range_join(left, right, "point", "lo", "hi", bucket_width=10.0)
+    expected = left.join(
+        right, (left.point >= right.lo) & (left.point <= right.hi))
+    assert got.count() == expected.count()
+    g = {(r.x, r.iv) for r in got.collect()}
+    e = {(r.x, r.iv) for r in expected.collect()}
+    assert g == e
