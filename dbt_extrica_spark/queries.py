@@ -1009,6 +1009,37 @@ def snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table("snap_ev")
 
 
+_ROLLUP_DUCK = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+@q("rollup_hypertable", _ROLLUP_DUCK)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous (hypertable-style) rollup: full build over a truncated
+    source, then a watermark-incremental refresh over the full source —
+    final state equals the direct GROUP BY (oracle)."""
+    from .operators.rollup import continuous_rollup
+
+    eng = _engine(spark, sf_dir, "ev_rollup")
+    src = eng.sources["events"].render()
+    aggs = {
+        "n": "CAST(COUNT(*) AS BIGINT)",
+        "value_sum": "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)",
+    }
+    continuous_rollup(
+        eng, "ev_rollup",
+        f"(SELECT * FROM {src} WHERE ts < TIMESTAMP '2024-01-20 00:00:00') p1",
+        "ts", "day", dims=["event_type"], aggs=aggs,
+    )
+    continuous_rollup(eng, "ev_rollup", src, "ts", "day",
+                      dims=["event_type"], aggs=aggs, lateness_buckets=1)
+    return eng.table("ev_rollup")
+
+
 _SEED_CSV = """id,ratio,flag,name,d,t,n
 1,0.5,true,alice,2024-01-05,2024-01-05 10:00:00,7
 2,1.25,false,bob,2024-02-06,2024-02-06 11:30:15,

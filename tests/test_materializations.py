@@ -518,3 +518,31 @@ def test_range_join_matches_nested_loop(engine):
     g = {(r.x, r.iv) for r in got.collect()}
     e = {(r.x, r.iv) for r in expected.collect()}
     assert g == e
+
+
+def test_rollup_lateness_folds_late_rows(engine):
+    from dbt_extrica_spark.operators.rollup import continuous_rollup
+
+    spark = engine.spark
+    spark.sql("SELECT * FROM VALUES"
+              " (TIMESTAMP '2024-01-01 10:00:00', 1.0),"
+              " (TIMESTAMP '2024-01-02 10:00:00', 2.0)"
+              " AS t(ts, v)").createOrReplaceTempView("roll_src1")
+    # phase 2 adds a LATE row in the Jan-2 bucket and a new Jan-3 row
+    spark.sql("SELECT * FROM VALUES"
+              " (TIMESTAMP '2024-01-01 10:00:00', 1.0),"
+              " (TIMESTAMP '2024-01-02 10:00:00', 2.0),"
+              " (TIMESTAMP '2024-01-02 23:00:00', 10.0),"
+              " (TIMESTAMP '2024-01-03 01:00:00', 5.0)"
+              " AS t(ts, v)").createOrReplaceTempView("roll_src2")
+    aggs = {"n": "CAST(COUNT(*) AS BIGINT)",
+            "s": "CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE)"}
+    continuous_rollup(engine, "roll_t", "roll_src1", "ts", "day", aggs=aggs)
+    continuous_rollup(engine, "roll_t", "roll_src2", "ts", "day", aggs=aggs,
+                      lateness_buckets=1)
+    rows = {str(r.bucket): (r.n, r.s) for r in
+            engine.table("roll_t").collect()}
+    # Jan-2 (within lateness of wm=Jan-2) refolded with the late row;
+    # Jan-3 appears; Jan-1 untouched
+    assert rows == {"2024-01-01": (1, 1.0), "2024-01-02": (2, 12.0),
+                    "2024-01-03": (1, 5.0)}
