@@ -39,6 +39,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_stats",
     "pipeline_clean_corpus",
+    "q_asof_join",
+    "rollup_hypertable",
 ]
 
 

@@ -301,6 +301,33 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q10)
 
 
+_QPCT_DUCK = """
+SELECT l_returnflag,
+       CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90,
+       CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS p99,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@q("q_percentiles", _QPCT_DUCK)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ordered-set aggregates): Spark
+    ``percentile`` == DuckDB ``quantile_cont`` definitionally."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+SELECT l_returnflag,
+       CAST(percentile(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+       CAST(percentile(l_extendedprice, 0.9) AS DOUBLE) AS p90,
+       CAST(percentile(l_extendedprice, 0.99) AS DOUBLE) AS p99,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+FROM lineitem GROUP BY l_returnflag
+""")
+
+
 _Q17 = """
 SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
        AS avg_yearly
