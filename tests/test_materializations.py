@@ -546,3 +546,17 @@ def test_rollup_lateness_folds_late_rows(engine):
     # Jan-3 appears; Jan-1 untouched
     assert rows == {"2024-01-01": (1, 1.0), "2024-01-02": (2, 12.0),
                     "2024-01-03": (1, 5.0)}
+
+
+def test_mv_refresh_picks_up_base_changes(engine):
+    engine.materialize(Model("mv_base", sql="SELECT 1 AS a",
+                             config={"materialized": "table"}))
+    engine.materialize(Model("mv_over", sql="SELECT SUM(a) AS s FROM {ref:mv_base}",
+                             config={"materialized": "materialized_view"}))
+    assert engine.table("mv_over").collect()[0].s == 1
+    engine.spark.sql(
+        f"INSERT INTO {engine.relation('mv_base').render()} VALUES (41)")
+    # MV is a materialized table: stale until refreshed
+    assert engine.table("mv_over").collect()[0].s == 1
+    engine.refresh_materialized_view("mv_over")
+    assert engine.table("mv_over").collect()[0].s == 42
