@@ -197,6 +197,50 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QSET)
 
 
+_QSETALL = """
+WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber <= 2),
+     b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber = 1)
+SELECT 'except_all' AS tag, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'intersect_all' AS tag, k
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+"""
+
+
+@q("q_setops_all", _QSETALL)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) — multiplicity
+    arithmetic, not just distinct membership."""
+    _views(spark, sf_dir)
+    return spark.sql(_QSETALL)
+
+
+_QWRANGE_SPARK = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(28,4)) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+_QWRANGE_DUCK = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(28,4)) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@q("q_window_time_range", _QWRANGE_DUCK)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing-hour rolling count/sum per user
+    (decimal so the frame sum is order-independent)."""
+    _views(spark, sf_dir)
+    return spark.sql(_QWRANGE_SPARK)
+
+
 _QROLLUP = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n,
