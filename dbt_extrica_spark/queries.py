@@ -879,6 +879,57 @@ def mat_mview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table("li_mv")
 
 
+_DAG_DUCK = f"""
+SELECT n.n_name,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+"""
+
+
+@q("project_dag_run", _DAG_DUCK)
+def project_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A realistic model DAG run end-to-end: staging views -> joined fact
+    table -> reporting rollup, executed by the thread-pool DAG runner in
+    dependency order (the `dbt run` analog)."""
+    from .plans.model import Project
+    from .plans.runner import run_project
+
+    eng = _engine(spark, sf_dir, "stg_ord", "stg_li", "fct_rev", "rpt_nation")
+    models = [
+        Model("stg_ord",
+              sql="SELECT o_orderkey, o_custkey, o_orderstatus FROM"
+                  " {source:orders} WHERE o_orderstatus = 'F'",
+              config={"materialized": "view"}),
+        Model("stg_li",
+              sql="SELECT l_orderkey, l_extendedprice, l_discount FROM"
+                  " {source:lineitem}",
+              config={"materialized": "view"}),
+        Model("fct_rev",
+              sql="SELECT o.o_orderkey, o.o_custkey,"
+                  " l.l_extendedprice * (1 - l.l_discount) AS rev"
+                  " FROM {ref:stg_ord} o JOIN {ref:stg_li} l"
+                  " ON l.l_orderkey = o.o_orderkey",
+              config={"materialized": "table"}),
+        Model("rpt_nation",
+              sql="SELECT n.n_name,"
+                  " CAST(COUNT(DISTINCT f.o_orderkey) AS BIGINT) AS n_orders,"
+                  " CAST(SUM(CAST(f.rev AS DECIMAL(18,4))) AS DOUBLE) AS revenue"
+                  " FROM {ref:fct_rev} f"
+                  " JOIN {source:customer} c ON c.c_custkey = f.o_custkey"
+                  " JOIN {source:nation} n ON n.n_nationkey = c.c_nationkey"
+                  " GROUP BY n.n_name",
+              config={"materialized": "table"}),
+    ]
+    run_project(eng, Project(models), threads=4)
+    return eng.table("rpt_nation")
+
+
 _INC_APPEND_DUCK = """
 SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 6000
 """
