@@ -345,6 +345,54 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q10)
 
 
+_QPIVOT_DUCK = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+       THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+       THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+       THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@q("q_pivot", _QPIVOT_DUCK)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (conditional-aggregation rewrite under the hood); oracle is the
+    equivalent CASE aggregation."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+)
+PIVOT (
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+  FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p)
+)
+""")
+
+
+_QEXPLODE_DUCK = r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE doc_id < 200
+) GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+@q("q_explode_tokens", _QEXPLODE_DUCK)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode (generator) -> token frequency top-20."""
+    _views(spark, sf_dir)
+    return spark.sql(r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) t AS token
+WHERE doc_id < 200
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+""")
+
+
 _QPCT_DUCK = """
 SELECT l_returnflag,
        CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
