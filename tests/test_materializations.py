@@ -6,7 +6,6 @@ import pytest
 
 from dbt_extrica_spark import Model
 from dbt_extrica_spark.errors import CompilationError, DatabaseError
-from dbt_extrica_spark.relation import RelationType
 from pyspark.sql import functions as F
 
 
