@@ -122,6 +122,57 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(run, schema=df.schema)
 
 
+def tile_images(df: DataFrame, tile: int = 32) -> DataFrame:
+    """Image tiling plumbing: emit (media_id, tile_x, tile_y, x0, y0, x1, y1)
+    per tile from width/height metadata — the coordinate plan a real
+    patch-extraction UDF consumes. Pure sequence+explode; no Python."""
+    nx = F.expr(f"CAST(ceil(width / {tile}.0) AS INT)")
+    ny = F.expr(f"CAST(ceil(height / {tile}.0) AS INT)")
+    return (
+        df.where(F.col("kind") == "image")
+        .select(
+            "media_id", "width", "height",
+            F.explode(F.expr(
+                f"flatten(transform(sequence(0, CAST(ceil(width / {tile}.0) AS INT) - 1),"
+                f" tx -> transform(sequence(0, CAST(ceil(height / {tile}.0) AS INT) - 1),"
+                f" ty -> named_struct('tx', tx, 'ty', ty))))"
+            )).alias("t"),
+        )
+        .select(
+            "media_id",
+            F.col("t.tx").alias("tile_x"),
+            F.col("t.ty").alias("tile_y"),
+            (F.col("t.tx") * tile).alias("x0"),
+            (F.col("t.ty") * tile).alias("y0"),
+            F.least(F.col("t.tx") * tile + tile, F.col("width")).alias("x1"),
+            F.least(F.col("t.ty") * tile + tile, F.col("height")).alias("y1"),
+        )
+    )
+
+
+def chunk_audio(df: DataFrame, chunk_ms: int = 500,
+                overlap_ms: int = 100) -> DataFrame:
+    """Audio chunking plumbing: overlapping (start_ms, end_ms) windows from
+    duration metadata — the segment plan a real resampler/AST model batch
+    consumes. Stride = chunk - overlap; final partial chunk kept."""
+    stride = chunk_ms - overlap_ms
+    assert stride > 0, "overlap must be smaller than chunk"
+    return (
+        df.where(F.col("kind") == "audio")
+        .select(
+            "media_id", "duration_ms",
+            F.explode(F.expr(
+                f"sequence(0L, greatest(duration_ms - 1, 0L), {stride}L)"
+            )).alias("start_ms"),
+        )
+        .select(
+            "media_id", "start_ms",
+            F.least(F.col("start_ms") + chunk_ms,
+                    F.col("duration_ms")).alias("end_ms"),
+        )
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: emits (media_id, frame_ts_ms)
     per sampled frame, computed from duration metadata — the real decoder

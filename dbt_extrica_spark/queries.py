@@ -1800,6 +1800,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, every_ms=250)
 
 
+@q("multimodal_tiles_chunks", None)  # synthetic media; deterministic rows-only
+def multimodal_tiles_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image tiling + audio chunking plans from metadata (the coordinate/
+    segment plans real decode UDFs consume), unioned with a kind tag."""
+    from .extensions import multimodal
+
+    imgs = multimodal.synthetic_media(spark, n=16, kind="image")
+    auds = multimodal.synthetic_media(spark, n=16, kind="audio")
+    tiles = multimodal.tile_images(imgs, tile=32).select(
+        F.lit("tile").alias("kind"), "media_id",
+        F.col("x0").cast("bigint").alias("a"),
+        F.col("y0").cast("bigint").alias("b"),
+    )
+    chunks = multimodal.chunk_audio(auds, 500, 100).select(
+        F.lit("chunk").alias("kind"), "media_id",
+        F.col("start_ms").alias("a"), F.col("end_ms").alias("b"),
+    )
+    return tiles.unionByName(chunks)
+
+
 # ==========================================================================
 # [EXTENSION] Structured Streaming (batch-equivalent under availableNow)
 # ==========================================================================

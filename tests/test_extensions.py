@@ -165,3 +165,20 @@ def test_winnow_shared_run_shares_fingerprint(spark):
         by_doc.setdefault(r.id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_tile_images_covers_dimensions(spark):
+    media = multimodal.synthetic_media(spark, n=4, kind="image")  # 64x64
+    tiles = multimodal.tile_images(media, tile=32)
+    per = tiles.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per)  # 2x2 tiles of 32px on 64x64
+    edges = tiles.where("x1 > 64 OR y1 > 64").count()
+    assert edges == 0  # clamped to image bounds
+
+
+def test_chunk_audio_windows(spark):
+    media = multimodal.synthetic_media(spark, n=1, kind="audio")  # 1000ms
+    chunks = multimodal.chunk_audio(media, chunk_ms=500, overlap_ms=100)
+    rows = sorted((r.start_ms, r.end_ms) for r in chunks.collect())
+    # stride 400 over 1000ms: starts 0,400,800 with clamped ends
+    assert rows == [(0, 500), (400, 900), (800, 1000)]
