@@ -364,6 +364,64 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# duplicate clustering (iterative connected components)
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup PAIRS into components: (id, component) where
+    component = the minimum id reachable through the pair graph. The step a
+    dedup pipeline needs after pair generation — keep one doc per component.
+
+    Iterative min-label propagation (the standard large-graph approach —
+    hash joins per round, O(graph diameter) rounds, which is tiny for dup
+    clusters). Labels persist per round and the loop exits when a round
+    changes nothing; localCheckpoint every few rounds caps plan lineage.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        if i % 4 == 3:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        changed = (
+            labels.alias("o").join(new_labels.alias("n"), on="id")
+            .where(F.expr("o.component != n.component")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", "component")
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 

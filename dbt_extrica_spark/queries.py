@@ -1423,6 +1423,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+_CLUSTERS_DUCK = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id < 150)
+), grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 1)),
+    i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks
+), sized AS (SELECT doc_id, len(g) AS n_g, g FROM grams),
+ex AS (SELECT doc_id, n_g, unnest(g) AS gram FROM sized),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_g, b.n_g
+  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_g + b.n_g - COUNT(*)) >= 0.6
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
+"""
+
+
+@q("dedup_clusters", _CLUSTERS_DUCK)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph -> connected components (iterative min-label
+    propagation — the 'iterative algorithm' class); oracle is a recursive
+    CTE computing min-reachable-id per node. Pairs from exact Jaccard on a
+    corpus with planted exact copies (every doc pairs with its copy)."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 150").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", n=3,
+                                      threshold=0.6)
+    return dedup.connected_components(pairs)
+
+
 _EMB_PAIRS_DUCK = """
 WITH base AS (
   SELECT vec_id, embedding,

@@ -182,3 +182,23 @@ def test_chunk_audio_windows(spark):
     rows = sorted((r.start_ms, r.end_ms) for r in chunks.collect())
     # stride 400 over 1000ms: starts 0,400,800 with clamped ends
     assert rows == [(0, 500), (400, 900), (800, 1000)]
+
+
+def test_connected_components_transitive(spark):
+    pairs = spark.sql(
+        "SELECT * FROM VALUES (1, 2), (2, 3), (10, 11), (20, 21), (21, 22)"
+        " AS t(id_a, id_b)")
+    comp = {r.id: r.component
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # chain 0-1-2-...-9 requires multiple propagation rounds
+    pairs = spark.sql(
+        "SELECT x AS id_a, x + 1 AS id_b FROM"
+        " (SELECT explode(sequence(0, 8)) AS x)")
+    comp = {r.id: r.component
+            for r in dedup.connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 10
