@@ -151,13 +151,32 @@ def minhash_signature(shingles_col: str, num_perm: int = 64) -> F.Column:
     )
 
 
+def auto_bands(num_perm: int, threshold: float) -> int:
+    """Pick the band count whose S-curve midpoint (1/b)^(r/num_perm-style)
+    sits closest below the target threshold: for bands b (rows r =
+    num_perm/b), the detection midpoint is t* = (1/b)^(1/r). Choosing
+    t* <= threshold keeps recall high at the threshold; among those the
+    largest r (fewest false candidates) wins."""
+    best = None
+    for b in (2, 4, 8, 16, 32, 64):
+        if b > num_perm or num_perm % b:
+            continue
+        r = num_perm // b
+        t_star = (1.0 / b) ** (1.0 / r)
+        # prefer midpoints at/below the threshold (recall-first), closest
+        score = (t_star > threshold, abs(threshold - t_star))
+        if best is None or score < best[0]:
+            best = (score, b)
+    return best[1]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 5,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = 16,
     threshold: float = 0.8,
     verify: bool = True,
 ) -> DataFrame:
@@ -168,6 +187,8 @@ def minhash_lsh_pairs(
     shingle -> minhash -> band -> bucket-join, then verification re-computes
     exact Jaccard only for candidates (array_intersect/array_union sizes).
     """
+    if bands is None:
+        bands = auto_bands(num_perm, threshold)
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 

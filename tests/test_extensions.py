@@ -202,3 +202,26 @@ def test_connected_components_long_chain(spark):
     comp = {r.id: r.component
             for r in dedup.connected_components(pairs).collect()}
     assert set(comp.values()) == {0} and len(comp) == 10
+
+
+def test_auto_bands_midpoints():
+    # midpoint t* = (1/b)^(b/num_perm inverse rows); chosen at/below tau
+    assert dedup.auto_bands(64, 0.5) == 16   # t* = 0.5 exactly
+    assert dedup.auto_bands(64, 0.8) in (4, 8)  # deeper rows, fewer fps
+    assert dedup.auto_bands(64, 0.2) in (32, 64)  # shallow rows, high recall
+
+
+def test_minhash_auto_banding_low_threshold(spark):
+    # at tau=0.3 a moderately-overlapping planted pair must be found when
+    # banding is derived from the threshold
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 30")
+    half = spark.sql(
+        "SELECT 99999 AS doc_id,"
+        " concat(substring(text, 1, CAST(length(text) * 0.6 AS INT)),"
+        " ' unrelated suffix words here') AS text"
+        " FROM documents WHERE doc_id = 0")
+    planted = docs.unionByName(half)
+    pairs = dedup.minhash_lsh_pairs(planted, "doc_id", "text", k=5,
+                                    num_perm=64, bands=None, threshold=0.3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 99999) in found
