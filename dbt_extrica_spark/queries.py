@@ -197,6 +197,30 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QSET)
 
 
+_QWNAV = """
+SELECT c_nationkey, c_custkey,
+       first_value(c_name) OVER w_full AS richest,
+       nth_value(c_name, 2) OVER w_full AS second_richest,
+       CAST(ntile(4) OVER w_rank AS INT) AS wealth_quartile,
+       CAST(cume_dist() OVER w_rank AS DOUBLE) AS cume,
+       CAST(percent_rank() OVER w_rank AS DOUBLE) AS prank
+FROM customer
+WINDOW w_full AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       w_rank AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@q("q_window_navigation", _QWNAV)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window functions: first_value, nth_value,
+    ntile, cume_dist, percent_rank over a full-partition frame."""
+    _views(spark, sf_dir)
+    return spark.sql(_QWNAV)
+
+
 _QSETALL = """
 WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber <= 2),
      b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber = 1)
