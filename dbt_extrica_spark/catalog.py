@@ -278,14 +278,30 @@ class CatalogClient:
     # -- grants (A24) -----------------------------------------------------------
     def show_grants(self, relation: Relation) -> dict[str, set[str]]:
         """Reference: information_schema.table_privileges with lowercased
-        privilege (apply_grants.sql:1-9); ours: the registry."""
+        privilege (apply_grants.sql:1-9); ours: the registry, falling back
+        to the TBLPROPERTIES copy (durable across catalog clients)."""
         with self._lock:
-            return {
-                priv: set(grantees)
-                for priv, grantees in self.grants.get(
-                    (relation.schema, relation.identifier), {}
-                ).items()
-            }
+            stored = self.grants.get((relation.schema, relation.identifier))
+            if stored is not None:
+                return {p: set(g) for p, g in stored.items()}
+        return self._grants_from_properties(relation)
+
+    def _grants_from_properties(self, relation: Relation) -> dict[str, set[str]]:
+        import json
+
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {relation.render()}").collect()
+        except Exception:
+            return {}
+        for r in rows:
+            if r.key == "dbt_grants":
+                try:
+                    loaded = json.loads(r.value)
+                    return {p: set(g) for p, g in loaded.items()}
+                except Exception:
+                    return {}
+        return {}
 
     def apply_grants(self, relation: Relation,
                      grant_config: dict[str, list[str]] | None,
@@ -295,6 +311,8 @@ class CatalogClient:
         OSS Spark has no SQL grants -> bookkeeping with identical diff logic."""
         if grant_config is None:
             return
+        import json
+
         key = (relation.schema, relation.identifier)
         desired = {priv.lower(): set(gs) for priv, gs in grant_config.items()}
         with self._lock:
@@ -306,6 +324,17 @@ class CatalogClient:
                 for p, gs in desired.items():
                     merged.setdefault(p, set()).update(gs)
                 self.grants[key] = merged
+            final = {p: sorted(g) for p, g in self.grants[key].items()}
+        # durable copy (SURVEY A24: log + store in TBLPROPERTIES); views
+        # would need ALTER VIEW — grants on tables/MVs only, best-effort
+        try:
+            payload = json.dumps(final).replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {relation.render()} "
+                f"SET TBLPROPERTIES ('dbt_grants' = '{payload}')"
+            )
+        except Exception:
+            pass
 
     # -- full catalog (A17) -------------------------------------------------------
     CATALOG_COLUMNS = (

@@ -559,3 +559,16 @@ def test_mv_refresh_picks_up_base_changes(engine):
     assert engine.table("mv_over").collect()[0].s == 1
     engine.refresh_materialized_view("mv_over")
     assert engine.table("mv_over").collect()[0].s == 42
+
+
+def test_grants_durable_across_catalog_clients(engine):
+    from dbt_extrica_spark.catalog import CatalogClient
+
+    engine.materialize(Model(
+        "gdur", sql="SELECT 1 AS a",
+        config={"materialized": "table",
+                "grants": {"select": ["alice"], "insert": ["bob"]}}))
+    # a FRESH catalog client (no in-memory registry) reads the durable copy
+    fresh = CatalogClient(engine.spark)
+    got = fresh.show_grants(engine.relation("gdur"))
+    assert got == {"select": {"alice"}, "insert": {"bob"}}

@@ -1,0 +1,59 @@
+"""Scale-up probe: replicate sf0.1 N× in-memory (union) and measure how the
+headline operators scale — evidence for the would-it-survive-100× question.
+Usage: python tools/scale_probe.py [replicas]"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from dbt_extrica_spark.session import get_spark
+    from dbt_extrica_spark.sources.registry import register_sources
+    from dbt_extrica_spark.queries import _Q1, _Q5, dsum
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    register_sources(spark, "/root/testdata/sf0.1")
+
+    # replicate lineitem/orders N x with shifted keys (≈ sf{0.1*N})
+    li = spark.table("lineitem")
+    od = spark.table("orders")
+    li_big = li
+    od_big = od
+    for i in range(1, replicas):
+        li_big = li_big.unionByName(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + i * 10_000_000))
+        od_big = od_big.unionByName(
+            od.withColumn("o_orderkey", F.col("o_orderkey") + i * 10_000_000))
+    li_big.createOrReplaceTempView("lineitem")
+    od_big.createOrReplaceTempView("orders")
+
+    out = {"replicas": replicas, "lineitem_rows": li_big.count()}
+    for name, sql in (("q1", _Q1), ("q5", _Q5)):
+        t0 = time.time()
+        spark.sql(sql).collect()
+        out[f"{name}_sec"] = round(time.time() - t0, 2)
+    # join at scale: lineitem x orders
+    t0 = time.time()
+    spark.sql(
+        f"SELECT o_orderstatus, {dsum('l_extendedprice')} AS s,"
+        f" CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        f" GROUP BY o_orderstatus"
+    ).collect()
+    out["join_agg_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
