@@ -197,6 +197,28 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QSET)
 
 
+_QSCALAR = """
+SELECT o_orderkey, o_totalprice,
+       CAST(o_totalprice - (
+         SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*) FROM orders
+       ) AS DOUBLE) AS delta_vs_avg,
+       o_totalprice > (
+         SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*) FROM orders
+       ) AS above_avg
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+@q("q_scalar_subquery", _QSCALAR)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subqueries in projection and predicate positions
+    (Catalyst plans one subquery execution, reused)."""
+    _views(spark, sf_dir)
+    return spark.sql(_QSCALAR)
+
+
 _QWNAV = """
 SELECT c_nationkey, c_custkey,
        first_value(c_name) OVER w_full AS richest,
