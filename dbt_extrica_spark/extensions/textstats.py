@@ -102,6 +102,47 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def char_bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-family quality score: average negative log P(c2|c1) under
+    a char-bigram model trained on the corpus itself. High scores = strings
+    unlike the corpus (mojibake, binary junk, boilerplate soup) — the
+    classic pretraining-data perplexity filter, self-trained so it needs no
+    external model.
+
+    Two aggregations (bigram counts, prefix counts) + one broadcastable
+    probability join; per-log values route through DECIMAL before summing
+    so the result is order-independent. Returns (doc_id, n_bigrams,
+    avg_neg_logp)."""
+    bigrams = (
+        f"transform(sequence(1, greatest(length({text_col}) - 1, 1)),"
+        f" i -> substring({text_col}, i, 2))"
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.expr(bigrams)).alias("bg"),
+    ).where(F.length("bg") == 2)
+    counts = exploded.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix = (
+        exploded.select(F.substring("bg", 1, 1).alias("c1"))
+        .groupBy("c1").agg(F.count(F.lit(1)).alias("c_c1"))
+    )
+    probs = counts.withColumn("c1", F.substring("bg", 1, 1)).join(
+        F.broadcast(prefix), on="c1"
+    ).select(
+        "bg",
+        (-F.log(F.col("c_bg") / F.col("c_c1"))).alias("neg_logp"),
+    )
+    return (
+        exploded.join(F.broadcast(probs), on="bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.sum(F.col("neg_logp").cast("decimal(28,12)"))
+             .cast("double") / F.count(F.lit(1))).alias("avg_neg_logp"),
+        )
+    )
+
+
 def winnow(df: DataFrame, id_col: str, text_col: str, n: int = 3,
            window: int = 4) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken style): hash every

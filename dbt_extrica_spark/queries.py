@@ -1733,6 +1733,41 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "est_llm_tokens")
 
 
+_BIGRAM_DUCK = """
+WITH ex AS (
+  SELECT doc_id, bg FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(length(text) - 1, 1)),
+             i -> substring(text, i, 2))) AS bg
+    FROM documents
+  ) WHERE length(bg) = 2
+), counts AS (
+  SELECT bg, COUNT(*) AS c_bg FROM ex GROUP BY bg
+), prefix AS (
+  SELECT substring(bg, 1, 1) AS c1, COUNT(*) AS c_c1 FROM ex GROUP BY 1
+), probs AS (
+  SELECT bg, -ln(CAST(c_bg AS DOUBLE) / c_c1) AS neg_logp
+  FROM counts JOIN prefix ON substring(bg, 1, 1) = prefix.c1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(neg_logp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS avg_neg_logp
+FROM ex JOIN probs USING (bg)
+GROUP BY doc_id
+"""
+
+
+@q("text_bigram_logprob", _BIGRAM_DUCK)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained char-bigram negative log-probability per document — the
+    perplexity-filter family; decimal-routed so the oracle matches exactly."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return textstats.char_bigram_logprob(docs, "doc_id", "text")
+
+
 _FP_DUCK = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -225,3 +225,13 @@ def test_minhash_auto_banding_low_threshold(spark):
                                     num_perm=64, bands=None, threshold=0.3)
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 99999) in found
+
+
+def test_bigram_logprob_flags_junk(spark):
+    # corpus-typical text scores lower (more probable) than junk bytes
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 100")
+    junk = spark.sql("SELECT 99999 AS doc_id, 'zq9#x!7@kk^^&&pp' AS text")
+    out = {r.doc_id: r.avg_neg_logp for r in textstats.char_bigram_logprob(
+        docs.unionByName(junk), "doc_id", "text").collect()}
+    typical = sorted(v for k, v in out.items() if k != 99999)
+    assert out[99999] > typical[len(typical) // 2]  # junk above the median
