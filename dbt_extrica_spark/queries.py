@@ -197,6 +197,42 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QSET)
 
 
+_QNOTIN = """
+SELECT 'no_nulls' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'with_null' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey NOT IN (
+  SELECT CASE WHEN o_orderkey = 1 THEN NULL ELSE o_custkey END FROM orders)
+"""
+
+
+@q("q_not_in_null_semantics", _QNOTIN)
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN tri-state trap: one NULL in the subquery empties the result
+    (NULL-aware anti join) — identical across engines by the standard."""
+    _views(spark, sf_dir)
+    return spark.sql(_QNOTIN)
+
+
+_QMDIST = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+       CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@q("q_multi_distinct", _QMDIST)
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one GROUP BY (Catalyst expands to a
+    multi-phase plan)."""
+    _views(spark, sf_dir)
+    return spark.sql(_QMDIST)
+
+
 _QSCALAR = """
 SELECT o_orderkey, o_totalprice,
        CAST(o_totalprice - (
