@@ -1769,6 +1769,51 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "est_llm_tokens")
 
 
+def _cms_oracle(width: int = 256, depth: int = 4) -> str:
+    def bucket(seed: int) -> str:
+        return (f"CAST('0x' || substring(md5(token || '#' || {seed}), 1, 8)"
+                f" AS BIGINT) % {width}")
+
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d)} AS bucket FROM toks" for d in range(depth)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT token, exact, {d} AS d, {bucket(d)} AS bucket FROM exact_c"
+        for d in range(depth)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT token FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents WHERE doc_id < 200
+  ) WHERE length(token) > 0
+), cells AS ({cells}),
+sketch AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+           FROM cells GROUP BY d, bucket),
+exact_c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact
+            FROM toks GROUP BY token),
+probes AS ({probes})
+SELECT token, exact, CAST(MIN(c) AS BIGINT) AS estimate
+FROM probes JOIN sketch USING (d, bucket)
+GROUP BY token, exact
+HAVING exact >= 20
+"""
+
+
+@q("sketch_count_min", _cms_oracle())
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy-hitters: md5-derived hash family makes the
+    sketch reproducible in the oracle engine; estimate >= exact by
+    construction."""
+    from .extensions import sketch
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 200")
+    toks = sketch.token_stream(docs, "text")
+    return sketch.cms_estimates(toks, width=256, depth=4) \
+        .where(F.col("exact") >= 20)
+
+
 _BIGRAM_DUCK = """
 WITH ex AS (
   SELECT doc_id, bg FROM (

@@ -235,3 +235,19 @@ def test_bigram_logprob_flags_junk(spark):
         docs.unionByName(junk), "doc_id", "text").collect()}
     typical = sorted(v for k, v in out.items() if k != 99999)
     assert out[99999] > typical[len(typical) // 2]  # junk above the median
+
+
+def test_cms_one_sided_error(spark):
+    from dbt_extrica_spark.extensions import sketch
+
+    docs = _docs(spark).where("doc_id < 100")
+    toks = sketch.token_stream(docs, "text")
+    est = sketch.cms_estimates(toks, width=64, depth=4)  # small -> collisions
+    rows = est.collect()
+    assert all(r.estimate >= r.exact for r in rows)  # never underestimates
+    # with a tight width there should be SOME collisions (overestimates)
+    assert any(r.estimate > r.exact for r in rows)
+    # and a generous width should be near-exact for most tokens
+    est_wide = sketch.cms_estimates(toks, width=4096, depth=4).collect()
+    exact_hits = sum(1 for r in est_wide if r.estimate == r.exact)
+    assert exact_hits / len(est_wide) > 0.9
