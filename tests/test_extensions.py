@@ -242,12 +242,13 @@ def test_cms_one_sided_error(spark):
 
     docs = _docs(spark).where("doc_id < 100")
     toks = sketch.token_stream(docs, "text")
-    est = sketch.cms_estimates(toks, width=64, depth=4)  # small -> collisions
+    est = sketch.cms_estimates(toks, width=4, depth=2)  # tiny -> collisions
     rows = est.collect()
     assert all(r.estimate >= r.exact for r in rows)  # never underestimates
-    # with a tight width there should be SOME collisions (overestimates)
+    # 4 buckets over a ~35-token vocabulary must collide somewhere
     assert any(r.estimate > r.exact for r in rows)
     # and a generous width should be near-exact for most tokens
     est_wide = sketch.cms_estimates(toks, width=4096, depth=4).collect()
+    assert all(r.estimate >= r.exact for r in est_wide)
     exact_hits = sum(1 for r in est_wide if r.estimate == r.exact)
     assert exact_hits / len(est_wide) > 0.9
