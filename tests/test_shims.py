@@ -131,3 +131,18 @@ def test_current_timestamp_executes(spark):
         f" {shims.date_function()} AS today"
     ).collect()[0]
     assert row.now_ts is not None and row.today is not None
+
+
+def test_listagg_null_measures_skipped(spark, duck):
+    # Trino: array_agg keeps NULLs but array_join skips them; Spark:
+    # collect_list drops NULLs pre-join — identical net effect (goldened)
+    expr = shims.listagg("v", "'|'", order_by=[("k", "asc")])
+    s = spark.sql(
+        f"SELECT {expr} AS out FROM VALUES (1, 'a'), (2, CAST(NULL AS STRING)),"
+        f" (3, 'c') AS t(k, v)"
+    ).collect()[0].out
+    d = duck.sql(
+        "SELECT array_to_string(list(v ORDER BY k), '|') AS out FROM"
+        " (VALUES (1, 'a'), (2, CAST(NULL AS VARCHAR)), (3, 'c')) t(k, v)"
+    ).fetchone()[0]
+    assert s == d == "a|c"
