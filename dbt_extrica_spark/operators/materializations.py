@@ -51,6 +51,7 @@ def create_table_as(
     partition_by: list[str] | None = None,
     bucket_by: list[str] | None = None,
     buckets: int = 0,
+    sort_by: list[str] | None = None,
 ) -> None:
     """A1 — CTAS (reference: macros/adapters.sql:102-133). With an enforced
     contract, splits into CREATE TABLE (cols) + schema-asserted INSERT
@@ -63,8 +64,14 @@ def create_table_as(
       pruning on downstream reads
     - ``bucket_by``/``buckets``: CLUSTERED BY ... INTO n BUCKETS ->
       co-located (exchange-free) joins/aggs on the bucket key
+    - ``sort_by``: SORT BY inside the CTAS select (per-partition sort) ->
+      tight parquet min/max stats on the sort columns, enabling row-group
+      skipping for range predicates
     """
     using = file_format.upper()
+    if sort_by:
+        cols = ", ".join(f"`{c}`" for c in sort_by)
+        sql = f"SELECT * FROM ({sql}) __sorted SORT BY {cols}"
     layout = ""
     if partition_by:
         layout += " PARTITIONED BY (%s)" % ", ".join(
@@ -179,6 +186,7 @@ def materialize_table(engine: "Engine", model: "Model") -> Relation:
         partition_by=config.get("partition_by"),
         bucket_by=config.get("bucket_by"),
         buckets=config.get("buckets", 0),
+        sort_by=config.get("sort_by"),
     )
     if mode == "drop" or existing is None:
         if existing is not None:

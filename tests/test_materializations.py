@@ -572,3 +572,26 @@ def test_grants_durable_across_catalog_clients(engine):
     fresh = CatalogClient(engine.spark)
     got = fresh.show_grants(engine.relation("gdur"))
     assert got == {"select": {"alice"}, "insert": {"bob"}}
+
+
+def test_sort_by_produces_sorted_files(engine):
+    import glob as _glob
+
+    import duckdb as _duckdb
+
+    engine.materialize(Model(
+        "sorted_t",
+        sql="SELECT o_orderkey, o_totalprice FROM {source:orders}"
+            " WHERE o_orderkey <= 1000",
+        config={"materialized": "table", "sort_by": ["o_totalprice"]}))
+    loc = [r.data_type for r in engine.spark.sql(
+        f"DESCRIBE TABLE EXTENDED {engine.relation('sorted_t').render()}"
+    ).collect() if r.col_name == "Location"][0].replace("file:", "")
+    files = _glob.glob(loc + "/*.parquet")
+    assert files
+    # every file individually sorted -> tight min/max stats per row group
+    for f in files[:4]:
+        vals = [r[0] for r in _duckdb.sql(
+            f"SELECT o_totalprice FROM '{f}'").fetchall()]
+        assert vals == sorted(vals)
+    assert engine.table("sorted_t").count() == 1001
