@@ -595,3 +595,31 @@ def test_sort_by_produces_sorted_files(engine):
             f"SELECT o_totalprice FROM '{f}'").fetchall()]
         assert vals == sorted(vals)
     assert engine.table("sorted_t").count() == 1001
+
+
+def test_zorder_tightens_file_ranges(engine):
+    import glob as _glob
+
+    import duckdb as _duckdb
+    from dbt_extrica_spark.operators.zorder import write_zordered
+
+    spark = engine.spark
+    # 2D grid of points; z-ordering should localize BOTH dims per file
+    pts = spark.sql(
+        "SELECT x, y FROM (SELECT explode(sequence(0, 99)) AS x)"
+        " LATERAL VIEW explode(sequence(0, 99)) t AS y")
+    write_zordered(engine, "zt", pts, ["x", "y"], target_files=8)
+    assert engine.table("zt").count() == 10000
+    loc = [r.data_type for r in spark.sql(
+        f"DESCRIBE TABLE EXTENDED {engine.relation('zt').render()}"
+    ).collect() if r.col_name == "Location"][0].replace("file:", "")
+    files = _glob.glob(loc + "/*.parquet")
+    assert len(files) >= 4
+    # per-file bounding boxes must be far smaller than the 100x100 domain
+    areas = []
+    for f in files:
+        lo_x, hi_x, lo_y, hi_y = _duckdb.sql(
+            f"SELECT min(x), max(x), min(y), max(y) FROM '{f}'").fetchone()
+        areas.append((hi_x - lo_x + 1) * (hi_y - lo_y + 1))
+    avg_area = sum(areas) / len(areas)
+    assert avg_area < 10000 * 0.5  # each file covers << the whole domain
