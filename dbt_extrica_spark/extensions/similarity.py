@@ -127,6 +127,22 @@ def brp_lsh_topk(
     )
 
 
+def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
+                     n_cells: int, seed: int = 42) -> DataFrame:
+    """Trained IVF centroids via pyspark.ml KMeans (seeded — deterministic
+    for a given dataset+partitioning). Returns (cid, cv) rows."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+    spark = df.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cid int, cv array<double>")
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -134,18 +150,25 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 3,
+    train_centroids: bool = False,
 ) -> DataFrame:
-    """IVF-style approximate top-k: deterministic centroids (the n_cells
-    lowest-id vectors — a seed-free, reproducible choice), assign every
-    vector to its nearest centroid, then search each query only within its
-    ``nprobe`` nearest cells.
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid, then search each query only within its ``nprobe`` nearest
+    cells. Centroids: the n_cells lowest-id vectors (seed-free,
+    reproducible) or k-means-trained (``train_centroids=True`` — better
+    recall at equal nprobe, still deterministic via fixed seed).
 
     At 100 TB: centroid list is tiny (broadcast); assignment is one scan; the
     search join shuffles on cell id instead of exploding all pairs."""
     base = _with_norm(df, id_col, vec_col)
-    centroids = base.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
+    if train_centroids:
+        norm_expr = _NORM.format(v="cv")
+        centroids = kmeans_centroids(df, id_col, vec_col, n_cells).select(
+            "cid", "cv", F.expr(norm_expr).alias("cnrm"))
+    else:
+        centroids = base.orderBy("id").limit(n_cells).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"))
     dot = _DOT.format(a="v", b="cv")
     sim_to_cell = F.expr(dot) / (F.col("nrm") * F.col("cnrm"))
     w_assign = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))

@@ -252,3 +252,17 @@ def test_cms_one_sided_error(spark):
     assert all(r.estimate >= r.exact for r in est_wide)
     exact_hits = sum(1 for r in est_wide if r.estimate == r.exact)
     assert exact_hits / len(est_wide) > 0.9
+
+
+def test_ivf_trained_centroids_recall(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 200")
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", k=1)
+    trained = similarity.ivf_topk(emb, "vec_id", "embedding", k=1,
+                                  n_cells=8, nprobe=2, train_centroids=True)
+    e = {r.query_id: r.neighbor_id for r in exact.collect()}
+    t = {r.query_id: r.neighbor_id for r in trained.collect()}
+    hits = sum(1 for q in e if t.get(q) == e[q])
+    assert hits / len(e) > 0.5
