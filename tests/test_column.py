@@ -58,3 +58,10 @@ def test_spark_type_mapping(spark):
     assert Column.from_description("a", "bigint").spark_type() == T.LongType()
     assert Column.from_description("a", "array<int>").spark_type() == \
         T.ArrayType(T.IntegerType())
+
+
+def test_parse_char_and_numeric():
+    c = Column.from_description("c", "char(5)")
+    assert c.char_size == 5 and c.data_type == "char(5)"
+    n = Column.from_description("n", "numeric(10)")
+    assert (n.numeric_precision, n.numeric_scale) == (10, 0)

@@ -111,3 +111,14 @@ def test_execute_bad_sql_maps_to_database_error(spark):
     mgr = ExecutionManager(spark)
     with pytest.raises(DatabaseError):
         mgr.execute("SELECT FROM WHERE")
+
+
+def test_split_nested_block_comment_and_backticks():
+    out = split_statements(
+        "SELECT `a;b` FROM t; /* c1 ; c2 */ SELECT 2;")
+    assert out == ["SELECT `a;b` FROM t", "/* c1 ; c2 */ SELECT 2"]
+
+
+def test_split_double_quoted_identifier():
+    out = split_statements('SELECT "x;y" FROM t; SELECT 1')
+    assert out == ['SELECT "x;y" FROM t', "SELECT 1"]

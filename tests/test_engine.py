@@ -135,3 +135,18 @@ def test_compact_table(engine):
     after = len(_glob.glob(loc2.replace("file:", "") + "/*.parquet"))
     assert engine.table("frag").count() == 5
     assert after < before and after == 1
+
+
+def test_unknown_source_raises(engine):
+    import pytest as _pytest
+    from dbt_extrica_spark.errors import CompilationError as _CE
+
+    with _pytest.raises(_CE):
+        engine.materialize(Model("bad_src", sql="SELECT * FROM {source:nope}",
+                                 config={"materialized": "view"}))
+
+
+def test_model_refs_and_depends_on():
+    m = Model("m", sql="SELECT * FROM {ref:a} JOIN {ref:b} USING (k)",
+              config={"depends_on": ["c"]})
+    assert m.refs() == {"a", "b", "c"}

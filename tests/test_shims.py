@@ -146,3 +146,10 @@ def test_listagg_null_measures_skipped(spark, duck):
         " (VALUES (1, 'a'), (2, CAST(NULL AS VARCHAR)), (3, 'c')) t(k, v)"
     ).fetchone()[0]
     assert s == d == "a|c"
+
+
+def test_date_spine_week(spark):
+    sql = shims.date_spine_sql("week", "DATE '2024-01-01'", "DATE '2024-02-01'")
+    rows = [str(r.date_week) for r in spark.sql(sql).collect()]
+    assert rows == ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22",
+                    "2024-01-29"]
