@@ -43,7 +43,7 @@ class CatalogClient:
         return self.spark.catalog.databaseExists(schema.lower())
 
     def create_schema(self, schema: str, location: str | None = None) -> None:
-        loc = f" LOCATION '{location}'" if location else ""
+        loc = (" LOCATION '%s'" % location.replace("'", "''")) if location else ""
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema.lower()}`{loc}")
 
     def drop_schema(self, schema: str) -> None:
@@ -135,9 +135,19 @@ class CatalogClient:
                     reg[tkey] = reg.pop(fkey)
 
     def _view_text_from_catalog(self, relation: Relation) -> str:
+        # DESCRIBE EXTENDED exposes the stored view body verbatim ("View
+        # Text" row) — unlike scanning SHOW CREATE TABLE for ' AS ', this
+        # cannot be fooled by a definition that itself ends in a column
+        # alias (SELECT a AS b FROM t).
+        for r in self.spark.sql(
+            f"DESCRIBE TABLE EXTENDED {relation.render()}"
+        ).collect():
+            if (r.col_name or "").strip() == "View Text":
+                return r.data_type
+        # fallback: first top-level AS after the CREATE VIEW header
         row = self.spark.sql(f"SHOW CREATE TABLE {relation.render()}").collect()[0]
         text = row[0]
-        idx = text.upper().rfind(" AS ")
+        idx = text.upper().find(" AS ")
         if idx == -1:
             raise DatabaseError(f"Cannot extract view text for {relation}")
         return text[idx + 4:]

@@ -34,8 +34,9 @@ def properties_clause(properties: dict | None) -> str:
     """A25 — WITH (k = v) -> TBLPROPERTIES (reference: macros/adapters.sql:81-90)."""
     if not properties:
         return ""
+    esc = lambda s: str(s).replace("'", "''")  # noqa: E731
     kv = ", ".join(
-        f"'{k}' = '{str(v)}'" for k, v in properties.items()
+        f"'{esc(k)}' = '{esc(v)}'" for k, v in properties.items()
     )
     return f" TBLPROPERTIES ({kv})"
 
@@ -273,16 +274,31 @@ def materialize_incremental(engine: "Engine", model: "Model",
     sql = engine.compile_sql(model, is_incremental=existing is not None
                              and not full_refresh and not existing.is_view)
     partition_by = config.get("partition_by")
+    comment = model.description if config.get("persist_docs") else None
+    contract = config.get("contract_columns") if (
+        config.get("contract", {}).get("enforced")
+    ) else None
 
-    # first run / view occupant / full refresh -> plain CTAS
+    # first run / view occupant / full refresh -> plain CTAS (contract
+    # enforced exactly as on the table path — the reference's
+    # extrica__create_table_as applies the contract on every create,
+    # including incremental first runs; incremental.sql:21-40)
     if existing is None or existing.is_view or full_refresh:
         if existing is not None:
             engine.catalog.drop_relation(existing)
         create_table_as(engine, target, sql, config.get("properties"),
+                        comment, contract,
                         file_format=config.get("file_format", "parquet"),
                         partition_by=partition_by)
         engine.apply_model_hooks_and_grants(model, target)
         return target
+
+    # subsequent incremental runs re-validate the enforced contract against
+    # the new batch's compiled SELECT before any write: name/type drift and
+    # NULLs in not_null columns must fail the run, not land in the target.
+    if contract:
+        assert_columns_equivalent(engine, target, sql, contract)
+        enforce_not_null(engine, sql, contract)
 
     # create the temp relation: view (lazy) for merge/append, table
     # (materialized) for delete+insert's two passes (incremental.sql:1-19);
@@ -332,7 +348,7 @@ def materialize_incremental(engine: "Engine", model: "Model",
             if scoped:
                 # partition-scoped path: scope = source partitions ∪
                 # partitions holding key-matched target rows (a key-only
-                # superset of the真 matched set is safe — extra partitions
+                # superset of the matched set is safe — extra partitions
                 # just rewrite unchanged)
                 keys = ([unique_key] if isinstance(unique_key, str)
                         else list(unique_key))

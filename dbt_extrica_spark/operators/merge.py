@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..errors import DatabaseError
+
 SOURCE_ALIAS = "DBT_INTERNAL_SOURCE"
 DEST_ALIAS = "DBT_INTERNAL_DEST"
 
@@ -62,6 +64,33 @@ def merge_upsert(
     src = source.alias(SOURCE_ALIAS)
     tgt = target.alias(DEST_ALIAS)
     cond = _join_condition(keys, incremental_predicates)
+
+    # ANSI/Trino MERGE errors when one target row matches >1 source row
+    # (reference semantics; a silent fan-out would grow the target
+    # nondeterministically). Two-tier check keeps the common path free: a
+    # cheap batch-local duplicate-key probe first, and only if the source
+    # actually has duplicate key tuples, an exact per-target-row match count
+    # under the full join condition.
+    dup_keys = (
+        source.groupBy(*[F.col(f"`{k}`") for k in keys])
+        .agg(F.count(F.lit(1)).alias("__dbt_n"))
+        .where("__dbt_n > 1")
+    )
+    if dup_keys.limit(1).count() > 0:
+        rid = "__dbt_internal_row_id"
+        multi = (
+            target.withColumn(rid, F.monotonically_increasing_id())
+            .alias(DEST_ALIAS)
+            .join(src, on=cond, how="inner")
+            .groupBy(rid).agg(F.count(F.lit(1)).alias("__dbt_n"))
+            .where("__dbt_n > 1")
+        )
+        if multi.limit(1).count() > 0:
+            raise DatabaseError(
+                "MERGE failed: one target table row matched more than one "
+                "source row (duplicate unique_key values "
+                f"{keys} in the incremental batch)"
+            )
 
     # target rows with no matching source row -> kept untouched
     kept = tgt.join(src, on=cond, how="left_anti")

@@ -169,9 +169,15 @@ def seed(
     existing = engine.catalog.get_relation(target)
     if existing is not None:
         engine.catalog.drop_relation(existing)
-    writer = df.write.format("parquet")
+    df.write.format("parquet").saveAsTable(target.render_unquoted())
     if properties:
-        for k, v in properties.items():
-            writer = writer.option(str(k), str(v))
-    writer.saveAsTable(target.render_unquoted())
+        # the reference emits seed properties in the CTAS WITH(...) clause
+        # (TBLPROPERTIES); DataFrameWriter options would be silently ignored
+        # by the parquet writer, so set them as real table properties.
+        from .materializations import properties_clause
+
+        clause = properties_clause(properties).replace(" TBLPROPERTIES ", "", 1)
+        engine.spark.sql(
+            f"ALTER TABLE {target.render()} SET TBLPROPERTIES {clause}"
+        )
     return target

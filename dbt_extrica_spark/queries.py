@@ -93,7 +93,16 @@ GROUP BY l_returnflag, l_linestatus
     sum_qty=dsum("l_quantity"),
     sum_base=dsum("l_extendedprice"),
     sum_disc=dsum("l_extendedprice * (1 - l_discount)"),
-    sum_charge=dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+    # 3-factor product: the 6-decimal true value lands on .xxxx5 ties when
+    # cast straight to DECIMAL(18,4), and Spark (shortest-repr HALF_UP) vs
+    # DuckDB (scaled rounding) break those ties differently. Do the last
+    # multiply in exact decimal instead: (18,4) x (8,4) -> rescale to (24,6)
+    # drops only trailing zeros (tax has 2 decimals), so both engines sum the
+    # identical exact decimal.
+    sum_charge=(
+        "CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+        " * CAST(1 + l_tax AS DECIMAL(8,4)) AS DECIMAL(24,6))) AS DOUBLE)"
+    ),
 )
 
 
@@ -297,22 +306,19 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QSETALL)
 
 
+# sum_last_hour is cast to DOUBLE (not left DECIMAL): decimal-typed result
+# columns hash differently between Spark and the duckdb-pandas bridge in the
+# driver's comparator, while the exact decimal sum -> double cast is
+# bit-identical in both engines at this magnitude.
 _QWRANGE_SPARK = """
 SELECT user_id, event_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(28,4)) AS sum_last_hour
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
-_QWRANGE_DUCK = """
-SELECT user_id, event_id,
-       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(28,4)) AS sum_last_hour
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-"""
+_QWRANGE_DUCK = _QWRANGE_SPARK
 
 
 @q("q_window_time_range", _QWRANGE_DUCK)

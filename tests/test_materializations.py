@@ -623,3 +623,95 @@ def test_zorder_tightens_file_ranges(engine):
         areas.append((hi_x - lo_x + 1) * (hi_y - lo_y + 1))
     avg_area = sum(areas) / len(areas)
     assert avg_area < 10000 * 0.5  # each file covers << the whole domain
+
+
+def test_incremental_contract_enforced_every_run(engine):
+    # ADVICE r1: contracts must bind on the incremental CTAS AND on every
+    # subsequent batch (reference: extrica__create_table_as enforces on all
+    # creates; NULL/type drift must not land in the target).
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "k",
+           "contract": {"enforced": True},
+           "contract_columns": [
+               {"name": "k", "data_type": "int"},
+               {"name": "v", "data_type": "int",
+                "constraints": [{"type": "not_null"}]}]}
+    m = Model("icon", sql="SELECT 1 AS k, 10 AS v", config=cfg)
+    engine.materialize(m)
+    assert engine.table("icon").count() == 1
+    # second run: NULL in a not_null contract column must fail pre-write
+    with pytest.raises(DatabaseError):
+        engine.materialize(Model(
+            "icon", sql="SELECT 2 AS k, CAST(NULL AS INT) AS v", config=cfg))
+    assert engine.table("icon").count() == 1  # target untouched
+    # second run: column drift must fail as a contract error
+    with pytest.raises(CompilationError):
+        engine.materialize(Model(
+            "icon", sql="SELECT 3 AS k, 30 AS wrong_name", config=cfg))
+    # a conforming batch still merges
+    engine.materialize(Model("icon", sql="SELECT 1 AS k, 99 AS v", config=cfg))
+    rows = {r.k: r.v for r in engine.table("icon").collect()}
+    assert rows == {1: 99}
+
+
+def test_incremental_first_run_contract_not_null(engine):
+    cfg = {"materialized": "incremental", "incremental_strategy": "append",
+           "contract": {"enforced": True},
+           "contract_columns": [
+               {"name": "x", "data_type": "int",
+                "constraints": [{"type": "not_null"}]}]}
+    with pytest.raises(DatabaseError):
+        engine.materialize(Model("icon0", sql="SELECT CAST(NULL AS INT) AS x",
+                                 config=cfg))
+
+
+def test_merge_duplicate_source_keys_raise(engine):
+    # ADVICE r1: ANSI/Trino MERGE errors when a target row matches more than
+    # one source row; a silent fan-out duplicated target rows before.
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "k"}
+    engine.materialize(Model("mdup", sql="SELECT 1 AS k, 'a' AS v", config=cfg))
+    with pytest.raises(DatabaseError, match="more than one source row"):
+        engine.materialize(Model(
+            "mdup",
+            sql="SELECT 1 AS k, 'b' AS v UNION ALL SELECT 1 AS k, 'c' AS v",
+            config=cfg))
+    assert engine.table("mdup").count() == 1
+    # duplicate source keys that match NO target row do not error (MERGE
+    # only constrains matched target rows) and insert both rows
+    engine.materialize(Model(
+        "mdup",
+        sql="SELECT 2 AS k, 'x' AS v UNION ALL SELECT 2 AS k, 'y' AS v",
+        config=cfg))
+    assert engine.table("mdup").where("k = 2").count() == 2
+
+
+def test_properties_quote_escaping(engine):
+    from dbt_extrica_spark.operators.materializations import properties_clause
+    clause = properties_clause({"owner's_team": "data'ops"})
+    assert clause == " TBLPROPERTIES ('owner''s_team' = 'data''ops')"
+    engine.materialize(Model(
+        "tprops_q", sql="SELECT 1 AS a",
+        config={"materialized": "table",
+                "properties": {"note": "it's quoted"}}))
+    props = {
+        r.key: r.value for r in engine.spark.sql(
+            f"SHOW TBLPROPERTIES {engine.relation('tprops_q').render()}"
+        ).collect()
+    }
+    assert props.get("note") == "it's quoted"
+
+
+def test_rename_external_view_with_trailing_alias(engine):
+    # ADVICE r1: a view created OUTSIDE the engine (no stored definition)
+    # whose body ends in a column alias must survive rename intact; the old
+    # rfind(' AS ') extraction truncated it.
+    rel = engine.relation("ext_alias_v")
+    engine.spark.sql(
+        f"CREATE VIEW {rel.render()} AS SELECT 41 + 1 AS b"
+    )
+    from dbt_extrica_spark.relation import RelationType
+    src = rel.incorporate(RelationType.View)
+    dst = engine.relation("ext_alias_v2").incorporate(RelationType.View)
+    engine.catalog.rename_relation(src, dst)
+    assert engine.table("ext_alias_v2").collect()[0].b == 42

@@ -21,10 +21,12 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # repr-strict: the driver hashes exact values, so any sub-10-sig-digit
+    # float divergence that a lenient format would hide must fail here too.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return repr(v)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return str(v)
