@@ -243,7 +243,8 @@ def materialize_view(engine: "Engine", model: "Model",
 # incremental materialization (A5-A8)
 # --------------------------------------------------------------------------
 
-VALID_STRATEGIES = ("default", "append", "merge", "delete+insert")  # impl.py:80-81
+VALID_STRATEGIES = ("default", "append", "merge", "delete+insert",
+                    "microbatch")  # impl.py:80-81 (+ dbt 1.9 microbatch)
 SCHEMA_CHANGE_MODES = ("ignore", "fail", "append_new_columns", "sync_all_columns")
 
 
@@ -286,6 +287,12 @@ def materialize_incremental(engine: "Engine", model: "Model",
     if existing is None or existing.is_view or full_refresh:
         if existing is not None:
             engine.catalog.drop_relation(existing)
+        if strategy == "microbatch":
+            _run_microbatch(engine, model, target, sql, config,
+                            first_run=True, comment=comment,
+                            contract=contract)
+            engine.apply_model_hooks_and_grants(model, target)
+            return target
         create_table_as(engine, target, sql, config.get("properties"),
                         comment, contract,
                         file_format=config.get("file_format", "parquet"),
@@ -299,6 +306,11 @@ def materialize_incremental(engine: "Engine", model: "Model",
     if contract:
         assert_columns_equivalent(engine, target, sql, contract)
         enforce_not_null(engine, sql, contract)
+
+    if strategy == "microbatch":
+        _run_microbatch(engine, model, target, sql, config, first_run=False)
+        engine.apply_model_hooks_and_grants(model, target)
+        return target
 
     # create the temp relation: view (lazy) for merge/append, table
     # (materialized) for delete+insert's two passes (incremental.sql:1-19);
@@ -401,6 +413,177 @@ def materialize_incremental(engine: "Engine", model: "Model",
 
     engine.apply_model_hooks_and_grants(model, target)
     return target
+
+
+# --------------------------------------------------------------------------
+# microbatch strategy (dbt 1.9-style event-time batches)
+# --------------------------------------------------------------------------
+
+_BATCH_SIZES = ("hour", "day", "month", "year")
+
+
+def _trunc_batch(dt, unit: str):
+    if unit == "hour":
+        return dt.replace(minute=0, second=0, microsecond=0)
+    if unit == "day":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "month":
+        return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    return dt.replace(month=1, day=1, hour=0, minute=0, second=0,
+                      microsecond=0)
+
+
+def _shift_batch(dt, unit: str, n: int):
+    """dt +/- n whole batch periods (dt must already be batch-aligned)."""
+    from datetime import timedelta
+
+    if unit == "hour":
+        return dt + timedelta(hours=n)
+    if unit == "day":
+        return dt + timedelta(days=n)
+    if unit == "month":
+        m = dt.month - 1 + n
+        return dt.replace(year=dt.year + m // 12, month=m % 12 + 1)
+    return dt.replace(year=dt.year + n)
+
+
+def _parse_ts(value):
+    from datetime import datetime
+
+    return value if not isinstance(value, str) else datetime.fromisoformat(value)
+
+
+def _run_microbatch(engine: "Engine", model: "Model", target: Relation,
+                    sql: str, config: dict, first_run: bool,
+                    comment: str | None = None,
+                    contract: list[dict] | None = None) -> None:
+    """dbt 1.9-style microbatch incremental (event-time batched
+    insert_overwrite; dbt-core 1.9 microbatch docs — NOT in the reference,
+    which predates it; included for forward parity).
+
+    Semantics: the model output is split into ``batch_size`` periods of
+    ``event_time``. Each period is processed independently and idempotently:
+    the target's rows for that period are REPLACED by the batch's rows
+    (delete+insert on the period range — Spark's replace_where analog).
+
+    - first build: periods from ``begin`` through ``event_time_end``
+      (defaults to the source's max event time — deterministic, no wall
+      clock), first period via CTAS (contract enforced), rest appended.
+    - incremental runs: periods from ``lookback`` batches before the
+      target's max event time (late-data reprocessing window) through the
+      source's end; each period is rewritten.
+    - with ``partition_by`` covering the period column the rewrite is
+      partition-scoped (dynamic partition overwrite) — the 100 TB path: a
+      day's batch rewrites one partition, not the table.
+
+    Batches are independent — batch-at-a-time also bounds executor memory
+    at scale, mirroring why dbt runs them as separate statements.
+    """
+    from pyspark.sql import functions as F
+
+    event_time = config.get("event_time")
+    if not event_time:
+        raise CompilationError(
+            "microbatch models require an 'event_time' config"
+        )
+    batch_size = config.get("batch_size", "day")
+    if batch_size not in _BATCH_SIZES:
+        raise CompilationError(
+            f"Invalid batch_size {batch_size!r}; one of {_BATCH_SIZES}"
+        )
+    lookback = int(config.get("lookback", 1))
+    spark = engine.spark
+    src_df = spark.sql(sql)
+    if event_time not in src_df.columns:
+        raise CompilationError(
+            f"microbatch model must project its event_time column "
+            f"{event_time!r}"
+        )
+
+    end_cfg = config.get("event_time_end")
+    if end_cfg is not None:
+        end = _parse_ts(end_cfg)
+    else:
+        end = src_df.agg(F.max(F.col(event_time))).first()[0]
+
+    begin_cfg = config.get("begin")
+    if first_run or begin_cfg is None:
+        max_t = None
+    else:
+        max_t = spark.table(target.render_unquoted()) \
+            .agg(F.max(F.col(event_time))).first()[0]
+    if first_run or max_t is None:
+        if begin_cfg is None:
+            raise CompilationError(
+                "microbatch first build requires a 'begin' config"
+            )
+        start = _trunc_batch(_parse_ts(begin_cfg), batch_size)
+    else:
+        start = _shift_batch(_trunc_batch(max_t, batch_size), batch_size,
+                             -lookback)
+
+    batches: list[tuple] = []
+    if end is not None:
+        b = start
+        while b <= end:
+            nxt = _shift_batch(b, batch_size, 1)
+            batches.append((b, nxt))
+            b = nxt
+
+    def lit(ts) -> str:
+        return "TIMESTAMP '%s'" % ts.isoformat(sep=" ")
+
+    def period_sql(s, e) -> str:
+        return (f"`{event_time}` >= {lit(s)} AND `{event_time}` < {lit(e)}")
+
+    if first_run:
+        if not batches:  # empty window: create the (empty) target shape
+            create_table_as(engine, target, f"SELECT * FROM ({sql}) WHERE 1=0",
+                            config.get("properties"), comment, contract,
+                            file_format=config.get("file_format", "parquet"),
+                            partition_by=config.get("partition_by"))
+            return
+        s, e = batches[0]
+        create_table_as(
+            engine, target,
+            f"SELECT * FROM ({sql}) __mb WHERE {period_sql(s, e)}",
+            config.get("properties"), comment, contract,
+            file_format=config.get("file_format", "parquet"),
+            partition_by=config.get("partition_by"))
+        # positional insert: align to the table's PHYSICAL column order
+        # (partitioned tables move partition columns to the end)
+        table_cols = spark.table(target.render_unquoted()).columns
+        for s, e in batches[1:]:
+            src_df.where(F.expr(period_sql(s, e))).select(*table_cols) \
+                .write.insertInto(target.render_unquoted(), overwrite=False)
+        return
+
+    dest_columns = [c.name for c in
+                    engine.catalog.get_columns_in_relation(target)]
+    partition_by = config.get("partition_by")
+    scoped = bool(partition_by) and all(
+        pc.lower() in {c.lower() for c in dest_columns}
+        for pc in partition_by
+    )
+    tgt_df = spark.table(target.render_unquoted())
+    for s, e in batches:
+        period = F.expr(period_sql(s, e))
+        batch_rows = src_df.where(period).select(*dest_columns)
+        if scoped:
+            merge_ops.partition_scoped_overwrite(
+                engine, target, batch_rows,
+                lambda scope, _p=period, _b=batch_rows: (
+                    scope.where(~_p).unionByName(_b)
+                ),
+                partition_by,
+                extra_affected=tgt_df.where(period),
+            )
+        else:
+            engine.overwrite_table_atomic(
+                target,
+                tgt_df.where(~period).unionByName(batch_rows),
+            )
+            tgt_df = spark.table(target.render_unquoted())
 
 
 def process_schema_changes(engine: "Engine", mode: str, source: Relation,

@@ -1195,6 +1195,44 @@ def inc_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table("inc_di")
 
 
+# microbatch: run1 builds day-batches 2024-01-01..05 (event_time_end pins the
+# window); run2 reprocesses from trunc_day(target max ts)=Jan5 minus
+# lookback=1 -> Jan4, through Jan7 -> final = run1 rows in [Jan1,Jan4) +
+# run2 rows in [Jan4,Jan8). ts surfaces as unix micros (ns parquet vs µs
+# engine timestamps both floor to the same µs).
+_INC_MB_DUCK = """
+SELECT epoch_us(ts) AS ts_us, event_id, value FROM events
+WHERE event_id <= 9000
+  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+UNION ALL
+SELECT epoch_us(ts) AS ts_us, event_id, value * 10 AS value FROM events
+WHERE event_id <= 9500
+  AND ts >= TIMESTAMP '2024-01-04' AND ts < TIMESTAMP '2024-01-08'
+"""
+
+
+@q("inc_microbatch", _INC_MB_DUCK)
+def inc_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+ — dbt 1.9-style microbatch strategy: event-time day batches,
+    idempotent per-period replace (insert_overwrite analog), lookback=1
+    reprocessing window for late data."""
+    eng = _engine(spark, sf_dir, "inc_mb")
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "microbatch",
+           "event_time": "ts", "batch_size": "day", "lookback": 1,
+           "begin": "2024-01-01"}
+    run1 = Model("inc_mb", sql="SELECT ts, event_id, value FROM"
+                 " {source:events} WHERE event_id <= 9000",
+                 config={**cfg, "event_time_end": "2024-01-05 12:00:00"})
+    run2 = Model("inc_mb", sql="SELECT ts, event_id, value * 10 AS value FROM"
+                 " {source:events} WHERE event_id <= 9500",
+                 config={**cfg, "event_time_end": "2024-01-07 00:00:00"})
+    eng.materialize(run1)
+    eng.materialize(run2)
+    return eng.table("inc_mb").selectExpr(
+        "unix_micros(ts) AS ts_us", "event_id", "value")
+
+
 _INC_SCHEMA_DUCK = """
 SELECT event_id, value, CAST(NULL AS VARCHAR) AS event_type FROM events
 WHERE event_id <= 300

@@ -74,6 +74,21 @@ def test_ngram_jaccard_identical_docs(spark):
     assert (rows[0].id_a, rows[0].id_b, rows[0].jaccard) == (1, 2, 1.0)
 
 
+def test_ngram_jaccard_prefix_filter_equivalence(spark):
+    # prefix filtering (PPJoin) is lossless: both strategies must return the
+    # exact same pair set on a real corpus slice, including low thresholds
+    # where prefixes are long and ceil() boundary cases appear
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.2, 0.5, 0.8):
+        base = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in
+                dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, t)
+                .collect()}
+        pf = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in
+              dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, t,
+                                        prefix_filter=True).collect()}
+        assert base == pf, f"threshold {t}: strategies disagree"
+
+
 def test_ivf_matches_bruteforce_top1(spark):
     from dbt_extrica_spark.sources.registry import register_sources
 

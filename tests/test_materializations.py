@@ -715,3 +715,72 @@ def test_rename_external_view_with_trailing_alias(engine):
     dst = engine.relation("ext_alias_v2").incorporate(RelationType.View)
     engine.catalog.rename_relation(src, dst)
     assert engine.table("ext_alias_v2").collect()[0].b == 42
+
+
+def test_microbatch_requires_configs(engine):
+    with pytest.raises(CompilationError, match="event_time"):
+        engine.materialize(Model(
+            "mb0", sql="SELECT 1 AS a",
+            config={"materialized": "incremental",
+                    "incremental_strategy": "microbatch"}))
+    with pytest.raises(CompilationError, match="begin"):
+        engine.materialize(Model(
+            "mb1", sql="SELECT CAST('2024-01-01' AS TIMESTAMP) AS et, 1 AS a",
+            config={"materialized": "incremental",
+                    "incremental_strategy": "microbatch",
+                    "event_time": "et"}))
+    with pytest.raises(CompilationError, match="project its event_time"):
+        engine.materialize(Model(
+            "mb2", sql="SELECT 1 AS a",
+            config={"materialized": "incremental",
+                    "incremental_strategy": "microbatch",
+                    "event_time": "et", "begin": "2024-01-01"}))
+
+
+def test_microbatch_replaces_periods_and_keeps_old(engine):
+    # first build: 3 day-batches; second run: only the lookback window and
+    # onward is reprocessed, earlier periods keep their original rows
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "microbatch",
+           "event_time": "et", "batch_size": "day", "lookback": 1,
+           "begin": "2024-03-01"}
+    mk = lambda v: ("SELECT CAST(c1 AS TIMESTAMP) AS et, c2 AS k,"
+                    f" {v} AS v FROM VALUES"
+                    " ('2024-03-01 10:00:00', 1), ('2024-03-02 10:00:00', 2),"
+                    " ('2024-03-03 10:00:00', 3) AS t(c1, c2)")
+    engine.materialize(Model("mbp", sql=mk(100), config=cfg))
+    assert engine.table("mbp").count() == 3
+    # run2: max(et)=Mar3 -> lookback 1 -> reprocess from Mar2
+    engine.materialize(Model("mbp", sql=mk(200), config=cfg))
+    rows = {r.k: r.v for r in engine.table("mbp").collect()}
+    assert rows == {1: 100, 2: 200, 3: 200}
+
+
+def test_microbatch_partition_scoped(engine):
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "microbatch",
+           "event_time": "et", "batch_size": "day", "lookback": 0,
+           "begin": "2024-03-01", "partition_by": ["d"]}
+    sql1 = ("SELECT CAST(c1 AS TIMESTAMP) AS et, CAST(c1 AS DATE) AS d,"
+            " c2 AS k FROM VALUES ('2024-03-01 09:00:00', 1),"
+            " ('2024-03-02 09:00:00', 2) AS t(c1, c2)")
+    engine.materialize(Model("mbs", sql=sql1, config=cfg))
+    # run2 has only a Mar2 row -> Mar1 partition untouched, Mar2 replaced
+    sql2 = ("SELECT CAST('2024-03-02 11:00:00' AS TIMESTAMP) AS et,"
+            " CAST('2024-03-02' AS DATE) AS d, 99 AS k")
+    engine.materialize(Model("mbs", sql=sql2, config=cfg))
+    rows = {(str(r.d), r.k) for r in engine.table("mbs").collect()}
+    assert rows == {("2024-03-01", 1), ("2024-03-02", 99)}
+
+
+def test_microbatch_month_batches(engine):
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "microbatch",
+           "event_time": "et", "batch_size": "month", "lookback": 1,
+           "begin": "2023-11-15"}
+    sql = ("SELECT CAST(c1 AS TIMESTAMP) AS et, c2 AS k FROM VALUES"
+           " ('2023-11-20 00:00:00', 1), ('2024-01-10 00:00:00', 2)"
+           " AS t(c1, c2)")
+    engine.materialize(Model("mbm", sql=sql, config=cfg))
+    # month batches spanning a year boundary: Nov, Dec, Jan all processed
+    assert {r.k for r in engine.table("mbm").collect()} == {1, 2}
