@@ -32,39 +32,97 @@ def clean_corpus(
     jaccard_threshold: float = 0.2,
     lang: str = "en",
 ) -> DataFrame:
-    """Returns (doc_id, est_llm_tokens) for the cleaned corpus."""
+    """Returns (doc_id, est_llm_tokens) for the cleaned corpus.
+
+    Executes as ONE feature pass + one near-dup pair join: quality metrics,
+    content hash (exact dedup), language pick, and token estimate are all
+    row-wise, so they compute in a single projection over one scan and
+    persist as a COMPACT feature table (no text). Only the n-gram pair
+    stage re-reads text, and only for docs that survived quality + exact
+    dedup. Stage semantics are unchanged from the per-stage formulation
+    (each is oracle-verified individually; the composed SQL oracle is
+    unchanged)."""
     # spread first: a small parquet arrives as one split, and every stage
     # here is per-row compute (regex, shingling) that must parallelize
     base = dedup._spread(docs.select(F.col(id_col).alias("doc_id"),
                                      F.col(text_col).alias("text")))
 
+    st = textstats.stat_exprs("text")
+    lang_pick, _hits = textstats.lang_exprs("text")
+    tok = textstats.token_exprs("text")
+    feats = base.select(
+        "doc_id",
+        st["quality_score"].alias("quality_score"),
+        st["n_tokens"].alias("n_tokens"),
+        F.md5(F.col("text").cast("string")).alias("__fp"),
+        lang_pick.alias("lang_pred"),
+        tok["est_llm_tokens"].alias("est_llm_tokens"),
+    ).persist()
+
     # 1. quality gate
-    stats = textstats.text_stats(base, "doc_id", "text")
-    quality_ids = stats.where(
+    kept = feats.where(
         (F.col("quality_score") >= min_quality)
         & (F.col("n_tokens") >= min_tokens)
-    ).select("doc_id")
-    kept = base.join(quality_ids, on="doc_id", how="left_semi")
+    )
 
     # 2. exact dedup (keep min doc_id per identical text)
-    # (no persist: the downstream consumers re-scan this subtree, but the
-    # scans are cheap projections — caching the wide text rows measured
-    # SLOWER than recomputing at both test scales)
-    kept = dedup.exact_dedup(kept, "doc_id", ["text"])
+    keepers = kept.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(keepers, on=["__fp", "doc_id"], how="left_semi")
 
-    # 3. near-dup removal (exact n-gram Jaccard; drop the higher id)
-    pairs = dedup.ngram_jaccard_pairs(kept, "doc_id", "text", n=3,
+    # 3. near-dup removal (exact n-gram Jaccard; drop the higher id) —
+    # shingles only the quality+exact survivors
+    surv_docs = base.join(kept.select("doc_id"), on="doc_id", how="left_semi")
+    pairs = dedup.ngram_jaccard_pairs(surv_docs, "doc_id", "text", n=3,
                                       threshold=jaccard_threshold)
     to_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = kept.join(to_drop, on="doc_id", how="left_anti")
 
-    # 4. language filter (stopword heuristic)
-    langs = textstats.language_id(kept, "doc_id", "text")
-    kept = kept.join(
-        langs.where(F.col("lang_pred") == lang).select("doc_id"),
-        on="doc_id", how="left_semi",
+    # 4. language filter + 5. token accounting (already in the feature pass)
+    return (
+        kept.where(F.col("lang_pred") == lang)
+        .select("doc_id", "est_llm_tokens")
     )
 
-    # 5. token accounting for the training budget
-    tokens = textstats.token_count(kept, "doc_id", "text")
-    return tokens.select("doc_id", "est_llm_tokens")
+
+def joint_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = 0.35,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Text near-dup ∪ embedding near-dup, clustered jointly — the two
+    modalities catch different duplicates (verbatim/boilerplate overlap vs
+    paraphrase), so a training-data pipeline unions their pair graphs
+    before picking survivors.
+
+    Returns (doc_id, component, keep): ``component`` = min reachable id
+    through the combined pair graph, ``keep`` = this doc is its component's
+    canonical (minimum-id) representative.
+
+    Scale: both pair generators are the oracle-verified exact operators;
+    at 100 TB swap in minhash_lsh_pairs / ivf candidates and keep the same
+    union + connected-components tail.
+    """
+    text_pairs = dedup.ngram_jaccard_pairs(
+        docs, doc_id_col, text_col, n=ngram_n, threshold=jaccard_threshold
+    ).select("id_a", "id_b")
+    emb_pairs = dedup.embedding_cosine_pairs(
+        embeddings, vec_id_col, vec_col, threshold=cosine_threshold
+    ).select("id_a", "id_b")
+    pairs = text_pairs.unionByName(emb_pairs).distinct()
+    comp = dedup.connected_components(pairs)
+    base = docs.select(F.col(doc_id_col).alias("doc_id"))
+    return (
+        base.join(comp.withColumnRenamed("id", "doc_id"), on="doc_id",
+                  how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .withColumn("keep", F.col("component") == F.col("doc_id"))
+    )

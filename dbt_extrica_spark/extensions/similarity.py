@@ -61,8 +61,11 @@ def cosine_topk(
     ).alias("q")
     cond = [F.col("q.id") != F.col("b.id")] if queries is None else []
     dot = _DOT.format(a="q.v", b="b.v")
+    # broadcast the QUERY side explicitly: the nested-loop join must stream
+    # the (large) base and replicate the small query set — left to the
+    # planner, the choice can flip and tank throughput
     scored = (
-        q.join(base, on=cond if cond else F.lit(True))
+        F.broadcast(q).join(base, on=cond if cond else F.lit(True))
         .withColumn("cosine", F.expr(dot) / (F.col("q.nrm") * F.col("b.nrm")))
     )
     w = Window.partitionBy("q.id").orderBy(

@@ -25,9 +25,9 @@ def _tokens(text_col: str) -> str:
     return f"split(trim(lower({text_col})), '\\\\s+')"
 
 
-def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document quality metrics: token/char counts, word length, ratio
-    features, and a composite quality score in [0,1]."""
+def stat_exprs(text_col: str) -> dict[str, F.Column]:
+    """The quality-metric expressions as composable (unaliased) Columns —
+    shared by :func:`text_stats` and the single-pass pipeline projection."""
     toks = _tokens(text_col)
     n_tokens = F.expr(f"size({toks})")
     n_chars = F.length(F.col(text_col))
@@ -38,67 +38,88 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     upper_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Z]", ""))
     uniq_tokens = F.expr(f"size(array_distinct({toks}))")
-    out = df.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        (n_chars / n_tokens).cast("double").alias("avg_token_len"),
-        (alpha_chars / n_chars).cast("double").alias("alpha_ratio"),
-        (digit_chars / n_chars).cast("double").alias("digit_ratio"),
-        (punct_chars / n_chars).cast("double").alias("punct_ratio"),
-        (upper_chars / n_chars).cast("double").alias("upper_ratio"),
-        (uniq_tokens / n_tokens).cast("double").alias("distinct_token_ratio"),
-    )
+    alpha_ratio = (alpha_chars / n_chars).cast("double")
+    digit_ratio = (digit_chars / n_chars).cast("double")
+    punct_ratio = (punct_chars / n_chars).cast("double")
+    distinct_token_ratio = (uniq_tokens / n_tokens).cast("double")
     quality = (
-        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.3
-        + F.col("alpha_ratio") * 0.3
-        + (1 - F.col("digit_ratio")) * 0.1
-        + F.least(F.col("punct_ratio") * 10, F.lit(1.0)) * 0.1
-        + F.col("distinct_token_ratio") * 0.2
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.3
+        + alpha_ratio * 0.3
+        + (1 - digit_ratio) * 0.1
+        + F.least(punct_ratio * 10, F.lit(1.0)) * 0.1
+        + distinct_token_ratio * 0.2
     )
-    return out.withColumn("quality_score", quality.cast("double"))
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "avg_token_len": (n_chars / n_tokens).cast("double"),
+        "alpha_ratio": alpha_ratio,
+        "digit_ratio": digit_ratio,
+        "punct_ratio": punct_ratio,
+        "upper_ratio": (upper_chars / n_chars).cast("double"),
+        "distinct_token_ratio": distinct_token_ratio,
+        "quality_score": quality.cast("double"),
+    }
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality metrics: token/char counts, word length, ratio
+    features, and a composite quality score in [0,1]."""
+    ex = stat_exprs(text_col)
+    return df.select(
+        F.col(id_col), *[c.alias(name) for name, c in ex.items()]
+    )
+
+
+def lang_exprs(text_col: str) -> tuple[F.Column, F.Column]:
+    """(lang_pred, stopword_hits) as composable Columns (inline score
+    subexpressions — Catalyst CSE dedups the token split)."""
+    toks = _tokens(text_col)
+    scores: dict[str, F.Column] = {}
+    for lang, words in STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = F.expr(
+            f"size(filter({toks}, t -> array_contains(array({arr}), t)))"
+        )
+    best = F.greatest(*scores.values())
+    pick = F.when(best <= 0, F.lit("und"))
+    for lang, sc in scores.items():
+        pick = pick.when(sc == best, F.lit(lang))
+    return pick, best
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-hit language heuristic: per language, count tokens that are
     stopwords of that language; argmax wins ('und' = undetermined when no
     hits). Deterministic tie-break by language-list order."""
-    toks = _tokens(text_col)
-    scores = []
-    for lang, words in STOPWORDS.items():
-        arr = ", ".join(f"'{w}'" for w in words)
-        scores.append(
-            F.expr(
-                f"size(filter({toks}, t -> array_contains(array({arr}), t)))"
-            ).alias(f"score_{lang}")
-        )
-    scored = df.select(F.col(id_col), F.col(text_col), *scores)
-    langs = list(STOPWORDS)
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
-    pick = F.when(best <= 0, F.lit("und"))
-    for l in langs:
-        pick = pick.when(F.col(f"score_{l}") == best, F.lit(l))
-    return scored.select(
+    pick, best = lang_exprs(text_col)
+    return df.select(
         F.col(id_col),
         pick.alias("lang_pred"),
         best.alias("stopword_hits"),
     )
 
 
-def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Token counting two ways: whitespace tokens and a BPE-ish sub-word
-    proxy (runs of letters, runs of digits, and single punctuation marks each
-    count as one token — approximates byte-pair tokenizers within ~15%)."""
+def token_exprs(text_col: str) -> dict[str, F.Column]:
     ws = F.expr(f"size({_tokens(text_col)})")
     bpe_ish = F.expr(
         f"size(regexp_extract_all({text_col},"
         r" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))"
     )
+    return {
+        "ws_tokens": ws,
+        "bpe_ish_tokens": bpe_ish,
+        "est_llm_tokens": F.ceil(ws * 4 / 3).cast("bigint"),
+    }
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish sub-word
+    proxy (runs of letters, runs of digits, and single punctuation marks each
+    count as one token — approximates byte-pair tokenizers within ~15%)."""
+    ex = token_exprs(text_col)
     return df.select(
-        F.col(id_col),
-        ws.alias("ws_tokens"),
-        bpe_ish.alias("bpe_ish_tokens"),
-        F.ceil(ws * 4 / 3).cast("bigint").alias("est_llm_tokens"),
+        F.col(id_col), *[c.alias(name) for name, c in ex.items()]
     )
 
 

@@ -1028,16 +1028,8 @@ GROUP BY n.n_name
 """
 
 
-@q("project_dag_run", _DAG_DUCK)
-def project_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A realistic model DAG run end-to-end: staging views -> joined fact
-    table -> reporting rollup, executed by the thread-pool DAG runner in
-    dependency order (the `dbt run` analog)."""
-    from .plans.model import Project
-    from .plans.runner import run_project
-
-    eng = _engine(spark, sf_dir, "stg_ord", "stg_li", "fct_rev", "rpt_nation")
-    models = [
+def _dag_models() -> list[Model]:
+    return [
         Model("stg_ord",
               sql="SELECT o_orderkey, o_custkey, o_orderstatus FROM"
                   " {source:orders} WHERE o_orderstatus = 'F'",
@@ -1062,8 +1054,64 @@ def project_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                   " GROUP BY n.n_name",
               config={"materialized": "table"}),
     ]
-    run_project(eng, Project(models), threads=4)
+
+
+@q("project_dag_run", _DAG_DUCK)
+def project_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A realistic model DAG run end-to-end: staging views -> joined fact
+    table -> reporting rollup, executed by the thread-pool DAG runner in
+    dependency order (the `dbt run` analog)."""
+    from .plans.model import Project
+    from .plans.runner import run_project
+
+    eng = _engine(spark, sf_dir, "stg_ord", "stg_li", "fct_rev", "rpt_nation")
+    run_project(eng, Project(_dag_models()), threads=4)
     return eng.table("rpt_nation")
+
+
+# column lineage over the same DAG — fully deterministic, so the oracle is
+# the expected edge list itself
+_LINEAGE_DUCK = """
+SELECT * FROM (VALUES
+  ('stg_ord', 'o_orderkey', 'orders', 'o_orderkey'),
+  ('stg_ord', 'o_custkey', 'orders', 'o_custkey'),
+  ('stg_ord', 'o_orderstatus', 'orders', 'o_orderstatus'),
+  ('stg_li', 'l_orderkey', 'lineitem', 'l_orderkey'),
+  ('stg_li', 'l_extendedprice', 'lineitem', 'l_extendedprice'),
+  ('stg_li', 'l_discount', 'lineitem', 'l_discount'),
+  ('fct_rev', 'o_orderkey', 'stg_ord', 'o_orderkey'),
+  ('fct_rev', 'o_custkey', 'stg_ord', 'o_custkey'),
+  ('fct_rev', 'rev', 'stg_li', 'l_extendedprice'),
+  ('fct_rev', 'rev', 'stg_li', 'l_discount'),
+  ('rpt_nation', 'n_name', 'nation', 'n_name'),
+  ('rpt_nation', 'n_orders', 'fct_rev', 'o_orderkey'),
+  ('rpt_nation', 'revenue', 'fct_rev', 'rev')
+) AS t(model, col_name, upstream_rel, upstream_col)
+"""
+
+
+@q("project_lineage", _LINEAGE_DUCK)
+def project_lineage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level lineage over the DAG-run project: every model column
+    maps to its physical upstream (relation, column) set, extracted from
+    Catalyst's analyzed plans (plans/lineage.py)."""
+    from .plans.lineage import project_lineage
+    from .plans.model import Project
+    from .plans.runner import run_project
+
+    eng = _engine(spark, sf_dir, "stg_ord", "stg_li", "fct_rev", "rpt_nation")
+    proj = Project(_dag_models())
+    run_project(eng, proj, threads=4)
+    lin = project_lineage(eng, proj)
+    rows = sorted(
+        (model, col, rel.split(".")[-1], ucol)
+        for model, cols in lin.items()
+        for col, ups in cols.items()
+        for rel, ucol in ups
+    )
+    return spark.createDataFrame(
+        rows, "model string, col_name string, upstream_rel string,"
+              " upstream_col string")
 
 
 _INC_APPEND_DUCK = """
@@ -2025,6 +2073,67 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = spark.table("documents")
     return pipeline.clean_corpus(docs)
+
+
+# joint text+embedding dedup: word-3-gram Jaccard pairs (tau=0.5) UNION
+# embedding-cosine pairs (tau=0.35; sequential fold = bitwise-equal in both
+# engines), connected components by min reachable id, keep = canonical.
+_JOINT_DEDUP_DUCK = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 300
+), grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 1)),
+    i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks
+), sized AS (SELECT doc_id, len(g) AS n_g, g FROM grams),
+ex AS (SELECT doc_id, n_g, unnest(g) AS gram FROM sized),
+tpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_g, b.n_g
+  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_g + b.n_g - COUNT(*)) >= 0.5
+), nrmd AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)) AS nrm
+  FROM embeddings WHERE vec_id < 300
+), epairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM nrmd a JOIN nrmd b ON a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+        / (a.nrm * b.nrm) >= 0.35
+), upairs AS (SELECT * FROM tpairs UNION SELECT * FROM epairs),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM upairs
+  UNION SELECT id_b, id_a FROM upairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+@q("pipeline_joint_dedup", _JOINT_DEDUP_DUCK)
+def pipeline_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint text+embedding near-dup clustering: the two modalities' pair
+    graphs are unioned before connected components, so paraphrase dups
+    (embedding) and verbatim dups (n-gram) land in one component."""
+    from .extensions import pipeline
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 300")
+    embs = spark.table("embeddings").where("vec_id < 300")
+    return pipeline.joint_dedup(docs, embs)
 
 
 @q("multimodal_features", None)  # binary plumbing; no SQL-oracle equivalent
