@@ -79,3 +79,82 @@ def test_streaming_incremental_merge_equals_batch(spark):
     e = {(r.event_id, r.value) for r in expected.collect()}
     assert g == e
     eng.close()
+
+
+def test_watermark_advances_and_drops_late_across_microbatches(spark, tmp_path):
+    """Continuous-run behavior (NEXT.md gap): with maxFilesPerTrigger=1 an
+    availableNow run executes one micro-batch PER FILE, so the watermark
+    advances between batches, append mode finalizes closed windows, and a
+    late row beyond the watermark is dropped — none of which the one-batch
+    tests can observe."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sch = "ts timestamp, event_type string"
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    stage = tmp_path / "stage"
+
+    def add_file(idx: int, rows: list[tuple[str, str]]) -> None:
+        df = spark.createDataFrame(
+            [(r[0], r[1]) for r in rows], "ts string, event_type string"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        out = str(stage / f"b{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+        dst = stream_dir / f"f{idx}.parquet"
+        shutil.copyfile(os.path.join(out, part), dst)
+        os.utime(dst, (1700000000 + idx, 1700000000 + idx))  # strict order
+
+    batches = [
+        [("2024-01-01 10:05:00", "a"), ("2024-01-01 10:10:00", "a")],
+        [("2024-01-01 12:00:00", "b")],   # wm -> 11:30, closes 10:00 window
+        [("2024-01-01 10:20:00", "a")],   # LATE: behind watermark, dropped
+        [("2024-01-01 14:00:00", "c")],   # wm -> 13:30, closes 12:00 window
+    ]
+
+    # one availableNow run per file against the SAME checkpoint: watermark
+    # and window state persist in the state store between runs, so each run
+    # is exactly one micro-batch
+    got: dict[tuple[str, str], int] = {}
+    per_run: list[dict] = []
+    for i, rows in enumerate(batches, start=1):
+        add_file(i, rows)
+        stream = (
+            spark.readStream.schema(sch).format("parquet")
+            .load(str(stream_dir))
+        )
+        counts = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        sink: list = []
+
+        def collect(batch_df, _bid, _sink=sink):
+            _sink.extend(batch_df.collect())
+
+        q = (
+            counts.writeStream.foreachBatch(collect)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        emitted = {(str(r.ws), r.event_type): r.n for r in sink}
+        per_run.append(emitted)
+        got.update(emitted)
+
+    # run 2 advances the watermark past 11:00 and finalizes the 10:00
+    # window; run 3's late row is dropped (no re-emission, count stays 2);
+    # run 4 finalizes the 12:00 window; 14:00 stays open -> never emitted
+    assert per_run[1] == {("2024-01-01 10:00:00", "a"): 2}
+    assert per_run[2] == {}
+    assert per_run[3] == {("2024-01-01 12:00:00", "b"): 1}
+    assert got == {
+        ("2024-01-01 10:00:00", "a"): 2,
+        ("2024-01-01 12:00:00", "b"): 1,
+    }
