@@ -1,0 +1,79 @@
+"""[EXTENSION] Deterministic sampling for training-data pipelines.
+
+``TABLESAMPLE``/``df.sample`` are RNG-based — engine-dependent and
+non-reproducible across runs, which disqualifies them for dataset
+versioning. These operators derive membership from ``md5(id)`` instead:
+
+- the same row lands in the same sample/split on ANY engine and at any
+  scale (the oracle reproduces every operator exactly);
+- sampling is a pure per-row filter — no shuffle, pushes through scans;
+- thresholds compare the first 8 hex chars of the digest as STRINGS
+  (lowercase hex order == numeric order), so no 64-bit arithmetic or
+  hex-parsing portability hazards.
+
+All three are Catalyst-native single expressions; at 100 TB a sample is
+exactly one scan with the filter evaluated next to the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_HEX_SPACE = 16 ** 8  # first 8 hex chars of the md5 digest
+
+
+def _bucket_expr(id_col: str, salt: str = "") -> F.Column:
+    """First 8 hex chars of md5(salt || id) — a uniform [0, 16^8) draw,
+    represented as a lowercase hex string (lexicographic == numeric)."""
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    return F.substring(F.md5(key), 1, 8)
+
+
+def _threshold(rate: float) -> str:
+    t = max(0, min(_HEX_SPACE, int(rate * _HEX_SPACE)))
+    return format(t, "08x")
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float,
+                         salt: str = "") -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by content hash of the id: stable
+    across engines, runs, partitionings, and scale. ``salt`` derives
+    independent samples from the same ids."""
+    return df.where(_bucket_expr(id_col, salt) < F.lit(_threshold(rate)))
+
+
+def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
+               salt: str = "", split_col: str = "split") -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test …) by
+    hash range; weights are normalized. Deterministic and disjoint —
+    the membership contract a dataset version needs."""
+    total = sum(weights.values())
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    bucket = _bucket_expr(id_col, salt)
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < F.lit(_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      n_per_stratum: int, salt: str = "") -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), picked by hash order with the id as tie-break — deterministic
+    'take the first n of a stable shuffle' per group. One shuffle on the
+    stratum key."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket_expr(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -2136,6 +2136,75 @@ def pipeline_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.joint_dedup(docs, embs)
 
 
+# deterministic sampling: md5-hex range membership — reproducible on any
+# engine, so the oracle IS the same expression (string-compared lowercase
+# hex; both engines' md5 emit lowercase)
+_SAMPLE_DUCK = """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
+
+
+@q("sample_deterministic", _SAMPLE_DUCK)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-membership sampling (rate 0.25): same rows selected at every
+    scale/partitioning/engine — the dataset-versioning requirement RNG
+    sampling can't meet."""
+    from .extensions import sampling
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source")
+    return sampling.deterministic_sample(docs, "doc_id", 0.25)
+
+
+_SPLIT_DUCK = """
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CASE
+    WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < 'e6666666'
+      THEN 'train'
+    WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < 'f3333333'
+      THEN 'val'
+    ELSE 'test' END AS split
+  FROM orders
+) GROUP BY split
+"""
+
+
+@q("sample_hash_split", _SPLIT_DUCK)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint train/val/test assignment by hash range (90/5/5)."""
+    from .extensions import sampling
+
+    _views(spark, sf_dir)
+    orders = spark.table("orders").select("o_orderkey")
+    split = sampling.hash_split(orders, "o_orderkey",
+                                {"train": 0.9, "val": 0.05, "test": 0.05})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+_STRAT_DUCK = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+           AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+@q("sample_stratified", _STRAT_DUCK)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum sampling by stable hash order (per-language
+    quotas for eval sets)."""
+    from .extensions import sampling
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("lang", "doc_id")
+    return sampling.stratified_sample(docs, "doc_id", "lang", 20)
+
+
 @q("multimodal_features", None)  # binary plumbing; no SQL-oracle equivalent
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media -> mapInPandas feature extraction

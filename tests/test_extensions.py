@@ -281,3 +281,49 @@ def test_ivf_trained_centroids_recall(spark):
     t = {r.query_id: r.neighbor_id for r in trained.collect()}
     hits = sum(1 for q in e if t.get(q) == e[q])
     assert hits / len(e) > 0.5
+
+
+def test_deterministic_sample_stability_and_salt(spark):
+    from dbt_extrica_spark.extensions import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = {r.doc_id for r in
+          sampling.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in
+          sampling.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # monotone: raising the rate only ADDS rows
+    s_half = {r.doc_id for r in
+              sampling.deterministic_sample(docs, "doc_id", 0.6).collect()}
+    assert s1 <= s_half
+    # a different salt draws an independent sample
+    s_salt = {r.doc_id for r in
+              sampling.deterministic_sample(docs, "doc_id", 0.3, "v2")
+              .collect()}
+    assert s_salt != s1
+
+
+def test_hash_split_partitions_every_row_once(spark):
+    from dbt_extrica_spark.extensions import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = sampling.hash_split(docs, "doc_id",
+                                {"train": 8, "val": 1, "test": 1})
+    counts = {r.split: r.n for r in
+              split.groupBy("split").count().withColumnRenamed("count", "n")
+              .collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+
+
+def test_stratified_sample_quota(spark):
+    from dbt_extrica_spark.extensions import sampling
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sampling.stratified_sample(docs, "doc_id", "lang", 5)
+    per = out.groupBy("lang").count().collect()
+    avail = {r.lang: r[1] for r in docs.groupBy("lang").count().collect()}
+    for r in per:
+        assert r[1] == min(5, avail[r.lang])

@@ -82,11 +82,11 @@ def test_streaming_incremental_merge_equals_batch(spark):
 
 
 def test_watermark_advances_and_drops_late_across_microbatches(spark, tmp_path):
-    """Continuous-run behavior (NEXT.md gap): with maxFilesPerTrigger=1 an
-    availableNow run executes one micro-batch PER FILE, so the watermark
-    advances between batches, append mode finalizes closed windows, and a
-    late row beyond the watermark is dropped — none of which the one-batch
-    tests can observe."""
+    """Continuous-run behavior (NEXT.md gap): sequential availableNow runs
+    against one checkpoint execute one micro-batch per newly-arrived file,
+    so the watermark advances between batches, append mode finalizes closed
+    windows exactly once, and a late row beyond the watermark is dropped —
+    none of which the one-batch tests can observe."""
     import os
     import shutil
 
