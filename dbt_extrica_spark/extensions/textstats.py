@@ -164,6 +164,45 @@ def char_bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_text(df: DataFrame, id_col: str, text_col: str,
+               chunk_tokens: int = 128, overlap_tokens: int = 16) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window stage of a pretraining tokenize pipeline. Returns
+    (doc_id, chunk_idx, n_chunk_tokens, chunk_text) with chunk starts every
+    ``chunk_tokens - overlap_tokens`` tokens; the last chunk may be short
+    but is never empty, and a doc shorter than one chunk yields exactly one
+    chunk.
+
+    Pure higher-order functions over the token array (split once, slice per
+    chunk) — one scan, no shuffle, no Python; at 100 TB this pipelines
+    inside the same stage as the parquet read."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = _tokens(text_col)
+    # number of chunks c = 1 + ceil(max(n_tok - chunk, 0) / stride)
+    n_chunks = (
+        f"1 + CAST(ceil(greatest(size({toks}) - {chunk_tokens}, 0)"
+        f" / {stride}.0) AS INT)"
+    )
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1),"
+        f" i -> named_struct("
+        f"'chunk_idx', i,"
+        f"'n_chunk_tokens', size(slice({toks}, i * {stride} + 1, {chunk_tokens})),"
+        f"'chunk_text', array_join(slice({toks}, i * {stride} + 1, {chunk_tokens}), ' ')))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
 def winnow(df: DataFrame, id_col: str, text_col: str, n: int = 3,
            window: int = 4) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken style): hash every

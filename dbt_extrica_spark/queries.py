@@ -2136,6 +2136,38 @@ def pipeline_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.joint_dedup(docs, embs)
 
 
+# overlapping context-window chunking (chunk 32 tokens, stride 24)
+_CHUNK_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 200
+), nc AS (
+  SELECT doc_id, t,
+         1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INT) AS c
+  FROM toks
+), idx AS (
+  SELECT doc_id, t, CAST(unnest(generate_series(0, c - 1)) AS INT) AS chunk_idx
+  FROM nc
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+         AS chunk_text
+FROM idx
+"""
+
+
+@q("text_chunks", _CHUNK_DUCK)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the context-window stage of a
+    pretraining tokenize pipeline (one scan, HOF slices, no shuffle)."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 200")
+    return textstats.chunk_text(docs, "doc_id", "text",
+                                chunk_tokens=32, overlap_tokens=8)
+
+
 # deterministic sampling: md5-hex range membership — reproducible on any
 # engine, so the oracle IS the same expression (string-compared lowercase
 # hex; both engines' md5 emit lowercase)

@@ -327,3 +327,29 @@ def test_stratified_sample_quota(spark):
     avail = {r.lang: r[1] for r in docs.groupBy("lang").count().collect()}
     for r in per:
         assert r[1] == min(5, avail[r.lang])
+
+
+def test_chunk_text_overlap_and_coverage(spark):
+    df = spark.sql("SELECT 1 AS id, "
+                   "concat_ws(' ', transform(sequence(1, 100),"
+                   " i -> concat('w', i))) AS txt")
+    out = textstats.chunk_text(df, "id", "txt",
+                               chunk_tokens=40, overlap_tokens=10) \
+        .orderBy("chunk_idx").collect()
+    # 100 tokens, stride 30 -> chunks at 0,30,60 cover tokens 1..100 exactly
+    assert [r.chunk_idx for r in out] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in out] == [40, 40, 40]
+    # full coverage: last chunk reaches the last token
+    assert out[-1].chunk_text.split(" ")[-1] == "w100"
+    # consecutive chunks overlap by exactly overlap_tokens
+    c0 = out[0].chunk_text.split(" ")
+    c1 = out[1].chunk_text.split(" ")
+    assert c0[-10:] == c1[:10]
+    # short doc -> exactly one chunk, full text
+    one = textstats.chunk_text(
+        spark.sql("SELECT 2 AS id, 'a b c' AS txt"), "id", "txt",
+        chunk_tokens=40, overlap_tokens=10).collect()
+    assert len(one) == 1 and one[0].chunk_text == "a b c"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textstats.chunk_text(df, "id", "txt", 10, 10)
