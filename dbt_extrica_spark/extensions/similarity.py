@@ -146,6 +146,166 @@ def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
     return spark.createDataFrame(rows, "cid int, cv array<double>")
 
 
+def pq_encode_expr(codebooks: list[list[list[float]]], vec_col: str) -> F.Column:
+    """PQ encoding as a pure JVM expression: for each of m subspaces,
+    the index of the nearest codebook centroid for that slice of the
+    vector. ``codebooks[j][c]`` = centroid c of subspace j. Returns
+    array<int> of length m."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    cb = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(f"{x!r}D" for x in cent)
+            for cent in book)
+        for book in codebooks)
+    # per subspace j: distances to all ks centroids ONCE, then argmin via
+    # array_position(array_min) — the squared-distance subexpression
+    # appears a single time (an IF-based running argmin would inline it
+    # twice and double both codegen size and evaluation)
+    diff = (f"(cast(element_at({vec_col}, j * {d_sub} + t + 1) as double)"
+            f" - element_at(element_at(element_at({cb}, j + 1), c + 1),"
+            f" t + 1))")
+    sq = (f"aggregate(sequence(0, {d_sub - 1}), 0D, (a, t) ->"
+          f" a + {diff} * {diff})")
+    darr = f"transform(sequence(0, {ks - 1}), c -> {sq})"
+    # single-pass argmin over the materialized distance array (strict <
+    # keeps the FIRST minimal index — deterministic tie-break)
+    amin = (f"aggregate(zip_with({darr}, sequence(0, {ks - 1}),"
+            f" (d, c) -> named_struct('d', d, 'c', c)),"
+            f" named_struct('d', cast('Infinity' as double), 'c', -1),"
+            f" (acc, x) -> IF(x.d < acc.d, x, acc), acc -> acc.c)")
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), j -> cast(({amin}) as int))"
+    )
+
+
+def pq_codebooks(df: DataFrame, id_col: str, vec_col: str, m: int = 8,
+                 ks: int = 16) -> list[list[list[float]]]:
+    """Deterministic, training-free codebooks: subvectors of the ``ks``
+    lowest-id vectors per subspace (the IVF seed-centroid trick applied
+    per subspace). Swap for per-subspace k-means offline for higher
+    recall — the encode/score path is codebook-agnostic."""
+    rows = (df.orderBy(id_col).limit(ks)
+            .select(F.col(vec_col).alias("v")).collect())
+    dim = len(rows[0].v)
+    assert dim % m == 0, "vector dim must divide into m subspaces"
+    d_sub = dim // m
+    return [
+        [[float(x) for x in r.v[j * d_sub:(j + 1) * d_sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    queries: DataFrame | None = None,
+    query_id_col: str | None = None,
+    rerank: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN: vectors compress to m one-byte-ish codes
+    (here m ints), queries score against codes via asymmetric distance
+    (query slice vs codebook centroid per subspace) — the classic
+    IVF-PQ building block (Jégou et al., TPAMI'11).
+
+    At 100 TB the wins are structural: the scored table is the CODES (m
+    ints/row instead of the raw vector — ~16x smaller scan + shuffle),
+    the codebook is a broadcast literal, and scoring is a JVM fold with
+    no Python. ``rerank`` > 0 re-scores the ADC top ``rerank*k`` with
+    EXACT squared L2 over the raw vectors (the standard refinement pass:
+    only candidate rows re-read their vectors). Returns (query_id,
+    neighbor_id, approx_d2, rank); with rerank, approx_d2 is the exact
+    distance and ranking is exact within the candidate set."""
+    books = pq_codebooks(df, id_col, vec_col, m=m, ks=ks)
+    d_sub = len(books[0][0])
+    cb = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(f"{x!r}D" for x in cent)
+            for cent in book)
+        for book in books)
+
+    coded = df.select(
+        F.col(id_col).alias("id"),
+        pq_encode_expr(books, vec_col).alias("codes"),
+    ).alias("b")
+    # the classic ADC trick: per QUERY ROW, precompute the m x ks table of
+    # ||q_sub_j - centroid_c||^2 once; each scored pair then costs m array
+    # lookups instead of m*d_sub float ops
+    diff = (f"(cast(element_at(qv, j * {d_sub} + t + 1) as double)"
+            f" - element_at(element_at(element_at({cb}, j + 1), c + 1),"
+            f" t + 1))")
+    dtab = (
+        f"transform(sequence(0, {m - 1}), j ->"
+        f" transform(sequence(0, {ks - 1}), c ->"
+        f" aggregate(sequence(0, {d_sub - 1}), 0D, (s, t) ->"
+        f" s + {diff} * {diff})))"
+    )
+    q = (
+        (queries if queries is not None else df).select(
+            F.col(query_id_col or id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+        )
+        .withColumn("dtab", F.expr(dtab))
+        .drop("qv")
+        .alias("q")
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), 0D, (a, j) ->"
+        f" a + element_at(element_at(q.dtab, j + 1),"
+        f" element_at(b.codes, j + 1) + 1))"
+    )
+    scored = (
+        F.broadcast(q).join(coded, on=F.expr("q.qid != b.id"))
+        .withColumn("approx_d2", F.expr(adc))
+    )
+    w = Window.partitionBy("q.qid").orderBy(F.asc("approx_d2"),
+                                            F.asc(F.col("b.id")))
+    topn = k * rerank if rerank > 0 else k
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topn)
+        .select(
+            F.col("q.qid").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("approx_d2"),
+        )
+    )
+    if rerank <= 0:
+        return cand.withColumn(
+            "rank", F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("approx_d2"), F.asc("neighbor_id"))))
+    # exact refinement: only the k*rerank candidates re-read raw vectors
+    qv = (queries if queries is not None else df).select(
+        F.col(query_id_col or id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"))
+    bv = df.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("__bv"))
+    exact_d2 = (
+        "aggregate(zip_with(__qv, __bv, (x, y) ->"
+        " (cast(x as double) - y) * (cast(x as double) - y)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    rr = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(bv, on="neighbor_id")
+        .withColumn("approx_d2", F.expr(exact_d2))
+        .drop("__qv", "__bv")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"),
+                                                F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

@@ -1703,6 +1703,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   queries=qs, query_id_col="vec_id")
 
 
+@q("ann_pq_topk", None)  # approximate; quantization-dependent -> rows-only
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank — the compressed-domain
+    scale path (codes are ~16x smaller than vectors; scoring is m table
+    lookups per pair via the ADC trick)."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qs = emb.where("vec_id < 50")
+    return similarity.pq_topk(emb, "vec_id", "embedding", k=5,
+                              queries=qs, query_id_col="vec_id")
+
+
 @q("ann_ivf_topk", None)  # approximate; probe-set dependent -> rows-only
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k — the 100 TB scale path."""

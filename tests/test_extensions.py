@@ -353,3 +353,41 @@ def test_chunk_text_overlap_and_coverage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         textstats.chunk_text(df, "id", "txt", 10, 10)
+
+
+def test_pq_topk_recall_and_rerank(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where("vec_id < 30")
+    # exact L2 top-5 baseline
+    b = emb.select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("v")).alias("b")
+    q = qs.select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qv")).alias("q")
+    d2 = ("aggregate(zip_with(q.qv, b.v, (x, y) ->"
+          " (cast(x as double) - y) * (cast(x as double) - y)),"
+          " 0D, (a, x) -> a + x)")
+    w = Window.partitionBy("q.qid").orderBy(F.asc("d2"), F.asc(F.col("b.id")))
+    exact = (F.broadcast(q).join(b, on=F.expr("q.qid != b.id"))
+             .withColumn("d2", F.expr(d2))
+             .withColumn("rank", F.row_number().over(w)).where("rank <= 5"))
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r.qid, []).append(r.id)
+
+    out = similarity.pq_topk(emb, "vec_id", "embedding", k=5,
+                             queries=qs, query_id_col="vec_id")
+    a = {}
+    for r in out.collect():
+        a.setdefault(r.query_id, []).append(r.neighbor_id)
+    # every query returns exactly k ranked neighbors
+    assert all(len(v) == 5 for v in a.values()) and len(a) == len(e)
+    # approximate but useful: most queries overlap the exact top-5
+    overlap = sum(1 for qid in e if set(e[qid]) & set(a[qid]))
+    assert overlap / len(e) >= 0.5
+    # rerank=0 (pure ADC) must also run and return k per query
+    raw = similarity.pq_topk(emb, "vec_id", "embedding", k=3,
+                             queries=qs, query_id_col="vec_id", rerank=0)
+    assert raw.groupBy("query_id").count().where("count != 3").count() == 0
