@@ -389,15 +389,24 @@ def ngram_jaccard_pairs(
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
 
     if not prefix_filter:
-        # persist the COMPACT exploded rows (id, n_g, gram), not the wide
-        # arrays — columnar-caching string arrays measured ~2.5s of pure
-        # cache-build at sf0.1; and without a persist the self-join would
-        # recompute the shingling for each side
-        exploded = grams.select("id", "n_g", F.explode("g").alias("gram")) \
-            .persist()
+        # join on 64-bit HASHED grams (measured ~4x over string keys: the
+        # join mass is dominated by string hashing/compares), then confirm
+        # the few passing pairs EXACTLY on the true gram sets. This is
+        # provably exact despite hash collisions: a collision can only
+        # INFLATE a counted intersection (every truly-shared gram still
+        # matches on its hash), so the hash-counted pass set is a superset
+        # of the true pairs and the exact confirmation removes the (rare)
+        # spurious ones. Persist the COMPACT exploded rows (id, n_g, h) —
+        # columnar-caching the string arrays measured ~2.5s of pure
+        # cache-build at sf0.1, and without a persist the self-join would
+        # recompute the shingling for each side.
+        exploded = grams.select(
+            "id", "n_g",
+            F.explode(F.expr("transform(g, x -> xxhash64(x))")).alias("h"),
+        ).persist()
         a, b = exploded.alias("a"), exploded.alias("b")
         shared = (
-            a.join(b, on=[F.col("a.gram") == F.col("b.gram"),
+            a.join(b, on=[F.col("a.h") == F.col("b.h"),
                           F.col("a.id") < F.col("b.id"),
                           ratio_ok])
             .groupBy(
@@ -408,8 +417,35 @@ def ngram_jaccard_pairs(
             )
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-        return (
+        passing = (
             shared.withColumn("jaccard", jac.cast("double"))
+            .where(F.col("jaccard") >= t)
+            .select("id_a", "id_b")
+        )
+        pass_ids = (
+            passing.select(F.col("id_a").alias("id"))
+            .unionByName(passing.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        garr = (
+            _spread(df.select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("text")))
+            .join(F.broadcast(pass_ids), on="id", how="left_semi")
+            .select("id", word_ngrams("text", n).alias("g"))
+            .withColumn("n_g", F.size("g"))
+        )
+        confirmed = (
+            passing
+            .join(garr.select(F.col("id").alias("id_a"),
+                              F.col("g").alias("ga"),
+                              F.col("n_g").alias("na")), on="id_a")
+            .join(garr.select(F.col("id").alias("id_b"),
+                              F.col("g").alias("gb"),
+                              F.col("n_g").alias("nb")), on="id_b")
+            .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        )
+        return (
+            confirmed.withColumn("jaccard", jac.cast("double"))
             .where(F.col("jaccard") >= t)
             .select("id_a", "id_b", "jaccard")
         )
@@ -477,12 +513,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    # force-COMPLETE the cache before iterating: the loop's convergence
+    # probe ends in limit(1).count(), which can stop consuming before the
+    # cache blocks finish building — a partially-built cache makes every
+    # iteration re-execute the full (possibly expensive) pairs subtree
+    # (measured 8x wall on a deep pair plan).
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .persist()
     )
+    labels.count()
     for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -498,10 +541,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("component"),
             )
         )
-        if i % 4 == 3:
-            new_labels = new_labels.localCheckpoint()
-        else:
-            new_labels = new_labels.persist()
+        # checkpoint EVERY round: persist alone leaves the logical plan
+        # growing linearly with iterations, and per-round analysis/AQE
+        # planning over the accumulated lineage ballooned from 2s to 19s
+        # within 4 rounds on a deep pair plan. localCheckpoint truncates
+        # lineage; the label table is tiny at any scale (one row per
+        # node that appears in a duplicate pair).
+        new_labels = new_labels.localCheckpoint()
         changed = (
             labels.alias("o").join(new_labels.alias("n"), on="id")
             .where(F.expr("o.component != n.component")).limit(1).count()
