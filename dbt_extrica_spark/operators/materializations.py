@@ -244,7 +244,8 @@ def materialize_view(engine: "Engine", model: "Model",
 # --------------------------------------------------------------------------
 
 VALID_STRATEGIES = ("default", "append", "merge", "delete+insert",
-                    "microbatch")  # impl.py:80-81 (+ dbt 1.9 microbatch)
+                    "microbatch", "insert_overwrite")
+# impl.py:80-81 (+ dbt 1.9 microbatch, dbt-spark insert_overwrite)
 SCHEMA_CHANGE_MODES = ("ignore", "fail", "append_new_columns", "sync_all_columns")
 
 
@@ -351,6 +352,25 @@ def materialize_incremental(engine: "Engine", model: "Model",
         ):
             rows = merge_ops.append_only(src_df, tgt_df, dest_columns)
             rows.write.insertInto(target.render_unquoted(), overwrite=False)
+        elif strategy == "insert_overwrite":
+            # dbt-spark's classic strategy (not in the Trino reference,
+            # which has no partition-overwrite primitive): replace exactly
+            # the partitions the batch writes rows into; without
+            # partition_by, replace the whole table (dbt-spark semantics).
+            if scoped:
+                prev = engine.spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static")
+                engine.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    src_df.select(*dest_columns).write.insertInto(
+                        target.render_unquoted(), overwrite=True)
+                finally:
+                    engine.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev)
+            else:
+                engine.overwrite_table_atomic(
+                    target, src_df.select(*dest_columns))
         elif strategy == "merge":
             update_columns = merge_ops.get_merge_update_columns(
                 config.get("merge_update_columns"),

@@ -1243,6 +1243,37 @@ def inc_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.table("inc_di")
 
 
+# insert_overwrite: run2 writes only click/view rows -> exactly those two
+# partitions are replaced; the other partitions keep run1's rows
+_INC_IOW_DUCK = """
+SELECT event_id, value, event_type FROM events
+WHERE event_id <= 1000 AND event_type NOT IN ('click', 'view')
+UNION ALL
+SELECT event_id, value * 3 AS value, event_type FROM events
+WHERE event_id BETWEEN 900 AND 1100 AND event_type IN ('click', 'view')
+"""
+
+
+@q("inc_insert_overwrite", _INC_IOW_DUCK)
+def inc_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-spark's insert_overwrite strategy: the batch replaces exactly
+    the partitions it writes into (dynamic partition overwrite) — no keys,
+    no row matching; the idempotent-partition-reload pattern."""
+    eng = _engine(spark, sf_dir, "inc_iow")
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "insert_overwrite",
+           "partition_by": ["event_type"]}
+    run1 = Model("inc_iow", sql="SELECT event_id, value, event_type FROM"
+                 " {source:events} WHERE event_id <= 1000", config=cfg)
+    run2 = Model("inc_iow", sql="SELECT event_id, value * 3 AS value,"
+                 " event_type FROM {source:events}"
+                 " WHERE event_id BETWEEN 900 AND 1100"
+                 " AND event_type IN ('click', 'view')", config=cfg)
+    eng.materialize(run1)
+    eng.materialize(run2)
+    return eng.table("inc_iow")
+
+
 # microbatch: run1 builds day-batches 2024-01-01..05 (event_time_end pins the
 # window); run2 reprocesses from trunc_day(target max ts)=Jan5 minus
 # lookback=1 -> Jan4, through Jan7 -> final = run1 rows in [Jan1,Jan4) +

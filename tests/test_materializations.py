@@ -784,3 +784,27 @@ def test_microbatch_month_batches(engine):
     engine.materialize(Model("mbm", sql=sql, config=cfg))
     # month batches spanning a year boundary: Nov, Dec, Jan all processed
     assert {r.k for r in engine.table("mbm").collect()} == {1, 2}
+
+
+def test_insert_overwrite_unpartitioned_full_replace(engine):
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "insert_overwrite"}
+    engine.materialize(Model("iow0", sql="SELECT 1 AS a", config=cfg))
+    engine.materialize(Model("iow0", sql="SELECT 2 AS a UNION ALL"
+                             " SELECT 3 AS a", config=cfg))
+    # no partition_by -> dbt-spark semantics: whole table replaced
+    assert sorted(r.a for r in engine.table("iow0").collect()) == [2, 3]
+
+
+def test_insert_overwrite_partition_scoped(engine):
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "insert_overwrite",
+           "partition_by": ["p"]}
+    engine.materialize(Model(
+        "iow1", sql="SELECT c1 AS k, c2 AS p FROM VALUES"
+        " (1, 'a'), (2, 'a'), (3, 'b') AS t(c1, c2)", config=cfg))
+    engine.materialize(Model(
+        "iow1", sql="SELECT 99 AS k, 'a' AS p", config=cfg))
+    rows = {(r.k, r.p) for r in engine.table("iow1").collect()}
+    # partition 'a' replaced wholesale, 'b' untouched
+    assert rows == {(99, "a"), (3, "b")}
