@@ -417,10 +417,15 @@ def ngram_jaccard_pairs(
             )
             .agg(F.count(F.lit(1)).alias("inter"))
         )
+        # tiny (bounded by the true near-dup pair count) but referenced by
+        # three consumers (the broadcast id set, the confirm join, and the
+        # caller's plan) — persist so the join+groupBy over the exploded
+        # grams runs once
         passing = (
             shared.withColumn("jaccard", jac.cast("double"))
             .where(F.col("jaccard") >= t)
             .select("id_a", "id_b")
+            .persist()
         )
         pass_ids = (
             passing.select(F.col("id_a").alias("id"))
