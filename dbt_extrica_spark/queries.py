@@ -2179,6 +2179,71 @@ def pipeline_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.joint_dedup(docs, embs)
 
 
+# ordered funnel signup -> click -> purchase; completion times and the
+# strictly-after constraint compare integer microseconds in both engines
+_FUNNEL_DUCK = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_type FROM events
+), s1 AS (
+  SELECT user_id, MIN(t_us) AS t FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT ev.user_id, MIN(t_us) AS t FROM ev
+  JOIN s1 ON ev.user_id = s1.user_id
+  WHERE event_type = 'click' AND t_us > s1.t GROUP BY ev.user_id
+), s3 AS (
+  SELECT ev.user_id, MIN(t_us) AS t FROM ev
+  JOIN s2 ON ev.user_id = s2.user_id
+  WHERE event_type = 'purchase' AND t_us > s2.t GROUP BY ev.user_id
+)
+SELECT CAST(1 AS INT) AS step, 'signup' AS event_type,
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+"""
+
+
+@q("q_funnel", _FUNNEL_DUCK)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over events: first-touch completion times,
+    each step strictly after the previous step's completion."""
+    from .extensions import analytics
+
+    _views(spark, sf_dir)
+    return analytics.funnel(spark.table("events"),
+                            ["signup", "click", "purchase"])
+
+
+_RETENTION_DUCK = """
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+  FROM events
+), first AS (
+  SELECT user_id, MIN(day_idx) AS cohort_idx FROM ev GROUP BY user_id
+), act AS (
+  SELECT DISTINCT ev.user_id, first.cohort_idx,
+         CAST(ev.day_idx - first.cohort_idx AS INT) AS day_offset
+  FROM ev JOIN first ON ev.user_id = first.user_id
+  WHERE ev.day_idx - first.cohort_idx <= 7
+)
+SELECT DATE '1970-01-01' + CAST(cohort_idx AS INT) AS cohort_date,
+       day_offset, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM act GROUP BY cohort_idx, day_offset
+"""
+
+
+@q("q_retention_cohorts", _RETENTION_DUCK)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: first-activity-day cohorts x active-day offsets
+    (capped at 7) with distinct-user counts."""
+    from .extensions import analytics
+
+    _views(spark, sf_dir)
+    return analytics.retention_cohorts(spark.table("events"), max_offset=7)
+
+
 # overlapping context-window chunking (chunk 32 tokens, stride 24)
 _CHUNK_DUCK = r"""
 WITH toks AS (

@@ -1,0 +1,70 @@
+"""Funnel and retention-cohort operator semantics on hand-built events."""
+
+import pytest
+
+from dbt_extrica_spark.extensions import analytics
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, f"2024-01-{d:02d} {h:02d}:00:00", t) for u, d, h, t in rows],
+        "user_id bigint, ts_s string, event_type string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        (1, 1, 1, "signup"), (1, 2, 1, "click"), (1, 3, 1, "purchase"),
+        # user 2 clicked BEFORE signup -> never completes step 2
+        (2, 2, 1, "click"), (2, 3, 1, "signup"),
+        # user 3 signup+click, no purchase
+        (3, 1, 1, "signup"), (3, 1, 2, "click"),
+    ]
+    out = {r.step: (r.event_type, r.n_users)
+           for r in analytics.funnel(_ev(spark, rows),
+                                     ["signup", "click", "purchase"])
+           .collect()}
+    assert out == {1: ("signup", 3), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_funnel_first_touch_blocks_later_paths(spark):
+    # first-touch: step-2 time anchors to the EARLIEST qualifying click;
+    # a purchase between signup and that click does not count, a later one
+    # does
+    rows = [
+        (1, 1, 1, "signup"), (1, 2, 1, "click"),
+        (1, 1, 12, "purchase"),            # before first click -> no
+    ]
+    out = {r.step: r.n_users
+           for r in analytics.funnel(_ev(spark, rows),
+                                     ["signup", "click", "purchase"])
+           .collect()}
+    assert out == {1: 1, 2: 1, 3: 0}
+
+
+def test_funnel_empty_steps_raises(spark):
+    with pytest.raises(ValueError):
+        analytics.funnel(_ev(spark, [(1, 1, 1, "signup")]), [])
+
+
+def test_retention_cohort_counts(spark):
+    rows = [
+        # cohort Jan 1: users 1,2; user 1 returns day+1 and day+2,
+        # user 2 only day+2
+        (1, 1, 5, "view"), (1, 2, 5, "view"), (1, 3, 5, "view"),
+        (2, 1, 9, "view"), (2, 3, 9, "view"),
+        # cohort Jan 2: user 3, returns day+1
+        (3, 2, 1, "view"), (3, 3, 1, "view"),
+    ]
+    out = {(str(r.cohort_date), r.day_offset): r.n_users
+           for r in analytics.retention_cohorts(_ev(spark, rows)).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 2,
+        ("2024-01-02", 0): 1, ("2024-01-02", 1): 1,
+    }
+
+
+def test_retention_max_offset(spark):
+    rows = [(1, 1, 1, "view"), (1, 20, 1, "view")]
+    out = analytics.retention_cohorts(_ev(spark, rows), max_offset=7)
+    assert {r.day_offset for r in out.collect()} == {0}
