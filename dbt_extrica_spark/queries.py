@@ -1492,26 +1492,32 @@ def catalog_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DQ_DUCK = """
-SELECT * FROM (VALUES
-  ('unique:orders.o_orderkey', CAST(0 AS BIGINT)),
-  ('not_null:lineitem.l_orderkey', CAST(0 AS BIGINT)),
-  ('accepted_values:orders.o_orderstatus', CAST(0 AS BIGINT)),
+SELECT "check", violations,
+       CASE WHEN violations = 0 THEN 'pass'
+            WHEN sev = 'warn' THEN 'warn' ELSE 'error' END AS status,
+       CAST(NULL AS VARCHAR) AS failures_table
+FROM (VALUES
+  ('unique:orders.o_orderkey', CAST(0 AS BIGINT), 'error'),
+  ('not_null:lineitem.l_orderkey', CAST(0 AS BIGINT), 'error'),
+  ('accepted_values:orders.o_orderstatus', CAST(0 AS BIGINT), 'error'),
   ('accepted_values:orders.o_orderpriority', CAST(
      (SELECT COUNT(DISTINCT o_orderpriority) FROM orders
-      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT)),
-  ('relationships:lineitem.l_orderkey', CAST(0 AS BIGINT)),
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT),
+     'warn'),
+  ('relationships:lineitem.l_orderkey', CAST(0 AS BIGINT), 'error'),
   ('unique:lineitem.l_orderkey', CAST(
      (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey HAVING COUNT(*) > 1)) AS BIGINT))
-) AS t("check", violations)
+      GROUP BY l_orderkey HAVING COUNT(*) > 1)) AS BIGINT), 'error')
+) AS t("check", violations, sev)
 """
 
 
 @q("dq_checks", _DQ_DUCK)
 def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt schema-test surface (`dbt test`): unique / not_null /
-    accepted_values / relationships — passing checks plus two that count
-    real violations."""
+    accepted_values / relationships with severity semantics — passing
+    checks, a warn-severity check with real violations, and an
+    error-severity check with real violations."""
     from . import testing
 
     _views(spark, sf_dir)
@@ -1521,7 +1527,8 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"check": "accepted_values", "table": "orders",
          "column": "o_orderstatus", "values": ["O", "F", "P"]},
         {"check": "accepted_values", "table": "orders",
-         "column": "o_orderpriority", "values": ["1-URGENT", "2-HIGH"]},
+         "column": "o_orderpriority", "values": ["1-URGENT", "2-HIGH"],
+         "severity": "warn"},
         {"check": "relationships", "table": "lineitem",
          "column": "l_orderkey", "to_table": "orders",
          "to_column": "o_orderkey"},

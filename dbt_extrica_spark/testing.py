@@ -59,26 +59,82 @@ def test_relationships(spark: SparkSession, table: str, column: str,
     )
 
 
-def run_checks(spark: SparkSession, checks: list[dict]) -> DataFrame:
-    """Run a list of check specs and report violation counts.
+def _check_df(spark: SparkSession, spec: dict) -> DataFrame:
+    kind = spec["check"]
+    if kind == "unique":
+        return test_unique(spark, spec["table"], spec["column"])
+    if kind == "not_null":
+        return test_not_null(spark, spec["table"], spec["column"])
+    if kind == "accepted_values":
+        return test_accepted_values(spark, spec["table"], spec["column"],
+                                    spec["values"])
+    if kind == "relationships":
+        return test_relationships(spark, spec["table"], spec["column"],
+                                  spec["to_table"], spec["to_column"])
+    raise ValueError(f"Unknown check: {kind!r}")
+
+
+def _threshold_met(count: int, cond: str) -> bool:
+    """dbt warn_if/error_if conditions: '!=0', '>10', '>=5' (count LHS)."""
+    cond = cond.replace(" ", "")
+    for op in (">=", "<=", "!=", "==", ">", "<", "="):
+        if cond.startswith(op):
+            n = int(cond[len(op):])
+            return {
+                ">=": count >= n, "<=": count <= n, "!=": count != n,
+                "==": count == n, ">": count > n, "<": count < n,
+                "=": count == n,
+            }[op]
+    raise ValueError(f"Unparseable threshold condition: {cond!r}")
+
+
+def run_checks(spark: SparkSession, checks: list[dict],
+               engine=None, store_failures: bool = False) -> DataFrame:
+    """Run a list of check specs and report violation counts + status.
 
     Spec: {"check": "unique"|"not_null"|"accepted_values"|"relationships",
-           "table": ..., "column": ..., [values | to_table/to_column]}.
+           "table": ..., "column": ..., [values | to_table/to_column],
+           ["severity": "error"|"warn", "warn_if": "!=0",
+            "error_if": "!=0"]}.
+
+    dbt semantics: severity 'error' fails when ``error_if`` is met (else
+    warns when ``warn_if`` is met); severity 'warn' can only warn.
+    ``store_failures`` persists each failing check's violation rows to an
+    audit table ``dbt_test_failures__<check>_<table>_<column>`` in the
+    engine's schema (requires ``engine``), mirroring dbt's
+    --store-failures.
     """
     rows = []
     for spec in checks:
         kind = spec["check"]
-        if kind == "unique":
-            df = test_unique(spark, spec["table"], spec["column"])
-        elif kind == "not_null":
-            df = test_not_null(spark, spec["table"], spec["column"])
-        elif kind == "accepted_values":
-            df = test_accepted_values(spark, spec["table"], spec["column"],
-                                      spec["values"])
-        elif kind == "relationships":
-            df = test_relationships(spark, spec["table"], spec["column"],
-                                    spec["to_table"], spec["to_column"])
+        df = _check_df(spark, spec)
+        name = f"{kind}:{spec['table']}.{spec['column']}"
+        count = df.count()
+        severity = spec.get("severity", "error")
+        if severity not in ("error", "warn"):
+            raise ValueError(f"Invalid severity: {severity!r}")
+        if severity == "error" and _threshold_met(
+                count, spec.get("error_if", "!=0")):
+            status = "error"
+        elif _threshold_met(count, spec.get("warn_if", "!=0")):
+            status = "warn"
         else:
-            raise ValueError(f"Unknown check: {kind!r}")
-        rows.append((f"{kind}:{spec['table']}.{spec['column']}", df.count()))
-    return spark.createDataFrame(rows, "check string, violations bigint")
+            status = "pass"
+        failures_table = None
+        if store_failures and status != "pass":
+            if engine is None:
+                raise ValueError("store_failures requires an engine")
+            ident = "dbt_test_failures__%s_%s_%s" % (
+                kind, spec["table"].replace(".", "_"), spec["column"])
+            rel = engine.relation(ident)
+            existing = engine.catalog.get_relation(rel)
+            if existing is not None:
+                engine.catalog.drop_relation(existing)
+            df.write.format("parquet").saveAsTable(rel.render_unquoted())
+            failures_table = ident
+        rows.append((name, count, status, failures_table))
+    return spark.createDataFrame(
+        rows,
+        "check string, violations bigint, status string,"
+        " failures_table string",
+    )

@@ -808,3 +808,43 @@ def test_insert_overwrite_partition_scoped(engine):
     rows = {(r.k, r.p) for r in engine.table("iow1").collect()}
     # partition 'a' replaced wholesale, 'b' untouched
     assert rows == {(99, "a"), (3, "b")}
+
+
+def test_data_test_severity_and_thresholds(engine):
+    from dbt_extrica_spark import testing
+
+    engine.spark.sql("SELECT 1 AS k UNION ALL SELECT 1 UNION ALL SELECT 2") \
+        .createOrReplaceTempView("dupes")
+    # default severity=error -> error on violations
+    out = testing.run_checks(engine.spark, [
+        {"check": "unique", "table": "dupes", "column": "k"}]).collect()[0]
+    assert (out.violations, out.status) == (1, "error")
+    # warn severity can only warn
+    out = testing.run_checks(engine.spark, [
+        {"check": "unique", "table": "dupes", "column": "k",
+         "severity": "warn"}]).collect()[0]
+    assert out.status == "warn"
+    # error_if threshold not met but warn_if met -> warn
+    out = testing.run_checks(engine.spark, [
+        {"check": "unique", "table": "dupes", "column": "k",
+         "error_if": "> 5", "warn_if": "!= 0"}]).collect()[0]
+    assert out.status == "warn"
+    # neither met -> pass
+    out = testing.run_checks(engine.spark, [
+        {"check": "unique", "table": "dupes", "column": "k",
+         "error_if": "> 5", "warn_if": "> 5"}]).collect()[0]
+    assert out.status == "pass"
+
+
+def test_data_test_store_failures(engine):
+    from dbt_extrica_spark import testing
+
+    engine.spark.sql("SELECT 7 AS k UNION ALL SELECT 7 UNION ALL SELECT 8") \
+        .createOrReplaceTempView("dupes2")
+    out = testing.run_checks(
+        engine.spark,
+        [{"check": "unique", "table": "dupes2", "column": "k"}],
+        engine=engine, store_failures=True).collect()[0]
+    assert out.status == "error" and out.failures_table
+    stored = engine.table(out.failures_table).collect()
+    assert [(r.k, r.n_records) for r in stored] == [(7, 2)]
