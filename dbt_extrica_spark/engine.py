@@ -149,7 +149,14 @@ class Engine:
             df.createOrReplaceTempView(view)
             return f"SELECT * FROM {view}"
         this = self.relation(model.name).render()
-        return model.render(self.ref, self.source, this, is_incremental)
+        sql = model.render(self.ref, self.source, this, is_incremental)
+        if model.config.get("dialect") == "trino":
+            # a reference user's model bodies are Trino SQL; rewrite the
+            # Trino-specific function names so they run on spark.sql()
+            from .functions.dialect import translate_trino_sql
+
+            sql = translate_trino_sql(sql)
+        return sql
 
     # ------------------------------------------------------------------
     # materialization dispatch

@@ -2186,6 +2186,42 @@ def pipeline_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.joint_dedup(docs, embs)
 
 
+# a Trino-dialect model body (approx_distinct / strpos / cardinality /
+# date_diff / json_extract_scalar) compiled through the dialect translator
+# and materialized; the oracle expresses the same semantics in DuckDB
+_TRINO_DIALECT_DUCK = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+       CAST(SUM(CASE WHEN strpos(o_orderpriority, '-') > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dashed,
+       CAST(MAX(date_diff('day', CAST(o_orderdate AS TIMESTAMP),
+                TIMESTAMP '1999-01-01 00:00:00')) AS BIGINT) AS max_age_days
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@q("trino_dialect_model", _TRINO_DIALECT_DUCK)
+def trino_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A model written in Trino SQL (the reference's pass-through dialect)
+    materialized via the dialect translator (functions/dialect.py) — the
+    migration path for a reference user's existing model bodies."""
+    eng = _engine(spark, sf_dir, "trino_m")
+    m = Model("trino_m", sql="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+               CAST(SUM(CASE WHEN strpos(o_orderpriority, '-') > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dashed,
+               CAST(MAX(date_diff('day', o_orderdate,
+                        TIMESTAMP '1999-01-01 00:00:00')) AS BIGINT)
+                 AS max_age_days
+        FROM {source:orders}
+        GROUP BY o_orderstatus
+    """, config={"materialized": "table", "dialect": "trino"})
+    eng.materialize(m)
+    return eng.table("trino_m")
+
+
 # ordered funnel signup -> click -> purchase; completion times and the
 # strictly-after constraint compare integer microseconds in both engines
 _FUNNEL_DUCK = """

@@ -1,0 +1,45 @@
+"""Trino -> Spark dialect translation."""
+
+from dbt_extrica_spark.functions.dialect import translate_trino_sql
+
+
+def test_name_substitutions():
+    sql = ("SELECT approx_distinct(x), strpos(s, '-'), cardinality(arr),"
+           " json_extract_scalar(j, '$.a'), arbitrary(v) FROM t")
+    out = translate_trino_sql(sql)
+    assert "approx_count_distinct(x)" in out
+    assert "instr(s, '-')" in out
+    assert "size(arr)" in out
+    assert "get_json_object(j, '$.a')" in out
+    assert "any_value(v)" in out
+
+
+def test_unit_function_rewrites():
+    out = translate_trino_sql(
+        "SELECT date_diff('day', a, b), date_add('hour', 3, ts) FROM t")
+    assert "timestampdiff(DAY, a, b)" in out
+    assert "timestampadd(HOUR, 3, ts)" in out
+
+
+def test_string_literals_untouched():
+    sql = "SELECT 'strpos(not a call)' AS s, strpos(x, 'cardinality(') FROM t"
+    out = translate_trino_sql(sql)
+    assert "'strpos(not a call)'" in out
+    assert "instr(x, 'cardinality(')" in out
+
+
+def test_unknown_unit_passes_through():
+    sql = "SELECT date_diff('fortnight', a, b) FROM t"
+    assert translate_trino_sql(sql) == sql
+
+
+def test_translated_sql_executes(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    out = spark.sql(translate_trino_sql(
+        "SELECT approx_distinct(o_custkey) AS ad,"
+        " max(date_diff('day', o_orderdate,"
+        " TIMESTAMP '1999-01-01 00:00:00')) AS age FROM orders"))
+    row = out.collect()[0]
+    assert row.ad > 0 and row.age > 0
