@@ -33,6 +33,8 @@ _NAME_MAP = {
     "to_unixtime": "unix_timestamp",   # Trino returns double; Spark bigint
     "from_iso8601_timestamp": "to_timestamp",
     "array_agg": "collect_list",
+    "reduce": "aggregate",          # same (array, init, merge[, finish])
+    "now": "current_timestamp",
     "array_distinct": "array_distinct",  # identity; listed for visibility
 }
 

@@ -121,3 +121,40 @@ def test_datediff_antisymmetric_and_oracle_parity(spark, duck, pairs):
         for i, p in enumerate(["year", "quarter", "month", "day", "week",
                                "hour"]):
             assert spark_r[f"f_{p}"] == duck_r[i], (p, spark_r, duck_r)
+
+
+@given(st.floats(min_value=0.05, max_value=0.95),
+       st.floats(min_value=0.0, max_value=0.5))
+@settings(max_examples=8, deadline=None)
+def test_deterministic_sample_monotone_in_rate(rate, bump):
+    # shared module-level session from conftest's cached getter
+    from dbt_extrica_spark.session import get_spark
+    from dbt_extrica_spark.extensions import sampling
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    lo = {r.k for r in sampling.deterministic_sample(df, "k", rate).collect()}
+    hi = {r.k for r in sampling.deterministic_sample(
+        df, "k", min(rate + bump, 1.0)).collect()}
+    assert lo <= hi  # hash-threshold membership is monotone in the rate
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=4,
+                unique=True))
+@settings(max_examples=6, deadline=None)
+def test_funnel_counts_non_increasing(steps):
+    from dbt_extrica_spark.session import get_spark
+    from dbt_extrica_spark.extensions import analytics
+    from pyspark.sql import functions as F
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    ev = spark.sql(
+        "SELECT CAST(id % 13 AS BIGINT) AS user_id,"
+        " timestamp_micros(CAST(1700000000000000 + id * 1000000 AS BIGINT))"
+        " AS ts,"
+        " element_at(array('a','b','c','d'), CAST(id % 4 AS INT) + 1)"
+        " AS event_type"
+        " FROM range(300)")
+    out = analytics.funnel(ev, list(steps))
+    counts = [r.n_users for r in out.orderBy("step").collect()]
+    assert all(x >= y for x, y in zip(counts, counts[1:]))
