@@ -370,6 +370,11 @@ def ngram_jaccard_pairs(
 
     Size-ratio prefilter applies to both: J >= t requires
     t*max(|A|,|B|) <= min(|A|,|B|).
+
+    The returned pair set is materialized eagerly (localCheckpoint) so the
+    persisted intermediates — the exploded gram rows, orders of magnitude
+    larger than the pair output — can be unpersisted before returning;
+    repeated calls in a long-lived session don't accumulate cached blocks.
     """
     t = float(threshold)
     # spread BEFORE the shingle projection: a projection placed under the
@@ -449,11 +454,15 @@ def ngram_jaccard_pairs(
                               F.col("n_g").alias("nb")), on="id_b")
             .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         )
-        return (
+        result = (
             confirmed.withColumn("jaccard", jac.cast("double"))
             .where(F.col("jaccard") >= t)
             .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True)  # small: true near-dup pairs only
         )
+        exploded.unpersist()
+        passing.unpersist()
+        return result
 
     grams = grams.persist()
     exploded = grams.select("id", "n_g", F.explode("g").alias("gram"))
@@ -490,11 +499,15 @@ def ngram_jaccard_pairs(
                            F.col("n_g").alias("nb")), on="id_b")
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
     )
-    return (
+    result = (
         ver.withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)  # small: true near-dup pairs only
     )
+    grams.unpersist()
+    prefix.unpersist()
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -575,13 +588,32 @@ def embedding_cosine_pairs(
     vec_col: str,
     threshold: float = 0.95,
     block_col: str | None = None,
+    max_rows_unblocked: int | None = 200_000,
 ) -> DataFrame:
     """Near-dup pairs by cosine similarity of an array<float> column.
 
     Brute-force within optional blocks (``block_col``); the similarity is an
     exact sequential double fold (aggregate over zip_with), so results are
     reproducible bit-for-bit. For the sub-quadratic path at scale see
-    similarity.brp_lsh_topk."""
+    similarity.brp_lsh_topk.
+
+    Without ``block_col`` the self-join is O(n^2) — fine as an exact
+    baseline, catastrophic on a large corpus. ``max_rows_unblocked`` is the
+    guardrail: an unblocked call on more rows than this raises (pass a
+    ``block_col``, use similarity.brp_lsh_topk / ivf_topk, or set
+    ``max_rows_unblocked=None`` to explicitly accept the quadratic cost).
+    The probe is ``limit(n+1).count()`` — it short-circuits, never a full
+    scan of a 100 TB input."""
+    if block_col is None and max_rows_unblocked is not None:
+        probe = df.select(id_col).limit(max_rows_unblocked + 1).count()
+        if probe > max_rows_unblocked:
+            raise ValueError(
+                f"embedding_cosine_pairs without block_col is all-pairs "
+                f"O(n^2) and the input exceeds {max_rows_unblocked} rows. "
+                f"Pass block_col=, use similarity.brp_lsh_topk/ivf_topk for "
+                f"the sub-quadratic path, or set max_rows_unblocked=None "
+                f"to accept the quadratic join explicitly."
+            )
     norm = (
         "sqrt(aggregate(zip_with(v, v, (x, y) -> cast(x as double) * y),"
         " 0D, (acc, x) -> acc + x))"

@@ -35,13 +35,18 @@ def clean_corpus(
     """Returns (doc_id, est_llm_tokens) for the cleaned corpus.
 
     Executes as ONE feature pass + one near-dup pair join: quality metrics,
-    content hash (exact dedup), language pick, and token estimate are all
-    row-wise, so they compute in a single projection over one scan and
-    persist as a COMPACT feature table (no text). Only the n-gram pair
+    content fingerprint (exact dedup), language pick, and token estimate
+    are all row-wise, so they compute in a single projection over one scan
+    and persist as a COMPACT feature table (no text). Only the n-gram pair
     stage re-reads text, and only for docs that survived quality + exact
-    dedup. Stage semantics are unchanged from the per-stage formulation
-    (each is oracle-verified individually; the composed SQL oracle is
-    unchanged)."""
+    dedup.
+
+    The exact-dedup stage keys on (md5(text), length(text)) rather than
+    text equality — md5 collisions are practically constructible, so the
+    length is grouped alongside the digest to force a colliding pair to
+    also match in byte length. This is collision-hardened, not
+    collision-proof; an adversarial corpus needs the per-stage
+    dedup.exact_dedup (full-text compare) instead."""
     # spread first: a small parquet arrives as one split, and every stage
     # here is per-row compute (regex, shingling) that must parallelize
     base = dedup._spread(docs.select(F.col(id_col).alias("doc_id"),
@@ -55,6 +60,7 @@ def clean_corpus(
         st["quality_score"].alias("quality_score"),
         st["n_tokens"].alias("n_tokens"),
         F.md5(F.col("text").cast("string")).alias("__fp"),
+        F.length("text").alias("__len"),
         lang_pick.alias("lang_pred"),
         tok["est_llm_tokens"].alias("est_llm_tokens"),
     ).persist()
@@ -65,9 +71,9 @@ def clean_corpus(
         & (F.col("n_tokens") >= min_tokens)
     )
 
-    # 2. exact dedup (keep min doc_id per identical text)
-    keepers = kept.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = kept.join(keepers, on=["__fp", "doc_id"], how="left_semi")
+    # 2. exact dedup (keep min doc_id per (digest, length) group)
+    keepers = kept.groupBy("__fp", "__len").agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(keepers, on=["__fp", "__len", "doc_id"], how="left_semi")
 
     # 3. near-dup removal (exact n-gram Jaccard; drop the higher id) —
     # shingles only the quality+exact survivors
@@ -78,10 +84,16 @@ def clean_corpus(
     kept = kept.join(to_drop, on="doc_id", how="left_anti")
 
     # 4. language filter + 5. token accounting (already in the feature pass)
-    return (
+    # materialize the compact result eagerly so the persisted feature table
+    # can be unpersisted here — repeated pipeline runs in one session must
+    # not accumulate cached feature blocks
+    result = (
         kept.where(F.col("lang_pred") == lang)
         .select("doc_id", "est_llm_tokens")
+        .localCheckpoint(eager=True)
     )
+    feats.unpersist()
+    return result
 
 
 def joint_dedup(

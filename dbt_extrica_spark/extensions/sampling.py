@@ -31,8 +31,25 @@ def _bucket_expr(id_col: str, salt: str = "") -> F.Column:
 
 
 def _threshold(rate: float) -> str:
-    t = max(0, min(_HEX_SPACE, int(rate * _HEX_SPACE)))
+    """8-hex-char cutoff for ``rate`` — only meaningful for rates strictly
+    inside (0, 1); 16^8 itself would format to 9 chars and break the
+    lexicographic compare, so the boundary cases are handled by
+    ``_member_cond``/callers, never by this string."""
+    t = max(0, min(_HEX_SPACE - 1, int(rate * _HEX_SPACE)))
     return format(t, "08x")
+
+
+def _member_cond(bucket: F.Column, rate: float) -> F.Column:
+    """Membership predicate for a cumulative rate. Boundary-exact: a rate
+    that rounds to >= 16^8 admits every bucket (rate 1.0 must keep ALL
+    rows — comparing against the 9-char '100000000' string would instead
+    drop every bucket not starting with '0'), and <= 0 admits none."""
+    t = int(rate * _HEX_SPACE)
+    if t >= _HEX_SPACE:
+        return F.lit(True)
+    if t <= 0:
+        return F.lit(False)
+    return bucket < F.lit(format(t, "08x"))
 
 
 def deterministic_sample(df: DataFrame, id_col: str, rate: float,
@@ -40,7 +57,7 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float,
     """Keep ~``rate`` of rows, chosen by content hash of the id: stable
     across engines, runs, partitionings, and scale. ``salt`` derives
     independent samples from the same ids."""
-    return df.where(_bucket_expr(id_col, salt) < F.lit(_threshold(rate)))
+    return df.where(_member_cond(_bucket_expr(id_col, salt), rate))
 
 
 def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
@@ -55,7 +72,10 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
     bucket = _bucket_expr(id_col, salt)
     for name, w in items[:-1]:
         acc += w / total
-        cond = bucket < F.lit(_threshold(acc))
+        # _member_cond, not a raw string compare: a cumulative weight that
+        # reaches 1.0 before the last split (e.g. a zero-weight tail) must
+        # capture every remaining row, not just buckets < '100000000'.
+        cond = _member_cond(bucket, acc)
         expr = F.when(cond, F.lit(name)) if expr is None else \
             expr.when(cond, F.lit(name))
     last = F.lit(items[-1][0])

@@ -675,15 +675,29 @@ def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QTHETA)
 
 
-@q("q_approx_distinct", None)  # approximate by design -> rows-only
+# HLL sketch values differ across engines, so the checkable contract is the
+# error bound: Spark's approx_count_distinct has rsd=0.05 default; emit the
+# exact count (value-compared) plus a boolean asserting the approx landed
+# within 5% of it (the oracle side of a correct sketch is literally TRUE).
+_QAPPROX_DUCK = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@q("q_approx_distinct", _QAPPROX_DUCK)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL) — sketch values differ across engines, so
-    rows-only; exact distinct parity is covered by q_rollup's n_cust."""
+    """approx_count_distinct (HLL++) with a verifiable contract: the sketch
+    estimate must land within 5% of the exact distinct count per group."""
     _views(spark, sf_dir)
     return spark.sql("""
 SELECT l_returnflag,
-       approx_count_distinct(l_partkey) AS approx_parts,
-       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+         / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) < 0.05
+         AS approx_within_5pct
 FROM lineitem GROUP BY l_returnflag
 """)
 
@@ -2078,7 +2092,8 @@ WITH stats AS (
   WHERE q >= 0.55 AND n_tokens >= 20
 ), kept2 AS (
   SELECT doc_id, text FROM kept1
-  WHERE doc_id IN (SELECT MIN(doc_id) FROM kept1 GROUP BY md5(text))
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM kept1
+                   GROUP BY md5(text), length(text))
 ), toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM kept2
 ), grams AS (
@@ -2386,6 +2401,45 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     docs = spark.table("documents").select("lang", "doc_id")
     return sampling.stratified_sample(docs, "doc_id", "lang", 20)
+
+
+# boundary rates: rate 1.0 keeps EVERY row and rate 0.0 keeps none; a
+# {1.0, 0.0}-weighted split sends every row to the first split. These are
+# exactly the cases the 8-hex-char threshold trick can get wrong (16^8
+# formats to 9 chars), so the oracle pins them as counts.
+_SAMPLE_BOUNDARY_DUCK = """
+SELECT 'rate_one' AS label, (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n
+UNION ALL SELECT 'rate_zero', CAST(0 AS BIGINT)
+UNION ALL SELECT 'split_full', (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+UNION ALL SELECT 'split_empty', CAST(0 AS BIGINT)
+"""
+
+
+@q("sample_boundary", _SAMPLE_BOUNDARY_DUCK)
+def sample_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling boundary semantics: rate >= 1.0 is a no-op filter, rate 0.0
+    drops everything, and a zero-weight tail split receives nothing."""
+    from .extensions import sampling
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+    full = sampling.deterministic_sample(docs, "doc_id", 1.0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.lit("rate_one").alias("label"), "n")
+    none = sampling.deterministic_sample(docs, "doc_id", 0.0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.lit("rate_zero").alias("label"), "n")
+    split = sampling.hash_split(docs, "doc_id", {"full": 1.0, "empty": 0.0})
+    split_counts = split.agg(
+        F.sum((F.col("split") == "full").cast("bigint")).alias("n_full"),
+        F.sum((F.col("split") == "empty").cast("bigint")).alias("n_empty"),
+    )
+    tagged = split_counts.select(
+        F.lit("split_full").alias("label"), F.col("n_full").alias("n")
+    ).unionAll(split_counts.select(
+        F.lit("split_empty").alias("label"), F.col("n_empty").alias("n")
+    ))
+    return full.unionAll(none).unionAll(tagged)
 
 
 @q("multimodal_features", None)  # binary plumbing; no SQL-oracle equivalent

@@ -303,6 +303,42 @@ def test_deterministic_sample_stability_and_salt(spark):
     assert s_salt != s1
 
 
+def test_embedding_cosine_pairs_unblocked_guardrail(spark):
+    import pytest
+    from dbt_extrica_spark.extensions import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # over the cap without a block_col: refuse the O(n^2) self-join
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                     max_rows_unblocked=10).count()
+    # same size is allowed below/at the cap, with a block, or by opting out
+    n = emb.count()
+    capped = dedup.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, max_rows_unblocked=n)
+    explicit = dedup.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, max_rows_unblocked=None)
+    assert capped.count() == explicit.count() > 0
+
+
+def test_sample_rate_boundaries(spark):
+    from dbt_extrica_spark.extensions import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    # rate >= 1.0 keeps EVERY row (the hex threshold for 16^8 is 9 chars
+    # and would lexicographically drop ~15/16 of buckets)
+    assert sampling.deterministic_sample(docs, "doc_id", 1.0).count() == n
+    assert sampling.deterministic_sample(docs, "doc_id", 1.5).count() == n
+    assert sampling.deterministic_sample(docs, "doc_id", 0.0).count() == 0
+    # a zero-weight tail split receives nothing; the 1.0-weight head gets all
+    split = sampling.hash_split(docs, "doc_id", {"a": 1.0, "b": 0.0})
+    counts = {r.split: r.n for r in
+              split.groupBy("split").count().withColumnRenamed("count", "n")
+              .collect()}
+    assert counts == {"a": n}
+
+
 def test_hash_split_partitions_every_row_once(spark):
     from dbt_extrica_spark.extensions import sampling
 
