@@ -195,8 +195,27 @@ class CatalogClient:
                           new_column_type: str) -> None:
         """A22 — reference does add-tmp/UPDATE/drop/rename
         (macros/adapters.sql:297-312); vanilla Spark has no UPDATE, so this is
-        a single-pass cast rewrite with the same end state."""
+        a single-pass cast rewrite with the same end state.
+
+        char/varchar targets take the declared-schema path: Spark's CAST
+        'does not support char/varchar type and simply treats them as
+        string' (CharVarcharUtils), so a cast rewrite would erase the
+        length. Declaring the new schema and INSERTing preserves it (and
+        keeps every untouched varchar(n)/char(n) column's size — reference
+        keeps sizes through describe, column.py:62-109)."""
         cols = self.get_columns_in_relation(relation)
+        base = new_column_type.lower().split("(")[0].strip()
+        if base in ("varchar", "char"):
+            decls, selects = [], []
+            for c in cols:
+                if c.name.lower() == column_name.lower():
+                    decls.append(f"`{c.name}` {new_column_type}")
+                    selects.append(f"CAST(`{c.name}` AS STRING) AS `{c.name}`")
+                else:
+                    decls.append(f"`{c.name}` {c.data_type}")
+                    selects.append(f"`{c.name}`")
+            self._rewrite_typed(relation, decls, selects)
+            return
         parts = []
         for c in cols:
             if c.name.lower() == column_name.lower():
@@ -208,12 +227,24 @@ class CatalogClient:
     def expand_target_column_types(self, from_relation: Relation,
                                    to_relation: Relation) -> None:
         """dbt's expand_target_column_types: widen target string/decimal
-        columns to fit the source. StringType is unbounded in Spark, so only
-        decimal widening can require action."""
+        columns to fit the source (reference keeps varchar(n)/char(n) sizes
+        through describe, column.py:62-109; dbt widens the smaller side).
+        A bounded target string column (varchar(n)/char(n)) widens to the
+        source's type when the source is larger — including unbounded
+        sources, which widen to bare varchar."""
         src = {c.name.lower(): c for c in self.get_columns_in_relation(from_relation)}
         for tgt_col in self.get_columns_in_relation(to_relation):
             s = src.get(tgt_col.name.lower())
-            if s is None or not (s.is_numeric() and tgt_col.is_numeric()):
+            if s is None:
+                continue
+            if s.is_string() and tgt_col.is_string():
+                if s.string_size() > tgt_col.string_size():
+                    new_type = s.data_type
+                    if new_type.lower() in ("string", "varchar"):
+                        new_type = "string"  # Spark's unbounded string type
+                    self.alter_column_type(to_relation, tgt_col.name, new_type)
+                continue
+            if not (s.is_numeric() and tgt_col.is_numeric()):
                 continue
             sp, ss = s.numeric_precision or 0, s.numeric_scale or 0
             tp, ts = tgt_col.numeric_precision or 0, tgt_col.numeric_scale or 0
@@ -232,6 +263,26 @@ class CatalogClient:
         self.spark.sql(f"DROP TABLE IF EXISTS {backup.render()}")
         self.spark.sql(
             f"CREATE TABLE {tmp.render()} USING PARQUET AS {select_sql}"
+        )
+        self.spark.sql(f"ALTER TABLE {relation.render()} RENAME TO {backup.render()}")
+        self.spark.sql(f"ALTER TABLE {tmp.render()} RENAME TO {relation.render()}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {backup.render()}")
+
+    def _rewrite_typed(self, relation: Relation, decls: list[str],
+                       selects: list[str]) -> None:
+        """Stage-and-swap rewrite with an EXPLICITLY declared schema —
+        required when the new schema carries char/varchar lengths, which a
+        CTAS of a CAST would silently erase (Spark CharVarcharUtils)."""
+        tmp = relation.with_identifier(relation.identifier + "__dbt_alter_tmp")
+        backup = relation.with_identifier(relation.identifier + "__dbt_alter_bak")
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp.render()}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {backup.render()}")
+        self.spark.sql(
+            f"CREATE TABLE {tmp.render()} ({', '.join(decls)}) USING PARQUET"
+        )
+        self.spark.sql(
+            f"INSERT INTO {tmp.render()} "
+            f"SELECT {', '.join(selects)} FROM {relation.render()}"
         )
         self.spark.sql(f"ALTER TABLE {relation.render()} RENAME TO {backup.render()}")
         self.spark.sql(f"ALTER TABLE {tmp.render()} RENAME TO {relation.render()}")

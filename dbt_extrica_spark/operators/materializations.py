@@ -578,8 +578,20 @@ def _run_microbatch(engine: "Engine", model: "Model", target: Relation,
                 .write.insertInto(target.render_unquoted(), overwrite=False)
         return
 
-    dest_columns = [c.name for c in
-                    engine.catalog.get_columns_in_relation(target)]
+    # dbt 1.9 applies on_schema_change against the first batch's schema,
+    # before any period is written — the compiled SELECT's schema here.
+    from ..column import Column as _Col
+
+    on_schema_change = config.get("on_schema_change", "ignore")
+    if on_schema_change not in SCHEMA_CHANGE_MODES:
+        on_schema_change = "ignore"
+    src_cols = [_Col(f.name, f.dataType.simpleString())
+                for f in src_df.schema.fields]
+    dest_columns = process_schema_changes_from_columns(
+        engine, on_schema_change, src_cols, target)
+    if not dest_columns:
+        dest_columns = [c.name for c in
+                        engine.catalog.get_columns_in_relation(target)]
     partition_by = config.get("partition_by")
     scoped = bool(partition_by) and all(
         pc.lower() in {c.lower() for c in dest_columns}
@@ -618,6 +630,15 @@ def process_schema_changes(engine: "Engine", mode: str, source: Relation,
     Returns the post-change dest column list (None for ignore/no-op).
     """
     src_cols = engine.catalog.get_columns_in_relation(source)
+    return process_schema_changes_from_columns(engine, mode, src_cols, target)
+
+
+def process_schema_changes_from_columns(
+        engine: "Engine", mode: str, src_cols: list,
+        target: Relation) -> list[str] | None:
+    """Schema-change core for sources that are DataFrames rather than
+    relations (the microbatch path has no temp relation — dbt 1.9 applies
+    on_schema_change against the first batch's compiled schema)."""
     tgt_cols = engine.catalog.get_columns_in_relation(target)
     src_names = {c.name.lower() for c in src_cols}
     tgt_names = {c.name.lower() for c in tgt_cols}

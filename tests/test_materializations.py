@@ -181,6 +181,44 @@ def test_alter_column_type(engine):
     assert dict(engine.table("act").dtypes)["a"] == "double"
 
 
+def test_char_size_roundtrip_through_ddl(engine):
+    """varchar(n)/char(n) sizes survive describe -> DDL rewrite ->
+    describe (reference keeps sizes through describe, column.py:62-109)."""
+    rel = engine.relation("cs_rt")
+    engine.spark.sql(f"DROP TABLE IF EXISTS {rel.render()}")
+    engine.spark.sql(
+        f"CREATE TABLE {rel.render()} "
+        f"(a VARCHAR(8), b CHAR(3), c STRING, d INT) USING PARQUET"
+    )
+    cols = {c.name: c for c in engine.catalog.get_columns_in_relation(rel)}
+    assert cols["a"].char_size == 8 and cols["a"].data_type == "varchar(8)"
+    assert cols["b"].char_size == 3 and cols["b"].data_type == "char(3)"
+    # a table rewrite (cast path) keeps the untouched sizes
+    engine.catalog.alter_column_type(rel, "d", "bigint")
+    cols = {c.name: c for c in engine.catalog.get_columns_in_relation(rel)}
+    assert cols["a"].data_type == "varchar(8)"
+    assert cols["b"].data_type == "char(3)"
+    # widening to a larger varchar keeps the NEW declared size (Spark CAST
+    # would erase it; the declared-schema rewrite must not)
+    engine.catalog.alter_column_type(rel, "a", "varchar(16)")
+    cols = {c.name: c for c in engine.catalog.get_columns_in_relation(rel)}
+    assert cols["a"].data_type == "varchar(16)"
+
+
+def test_expand_target_column_types_widens_varchar(engine):
+    src, tgt = engine.relation("cs_src"), engine.relation("cs_tgt")
+    for r in (src, tgt):
+        engine.spark.sql(f"DROP TABLE IF EXISTS {r.render()}")
+    engine.spark.sql(
+        f"CREATE TABLE {src.render()} (a VARCHAR(16), b STRING) USING PARQUET")
+    engine.spark.sql(
+        f"CREATE TABLE {tgt.render()} (a VARCHAR(8), b VARCHAR(4)) USING PARQUET")
+    engine.catalog.expand_target_column_types(src, tgt)
+    cols = {c.name: c for c in engine.catalog.get_columns_in_relation(tgt)}
+    assert cols["a"].data_type == "varchar(16)"
+    assert cols["b"].data_type == "string"  # unbounded source -> unbounded
+
+
 def test_get_catalog(engine):
     engine.materialize(Model("cat_t", sql="SELECT 1 AS a, 'x' AS b",
                              config={"materialized": "table"}))
