@@ -14,7 +14,16 @@ Scope and honesty:
   ``date_add('unit', n, ts)`` (string-literal unit -> keyword form of
   Spark's timestampdiff/timestampadd — both elapsed-complete-unit
   semantics in Trino and Spark);
-- replacements never touch single-quoted string literals;
+- ``to_unixtime(x)`` -> ``(cast(unix_micros(x) as double) / 1e6)``:
+  Trino returns DOUBLE seconds with fractional precision; a bare
+  unix_timestamp would silently truncate sub-second parts;
+- replacements never touch single-quoted string literals (the
+  unit-bearing rewrites consume their unit literal by position in the
+  quote-split, so ``date_diff('day', …`` spelled inside a string literal
+  is left alone);
+- KNOWN DRIFT: ``date_add('unit', n, d)`` on a DATE operand returns
+  DATE in Trino but TIMESTAMP via timestampadd — cast at the call site
+  if downstream compares types strictly;
 - anything outside the table below passes through untouched (it is
   either ANSI or will fail loudly — no silent semantic drift).
 """
@@ -30,7 +39,6 @@ _NAME_MAP = {
     "cardinality": "size",
     "json_extract_scalar": "get_json_object",
     "arbitrary": "any_value",
-    "to_unixtime": "unix_timestamp",   # Trino returns double; Spark bigint
     "from_iso8601_timestamp": "to_timestamp",
     "array_agg": "collect_list",
     "reduce": "aggregate",          # same (array, init, merge[, finish])
@@ -38,21 +46,13 @@ _NAME_MAP = {
     "array_distinct": "array_distinct",  # identity; listed for visibility
 }
 
-_UNIT_FN = re.compile(
-    r"\b(date_diff|date_add)\s*\(\s*'([A-Za-z]+)'\s*,", re.IGNORECASE
-)
-
 _UNITS = {"second", "minute", "hour", "day", "week", "month",
           "quarter", "year", "millisecond"}
 
 
-def _unit_repl(m: "re.Match[str]") -> str:
-    fn = m.group(1).lower()
-    unit = m.group(2).lower()
-    if unit not in _UNITS:
-        return m.group(0)  # leave unknown units untouched -> loud fail
-    target = "timestampdiff" if fn == "date_diff" else "timestampadd"
-    return f"{target}({unit.upper()},"
+_UNIT_TAIL = re.compile(r"\b(date_diff|date_add)\s*\(\s*$", re.IGNORECASE)
+
+_TO_UNIXTIME = re.compile(r"\bto_unixtime\s*\(", re.IGNORECASE)
 
 
 def _translate_segment(seg: str) -> str:
@@ -64,17 +64,74 @@ def _translate_segment(seg: str) -> str:
     return seg
 
 
-def translate_trino_sql(sql: str) -> str:
-    """Rewrite Trino-specific function calls to Spark equivalents,
-    leaving single-quoted string literals untouched (except the
-    ``date_diff('unit', …)`` form, whose unit IS a string literal and is
-    rewritten to the keyword form as a whole)."""
-    # unit-bearing rewrites first — their pattern spans a quoted literal
-    sql = _UNIT_FN.sub(_unit_repl, sql)
+def _rewrite_to_unixtime(sql: str) -> str:
+    """``to_unixtime(x)`` -> ``(cast(unix_micros(x) as double) / 1e6)``.
+    Trino's to_unixtime is DOUBLE seconds including the fractional part;
+    unix_timestamp would truncate to whole seconds. Balanced-paren,
+    quote-aware scan (the argument may contain quoted strings with
+    parens); nested occurrences rewritten recursively."""
     out: list[str] = []
+    i = 0
+    while True:
+        m = _TO_UNIXTIME.search(sql, i)
+        if m is None:
+            break
+        if sql.count("'", 0, m.start()) % 2 == 1:
+            # inside a string literal — emit verbatim and move on
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        depth, j, n = 1, m.end(), len(sql)
+        while j < n and depth:
+            c = sql[j]
+            if c == "'":
+                j += 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        arg = _rewrite_to_unixtime(sql[m.end():j - 1])
+        out.append(sql[i:m.start()])
+        out.append(f"(cast(unix_micros({arg}) as double) / 1e6)")
+        i = j
+    out.append(sql[i:])
+    return "".join(out)
+
+
+def translate_trino_sql(sql: str) -> str:
+    """Rewrite Trino-specific function calls to Spark equivalents, leaving
+    single-quoted string literals untouched. The ``date_diff('unit', …)``
+    rewrite is positional over the quote-split — the code segment must END
+    with the call head and the NEXT literal must be the unit — so the same
+    text spelled inside a string literal is never rewritten."""
+    sql = _rewrite_to_unixtime(sql)
     parts = sql.split("'")
-    # even indexes are code, odd indexes are string-literal content
-    # ('' escaping splits into empty code segments, which is harmless)
-    for i, part in enumerate(parts):
-        out.append(_translate_segment(part) if i % 2 == 0 else part)
-    return "'".join(out)
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        if i % 2 == 1:  # string-literal content — reattach verbatim
+            out.append("'" + parts[i] + "'")
+            i += 1
+            continue
+        seg = parts[i]
+        m = _UNIT_TAIL.search(seg)
+        if (m is not None and i + 2 < len(parts)
+                and parts[i + 1].lower() in _UNITS
+                and re.match(r"\s*,", parts[i + 2])):
+            fn = m.group(1).lower()
+            target = "timestampdiff" if fn == "date_diff" else "timestampadd"
+            out.append(_translate_segment(seg[:m.start()])
+                       + f"{target}({parts[i + 1].upper()}")
+            i += 2  # consume the unit literal; parts[i] stays code parity
+            continue
+        out.append(_translate_segment(seg))
+        i += 1
+    return "".join(out)

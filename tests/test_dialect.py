@@ -43,3 +43,27 @@ def test_translated_sql_executes(spark):
         " TIMESTAMP '1999-01-01 00:00:00')) AS age FROM orders"))
     row = out.collect()[0]
     assert row.ad > 0 and row.age > 0
+
+
+def test_to_unixtime_keeps_fractional_seconds(spark):
+    out = translate_trino_sql(
+        "SELECT to_unixtime(TIMESTAMP '2024-01-01 00:00:00.25') AS u")
+    assert "unix_timestamp" not in out
+    row = spark.sql(out).collect()[0]
+    assert row.u == 1704067200.25  # Trino returns DOUBLE seconds
+
+
+def test_to_unixtime_nested_and_quoted():
+    out = translate_trino_sql(
+        "SELECT to_unixtime(coalesce(ts, from_iso8601_timestamp('2024-01-01')))"
+        " AS u, 'to_unixtime(x)' AS lit FROM t")
+    assert out.count("unix_micros") == 1
+    assert "'to_unixtime(x)'" in out  # literal untouched
+    assert "to_timestamp('2024-01-01')" in out  # inner arg still translated
+
+
+def test_unit_rewrite_skips_string_literals():
+    sql = "SELECT 'date_diff(''day'', a, b)' AS doc, date_diff('day', a, b) FROM t"
+    out = translate_trino_sql(sql)
+    assert "'date_diff(''day'', a, b)'" in out  # literal untouched
+    assert "timestampdiff(DAY, a, b)" in out
