@@ -158,3 +158,49 @@ def test_watermark_advances_and_drops_late_across_microbatches(spark, tmp_path):
         ("2024-01-01 10:00:00", "a"): 2,
         ("2024-01-01 12:00:00", "b"): 1,
     }
+
+
+def test_stateful_sessionizer_timeout_flushes_idle_session(spark, tmp_path):
+    """use_timeout=True: a gap-idle session must flush via the
+    processing-time timeout. Needs a processingTime trigger (under
+    availableNow a processing-time timeout schedules wake-up batches
+    forever) and a polling harness: start, wait for the timeout batch to
+    emit the closed session, stop."""
+    import time
+
+    src = tmp_path / "events_src"
+    ckpt = tmp_path / "ckpt"
+    spark.sql(
+        "SELECT CAST(7 AS BIGINT) AS user_id, TIMESTAMP '2024-01-01 00:00:00' AS ts"
+        " UNION ALL"
+        " SELECT CAST(7 AS BIGINT), TIMESTAMP '2024-01-01 00:00:01'"
+    ).coalesce(1).write.parquet(str(src))
+
+    schema = "user_id bigint, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    # gap 0.05 min = 3 s: events 1 s apart land in one session; with no further
+    # input, the timeout (3 s of processing time) must close and emit it
+    sessions = sessionize_stateful(stream, gap_minutes=0.05, use_timeout=True)
+    name = "timeout_sessions_sink"
+    query = (
+        sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if rows:
+                break
+            time.sleep(1.0)
+    finally:
+        query.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 7 and r.n_events == 2
+    assert str(r.session_start).startswith("2024-01-01 00:00:00")
+    assert str(r.session_end).startswith("2024-01-01 00:00:01")
