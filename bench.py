@@ -58,44 +58,42 @@ def main() -> None:
 
     qs = battery.queries()
 
-    # untimed warmups absorb one-time costs (codegen JIT, parquet footer
-    # reads, Arrow/py4j init, higher-order-function interpreter classloads)
-    # so timings reflect steady-state throughput. The extension operators
-    # exercise distinct JVM paths (lambda eval, array kernels, Pandas UDF),
-    # so they warm on the tiny sf0.001 copies of the same tables — measured
-    # ~4-5s of first-invocation JIT per heavy operator otherwise.
-    # NB: tiny-scale (sf0.001) warmups were measured insufficient — the JVM
-    # only C2-compiles the lambda interpreter loops after enough iterations,
-    # so the heavy operators warm at bench scale (still untimed).
-    qs["q1_pricing_summary"](spark, sf_dir).count()
-    for wq in ("dedup_minhash", "pipeline_clean_corpus",
-               "ann_cosine_topk", "ann_ivf_topk"):
-        try:
-            qs[wq](spark, sf_dir).count()
-        except Exception:
-            pass
-    # drop persisted intermediates accumulated by the warmup invocations —
-    # leftover cached tables cause GC pressure that distorts later timings
-    spark.catalog.clearCache()
+    # Two full TIMED passes over the same query list, both reported:
+    # - pass 1 ("cold"): first invocation in the process — includes codegen
+    #   JIT, parquet footer reads, Arrow/py4j init, HOF interpreter
+    #   classloads. This pass doubles as the warmup (no separate untimed
+    #   warmup list, so nothing is silently flattered and a warmup failure
+    #   fails the bench loudly).
+    # - pass 2 ("warm"): steady-state throughput with a hot JVM — the
+    #   headline `value`, comparable across rounds.
+    # clearCache between queries keeps each timing cold-CACHE (no
+    # cross-query CacheManager hits) in both passes; only JIT/page-cache
+    # state differs between the passes.
+    def run_pass(label: str) -> tuple[dict[str, float], float]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# [{label}] {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+            spark.catalog.clearCache()
+        return timings, total
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
-        spark.catalog.clearCache()
+    cold, cold_total = run_pass("cold")
+    warm, warm_total = run_pass("warm")
 
     print(json.dumps({
         "metric": "headline_queries_wall",
-        "value": round(total, 3),
+        "value": round(warm_total, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": warm,
+        "value_cold": round(cold_total, 3),
+        "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -123,6 +123,47 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_exprs(text_col: str) -> dict[str, F.Column]:
+    """Gopher-style repetition signals as composable Columns: the fraction
+    of duplicate lines and duplicate word n-grams inside a document.
+    High values = listicle soup, scraped boilerplate, degenerate
+    generations — the standard repetition filters of a pretraining
+    quality pass (Rae et al. 2021, table A1 family)."""
+    toks = _tokens(text_col)
+    lines = f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), x -> x <> '')"
+    n_lines = F.expr(f"size({lines})")
+
+    def gram_frac(n: int) -> F.Column:
+        grams = (
+            f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+            f" i -> array_join(slice({toks}, i, {n}), ' '))"
+        )
+        total = F.expr(f"size({grams})")
+        distinct = F.expr(f"size(array_distinct({grams}))")
+        return ((total - distinct) / total).cast("double")
+
+    dup_lines = (
+        (n_lines - F.expr(f"size(array_distinct({lines}))")) /
+        F.greatest(n_lines, F.lit(1))
+    ).cast("double")
+    return {
+        "n_lines": n_lines.cast("int"),
+        "dup_line_frac": dup_lines,
+        "dup_bigram_frac": gram_frac(2),
+        "dup_trigram_frac": gram_frac(3),
+    }
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition metrics (duplicate-line fraction, duplicate
+    word bigram/trigram fractions). Pure codegen expressions — one scan,
+    no shuffle."""
+    ex = repetition_exprs(text_col)
+    return df.select(
+        F.col(id_col), *[c.alias(name) for name, c in ex.items()]
+    )
+
+
 def char_bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Perplexity-family quality score: average negative log P(c2|c1) under
     a char-bigram model trained on the corpus itself. High scores = strings

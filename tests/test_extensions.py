@@ -427,3 +427,59 @@ def test_pq_topk_recall_and_rerank(spark):
     raw = similarity.pq_topk(emb, "vec_id", "embedding", k=3,
                              queries=qs, query_id_col="vec_id", rerank=0)
     assert raw.groupBy("query_id").count().where("count != 3").count() == 0
+
+
+def test_redact_pii_counts_and_clean_text(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io and 10.1.2.3 or +4915112345678 done"),
+         (2, "nothing sensitive here")],
+        "id bigint, t string")
+    out = {r.id: r for r in cleaning.redact_pii(df, "id", "t").collect()}
+    assert out[1].redacted_text == "mail <EMAIL> and <IP> or <PHONE> done"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 1, 1)
+    assert out[2].redacted_text == "nothing sensitive here"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 0, 0)
+
+
+def test_remove_boilerplate_preserves_order_and_counts(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    docs = [(i, "HEAD\nbody %d line one\nbody %d line two\nFOOT" % (i, i))
+            for i in range(4)]
+    df = spark.createDataFrame(docs, "id bigint, t string")
+    out = {r.id: r for r in
+           cleaning.remove_boilerplate_lines(df, "id", "t", min_docs=3)
+           .collect()}
+    for i in range(4):
+        assert out[i].clean_text == f"body {i} line one\nbody {i} line two"
+        assert out[i].n_dropped_lines == 2  # HEAD + FOOT
+
+
+def test_decontaminate_flags_only_overlapping(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated training sentence without overlap here")],
+        "id bigint, t string")
+    eval_set = spark.createDataFrame(
+        [(100, "quick brown fox jumps over something")],
+        "id bigint, t string")
+    out = {r.id: r for r in
+           cleaning.decontaminate(train, eval_set, "id", "t", n=5).collect()}
+    assert out[1].contaminated and out[1].n_shared_grams >= 1
+    assert not out[2].contaminated and out[2].n_shared_grams == 0
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    from dbt_extrica_spark.extensions import textstats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here are unique")],
+        "id bigint, t string")
+    out = {r.id: r for r in
+           textstats.repetition_stats(df, "id", "t").collect()}
+    assert out[1].dup_bigram_frac > 0.5  # 'spam spam' repeats
+    assert out[2].dup_bigram_frac == 0.0
