@@ -393,3 +393,48 @@ def ivf_topk(
             F.col("rank"),
         )
     )
+
+
+def projection_matrix(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix (Achlioptas-style sign
+    matrix) derived from md5 — reproducible on any engine/run without RNG
+    state. Entry (d, j) = +1 if the first hex nibble of md5('seed:d:j') is
+    even else -1."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{d}:{j}".encode())
+                     .hexdigest()[0], 16) % 2 == 0 else -1
+            for j in range(in_dim)
+        ]
+        for d in range(out_dim)
+    ]
+
+
+def random_projection(df: DataFrame, id_col: str, vec_col: str,
+                      out_dim: int = 4, seed: str = "rp") -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    sign matrix: out[d] = sum_j sign(d,j) * v[j] / sqrt(out_dim). The
+    cheap pre-step for clustering/ANN at 100 TB — distances are preserved
+    within JL bounds at a fraction of the width.
+
+    The matrix rows are broadcast as literal arrays and each output
+    coordinate is a sequential JVM fold (bit-reproducible, oracle-
+    comparable); one scan, no shuffle, no Python in the data plane.
+    Returns (id, p0..p{out_dim-1})."""
+    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if first is None:
+        raise ValueError("random_projection on an empty DataFrame")
+    in_dim = first.n
+    mat = projection_matrix(in_dim, out_dim, seed)
+    cols = [F.col(id_col)]
+    for d in range(out_dim):
+        weights = ", ".join(f"{w}D" for w in mat[d])
+        fold = (
+            f"aggregate(zip_with({vec_col}, array({weights}),"
+            f" (x, w) -> cast(x as double) * w), 0D, (acc, x) -> acc + x)"
+            f" / sqrt({out_dim}D)"
+        )
+        cols.append(F.expr(fold).cast("double").alias(f"p{d}"))
+    return df.select(*cols)

@@ -597,24 +597,43 @@ def _run_microbatch(engine: "Engine", model: "Model", target: Relation,
         pc.lower() in {c.lower() for c in dest_columns}
         for pc in partition_by
     )
+    # each batch is processed independently with per-batch retry (dbt 1.9
+    # runs batches as separate statements with retries: transient executor
+    # loss mid-batch must not fail the whole backfill). A batch is
+    # idempotent — replace-of-period — so a retry after a partial failure
+    # converges; the stage-and-swap commit means a failed attempt never
+    # corrupts the target.
+    retries = int(config.get("batch_retries", 0))
     tgt_df = spark.table(target.render_unquoted())
     for s, e in batches:
         period = F.expr(period_sql(s, e))
         batch_rows = src_df.where(period).select(*dest_columns)
-        if scoped:
-            merge_ops.partition_scoped_overwrite(
-                engine, target, batch_rows,
-                lambda scope, _p=period, _b=batch_rows: (
-                    scope.where(~_p).unionByName(_b)
-                ),
-                partition_by,
-                extra_affected=tgt_df.where(period),
-            )
-        else:
-            engine.overwrite_table_atomic(
-                target,
-                tgt_df.where(~period).unionByName(batch_rows),
-            )
+        attempt = 0
+        while True:
+            try:
+                if scoped:
+                    merge_ops.partition_scoped_overwrite(
+                        engine, target, batch_rows,
+                        lambda scope, _p=period, _b=batch_rows: (
+                            scope.where(~_p).unionByName(_b)
+                        ),
+                        partition_by,
+                        extra_affected=tgt_df.where(period),
+                    )
+                else:
+                    engine.overwrite_table_atomic(
+                        target,
+                        tgt_df.where(~period).unionByName(batch_rows),
+                    )
+                break
+            except Exception:
+                attempt += 1
+                if attempt > retries:
+                    raise
+                # re-read: a partial attempt may have left a valid previous
+                # version behind the atomic swap
+                tgt_df = spark.table(target.render_unquoted())
+        if not scoped:
             tgt_df = spark.table(target.render_unquoted())
 
 

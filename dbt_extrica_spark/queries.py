@@ -2797,6 +2797,33 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.decontaminate(train, eval_set, "doc_id", "text", n=5)
 
 
+def _rp_oracle() -> str:
+    """Same deterministic ±1 matrix as similarity.random_projection(64, 4);
+    the dot product is a sequential fold — bitwise identical between
+    Spark's aggregate and DuckDB's list_reduce."""
+    mat = similarity.projection_matrix(64, 4)
+    dims = []
+    for d in range(4):
+        w = "[" + ", ".join(f"{x}.0" for x in mat[d]) + "]"
+        dims.append(
+            f"CAST(list_reduce(list_transform(list_zip(embedding, {w}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+            f" / sqrt(4) AS DOUBLE) AS p{d}"
+        )
+    return "SELECT vec_id, " + ", ".join(dims) + " FROM embeddings"
+
+
+@q("embedding_random_projection", _rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL dimensionality reduction with a deterministic md5-derived sign
+    matrix — the cheap pre-step before clustering/ANN at scale; exact fold
+    per output coordinate, no shuffle."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return similarity.random_projection(emb, "vec_id", "embedding",
+                                        out_dim=4)
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02 both contain

@@ -824,6 +824,48 @@ def test_microbatch_month_batches(engine):
     assert {r.k for r in engine.table("mbm").collect()} == {1, 2}
 
 
+def test_microbatch_per_batch_retry(engine, monkeypatch):
+    """A transiently-failing batch write succeeds on retry
+    (batch_retries=1); with batch_retries=0 the same failure propagates."""
+    from dbt_extrica_spark import engine as engine_mod
+
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "microbatch",
+           "event_time": "et", "batch_size": "day", "lookback": 1,
+           "begin": "2024-03-01", "batch_retries": 1}
+    mk = lambda v: ("SELECT CAST(c1 AS TIMESTAMP) AS et, c2 AS k,"
+                    f" {v} AS v FROM VALUES"
+                    " ('2024-03-01 10:00:00', 1), ('2024-03-02 10:00:00', 2)"
+                    " AS t(c1, c2)")
+    engine.materialize(Model("mbr", sql=mk(100), config=cfg))
+
+    real = engine.overwrite_table_atomic
+    calls = {"n": 0}
+
+    def flaky(target, df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient executor loss")
+        return real(target, df)
+
+    monkeypatch.setattr(engine, "overwrite_table_atomic", flaky)
+    engine.materialize(Model("mbr", sql=mk(200), config=cfg))
+    rows = {r.k: r.v for r in engine.table("mbr").collect()}
+    assert rows == {1: 200, 2: 200}  # lookback 1 from Mar2 -> both replaced
+    assert calls["n"] >= 2  # first attempt failed, retry ran
+
+    # batch_retries=0: the failure must propagate (surfaced through the
+    # engine's error taxonomy as RuntimeEngineError)
+    calls["n"] = 0
+    cfg0 = {**cfg, "batch_retries": 0}
+    import pytest
+
+    from dbt_extrica_spark.errors import RuntimeEngineError
+
+    with pytest.raises(RuntimeEngineError, match="transient"):
+        engine.materialize(Model("mbr", sql=mk(300), config=cfg0))
+
+
 def test_insert_overwrite_unpartitioned_full_replace(engine):
     cfg = {"materialized": "incremental",
            "incremental_strategy": "insert_overwrite"}
