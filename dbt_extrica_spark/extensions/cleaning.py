@@ -15,6 +15,7 @@ cardinality (lines, grams, domains) — no single hot key.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # cross-engine-safe PII patterns (Java regex == RE2 semantics for these)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -151,3 +152,64 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
             .alias("n_shared_grams"),
         )
     )
+
+
+def pack_documents(df: DataFrame, id_col: str, text_col: str,
+                   seq_len: int = 2048,
+                   shard_col: str | None = None) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents in stable
+    (shard, id) order and chunk the token stream every ``seq_len`` tokens.
+    Returns per document: its token count, its global token offset within
+    the shard, and the first/last training-sequence indexes it lands in —
+    what a tokenize-and-pack stage needs to build fixed-length samples
+    without padding waste.
+
+    Scale: the running offset is a window cumulative sum. An unpartitioned
+    window is a single-task bottleneck, so packing is per-``shard_col``
+    (source, dump, bucket...) — shards pack independently, which is also
+    what a distributed tokenizer wants. ``shard_col=None`` packs globally
+    and is only for small corpora (the window warns in the plan via a
+    single partition)."""
+    tok = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    part = [F.col(shard_col)] if shard_col else []
+    w = Window.partitionBy(*part).orderBy(F.col(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out_cols = [F.col(id_col)]
+    if shard_col:
+        out_cols.append(F.col(shard_col))
+    return (
+        df.select(*out_cols, tok.alias("n_tokens"))
+        .withColumn("offset",
+                    (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                    .cast("bigint"))
+        # integer DIV, not double division: token offsets at 100 TB can
+        # exceed the exact-double range
+        .withColumn("first_seq",
+                    F.expr(f"CAST(offset DIV {seq_len} AS BIGINT)"))
+        .withColumn("last_seq",
+                    F.expr(f"CAST((offset + n_tokens - 1) DIV {seq_len}"
+                           f" AS BIGINT)"))
+    )
+
+
+def mixture_sample(df: DataFrame, id_col: str, source_col: str,
+                   weights: dict[str, float], salt: str = "") -> DataFrame:
+    """Source-mixture downsampling: keep each source at the rate given in
+    ``weights`` (1.0 = keep all, 0.25 = quarter). The knob a data-mixture
+    spec turns (e.g. upweight curated sources by downsampling the crawl),
+    deterministic via the same md5-range membership as
+    extensions.sampling — reproducible across engines and runs.
+
+    Unlisted sources keep rate 0.0 (dropped) — explicit mixture specs
+    only. One scan, the filter folds into the source partition pruning
+    when the table is partitioned by source."""
+    from . import sampling
+
+    cond = F.lit(False)
+    bucket = sampling._bucket_expr(id_col, salt)
+    for src, rate in weights.items():
+        cond = cond | (
+            (F.col(source_col) == src)
+            & sampling._member_cond(bucket, float(rate))
+        )
+    return df.where(cond)

@@ -2824,6 +2824,64 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         out_dim=4)
 
 
+# sequence packing: per-shard (source) running token offsets and the
+# first/last fixed-length training sequence each doc lands in
+_PACK_DUCK = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+  FROM t
+)
+SELECT doc_id, source, n_tokens, "offset",
+       CAST("offset" // 512 AS BIGINT) AS first_seq,
+       CAST(("offset" + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+FROM o
+"""
+
+
+@q("text_pack_sequences", _PACK_DUCK)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: per-source token-stream offsets and
+    seq_len-512 sequence spans; sharded windows (no global single-task
+    cumsum)."""
+    from .extensions import cleaning
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return cleaning.pack_documents(docs, "doc_id", "text", seq_len=512,
+                                   shard_col="source")
+
+
+# deterministic source-mixture downsampling: per-source md5-range rates
+_MIXTURE_DUCK = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+WHERE (source = 'src0' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
+   OR (source = 'src1')
+   OR (source = 'src2' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000')
+GROUP BY source
+"""
+
+
+@q("sample_mixture", _MIXTURE_DUCK)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture spec: keep src0 at 25%, src1 at 100%, src2 at 75%;
+    unlisted sources drop. Deterministic md5-range membership per source."""
+    from .extensions import cleaning
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    mixed = cleaning.mixture_sample(
+        docs, "doc_id", "source",
+        {"src0": 0.25, "src1": 1.0, "src2": 0.75})
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02 both contain

@@ -483,3 +483,40 @@ def test_repetition_stats_degenerate_doc(spark):
            textstats.repetition_stats(df, "id", "t").collect()}
     assert out[1].dup_bigram_frac > 0.5  # 'spam spam' repeats
     assert out[2].dup_bigram_frac == 0.0
+
+
+def test_pack_documents_offsets_and_spans(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    df = spark.createDataFrame(
+        [(1, "a", "w " * 10), (2, "a", "w " * 5), (3, "a", "w " * 20),
+         (4, "b", "w " * 7)],
+        "id bigint, src string, t string")
+    out = {r.id: r for r in
+           cleaning.pack_documents(df, "id", "t", seq_len=8, shard_col="src")
+           .collect()}
+    # shard a: offsets 0, 10, 15; shard b restarts at 0
+    assert [out[i].offset for i in (1, 2, 3)] == [0, 10, 15]
+    assert out[4].offset == 0
+    # doc 1 (10 tokens at offset 0) spans sequences 0..1 of length 8
+    assert (out[1].first_seq, out[1].last_seq) == (0, 1)
+    assert (out[3].first_seq, out[3].last_seq) == (1, 4)  # 15..34
+
+
+def test_mixture_sample_disjoint_and_deterministic(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mixed = cleaning.mixture_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5})
+    counts = {r.source: r.n for r in
+              mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r.source: r.n for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"src0", "src1"}  # unlisted sources dropped
+    assert counts["src0"] == full["src0"]
+    assert 0 < counts["src1"] < full["src1"]
+    again = cleaning.mixture_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5})
+    assert {r.doc_id for r in again.collect()} == \
+        {r.doc_id for r in mixed.collect()}
