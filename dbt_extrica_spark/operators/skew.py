@@ -84,3 +84,46 @@ def salted_join(
     ).withColumn(SALT_COL, F.col(SALT_COL).cast("int"))
     return salted_left.join(exploded_right, on=on + [SALT_COL], how=how) \
         .drop(SALT_COL)
+
+
+def probe_key_skew(df: DataFrame, group_cols: list[str],
+                   sample_mod: int = 100) -> float:
+    """Estimate the hottest group key's share of rows from a deterministic
+    1/``sample_mod`` hash sample (no RNG — reruns probe identically).
+    Costs one scan of the sample + a tiny shuffle; at 100 TB this is the
+    cheap pre-pass that decides whether the main aggregation needs
+    salting at all."""
+    probe = df.where(
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+               F.lit(sample_mod)) == 0
+    )
+    top = (
+        probe.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("total"))
+        .first()
+    )
+    if top is None or not top.total:
+        return 0.0
+    return float(top.mx) / float(top.total)
+
+
+def auto_salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, str],
+    skew_threshold: float = 0.2,
+    salt_buckets: int = 16,
+    sample_mod: int = 100,
+) -> DataFrame:
+    """Skew-adaptive aggregation: probe the hottest key's row share on a
+    deterministic hash sample; above ``skew_threshold`` use the two-phase
+    salted plan, otherwise the plain single-shuffle aggregate (same
+    result either way — only the physical shape changes).
+
+    This covers the case AQE cannot re-plan (skewed groupBy keys pin one
+    reducer); join skew is left to AQE's runtime skew-join splitting."""
+    if probe_key_skew(df, group_cols, sample_mod) >= skew_threshold:
+        return salted_agg(df, group_cols, aggs, salt_buckets)
+    exprs = [F.expr(spec).alias(out) for out, spec in aggs.items()]
+    return df.groupBy(*group_cols).agg(*exprs)

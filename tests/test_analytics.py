@@ -68,3 +68,28 @@ def test_retention_max_offset(spark):
     rows = [(1, 1, 1, "view"), (1, 20, 1, "view")]
     out = analytics.retention_cohorts(_ev(spark, rows), max_offset=7)
     assert {r.day_offset for r in out.collect()} == {0}
+
+
+def test_auto_salted_agg_adapts_and_matches(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.operators import skew
+
+    # 90% of rows share one key -> probe must see heavy skew
+    df = spark.sql(
+        "SELECT CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id) END"
+        " AS k, CAST(id AS DOUBLE) AS v FROM range(20000)")
+    assert skew.probe_key_skew(df, ["k"]) > 0.5
+    uniform = spark.sql(
+        "SELECT concat('k', id % 500) AS k, CAST(id AS DOUBLE) AS v"
+        " FROM range(20000)")
+    assert skew.probe_key_skew(uniform, ["k"]) < 0.2
+
+    expected = {(r.k, r.n, r.s) for r in
+                df.groupBy("k").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("v").alias("s")).collect()}
+    got = {(r.k, r.n, r.s) for r in
+           skew.auto_salted_agg(df, ["k"],
+                                {"n": "count(1)", "s": "sum(v)"}).collect()}
+    assert got == expected
