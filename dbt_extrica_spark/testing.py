@@ -138,3 +138,75 @@ def run_checks(spark: SparkSession, checks: list[dict],
         "check string, violations bigint, status string,"
         " failures_table string",
     )
+
+
+def run_unit_test(
+    engine,
+    model,
+    given: dict[str, tuple[list[dict], str]],
+    expect: tuple[list[dict], str],
+) -> DataFrame:
+    """dbt 1.8-style unit test: run a model's SQL against MOCKED refs and
+    sources, compare to expected rows (multiset compare, NULL-safe).
+
+    ``given`` maps a ref/source name -> (rows, schema DDL); ``expect`` is
+    (rows, schema DDL) for the model output. Mock inputs resolve in place
+    of real relations — the real tables are never touched or required.
+    Returns a one-row report: (passed, n_actual, n_expected, n_missing,
+    n_unexpected). Missing/unexpected are multiset differences.
+
+    Mocks register as temp views, so the unit test runs on Catalyst like
+    production but over literal LocalRelations — the plan is tiny and
+    driver-local, exactly what a CI unit-test tier wants."""
+    import uuid as _uuid
+
+    spark = engine.spark
+    views: dict[str, str] = {}
+    for name, (rows, schema) in given.items():
+        view = f"__unit_{name}_{_uuid.uuid4().hex[:8]}"
+        spark.createDataFrame(rows, schema).createOrReplaceTempView(view)
+        views[name] = view
+
+    def resolve(name: str) -> str:
+        if name in views:
+            return views[name]
+        raise ValueError(
+            f"unit test references {name!r} with no mock in 'given'"
+        )
+
+    this = engine.relation(model.name).render()
+    sql = model.render(resolve, resolve, this, is_incremental=False)
+    actual = spark.sql(sql)
+    expected = spark.createDataFrame(expect[0], expect[1])
+
+    cols = expected.columns
+    act = actual.select(*cols).groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("__n_a")).alias("a")
+    exp = expected.groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("__n_e")).alias("e")
+    # NULL-safe equality on every column: a NULL in expected must match a
+    # NULL in actual (plain join-on-columns would drop those rows to both
+    # sides of the diff)
+    cond = None
+    for c in cols:
+        eq = F.col(f"a.{c}").eqNullSafe(F.col(f"e.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = act.join(exp, on=cond, how="full_outer").select(
+        F.coalesce("__n_a", F.lit(0)).alias("na"),
+        F.coalesce("__n_e", F.lit(0)).alias("ne"),
+    ).agg(
+        F.sum(F.greatest(F.col("ne") - F.col("na"), F.lit(0)))
+        .alias("missing"),
+        F.sum(F.greatest(F.col("na") - F.col("ne"), F.lit(0)))
+        .alias("unexpected"),
+    ).first()
+    n_actual = actual.count()
+    n_expected = expected.count()
+    missing = int(joined.missing or 0)
+    unexpected = int(joined.unexpected or 0)
+    return spark.createDataFrame(
+        [(missing == 0 and unexpected == 0, n_actual, n_expected,
+          missing, unexpected)],
+        "passed boolean, n_actual bigint, n_expected bigint,"
+        " n_missing bigint, n_unexpected bigint",
+    )

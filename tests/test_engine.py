@@ -150,3 +150,51 @@ def test_model_refs_and_depends_on():
     m = Model("m", sql="SELECT * FROM {ref:a} JOIN {ref:b} USING (k)",
               config={"depends_on": ["c"]})
     assert m.refs() == {"a", "b", "c"}
+
+
+def test_unit_test_passes_and_diffs(engine):
+    from dbt_extrica_spark.plans.model import Model
+    from dbt_extrica_spark.testing import run_unit_test
+
+    model = Model(
+        "ut_margin",
+        sql="SELECT k, SUM(v) AS total FROM {ref:facts}"
+            " WHERE k IS NOT NULL GROUP BY k",
+    )
+    given = {"facts": ([{"k": "a", "v": 1}, {"k": "a", "v": 2},
+                        {"k": None, "v": 9}, {"k": "b", "v": 5}],
+                       "k string, v bigint")}
+    ok = run_unit_test(engine, model, given,
+                       ([{"k": "a", "total": 3}, {"k": "b", "total": 5}],
+                        "k string, total bigint")).first()
+    assert ok.passed and ok.n_missing == 0 and ok.n_unexpected == 0
+
+    bad = run_unit_test(engine, model, given,
+                        ([{"k": "a", "total": 3}, {"k": "b", "total": 99}],
+                         "k string, total bigint")).first()
+    assert not bad.passed
+    assert bad.n_missing == 1 and bad.n_unexpected == 1
+
+
+def test_unit_test_null_safe_compare(engine):
+    from dbt_extrica_spark.plans.model import Model
+    from dbt_extrica_spark.testing import run_unit_test
+
+    model = Model("ut_null", sql="SELECT k, v FROM {ref:t}")
+    res = run_unit_test(
+        engine, model,
+        {"t": ([{"k": None, "v": 1}], "k string, v bigint")},
+        ([{"k": None, "v": 1}], "k string, v bigint")).first()
+    assert res.passed
+
+
+def test_unit_test_unmocked_ref_raises(engine):
+    import pytest
+
+    from dbt_extrica_spark.errors import EngineError
+    from dbt_extrica_spark.plans.model import Model
+    from dbt_extrica_spark.testing import run_unit_test
+
+    model = Model("ut_missing", sql="SELECT * FROM {ref:absent}")
+    with pytest.raises((ValueError, EngineError), match="no mock"):
+        run_unit_test(engine, model, {}, ([], "x int"))
