@@ -156,7 +156,8 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
 
 def pack_documents(df: DataFrame, id_col: str, text_col: str,
                    seq_len: int = 2048,
-                   shard_col: str | None = None) -> DataFrame:
+                   shard_col: str | None = None,
+                   max_rows_unsharded: int | None = 1_000_000) -> DataFrame:
     """Sequence packing for pretraining: concatenate documents in stable
     (shard, id) order and chunk the token stream every ``seq_len`` tokens.
     Returns per document: its token count, its global token offset within
@@ -168,8 +169,21 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
     window is a single-task bottleneck, so packing is per-``shard_col``
     (source, dump, bucket...) — shards pack independently, which is also
     what a distributed tokenizer wants. ``shard_col=None`` packs globally
-    and is only for small corpora (the window warns in the plan via a
-    single partition)."""
+    through one task; ``max_rows_unsharded`` is the guardrail — an
+    unsharded call on more rows than this raises (pass a ``shard_col``,
+    or set ``max_rows_unsharded=None`` to explicitly accept the
+    single-task window). The probe is ``limit(n+1).count()`` — it
+    short-circuits, never a full scan."""
+    if shard_col is None and max_rows_unsharded is not None:
+        probe = df.select(id_col).limit(max_rows_unsharded + 1).count()
+        if probe > max_rows_unsharded:
+            raise ValueError(
+                f"pack_documents without shard_col runs the cumulative "
+                f"offset window in a SINGLE task and the input exceeds "
+                f"{max_rows_unsharded} rows. Pass shard_col= so shards "
+                f"pack independently, or set max_rows_unsharded=None to "
+                f"accept the single-task window explicitly."
+            )
     tok = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     part = [F.col(shard_col)] if shard_col else []
     w = Window.partitionBy(*part).orderBy(F.col(id_col)) \

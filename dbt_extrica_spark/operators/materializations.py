@@ -304,12 +304,18 @@ def materialize_incremental(engine: "Engine", model: "Model",
     # subsequent incremental runs re-validate the enforced contract against
     # the new batch's compiled SELECT before any write: name/type drift and
     # NULLs in not_null columns must fail the run, not land in the target.
+    # Microbatch enforces NOT NULL per batch inside _run_microbatch (dbt
+    # 1.9 runs each batch as its own statement): a NULL outside the
+    # processed period window must not fail the run, and one inside it
+    # must fail that batch before its write.
     if contract:
         assert_columns_equivalent(engine, target, sql, contract)
-        enforce_not_null(engine, sql, contract)
+        if strategy != "microbatch":
+            enforce_not_null(engine, sql, contract)
 
     if strategy == "microbatch":
-        _run_microbatch(engine, model, target, sql, config, first_run=False)
+        _run_microbatch(engine, model, target, sql, config, first_run=False,
+                        contract=contract)
         engine.apply_model_hooks_and_grants(model, target)
         return target
 
@@ -497,7 +503,11 @@ def _run_microbatch(engine: "Engine", model: "Model", target: Relation,
       day's batch rewrites one partition, not the table.
 
     Batches are independent — batch-at-a-time also bounds executor memory
-    at scale, mirroring why dbt runs them as separate statements.
+    at scale, mirroring why dbt runs them as separate statements. An
+    enforced contract's NOT NULL check runs per batch on the batch's
+    period slice (never the whole SELECT): a NULL outside the processed
+    window cannot fail the run, one inside fails exactly that batch, and
+    earlier batches of the same run stay committed.
     """
     from pyspark.sql import functions as F
 
@@ -574,6 +584,13 @@ def _run_microbatch(engine: "Engine", model: "Model", target: Relation,
         # (partitioned tables move partition columns to the end)
         table_cols = spark.table(target.render_unquoted()).columns
         for s, e in batches[1:]:
+            # per-batch contract: CTAS enforced NOT NULL on batch 0 only;
+            # every appended batch must pass the same check before write
+            if contract:
+                enforce_not_null(
+                    engine,
+                    f"SELECT * FROM ({sql}) __mb WHERE {period_sql(s, e)}",
+                    contract)
             src_df.where(F.expr(period_sql(s, e))).select(*table_cols) \
                 .write.insertInto(target.render_unquoted(), overwrite=False)
         return
@@ -608,6 +625,11 @@ def _run_microbatch(engine: "Engine", model: "Model", target: Relation,
     for s, e in batches:
         period = F.expr(period_sql(s, e))
         batch_rows = src_df.where(period).select(*dest_columns)
+        if contract:
+            enforce_not_null(
+                engine,
+                f"SELECT * FROM ({sql}) __mb WHERE {period_sql(s, e)}",
+                contract)
         attempt = 0
         while True:
             try:

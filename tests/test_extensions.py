@@ -503,6 +503,27 @@ def test_pack_documents_offsets_and_spans(spark):
     assert (out[3].first_seq, out[3].last_seq) == (1, 4)  # 15..34
 
 
+def test_pack_documents_unsharded_guardrail(spark):
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions import cleaning
+
+    df = spark.range(100).select(
+        F.col("id"), F.lit("w w w").alias("t"))
+    # above the threshold: unsharded call refuses
+    with _pytest.raises(ValueError, match="SINGLE task"):
+        cleaning.pack_documents(df, "id", "t", seq_len=8,
+                                max_rows_unsharded=50).collect()
+    # below the threshold: global packing proceeds, offsets contiguous
+    out = cleaning.pack_documents(df, "id", "t", seq_len=8,
+                                  max_rows_unsharded=200)
+    rows = sorted(out.collect(), key=lambda r: r.id)
+    assert rows[0].offset == 0 and rows[1].offset == 3
+    # explicit opt-out also proceeds
+    assert cleaning.pack_documents(
+        df, "id", "t", seq_len=8, max_rows_unsharded=None).count() == 100
+
+
 def test_mixture_sample_disjoint_and_deterministic(spark):
     from dbt_extrica_spark.extensions import cleaning
 

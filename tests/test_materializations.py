@@ -824,6 +824,57 @@ def test_microbatch_month_batches(engine):
     assert {r.k for r in engine.table("mbm").collect()} == {1, 2}
 
 
+def test_microbatch_per_batch_contract(engine):
+    """NOT NULL is enforced per batch (dbt 1.9 one-statement-per-batch):
+    a NULL in a backfill batch after the first fails the run; on
+    incremental runs a NULL OUTSIDE the processed window must NOT fail,
+    one inside the window must."""
+    contract = {"contract": {"enforced": True},
+                "contract_columns": [
+                    {"name": "et", "data_type": "timestamp"},
+                    {"name": "k", "data_type": "int",
+                     "constraints": [{"type": "not_null"}]}]}
+    cfg = {"materialized": "incremental",
+           "incremental_strategy": "microbatch",
+           "event_time": "et", "batch_size": "day", "lookback": 1,
+           "begin": "2024-03-01", **contract}
+    # first build: NULL k lands in batch 2 (Mar 2) -> CTAS of batch 1
+    # succeeds, the appended batch must still fail the contract
+    bad_backfill = ("SELECT CAST(c1 AS TIMESTAMP) AS et, c2 AS k FROM VALUES"
+                    " ('2024-03-01 10:00:00', 1),"
+                    " ('2024-03-02 10:00:00', CAST(NULL AS INT)) AS t(c1, c2)")
+    with pytest.raises(DatabaseError, match="NOT NULL"):
+        engine.materialize(Model("mbc", sql=bad_backfill, config=cfg))
+    engine.catalog.drop_relation(
+        engine.catalog.get_relation(engine.relation("mbc")))
+
+    ok = ("SELECT CAST(c1 AS TIMESTAMP) AS et, c2 AS k FROM VALUES"
+          " ('2024-03-01 10:00:00', 1), ('2024-03-02 10:00:00', 2),"
+          " ('2024-03-03 10:00:00', 3) AS t(c1, c2)")
+    engine.materialize(Model("mbc", sql=ok, config=cfg))
+    # incremental run reprocesses Mar2 onward (lookback 1 from max=Mar3).
+    # A NULL on Mar1 is OUTSIDE the window -> run succeeds, Mar1 keeps
+    # its original row (never rewritten).
+    null_outside = (
+        "SELECT CAST(c1 AS TIMESTAMP) AS et, c2 AS k FROM VALUES"
+        " ('2024-03-01 10:00:00', CAST(NULL AS INT)),"
+        " ('2024-03-02 10:00:00', 20), ('2024-03-03 10:00:00', 30)"
+        " AS t(c1, c2)")
+    engine.materialize(Model("mbc", sql=null_outside, config=cfg))
+    rows = {r.k for r in engine.table("mbc").collect()}
+    assert rows == {1, 20, 30}
+    # a NULL INSIDE the window fails that batch before its write; batches
+    # are independent statements (dbt 1.9), so the earlier Mar2 batch has
+    # already committed and the failing Mar3 batch's period is untouched
+    null_inside = (
+        "SELECT CAST(c1 AS TIMESTAMP) AS et, c2 AS k FROM VALUES"
+        " ('2024-03-02 10:00:00', 21),"
+        " ('2024-03-03 10:00:00', CAST(NULL AS INT)) AS t(c1, c2)")
+    with pytest.raises(DatabaseError, match="NOT NULL"):
+        engine.materialize(Model("mbc", sql=null_inside, config=cfg))
+    assert {r.k for r in engine.table("mbc").collect()} == {1, 21, 30}
+
+
 def test_microbatch_per_batch_retry(engine, monkeypatch):
     """A transiently-failing batch write succeeds on retry
     (batch_retries=1); with batch_retries=0 the same failure propagates."""
