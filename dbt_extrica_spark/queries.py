@@ -2914,6 +2914,34 @@ def dq_unit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# streaming dedup reduces to batch dropDuplicates under availableNow with
+# the whole file in one batch; aggregating the survivor count per type
+# makes the (otherwise arbitrary-row) result deterministic and SQL-checkable
+_STREAM_DEDUP_DUCK = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@q("streaming_dedup", _STREAM_DEDUP_DUCK)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (dropDuplicatesWithinWatermark) run as an availableNow catch-up batch;
+    survivors are unique (user_id, event_type), so the per-type count
+    equals batch COUNT(DISTINCT user_id)."""
+    from .streaming import (
+        dedup_within_watermark, read_event_stream, run_available_now,
+    )
+
+    stream = read_event_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts")
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"], "ts", "1 hour")
+    batch = run_available_now(deduped, "append")
+    return batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02 both contain

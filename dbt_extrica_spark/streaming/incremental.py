@@ -79,6 +79,27 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     return result.sparkSession.table(name)
 
 
+def dedup_within_watermark(stream: DataFrame, keys: list[str],
+                           watermark_col: str = "ts",
+                           delay: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication with bounded state
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+): a row whose ``keys``
+    were already seen within ``delay`` of event time is dropped; the
+    first-seen row is emitted.
+
+    The streaming analog of extensions.dedup.exact_dedup. State per key is
+    evicted once the watermark passes its event time + ``delay``, so state
+    size is bounded by (key arrival rate x delay window) — NOT by corpus
+    size, which is what makes it runnable forever on a live ingest. Plain
+    ``dropDuplicates`` on a stream keeps every key in state unboundedly;
+    this is the guardrailed form. Under ``trigger(availableNow)`` with all
+    input in one batch it reduces to batch ``dropDuplicates(keys)``."""
+    return (
+        stream.withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
 def streaming_incremental_merge(
     engine,
     stream: DataFrame,

@@ -204,3 +204,65 @@ def test_stateful_sessionizer_timeout_flushes_idle_session(spark, tmp_path):
     assert r.user_id == 7 and r.n_events == 2
     assert str(r.session_start).startswith("2024-01-01 00:00:00")
     assert str(r.session_end).startswith("2024-01-01 00:00:01")
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics across micro-batches: a
+    duplicate key arriving within the delay of its first occurrence is
+    dropped; once the watermark passes first-seen + delay the key's state
+    is EVICTED, so a much-later recurrence is re-emitted — bounded state
+    is the whole point vs plain dropDuplicates."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.streaming import dedup_within_watermark
+
+    sch = "ts timestamp, k string"
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    stage = tmp_path / "stage"
+
+    def add_file(idx: int, rows: list[tuple[str, str]]) -> None:
+        df = spark.createDataFrame(rows, "ts string, k string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "k")
+        out = str(stage / f"b{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+        dst = stream_dir / f"f{idx}.parquet"
+        shutil.copyfile(os.path.join(out, part), dst)
+        os.utime(dst, (1700000000 + idx, 1700000000 + idx))
+
+    batches = [
+        [("2024-01-01 10:00:00", "A")],                          # emit A
+        # dup A within 30 min -> dropped; B advances wm to 11:30,
+        # evicting A's state (expires 10:30)
+        [("2024-01-01 10:10:00", "A"), ("2024-01-01 12:00:00", "B")],
+        [("2024-01-01 12:10:00", "A")],  # state evicted -> re-emitted
+    ]
+    per_run: list[set] = []
+    for i, rows in enumerate(batches, start=1):
+        add_file(i, rows)
+        stream = (
+            spark.readStream.schema(sch).format("parquet")
+            .load(str(stream_dir))
+        )
+        deduped = dedup_within_watermark(stream, ["k"], "ts", "30 minutes")
+        sink: list = []
+
+        def collect(batch_df, _bid, _sink=sink):
+            _sink.extend(batch_df.collect())
+
+        q = (
+            deduped.writeStream.foreachBatch(collect)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        per_run.append({(str(r.ts), r.k) for r in sink})
+
+    assert per_run[0] == {("2024-01-01 10:00:00", "A")}
+    assert per_run[1] == {("2024-01-01 12:00:00", "B")}  # dup A dropped
+    assert per_run[2] == {("2024-01-01 12:10:00", "A")}  # re-emitted
