@@ -2942,6 +2942,63 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"))
 
 
+# dbt build orchestration is fully deterministic on a fixed project, so
+# the oracle is the expected report itself (statuses only — error details
+# carry engine-specific text)
+_PROJECT_BUILD_DUCK = """
+SELECT * FROM (VALUES
+  ('seed', 'bb_seed', 'success'),
+  ('model', 'bb_base', 'success'),
+  ('test', 'unique:k', 'error'),
+  ('test', 'not_null:v', 'warn'),
+  ('model', 'bb_down', 'skip'),
+  ('model', 'bb_ok', 'success'),
+  ('test', 'not_null:one', 'pass'),
+  ('snapshot', 'bb_snap', 'success')
+) AS t(node_type, name, status)
+"""
+
+
+@q("project_build", _PROJECT_BUILD_DUCK)
+def project_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dbt build` analog: seed -> models with attached tests -> snapshot
+    in one DAG-ordered invocation; an error-severity test failure skips
+    its downstream model, a warn does not gate."""
+    from .plans.model import Model, Project
+    from .plans.runner import build_project
+
+    eng = _engine(spark, sf_dir, "bb_seed", "bb_base", "bb_down", "bb_ok",
+                  "bb_snap")
+    models = [
+        Model("bb_base", sql="SELECT k, v FROM {ref:bb_seed}",
+              config={"materialized": "table",
+                      "tests": [{"check": "unique", "column": "k"},
+                                {"check": "not_null", "column": "v",
+                                 "severity": "warn"}]}),
+        Model("bb_down", sql="SELECT COUNT(*) AS n FROM {ref:bb_base}",
+              config={"materialized": "table"}),
+        Model("bb_ok", sql="SELECT 1 AS one",
+              config={"materialized": "table",
+                      "tests": [{"check": "not_null", "column": "one"}]}),
+    ]
+    seeds = [{"name": "bb_seed", "csv_text": "k,v\n1,10\n1,20\n2,"}]
+    snapshots = [{"name": "bb_snap", "unique_key": "one",
+                  "source_sql": "SELECT one, TIMESTAMP '2024-01-01' AS u"
+                                " FROM {ref:bb_ok}",
+                  "updated_at": "u"}]
+    report = build_project(eng, Project(models), seeds=seeds,
+                           snapshots=snapshots, threads=2)
+    # strip the engine-unique schema prefix from test names so the report
+    # is engine-independent; keep report (file) order via a literal index
+    return report.select(
+        "node_type",
+        F.when(F.col("node_type") == "test",
+               F.regexp_replace("name", r"^([a-z_]+):.*\.", "$1:"))
+        .otherwise(F.col("name")).alias("name"),
+        "status",
+    )
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02 both contain

@@ -260,6 +260,59 @@ def test_project_runner(engine):
     assert set(results) == {"base_m", "dep_m", "other_m"}
 
 
+def test_build_project_orders_and_gates(engine):
+    """dbt build semantics: seed -> models (+ attached tests) -> snapshot;
+    an error-severity test failure skips every transitive downstream model
+    and dependent snapshot; a warn-severity failure gates nothing."""
+    from dbt_extrica_spark.plans.model import Project
+    from dbt_extrica_spark.plans.runner import build_project
+
+    models = [
+        Model("b_base", config={"materialized": "table",
+                                "tests": [{"check": "unique", "column": "k"},
+                                          {"check": "not_null",
+                                           "column": "v",
+                                           "severity": "warn"}]},
+              sql="SELECT k, v FROM {ref:b_seed}"),
+        # b_base's unique test FAILS (seed has dup k) -> b_mid and b_leaf
+        # skipped transitively; b_other is independent -> runs
+        Model("b_mid", sql="SELECT COUNT(*) AS n FROM {ref:b_base}",
+              config={"materialized": "table"}),
+        Model("b_leaf", sql="SELECT n + 1 AS n2 FROM {ref:b_mid}",
+              config={"materialized": "view"}),
+        Model("b_other", sql="SELECT 1 AS one",
+              config={"materialized": "table"}),
+    ]
+    seeds = [{"name": "b_seed",
+              "csv_text": "k,v\n1,10\n1,20\n2,"}]  # dup k=1, NULL v
+    snapshots = [
+        {"name": "b_snap_gated", "unique_key": "k",
+         "source_sql": "SELECT k, v, TIMESTAMP '2024-01-01' AS u"
+                       " FROM {ref:b_base}",
+         "updated_at": "u"},
+        {"name": "b_snap_ok", "unique_key": "one",
+         "source_sql": "SELECT one, TIMESTAMP '2024-01-01' AS u"
+                       " FROM {ref:b_other}",
+         "updated_at": "u"},
+    ]
+    report = build_project(engine, Project(models), seeds=seeds,
+                           snapshots=snapshots, threads=2)
+    got = {(r.node_type, r.name): r.status for r in report.collect()}
+    assert got[("seed", "b_seed")] == "success"
+    assert got[("model", "b_base")] == "success"
+    tbl = engine.relation("b_base").render_unquoted()
+    assert got[("test", f"unique:{tbl}.k")] == "error"
+    assert got[("test", f"not_null:{tbl}.v")] == "warn"
+    assert got[("model", "b_mid")] == "skip"
+    assert got[("model", "b_leaf")] == "skip"   # transitive
+    assert got[("model", "b_other")] == "success"
+    assert got[("snapshot", "b_snap_gated")] == "skip"
+    assert got[("snapshot", "b_snap_ok")] == "success"
+    # gated nodes never materialized; passing branch did
+    assert engine.catalog.get_relation(engine.relation("b_mid")) is None
+    assert engine.table("b_snap_ok").count() == 1
+
+
 def test_table_file_format_and_properties(engine):
     engine.materialize(Model(
         "fmt_t", sql="SELECT 1 AS a, 'x' AS b",
