@@ -206,6 +206,99 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 20, min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated-span accounting — the signal behind exact
+    substring deduplication (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): a word ``n``-gram occurring in >=
+    ``min_docs`` DISTINCT documents marks the token span [pos, pos+n) as
+    duplicated in every document carrying it. Returns per document:
+    (id, n_tokens, n_dup_grams, dup_token_frac) where ``dup_token_frac``
+    is the fraction of token positions covered by the UNION of duplicated
+    spans — the number an exact-substring-dedup pass would remove.
+
+    Scale shape: one posexplode scan of positional grams keyed on
+    md5(gram) (fixed-width, engine-portable — the dedup set is identical
+    in any engine, unlike xxhash64), one document-frequency aggregation on
+    the gram key (corpus-cardinality, partial/final), one join back, and
+    the span-union length per doc via the classic merged-intervals window
+    (sum of least(n, pos - lag(pos))) — NO position explosion: cost is
+    O(tokens), never O(n x tokens)."""
+    toks = f"split(trim(lower(`{text_col}`)), '\\\\s+')"
+    grams = (
+        f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+        f" i -> md5(array_join(slice({toks}, i, {n}), ' ')))"
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.expr(toks)).alias("n_tokens"),
+        F.posexplode(F.expr(grams)).alias("pos", "h"),
+    )
+    shared = (
+        base.groupBy("h")
+        .agg(F.countDistinct("__id").alias("df_docs"))
+        .where(F.col("df_docs") >= min_docs)
+        .select("h")
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    per_doc = (
+        base.join(shared, on="h")
+        # a doc can carry the same shared gram at several positions; each
+        # position is its own span start
+        .withColumn("gap", F.col("pos") - F.lag("pos").over(w))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+            F.sum(F.least(F.lit(n), F.coalesce("gap", F.lit(n))))
+            .cast("bigint").alias("covered"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"),
+                  F.size(F.expr(toks)).alias("n_tokens"))
+        .join(per_doc, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint")
+            .alias("n_dup_grams"),
+            (F.least(F.coalesce("covered", F.lit(0)),
+                     F.col("n_tokens").cast("bigint")).cast("double")
+             / F.col("n_tokens")).alias("dup_token_frac"),
+        )
+    )
+
+
+def alpha_mixture_weights(df: DataFrame, source_col: str,
+                          alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled source-mixture weights (the alpha-sampling rule
+    of multilingual pretraining mixes, e.g. mC4 / XLM-R): target sampling
+    distribution q_s ∝ p_s^alpha, realized as per-source Bernoulli keep
+    rates normalized so the largest rate is 1.0 (keep as much data as the
+    mixture allows): rate_s = p_s^(alpha-1) / max_t p_t^(alpha-1).
+
+    alpha < 1 flattens the mix (upweights rare sources by downsampling
+    dominant ones); alpha = 1 keeps everything. Feed the rates straight
+    into :func:`mixture_sample`. One aggregation on the source key plus a
+    single-row window over the per-source table (source cardinality is
+    tiny — this is a driver-scale result describing a corpus-scale plan).
+
+    ``rate`` is rounded to 9 decimals: pow() is not guaranteed bit-identical
+    across engines, and a mixture rate is a sampling knob, not a measure."""
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = Window.partitionBy()
+    scored = counts.withColumn(
+        "p", F.col("n_docs") / F.sum("n_docs").over(tot)
+    ).withColumn("w", F.pow(F.col("p"), F.lit(alpha - 1.0)))
+    return (
+        scored.withColumn("rate", F.round(
+            F.col("w") / F.max("w").over(tot), 9))
+        .select("source", "n_docs",
+                F.round("p", 9).alias("p"), "rate")
+    )
+
+
 def mixture_sample(df: DataFrame, id_col: str, source_col: str,
                    weights: dict[str, float], salt: str = "") -> DataFrame:
     """Source-mixture downsampling: keep each source at the rate given in

@@ -348,6 +348,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = False,
+    hashed_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for every pair sharing at least
     one n-gram. Two exact strategies, chosen by corpus shape:
@@ -375,8 +376,20 @@ def ngram_jaccard_pairs(
     persisted intermediates — the exploded gram rows, orders of magnitude
     larger than the pair output — can be unpersisted before returning;
     repeated calls in a long-lived session don't accumulate cached blocks.
+
+    ``hashed_grams`` (one-pass path only): optional precomputed
+    (``id``, ``n_g``, ``gh: array<bigint>``) — xxhash64-hashed DISTINCT
+    n-gram arrays, e.g. computed alongside other per-doc features in a
+    single scan (see pipeline.clean_corpus). Skips this function's own
+    scan+shingle for the candidate join; the exact confirmation of passing
+    pairs still reads ``df`` for the true gram sets, so results are
+    identical. Hashed (int64) arrays are the right thing to persist —
+    columnar-caching the string gram arrays measured ~2.5s of pure
+    cache-build at sf0.1.
     """
     t = float(threshold)
+    if hashed_grams is not None and prefix_filter:
+        raise ValueError("hashed_grams applies to the one-pass path only")
     # spread BEFORE the shingle projection: a projection placed under the
     # repartition exchange executes on the (possibly single) input split,
     # serializing the expensive per-row compute (measured 9x on sf0.1)
@@ -405,10 +418,15 @@ def ngram_jaccard_pairs(
         # columnar-caching the string arrays measured ~2.5s of pure
         # cache-build at sf0.1, and without a persist the self-join would
         # recompute the shingling for each side.
-        exploded = grams.select(
-            "id", "n_g",
-            F.explode(F.expr("transform(g, x -> xxhash64(x))")).alias("h"),
-        ).persist()
+        if hashed_grams is not None:
+            exploded = hashed_grams.select(
+                F.col("id"), F.col("n_g"), F.explode("gh").alias("h"),
+            ).persist()
+        else:
+            exploded = grams.select(
+                "id", "n_g",
+                F.explode(F.expr("transform(g, x -> xxhash64(x))")).alias("h"),
+            ).persist()
         a, b = exploded.alias("a"), exploded.alias("b")
         shared = (
             a.join(b, on=[F.col("a.h") == F.col("b.h"),

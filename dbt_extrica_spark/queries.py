@@ -2999,6 +2999,83 @@ def project_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# repeated-span accounting: the dedup set keys on md5(gram), identical in
+# both engines; the span-union length is the merged-intervals window sum
+_DUP_SPANS_DUCK = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, len(t) AS n_tokens, i AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM base,
+       LATERAL UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+), shared AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT g.doc_id, g.pos FROM g JOIN shared USING (h)
+), gapped AS (
+  SELECT doc_id,
+         LEAST(8, COALESCE(pos - LAG(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos), 8)) AS contrib
+  FROM dup
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams, SUM(contrib) AS covered
+  FROM gapped GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS INT) AS n_tokens,
+       CAST(COALESCE(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(LEAST(COALESCE(a.covered, 0), b.n_tokens) AS DOUBLE)
+         / b.n_tokens AS dup_token_frac
+FROM (SELECT doc_id, len(t) AS n_tokens FROM base) b
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@q("text_dup_spans", _DUP_SPANS_DUCK)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span accounting (exact-substring-dedup
+    signal, Lee et al. 2022): per-doc duplicated-gram count and the
+    fraction of tokens covered by the union of duplicated spans."""
+    from .extensions import cleaning
+
+    _views(spark, sf_dir)
+    return cleaning.duplicated_spans(
+        spark.table("documents"), "doc_id", "text", n=8, min_docs=2)
+
+
+# alpha-sampling (temperature) mixture weights; both sides round to 9
+# decimals since pow() is not guaranteed bit-identical across engines
+_ALPHA_MIX_DUCK = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS p
+  FROM c
+), w AS (
+  SELECT source, n_docs, p, POWER(p, -0.5) AS w FROM s
+)
+SELECT source, n_docs, ROUND(p, 9) AS p,
+       ROUND(w / MAX(w) OVER (), 9) AS rate
+FROM w
+"""
+
+
+@q("sample_alpha_mixture", _ALPHA_MIX_DUCK)
+def sample_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source-mixture keep rates, the
+    XLM-R/mC4 alpha-sampling rule realized as deterministic Bernoulli
+    rates for mixture_sample."""
+    from .extensions import cleaning
+
+    _views(spark, sf_dir)
+    return cleaning.alpha_mixture_weights(
+        spark.table("documents"), "source", alpha=0.5)
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02 both contain

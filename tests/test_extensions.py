@@ -89,6 +89,25 @@ def test_ngram_jaccard_prefix_filter_equivalence(spark):
         assert base == pf, f"threshold {t}: strategies disagree"
 
 
+def test_ngram_jaccard_hashed_grams_equivalence(spark):
+    # the precomputed-hashed-grams path (clean_corpus fusion) must return
+    # the exact same pair set as the self-contained one-pass path
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pre = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(dedup.word_ngrams("text", 3),
+                    lambda x: F.xxhash64(x)).alias("gh"),
+    ).withColumn("n_g", F.size("gh"))
+    for t in (0.2, 0.5):
+        base = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in
+                dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, t)
+                .collect()}
+        fused = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in
+                 dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, t,
+                                           hashed_grams=pre).collect()}
+        assert base == fused, f"threshold {t}: hashed_grams path disagrees"
+
+
 def test_ivf_matches_bruteforce_top1(spark):
     from dbt_extrica_spark.sources.registry import register_sources
 
@@ -541,3 +560,44 @@ def test_mixture_sample_disjoint_and_deterministic(spark):
         docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5})
     assert {r.doc_id for r in again.collect()} == \
         {r.doc_id for r in mixed.collect()}
+
+
+def test_duplicated_spans_union_and_overlap(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"),          # shares 'a b c' with doc 2
+         (2, "x a b c y"),
+         (3, "q w e r t"),          # nothing shared
+         # 4 and 5 share overlapping grams; doc 4's span union covers all
+         # 8 tokens (merged intervals, not 4 x 3); disjoint vocabulary
+         # from docs 1-2 so the two dup groups don't cross-contaminate
+         (4, "p q r s p q r s"),
+         (5, "p q r s z z z z")],
+        "id bigint, t string")
+    out = {r.id: r for r in
+           cleaning.duplicated_spans(df, "id", "t", n=3, min_docs=2)
+           .collect()}
+    assert out[1].n_dup_grams == 1 and out[1].dup_token_frac == 3 / 5
+    assert out[2].dup_token_frac == 3 / 5
+    assert out[3].n_dup_grams == 0 and out[3].dup_token_frac == 0.0
+    assert out[4].n_dup_grams == 4 and out[4].dup_token_frac == 1.0
+    assert out[5].n_dup_grams == 2   # 'a b c' + 'b c d'
+    assert out[5].dup_token_frac == 4 / 8
+
+
+def test_alpha_mixture_weights(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    rows = [(i, "a") for i in range(9)] + [(99, "b")]
+    df = spark.createDataFrame(rows, "id bigint, src string")
+    out = {r.source: r for r in
+           cleaning.alpha_mixture_weights(df, "src", alpha=0.5).collect()}
+    # rare source keeps everything; dominant source downsampled to
+    # sqrt(p_b/p_a) = sqrt(1/9) = 1/3
+    assert out["b"].rate == 1.0
+    assert abs(out["a"].rate - 1 / 3) < 1e-8
+    # alpha=1: mixture untouched, every rate 1.0
+    flat = {r.source: r.rate for r in
+            cleaning.alpha_mixture_weights(df, "src", alpha=1.0).collect()}
+    assert flat == {"a": 1.0, "b": 1.0}
