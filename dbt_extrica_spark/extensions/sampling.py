@@ -83,6 +83,39 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
     return df.withColumn(split_col, expr)
 
 
+def shuffle_assignment(df: DataFrame, id_col: str, n_shards: int,
+                       salt: str = "") -> DataFrame:
+    """Deterministic global reshuffle for training-data writes: assign
+    every row a shard in [0, n_shards) and a dense position within the
+    shard, both pure functions of md5(salt || id) — the write order a
+    pretraining run reads is then reproducible on any engine, at any
+    parallelism, across dataset versions (re-salting gives an independent
+    permutation of the SAME corpus).
+
+    Scale shape: the shard is a per-row expression next to the scan; the
+    in-shard position is one row_number window per shard — n_shards
+    independent tasks, each sorting corpus/n_shards rows (pick n_shards ~
+    cluster cores x small constant). No global single-task ordering
+    anywhere. Writers then ``repartitionByRange(shard, shard_pos)`` or
+    ``partitionBy(shard)`` and emit files whose order is the permutation.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # first 8 hex chars -> int; conv() is exact for 32-bit values (no
+    # 64-bit signed-overflow hazard), modulo spreads uniformly
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+             % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("shard_pos",
+                    (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__h")
+    )
+
+
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
                       n_per_stratum: int, salt: str = "") -> DataFrame:
     """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is

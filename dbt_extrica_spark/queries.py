@@ -3076,6 +3076,79 @@ def sample_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"), "source", alpha=0.5)
 
 
+# deterministic shuffle-shard assignment: shard from hex-int of the md5
+# prefix (conv in Spark, '0x' cast in DuckDB), position by hash order
+_SHUFFLE_DUCK = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8
+         ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
+FROM h
+"""
+
+
+@q("sample_shuffle_shards", _SHUFFLE_DUCK)
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global reshuffle: md5-derived shard + dense in-shard
+    position — the reproducible write order a pretraining data build
+    needs, with no global single-task sort."""
+    from .extensions import sampling
+
+    _views(spark, sf_dir)
+    return sampling.shuffle_assignment(
+        spark.table("documents"), "doc_id", n_shards=8
+    ).select("doc_id", "shard", "shard_pos")
+
+
+# source freshness: three threshold configs over one pinned clock exercise
+# error / warn / pass in a single deterministic report
+_FRESHNESS_DUCK = """
+WITH a AS (
+  SELECT max(ts) AS max_loaded_at,
+         CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+               - epoch_us(max(ts))) / 6e7 AS DOUBLE) AS age_minutes
+  FROM events
+)
+SELECT 'events' AS source_table, max_loaded_at, age_minutes,
+       CASE WHEN max_loaded_at IS NULL THEN 'error'
+            WHEN age_minutes > 1440 THEN 'error'
+            WHEN age_minutes > 60 THEN 'warn' ELSE 'pass' END AS status
+FROM a
+UNION ALL
+SELECT 'events', max_loaded_at, age_minutes,
+       CASE WHEN max_loaded_at IS NULL THEN 'error'
+            WHEN age_minutes > 100000 THEN 'error'
+            WHEN age_minutes > 1440 THEN 'warn' ELSE 'pass' END
+FROM a
+UNION ALL
+SELECT 'events', max_loaded_at, age_minutes,
+       CASE WHEN max_loaded_at IS NULL THEN 'error' ELSE 'pass' END
+FROM a
+"""
+
+
+@q("dq_source_freshness", _FRESHNESS_DUCK)
+def dq_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt source-freshness surface: newest-row age vs warn/error
+    thresholds under a pinned clock; one report row per config."""
+    from . import testing as testing_mod
+
+    _views(spark, sf_dir)
+    now = "2024-02-01 00:00:00"
+    a = testing_mod.source_freshness(spark, "events", "ts",
+                                     warn_after_minutes=60,
+                                     error_after_minutes=1440, now=now)
+    b = testing_mod.source_freshness(spark, "events", "ts",
+                                     warn_after_minutes=1440,
+                                     error_after_minutes=100000, now=now)
+    c = testing_mod.source_freshness(spark, "events", "ts", now=now)
+    return a.unionByName(b).unionByName(c)
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02 both contain

@@ -140,6 +140,40 @@ def run_checks(spark: SparkSession, checks: list[dict],
     )
 
 
+def source_freshness(spark: SparkSession, table: str, loaded_at_field: str,
+                     warn_after_minutes: float | None = None,
+                     error_after_minutes: float | None = None,
+                     now: str | None = None) -> DataFrame:
+    """`dbt source freshness` analog: age of the newest row vs warn/error
+    thresholds (dbt's ``loaded_at_field`` + ``freshness: warn_after /
+    error_after`` config, inherited untouched by the reference adapter).
+
+    ``now`` pins the evaluation clock (ISO timestamp) for deterministic
+    runs/tests; default is the wall clock like dbt's. Age is computed in
+    microseconds and reported in minutes (double). An empty source (NULL
+    max) is an error, matching dbt's runtime-error result. One MAX
+    aggregation — at 100 TB this is a metadata-cheap partial/final agg,
+    and a partition filter on recent data can bound it further."""
+    now_expr = (F.expr(f"TIMESTAMP '{now}'") if now
+                else F.current_timestamp())
+    agg = spark.table(table).agg(
+        F.max(F.col(loaded_at_field)).alias("max_loaded_at"))
+    age = ((F.unix_micros(now_expr)
+            - F.unix_micros(F.col("max_loaded_at"))) / 6e7)
+    status = F.when(F.col("max_loaded_at").isNull(), F.lit("error"))
+    if error_after_minutes is not None:
+        status = status.when(age > float(error_after_minutes),
+                             F.lit("error"))
+    if warn_after_minutes is not None:
+        status = status.when(age > float(warn_after_minutes), F.lit("warn"))
+    return agg.select(
+        F.lit(table).alias("source_table"),
+        F.col("max_loaded_at"),
+        age.cast("double").alias("age_minutes"),
+        status.otherwise(F.lit("pass")).alias("status"),
+    )
+
+
 def run_unit_test(
     engine,
     model,

@@ -601,3 +601,54 @@ def test_alpha_mixture_weights(spark):
     flat = {r.source: r.rate for r in
             cleaning.alpha_mixture_weights(df, "src", alpha=1.0).collect()}
     assert flat == {"a": 1.0, "b": 1.0}
+
+
+def test_shuffle_assignment_dense_and_deterministic(spark):
+    from dbt_extrica_spark.extensions import sampling
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    out = sampling.shuffle_assignment(df, "k", n_shards=4)
+    rows = out.collect()
+    assert {r.shard for r in rows} == {0, 1, 2, 3}
+    # positions are dense 0..n-1 within every shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {shard} not dense"
+    # deterministic across invocations; a salt gives a different permutation
+    again = {(r.k, r.shard, r.shard_pos) for r in
+             sampling.shuffle_assignment(df, "k", n_shards=4).collect()}
+    assert again == {(r.k, r.shard, r.shard_pos) for r in rows}
+    salted = {(r.k, r.shard, r.shard_pos) for r in
+              sampling.shuffle_assignment(df, "k", 4, salt="v2").collect()}
+    assert salted != again
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.shuffle_assignment(df, "k", 0)
+
+
+def test_source_freshness_thresholds_and_empty(spark):
+    from dbt_extrica_spark import testing
+
+    spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS lt") \
+        .createOrReplaceTempView("fresh_src")
+    r = testing.source_freshness(spark, "fresh_src", "lt",
+                                 warn_after_minutes=30,
+                                 error_after_minutes=120,
+                                 now="2024-01-01 01:00:00").first()
+    assert r.status == "warn" and r.age_minutes == 60.0
+    r = testing.source_freshness(spark, "fresh_src", "lt",
+                                 warn_after_minutes=30,
+                                 error_after_minutes=45,
+                                 now="2024-01-01 01:00:00").first()
+    assert r.status == "error"
+    r = testing.source_freshness(spark, "fresh_src", "lt",
+                                 now="2024-01-01 01:00:00").first()
+    assert r.status == "pass"
+    # empty source: NULL max -> error (dbt runtime-error analog)
+    spark.sql("SELECT TIMESTAMP '2024-01-01' AS lt WHERE 1=0") \
+        .createOrReplaceTempView("empty_src")
+    r = testing.source_freshness(spark, "empty_src", "lt",
+                                 now="2024-01-01 01:00:00").first()
+    assert r.status == "error" and r.max_loaded_at is None
