@@ -72,6 +72,53 @@ class Project:
                 return m
         raise KeyError(name)
 
+    def select_nodes(self, select: list[str] | str | None = None,
+                     exclude: list[str] | str | None = None) -> set[str]:
+        """dbt node-selection syntax over the model graph: ``name`` (just
+        the node), ``+name`` (node plus all ancestors), ``name+`` (node
+        plus all descendants), ``+name+`` (both). ``select`` specs union;
+        ``exclude`` specs are then removed (dbt --select/--exclude
+        semantics). ``select=None`` starts from every model."""
+        names = {m.name for m in self.models}
+        deps = {m.name: (m.refs() & names) for m in self.models}
+        children: dict[str, set[str]] = {n: set() for n in names}
+        for n, ds in deps.items():
+            for d in ds:
+                children[d].add(n)
+
+        def closure(start: str, edges: dict[str, set[str]]) -> set[str]:
+            out, frontier = set(), [start]
+            while frontier:
+                cur = frontier.pop()
+                for nxt in edges[cur]:
+                    if nxt not in out:
+                        out.add(nxt)
+                        frontier.append(nxt)
+            return out
+
+        def expand(spec: str) -> set[str]:
+            name = spec.strip("+")
+            if name not in names:
+                raise KeyError(f"unknown model in selector: {name!r}")
+            out = {name}
+            if spec.startswith("+"):
+                out |= closure(name, deps)        # ancestors
+            if spec.endswith("+"):
+                out |= closure(name, children)    # descendants
+            return out
+
+        def specs(arg) -> list[str]:
+            if arg is None:
+                return []
+            return [arg] if isinstance(arg, str) else list(arg)
+
+        selected = set(names) if select is None else set()
+        for spec in specs(select):
+            selected |= expand(spec)
+        for spec in specs(exclude):
+            selected -= expand(spec)
+        return selected
+
     def topo_order(self) -> list[list[str]]:
         """Kahn's algorithm -> list of parallel-executable levels."""
         names = {m.name for m in self.models}

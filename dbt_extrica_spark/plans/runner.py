@@ -20,8 +20,16 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def run_project(engine: "Engine", project: "Project", threads: int = 4,
-                full_refresh: bool = False) -> dict[str, Relation]:
-    """Execute every model, level-parallel per the dependency DAG."""
+                full_refresh: bool = False,
+                select: list[str] | str | None = None,
+                exclude: list[str] | str | None = None
+                ) -> dict[str, Relation]:
+    """Execute every selected model, level-parallel per the dependency DAG.
+    ``select``/``exclude`` take dbt node-selection specs (``name``,
+    ``+name``, ``name+`` — Project.select_nodes); an unselected upstream
+    is NOT rebuilt — refs resolve to its existing relation, exactly like
+    ``dbt run --select``."""
+    chosen = project.select_nodes(select, exclude)
     results: dict[str, Relation] = {}
 
     def _run(name: str) -> tuple[str, Relation]:
@@ -37,6 +45,7 @@ def run_project(engine: "Engine", project: "Project", threads: int = 4,
             sc.setLocalProperty("spark.scheduler.pool", None)
 
     for level in project.topo_order():
+        level = [n for n in level if n in chosen]
         if len(level) == 1 or threads <= 1:
             for name in level:
                 n, rel = _run(name)
@@ -52,7 +61,9 @@ def build_project(engine: "Engine", project: "Project",
                   seeds: list[dict] | None = None,
                   snapshots: list[dict] | None = None,
                   threads: int = 4,
-                  full_refresh: bool = False):
+                  full_refresh: bool = False,
+                  select: list[str] | str | None = None,
+                  exclude: list[str] | str | None = None):
     """``dbt build``-style orchestrator: seeds, then models in DAG order
     with each model's attached tests run immediately after it, then
     snapshots — one invocation, one report.
@@ -67,7 +78,11 @@ def build_project(engine: "Engine", project: "Project",
       model is SKIPPED, as is any snapshot depending on it;
     - seeds run first (models may ``{ref:...}`` them), snapshots last
       (their ``source_sql`` may ``{ref:...}`` models; refs are resolved
-      and count as dependencies, plus an explicit ``depends_on`` list).
+      and count as dependencies, plus an explicit ``depends_on`` list);
+    - ``select``/``exclude`` (dbt node-selection specs, models only)
+      restrict which models build; unselected models neither run nor
+      appear in the report, and a snapshot depending on an unselected but
+      previously-built model still runs against its existing relation.
 
     Returns a report DataFrame (node_type, name, status, detail): statuses
     ``success`` / ``error`` / ``skip`` for build nodes, ``pass`` / ``warn``
@@ -82,6 +97,7 @@ def build_project(engine: "Engine", project: "Project",
 
     rows: list[tuple] = []
     failed: set[str] = set()  # nodes whose build or error-severity test failed
+    chosen = project.select_nodes(select, exclude)
     model_names = {m.name for m in project.models}
     deps = {m.name: (m.refs() & model_names) for m in project.models}
 
@@ -105,6 +121,8 @@ def build_project(engine: "Engine", project: "Project",
     for level in project.topo_order():
         runnable = []
         for name in level:
+            if name not in chosen:
+                continue
             if deps[name] & failed:
                 rows.append(("model", name, "skip",
                              "upstream failed: %s"

@@ -1032,3 +1032,49 @@ def test_data_test_store_failures(engine):
     assert out.status == "error" and out.failures_table
     stored = engine.table(out.failures_table).collect()
     assert [(r.k, r.n_records) for r in stored] == [(7, 2)]
+
+
+def test_run_project_with_selection(engine):
+    from dbt_extrica_spark.plans.model import Project
+    from dbt_extrica_spark.plans.runner import run_project
+
+    models = [
+        Model("sel_a", sql="SELECT 1 AS x", config={"materialized": "table"}),
+        Model("sel_b", sql="SELECT x + 1 AS y FROM {ref:sel_a}",
+              config={"materialized": "table"}),
+        Model("sel_c", sql="SELECT 9 AS z", config={"materialized": "table"}),
+    ]
+    p = Project(models)
+    # build only the +sel_b chain; sel_c must not materialize
+    results = run_project(engine, p, select="+sel_b")
+    assert set(results) == {"sel_a", "sel_b"}
+    assert engine.catalog.get_relation(engine.relation("sel_c")) is None
+    # rerun just sel_b against the EXISTING sel_a (unselected upstream
+    # is not rebuilt — dbt run --select semantics)
+    results = run_project(engine, p, select="sel_b")
+    assert set(results) == {"sel_b"}
+    assert engine.table("sel_b").collect()[0].y == 2
+
+
+def test_select_nodes_graph_operators():
+    # pure graph logic — no Spark needed
+    from dbt_extrica_spark.plans.model import Model, Project
+
+    p = Project([
+        Model("a", sql="SELECT 1 AS x"),
+        Model("b", sql="SELECT * FROM {ref:a}"),
+        Model("c", sql="SELECT * FROM {ref:b}"),
+        Model("d", sql="SELECT * FROM {ref:a}"),
+        Model("e", sql="SELECT 2 AS y"),
+    ])
+    assert p.select_nodes("b") == {"b"}
+    assert p.select_nodes("+b") == {"a", "b"}
+    assert p.select_nodes("b+") == {"b", "c"}
+    assert p.select_nodes("+b+") == {"a", "b", "c"}
+    assert p.select_nodes("a+") == {"a", "b", "c", "d"}
+    assert p.select_nodes(["b", "e"]) == {"b", "e"}
+    assert p.select_nodes(None, exclude="b+") == {"a", "d", "e"}
+    assert p.select_nodes("a+", exclude="c") == {"a", "b", "d"}
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="unknown model"):
+        p.select_nodes("+nope")
