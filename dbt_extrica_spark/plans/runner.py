@@ -57,13 +57,33 @@ def run_project(engine: "Engine", project: "Project", threads: int = 4,
     return results
 
 
+def retry_selection(engine: "Engine", project: "Project",
+                    report) -> list[str]:
+    """``dbt retry`` analog: from a prior build_project report, the
+    node-selection specs that rerun every failed-or-skipped model — plus
+    each model whose attached test errored (the conservative superset:
+    rebuilding the model reruns its tests) — and all their descendants."""
+    rows = report.collect()
+    failed = {r.name for r in rows
+              if r.node_type == "model" and r.status in ("error", "skip")}
+    bad_test_tables = set()
+    for r in rows:
+        if r.node_type == "test" and r.status == "error" and ":" in r.name:
+            bad_test_tables.add(r.name.split(":", 1)[1].rsplit(".", 1)[0])
+    for m in project.models:
+        if engine.relation(m.name).render_unquoted() in bad_test_tables:
+            failed.add(m.name)
+    return [f"{n}+" for n in sorted(failed)]
+
+
 def build_project(engine: "Engine", project: "Project",
                   seeds: list[dict] | None = None,
                   snapshots: list[dict] | None = None,
                   threads: int = 4,
                   full_refresh: bool = False,
                   select: list[str] | str | None = None,
-                  exclude: list[str] | str | None = None):
+                  exclude: list[str] | str | None = None,
+                  retry_from=None):
     """``dbt build``-style orchestrator: seeds, then models in DAG order
     with each model's attached tests run immediately after it, then
     snapshots — one invocation, one report.
@@ -82,7 +102,11 @@ def build_project(engine: "Engine", project: "Project",
     - ``select``/``exclude`` (dbt node-selection specs, models only)
       restrict which models build; unselected models neither run nor
       appear in the report, and a snapshot depending on an unselected but
-      previously-built model still runs against its existing relation.
+      previously-built model still runs against its existing relation;
+    - ``retry_from`` (a prior build_project report) is the ``dbt retry``
+      analog: it replaces ``select`` with retry_selection(report) — only
+      failed/skipped models (and models whose tests errored) plus their
+      descendants rerun.
 
     Returns a report DataFrame (node_type, name, status, detail): statuses
     ``success`` / ``error`` / ``skip`` for build nodes, ``pass`` / ``warn``
@@ -97,6 +121,8 @@ def build_project(engine: "Engine", project: "Project",
 
     rows: list[tuple] = []
     failed: set[str] = set()  # nodes whose build or error-severity test failed
+    if retry_from is not None:
+        select = retry_selection(engine, project, retry_from) or []
     chosen = project.select_nodes(select, exclude)
     model_names = {m.name for m in project.models}
     deps = {m.name: (m.refs() & model_names) for m in project.models}

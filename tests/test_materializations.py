@@ -1034,6 +1034,39 @@ def test_data_test_store_failures(engine):
     assert [(r.k, r.n_records) for r in stored] == [(7, 2)]
 
 
+def test_build_retry_reruns_only_failures(engine):
+    """dbt retry analog: after a build with an error-severity test failure,
+    retry_from reruns the failing model (its test errored) and its skipped
+    descendants — the clean independent branch does not rerun."""
+    from dbt_extrica_spark.plans.model import Project
+    from dbt_extrica_spark.plans.runner import build_project
+
+    models = [
+        Model("r_base", sql="SELECT k FROM {ref:r_seed}",
+              config={"materialized": "table",
+                      "tests": [{"check": "unique", "column": "k"}]}),
+        Model("r_down", sql="SELECT COUNT(*) AS n FROM {ref:r_base}",
+              config={"materialized": "table"}),
+        Model("r_ok", sql="SELECT 1 AS one", config={"materialized": "table"}),
+    ]
+    p = Project(models)
+    report1 = build_project(
+        engine, p, seeds=[{"name": "r_seed", "csv_text": "k\n1\n1\n2"}])
+    got1 = {(r.node_type, r.name): r.status for r in report1.collect()}
+    assert got1[("model", "r_down")] == "skip"
+    # fix the data, retry: only the failed branch reruns
+    report2 = build_project(
+        engine, p, seeds=[{"name": "r_seed", "csv_text": "k\n1\n2\n3"}],
+        retry_from=report1)
+    got2 = {(r.node_type, r.name): r.status for r in report2.collect()}
+    assert got2[("model", "r_base")] == "success"
+    assert got2[("model", "r_down")] == "success"
+    assert ("model", "r_ok") not in got2  # clean branch untouched
+    tbl = engine.relation("r_base").render_unquoted()
+    assert got2[("test", f"unique:{tbl}.k")] == "pass"
+    assert engine.table("r_down").collect()[0].n == 3
+
+
 def test_run_project_with_selection(engine):
     from dbt_extrica_spark.plans.model import Project
     from dbt_extrica_spark.plans.runner import run_project
