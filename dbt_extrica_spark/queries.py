@@ -3149,6 +3149,40 @@ def dq_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c)
 
 
+# cascade month level == direct month GROUP BY over raw: the cascade keeps
+# SUMs in DECIMAL (exact, associative) so two-level re-aggregation is
+# bit-equal to the one-shot aggregate after the final double cast
+_CASCADE_DUCK = """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+@q("rollup_cascade_month", _CASCADE_DUCK)
+def rollup_cascade_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous aggregates: day rollup from raw, month
+    rollup re-aggregated FROM THE DAY ROLLUP (TimescaleDB cascade shape);
+    built over a truncated source then incrementally refreshed over the
+    full source — final month level equals the direct GROUP BY."""
+    from .operators.rollup import rollup_cascade
+
+    eng = _engine(spark, sf_dir, "ev_cas_day", "ev_cas_month")
+    src = eng.sources["events"].render()
+    aggs = {"n": ("count", "*"),
+            "value_sum": ("sum", "CAST(value AS DECIMAL(18,4))")}
+    rollup_cascade(
+        eng, "ev_cas",
+        f"(SELECT * FROM {src} WHERE ts < TIMESTAMP '2024-01-20 00:00:00') p1",
+        "ts", ("day", "month"), dims=["event_type"], aggs=aggs)
+    rollup_cascade(eng, "ev_cas", src, "ts", ("day", "month"),
+                   dims=["event_type"], aggs=aggs)
+    return eng.table("ev_cas_month").select(
+        "bucket", "event_type", "n",
+        F.col("value_sum").cast("double").alias("value_sum"))
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02 both contain

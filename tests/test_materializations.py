@@ -638,6 +638,50 @@ def test_rollup_lateness_folds_late_rows(engine):
                     "2024-01-03": (1, 5.0)}
 
 
+def test_rollup_cascade_reaggregates_from_finer_level(engine):
+    """Cascade: month level re-aggregates the DAY rollup (not raw) — its
+    refresh plan scans the day table; late rows fold through both levels;
+    min/max re-aggregate correctly across the regrouping."""
+    from dbt_extrica_spark.operators.rollup import rollup_cascade
+
+    spark = engine.spark
+    # v as DOUBLE: a VALUES decimal literal would type the first build's
+    # column DECIMAL(2,1) and a later 10.0 overflows the insert (ANSI)
+    spark.sql("SELECT ts, CAST(v AS DOUBLE) AS v FROM VALUES"
+              " (TIMESTAMP '2024-01-30 10:00:00', 1.0),"
+              " (TIMESTAMP '2024-02-01 10:00:00', 2.0),"
+              " (TIMESTAMP '2024-02-02 10:00:00', 7.0)"
+              " AS t(ts, v)").createOrReplaceTempView("cas_src1")
+    spark.sql("SELECT ts, CAST(v AS DOUBLE) AS v FROM VALUES"
+              " (TIMESTAMP '2024-01-30 10:00:00', 1.0),"
+              " (TIMESTAMP '2024-02-01 10:00:00', 2.0),"
+              " (TIMESTAMP '2024-02-02 10:00:00', 7.0),"
+              " (TIMESTAMP '2024-02-02 23:00:00', 10.0),"  # late, Feb-2
+              " (TIMESTAMP '2024-02-03 01:00:00', 5.0)"    # new day
+              " AS t(ts, v)").createOrReplaceTempView("cas_src2")
+    aggs = {"n": ("count", "*"),
+            "s": ("sum", "CAST(v AS DECIMAL(18,4))"),
+            "vmax": ("max", "v")}
+    rollup_cascade(engine, "cas_t", "cas_src1", "ts", ("day", "month"),
+                   aggs=aggs)
+    assert engine.table("cas_t_month").count() == 2  # both levels built
+    rollup_cascade(engine, "cas_t", "cas_src2", "ts", ("day", "month"),
+                   aggs=aggs)
+    days = {str(r.bucket): (r.n, float(r.s), r.vmax) for r in
+            engine.table("cas_t_day").collect()}
+    assert days["2024-02-02"] == (2, 17.0, 10.0)
+    assert days["2024-02-03"] == (1, 5.0, 5.0)
+    months = {str(r.bucket): (r.n, float(r.s), r.vmax) for r in
+              engine.table("cas_t_month").collect()}
+    assert months == {"2024-01-01": (1, 1.0, 1.0),
+                      "2024-02-01": (4, 24.0, 10.0)}
+    # non-decomposable aggregates refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-decomposable"):
+        rollup_cascade(engine, "cas_bad", "cas_src1", "ts", ("day",),
+                       aggs={"a": ("avg", "v")})
+
+
 def test_mv_refresh_picks_up_base_changes(engine):
     engine.materialize(Model("mv_base", sql="SELECT 1 AS a",
                              config={"materialized": "table"}))
