@@ -438,3 +438,39 @@ def random_projection(df: DataFrame, id_col: str, vec_col: str,
         )
         cols.append(F.expr(fold).cast("double").alias(f"p{d}"))
     return df.select(*cols)
+
+
+def mean_pool(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """Element-wise mean embedding per group — chunk-to-document pooling
+    (a long doc is embedded in chunks; the doc-level vector for retrieval
+    or dedup is the mean of its chunk vectors).
+
+    Scale shape: posexplode to (group, dim, value) rows so the shuffle key
+    is (group, dim) — a group with many chunks spreads over dim-many
+    reducers instead of concentrating all its vectors in one task, and no
+    executor ever materializes a whole group's vector list. Per-dimension
+    sums run in DECIMAL: a double sum would depend on Spark's
+    nondeterministic partial-aggregation merge order, a decimal sum is
+    order-independent and engine-exact (the float value is widened to
+    double exactly, then rounded once to 6 decimals). The mean divides as
+    doubles (IEEE, engine-identical). Reassembly sorts by dim inside each
+    group row."""
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    sums = exploded.groupBy("grp", "dim").agg(
+        F.sum(F.col("v").cast("double").cast("decimal(18,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        sums.withColumn(
+            "m", F.col("s").cast("double") / F.col("n").cast("double"))
+        .groupBy("grp")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, m))),"
+                   " x -> x.m)").alias("mean_embedding"),
+            F.max("n").cast("bigint").alias("n_vectors"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

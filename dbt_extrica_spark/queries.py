@@ -3183,6 +3183,33 @@ def rollup_cascade_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_sum").cast("double").alias("value_sum"))
 
 
+# mean pooling: per-dim DECIMAL sums are order-independent, so two-engine
+# equality is exact; the mean divides as doubles on both sides
+_MEAN_POOL_DUCK = """
+WITH e AS (
+  SELECT label AS grp, i - 1 AS dim,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS v
+  FROM embeddings,
+       LATERAL UNNEST(generate_series(1, len(embedding))) AS u(i)
+), s AS (
+  SELECT grp, dim, SUM(v) AS s, COUNT(*) AS n FROM e GROUP BY grp, dim
+)
+SELECT grp AS label,
+       array_agg(CAST(s AS DOUBLE) / n ORDER BY dim) AS mean_embedding,
+       CAST(MAX(n) AS BIGINT) AS n_vectors
+FROM s GROUP BY grp
+"""
+
+
+@q("embedding_mean_pool", _MEAN_POOL_DUCK)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling: element-wise mean vector per
+    label group, decimal-routed for order-independent exactness."""
+    _views(spark, sf_dir)
+    return similarity.mean_pool(spark.table("embeddings"), "label",
+                                "embedding")
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02 both contain

@@ -652,3 +652,23 @@ def test_source_freshness_thresholds_and_empty(spark):
     r = testing.source_freshness(spark, "empty_src", "lt",
                                  now="2024-01-01 01:00:00").first()
     assert r.status == "error" and r.max_loaded_at is None
+
+
+def test_mean_pool_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").where("vec_id < 60")
+    out = {r.label: (r.mean_embedding, r.n_vectors) for r in
+           similarity.mean_pool(emb, "label", "embedding").collect()}
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding))
+    for label, vecs in by_label.items():
+        got, n = out[label]
+        assert n == len(vecs)
+        # decimal(18,6) routing rounds each element to 1e-6 before summing
+        np.testing.assert_allclose(np.array(got),
+                                   np.mean(vecs, axis=0), atol=1e-5)
+        assert len(got) == 64
