@@ -235,7 +235,13 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+        # materialize the (small) pair set eagerly so the persisted band
+        # table can be released before returning — same hygiene as
+        # ngram_jaccard_pairs / clean_corpus
+        out = (cand.withColumn("jaccard", F.lit(None).cast("double"))
+               .localCheckpoint(eager=True))
+        banded.unpersist()
+        return out
 
     # candidates are tiny relative to the corpus; persist so the broadcast
     # id-set below doesn't re-run the whole signature+banding pipeline
@@ -263,11 +269,15 @@ def minhash_lsh_pairs(
         F.size(F.array_intersect("sh_a", "sh_b"))
         / F.size(F.array_union("sh_a", "sh_b"))
     )
-    return (
+    out = (
         pairs.withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)  # small: true near-dup pairs only
     )
+    banded.unpersist()
+    cand.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -332,19 +332,40 @@ def ivf_topk(
         centroids = base.orderBy("id").limit(n_cells).select(
             F.col("id").alias("cid"), F.col("v").alias("cv"),
             F.col("nrm").alias("cnrm"))
-    dot = _DOT.format(a="v", b="cv")
-    sim_to_cell = F.expr(dot) / (F.col("nrm") * F.col("cnrm"))
-    w_assign = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
-    # rank once, persist: cells and probes both derive from this small
-    # (rows × n_cells) table — without the persist the crossJoin + window
-    # pipeline executes twice
+    # Cell assignment is EXPRESSION-LOCAL: the centroid table is tiny
+    # (n_cells rows), so collect it and rank all cells per vector inside one
+    # codegen'd expression — array_sort over struct(-sim, cid) picks the
+    # top-nprobe cells with ZERO shuffle. (The previous plan crossJoined
+    # every vector with every centroid and ranked with a row_number window:
+    # an n_cells-times-amplified shuffle of the whole corpus just to take
+    # argmax-nprobe of n_cells scores — the exact pattern pq_encode_expr
+    # already avoids for subspace argmin.)
+    cell_rows = centroids.select("cid", "cv", "cnrm").collect()
+    cells_lit = F.array(*[
+        F.struct(
+            F.lit(int(r["cid"])).cast("bigint").alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r["cv"]])
+            .cast("array<double>").alias("cv"),
+            F.lit(float(r["cnrm"])).alias("cnrm"),
+        )
+        for r in cell_rows
+    ])
+    dot_vc = _DOT.format(a="v", b="c.cv")
+    probe_expr = (
+        f"transform(slice(array_sort(transform(__cells, c -> struct("
+        f"-({dot_vc}) / (nrm * c.cnrm) AS negsim, c.cid AS cid))),"
+        f" 1, {max(nprobe, 1)}), (p, i) -> struct(p.cid AS cid,"
+        f" i + 1 AS crank))"
+    )
+    # no persist: `cells` and `probes` below each re-read the source with
+    # this cheap per-row projection — at corpus scale two scans beat
+    # caching the entire vector column (and nothing leaks into the
+    # caller's session)
     ranked = (
-        base.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", sim_to_cell)
-        .withColumn("crank", F.row_number().over(w_assign))
-        .where(F.col("crank") <= max(nprobe, 1))
-        .select("id", "v", "nrm", "cid", "crank")
-        .persist()
+        base.withColumn("__cells", cells_lit)
+        .select("id", "v", "nrm", F.explode(F.expr(probe_expr)).alias("pp"))
+        .select("id", "v", "nrm", F.col("pp.cid").alias("cid"),
+                F.col("pp.crank").alias("crank"))
     )
     cells = ranked.where(F.col("crank") == 1).select("id", "v", "nrm", "cid")
     probes = ranked.where(F.col("crank") <= nprobe).select(
