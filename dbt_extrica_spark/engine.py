@@ -279,7 +279,12 @@ class Engine:
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:
-        return self.spark.table(self.relation(name).render_unquoted())
+        from .sources.registry import normalize_ntz
+
+        # NTZ can reach the catalog via tables written before the source
+        # boundary normalized types; the cast is a no-op projection otherwise.
+        return normalize_ntz(
+            self.spark.table(self.relation(name).render_unquoted()))
 
     # ------------------------------------------------------------------
     # maintenance

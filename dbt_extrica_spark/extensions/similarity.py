@@ -306,6 +306,64 @@ def pq_topk(
     )
 
 
+# Above this many literal doubles (n_cells * dim), centroid-as-literal
+# expressions stop being cheap: Catalyst analysis/codegen time grows with
+# expression-tree size and very large trees fall back to interpreted
+# evaluation. The broadcast-join assignment path takes over there.
+_IVF_LITERAL_BUDGET = 16_384
+
+
+def _ivf_assign_literal(base: DataFrame, cell_rows, nprobe: int) -> DataFrame:
+    """Rank all cells per vector inside one codegen'd expression — zero
+    shuffle. Returns (id, v, nrm, cid, crank) rows, crank in 1..nprobe."""
+    cells_lit = F.array(*[
+        F.struct(
+            F.lit(int(r["cid"])).cast("bigint").alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r["cv"]])
+            .cast("array<double>").alias("cv"),
+            F.lit(float(r["cnrm"])).alias("cnrm"),
+        )
+        for r in cell_rows
+    ])
+    dot_vc = _DOT.format(a="v", b="c.cv")
+    probe_expr = (
+        f"transform(slice(array_sort(transform(__cells, c -> struct("
+        f"-({dot_vc}) / (nrm * c.cnrm) AS negsim, c.cid AS cid))),"
+        f" 1, {max(nprobe, 1)}), (p, i) -> struct(p.cid AS cid,"
+        f" i + 1 AS crank))"
+    )
+    # no persist: `cells` and `probes` in the caller each re-read the source
+    # with this cheap per-row projection — at corpus scale two scans beat
+    # caching the entire vector column (and nothing leaks into the
+    # caller's session)
+    return (
+        base.withColumn("__cells", cells_lit)
+        .select("id", "v", "nrm", F.explode(F.expr(probe_expr)).alias("pp"))
+        .select("id", "v", "nrm", F.col("pp.cid").alias("cid"),
+                F.col("pp.crank").alias("crank"))
+    )
+
+
+def _ivf_assign_broadcast(base: DataFrame, centroids: DataFrame,
+                          nprobe: int) -> DataFrame:
+    """Fallback assignment for large codebooks: broadcast-join every vector
+    with the centroid table and window-rank the similarities. One extra
+    corpus-wide shuffle (the window partition on id), but the plan size is
+    independent of n_cells * dim."""
+    dot_vc = _DOT.format(a="v", b="cv")
+    scored = (
+        base.join(F.broadcast(centroids))
+        .withColumn("__sim", F.expr(dot_vc) / (F.col("nrm") * F.col("cnrm")))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__sim"), F.asc("cid"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= max(nprobe, 1))
+        .select("id", "v", "nrm", F.col("cid").cast("bigint").alias("cid"),
+                "crank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -321,8 +379,18 @@ def ivf_topk(
     reproducible) or k-means-trained (``train_centroids=True`` — better
     recall at equal nprobe, still deterministic via fixed seed).
 
+    NOTE: calling this function is EAGER — it collects the (tiny) centroid
+    table to build the assignment expression, which runs one Spark job
+    before any action on the result. Centroid ids must be integral and
+    centroid vectors free of NULL elements (both raise here, at build
+    time, instead of failing mid-job).
+
     At 100 TB: centroid list is tiny (broadcast); assignment is one scan; the
-    search join shuffles on cell id instead of exploding all pairs."""
+    search join shuffles on cell id instead of exploding all pairs. When
+    ``n_cells * dim`` exceeds the literal budget (large trained codebooks),
+    assignment switches to a broadcast-join + window plan — one extra
+    corpus-wide shuffle, but no giant literal expression for Catalyst to
+    analyze/codegen."""
     base = _with_norm(df, id_col, vec_col)
     if train_centroids:
         norm_expr = _NORM.format(v="cv")
@@ -341,32 +409,24 @@ def ivf_topk(
     # argmax-nprobe of n_cells scores — the exact pattern pq_encode_expr
     # already avoids for subspace argmin.)
     cell_rows = centroids.select("cid", "cv", "cnrm").collect()
-    cells_lit = F.array(*[
-        F.struct(
-            F.lit(int(r["cid"])).cast("bigint").alias("cid"),
-            F.array(*[F.lit(float(x)) for x in r["cv"]])
-            .cast("array<double>").alias("cv"),
-            F.lit(float(r["cnrm"])).alias("cnrm"),
-        )
-        for r in cell_rows
-    ])
-    dot_vc = _DOT.format(a="v", b="c.cv")
-    probe_expr = (
-        f"transform(slice(array_sort(transform(__cells, c -> struct("
-        f"-({dot_vc}) / (nrm * c.cnrm) AS negsim, c.cid AS cid))),"
-        f" 1, {max(nprobe, 1)}), (p, i) -> struct(p.cid AS cid,"
-        f" i + 1 AS crank))"
-    )
-    # no persist: `cells` and `probes` below each re-read the source with
-    # this cheap per-row projection — at corpus scale two scans beat
-    # caching the entire vector column (and nothing leaks into the
-    # caller's session)
-    ranked = (
-        base.withColumn("__cells", cells_lit)
-        .select("id", "v", "nrm", F.explode(F.expr(probe_expr)).alias("pp"))
-        .select("id", "v", "nrm", F.col("pp.cid").alias("cid"),
-                F.col("pp.crank").alias("crank"))
-    )
+    if not cell_rows:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double, rank int")
+    for r in cell_rows:
+        if r["cv"] is None or any(x is None for x in r["cv"]):
+            raise ValueError(
+                f"ivf_topk: centroid {r['cid']!r} has NULL vector elements")
+        try:
+            int(r["cid"])
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"ivf_topk: centroid id {r['cid']!r} is not integral")
+    dim = len(cell_rows[0]["cv"])
+    if len(cell_rows) * dim > _IVF_LITERAL_BUDGET:
+        ranked = _ivf_assign_broadcast(base, centroids, nprobe)
+    else:
+        ranked = _ivf_assign_literal(base, cell_rows, nprobe)
     cells = ranked.where(F.col("crank") == 1).select("id", "v", "nrm", "cid")
     probes = ranked.where(F.col("crank") <= nprobe).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"),

@@ -11,6 +11,13 @@ Scale notes:
   surfaced as longs via ``spark.sql.legacy.parquet.nanosAsLong`` and converted
   with integer ``div 1000`` (truncation — matches DuckDB's ns->us cast). The
   conversion is a cheap projection that stays inside whole-stage codegen.
+- ``timestamp[us] tz=None`` parquet columns come back as TIMESTAMP_NTZ under
+  Spark 4; every event-time consumer (``unix_micros``, ``withWatermark``)
+  hard-rejects NTZ, so the boundary normalizes them to TimestampType. The
+  session timezone is pinned UTC (session.py), making the cast
+  value-preserving and oracle-compatible. Type normalization lives HERE, at
+  the source boundary, not at call sites — the reference does the same in its
+  type-mapping layer (reference: dbt/adapters/extrica/column.py:62-109).
 """
 
 from __future__ import annotations
@@ -19,6 +26,7 @@ import os
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TEST_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -40,9 +48,22 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TimestampType (UTC session tz ->
+    value-preserving). Spark's event-time surface (unix_micros, watermarks,
+    window()) requires TimestampType; normalizing once at the source boundary
+    keeps every downstream call site type-agnostic."""
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """Read one parquet file/dir, restoring ns-timestamp columns to
-    TimestampType (microsecond precision, truncated like the oracle)."""
+    TimestampType (microsecond precision, truncated like the oracle) and
+    normalizing TIMESTAMP_NTZ columns to TimestampType."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -51,7 +72,7 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     for c in _nanos_columns(path):
         if c in df.columns:
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return df
+    return normalize_ntz(df)
 
 
 def read_table(spark: SparkSession, path: str, format: str = "parquet",

@@ -19,12 +19,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..sources.registry import _nanos_columns, read_parquet_table
+from ..sources.registry import _nanos_columns, normalize_ntz, read_parquet_table
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet, with the same ns-timestamp
-    restoration as the batch reader (sources/registry.py)."""
+    restoration and TIMESTAMP_NTZ normalization as the batch reader
+    (sources/registry.py) — watermarks reject NTZ event-time columns."""
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -42,6 +43,7 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = stream.withColumn(
                 c, F.expr(f"timestamp_micros(`{c}` div 1000)")
             )
+    stream = normalize_ntz(stream)
     return stream.select(*[F.col(f.name) for f in batch.schema.fields])
 
 
@@ -52,7 +54,7 @@ def windowed_counts(stream: DataFrame, window: str = "1 day",
     continuous runs; under availableNow nothing is late and the result equals
     the batch GROUP BY."""
     return (
-        stream.withWatermark("ts", watermark)
+        normalize_ntz(stream).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -95,7 +97,7 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str],
     this is the guardrailed form. Under ``trigger(availableNow)`` with all
     input in one batch it reduces to batch ``dropDuplicates(keys)``."""
     return (
-        stream.withWatermark(watermark_col, delay)
+        normalize_ntz(stream).withWatermark(watermark_col, delay)
         .dropDuplicatesWithinWatermark(list(keys))
     )
 

@@ -123,6 +123,32 @@ def test_ivf_matches_bruteforce_top1(spark):
     assert hits / len(e) > 0.5
 
 
+def test_ivf_empty_input_returns_empty(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 0")
+    out = similarity.ivf_topk(emb, "vec_id", "embedding", k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_ivf_broadcast_fallback_matches_literal_path(spark, monkeypatch):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 150")
+    lit = similarity.ivf_topk(emb, "vec_id", "embedding", k=2,
+                              n_cells=8, nprobe=3)
+    lit_rows = {(r.query_id, r.neighbor_id, r.rank) for r in lit.collect()}
+    monkeypatch.setattr(similarity, "_IVF_LITERAL_BUDGET", 0)
+    bc = similarity.ivf_topk(emb, "vec_id", "embedding", k=2,
+                             n_cells=8, nprobe=3)
+    bc_rows = {(r.query_id, r.neighbor_id, r.rank) for r in bc.collect()}
+    assert lit_rows == bc_rows
+
+
 def test_brp_lsh_runs(spark):
     from dbt_extrica_spark.sources.registry import register_sources
 

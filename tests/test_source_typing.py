@@ -1,0 +1,77 @@
+"""Source-boundary typing regression tests.
+
+The driver regenerates the test parquet between rounds and has twice shifted
+timestamp physical types (r1: timestamp[ns]; r4: timestamp[us] tz=None, which
+Spark 4 reads as TIMESTAMP_NTZ and every event-time consumer rejects). These
+tests pin the contract: no registered source view ever exposes a
+TimestampNTZType column, regardless of the parquet encoding.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+from dbt_extrica_spark.sources.registry import (
+    TEST_TABLES, read_parquet_table, register_sources,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.mark.parametrize("table", TEST_TABLES)
+def test_registered_view_has_no_ntz(spark, table):
+    path = os.path.join(SF_DIR, f"{table}.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"{table} not in testdata")
+    df = read_parquet_table(spark, path)
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    assert not ntz, f"{table} exposes TIMESTAMP_NTZ columns: {ntz}"
+
+
+def test_register_sources_normalizes_all(spark):
+    views = register_sources(spark, SF_DIR, prefix="typing_")
+    for name, df in views.items():
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, TimestampNTZType), (
+                f"{name}.{f.name} is TIMESTAMP_NTZ")
+
+
+@pytest.mark.parametrize("unit,tz", [
+    ("ns", None), ("us", None), ("ms", None), ("us", "UTC"),
+])
+def test_parquet_timestamp_variants_land_on_timestamp(spark, tmp_path, unit, tz):
+    """Every parquet timestamp encoding the driver might emit must land on
+    TimestampType with identical wall-clock values (session tz is UTC)."""
+    t0 = datetime.datetime(2024, 3, 1, 12, 30, 45, 123000)
+    t1 = datetime.datetime(2024, 3, 2, 0, 0, 1, 0)
+    arr = pa.array([t0, t1], type=pa.timestamp(unit, tz=tz))
+    table = pa.table({"ts": arr, "k": pa.array([1, 2], type=pa.int64())})
+    path = str(tmp_path / f"variant_{unit}_{tz or 'ntz'}.parquet")
+    pq.write_table(table, path)
+
+    df = read_parquet_table(spark, path)
+    (field,) = [f for f in df.schema.fields if f.name == "ts"]
+    assert isinstance(field.dataType, TimestampType), field.dataType
+    # values survive the normalization (UTC session tz => value-preserving)
+    rows = {r["k"]: r["ts"] for r in df.collect()}
+    assert rows[1].replace(tzinfo=None) == t0
+    assert rows[2].replace(tzinfo=None) == t1
+
+
+def test_event_time_functions_resolve(spark):
+    """unix_micros()/window() — the call sites that broke in r4 — must
+    resolve against every timestamp column of the registered views."""
+    views = register_sources(spark, SF_DIR, prefix="evt_")
+    checked = 0
+    for name, df in views.items():
+        for f in df.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                df.selectExpr(f"unix_micros(`{f.name}`)").limit(1).collect()
+                checked += 1
+    assert checked > 0, "expected at least one timestamp column in testdata"
