@@ -39,6 +39,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_stats",
     "pipeline_clean_corpus",
+    "pipeline_joint_dedup",
     "q_asof_join",
     "rollup_hypertable",
 ]

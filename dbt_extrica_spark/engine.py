@@ -36,7 +36,7 @@ from .operators import snapshot as snap_ops
 from .plans.model import Model
 from .relation import Relation, RelationType
 from .session import configure_session
-from .sources.registry import TEST_TABLES, _nanos_columns
+from .sources.registry import TEST_TABLES, _nanos_columns, _ntz_columns
 
 
 class Engine:
@@ -97,15 +97,18 @@ class Engine:
     def register_sources(self, sf_dir: str,
                          tables: tuple[str, ...] = TEST_TABLES) -> None:
         """Register parquet files as catalog objects (external table, plus a
-        converting view when the file stores TIMESTAMP(NANOS) — see
-        sources/registry.py). Catalog objects (not temp views) so persistent
-        model views may reference them."""
+        converting view when the file stores TIMESTAMP(NANOS) or a
+        timezone-less timestamp that Spark 4 reads as TIMESTAMP_NTZ — see
+        sources/registry.py: type normalization happens at the source
+        boundary). Catalog objects (not temp views) so persistent model
+        views may reference them."""
         for name in tables:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if not os.path.exists(path):
                 continue
             ns_cols = _nanos_columns(path)
-            if ns_cols:
+            ntz_cols = _ntz_columns(path)
+            if ns_cols or ntz_cols:
                 raw = self.relation(f"{name}__raw")
                 if self.catalog.get_relation(raw) is None:
                     self.spark.sql(
@@ -117,6 +120,10 @@ class Engine:
                     if f.name in ns_cols:
                         cols.append(
                             f"timestamp_micros(`{f.name}` div 1000) AS `{f.name}`"
+                        )
+                    elif f.name in ntz_cols:
+                        cols.append(
+                            f"CAST(`{f.name}` AS TIMESTAMP) AS `{f.name}`"
                         )
                     else:
                         cols.append(f"`{f.name}`")

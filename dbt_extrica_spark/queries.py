@@ -324,9 +324,18 @@ _QWRANGE_DUCK = _QWRANGE_SPARK
 @q("q_window_time_range", _QWRANGE_DUCK)
 def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event time: trailing-hour rolling count/sum per user
-    (decimal so the frame sum is order-independent)."""
-    _views(spark, sf_dir)
-    return spark.sql(_QWRANGE_SPARK)
+    (decimal so the frame sum is order-independent). Routed through the table
+    materialization (A9) with TBLPROPERTIES (A25) so the driver row gates the
+    materialization path, not just the pass-through SQL."""
+    eng = _engine(spark, sf_dir, "wrange_t")
+    m = Model(
+        "wrange_t",
+        sql=_QWRANGE_SPARK.replace("FROM events", "FROM {source:events}"),
+        config={"materialized": "table",
+                "properties": {"pipeline.stage": "windowed"}},
+    )
+    eng.materialize(m)
+    return eng.table("wrange_t")
 
 
 _QROLLUP = """
@@ -690,16 +699,25 @@ FROM lineitem GROUP BY l_returnflag
 @q("q_approx_distinct", _QAPPROX_DUCK)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) with a verifiable contract: the sketch
-    estimate must land within 5% of the exact distinct count per group."""
-    _views(spark, sf_dir)
-    return spark.sql("""
+    estimate must land within 5% of the exact distinct count per group.
+    Routed through the table materialization (A9/A25) so the driver row also
+    gates CTAS + properties on every round."""
+    eng = _engine(spark, sf_dir, "approx_t")
+    m = Model(
+        "approx_t",
+        sql="""
 SELECT l_returnflag,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
        ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
          / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) < 0.05
          AS approx_within_5pct
-FROM lineitem GROUP BY l_returnflag
-""")
+FROM {source:lineitem} GROUP BY l_returnflag
+""",
+        config={"materialized": "table",
+                "properties": {"pipeline.stage": "sketch"}},
+    )
+    eng.materialize(m)
+    return eng.table("approx_t")
 
 
 # ==========================================================================
@@ -1506,9 +1524,12 @@ SELECT * FROM (VALUES
   ('l_quantity', 'double', 4), ('l_extendedprice', 'double', 5),
   ('l_discount', 'double', 6), ('l_tax', 'double', 7),
   ('l_returnflag', 'string', 8), ('l_linestatus', 'string', 9),
-  ('l_shipdate', 'timestamp_ntz', 10)
+  ('l_shipdate', 'timestamp', 10)
 ) AS t(column_name, data_type, column_index)
 """
+# l_shipdate reports 'timestamp' (not the file's raw timezone-less type):
+# the source boundary normalizes NTZ to TimestampType, and the catalog sees
+# the normalized source view — type normalization is part of the contract.
 
 
 @q("catalog_columns", _CATALOG_COLS_DUCK)
@@ -2604,9 +2625,18 @@ FROM numbered GROUP BY user_id, session_id
 @q("q_sessionize", _SESSIONIZE_SQL.format(unix="epoch_us"))
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min inactivity) in pure window
-    functions — the batch twin of the stateful streaming operator."""
-    _views(spark, sf_dir)
-    return spark.sql(_SESSIONIZE_SQL.format(unix="unix_micros"))
+    functions — the batch twin of the stateful streaming operator. Routed
+    through the view materialization (A10) so the driver row gates
+    create-view + registry resolution too."""
+    eng = _engine(spark, sf_dir, "sess_v")
+    m = Model(
+        "sess_v",
+        sql=_SESSIONIZE_SQL.format(unix="unix_micros")
+        .replace("FROM events", "FROM {source:events}"),
+        config={"materialized": "view"},
+    )
+    eng.materialize(m)
+    return eng.table("sess_v")
 
 
 # The stateful operator emits a session only when a LATER event closes it

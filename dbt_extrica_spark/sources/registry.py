@@ -48,6 +48,25 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
+@lru_cache(maxsize=256)
+def _ntz_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet timestamp us/ms/s with tz=None — Spark 4
+    reads these as TIMESTAMP_NTZ (footer inspection only; ns columns are
+    handled by the nanosAsLong repair instead)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return ()
+    return tuple(
+        f.name for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.tz is None
+        and f.type.unit != "ns"
+    )
+
+
 def normalize_ntz(df: DataFrame) -> DataFrame:
     """Cast every TIMESTAMP_NTZ column to TimestampType (UTC session tz ->
     value-preserving). Spark's event-time surface (unix_micros, watermarks,

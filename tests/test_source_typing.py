@@ -64,6 +64,18 @@ def test_parquet_timestamp_variants_land_on_timestamp(spark, tmp_path, unit, tz)
     assert rows[2].replace(tzinfo=None) == t1
 
 
+def test_engine_catalog_sources_have_no_ntz(engine):
+    """The ENGINE registers sources as catalog objects (a separate path
+    from the temp-view registry); those must be NTZ-free too — persistent
+    model views compile against them, and CREATE VIEW re-analyzes the body
+    against the catalog type."""
+    for name, rel in engine.sources.items():
+        df = engine.spark.table(rel.render_unquoted())
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, TimestampNTZType), (
+                f"engine source {name}.{f.name} is TIMESTAMP_NTZ")
+
+
 def test_event_time_functions_resolve(spark):
     """unix_micros()/window() — the call sites that broke in r4 — must
     resolve against every timestamp column of the registered views."""
