@@ -6,11 +6,12 @@ both define time as integer MICROSECONDS (``unix_micros``), so the DuckDB
 oracles compare integers rather than engine-specific timestamp precisions
 (the test parquet stores nanoseconds; Spark reads microseconds).
 
-Scale: each funnel step is one groupBy(user) aggregation joined to the
-previous step's (user, ts) table — k steps = k shuffles on user_id, each
-shrinking (funnels are monotone). Retention is two aggregations on
-(user) then (cohort, offset). All shuffle keys are the natural ones; AQE
-handles the skewed-user case.
+Scale: the funnel is ONE shuffle on user_id (step events only) plus one
+tiny global aggregate — per-user funnel depth is a single expression-level
+fold over the time-sorted step events, so the whole funnel is one job
+regardless of step count (the previous design ran k join+count rounds).
+Retention is two aggregations on (user) then (cohort, offset). All shuffle
+keys are the natural ones; AQE handles the skewed-user case.
 """
 
 from __future__ import annotations
@@ -29,35 +30,52 @@ def funnel(
     ``steps[i]`` occurs STRICTLY AFTER their completion time of step i-1
     (first-touch semantics: completion time = the earliest qualifying
     event). Returns (step, event_type, n_users) with step 1-indexed.
+
+    Single-pass plan: filter to step events -> one groupBy(user_id)
+    collecting the sorted (t, step) list -> a sequential fold computes the
+    user's funnel depth (the first event completing the next incomplete
+    step IS the earliest qualifying one, so the fold reproduces
+    first-touch exactly) -> one conditional aggregation counts users at
+    depth >= i. Per-user state is bounded by that user's STEP events only
+    (non-step events never reach the shuffle); for pathological whale
+    users, pre-aggregate or sample upstream.
     """
     if not steps:
         raise ValueError("funnel requires at least one step")
-    ev = df.select(
-        F.col(user_col).alias("user_id"),
-        F.unix_micros(F.col(ts_col)).alias("t_us"),
-        F.col(type_col).alias("etype"),
+    k = len(steps)
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
+    steps_arr = "array(" + ", ".join(f"'{esc(s)}'" for s in steps) + ")"
+    ev = (
+        df.select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("t_us"),
+            F.col(type_col).alias("etype"),
+        )
+        .where(F.col("etype").isin(list(steps)))
     )
-    counts: list[tuple[int, str, int]] = []
-    prev: DataFrame | None = None
-    for i, step in enumerate(steps):
-        matched = ev.where(F.col("etype") == step)
-        if prev is not None:
-            matched = (
-                matched.join(prev, on="user_id")
-                .where(F.col("t_us") > F.col("prev_t_us"))
-            )
-        cur = matched.groupBy("user_id").agg(
-            F.min("t_us").alias("prev_t_us"))
-        cur = cur.persist()
-        counts.append((i + 1, step, cur.count()))
-        if prev is not None:
-            prev.unpersist()
-        prev = cur
-    if prev is not None:
-        prev.unpersist()
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        counts, "step int, event_type string, n_users bigint")
+    # fold state: (d = completed depth, lt = completion time of step d);
+    # events arrive time-ascending, so the first event matching the next
+    # incomplete step (strictly after lt) is the earliest qualifying one
+    depth_expr = (
+        f"aggregate(array_sort(collect_list(struct(t_us, etype))),"
+        f" named_struct('d', 0, 'lt', cast(0 as bigint)),"
+        f" (acc, x) -> IF(acc.d < {k}"
+        f"   AND x.etype = element_at({steps_arr}, acc.d + 1)"
+        f"   AND (acc.d = 0 OR x.t_us > acc.lt),"
+        f"   named_struct('d', acc.d + 1, 'lt', x.t_us), acc),"
+        f" acc -> acc.d)"
+    )
+    per_user = ev.groupBy("user_id").agg(F.expr(depth_expr).alias("depth"))
+    totals = per_user.agg(*[
+        F.sum((F.col("depth") >= i + 1).cast("bigint")).alias(f"s{i}")
+        for i in range(k)
+    ])
+    stack = ", ".join(f"{i + 1}, '{esc(s)}', s{i}"
+                      for i, s in enumerate(steps))
+    return totals.selectExpr(
+        f"stack({k}, {stack}) AS (step, event_type, n_users)"
+    ).selectExpr("CAST(step AS INT) AS step", "event_type",
+                 "CAST(n_users AS BIGINT) AS n_users")
 
 
 def retention_cohorts(

@@ -186,6 +186,13 @@ def minhash_lsh_pairs(
 
     shingle -> minhash -> band -> bucket-join, then verification re-computes
     exact Jaccard only for candidates (array_intersect/array_union sizes).
+
+    The returned pair set is pinned with ``localCheckpoint`` (executor block
+    storage, NOT a reliable checkpoint): under dynamic allocation or
+    executor loss the DataFrame becomes unrecoverable and must be
+    recomputed. Fine for the intended shape (a small pair set consumed
+    promptly); for long-lived sessions on preemptible clusters, write the
+    result to a table instead of holding the handle.
     """
     if bands is None:
         bands = auto_bands(num_perm, threshold)
