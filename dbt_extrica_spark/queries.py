@@ -1904,27 +1904,52 @@ FROM nrm GROUP BY label
 """)
 
 
-@q("ann_recall_report", None)  # deterministic self-evaluation, no SQL oracle
+# Contract oracle (same pattern as q_approx_distinct): the NUMERIC recall of
+# a partial probe is data-dependent, but two properties are invariants the
+# oracle can assert: probing ALL cells makes IVF exhaustive, so its top-k
+# must equal brute force exactly (recall == 1.0 — measured exact at both
+# sf0.001 and sf0.01, numpy-vs-JVM float ties included), and a 3-of-16-cell
+# probe must stay above a floor that any broken cell assignment would crash
+# through (measured ~0.41; floor 0.25).
+_ANN_RECALL_DUCK = """
+SELECT CAST(COUNT(*) * 5 AS BIGINT) AS n_pairs,
+       TRUE AS full_probe_exact,
+       TRUE AS partial_probe_ok
+FROM embeddings WHERE vec_id < 300
+"""
+
+
+@q("ann_recall_report", _ANN_RECALL_DUCK)
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF approximate path against the exact brute-force
-    baseline — the quality metric an ANN deployment monitors."""
+    baseline — the quality metric an ANN deployment monitors. Emitted in
+    contract form: full-cell probing must reproduce brute force exactly,
+    partial probing must clear a recall floor."""
     _views(spark, sf_dir)
     emb = spark.table("embeddings").where("vec_id < 300")
     exact = similarity.cosine_topk(emb, "vec_id", "embedding", k=5)
-    approx = similarity.ivf_topk(emb, "vec_id", "embedding", k=5,
-                                 n_cells=16, nprobe=3)
-    hits = exact.alias("e").join(
-        approx.alias("a"),
-        on=[F.col("e.query_id") == F.col("a.query_id"),
-            F.col("e.neighbor_id") == F.col("a.neighbor_id")],
-        how="left_semi",
-    )
+
+    def recall(nprobe: int) -> DataFrame:
+        approx = similarity.ivf_topk(emb, "vec_id", "embedding", k=5,
+                                     n_cells=16, nprobe=nprobe)
+        hits = exact.alias("e").join(
+            approx.alias("a"),
+            on=[F.col("e.query_id") == F.col("a.query_id"),
+                F.col("e.neighbor_id") == F.col("a.neighbor_id")],
+            how="left_semi",
+        )
+        return hits.groupBy().count()
+
+    total = exact.groupBy().count().withColumnRenamed("count", "total")
     return (
-        hits.groupBy().count()
-        .crossJoin(exact.groupBy().count().withColumnRenamed("count", "total"))
+        total
+        .crossJoin(recall(16).withColumnRenamed("count", "full_hits"))
+        .crossJoin(recall(3).withColumnRenamed("count", "partial_hits"))
         .select(
-            (F.col("count") / F.col("total")).cast("double").alias("recall_at_5"),
             F.col("total").cast("bigint").alias("n_pairs"),
+            (F.col("full_hits") == F.col("total")).alias("full_probe_exact"),
+            ((F.col("partial_hits") / F.col("total")) >= 0.25)
+            .alias("partial_probe_ok"),
         )
     )
 
@@ -2534,32 +2559,96 @@ def sample_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.unionAll(none).unionAll(tagged)
 
 
-@q("multimodal_features", None)  # binary plumbing; no SQL-oracle equivalent
+# The synthetic media corpus is fully deterministic (content bytes are a
+# closed formula, extensions/multimodal.py synthetic_media), so the oracle
+# is a VALUES literal computed locally at registration time: crc32 + the
+# float32-exact feature sum per media row. The driver check then verifies
+# the DISTRIBUTED path — Arrow batching, mapInPandas schema, float32
+# round-tripping, no dropped/duplicated rows — against local ground truth.
+def _mm_features_oracle() -> str:
+    import zlib
+
+    import numpy as np
+
+    from .extensions.multimodal import _fake_feature
+
+    rows = []
+    for i in range(64):
+        content = bytes((i * 31 + j * 7) % 256 for j in range(128 + i))
+        sha = zlib.crc32(content) & 0x7FFFFFFF
+        s = 0.0
+        for v in _fake_feature(content):
+            s += float(np.float32(v))  # Spark widens each float32 to double
+        # string->double cast: a bare decimal literal would parse as
+        # DECIMAL first and re-round, landing one ulp off the true double
+        rows.append(
+            f"({i}, 'image', {len(content)}, {sha},"
+            f" CAST('{s!r}' AS DOUBLE))")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind,"
+        " CAST(n_bytes AS BIGINT) AS n_bytes, CAST(sha AS BIGINT) AS sha,"
+        " CAST(feature_sum AS DOUBLE) AS feature_sum FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, kind, n_bytes, sha, feature_sum)"
+    )
+
+
+@q("multimodal_features", _mm_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media -> mapInPandas feature extraction
     (decode stubbed deterministically; schema/batching production-shaped),
-    then a JVM-side aggregate."""
+    then a JVM-side aggregate. Value-checked against locally computed
+    ground truth (see _mm_features_oracle)."""
     from .extensions import multimodal
 
     media = multimodal.synthetic_media(spark, n=64)
     feats = multimodal.extract_features(media)
     return feats.select(
         "media_id", "kind", "n_bytes", "sha",
-        F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 6)
+        F.expr("aggregate(feature, 0D, (a, x) -> a + x)")
         .alias("feature_sum"),
     )
 
 
-@q("multimodal_frame_sample", None)
+def _mm_frames_oracle() -> str:
+    rows = [
+        f"({i}, {ts})"
+        for i in range(16)
+        for ts in range(0, 1000 + i + 1, 250)
+    ]
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms FROM (VALUES "
+        + ", ".join(rows) + ") AS t(media_id, frame_ts_ms)"
+    )
+
+
+@q("multimodal_frame_sample", _mm_frames_oracle())
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing (sequence+explode on duration metadata)."""
+    """Video frame-sampling plumbing (sequence+explode on duration
+    metadata); value-checked against the locally computed frame plan."""
     from .extensions import multimodal
 
     media = multimodal.synthetic_media(spark, n=16, kind="video")
     return multimodal.sample_frames(media, every_ms=250)
 
 
-@q("multimodal_tiles_chunks", None)  # synthetic media; deterministic rows-only
+def _mm_tiles_oracle() -> str:
+    rows = [
+        f"('tile', {i}, {x0}, {y0})"
+        for i in range(16) for x0 in (0, 32) for y0 in (0, 32)
+    ] + [
+        f"('chunk', {i}, {s}, {min(s + 500, 1000 + i)})"
+        for i in range(16) for s in (0, 400, 800)
+    ]
+    return (
+        "SELECT kind, CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM (VALUES "
+        + ", ".join(rows) + ") AS t(kind, media_id, a, b)"
+    )
+
+
+@q("multimodal_tiles_chunks", _mm_tiles_oracle())
 def multimodal_tiles_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image tiling + audio chunking plans from metadata (the coordinate/
     segment plans real decode UDFs consume), unioned with a kind tag."""
