@@ -286,3 +286,113 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
         F.expr(f"array_min(transform({grams}, g -> md5(g)))").alias("fingerprint"),
         F.expr(f"size(array_distinct({grams}))").alias("n_grams"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF / BM25 relevance scoring
+# --------------------------------------------------------------------------
+
+def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
+                top_t: int = 5) -> DataFrame:
+    """Top ``top_t`` characteristic terms per document by TF-IDF
+    (tf * ln(N / df)) — the classic keyword/topic signal a corpus curator
+    uses to label or route documents.
+
+    Scale shape: one scan tokenizes; term frequencies shuffle once on
+    (doc, term); document frequencies reduce off the SAME exploded rows
+    (term key, vocabulary-sized — small); the corpus size joins in as a
+    1-row broadcast aggregate (the queries.py:1874 crossJoin-count idiom);
+    final per-doc top-t is one window. No Python, no collect.
+    Returns (doc_id, term, tf, df, tfidf)."""
+    from pyspark.sql.window import Window
+
+    toks = _tokens(text_col)
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(toks)).alias("term"),
+    ).where(F.col("term") != "")
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf",
+                    (F.col("tf") * F.log(F.col("__n") / F.col("df")))
+                    .cast("double"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= top_t)
+        .select("doc_id", "term",
+                F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"),
+                "tfidf")
+    )
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25 (Robertson et
+    al.), the standard lexical retrieval score — useful for corpus search
+    and for mining positive/hard-negative training pairs.
+
+    score(d) = sum over query terms of
+      ln(1 + (N - df + 0.5) / (df + 0.5)) *
+      tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: the query term list is a broadcast literal filter, so only
+    matching postings shuffle; N/avgdl join in as a 1-row broadcast
+    aggregate; the final top-k window runs on the (small) matching-doc set.
+    The per-doc sum over query terms routes through DECIMAL so it is
+    order-independent (double addition order varies with partial-agg merge
+    order). Ties break on doc_id asc. Returns (doc_id, score, rank)."""
+    from pyspark.sql.window import Window
+
+    terms = [t.lower() for t in query_terms]
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(toks).alias("__t"),
+    ).select(
+        "doc_id",
+        F.size("__t").cast("double").alias("dl"),
+        F.explode("__t").alias("term"),
+    )
+    stats = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg(F.size(F.expr(toks))).alias("__avgdl"),
+    )
+    tf = (
+        base.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__s",
+            F.log(1.0 + (F.col("__n") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("__s").cast("decimal(28,12)"))
+             .cast("double").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )

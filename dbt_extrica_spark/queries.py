@@ -3373,6 +3373,152 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "embedding")
 
 
+# TF-IDF: tf * ln(N/df). The driver row compares the integer-exact columns
+# (tf, df, and the top-3 MEMBERSHIP, which the tfidf ranking determines);
+# the tfidf double itself is excluded because ln() differs by one ulp
+# between the engines' libm for some inputs (observed: 5*ln(500/109)).
+# Ranking is still cross-engine stable: equal (tf, df) pairs produce
+# bit-identical scores in each engine, and distinct pairs are never within
+# an ulp of each other.
+_TFIDF_DUCK = r"""
+WITH ex AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM ex WHERE term <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n.n / dfreq.df) DESC,
+                                     tf.term ASC) AS r
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM scored WHERE r <= 3
+"""
+
+
+@q("text_tfidf_terms", _TFIDF_DUCK)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF — keyword/topic
+    signal for corpus labeling and routing. The driver row drops the raw
+    tfidf double (cross-engine ln ulp; see _TFIDF_DUCK comment)."""
+    _views(spark, sf_dir)
+    return textstats.tfidf_terms(spark.table("documents"), "doc_id", "text",
+                                 top_t=3).drop("tfidf")
+
+
+_BM25_TERMS = ["spark", "filter", "join"]
+
+# BM25 with the same k1/b constants; every input (tf, df, dl, N, avgdl) is
+# an exact integer-valued double, the per-term score is one deterministic
+# double expression, and the cross-term sum routes through DECIMAL so
+# addition order cannot differ between engines
+_BM25_DUCK = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS avgdl
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(dl AS DOUBLE) AS dl,
+         CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM base WHERE term IN ('spark', 'filter', 'join') GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(
+           ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         AS DECIMAL(28,12))) AS DOUBLE) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 20
+"""
+
+
+@q("text_bm25_topk", _BM25_DUCK)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a bag-of-terms query under BM25 — lexical
+    retrieval for corpus search and training-pair mining."""
+    _views(spark, sf_dir)
+    return textstats.bm25_topk(spark.table("documents"), "doc_id", "text",
+                               _BM25_TERMS, k=20)
+
+
+# int8 quantization is pure deterministic IEEE arithmetic (floor(x/s + 0.5),
+# no engine rounding modes involved), so codes and scales hash-match exactly
+_QUANT_DUCK = """
+WITH s AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') / 127 AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id AS id, CAST(scale AS DOUBLE) AS scale,
+       CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+       END AS codes
+FROM s
+"""
+
+
+@q("embedding_quantize_int8", _QUANT_DUCK)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    4x smaller storage/shuffle footprint at bounded reconstruction error."""
+    _views(spark, sf_dir)
+    return similarity.quantize_int8(spark.table("embeddings"),
+                                    "vec_id", "embedding")
+
+
+_DEQUANT_DUCK = """
+WITH s AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') / 127 AS scale,
+         embedding
+  FROM embeddings
+), e AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN 0.0 ELSE
+           list_aggregate(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)
+                  - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)), 'max')
+         END AS max_abs_err
+  FROM s
+)
+SELECT vec_id AS id, CAST(scale AS DOUBLE) AS scale,
+       CAST(max_abs_err AS DOUBLE) AS max_abs_err,
+       max_abs_err <= scale / 2 + 1e-12 AS within_bound
+FROM e
+"""
+
+
+@q("embedding_dequant_error", _DEQUANT_DUCK)
+def embedding_dequant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization round-trip quality report: per-vector max reconstruction
+    error against the scale/2 theoretical bound."""
+    _views(spark, sf_dir)
+    return similarity.dequantize_error_stats(spark.table("embeddings"),
+                                             "vec_id", "embedding")
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02/r04 all contain

@@ -698,3 +698,45 @@ def test_mean_pool_matches_numpy(spark):
         np.testing.assert_allclose(np.array(got),
                                    np.mean(vecs, axis=0), atol=1e-5)
         assert len(got) == 64
+
+
+def test_tfidf_top_term_is_distinctive(spark):
+    df = spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, 'shared shared zebra'),"
+        " (2, 'shared shared quokka'),"
+        " (3, 'shared shared shared') AS t(doc_id, text)"
+    )
+    out = textstats.tfidf_terms(df, "doc_id", "text", top_t=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    assert top[1] == "zebra" and top[2] == "quokka"
+    # doc 3 has only the ubiquitous term: ln(3/3) = 0 score, still ranked
+    assert top[3] == "shared"
+
+
+def test_bm25_ranks_matching_docs(spark):
+    df = spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, 'spark join filter spark'),"
+        " (2, 'spark table scan'),"
+        " (3, 'unrelated words only') AS t(doc_id, text)"
+    )
+    out = textstats.bm25_topk(df, "doc_id", "text",
+                              ["spark", "join", "filter"], k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2]  # doc 3 matches nothing and is absent
+    assert all(r.score > 0 for r in out)
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 100")
+    codes = similarity.quantize_int8(emb, "vec_id", "embedding")
+    rng = codes.selectExpr(
+        "max(array_max(codes)) AS hi", "min(array_min(codes)) AS lo"
+    ).collect()[0]
+    assert rng.hi <= 127 and rng.lo >= -127
+    err = similarity.dequantize_error_stats(emb, "vec_id", "embedding")
+    assert err.where("NOT within_bound").count() == 0
