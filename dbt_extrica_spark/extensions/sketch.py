@@ -71,3 +71,27 @@ def cms_estimates(tokens: DataFrame, width: int = 256,
         .groupBy("token", "exact")
         .agg(F.min("c").cast("bigint").alias("estimate"))
     )
+
+
+def hll_rollup(df: DataFrame, group_cols: list[str], value_col: str,
+               split_col: str, lg_k: int = 12) -> DataFrame:
+    """Mergeable distinct-count rollup via Datasketches HLL
+    (hll_sketch_agg / hll_union_agg, Spark 3.5+): build one sketch per
+    (group, split) — e.g. per (event_type, day) — then MERGE the split
+    sketches per group and estimate.
+
+    This two-level shape is the 100 TB pattern: fine-grained sketches are
+    tiny (2^lg_k bytes), persist alongside rollup tables, and re-aggregate
+    to any coarser grouping WITHOUT rescanning raw data — the sketch analog
+    of the rollup-cascade operator. Returns group_cols + (distinct_est
+    bigint); the estimate obeys standard HLL error (~1.04/sqrt(2^lg_k),
+    well under 2% at lg_k=12)."""
+    per_split = (
+        df.groupBy(*group_cols, split_col)
+        .agg(F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("__sk"))
+    )
+    return (
+        per_split.groupBy(*group_cols)
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(__sk, false))")
+             .cast("bigint").alias("distinct_est"))
+    )

@@ -3519,6 +3519,71 @@ def embedding_dequant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "vec_id", "embedding")
 
 
+# HLL sketches are engine-specific bytes, but the ESTIMATE obeys a bound the
+# oracle can assert (contract form): at lg_k=12 the relative error is
+# ~1.6%, so a 2% gate never flaps while catching any merge/estimate defect
+_HLL_ROLLUP_DUCK = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_within_2pct
+FROM events GROUP BY event_type
+"""
+
+
+@q("sketch_hll_rollup", _HLL_ROLLUP_DUCK)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count rollup: per-(event_type, day) sketches
+    merged per event_type — the persist-and-reaggregate pattern that avoids
+    rescanning raw data at coarser granularities. Contract: merged estimate
+    within 2% of the exact distinct count."""
+    from .extensions import sketch as sketch_ops
+
+    _views(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "day", F.expr("date_trunc('day', ts)"))
+    est = sketch_ops.hll_rollup(ev, ["event_type"], "user_id", "day")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    return (
+        exact.join(est, on="event_type")
+        .select(
+            "event_type", "exact_users",
+            (F.abs(F.col("distinct_est") - F.col("exact_users"))
+             / F.col("exact_users") <= 0.02).alias("est_within_2pct"),
+        )
+    )
+
+
+# exact percentiles interpolate between INTEGER-VALUED quantities at dyadic
+# fractions (0/.25/.5/.75), so the lerp is exact in both engines; the
+# approx_percentile sketch is gated by a contract bound
+_QUANTILES_DUCK = """
+SELECT l_returnflag,
+       CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25,
+       CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE) AS p50,
+       CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@q("q_approx_quantiles", _QUANTILES_DUCK)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per return flag plus a contract that
+    the approx_percentile (KLL-style) sketch lands within 1 quantity unit
+    of the exact median."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+SELECT l_returnflag,
+       percentile(l_quantity, 0.25) AS p25,
+       percentile(l_quantity, 0.50) AS p50,
+       percentile(l_quantity, 0.75) AS p75,
+       abs(approx_percentile(l_quantity, 0.5, 10000)
+           - percentile(l_quantity, 0.5)) <= 1.0 AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+""")
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02/r04 all contain

@@ -740,3 +740,27 @@ def test_quantize_int8_roundtrip_bound(spark):
     assert rng.hi <= 127 and rng.lo >= -127
     err = similarity.dequantize_error_stats(emb, "vec_id", "embedding")
     assert err.where("NOT within_bound").count() == 0
+
+
+def test_hll_rollup_merge_matches_single_level(spark):
+    from dbt_extrica_spark.extensions import sketch as sketch_ops
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    ev = spark.table("events").withColumn(
+        "day", F.expr("date_trunc('day', ts)"))
+    # merging per-day sketches must equal sketching the whole group directly
+    # (HLL union is lossless for same-lg_k sketches)
+    rolled = {r.event_type: r.distinct_est for r in
+              sketch_ops.hll_rollup(ev, ["event_type"], "user_id", "day")
+              .collect()}
+    direct = {r.event_type: r.est for r in
+              ev.groupBy("event_type")
+              .agg(F.expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id,"
+                          " 12)) AS BIGINT)").alias("est")).collect()}
+    assert rolled == direct
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(rolled[k] - n) / n <= 0.02
