@@ -51,6 +51,35 @@ def main() -> None:
         f" GROUP BY o_orderstatus"
     ).collect()
     out["join_agg_sec"] = round(time.time() - t0, 2)
+
+    # extension operators over a replicated documents corpus (doc_id shifted,
+    # one replica-tag word prepended so replicas are distinct texts — exact
+    # dedup keeps them all, the scan/shuffle volume still grows N x).
+    # minhash is deliberately absent: replicating text manufactures a
+    # dup-saturated corpus whose candidate-verification cost is O(true
+    # pairs) BY DESIGN — it measures the corpus, not the operator.
+    from dbt_extrica_spark.extensions import dedup, textstats
+
+    dc = spark.table("documents")
+    dc_big = dc
+    for i in range(1, replicas):
+        dc_big = dc_big.unionByName(
+            dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+            .withColumn("text", F.concat(F.lit(f"rep{i} "), F.col("text"))))
+    out["documents_rows"] = dc_big.count()
+    t0 = time.time()
+    textstats.text_stats(dc_big, "doc_id", "text").select(
+        F.count(F.lit(1))).collect()
+    out["text_stats_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    dedup.exact_dedup(dc_big, "doc_id", ["text"]).select(
+        F.count(F.lit(1))).collect()
+    out["exact_dedup_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    textstats.tfidf_terms(dc_big, "doc_id", "text", top_t=3).select(
+        F.count(F.lit(1))).collect()
+    out["tfidf_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
     spark.stop()
 
