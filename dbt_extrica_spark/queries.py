@@ -2691,6 +2691,35 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(windowed_counts(stream, "1 day", "1 hour"))
 
 
+# event_id is unique, so upserting every micro-batch on it converges to the
+# full source projection — the oracle for the foreachBatch merge path
+_STREAM_MERGE_DUCK = """
+SELECT event_id, event_type, value FROM events
+"""
+
+
+@q("streaming_inc_merge", _STREAM_MERGE_DUCK)
+def streaming_inc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialization: foreachBatch upserts into an
+    engine table through the SAME merge rewrite as the batch incremental
+    strategy (operators/merge.py) — the live-stream version of dbt's
+    rerun loop. Under availableNow with a unique key the final table equals
+    the batch projection."""
+    import shutil
+
+    from .streaming import read_event_stream, streaming_incremental_merge
+
+    eng = _engine(spark, sf_dir, "stream_inc_m")
+    # clean the checkpoint so reruns in one session re-process from scratch
+    shutil.rmtree(f"{eng.warehouse_dir}/_checkpoints/stream_inc_m",
+                  ignore_errors=True)
+    stream = read_event_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value")
+    q_ = streaming_incremental_merge(eng, stream, "stream_inc_m", "event_id")
+    q_.awaitTermination()
+    return eng.table("stream_inc_m")
+
+
 _SESSIONIZE_SQL = """
 WITH gapped AS (
   SELECT user_id, ts,
