@@ -607,3 +607,52 @@ def dequantize_error_stats(df: DataFrame, id_col: str,
         F.expr(err).cast("double").alias("max_abs_err"),
         F.expr(f"{err} <= {scale} / 2D + 1e-12").alias("within_bound"),
     )
+
+
+def cell_blocked_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Semantic near-dup pairs, sub-quadratically: assign every vector to
+    its ``nprobe`` nearest cells (same expression-local assignment as
+    ivf_topk — zero shuffle), emit exact-cosine pairs WITHIN each cell,
+    dedupe across cells. A pair is found iff the two vectors share at least
+    one probed cell — near vectors share their nearest or second-nearest
+    centroid, so recall is high at nprobe=2 (measure per corpus).
+
+    This is the scale path for dedup.embedding_cosine_pairs (which is
+    guardrailed all-pairs): the join mass is sum over cells of
+    members^2 instead of n^2, and the per-pair cosine is the SAME exact
+    sequential JVM fold, so emitted values are bit-identical to the
+    brute-force operator (an oracle can verify the pair set directly
+    wherever blocking recall is 100%).
+
+    Like ivf_topk, calling this is EAGER (collects the tiny centroid
+    table). Returns (id_a, id_b, cosine) with id_a < id_b."""
+    base = _with_norm(df, id_col, vec_col)
+    centroids = base.orderBy("id").limit(n_cells).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"))
+    cell_rows = centroids.collect()
+    if not cell_rows:
+        return df.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, cosine double")
+    ranked = _ivf_assign_literal(base, cell_rows, nprobe)
+    probed = ranked.select("id", "v", "nrm", "cid")
+    a, b = probed.alias("a"), probed.alias("b")
+    dot = _DOT.format(a="a.v", b="b.v")
+    return (
+        a.join(b, on=[F.col("a.cid") == F.col("b.cid"),
+                      F.col("a.id") < F.col("b.id")])
+        .withColumn("cosine",
+                    (F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")))
+                    .cast("double"))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"), "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

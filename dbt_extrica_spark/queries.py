@@ -3548,6 +3548,59 @@ def embedding_dequant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "vec_id", "embedding")
 
 
+# Cell-blocked semantic dedup in contract form: the synthetic embeddings
+# have almost no high-cosine pairs, so a raw pair-set oracle would flap
+# with data regeneration; the two invariants below cannot flap. The exact
+# pair COUNT is SQL-predictable (same fold as _EMB_PAIRS_DUCK).
+_SEMANTIC_DUCK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)) AS nrm
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS subset_ok
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+        / (a.nrm * b.nrm) >= 0.35
+"""
+
+
+@q("dedup_semantic_blocked", _SEMANTIC_DUCK)
+def dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic semantic dedup (cell-blocked cosine pairs) in contract
+    form: every blocked pair must appear in the exact all-pairs set with a
+    bit-identical cosine (subset_ok — blocking can only LOSE pairs, never
+    invent or corrupt them). The lossless limit (probing all cells ==
+    exact set) is a code invariant, pinned by a unit test instead of
+    burning an all-cells join here every round."""
+    from .extensions import dedup as dedup_ops
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where("vec_id < 300")
+    # both pair sets feed two aggregate branches below; localCheckpoint so
+    # the all-pairs folds run once, not once per branch (sets are tiny)
+    exact = dedup_ops.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", 0.35).select("id_a", "id_b", "cosine") \
+        .localCheckpoint(eager=True)
+    blocked = similarity.cell_blocked_cosine_pairs(
+        emb, "vec_id", "embedding", 0.35, n_cells=16, nprobe=2) \
+        .localCheckpoint(eager=True)
+    n_exact = exact.groupBy().count().withColumnRenamed("count", "exact_pairs")
+    bad_subset = blocked.join(exact, on=["id_a", "id_b", "cosine"],
+                              how="left_anti").groupBy().count() \
+        .withColumnRenamed("count", "n_bad")
+    return (
+        n_exact.crossJoin(bad_subset)
+        .select(
+            F.col("exact_pairs").cast("bigint").alias("exact_pairs"),
+            (F.col("n_bad") == 0).alias("subset_ok"),
+        )
+    )
+
+
 # HLL sketches are engine-specific bytes, but the ESTIMATE obeys a bound the
 # oracle can assert (contract form): at lg_k=12 the relative error is
 # ~1.6%, so a 2% gate never flaps while catching any merge/estimate defect

@@ -764,3 +764,35 @@ def test_hll_rollup_merge_matches_single_level(spark):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for k, n in exact.items():
         assert abs(rolled[k] - n) / n <= 0.02
+
+
+def test_cell_blocked_cosine_lossless_limit(spark):
+    """Probing all cells makes blocking exhaustive: the blocked pair set
+    must equal the exact all-pairs set, cosines bit-identical."""
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 200")
+    exact = {(r.id_a, r.id_b, r.cosine) for r in
+             dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.35)
+             .collect()}
+    full = {(r.id_a, r.id_b, r.cosine) for r in
+            similarity.cell_blocked_cosine_pairs(
+                emb, "vec_id", "embedding", 0.35, n_cells=8, nprobe=8)
+            .collect()}
+    assert full == exact
+
+
+def test_cell_blocked_cosine_subset_at_partial_probe(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 200")
+    exact = {(r.id_a, r.id_b, r.cosine) for r in
+             dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.35)
+             .collect()}
+    blocked = {(r.id_a, r.id_b, r.cosine) for r in
+               similarity.cell_blocked_cosine_pairs(
+                   emb, "vec_id", "embedding", 0.35, n_cells=8, nprobe=2)
+               .collect()}
+    assert blocked <= exact
