@@ -3673,24 +3673,26 @@ FROM lineitem GROUP BY l_returnflag
 # entry accumulates driver evidence over time; everything is always
 # verified by the full local battery (tools/check_oracle.py runs ALL 108).
 #
-# Round-5 window: the 10-entry core slice, the 5 entries that ERR'd in r4
-# under the TIMESTAMP_NTZ testdata drift (now fixed — their green rows
-# prove the fix), the no_oracle entries (their rows-only evidence lives
-# only in driver output), and the 17 round-3 additions that had zero
-# driver rows through r4 (text_repetition .. embedding_mean_pool).
+# Round-5 window: the 10-entry core slice, the 4 events queries that ERR'd
+# in r4 under the TIMESTAMP_NTZ testdata drift (now fixed — their green
+# rows prove the fix), the formerly-no_oracle entries (new oracles/
+# contracts need their first checked rows), the 17 round-3 additions that
+# had zero driver rows through r4, and the 8 round-5 additions.
 # Rotated OUT (all hold green r4 rows): seed_types, catalog_columns,
 # catalog_relations, dq_checks, dedup_exact_keep, dedup_ngram_jaccard,
 # dedup_clusters, embedding_label_stats, text_language_id,
 # text_token_count, text_bigram_logprob, text_fingerprint, text_winnow,
 # trino_dialect_model, sample_hash_split, sample_stratified,
-# sample_boundary.
+# sample_boundary, rollup_hypertable, dedup_exact,
+# dedup_embedding_cosine, ann_cosine_topk, text_stats, sketch_count_min,
+# text_chunks, sample_deterministic.
 # ==========================================================================
 
 _GATED_WINDOW = [
     # core slice (adapter-implemented operators, SURVEY §2A/2B)
     "q1_pricing_summary",      # flagship aggregate (entry() query)
-    "q_approx_distinct",       # approx_count_distinct vs oracle
-    "q_window_time_range",     # RANGE INTERVAL frame (historically subtle)
+    "q_approx_distinct",       # approx_count_distinct, now materialize-routed
+    "q_window_time_range",     # RANGE INTERVAL frame, now materialize-routed
     "q_asof_join",             # custom operator vs DuckDB native ASOF
     "q_range_join",            # bucketized range join
     "shim_datediff",           # hardest shim (field-difference semantics)
@@ -3703,22 +3705,15 @@ _GATED_WINDOW = [
     "q_retention_cohorts",
     "q_sessionize",
     "streaming_window_counts",
-    # extension representatives + all no_oracle rows
-    "rollup_hypertable",
-    "dedup_exact",
+    # upgraded-oracle entries (first checked rows) + remaining no_oracle,
+    # plus the two composite pipelines (each row gates many operators)
     "dedup_minhash",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
     "ann_pq_topk",
     "ann_ivf_topk",
     "ann_recall_report",
-    "text_stats",
-    "sketch_count_min",
     "pipeline_clean_corpus",
     "pipeline_joint_dedup",
-    "text_chunks",
-    "sample_deterministic",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_tiles_chunks",
@@ -3741,6 +3736,15 @@ _GATED_WINDOW = [
     "dq_source_freshness",
     "rollup_cascade_month",
     "embedding_mean_pool",
+    # round-5 additions
+    "text_tfidf_terms",
+    "text_bm25_topk",
+    "embedding_quantize_int8",
+    "embedding_dequant_error",
+    "sketch_hll_rollup",
+    "q_approx_quantiles",
+    "streaming_inc_merge",
+    "dedup_semantic_blocked",
 ]
 
 
