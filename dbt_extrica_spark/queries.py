@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from .engine import Engine
 from .functions import shims
@@ -3546,6 +3547,73 @@ def embedding_dequant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return similarity.dequantize_error_stats(spark.table("embeddings"),
                                              "vec_id", "embedding")
+
+
+# PQ contract (mirrors ann_recall_report): the recall floor is measured
+# (trained codebooks + rerank=4 give ~0.60 at both sf; floor 0.4 catches
+# any codebook/encode/ADC/rerank breakage without flapping), and with
+# rerank the emitted approx_d2 must BE the exact squared L2 — an internal
+# consistency invariant recomputable in Spark.
+_PQ_RECALL_DUCK = """
+SELECT CAST(COUNT(*) * 5 AS BIGINT) AS n_pairs,
+       TRUE AS rerank_d2_exact,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 300
+"""
+
+
+@q("ann_pq_recall", _PQ_RECALL_DUCK)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN quality contract: trained-codebook PQ with exact rerank must
+    clear a recall floor vs exact L2 top-k, and every emitted rerank
+    distance must equal the recomputed exact squared L2."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where("vec_id < 300")
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("v")).alias("b")
+    qv = emb.select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qv")).alias("q")
+    d2 = ("aggregate(zip_with(q.qv, b.v, (x, y) ->"
+          " (cast(x as double) - y) * (cast(x as double) - y)),"
+          " 0D, (a, x) -> a + x)")
+    w = Window.partitionBy("q.qid").orderBy(F.asc("d2"), F.asc(F.col("b.id")))
+    exact = (
+        F.broadcast(qv).join(base, on=F.expr("q.qid != b.id"))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(F.col("q.qid").alias("query_id"),
+                F.col("b.id").alias("neighbor_id"), "d2")
+        .localCheckpoint(eager=True)
+    )
+    approx = similarity.pq_topk(emb, "vec_id", "embedding", k=5, m=8, ks=16,
+                                rerank=4, train_codebooks=True) \
+        .localCheckpoint(eager=True)
+    n_exact = exact.groupBy().count().withColumnRenamed("count", "n_pairs")
+    hits = exact.join(approx, on=["query_id", "neighbor_id"],
+                      how="left_semi").groupBy().count() \
+        .withColumnRenamed("count", "n_hits")
+    # recompute exact d2 for every emitted pair and compare to approx_d2
+    re_d2 = ("aggregate(zip_with(__qv, __bv, (x, y) ->"
+             " (cast(x as double) - y) * (cast(x as double) - y)),"
+             " 0D, (a, x) -> a + x)")
+    bad_d2 = (
+        approx
+        .join(emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("__qv")), on="query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("__bv")), on="neighbor_id")
+        .where(F.expr(re_d2) != F.col("approx_d2"))
+        .groupBy().count().withColumnRenamed("count", "n_bad")
+    )
+    return (
+        n_exact.crossJoin(hits).crossJoin(bad_d2)
+        .select(
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_bad") == 0).alias("rerank_d2_exact"),
+            ((F.col("n_hits") / F.col("n_pairs")) >= 0.4).alias("recall_ok"),
+        )
+    )
 
 
 # Cell-blocked semantic dedup in contract form: the synthetic embeddings

@@ -796,3 +796,23 @@ def test_cell_blocked_cosine_subset_at_partial_probe(spark):
                    emb, "vec_id", "embedding", 0.35, n_cells=8, nprobe=2)
                .collect()}
     assert blocked <= exact
+
+
+def test_pq_trained_codebooks_beat_training_free(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 200")
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", k=1)
+    e = {r.query_id: r.neighbor_id for r in exact.collect()}
+
+    def top1_hits(trained: bool) -> int:
+        approx = similarity.pq_topk(emb, "vec_id", "embedding", k=1,
+                                    m=8, ks=16, rerank=4,
+                                    train_codebooks=trained)
+        a = {r.query_id: r.neighbor_id for r in approx.collect()}
+        return sum(1 for q in e if a.get(q) == e[q])
+
+    free, trained = top1_hits(False), top1_hits(True)
+    # trained codebooks must not be worse; measured they are clearly better
+    assert trained >= free
