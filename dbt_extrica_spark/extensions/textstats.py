@@ -293,7 +293,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
 # --------------------------------------------------------------------------
 
 def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
-                top_t: int = 5) -> DataFrame:
+                top_t: int = 5, max_df_frac: float | None = None) -> DataFrame:
     """Top ``top_t`` characteristic terms per document by TF-IDF
     (tf * ln(N / df)) — the classic keyword/topic signal a corpus curator
     uses to label or route documents.
@@ -303,7 +303,13 @@ def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
     (term key, vocabulary-sized — small); the corpus size joins in as a
     1-row broadcast aggregate (the queries.py:1874 crossJoin-count idiom);
     final per-doc top-t is one window. No Python, no collect.
-    Returns (doc_id, term, tf, df, tfidf)."""
+    Returns (doc_id, term, tf, df, tfidf).
+
+    ``max_df_frac`` (opt-in) drops terms appearing in more than that
+    fraction of documents BEFORE the ranking window — a stopword-class
+    prefilter. Such terms have near-zero idf and essentially never rank in
+    the top-t, but dropping them DOES change results when a document
+    contains nothing else, so the default (None) keeps exact semantics."""
     from pyspark.sql.window import Window
 
     toks = _tokens(text_col)
@@ -323,6 +329,8 @@ def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
                     (F.col("tf") * F.log(F.col("__n") / F.col("df")))
                     .cast("double"))
     )
+    if max_df_frac is not None:
+        scored = scored.where(F.col("df") <= F.col("__n") * max_df_frac)
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term"))
     return (

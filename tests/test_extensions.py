@@ -816,3 +816,16 @@ def test_pq_trained_codebooks_beat_training_free(spark):
     free, trained = top1_hits(False), top1_hits(True)
     # trained codebooks must not be worse; measured they are clearly better
     assert trained >= free
+
+
+def test_tfidf_max_df_prefilter_drops_ubiquitous_terms(spark):
+    df = spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, 'common zebra'), (2, 'common quokka'), (3, 'common emu')"
+        " AS t(doc_id, text)"
+    )
+    out = textstats.tfidf_terms(df, "doc_id", "text", top_t=2,
+                                max_df_frac=0.9).collect()
+    assert all(r.term != "common" for r in out)
+    # distinctive terms survive
+    assert {r.term for r in out} == {"zebra", "quokka", "emu"}
