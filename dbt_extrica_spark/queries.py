@@ -3549,6 +3549,53 @@ def embedding_dequant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "vec_id", "embedding")
 
 
+# SimHash contract: the pair set itself can't be oracled (xxhash64 is
+# absent from the oracle engine), but three invariants can — planted exact
+# duplicates MUST be found at hamming 0 (pigeonhole banding guarantees
+# recall within the hamming budget), every emitted pair respects the
+# budget, and the planted-pair count is predictable.
+_SIMHASH_DUCK = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       TRUE AS planted_found, TRUE AS all_within_budget
+FROM documents WHERE doc_id < 50
+"""
+
+
+@q("dedup_simhash_contract", _SIMHASH_DUCK)
+def dedup_simhash_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection under a verifiable contract: plant one
+    exact duplicate per doc_id < 50 (shifted ids), require every planted
+    pair found at hamming 0 (pigeonhole recall is exact within budget) and
+    every emitted pair within the hamming budget."""
+    from .extensions import dedup as dedup_ops
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 50") \
+        .select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    pairs = dedup_ops.simhash_pairs(planted, "doc_id", "text",
+                                    max_hamming=3).localCheckpoint(eager=True)
+    n_docs = docs.groupBy().count().withColumnRenamed("count", "n_planted")
+    missing = (
+        docs.select(F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1_000_000).alias("id_b"))
+        .join(pairs.where(F.col("hamming") == 0), on=["id_a", "id_b"],
+              how="left_anti")
+        .groupBy().count().withColumnRenamed("count", "n_missing")
+    )
+    over = pairs.where(F.col("hamming") > 3).groupBy().count() \
+        .withColumnRenamed("count", "n_over")
+    return (
+        n_docs.crossJoin(missing).crossJoin(over)
+        .select(
+            F.col("n_planted").cast("bigint").alias("n_planted"),
+            (F.col("n_missing") == 0).alias("planted_found"),
+            (F.col("n_over") == 0).alias("all_within_budget"),
+        )
+    )
+
+
 # PQ contract (mirrors ann_recall_report): the recall floor is measured
 # (trained codebooks + rerank=4 give ~0.60 at both sf; floor 0.4 catches
 # any codebook/encode/ADC/rerank breakage without flapping), and with
