@@ -3800,7 +3800,9 @@ FROM lineitem GROUP BY l_returnflag
 # trino_dialect_model, sample_hash_split, sample_stratified,
 # sample_boundary, rollup_hypertable, dedup_exact,
 # dedup_embedding_cosine, ann_cosine_topk, text_stats, sketch_count_min,
-# text_chunks, sample_deterministic.
+# text_chunks, sample_deterministic, q_asof_join, q_range_join (the last
+# two swapped out late-round for the ann_pq_recall / dedup_simhash_contract
+# quality gates).
 # ==========================================================================
 
 _GATED_WINDOW = [
@@ -3808,8 +3810,6 @@ _GATED_WINDOW = [
     "q1_pricing_summary",      # flagship aggregate (entry() query)
     "q_approx_distinct",       # approx_count_distinct, now materialize-routed
     "q_window_time_range",     # RANGE INTERVAL frame, now materialize-routed
-    "q_asof_join",             # custom operator vs DuckDB native ASOF
-    "q_range_join",            # bucketized range join
     "shim_datediff",           # hardest shim (field-difference semantics)
     "mat_table_contract",      # CTAS + contract + NOT NULL enforcement
     "inc_merge_partitioned",   # partition-scoped merge (100 TB path)
@@ -3860,6 +3860,8 @@ _GATED_WINDOW = [
     "q_approx_quantiles",
     "streaming_inc_merge",
     "dedup_semantic_blocked",
+    "ann_pq_recall",
+    "dedup_simhash_contract",
 ]
 
 
