@@ -404,3 +404,32 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("rank") <= k)
         .select("doc_id", "score", "rank")
     )
+
+
+# GPT-2-style pretokenizer pattern, restricted to pure alternation (no
+# lookaround) so the SAME pattern runs in Spark's Java regex and the
+# oracle's RE2: contraction suffixes, space-prefixed letter/digit runs,
+# punctuation runs, whitespace runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counts from a BPE-ish pretokenizer regex — a materially better
+    LLM-cost estimate than whitespace words (captures punctuation runs,
+    contractions, and digit runs as separate tokens, like GPT-2's
+    pretokenizer does before BPE merges).
+
+    One codegen'd projection (regexp_extract_all + size); no shuffle, no
+    Python. Returns (id, n_bpe_tokens, n_ws_tokens) — both counts so
+    callers can calibrate whitespace-based estimates per corpus."""
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"size(regexp_extract_all(coalesce({text_col}, ''),"
+            f" \"{BPE_ISH_PATTERN}\", 0))"
+        ).cast("int").alias("n_bpe_tokens"),
+        F.expr(
+            f"size(filter({toks}, x -> x <> ''))"
+        ).cast("int").alias("n_ws_tokens"),
+    )

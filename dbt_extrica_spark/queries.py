@@ -3549,6 +3549,30 @@ def embedding_dequant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "vec_id", "embedding")
 
 
+# GPT-2-style pretokenizer counts: the pattern is pure alternation (no
+# lookaround), so the IDENTICAL regex runs in Spark's Java engine and the
+# oracle's RE2 — cross-verified match-for-match
+_BPE_DUCK = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
+            AS INT) AS n_bpe_tokens,
+       CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            x -> x <> '')) AS INT) AS n_ws_tokens
+FROM documents
+"""
+
+
+@q("text_bpe_pretokenize", _BPE_DUCK)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pretokenizer token counts (contraction suffixes,
+    space-prefixed letter/digit runs, punctuation runs) next to whitespace
+    counts — the calibration pair for LLM-cost estimates."""
+    _views(spark, sf_dir)
+    return textstats.bpe_token_count(spark.table("documents"),
+                                     "doc_id", "text")
+
+
 # SimHash contract: the pair set itself can't be oracled (xxhash64 is
 # absent from the oracle engine), but three invariants can — planted exact
 # duplicates MUST be found at hamming 0 (pigeonhole banding guarantees
