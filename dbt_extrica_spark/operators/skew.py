@@ -48,7 +48,13 @@ def salted_agg(
     for out, spec in aggs.items():
         fn, _, arg = spec.partition("(")
         fn = fn.strip().lower()
-        arg = arg.rstrip(")").strip()
+        # strip exactly ONE closing paren: the argument may itself contain
+        # nested calls (e.g. sum(CAST(x AS DECIMAL(18,4)))) — rstrip(')')
+        # would eat the nested closers too
+        arg = arg.strip()
+        if not arg.endswith(")"):
+            raise ValueError(f"malformed agg spec {spec!r}")
+        arg = arg[:-1].strip()
         if fn not in combiner:
             raise ValueError(f"salted_agg supports {sorted(combiner)}, got {fn!r}")
         partial = f"__p_{out}"

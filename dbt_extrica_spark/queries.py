@@ -3549,6 +3549,43 @@ def embedding_dequant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "vec_id", "embedding")
 
 
+# salted two-phase aggregation must be value-identical to the plain GROUP
+# BY (decimal-routed sum so the extra combine step cannot reorder doubles)
+_SALTED_AGG_DUCK = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+       CAST(MIN(user_id) AS BIGINT) AS min_user,
+       CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM events GROUP BY event_type
+"""
+
+
+@q("skew_salted_agg", _SALTED_AGG_DUCK)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation (operators/skew.py): hot keys spread over
+    salt buckets in a partial pass, partials combined in a tiny second
+    pass — must be value-identical to the one-shot GROUP BY."""
+    from .operators import skew
+
+    _views(spark, sf_dir)
+    out = skew.salted_agg(
+        spark.table("events"), ["event_type"],
+        {"n": "count(*)",
+         "value_sum_dec": "sum(CAST(value AS DECIMAL(18,4)))",
+         "min_user": "min(user_id)",
+         "max_user": "max(user_id)"},
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("value_sum_dec").cast("double").alias("value_sum"),
+        F.col("min_user").cast("bigint").alias("min_user"),
+        F.col("max_user").cast("bigint").alias("max_user"),
+    )
+
+
 # GPT-2-style pretokenizer counts: the pattern is pure alternation (no
 # lookaround), so the IDENTICAL regex runs in Spark's Java engine and the
 # oracle's RE2 — cross-verified match-for-match
