@@ -3586,6 +3586,40 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# salted join: replicating the small side salt_buckets x and spreading the
+# large side must reproduce the plain join exactly — checked through an
+# aggregate that would expose any duplicated or dropped row
+_SALTED_JOIN_DUCK = """
+SELECT e.event_type, upper(e.event_type) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
+  ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+@q("skew_salted_join", _SALTED_JOIN_DUCK)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join (operators/skew.py): the hot-keyed large
+    side is salt-spread, the small side replicated per salt bucket — the
+    result must equal the plain join row-for-row (the aggregate exposes
+    any duplication or loss)."""
+    from .operators import skew
+
+    _views(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "event_type", "value")
+    dim = spark.sql(
+        "SELECT DISTINCT event_type, upper(event_type) AS label FROM events")
+    joined = skew.salted_join(ev, dim, ["event_type"], salt_buckets=8)
+    return (
+        joined.groupBy("event_type", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,4)"))
+             .cast("double").alias("value_sum"))
+    )
+
+
 # GPT-2-style pretokenizer counts: the pattern is pure alternation (no
 # lookaround), so the IDENTICAL regex runs in Spark's Java engine and the
 # oracle's RE2 — cross-verified match-for-match
