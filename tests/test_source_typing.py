@@ -87,3 +87,61 @@ def test_event_time_functions_resolve(spark):
                 df.selectExpr(f"unix_micros(`{f.name}`)").limit(1).collect()
                 checked += 1
     assert checked > 0, "expected at least one timestamp column in testdata"
+
+
+# The NORMALIZED schema contract every battery query compiles against. The
+# driver regenerates the parquet between rounds and has shifted physical
+# encodings twice (r1: timestamp[ns]; r4: timestamp[us] tz=None); this test
+# makes the next drift visible locally, as a named schema diff, before the
+# driver's correctness gate reports it as dozens of opaque ERR rows. A
+# legitimate schema change (new table/column) should update this dict.
+EXPECTED_SCHEMAS = {
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint", "embedding": "array<float>", "label": "int",
+    },
+    "events": {
+        "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double",
+        "l_tax": "double", "l_returnflag": "string",
+        "l_linestatus": "string", "l_shipdate": "timestamp",
+    },
+    "nation": {
+        "n_nationkey": "int", "n_name": "string", "n_regionkey": "int",
+    },
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint",
+        "o_orderstatus": "string", "o_totalprice": "double",
+        "o_orderdate": "timestamp", "o_orderpriority": "string",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+}
+
+
+def test_normalized_schema_contract(spark):
+    views = register_sources(spark, SF_DIR, prefix="contract_")
+    got = {
+        name: {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for name, df in views.items()
+    }
+    assert got == EXPECTED_SCHEMAS
