@@ -44,6 +44,15 @@ _NAME_MAP = {
     "reduce": "aggregate",          # same (array, init, merge[, finish])
     "now": "current_timestamp",
     "array_distinct": "array_distinct",  # identity; listed for visibility
+    # Trino from_unixtime returns TIMESTAMP; Spark's same-named function
+    # returns a formatted STRING — timestamp_seconds is the semantic match
+    # (accepts fractional seconds too)
+    "from_unixtime": "timestamp_seconds",
+    # Trino contains() is array-membership (string containment is strpos);
+    # Spark's contains() is string-only, array_contains matches exactly
+    "contains": "array_contains",
+    "starts_with": "startswith",    # same (string, prefix) -> boolean
+    "to_hex": "hex",                # varbinary -> uppercase hex in both
 }
 
 _UNITS = {"second", "minute", "hour", "day", "week", "month",
@@ -54,6 +63,66 @@ _UNIT_TAIL = re.compile(r"\b(date_diff|date_add)\s*\(\s*$", re.IGNORECASE)
 
 _TO_UNIXTIME = re.compile(r"\bto_unixtime\s*\(", re.IGNORECASE)
 
+_HASH_IDIOM = re.compile(
+    r"\blower\s*\(\s*to_hex\s*\(\s*md5\s*\(\s*to_utf8\s*\(", re.IGNORECASE)
+
+
+def _scan_balanced(sql: str, start: int) -> int:
+    """Index just past the ')' closing the paren opened before ``start``
+    (quote-aware)."""
+    depth, j, n = 1, start, len(sql)
+    while j < n and depth:
+        c = sql[j]
+        if c == "'":
+            j += 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        j += 1
+    return j
+
+
+def _rewrite_hash_idiom(sql: str) -> str:
+    """``lower(to_hex(md5(to_utf8(X))))`` -> ``md5(cast(X as string))``.
+
+    This exact chain is what the reference's hash macro EMITS into compiled
+    model SQL (reference: macros/utils/hash.sql:1-3, snapshot.sql:1-6), so
+    migrated bodies hit it verbatim. It cannot translate piecewise: Trino
+    md5 is varbinary -> varbinary while Spark md5 is -> lowercase hex
+    STRING, so the to_hex/lower wrappers must collapse together with the
+    encode step. Spark's md5(cast(X as string)) is byte-identical output."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _HASH_IDIOM.search(sql, i)
+        if m is None:
+            break
+        if sql.count("'", 0, m.start()) % 2 == 1:
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        arg_end = _scan_balanced(sql, m.end())      # closes to_utf8(
+        rest = sql[arg_end:]
+        tail = re.match(r"\s*\)\s*\)\s*\)", rest)   # md5, to_hex, lower
+        if tail is None:
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        arg = _rewrite_hash_idiom(sql[m.end():arg_end - 1])
+        out.append(sql[i:m.start()])
+        out.append(f"md5(cast({arg} as string))")
+        i = arg_end + tail.end()
+    out.append(sql[i:])
+    return "".join(out)
+
 
 def _translate_segment(seg: str) -> str:
     for trino, spark in _NAME_MAP.items():
@@ -61,6 +130,10 @@ def _translate_segment(seg: str) -> str:
             continue
         seg = re.sub(rf"\b{trino}\s*\(", f"{spark}(", seg,
                      flags=re.IGNORECASE)
+    # Trino's UNBOUNDED varchar cast — Spark only parses varchar WITH a
+    # length; string is the semantic equivalent (varchar(n) left alone)
+    seg = re.sub(r"\bas\s+varchar\s*\)", "as string)", seg,
+                 flags=re.IGNORECASE)
     return seg
 
 
@@ -112,6 +185,7 @@ def translate_trino_sql(sql: str) -> str:
     rewrite is positional over the quote-split — the code segment must END
     with the call head and the NEXT literal must be the unit — so the same
     text spelled inside a string literal is never rewritten."""
+    sql = _rewrite_hash_idiom(sql)  # before name maps (consumes to_hex/md5)
     sql = _rewrite_to_unixtime(sql)
     parts = sql.split("'")
     out: list[str] = []

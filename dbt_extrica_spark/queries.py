@@ -2328,7 +2328,8 @@ SELECT o_orderstatus,
        CAST(SUM(CASE WHEN strpos(o_orderpriority, '-') > 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dashed,
        CAST(MAX(date_diff('day', CAST(o_orderdate AS TIMESTAMP),
-                TIMESTAMP '1999-01-01 00:00:00')) AS BIGINT) AS max_age_days
+                TIMESTAMP '1999-01-01 00:00:00')) AS BIGINT) AS max_age_days,
+       MIN(md5(CAST(o_orderstatus AS VARCHAR))) AS status_hash
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -2338,7 +2339,10 @@ GROUP BY o_orderstatus
 def trino_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A model written in Trino SQL (the reference's pass-through dialect)
     materialized via the dialect translator (functions/dialect.py) — the
-    migration path for a reference user's existing model bodies."""
+    migration path for a reference user's existing model bodies. Includes
+    the reference hash macro's emitted idiom lower(to_hex(md5(to_utf8(…))))
+    (reference: macros/utils/hash.sql:1-3), which must land byte-identical
+    to the oracle's md5 hex."""
     eng = _engine(spark, sf_dir, "trino_m")
     m = Model("trino_m", sql="""
         SELECT o_orderstatus,
@@ -2347,7 +2351,9 @@ def trino_dialect_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_dashed,
                CAST(MAX(date_diff('day', o_orderdate,
                         TIMESTAMP '1999-01-01 00:00:00')) AS BIGINT)
-                 AS max_age_days
+                 AS max_age_days,
+               MIN(lower(to_hex(md5(to_utf8(
+                   CAST(o_orderstatus AS VARCHAR)))))) AS status_hash
         FROM {source:orders}
         GROUP BY o_orderstatus
     """, config={"materialized": "table", "dialect": "trino"})

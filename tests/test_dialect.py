@@ -67,3 +67,26 @@ def test_unit_rewrite_skips_string_literals():
     out = translate_trino_sql(sql)
     assert "'date_diff(''day'', a, b)'" in out  # literal untouched
     assert "timestampdiff(DAY, a, b)" in out
+
+
+def test_hash_idiom_collapses_to_spark_md5(spark):
+    # the exact chain the reference's hash macro emits into compiled SQL
+    sql = ("SELECT lower(to_hex(md5(to_utf8(cast(col as varchar))))) AS h"
+           " FROM (SELECT 'abc' AS col)")
+    out = spark.sql(translate_trino_sql(sql)).collect()[0].h
+    import hashlib
+    assert out == hashlib.md5(b"abc").hexdigest()
+
+
+def test_hash_idiom_inside_string_literal_untouched():
+    lit = "SELECT 'lower(to_hex(md5(to_utf8(x))))' AS s"
+    assert translate_trino_sql(lit) == lit
+
+
+def test_new_name_maps(spark):
+    out = spark.sql(translate_trino_sql(
+        "SELECT from_unixtime(1.5) AS ts, contains(array(1,2), 2) AS c,"
+        " starts_with('prefix', 'pre') AS sw, to_hex(cast('A' as binary)) AS h"
+    )).collect()[0]
+    assert str(out.ts) == "1970-01-01 00:00:01.500000"
+    assert out.c is True and out.sw is True and out.h == "41"
