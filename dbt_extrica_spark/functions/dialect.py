@@ -53,6 +53,10 @@ _NAME_MAP = {
     "contains": "array_contains",
     "starts_with": "startswith",    # same (string, prefix) -> boolean
     "to_hex": "hex",                # varbinary -> uppercase hex in both
+    # Trino element_at returns NULL for an out-of-bounds index; Spark's
+    # element_at THROWS under ANSI mode (on in Spark 4) — try_element_at
+    # restores Trino's NULL contract
+    "element_at": "try_element_at",
 }
 
 _UNITS = {"second", "minute", "hour", "day", "week", "month",
@@ -60,6 +64,12 @@ _UNITS = {"second", "minute", "hour", "day", "week", "month",
 
 
 _UNIT_TAIL = re.compile(r"\b(date_diff|date_add)\s*\(\s*$", re.IGNORECASE)
+
+# Trino split(string, delimiter) treats the delimiter as a LITERAL; Spark's
+# split(str, pattern) treats it as a Java regex — split(x, '.') would split
+# on every character. When the delimiter is the immediately-following
+# string literal, wrap it in \Q…\E so Java regex matches it literally.
+_SPLIT_TAIL = re.compile(r"\bsplit\s*\(\s*[A-Za-z_][\w.]*\s*,\s*$")
 
 _TO_UNIXTIME = re.compile(r"\bto_unixtime\s*\(", re.IGNORECASE)
 
@@ -205,6 +215,16 @@ def translate_trino_sql(sql: str) -> str:
             out.append(_translate_segment(seg[:m.start()])
                        + f"{target}({parts[i + 1].upper()}")
             i += 2  # consume the unit literal; parts[i] stays code parity
+            continue
+        ms = _SPLIT_TAIL.search(seg)
+        if (ms is not None and i + 2 < len(parts)
+                and parts[i + 1] != "" and "\\" not in parts[i + 1]
+                and re.match(r"\s*[,)]", parts[i + 2])):
+            # literal delimiter -> \Q…\E regex quoting ('' -escaped and
+            # backslash-bearing delimiters fall through untouched)
+            out.append(_translate_segment(seg)
+                       + "'\\\\Q" + parts[i + 1] + "\\\\E'")
+            i += 2
             continue
         out.append(_translate_segment(seg))
         i += 1

@@ -90,3 +90,21 @@ def test_new_name_maps(spark):
     )).collect()[0]
     assert str(out.ts) == "1970-01-01 00:00:01.500000"
     assert out.c is True and out.sw is True and out.h == "41"
+
+
+def test_split_literal_delimiter_quoted(spark):
+    # Trino split() delimiters are literal; Spark's are regex — '.' must
+    # not split every character after translation
+    out = translate_trino_sql(
+        "SELECT split(col, '.') AS x FROM (SELECT 'a.b.c' AS col)")
+    assert spark.sql(out).collect()[0].x == ["a", "b", "c"]
+    # delimiter with regex metachars
+    out2 = translate_trino_sql(
+        "SELECT split(col, '||') AS x FROM (SELECT 'a||b' AS col)")
+    assert spark.sql(out2).collect()[0].x == ["a", "b"]
+
+
+def test_element_at_out_of_bounds_is_null(spark):
+    # Trino returns NULL out of bounds; Spark ANSI element_at would throw
+    out = translate_trino_sql("SELECT element_at(array(1, 2), 9) AS v")
+    assert spark.sql(out).collect()[0].v is None
