@@ -66,8 +66,11 @@ def funnel(
         f" acc -> acc.d)"
     )
     per_user = ev.groupBy("user_id").agg(F.expr(depth_expr).alias("depth"))
+    # coalesce: when no event matches any step, per_user is empty and
+    # sum() over an empty frame is NULL — the funnel must report 0
     totals = per_user.agg(*[
-        F.sum((F.col("depth") >= i + 1).cast("bigint")).alias(f"s{i}")
+        F.coalesce(F.sum((F.col("depth") >= i + 1).cast("bigint")),
+                   F.lit(0).cast("bigint")).alias(f"s{i}")
         for i in range(k)
     ])
     stack = ", ".join(f"{i + 1}, '{esc(s)}', s{i}"

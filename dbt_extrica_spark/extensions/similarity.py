@@ -648,7 +648,13 @@ def cell_blocked_cosine_pairs(
     if not cell_rows:
         return df.sparkSession.createDataFrame(
             [], "id_a bigint, id_b bigint, cosine double")
-    ranked = _ivf_assign_literal(base, cell_rows, nprobe)
+    # same literal-budget routing as ivf_topk: a large n_cells x dim
+    # codebook would otherwise build a giant Catalyst literal expression
+    dim = len(cell_rows[0]["cv"])
+    if len(cell_rows) * dim > _IVF_LITERAL_BUDGET:
+        ranked = _ivf_assign_broadcast(base, centroids, nprobe)
+    else:
+        ranked = _ivf_assign_literal(base, cell_rows, nprobe)
     probed = ranked.select("id", "v", "nrm", "cid")
     a, b = probed.alias("a"), probed.alias("b")
     dot = _DOT.format(a="a.v", b="b.v")

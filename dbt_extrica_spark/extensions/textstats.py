@@ -423,11 +423,15 @@ def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Python. Returns (id, n_bpe_tokens, n_ws_tokens) — both counts so
     callers can calibrate whitespace-based estimates per corpus."""
     toks = _tokens(text_col)
+    # the pattern goes in as a Column (F.lit), NOT interpolated into a SQL
+    # string literal: Spark's literal parser would strip the single
+    # backslashes ('\s' -> 's') and silently change the token boundaries
     return df.select(
         F.col(id_col),
-        F.expr(
-            f"size(regexp_extract_all(coalesce({text_col}, ''),"
-            f" \"{BPE_ISH_PATTERN}\", 0))"
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(BPE_ISH_PATTERN), F.lit(0))
         ).cast("int").alias("n_bpe_tokens"),
         F.expr(
             f"size(filter({toks}, x -> x <> ''))"

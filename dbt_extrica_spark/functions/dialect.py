@@ -69,7 +69,34 @@ _UNIT_TAIL = re.compile(r"\b(date_diff|date_add)\s*\(\s*$", re.IGNORECASE)
 # split(str, pattern) treats it as a Java regex — split(x, '.') would split
 # on every character. When the delimiter is the immediately-following
 # string literal, wrap it in \Q…\E so Java regex matches it literally.
-_SPLIT_TAIL = re.compile(r"\bsplit\s*\(\s*[A-Za-z_][\w.]*\s*,\s*$")
+
+
+def _split_arg1_end(seg: str) -> bool:
+    """True iff the code segment ends with ``split(<balanced-expr>,`` —
+    i.e. the next string literal is split's delimiter argument. Backward
+    balanced-paren scan so nested calls (``split(lower(x), '.')``) are
+    caught, not just bare identifiers. Known limit: a first argument that
+    itself contains a string literal (``split(concat(x, '-'), '.')``)
+    starts in an earlier quote-split segment, so the scan hits the segment
+    start without finding split's '(' and falls through to Spark regex
+    semantics."""
+    m = re.search(r",\s*$", seg)
+    if m is None:
+        return False
+    j, depth = m.start() - 1, 0
+    while j >= 0:
+        c = seg[j]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                return re.search(r"\bsplit\s*$", seg[:j],
+                                 re.IGNORECASE) is not None
+            depth -= 1
+        elif c == "," and depth == 0:
+            return False  # ends an arg-2+ boundary, not arg1 -> arg2
+        j -= 1
+    return False
 
 _TO_UNIXTIME = re.compile(r"\bto_unixtime\s*\(", re.IGNORECASE)
 
@@ -216,8 +243,7 @@ def translate_trino_sql(sql: str) -> str:
                        + f"{target}({parts[i + 1].upper()}")
             i += 2  # consume the unit literal; parts[i] stays code parity
             continue
-        ms = _SPLIT_TAIL.search(seg)
-        if (ms is not None and i + 2 < len(parts)
+        if (_split_arg1_end(seg) and i + 2 < len(parts)
                 and parts[i + 1] != "" and "\\" not in parts[i + 1]
                 and re.match(r"\s*[,)]", parts[i + 2])):
             # literal delimiter -> \Q…\E regex quoting ('' -escaped and

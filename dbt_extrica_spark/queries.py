@@ -3383,7 +3383,9 @@ def rollup_cascade_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # mean pooling: per-dim DECIMAL sums are order-independent, so two-engine
-# equality is exact; the mean divides as doubles on both sides
+# equality is exact; the mean divides as doubles on both sides. The final
+# select explodes the mean vector to (label, dim, value) rows because the
+# driver canonicalizer sorts result columns and cannot sort array cells.
 _MEAN_POOL_DUCK = """
 WITH e AS (
   SELECT label AS grp, i - 1 AS dim,
@@ -3393,20 +3395,26 @@ WITH e AS (
 ), s AS (
   SELECT grp, dim, SUM(v) AS s, COUNT(*) AS n FROM e GROUP BY grp, dim
 )
-SELECT grp AS label,
-       array_agg(CAST(s AS DOUBLE) / n ORDER BY dim) AS mean_embedding,
-       CAST(MAX(n) AS BIGINT) AS n_vectors
-FROM s GROUP BY grp
+SELECT grp AS label, CAST(dim AS INT) AS dim,
+       CAST(s AS DOUBLE) / n AS value,
+       CAST(MAX(n) OVER (PARTITION BY grp) AS BIGINT) AS n_vectors
+FROM s
 """
 
 
 @q("embedding_mean_pool", _MEAN_POOL_DUCK)
 def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-to-document embedding pooling: element-wise mean vector per
-    label group, decimal-routed for order-independent exactness."""
+    label group, decimal-routed for order-independent exactness. Exploded
+    to scalar (label, dim, value) rows for the driver's canonicalizer."""
     _views(spark, sf_dir)
-    return similarity.mean_pool(spark.table("embeddings"), "label",
-                                "embedding")
+    pooled = similarity.mean_pool(spark.table("embeddings"), "label",
+                                  "embedding")
+    return pooled.select(
+        F.col("label"),
+        F.posexplode("mean_embedding").alias("dim", "value"),
+        F.col("n_vectors"),
+    ).select("label", "dim", "value", "n_vectors")
 
 
 # TF-IDF: tf * ln(N/df). The driver row compares the integer-exact columns
@@ -3496,7 +3504,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # int8 quantization is pure deterministic IEEE arithmetic (floor(x/s + 0.5),
-# no engine rounding modes involved), so codes and scales hash-match exactly
+# no engine rounding modes involved), so codes and scales hash-match exactly.
+# Codes are CSV-joined to one string per vector because the driver
+# canonicalizer sorts result columns and cannot sort array cells.
 _QUANT_DUCK = """
 WITH s AS (
   SELECT vec_id,
@@ -3504,23 +3514,33 @@ WITH s AS (
                         x -> abs(CAST(x AS DOUBLE))), 'max') / 127 AS scale,
          embedding
   FROM embeddings
+), c AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+         END AS codes
+  FROM s
 )
 SELECT vec_id AS id, CAST(scale AS DOUBLE) AS scale,
-       CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
-       END AS codes
-FROM s
+       array_to_string(codes, ',') AS codes_csv
+FROM c
 """
 
 
 @q("embedding_quantize_int8", _QUANT_DUCK)
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
-    4x smaller storage/shuffle footprint at bounded reconstruction error."""
+    4x smaller storage/shuffle footprint at bounded reconstruction error.
+    Codes CSV-serialized for the driver's canonicalizer."""
     _views(spark, sf_dir)
-    return similarity.quantize_int8(spark.table("embeddings"),
-                                    "vec_id", "embedding")
+    out = similarity.quantize_int8(spark.table("embeddings"),
+                                   "vec_id", "embedding")
+    return out.select(
+        "id", "scale",
+        F.expr("array_join(transform(codes, x -> cast(x as string)), ',')")
+        .alias("codes_csv"),
+    )
 
 
 _DEQUANT_DUCK = """

@@ -93,3 +93,12 @@ def test_auto_salted_agg_adapts_and_matches(spark):
            skew.auto_salted_agg(df, ["k"],
                                 {"n": "count(1)", "s": "sum(v)"}).collect()}
     assert got == expected
+
+
+def test_funnel_no_matching_events_reports_zeros(spark):
+    # regression (round-6 advice): with zero step-matching events the
+    # per-user frame is empty and sum() is NULL — the funnel must say 0
+    out = {r.step: r.n_users
+           for r in analytics.funnel(_ev(spark, [(1, 1, 1, "browse")]),
+                                     ["signup", "click"]).collect()}
+    assert out == {1: 0, 2: 0}

@@ -108,3 +108,22 @@ def test_element_at_out_of_bounds_is_null(spark):
     # Trino returns NULL out of bounds; Spark ANSI element_at would throw
     out = translate_trino_sql("SELECT element_at(array(1, 2), 9) AS v")
     assert spark.sql(out).collect()[0].v is None
+
+
+def test_split_literal_delimiter_nested_first_arg(spark):
+    # regression (round-6 advice): the delimiter rewrite used to require a
+    # bare-identifier first argument; nested calls fell through to Spark's
+    # regex semantics and '.' split on every character
+    out = translate_trino_sql(
+        "SELECT split(lower(col), '.') AS x FROM (SELECT 'A.B.c' AS col)")
+    assert spark.sql(out).collect()[0].x == ["a", "b", "c"]
+    # case-insensitive head, deeper nesting
+    out2 = translate_trino_sql(
+        "SELECT SPLIT(trim(upper(col)), '|') AS x"
+        " FROM (SELECT ' a|b ' AS col)")
+    assert spark.sql(out2).collect()[0].x == ["A", "B"]
+    # a later-arg comma must NOT trigger the rewrite (split_part untouched)
+    out3 = translate_trino_sql("SELECT split_part(col, '.', 2) AS x"
+                               " FROM (SELECT 'a.b.c' AS col)")
+    assert "\\Q" not in out3  # split_part is literal in both engines
+    assert spark.sql(out3).collect()[0].x == "b"

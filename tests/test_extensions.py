@@ -829,3 +829,19 @@ def test_tfidf_max_df_prefilter_drops_ubiquitous_terms(spark):
     assert all(r.term != "common" for r in out)
     # distinctive terms survive
     assert {r.term for r in out} == {"zebra", "quokka", "emu"}
+
+
+def test_bpe_pattern_survives_into_engine(spark):
+    # regression (round-6 advice): the pattern used to be interpolated into
+    # a SQL string literal, which stripped the backslashes ('\s' -> 's')
+    # and silently merged whitespace runs with adjacent punctuation
+    import re
+
+    texts = ["end.  Next", "a  b\tc", "wait... what?!  ok", "  lead", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    out = {r.doc_id: r.n_bpe_tokens
+           for r in textstats.bpe_token_count(df, "doc_id", "text").collect()}
+    pat = re.compile(textstats.BPE_ISH_PATTERN)
+    for i, t in enumerate(texts):
+        assert out[i] == len(pat.findall(t)), (t, out[i], pat.findall(t))
