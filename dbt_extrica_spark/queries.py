@@ -25,10 +25,15 @@ from .plans.model import Model
 from .sources.registry import register_sources
 from .extensions import dedup, similarity, textstats
 
-_REGISTRY: dict[str, tuple[Callable, str | None]] = {}
+# oracle may be a plain SQL string or a zero-arg callable resolved at
+# oracle_sql() call time — lazy oracles compute ground truth from the
+# testdata parquet (e.g. the simhash pair set needs xxhash64, absent from
+# the oracle engine). Lazy builders read SPARK_GRAFT_ORACLE_SF (default
+# /root/testdata/sf0.01 — the scale the driver compares at).
+_REGISTRY: dict[str, tuple[Callable, "str | Callable[[], str] | None"]] = {}
 
 
-def q(name: str, oracle: str | None):
+def q(name: str, oracle: "str | Callable[[], str] | None"):
     def deco(fn):
         _REGISTRY[name] = (fn, oracle)
         return fn
@@ -40,7 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: o for name, (_fn, o) in _REGISTRY.items() if o is not None}
+    return {name: (o() if callable(o) else o)
+            for name, (_fn, o) in _REGISTRY.items() if o is not None}
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
@@ -1734,9 +1740,65 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    k=5, num_perm=64, bands=16, threshold=0.5)
 
 
-@q("dedup_simhash", None)  # xxhash64 not available in the oracle engine
+# xxhash64 is absent from the oracle engine, but it IS reimplementable
+# from the public spec — functions/xxh64.py is byte-parity-pinned against
+# Spark's xxhash64. The oracle therefore computes the EXACT expected pair
+# set locally in pure Python (same tokenization, same fold semantics,
+# brute-force hamming over all pairs — no banding shortcut, so it also
+# re-proves pigeonhole recall) and embeds it as a VALUES literal. Lazy so
+# it reads the same parquet scale the battery runs at.
+def _simhash_oracle() -> str:
+    import os
+    import re as _re
+
+    import duckdb as _duck
+
+    from .functions.xxh64 import xxh64
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+        " WHERE doc_id < 300 ORDER BY doc_id").fetchall()
+    sigs: dict[int, int] = {}
+    for doc_id, text in rows:
+        if text is None:
+            continue  # NULL text -> NULL sig -> never joins (Spark side)
+        # mirror split(trim(lower(text)), '\\s+') exactly: Spark trim
+        # strips ASCII spaces only; Java split keeps leading/trailing
+        # empties at limit -1; Java \s = [ \t\n\x0B\f\r]
+        toks = _re.split(r"[ \t\n\x0b\f\r]+", text.lower().strip(" "))
+        t_n = len(toks)
+        bitcount = [0] * 64
+        for tok in toks:
+            h = xxh64(tok.encode("utf-8"))
+            for j in range(64):
+                if (h >> j) & 1:
+                    bitcount[j] += 1
+        sig = 0
+        for j in range(64):
+            if 2 * bitcount[j] - t_n >= 0:
+                sig |= 1 << j
+        sigs[int(doc_id)] = sig
+    ids = sorted(sigs)
+    vals = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            hd = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+            if hd <= 3:
+                vals.append(f"({ids[x]}, {ids[y]}, {hd})")
+    if not vals:
+        return ("SELECT CAST(NULL AS BIGINT) AS id_a,"
+                " CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS INT) AS hamming"
+                " WHERE FALSE")
+    return ("SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT)"
+            " AS id_b, CAST(hamming AS INT) AS hamming FROM (VALUES "
+            + ", ".join(vals) + ") AS t(id_a, id_b, hamming)")
+
+
+@q("dedup_simhash", _simhash_oracle)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole chunk banding."""
+    """SimHash near-dup pairs via pigeonhole chunk banding, value-checked
+    against a locally computed exact pair set (see _simhash_oracle)."""
     _views(spark, sf_dir)
     docs = spark.table("documents").where("doc_id < 300")
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -53,6 +53,9 @@ def compare(name: str, spark_df, duck_rows, duck_cols) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # lazy oracles (e.g. dedup_simhash) compute ground truth from the
+    # parquet at this scale — point them at the battery's sf dir
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
