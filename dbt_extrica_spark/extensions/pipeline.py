@@ -20,7 +20,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import dedup, textstats
+from . import dedup, similarity, textstats
+
+
+def _over_rows(df: DataFrame, col: str, limit: int | None) -> bool:
+    """Bounded size probe — ``limit(n+1).count()`` short-circuits, never a
+    full scan — used to flip pipelines from their exact small-corpus routes
+    to the sub-quadratic scale routes (mirrors skew.auto_salted_agg)."""
+    if limit is None:
+        return False
+    return df.select(col).limit(limit + 1).count() > limit
 
 
 def clean_corpus(
@@ -31,6 +40,7 @@ def clean_corpus(
     min_quality: float = 0.55,
     jaccard_threshold: float = 0.2,
     lang: str = "en",
+    auto_scale_rows: int | None = 100_000,
 ) -> DataFrame:
     """Returns (doc_id, est_llm_tokens) for the cleaned corpus.
 
@@ -47,11 +57,19 @@ def clean_corpus(
     length is grouped alongside the digest to force a colliding pair to
     also match in byte length. This is collision-hardened, not
     collision-proof; an adversarial corpus needs the per-stage
-    dedup.exact_dedup (full-text compare) instead."""
+    dedup.exact_dedup (full-text compare) instead.
+
+    ``auto_scale_rows``: above this row count the near-dup stage routes to
+    the PPJoin prefix-filter path (heavy-hitter-safe at natural-language
+    scale; still EXACT — prefix filtering is lossless) instead of the
+    one-pass hashed-gram join, and the feature pass skips building the
+    hashed-gram cache the one-pass route would have used. None disables
+    the probe (always one-pass)."""
     # spread first: a small parquet arrives as one split, and every stage
     # here is per-row compute (regex, shingling) that must parallelize
     base = dedup._spread(docs.select(F.col(id_col).alias("doc_id"),
                                      F.col(text_col).alias("text")))
+    big = _over_rows(docs, id_col, auto_scale_rows)
 
     st = textstats.stat_exprs("text")
     lang_pick, _hits = textstats.lang_exprs("text")
@@ -60,18 +78,22 @@ def clean_corpus(
     # the same scan as every other per-doc feature: stage 3's candidate
     # join then runs off this compact cache (int64 arrays) instead of
     # re-reading parquet and re-shingling the surviving docs (measured
-    # ~1.5s of the pipeline at sf0.1)
-    feats = base.select(
-        "doc_id",
+    # ~1.5s of the pipeline at sf0.1). Skipped on the prefix-filter route,
+    # which shingles inside ngram_jaccard_pairs.
+    feat_cols = [
+        F.col("doc_id"),
         st["quality_score"].alias("quality_score"),
         st["n_tokens"].alias("n_tokens"),
         F.md5(F.col("text").cast("string")).alias("__fp"),
         F.length("text").alias("__len"),
         lang_pick.alias("lang_pred"),
         tok["est_llm_tokens"].alias("est_llm_tokens"),
-        F.transform(dedup.word_ngrams("text", 3),
-                    lambda x: F.xxhash64(x)).alias("__gh"),
-    ).persist()
+    ]
+    if not big:
+        feat_cols.append(
+            F.transform(dedup.word_ngrams("text", 3),
+                        lambda x: F.xxhash64(x)).alias("__gh"))
+    feats = base.select(*feat_cols).persist()
 
     # 1. quality gate
     kept = feats.where(
@@ -88,12 +110,17 @@ def clean_corpus(
     # (no re-scan/re-shingle); only the exact confirmation of passing
     # pairs re-reads text, and only for those few docs
     surv_docs = base.join(kept.select("doc_id"), on="doc_id", how="left_semi")
-    surv_grams = kept.select(
-        F.col("doc_id").alias("id"), F.size("__gh").alias("n_g"),
-        F.col("__gh").alias("gh"))
-    pairs = dedup.ngram_jaccard_pairs(surv_docs, "doc_id", "text", n=3,
-                                      threshold=jaccard_threshold,
-                                      hashed_grams=surv_grams)
+    if big:
+        pairs = dedup.ngram_jaccard_pairs(surv_docs, "doc_id", "text", n=3,
+                                          threshold=jaccard_threshold,
+                                          prefix_filter=True)
+    else:
+        surv_grams = kept.select(
+            F.col("doc_id").alias("id"), F.size("__gh").alias("n_g"),
+            F.col("__gh").alias("gh"))
+        pairs = dedup.ngram_jaccard_pairs(surv_docs, "doc_id", "text", n=3,
+                                          threshold=jaccard_threshold,
+                                          hashed_grams=surv_grams)
     to_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = kept.join(to_drop, on="doc_id", how="left_anti")
 
@@ -120,6 +147,9 @@ def joint_dedup(
     jaccard_threshold: float = 0.5,
     cosine_threshold: float = 0.35,
     ngram_n: int = 3,
+    auto_scale_rows: int | None = 100_000,
+    blocked_n_cells: int | None = None,
+    blocked_nprobe: int = 4,
 ) -> DataFrame:
     """Text near-dup ∪ embedding near-dup, clustered jointly — the two
     modalities catch different duplicates (verbatim/boilerplate overlap vs
@@ -130,16 +160,45 @@ def joint_dedup(
     through the combined pair graph, ``keep`` = this doc is its component's
     canonical (minimum-id) representative.
 
-    Scale: both pair generators are the oracle-verified exact operators;
-    at 100 TB swap in minhash_lsh_pairs / ivf candidates and keep the same
-    union + connected-components tail.
+    Scale routing (bounded size probes, no full scans): above
+    ``auto_scale_rows`` rows the text side switches to the PPJoin
+    prefix-filter path (lossless — identical pairs, heavy-hitter-safe)
+    and the embedding side to cell-blocked cosine pairs. Blocked join
+    mass is ~n²·nprobe²/n_cells, so sub-quadratic behavior REQUIRES the
+    cell count to grow with the corpus: ``blocked_n_cells=None`` (default)
+    derives n_cells ≈ √n (one count of the already-over-threshold input),
+    giving ~n^1.5·nprobe² mass; pass an explicit value to pin it (e.g. a
+    measured-lossless config for equivalence testing). Emitted cosines
+    are bit-identical to brute force either way; recall at partial probe
+    is corpus-dependent — re-measure per corpus. Below the threshold both
+    sides run the exact all-pairs operators, so the oracle entry stays
+    exact. None disables the probes (always exact — subject to
+    embedding_cosine_pairs' quadratic guardrail).
     """
-    text_pairs = dedup.ngram_jaccard_pairs(
-        docs, doc_id_col, text_col, n=ngram_n, threshold=jaccard_threshold
-    ).select("id_a", "id_b")
-    emb_pairs = dedup.embedding_cosine_pairs(
-        embeddings, vec_id_col, vec_col, threshold=cosine_threshold
-    ).select("id_a", "id_b")
+    if _over_rows(docs, doc_id_col, auto_scale_rows):
+        text_pairs = dedup.ngram_jaccard_pairs(
+            docs, doc_id_col, text_col, n=ngram_n,
+            threshold=jaccard_threshold, prefix_filter=True
+        ).select("id_a", "id_b")
+    else:
+        text_pairs = dedup.ngram_jaccard_pairs(
+            docs, doc_id_col, text_col, n=ngram_n,
+            threshold=jaccard_threshold
+        ).select("id_a", "id_b")
+    if _over_rows(embeddings, vec_id_col, auto_scale_rows):
+        n_cells = blocked_n_cells
+        if n_cells is None:
+            import math
+
+            n_cells = max(16, math.isqrt(embeddings.count()))
+        emb_pairs = similarity.cell_blocked_cosine_pairs(
+            embeddings, vec_id_col, vec_col, threshold=cosine_threshold,
+            n_cells=n_cells, nprobe=blocked_nprobe
+        ).select("id_a", "id_b")
+    else:
+        emb_pairs = dedup.embedding_cosine_pairs(
+            embeddings, vec_id_col, vec_col, threshold=cosine_threshold
+        ).select("id_a", "id_b")
     pairs = text_pairs.unionByName(emb_pairs).distinct()
     comp = dedup.connected_components(pairs)
     base = docs.select(F.col(doc_id_col).alias("doc_id"))

@@ -845,3 +845,37 @@ def test_bpe_pattern_survives_into_engine(spark):
     pat = re.compile(textstats.BPE_ISH_PATTERN)
     for i, t in enumerate(texts):
         assert out[i] == len(pat.findall(t)), (t, out[i], pat.findall(t))
+
+
+def test_clean_corpus_scale_route_equals_one_pass(spark):
+    # auto-routing equivalence: the PPJoin prefix-filter route (forced via
+    # a tiny probe threshold) is lossless, so the cleaned corpus must be
+    # identical to the one-pass hashed-gram route
+    from dbt_extrica_spark.extensions import pipeline
+
+    docs = _docs(spark)
+    exact = {(r.doc_id, r.est_llm_tokens)
+             for r in pipeline.clean_corpus(docs).collect()}
+    routed = {(r.doc_id, r.est_llm_tokens)
+              for r in pipeline.clean_corpus(docs,
+                                             auto_scale_rows=10).collect()}
+    assert routed == exact
+
+
+def test_joint_dedup_scale_route_equals_exact(spark):
+    # auto-routing equivalence where blocking recall is 1.0 (measured at
+    # the blocked defaults on this corpus): same components, same keepers
+    from dbt_extrica_spark.sources.registry import register_sources
+    from dbt_extrica_spark.extensions import pipeline
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    docs = _docs(spark).where("doc_id < 150")
+    emb = spark.table("embeddings").where("vec_id < 150")
+    exact = {(r.doc_id, r.component, r.keep)
+             for r in pipeline.joint_dedup(docs, emb).collect()}
+    # blocked config pinned to the measured-lossless one for this corpus
+    routed = {(r.doc_id, r.component, r.keep)
+              for r in pipeline.joint_dedup(docs, emb, auto_scale_rows=10,
+                                            blocked_n_cells=8,
+                                            blocked_nprobe=4).collect()}
+    assert routed == exact

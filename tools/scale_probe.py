@@ -80,6 +80,32 @@ def main() -> None:
         F.count(F.lit(1))).collect()
     out["tfidf_sec"] = round(time.time() - t0, 2)
 
+    # blocked semantic dedup growth: replicate embeddings with CYCLIC
+    # DIMENSION SHIFTS (norms and intra-replica pairwise cosines preserved
+    # exactly, so the true pair mass grows ~linearly with replicas instead
+    # of saturating with manufactured duplicates) and scale the cell count
+    # with the corpus — constant per-cell membership, so a sub-quadratic
+    # route shows ~linear time while the all-pairs route would grow N².
+    from dbt_extrica_spark.extensions import similarity
+
+    emb = spark.table("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    for r in (1, max(2, replicas // 2), replicas):
+        emb_big = emb
+        for i in range(1, r):
+            emb_big = emb_big.unionByName(
+                emb.withColumn("vec_id", F.col("vec_id") + i * 10_000_000)
+                .withColumn("embedding", F.expr(
+                    f"transform(sequence(0, {dim - 1}),"
+                    f" j -> embedding[(j + {i}) % {dim}])")))
+        t0 = time.time()
+        n_pairs = similarity.cell_blocked_cosine_pairs(
+            emb_big, "vec_id", "embedding", 0.35,
+            n_cells=16 * r, nprobe=2,
+        ).count()
+        out[f"blocked_cosine_x{r}_sec"] = round(time.time() - t0, 2)
+        out[f"blocked_cosine_x{r}_pairs"] = n_pairs
+
     print(json.dumps(out))
     spark.stop()
 
