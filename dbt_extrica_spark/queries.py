@@ -1910,6 +1910,46 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   queries=qs, query_id_col="vec_id")
 
 
+# Full-probe IVF is provably exhaustive (every cell searched), so its
+# top-k must EQUAL brute force — this gives the IVF code path (assignment,
+# cogroup scoring, ranking) a direct hash-matching oracle row instead of
+# rows-only. IDs only: the cogroup path scores with a numpy matmul whose
+# summation order differs from the oracle's sequential fold, so the cosine
+# doubles can differ in the last ulp while the top-k sets are identical
+# (measured exact at sf0.001/sf0.01; ann_recall_report gates the same
+# property as a contract).
+_IVF_FULL_DUCK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)) AS nrm
+  FROM embeddings WHERE vec_id < 300
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+           / (q.nrm * b.nrm) AS cosine
+  FROM base q, base b WHERE q.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS r
+  FROM scored
+) WHERE r <= 5
+"""
+
+
+@q("ann_ivf_full_probe", _IVF_FULL_DUCK)
+def ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe = n_cells: exhaustive probing is exactly brute
+    force, so the whole IVF path earns a hash-matching oracle row."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where("vec_id < 300")
+    out = similarity.ivf_topk(emb, "vec_id", "embedding", k=5,
+                              n_cells=16, nprobe=16)
+    return out.select("query_id", "neighbor_id")
+
+
 @q("ann_pq_topk", None)  # approximate; quantization-dependent -> rows-only
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank — the compressed-domain
@@ -3971,80 +4011,78 @@ FROM lineitem GROUP BY l_returnflag
 # entry accumulates driver evidence over time; everything is always
 # verified by the full local battery (tools/check_oracle.py runs ALL 108).
 #
-# Round-5 window: the 10-entry core slice, the 4 events queries that ERR'd
-# in r4 under the TIMESTAMP_NTZ testdata drift (now fixed — their green
-# rows prove the fix), the formerly-no_oracle entries (new oracles/
-# contracts need their first checked rows), the 17 round-3 additions that
-# had zero driver rows through r4, and the 8 round-5 additions.
-# Rotated OUT (all hold green r4 rows): seed_types, catalog_columns,
-# catalog_relations, dq_checks, dedup_exact_keep, dedup_ngram_jaccard,
-# dedup_clusters, embedding_label_stats, text_language_id,
-# text_token_count, text_bigram_logprob, text_fingerprint, text_winnow,
-# trino_dialect_model, sample_hash_split, sample_stratified,
-# sample_boundary, rollup_hypertable, dedup_exact,
-# dedup_embedding_cosine, ann_cosine_topk, text_stats, sketch_count_min,
-# text_chunks, sample_deterministic, q_asof_join, q_range_join (the last
-# two swapped out late-round for the ann_pq_recall / dedup_simhash_contract
-# quality gates).
+# Round-6 window: (a) every entry whose code or oracle changed this round
+# plus the never-gated ones — the 2 formerly-ERR array entries (now scalar-
+# serialized), dedup_simhash (upgraded from rows-only to an exact local
+# ground-truth oracle), the new ann_ivf_full_probe, text_bpe_pretokenize
+# (pattern-escaping fix) and the skew entries (never held a driver row),
+# q_funnel (empty-frame coalesce fix), both pipelines (auto-scale routing);
+# (b) the 40 entries whose only driver evidence was r1/r2 — the core
+# pass-through queries (q3/q5/q7/q10/q17/q18, windows, set ops, joins,
+# pivot/grouping-sets, JSON, percentiles), all 7 r2-only shims, the three
+# classic materializations, both project composites, and 6 of the 7
+# incremental strategies (inc_microbatch stays out: inc_microbatch_schema
+# holds an r5 green row and exercises a superset).
+# Rotated OUT (all hold green r4/r5 rows; full local battery still checks
+# them every run): the r5 window minus the carried entries above — see
+# COVERAGE.md for each entry's latest driver round.
 # ==========================================================================
 
 _GATED_WINDOW = [
-    # core slice (adapter-implemented operators, SURVEY §2A/2B)
-    "q1_pricing_summary",      # flagship aggregate (entry() query)
-    "q_approx_distinct",       # approx_count_distinct, now materialize-routed
-    "q_window_time_range",     # RANGE INTERVAL frame, now materialize-routed
-    "shim_datediff",           # hardest shim (field-difference semantics)
-    "mat_table_contract",      # CTAS + contract + NOT NULL enforcement
-    "inc_merge_partitioned",   # partition-scoped merge (100 TB path)
-    "inc_microbatch_schema",   # r4 ERR (NTZ) — green row proves the fix
-    "snapshot_scd2",           # SCD-2 hash parity
-    # r4 NTZ regressions, fixed this round
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_sessionize",
-    "streaming_window_counts",
-    # upgraded-oracle entries (first checked rows) + remaining no_oracle,
-    # plus the two composite pipelines (each row gates many operators)
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_pq_topk",
-    "ann_ivf_topk",
-    "ann_recall_report",
-    "pipeline_clean_corpus",
-    "pipeline_joint_dedup",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_tiles_chunks",
-    "streaming_sessionize",
-    # round-3 additions, first time under the driver gate
-    "text_repetition",
-    "text_redact_pii",
-    "text_url_domains",
-    "text_boilerplate_lines",
-    "text_decontaminate",
-    "embedding_random_projection",
-    "text_pack_sequences",
-    "sample_mixture",
-    "dq_unit_test",
-    "streaming_dedup",
-    "project_build",
-    "text_dup_spans",
-    "sample_alpha_mixture",
-    "sample_shuffle_shards",
-    "dq_source_freshness",
-    "rollup_cascade_month",
-    "embedding_mean_pool",
-    # round-5 additions
-    "text_tfidf_terms",
-    "text_bm25_topk",
-    "embedding_quantize_int8",
-    "embedding_dequant_error",
-    "sketch_hll_rollup",
-    "q_approx_quantiles",
-    "streaming_inc_merge",
-    "dedup_semantic_blocked",
-    "ann_pq_recall",
-    "dedup_simhash_contract",
+    # changed / new / never-gated this round
+    "embedding_mean_pool",       # r5 ERR -> scalar-serialized result
+    "embedding_quantize_int8",   # r5 ERR -> scalar-serialized result
+    "dedup_simhash",             # rows-only -> exact value oracle (xxh64)
+    "ann_ivf_full_probe",        # new: full-probe IVF == brute force
+    "text_bpe_pretokenize",      # pattern-escaping fix; never gated
+    "skew_salted_agg",           # never gated
+    "skew_salted_join",          # never gated
+    "q_funnel",                  # empty-frame coalesce fix
+    "pipeline_clean_corpus",     # auto-scale routing added
+    "pipeline_joint_dedup",      # auto-scale routing added
+    # stale r1/r2-only evidence: core pass-through queries
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q7_volume_by_nation_year",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q_window_rank",
+    "q_window_navigation",
+    "q_setops",
+    "q_setops_all",
+    "q_not_in_null_semantics",
+    "q_multi_distinct",
+    "q_scalar_subquery",
+    "q_rollup",
+    "q_grouping_sets",
+    "q_pivot",
+    "q_semi_anti",
+    "q_theta_join",
+    "q_events_lag",
+    "q_explode_tokens",
+    "q_percentiles",
+    "q_json_access",
+    # stale r1/r2-only evidence: shims
+    "shim_dateadd_trunc",
+    "shim_string_fns",
+    "shim_arrays",
+    "shim_listagg",
+    "shim_date_spine_day",
+    "shim_date_spine_month",
+    "shim_anyvalue_boolor",
+    # stale r1/r2-only evidence: materializations / projects / incremental
+    "mat_table",
+    "mat_view",
+    "mat_mview_refresh",
+    "project_dag_run",
+    "project_lineage",
+    "inc_append",
+    "inc_merge",
+    "inc_merge_update_cols",
+    "inc_delete_insert",
+    "inc_insert_overwrite",
+    "inc_schema_evolution",
 ]
 
 

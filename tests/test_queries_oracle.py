@@ -1,10 +1,16 @@
 """The full declared battery vs the DuckDB oracle at sf0.001 — the same
 comparison the driver runs at sf0.01."""
 
+import os
+
 import pytest
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR, assert_matches_oracle
+
+# lazy oracles (dedup_simhash) compute ground truth from the parquet at
+# this scale — must match the scale the queries run at
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 
 _QS = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
