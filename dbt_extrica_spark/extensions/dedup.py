@@ -472,12 +472,17 @@ def ngram_jaccard_pairs(
             .unionByName(passing.select(F.col("id_b").alias("id")))
             .distinct()
         )
+        # persist: garr feeds BOTH sides of the confirm join below — without
+        # the cache its subtree (scan + broadcast semi-join + shingle) would
+        # execute twice, and the per-row shingle projection is the expensive
+        # part (measured ~1.5s per extra execution at sf0.1)
         garr = (
             _spread(df.select(F.col(id_col).alias("id"),
                               F.col(text_col).alias("text")))
             .join(F.broadcast(pass_ids), on="id", how="left_semi")
             .select("id", word_ngrams("text", n).alias("g"))
             .withColumn("n_g", F.size("g"))
+            .persist()
         )
         confirmed = (
             passing
@@ -497,6 +502,7 @@ def ngram_jaccard_pairs(
         )
         exploded.unpersist()
         passing.unpersist()
+        garr.unpersist()
         return result
 
     grams = grams.persist()
