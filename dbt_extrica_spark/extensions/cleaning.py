@@ -320,3 +320,75 @@ def mixture_sample(df: DataFrame, id_col: str, source_col: str,
             & sampling._member_cond(bucket, float(rate))
         )
     return df.where(cond)
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 20, min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-deduplicated text — the REMOVAL counterpart to
+    duplicated_spans (which only accounts). Lee et al. 2022 semantics with
+    a deterministic keep-one policy: a word ``n``-gram occurring in >=
+    ``min_docs`` DISTINCT documents is a duplicated span; every token
+    position it covers is cut from every document EXCEPT the gram's
+    canonical carrier (the minimum ``id_col`` that contains it), so one
+    copy of every duplicated passage always survives the pass.
+
+    Returns (id, clean_text, n_tokens_kept, n_tokens) where clean_text is
+    the surviving tokens (normalized: lower/trim/single-space — the same
+    tokenization duplicated_spans keys on) rejoined in order.
+
+    Scale shape: one positional-gram scan (O(tokens) rows, md5 keys), one
+    gram-frequency aggregation carrying (count distinct docs, min doc),
+    one join back of non-canonical carriers, an O(dup_grams x n) position
+    explode de-duplicated to covered (id, pos) pairs, and a final
+    anti-join + per-doc sorted reassembly. Everything partitions on the
+    gram hash or (id, pos) — no all-pairs stage, no driver data."""
+    toks = f"split(trim(lower(`{text_col}`)), '\\\\s+')"
+    grams = (
+        f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+        f" i -> md5(array_join(slice({toks}, i, {n}), ' ')))"
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(toks).alias("__toks"),
+        F.posexplode(F.expr(grams)).alias("pos", "h"),
+    ).where(F.size("__toks") >= n)  # short docs carry no full gram
+    shared = (
+        base.groupBy("h")
+        .agg(F.countDistinct("__id").alias("df_docs"),
+             F.min("__id").alias("canon"))
+        .where(F.col("df_docs") >= min_docs)
+        .select("h", "canon")
+    )
+    covered = (
+        base.select("__id", "pos", "h")
+        .join(shared, on="h")
+        .where(F.col("__id") != F.col("canon"))
+        # gram start at token index pos (0-based) covers [pos, pos+n)
+        .select("__id", F.explode(F.expr(
+            f"sequence(pos, pos + {n} - 1)")).alias("p"))
+        .distinct()
+    )
+    tokens = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.expr(toks)).alias("p", "tok"),
+    )
+    kept = tokens.join(covered, on=["__id", "p"], how="left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.expr("array_join(transform(array_sort(collect_list("
+               "struct(p, tok))), x -> x.tok), ' ')").alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"),
+                  F.size(F.expr(toks)).cast("bigint").alias("n_tokens"))
+        .join(rebuilt, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint")
+            .alias("n_tokens_kept"),
+            F.col("n_tokens"),
+        )
+    )

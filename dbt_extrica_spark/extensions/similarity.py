@@ -715,3 +715,129 @@ def pq_codebooks_kmeans(
         lloyd(X[:, j * d_sub:(j + 1) * d_sub]).tolist()
         for j in range(m)
     ]
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) — exact, partitioning-independent
+# --------------------------------------------------------------------------
+
+def _km_assign_literal(base: DataFrame,
+                       cents: list[list[float]]) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared euclidean,
+    ties -> lowest cid) inside ONE codegen'd expression — zero shuffle.
+    The per-row distance is a sequential double fold, so the argmin is
+    bit-deterministic regardless of partitioning."""
+    cells = F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in vec])
+            .cast("array<double>").alias("cv"),
+        )
+        for cid, vec in enumerate(cents)
+    ])
+    d2 = ("aggregate(zip_with(v, c.cv, (x, w) ->"
+          " (cast(x as double) - w) * (cast(x as double) - w)),"
+          " 0D, (acc, x) -> acc + x)")
+    pick = (f"array_min(transform(__cells, c ->"
+            f" struct({d2} AS d2, c.cid AS cid)))")
+    return (
+        base.withColumn("__cells", cells)
+        .withColumn("__pick", F.expr(pick))
+        .select("id", "v", F.col("__pick.cid").alias("cid"),
+                F.col("__pick.d2").alias("d2"))
+    )
+
+
+def _km_assign_broadcast(base: DataFrame, cents: list[list[float]],
+                         spark) -> DataFrame:
+    """Fallback assignment when k * dim exceeds the literal budget:
+    broadcast-join the centroid table, window-argmin per vector. Plan size
+    is independent of k * dim; costs one window shuffle on id."""
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in vec]) for i, vec in enumerate(cents)],
+        "cid INT, cv ARRAY<DOUBLE>")
+    d2 = ("aggregate(zip_with(v, cv, (x, w) ->"
+          " (cast(x as double) - w) * (cast(x as double) - w)),"
+          " 0D, (acc, x) -> acc + x)")
+    scored = base.join(F.broadcast(cdf)).withColumn("d2", F.expr(d2))
+    w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("id", "v", "cid", "d2")
+    )
+
+
+def kmeans_lloyd_centroids(
+    df: DataFrame, id_col: str, vec_col: str,
+    k: int = 8, iters: int = 4,
+) -> list[list[float]]:
+    """DataFrame-native Lloyd's k-means, EXACT and reproducible: unlike
+    pyspark.ml KMeans (RNG init, float-order-dependent partial sums), every
+    step here is partitioning-independent —
+
+    - init: the ``k`` lowest-id vectors (deterministic, no RNG);
+    - assignment: per-row sequential double fold (no cross-row float math);
+    - update: per-(cluster, dim) DECIMAL(18,6) sums (order-independent,
+      the mean_pool technique) divided driver-side in IEEE doubles.
+
+    Driver state is exactly k x dim doubles per iteration — the classic
+    bounded-model-state shape (same as ivf_topk's centroid table), so the
+    loop runs `iters` fully-distributed jobs against any corpus size.
+    Empty clusters keep their previous centroid. Returns the final
+    centroid list; kmeans_lloyd() below returns the assignment DataFrame.
+
+    Cross-checkable: the identical arithmetic is replayable in pure Python
+    (Decimal HALF_UP quantization + float division), which is how the
+    battery's embedding_kmeans oracle pins this operator value-exactly."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seed_rows = base.orderBy("id").limit(k).collect()
+    if not seed_rows:
+        return []
+    cents = [[float(x) for x in r["v"]] for r in seed_rows]
+    dim = len(cents[0])
+    use_literal = k * dim <= _IVF_LITERAL_BUDGET
+    spark = df.sparkSession
+    for _ in range(iters):
+        assigned = (_km_assign_literal(base, cents) if use_literal
+                    else _km_assign_broadcast(base, cents, spark))
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+                 .alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()  # <= k * dim rows — bounded model state, not data
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            new[r["cid"]][r["dim"]] = float(r["s"]) / float(r["n"])
+        cents = new
+    return cents
+
+
+def kmeans_lloyd(
+    df: DataFrame, id_col: str, vec_col: str,
+    k: int = 8, iters: int = 4,
+) -> DataFrame:
+    """Exact distributed k-means clustering (see kmeans_lloyd_centroids).
+    Returns (id, cid, dist2) — the final assignment under the trained
+    centroids. dist2 is the sequential-fold squared euclidean distance,
+    bit-identical across partitionings and engines."""
+    cents = kmeans_lloyd_centroids(df, id_col, vec_col, k=k, iters=iters)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if not cents:
+        return base.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("double").alias("dist2"),
+        ).where(F.lit(False))
+    dim = len(cents[0])
+    assigned = (_km_assign_literal(base, cents)
+                if k * dim <= _IVF_LITERAL_BUDGET
+                else _km_assign_broadcast(base, cents, df.sparkSession))
+    return assigned.select(
+        F.col("id").alias(id_col),
+        F.col("cid").cast("int").alias("cid"),
+        F.col("d2").alias("dist2"),
+    )

@@ -3346,6 +3346,85 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"), "doc_id", "text", n=8, min_docs=2)
 
 
+# Exact substring-span REMOVAL needs list-position set algebra no portable
+# SQL expresses cleanly, so the oracle replays the identical algorithm in
+# pure Python on the same parquet (the simhash-oracle technique) and pins
+# the rebuilt text by md5 — text itself stays out of the VALUES literal.
+def _remove_dup_spans_oracle() -> str:
+    import hashlib
+    import os
+    import re as _re
+
+    import duckdb as _duck
+
+    n, min_docs = 10, 2
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+        " WHERE doc_id < 300 ORDER BY doc_id").fetchall()
+    # mirror split(trim(lower(text)), '\s+'): Spark trim strips ASCII
+    # spaces only; Java \s = [ \t\n\x0B\f\r]
+    toks_by_id: dict[int, list] = {}
+    for doc_id, text in rows:
+        toks_by_id[int(doc_id)] = (
+            None if text is None
+            else _re.split(r"[ \t\n\x0b\f\r]+", text.lower().strip(" ")))
+    gram_docs: dict[tuple, dict] = {}
+    for doc_id, toks in toks_by_id.items():
+        if toks is None or len(toks) < n:
+            continue
+        for p in range(len(toks) - n + 1):
+            g = tuple(toks[p:p + n])
+            d = gram_docs.setdefault(g, {})
+            d.setdefault(doc_id, []).append(p)
+    covered: dict[int, set] = {}
+    for g, carriers in gram_docs.items():
+        if len(carriers) < min_docs:
+            continue
+        canon = min(carriers)
+        for doc_id, positions in carriers.items():
+            if doc_id == canon:
+                continue
+            s = covered.setdefault(doc_id, set())
+            for p in positions:
+                s.update(range(p, p + n))
+    vals = []
+    for doc_id, toks in toks_by_id.items():
+        if toks is None:
+            kept, total = [], "CAST(NULL AS BIGINT)"
+        else:
+            cov = covered.get(doc_id, ())
+            kept = [t for p, t in enumerate(toks) if p not in cov]
+            total = str(len(toks))
+        md5 = hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest()
+        vals.append(f"({doc_id}, '{md5}', {len(kept)}, {total})")
+    return ("SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_md5,"
+            " CAST(n_tokens_kept AS BIGINT) AS n_tokens_kept,"
+            " CAST(n_tokens AS BIGINT) AS n_tokens FROM (VALUES "
+            + ", ".join(vals)
+            + ") AS t(doc_id, clean_md5, n_tokens_kept, n_tokens)")
+
+
+@q("text_remove_dup_spans", _remove_dup_spans_oracle)
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup OUTPUT (not just accounting): duplicated
+    word-10-grams are cut from every doc except each gram's minimum-id
+    canonical carrier; the rebuilt text is pinned by md5 against a local
+    pure-Python replay of the identical algorithm."""
+    from .extensions import cleaning
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 300")
+    out = cleaning.remove_duplicated_spans(docs, "doc_id", "text",
+                                           n=10, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_tokens_kept",
+        "n_tokens",
+    )
+
+
 # alpha-sampling (temperature) mixture weights; both sides round to 9
 # decimals since pow() is not guaranteed bit-identical across engines
 _ALPHA_MIX_DUCK = """
@@ -3675,6 +3754,78 @@ def embedding_dequant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return similarity.dequantize_error_stats(spark.table("embeddings"),
                                              "vec_id", "embedding")
+
+
+# Distributed Lloyd's k-means is exactly reproducible (deterministic init,
+# per-row sequential-fold assignment, DECIMAL centroid updates — see
+# similarity.kmeans_lloyd_centroids), so the oracle replays the identical
+# arithmetic in pure Python (Decimal HALF_UP quantization verified
+# bit-equal to Spark's double->decimal(18,6) cast) and embeds the exact
+# (vec_id, cid, dist2) assignment as VALUES.
+def _kmeans_oracle() -> str:
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _duck
+
+    k, iters = 8, 3
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/"
+        "embeddings.parquet') WHERE vec_id < 300 ORDER BY vec_id").fetchall()
+
+    def assign(v, cents):
+        best = None
+        for cid, c in enumerate(cents):
+            d2 = 0.0
+            for x, w in zip(v, c):
+                d2 = d2 + (float(x) - w) * (float(x) - w)
+            if best is None or (d2, cid) < best:
+                best = (d2, cid)
+        return best
+
+    cents = [[float(x) for x in v] for _, v in rows[:k]]
+    q6 = Decimal("0.000001")
+    for _ in range(iters):
+        sums: dict = {}
+        for _id, v in rows:
+            _d2, cid = assign(v, cents)
+            for dim, x in enumerate(v):
+                d = Decimal(repr(float(x))).quantize(q6, ROUND_HALF_UP)
+                key = (cid, dim)
+                if key in sums:
+                    sums[key][0] += d
+                    sums[key][1] += 1
+                else:
+                    sums[key] = [d, 1]
+        new = [list(c) for c in cents]
+        for (cid, dim), (s, cnt) in sums.items():
+            new[cid][dim] = float(s) / float(cnt)
+        cents = new
+    vals = []
+    for _id, v in rows:
+        d2, cid = assign(v, cents)
+        # STRING literal, not numeric: the oracle engine lexes a bare
+        # 16-digit decimal literal as DECIMAL (int64-scaled) and its
+        # decimal->double conversion double-rounds above 2^53; the
+        # string->double parse is correctly rounded (verified 1-ulp
+        # divergence on this corpus with the numeric form)
+        vals.append(f"({int(_id)}, {cid}, CAST('{d2!r}' AS DOUBLE))")
+    return ("SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+            " CAST(cid AS INT) AS cid, dist2 FROM (VALUES "
+            + ", ".join(vals) + ") AS t(vec_id, cid, dist2)")
+
+
+@q("embedding_kmeans", _kmeans_oracle)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact k-means over the embedding corpus — corpus
+    clustering for curation/SemDeDup-style pipelines. Every iteration is a
+    fully distributed job with k x dim doubles of driver state; the final
+    (vec_id, cid, dist2) assignment hash-matches a pure-Python replay."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where("vec_id < 300")
+    return similarity.kmeans_lloyd(emb, "vec_id", "embedding",
+                                   k=8, iters=3)
 
 
 # salted two-phase aggregation must be value-identical to the plain GROUP
@@ -4017,12 +4168,18 @@ FROM lineitem GROUP BY l_returnflag
 # ground-truth oracle), the new ann_ivf_full_probe, text_bpe_pretokenize
 # (pattern-escaping fix) and the skew entries (never held a driver row),
 # q_funnel (empty-frame coalesce fix), both pipelines (auto-scale routing);
-# (b) the 40 entries whose only driver evidence was r1/r2 — the core
+# plus the two NEW round-6 operators (embedding_kmeans — exact distributed
+# Lloyd's; text_remove_dup_spans — exact substring-span removal);
+# (b) the 38 entries whose only driver evidence was r1/r2 — the core
 # pass-through queries (q3/q5/q7/q10/q17/q18, windows, set ops, joins,
-# pivot/grouping-sets, JSON, percentiles), all 7 r2-only shims, the three
-# classic materializations, both project composites, and 6 of the 7
-# incremental strategies (inc_microbatch stays out: inc_microbatch_schema
-# holds an r5 green row and exercises a superset).
+# pivot/grouping-sets, JSON, percentiles), 6 of the 7 r2-only shims
+# (shim_date_spine_month yields to the new ops: shim_date_spine_day gates
+# the same spine code path), the three classic materializations, both
+# project composites, and 5 of the 7 incremental strategies
+# (inc_microbatch stays out: inc_microbatch_schema holds an r5 green row
+# and exercises a superset; inc_merge_update_cols yields its slot — the
+# merge machinery is r5-green via inc_merge_partitioned and gated again
+# here via inc_merge).
 # Rotated OUT (all hold green r4/r5 rows; full local battery still checks
 # them every run): the r5 window minus the carried entries above — see
 # COVERAGE.md for each entry's latest driver round.
@@ -4040,6 +4197,8 @@ _GATED_WINDOW = [
     "q_funnel",                  # empty-frame coalesce fix
     "pipeline_clean_corpus",     # auto-scale routing added
     "pipeline_joint_dedup",      # auto-scale routing added
+    "embedding_kmeans",          # new: exact distributed Lloyd's k-means
+    "text_remove_dup_spans",     # new: exact substring-span removal
     # stale r1/r2-only evidence: core pass-through queries
     "q3_top_orders",
     "q5_region_revenue",
@@ -4069,7 +4228,6 @@ _GATED_WINDOW = [
     "shim_arrays",
     "shim_listagg",
     "shim_date_spine_day",
-    "shim_date_spine_month",
     "shim_anyvalue_boolor",
     # stale r1/r2-only evidence: materializations / projects / incremental
     "mat_table",
@@ -4079,7 +4237,6 @@ _GATED_WINDOW = [
     "project_lineage",
     "inc_append",
     "inc_merge",
-    "inc_merge_update_cols",
     "inc_delete_insert",
     "inc_insert_overwrite",
     "inc_schema_evolution",

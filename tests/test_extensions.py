@@ -879,3 +879,85 @@ def test_joint_dedup_scale_route_equals_exact(spark):
                                             blocked_n_cells=8,
                                             blocked_nprobe=4).collect()}
     assert routed == exact
+
+
+def test_kmeans_lloyd_deterministic_across_partitionings(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<FLOAT>")
+    a = similarity.kmeans_lloyd(df.repartition(2), "id", "v",
+                                k=4, iters=3).orderBy("id").collect()
+    b = similarity.kmeans_lloyd(df.repartition(9), "id", "v",
+                                k=4, iters=3).orderBy("id").collect()
+    assert a == b
+    assert len(a) == 60
+    assert {r.cid for r in a} <= set(range(4))
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    # two tight blobs far apart -> k=2 must split them exactly
+    rows = [(i, [10.0 + (i % 3) * 0.01, 10.0]) for i in range(10)]
+    rows += [(100 + i, [-10.0 - (i % 3) * 0.01, -10.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<FLOAT>")
+    got = similarity.kmeans_lloyd(df, "id", "v", k=2, iters=3).collect()
+    by_cid = {}
+    for r in got:
+        by_cid.setdefault(r.cid, set()).add(r.id)
+    assert sorted(len(v) for v in by_cid.values()) == [10, 10]
+    blob_a = {r.id for r in got if r.id < 100}
+    assert blob_a in by_cid.values()
+
+
+def test_kmeans_lloyd_empty_input(spark):
+    df = spark.createDataFrame([], "id BIGINT, v ARRAY<FLOAT>")
+    assert similarity.kmeans_lloyd(df, "id", "v", k=3).count() == 0
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    # k=3 over 2 distinct points: one seed centroid never wins a point
+    # after the first update; the loop must not divide by zero and the
+    # output must still assign every row
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<FLOAT>")
+    got = similarity.kmeans_lloyd(df, "id", "v", k=3, iters=4).collect()
+    assert len(got) == 3
+    assert all(r.dist2 == 0.0 for r in got)
+
+
+def test_remove_duplicated_spans_keeps_canonical_copy(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"alpha {shared} beta"),
+        (2, f"gamma {shared} delta"),
+        (3, "entirely unrelated text here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in cleaning.remove_duplicated_spans(
+        df, "doc_id", "text", n=5, min_docs=2).collect()}
+    # doc 1 is the canonical carrier of every shared gram -> untouched
+    assert out[1].clean_text == f"alpha {shared} beta"
+    assert out[1].n_tokens_kept == out[1].n_tokens == 7
+    # doc 2 loses the five shared tokens (plus any position covered by a
+    # shared gram) but keeps its unique frame words
+    assert "gamma" in out[2].clean_text and "delta" in out[2].clean_text
+    assert "three" not in out[2].clean_text
+    assert out[2].n_tokens_kept < out[2].n_tokens
+    # doc 3 untouched
+    assert out[3].clean_text == rows[2][1]
+
+
+def test_remove_duplicated_spans_short_and_null_docs(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    rows = [(1, "tiny doc"), (2, None), (3, "a b c d e"), (4, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in cleaning.remove_duplicated_spans(
+        df, "doc_id", "text", n=5, min_docs=2).collect()}
+    assert out[1].clean_text == "tiny doc"          # shorter than n: no grams
+    assert out[2].clean_text == "" and out[2].n_tokens is None
+    assert out[3].clean_text == "a b c d e"          # canonical keeps text
+    assert out[4].clean_text == "" and out[4].n_tokens_kept == 0
