@@ -42,6 +42,8 @@ HEADLINE = [
     "pipeline_joint_dedup",
     "q_asof_join",
     "rollup_hypertable",
+    "embedding_kmeans",
+    "text_remove_dup_spans",
 ]
 
 

@@ -3361,7 +3361,7 @@ def _remove_dup_spans_oracle() -> str:
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     rows = _duck.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
-        " WHERE doc_id < 300 ORDER BY doc_id").fetchall()
+        " ORDER BY doc_id").fetchall()
     # mirror split(trim(lower(text)), '\s+'): Spark trim strips ASCII
     # spaces only; Java \s = [ \t\n\x0B\f\r]
     toks_by_id: dict[int, list] = {}
@@ -3410,11 +3410,13 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup OUTPUT (not just accounting): duplicated
     word-10-grams are cut from every doc except each gram's minimum-id
     canonical carrier; the rebuilt text is pinned by md5 against a local
-    pure-Python replay of the identical algorithm."""
+    pure-Python replay of the identical algorithm. Runs the FULL corpus at
+    whatever scale it's given (the lazy oracle replays the compare
+    scale), so the bench measures real scaling, not a pinned subset."""
     from .extensions import cleaning
 
     _views(spark, sf_dir)
-    docs = spark.table("documents").where("doc_id < 300")
+    docs = spark.table("documents")
     out = cleaning.remove_duplicated_spans(docs, "doc_id", "text",
                                            n=10, min_docs=2)
     return out.select(
@@ -3772,7 +3774,7 @@ def _kmeans_oracle() -> str:
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     rows = _duck.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{sf}/"
-        "embeddings.parquet') WHERE vec_id < 300 ORDER BY vec_id").fetchall()
+        "embeddings.parquet') ORDER BY vec_id").fetchall()
 
     def assign(v, cents):
         best = None
@@ -3821,9 +3823,10 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed exact k-means over the embedding corpus — corpus
     clustering for curation/SemDeDup-style pipelines. Every iteration is a
     fully distributed job with k x dim doubles of driver state; the final
-    (vec_id, cid, dist2) assignment hash-matches a pure-Python replay."""
+    (vec_id, cid, dist2) assignment hash-matches a pure-Python replay.
+    Full corpus at the given scale — the bench measures real scaling."""
     _views(spark, sf_dir)
-    emb = spark.table("embeddings").where("vec_id < 300")
+    emb = spark.table("embeddings")
     return similarity.kmeans_lloyd(emb, "vec_id", "embedding",
                                    k=8, iters=3)
 

@@ -80,6 +80,18 @@ def main() -> None:
         F.count(F.lit(1))).collect()
     out["tfidf_sec"] = round(time.time() - t0, 2)
 
+    # exact substring-span removal: O(tokens) gram rows + gram-keyed
+    # aggregation — the replica-tag word makes replicas distinct docs, but
+    # the ORIGINAL duplicated grams still repeat across replicas, so the
+    # shared-gram mass grows with N while the algorithm stays one-pass
+    from dbt_extrica_spark.extensions import cleaning
+
+    t0 = time.time()
+    cleaning.remove_duplicated_spans(dc_big, "doc_id", "text",
+                                     n=10, min_docs=2).select(
+        F.count(F.lit(1))).collect()
+    out["remove_dup_spans_sec"] = round(time.time() - t0, 2)
+
     # blocked semantic dedup growth: replicate embeddings with CYCLIC
     # DIMENSION SHIFTS (norms and intra-replica pairwise cosines preserved
     # exactly, so the true pair mass grows ~linearly with replicas instead
@@ -105,6 +117,23 @@ def main() -> None:
         ).count()
         out[f"blocked_cosine_x{r}_sec"] = round(time.time() - t0, 2)
         out[f"blocked_cosine_x{r}_pairs"] = n_pairs
+
+    # distributed exact k-means: per-iteration cost is one assignment scan
+    # + one (cid, dim)-keyed aggregation — both linear in rows; driver
+    # state stays k x dim regardless of corpus size
+    for r in (1, replicas):
+        emb_big = emb
+        for i in range(1, r):
+            emb_big = emb_big.unionByName(
+                emb.withColumn("vec_id", F.col("vec_id") + i * 10_000_000)
+                .withColumn("embedding", F.expr(
+                    f"transform(sequence(0, {dim - 1}),"
+                    f" j -> embedding[(j + {i}) % {dim}])")))
+        t0 = time.time()
+        similarity.kmeans_lloyd(emb_big, "vec_id", "embedding",
+                                k=8, iters=3).select(
+            F.count(F.lit(1))).collect()
+        out[f"kmeans_x{r}_sec"] = round(time.time() - t0, 2)
 
     print(json.dumps(out))
     spark.stop()
