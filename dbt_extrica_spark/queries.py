@@ -3427,6 +3427,85 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE merge learning is deterministic (integer pair counts, binary-order
+# tie-breaks, sequential greedy merge application), so the oracle replays
+# the identical algorithm in pure Python on the same parquet and embeds
+# the expected merge table as VALUES.
+def _bpe_train_oracle() -> str:
+    import os
+    import re as _re
+    from collections import Counter
+
+    import duckdb as _duck
+
+    n_merges, min_pair = 20, 2
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+        " WHERE text IS NOT NULL ORDER BY doc_id").fetchall()
+    wc: Counter = Counter()
+    for (text,) in rows:
+        for w in _re.split(r"[ \t\n\x0b\f\r]+", text.lower().strip(" ")):
+            if w:
+                wc[w] += 1
+    words = [(list(w), c) for w, c in wc.items()]
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, c in words:
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair:
+            break
+        merges.append((a, b, n))
+        ab = a + b
+        nxt = []
+        for syms, c in words:
+            acc: list = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = ab
+                else:
+                    acc.append(s)
+            nxt.append((acc, c))
+        words = nxt
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = [f"({r + 1}, '{esc(a)}', '{esc(b)}', {n})"
+            for r, (a, b, n) in enumerate(merges)]
+    if not vals:
+        return ("SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR)"
+                " AS left_sym, CAST(NULL AS VARCHAR) AS right_sym,"
+                " CAST(NULL AS BIGINT) AS pair_count WHERE FALSE")
+    return ("SELECT CAST(rank AS INT) AS rank, left_sym, right_sym,"
+            " CAST(pair_count AS BIGINT) AS pair_count FROM (VALUES "
+            + ", ".join(vals)
+            + ") AS t(rank, left_sym, right_sym, pair_count)")
+
+
+@q("text_bpe_train", _bpe_train_oracle)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the corpus aggregates once into
+    a (word, count) table; each merge is one vocabulary-sized pair-count
+    aggregation + one fold projection. The learned merge table must equal
+    a pure-Python replay exactly (integer counts, deterministic
+    tie-breaks)."""
+    from .extensions import textstats as ts
+
+    _views(spark, sf_dir)
+    merges = ts.bpe_train(spark.table("documents"), "text",
+                          n_merges=20, min_pair_count=2)
+    return spark.createDataFrame(
+        [(r + 1, a, b, n) for r, (a, b, n) in enumerate(merges)],
+        "rank INT, left_sym STRING, right_sym STRING, pair_count BIGINT")
+
+
 # alpha-sampling (temperature) mixture weights; both sides round to 9
 # decimals since pow() is not guaranteed bit-identical across engines
 _ALPHA_MIX_DUCK = """
@@ -4171,8 +4250,11 @@ FROM lineitem GROUP BY l_returnflag
 # ground-truth oracle), the new ann_ivf_full_probe, text_bpe_pretokenize
 # (pattern-escaping fix) and the skew entries (never held a driver row),
 # q_funnel (empty-frame coalesce fix), both pipelines (auto-scale routing);
-# plus the two NEW round-6 operators (embedding_kmeans — exact distributed
-# Lloyd's; text_remove_dup_spans — exact substring-span removal);
+# plus the three NEW round-6 operators (embedding_kmeans — exact
+# distributed Lloyd's; text_remove_dup_spans — exact substring-span
+# removal; text_bpe_train — distributed BPE merge learning, which takes
+# q_explode_tokens' slot: the explode-generator path is exercised with
+# oracles by the tfidf/bm25/token entries);
 # (b) the 38 entries whose only driver evidence was r1/r2 — the core
 # pass-through queries (q3/q5/q7/q10/q17/q18, windows, set ops, joins,
 # pivot/grouping-sets, JSON, percentiles), 6 of the 7 r2-only shims
@@ -4202,6 +4284,7 @@ _GATED_WINDOW = [
     "pipeline_joint_dedup",      # auto-scale routing added
     "embedding_kmeans",          # new: exact distributed Lloyd's k-means
     "text_remove_dup_spans",     # new: exact substring-span removal
+    "text_bpe_train",            # new: distributed BPE merge learning
     # stale r1/r2-only evidence: core pass-through queries
     "q3_top_orders",
     "q5_region_revenue",
@@ -4222,7 +4305,6 @@ _GATED_WINDOW = [
     "q_semi_anti",
     "q_theta_join",
     "q_events_lag",
-    "q_explode_tokens",
     "q_percentiles",
     "q_json_access",
     # stale r1/r2-only evidence: shims

@@ -961,3 +961,63 @@ def test_remove_duplicated_spans_short_and_null_docs(spark):
     assert out[2].clean_text == "" and out[2].n_tokens is None
     assert out[3].clean_text == "a b c d e"          # canonical keeps text
     assert out[4].clean_text == "" and out[4].n_tokens_kept == 0
+
+
+def test_bpe_train_learns_textbook_merges(spark):
+    rows = [(1, "low low low low low"),
+            (2, "lower lower newest newest"),
+            (3, "newest newest newest widest")]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    merges = textstats.bpe_train(df, "text", n_merges=8)
+    # most frequent pair first: 'l'+'o' appears in low/lower (7 words)
+    assert merges[0] == ("l", "o", 7)
+    assert ("lo", "w", 7) in merges
+    # min_pair_count=2 stops before singleton pairs
+    assert all(n >= 2 for _a, _b, n in merges)
+    seg = {r.id: r for r in textstats.bpe_segment(
+        df, "id", "text", merges).collect()}
+    assert seg[1].tokens == ["low"] * 5
+    assert seg[1].n_tokens == 5
+    assert seg[2].tokens[:2] == ["low", "er"]
+
+
+def test_bpe_train_deterministic_across_partitionings(spark):
+    rows = [(i, f"alpha beta gamma delta{i % 7} epsilon") for i in range(40)]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    a = textstats.bpe_train(df.repartition(2), "text", n_merges=6)
+    b = textstats.bpe_train(df.repartition(11), "text", n_merges=6)
+    assert a == b and len(a) == 6
+
+
+def test_bpe_train_empty_and_null_corpus(spark):
+    df = spark.createDataFrame([(1, None), (2, "")],
+                               "id INT, text STRING")
+    assert textstats.bpe_train(df, "text", n_merges=3) == []
+
+
+def test_bpe_merge_greedy_left_to_right(spark):
+    # "aaa": pair (a,a) counts twice (overlap convention) but merges
+    # left-to-right non-overlapping -> ['aa', 'a']
+    df = spark.createDataFrame([(1, "aaa aaa")], "id INT, text STRING")
+    merges = textstats.bpe_train(df, "text", n_merges=1)
+    assert merges == [("a", "a", 4)]
+    seg = textstats.bpe_segment(df, "id", "text", merges).collect()[0]
+    assert seg.tokens == ["aa", "a", "aa", "a"]
+
+
+def test_tfidf_stopword_prefilter_drops_only_stopwords(spark):
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the dog ate the bone"),
+            (3, "cat and dog and bird")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    full = textstats.tfidf_terms(df, "doc_id", "text", top_t=100)
+    filt = textstats.tfidf_terms(df, "doc_id", "text", top_t=100,
+                                 stopwords=["the", "and", "on"])
+    full_rows = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+                 for r in full.collect()}
+    filt_rows = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+                 for r in filt.collect()}
+    # surviving terms keep identical tf/df/tfidf; stopwords vanish
+    expected = {k: v for k, v in full_rows.items()
+                if k[1] not in ("the", "and", "on")}
+    assert filt_rows == expected
