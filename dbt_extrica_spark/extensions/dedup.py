@@ -323,12 +323,25 @@ def simhash_pairs(
     within hamming ``chunks-1`` shares at least one equal chunk, so a
     bucket-join per chunk finds all candidates; exact hamming (bit_count of
     xor) filters."""
-    assert max_hamming < chunks, "pigeonhole requires max_hamming < chunks"
-    width = 64 // chunks
     sigs = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         simhash(text_col).alias("sig"),
     )
+    return hamming_sig_pairs(sigs, max_hamming=max_hamming, chunks=chunks)
+
+
+def hamming_sig_pairs(
+    sigs: DataFrame, max_hamming: int = 3, chunks: int = 4,
+) -> DataFrame:
+    """All pairs of 64-bit signatures within ``max_hamming``, by pigeonhole
+    chunk banding (shared by simhash_pairs and multimodal.phash_pairs):
+    split 64 bits into ``chunks`` equal chunks; any pair within hamming
+    ``chunks-1`` must agree on at least one chunk, so a bucket-join per
+    chunk finds every candidate; exact hamming (bit_count of xor) filters.
+    Input: (id, sig) with sig BIGINT. Returns (id_a, id_b, hamming)."""
+    assert max_hamming < chunks, "pigeonhole requires max_hamming < chunks"
+    assert 64 % chunks == 0, "chunks must divide 64 (full bit coverage)"
+    width = 64 // chunks
     chunked = sigs.select(
         "id", "sig",
         F.explode(

@@ -65,13 +65,30 @@ def _fake_feature(content: bytes, dims: int = 8) -> list[float]:
     return acc
 
 
-def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table for tests (no codec libs in env)."""
+def synthetic_media_rows(n: int = 64, kind: str = "image",
+                         near_dups: int = 0) -> list:
+    """Deterministic fake media rows (closed formula — the same generator
+    feeds the Spark table and the local ground-truth oracles). With
+    ``near_dups`` > 0, the first ``near_dups`` rows get a near-duplicate
+    twin at media_id + 1000 whose content differs in exactly one byte —
+    planted positives for perceptual dedup."""
     rows = []
     for i in range(n):
         content = bytes((i * 31 + j * 7) % 256 for j in range(128 + i))
         rows.append((i, kind, content, f"{kind}/fake", 64, 64, 1000 + i))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for i in range(min(near_dups, n)):
+        content = bytearray(rows[i][2])
+        content[0] = (content[0] + 1) % 256
+        rows.append((i + 1000, kind, bytes(content), f"{kind}/fake",
+                     64, 64, 1000 + i))
+    return rows
+
+
+def synthetic_media(spark, n: int = 64, kind: str = "image",
+                    near_dups: int = 0) -> DataFrame:
+    """Deterministic fake media table for tests (no codec libs in env)."""
+    return spark.createDataFrame(
+        synthetic_media_rows(n, kind, near_dups), MEDIA_SCHEMA)
 
 
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -186,3 +203,101 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash (pHash) image dedup
+# --------------------------------------------------------------------------
+
+_PHASH_SIDE = 32     # decoded grayscale side before DCT
+_PHASH_BLOCK = 8     # low-frequency block -> 64-bit hash
+
+
+def _decode_gray(content: bytes, side: int = _PHASH_SIDE):
+    """Grayscale pixel grid for hashing. Real path: PIL decode + resize
+    (import-try gated). Stub path: the deterministic byte->pixel map —
+    pixels read the content bytes cyclically, so a small byte edit moves
+    few pixels and a near-duplicate stays perceptually near. Returns a
+    float64 (side, side) array in [0, 1]."""
+    import numpy as np
+
+    img = _try_real_image_decode(content)
+    if img is not None:
+        img = img.convert("L").resize((side, side))
+        return np.asarray(img, dtype=np.float64) / 255.0
+    if not content:
+        return np.zeros((side, side), dtype=np.float64)
+    buf = np.frombuffer(content, dtype=np.uint8)
+    idx = np.arange(side * side) % len(buf)
+    return (buf[idx].astype(np.float64) / 255.0).reshape(side, side)
+
+
+def _dct_matrix(side: int = _PHASH_SIDE):
+    """Orthonormal DCT-II basis (the pHash transform), pure numpy."""
+    import numpy as np
+
+    k = np.arange(side)[:, None]
+    n = np.arange(side)[None, :]
+    d = np.cos(np.pi * k * (2 * n + 1) / (2 * side))
+    d[0, :] *= np.sqrt(1.0 / side)
+    d[1:, :] *= np.sqrt(2.0 / side)
+    return d
+
+
+def phash64(content: bytes) -> int:
+    """Classic 64-bit perceptual hash: decode to grayscale, 2-D DCT, keep
+    the top-left 8x8 low-frequency block, threshold each coefficient
+    against the median of the 63 non-DC coefficients (strict >). The
+    median of an odd count is an order statistic — no float averaging —
+    so the hash is bit-deterministic wherever numpy is. Returns a SIGNED
+    64-bit int (Spark BIGINT range)."""
+    import numpy as np
+
+    d = _dct_matrix()
+    coefs = d @ _decode_gray(content) @ d.T
+    block = coefs[:_PHASH_BLOCK, :_PHASH_BLOCK].reshape(-1)
+    med = float(np.median(block[1:]))  # 63 values -> sorted[31], exact
+    sig = 0
+    for i, c in enumerate(block):
+        if float(c) > med:
+            sig |= 1 << i
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    return sig
+
+
+def phash_signatures(df: DataFrame) -> DataFrame:
+    """Per-image perceptual hash via mapInPandas (Arrow-batched numpy —
+    the same distribution shape as extract_features). Returns
+    (media_id, phash bigint)."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": pdf["content"].map(
+                    lambda b: phash64(bytes(b)) if b is not None else 0
+                ).astype("int64"),
+            })
+
+    return (
+        df.where(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(run, schema="media_id bigint, phash bigint")
+    )
+
+
+def phash_pairs(df: DataFrame, max_hamming: int = 6,
+                chunks: int = 8) -> DataFrame:
+    """Near-duplicate image pairs: perceptual hashes + the pigeonhole
+    chunk-banding join shared with simhash (dedup.hamming_sig_pairs) —
+    every pair within ``max_hamming`` shares one of ``chunks`` equal
+    hash chunks, so candidates come from bucket joins, never all pairs.
+    Returns (id_a, id_b, hamming). The 100 TB shape: one decode+hash scan,
+    then banding on 64-bit keys — identical scaling to text simhash."""
+    from . import dedup
+
+    sigs = phash_signatures(df).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("sig"))
+    return dedup.hamming_sig_pairs(sigs, max_hamming=max_hamming,
+                                   chunks=chunks)

@@ -2719,6 +2719,43 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Perceptual hashes are deterministic numpy (DCT matmul + order-statistic
+# median — no float averaging), so the oracle brute-forces the exact pair
+# set from the same closed-formula media rows. The Spark side runs the
+# BANDED join, so a green row also proves pigeonhole banding loses nothing.
+def _mm_phash_oracle() -> str:
+    import itertools
+
+    from .extensions import multimodal as _mm
+
+    rows = _mm.synthetic_media_rows(48, "image", near_dups=12)
+    sigs = {r[0]: _mm.phash64(r[2]) for r in rows}
+    vals = []
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        hd = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if hd <= 6:
+            vals.append(f"({a}, {b}, {hd})")
+    if not vals:
+        return ("SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT)"
+                " AS id_b, CAST(NULL AS INT) AS hamming WHERE FALSE")
+    return ("SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT)"
+            " AS id_b, CAST(hamming AS INT) AS hamming FROM (VALUES "
+            + ", ".join(vals) + ") AS t(id_a, id_b, hamming)")
+
+
+@q("multimodal_phash_dedup", _mm_phash_oracle)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: mapInPandas DCT phash per image, then
+    the pigeonhole chunk-banding pair join shared with simhash. The pair
+    set must equal a local brute-force replay exactly (banding is
+    candidate generation only — exact hamming filters)."""
+    from .extensions import multimodal
+
+    media = multimodal.synthetic_media(spark, n=48, near_dups=12)
+    return multimodal.phash_pairs(media, max_hamming=6, chunks=8).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def _mm_frames_oracle() -> str:
     rows = [
         f"({i}, {ts})"

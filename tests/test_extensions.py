@@ -1021,3 +1021,40 @@ def test_tfidf_stopword_prefilter_drops_only_stopwords(spark):
     expected = {k: v for k, v in full_rows.items()
                 if k[1] not in ("the", "and", "on")}
     assert filt_rows == expected
+
+
+def test_phash_identical_content_zero_hamming(spark):
+    rows = [(1, "image", b"\x01\x02\x03" * 50, "image/fake", 64, 64, 0),
+            (2, "image", b"\x01\x02\x03" * 50, "image/fake", 64, 64, 0),
+            (3, "image", bytes(range(150)), "image/fake", 64, 64, 0)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in multimodal.phash_pairs(df, max_hamming=6).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_phash_banding_equals_brute_force(spark):
+    rows = multimodal.synthetic_media_rows(32, "image", near_dups=8)
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in multimodal.phash_pairs(df, max_hamming=6,
+                                           chunks=8).collect()}
+    import itertools
+
+    sigs = {r[0]: multimodal.phash64(r[2]) for r in rows}
+    brute = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        hd = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if hd <= 6:
+            brute[(a, b)] = hd
+    assert got == brute
+    # every planted one-byte twin is found
+    assert all((i, i + 1000) in got for i in range(8))
+
+
+def test_phash64_signed_range_and_determinism():
+    sig = multimodal.phash64(bytes(range(200)))
+    assert -(1 << 63) <= sig < (1 << 63)
+    assert sig == multimodal.phash64(bytes(range(200)))
+    assert multimodal.phash64(b"") != sig  # empty decodes to zeros
