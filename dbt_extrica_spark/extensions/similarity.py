@@ -623,6 +623,8 @@ def cell_blocked_cosine_pairs(
     threshold: float = 0.35,
     n_cells: int = 16,
     nprobe: int = 2,
+    train_centroids: bool = False,
+    train_iters: int = 3,
 ) -> DataFrame:
     """Semantic near-dup pairs, sub-quadratically: assign every vector to
     its ``nprobe`` nearest cells (same expression-local assignment as
@@ -638,12 +640,32 @@ def cell_blocked_cosine_pairs(
     brute-force operator (an oracle can verify the pair set directly
     wherever blocking recall is 100%).
 
+    ``train_centroids=True`` replaces the seed centroids (first-n_cells
+    vectors) with kmeans_lloyd centroids — the SemDeDup shape (Abbas et
+    al. 2023: k-means clusters as the dedup blocks). Trained cells track
+    the data distribution, so members spread more evenly (smaller
+    members^2 join mass) and near pairs more reliably co-locate; training
+    cost is train_iters fully-distributed passes. Emitted cosines remain
+    bit-identical to brute force either way.
+
     Like ivf_topk, calling this is EAGER (collects the tiny centroid
     table). Returns (id_a, id_b, cosine) with id_a < id_b."""
+    import math
+
     base = _with_norm(df, id_col, vec_col)
-    centroids = base.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"))
+    if train_centroids:
+        cents = kmeans_lloyd_centroids(df, id_col, vec_col,
+                                       k=n_cells, iters=train_iters)
+        spark = df.sparkSession
+        centroids = spark.createDataFrame(
+            [(int(i), [float(x) for x in v],
+              math.sqrt(math.fsum(x * x for x in v)))
+             for i, v in enumerate(cents)],
+            "cid BIGINT, cv ARRAY<DOUBLE>, cnrm DOUBLE")
+    else:
+        centroids = base.orderBy("id").limit(n_cells).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"))
     cell_rows = centroids.collect()
     if not cell_rows:
         return df.sparkSession.createDataFrame(
@@ -840,4 +862,40 @@ def kmeans_lloyd(
         F.col("id").alias(id_col),
         F.col("cid").cast("int").alias("cid"),
         F.col("d2").alias("dist2"),
+    )
+
+
+def hash_embed(df: DataFrame, id_col: str, text_col: str,
+               dim: int = 64) -> DataFrame:
+    """Feature-hashed text embeddings (hashing trick, Weinberger et al.
+    2009) — a deterministic, model-free text -> dense-vector path: each
+    token adds +-1 (sign bit 32 of its xxhash64) to bucket
+    pmod(xxhash64(token), dim); the bucket sums L2-normalize into a unit
+    vector. Completes the raw-text pipeline story end-to-end in-engine:
+    text -> hash_embed -> kmeans_lloyd / cell_blocked_cosine_pairs with
+    no external embedding model.
+
+    One scan, one codegen'd fold per row, no shuffle, no Python. Bucket
+    sums are INTEGER (exact at any scale); normalization is one sqrt +
+    divide per dimension (IEEE, engine-identical), so the output is
+    bit-deterministic and replayable by the battery oracle via the pinned
+    pure-Python xxh64. A doc with no tokens embeds as the zero vector.
+    Returns (id, embedding array<double>, n_tokens)."""
+    toks = (f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'),"
+            f" x -> x <> '')")
+    # per-token (bucket, sign) computed ONCE, then folded into int sums
+    tb = (f"transform({toks}, t -> named_struct("
+          f"'b', CAST(pmod(xxhash64(t), {dim}) AS INT),"
+          f" 's', CAST(IF(((xxhash64(t) >> 32) & 1) = 0, 1, -1) AS BIGINT)))")
+    sums = (f"aggregate({tb},"
+            f" array_repeat(0L, {dim}),"
+            f" (acc, p) -> transform(acc, (x, i) ->"
+            f" IF(i = p.b, x + p.s, x)))")
+    ss = f"aggregate({sums}, 0D, (acc, x) -> acc + CAST(x * x AS DOUBLE))"
+    emb = (f"IF({ss} = 0D, transform({sums}, x -> 0D),"
+           f" transform({sums}, x -> CAST(x AS DOUBLE) / sqrt({ss})))")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(emb).alias("embedding"),
+        F.expr(f"size({toks})").cast("int").alias("n_tokens"),
     )

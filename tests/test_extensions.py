@@ -1058,3 +1058,47 @@ def test_phash64_signed_range_and_determinism():
     assert -(1 << 63) <= sig < (1 << 63)
     assert sig == multimodal.phash64(bytes(range(200)))
     assert multimodal.phash64(b"") != sig  # empty decodes to zeros
+
+
+def test_hash_embed_unit_norm_and_zero_doc(spark):
+    rows = [(1, "alpha beta gamma alpha"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.id: r for r in similarity.hash_embed(
+        df, "doc_id", "text", dim=8).collect()}
+    import math
+
+    nrm = math.fsum(x * x for x in out[1].embedding)
+    assert abs(nrm - 1.0) < 1e-12
+    assert out[1].n_tokens == 4
+    assert list(out[2].embedding) == [0.0] * 8 and out[2].n_tokens == 0
+    assert out[3].embedding is None
+
+
+def test_hash_embed_feeds_kmeans_end_to_end(spark):
+    # raw text -> hash_embed -> kmeans_lloyd with no external model:
+    # two repeated vocabularies must split into two pure clusters
+    rows = [(i, "apple banana cherry date") for i in range(6)]
+    rows += [(100 + i, "xylophone zebra quartz vortex") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    emb = similarity.hash_embed(df, "doc_id", "text", dim=16)
+    got = similarity.kmeans_lloyd(emb, "id", "embedding",
+                                  k=2, iters=2).collect()
+    by_cid = {}
+    for r in got:
+        by_cid.setdefault(r.cid, set()).add(r.id)
+    assert sorted(len(v) for v in by_cid.values()) == [6, 6]
+    assert {r.id for r in got if r.id < 100} in by_cid.values()
+
+
+def test_cell_blocked_trained_centroids_subset_and_gain(spark):
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").where("vec_id < 150")
+    brute = {(r.id_a, r.id_b): r.cosine
+             for r in dedup.embedding_cosine_pairs(
+                 emb, "vec_id", "embedding", 0.35).collect()}
+    trained = {(r.id_a, r.id_b): r.cosine
+               for r in similarity.cell_blocked_cosine_pairs(
+                   emb, "vec_id", "embedding", 0.35, n_cells=8, nprobe=2,
+                   train_centroids=True).collect()}
+    assert all(k in brute and brute[k] == v for k, v in trained.items())
+    assert len(trained) > 0
