@@ -4327,6 +4327,93 @@ def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
              "n_tokens")
 
 
+# Composite: raw text -> hash_embed -> kmeans_lloyd, every stage exactly
+# replayable (xxh64 embeddings + Decimal centroid updates), so the END
+# RESULT of the chain — cluster assignments off raw text with no external
+# model — gets a full hash-matching oracle, not just its stages.
+def _text_cluster_oracle() -> str:
+    import math
+    import os
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _duck
+
+    from .functions.xxh64 import xxh64_signed
+
+    dim, k, iters = 16, 4, 2
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+        " WHERE doc_id < 200 AND text IS NOT NULL"
+        " ORDER BY doc_id").fetchall()
+    embs = []
+    for doc_id, text in rows:
+        toks = [t for t in _re.split(r"[ \t\n\x0b\f\r]+",
+                                     text.lower().strip(" ")) if t]
+        sums = [0] * dim
+        for t in toks:
+            h = xxh64_signed(t.encode("utf-8"))
+            sums[h % dim] += 1 if ((h >> 32) & 1) == 0 else -1
+        ss = 0.0
+        for x in sums:
+            ss = ss + float(x * x)
+        embs.append((int(doc_id),
+                     [0.0] * dim if ss == 0.0
+                     else [float(x) / math.sqrt(ss) for x in sums]))
+
+    def assign(v, cents):
+        best = None
+        for cid, c in enumerate(cents):
+            d2 = 0.0
+            for x, w in zip(v, c):
+                d2 = d2 + (x - w) * (x - w)
+            if best is None or (d2, cid) < best:
+                best = (d2, cid)
+        return best
+
+    cents = [list(v) for _, v in embs[:k]]
+    q6 = Decimal("0.000001")
+    for _ in range(iters):
+        sums_d: dict = {}
+        for _id, v in embs:
+            _d2, cid = assign(v, cents)
+            for d, x in enumerate(v):
+                dd = Decimal(repr(x)).quantize(q6, ROUND_HALF_UP)
+                key = (cid, d)
+                if key in sums_d:
+                    sums_d[key][0] += dd
+                    sums_d[key][1] += 1
+                else:
+                    sums_d[key] = [dd, 1]
+        new = [list(c) for c in cents]
+        for (cid, d), (s, cnt) in sums_d.items():
+            new[cid][d] = float(s) / float(cnt)
+        cents = new
+    vals = []
+    for _id, v in embs:
+        d2, cid = assign(v, cents)
+        vals.append(f"({_id}, {cid}, CAST('{d2!r}' AS DOUBLE))")
+    return ("SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+            " CAST(cid AS INT) AS cid, dist2 FROM (VALUES "
+            + ", ".join(vals) + ") AS t(doc_id, cid, dist2)")
+
+
+@q("pipeline_text_cluster", _text_cluster_oracle)
+def pipeline_text_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end in-engine corpus clustering: raw text -> feature-hashed
+    unit vectors -> exact distributed k-means — no external model at any
+    stage, and the composite's final assignment hash-matches a pure-Python
+    replay of the whole chain."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where(
+        "doc_id < 200 AND text IS NOT NULL")
+    emb = similarity.hash_embed(docs, "doc_id", "text", dim=16)
+    out = similarity.kmeans_lloyd(emb, "id", "embedding", k=4, iters=2)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("cid"), F.col("dist2"))
+
+
 # HLL sketches are engine-specific bytes, but the ESTIMATE obeys a bound the
 # oracle can assert (contract form): at lg_k=12 the relative error is
 # ~1.6%, so a 2% gate never flaps while catching any merge/estimate defect
