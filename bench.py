@@ -44,6 +44,7 @@ HEADLINE = [
     "rollup_hypertable",
     "embedding_kmeans",
     "text_remove_dup_spans",
+    "pipeline_text_cluster",
 ]
 
 

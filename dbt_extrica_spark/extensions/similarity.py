@@ -379,12 +379,17 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 3,
     train_centroids: bool = False,
+    trainer: str = "ml",
 ) -> DataFrame:
     """IVF-style approximate top-k: assign every vector to its nearest
     centroid, then search each query only within its ``nprobe`` nearest
     cells. Centroids: the n_cells lowest-id vectors (seed-free,
     reproducible) or k-means-trained (``train_centroids=True`` — better
-    recall at equal nprobe, still deterministic via fixed seed).
+    recall at equal nprobe). ``trainer="ml"`` uses pyspark.ml KMeans
+    (seeded, but its float partial sums depend on partitioning);
+    ``trainer="lloyd"`` uses kmeans_lloyd_centroids — fully
+    partitioning-independent, so the whole index build is reproducible
+    bit-for-bit on any cluster layout.
 
     NOTE: calling this function is EAGER — it collects the (tiny) centroid
     table to build the assignment expression, which runs one Spark job
@@ -399,7 +404,17 @@ def ivf_topk(
     corpus-wide shuffle, but no giant literal expression for Catalyst to
     analyze/codegen."""
     base = _with_norm(df, id_col, vec_col)
-    if train_centroids:
+    if train_centroids and trainer == "lloyd":
+        import math
+
+        cents = kmeans_lloyd_centroids(df, id_col, vec_col,
+                                       k=n_cells, iters=4)
+        centroids = df.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in v],
+              math.sqrt(math.fsum(x * x for x in v)))
+             for i, v in enumerate(cents)],
+            "cid BIGINT, cv ARRAY<DOUBLE>, cnrm DOUBLE")
+    elif train_centroids:
         norm_expr = _NORM.format(v="cv")
         centroids = kmeans_centroids(df, id_col, vec_col, n_cells).select(
             "cid", "cv", F.expr(norm_expr).alias("cnrm"))

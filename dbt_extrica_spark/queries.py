@@ -4345,8 +4345,7 @@ def _text_cluster_oracle() -> str:
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     rows = _duck.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
-        " WHERE doc_id < 200 AND text IS NOT NULL"
-        " ORDER BY doc_id").fetchall()
+        " WHERE text IS NOT NULL ORDER BY doc_id").fetchall()
     embs = []
     for doc_id, text in rows:
         toks = [t for t in _re.split(r"[ \t\n\x0b\f\r]+",
@@ -4404,10 +4403,10 @@ def pipeline_text_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end in-engine corpus clustering: raw text -> feature-hashed
     unit vectors -> exact distributed k-means — no external model at any
     stage, and the composite's final assignment hash-matches a pure-Python
-    replay of the whole chain."""
+    replay of the whole chain. Full corpus at the given scale — the bench
+    measures real scaling."""
     _views(spark, sf_dir)
-    docs = spark.table("documents").where(
-        "doc_id < 200 AND text IS NOT NULL")
+    docs = spark.table("documents").where("text IS NOT NULL")
     emb = similarity.hash_embed(docs, "doc_id", "text", dim=16)
     out = similarity.kmeans_lloyd(emb, "id", "embedding", k=4, iters=2)
     return out.select(F.col("id").alias("doc_id"),

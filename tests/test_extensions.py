@@ -1102,3 +1102,21 @@ def test_cell_blocked_trained_centroids_subset_and_gain(spark):
                    train_centroids=True).collect()}
     assert all(k in brute and brute[k] == v for k, v in trained.items())
     assert len(trained) > 0
+
+
+def test_ivf_lloyd_trainer_partitioning_independent(spark):
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").where("vec_id < 120")
+    a = similarity.ivf_topk(emb.repartition(3), "vec_id", "embedding",
+                            k=3, n_cells=6, nprobe=2,
+                            train_centroids=True,
+                            trainer="lloyd").orderBy(
+        "query_id", "rank").collect()
+    b = similarity.ivf_topk(emb.repartition(11), "vec_id", "embedding",
+                            k=3, n_cells=6, nprobe=2,
+                            train_centroids=True,
+                            trainer="lloyd").orderBy(
+        "query_id", "rank").collect()
+    assert [(r.query_id, r.neighbor_id) for r in a] == \
+           [(r.query_id, r.neighbor_id) for r in b]
+    assert len(a) > 0
