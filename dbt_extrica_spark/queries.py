@@ -3529,15 +3529,17 @@ def _bpe_train_oracle() -> str:
 @q("text_bpe_train", _bpe_train_oracle)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: the corpus aggregates once into
-    a (word, count) table; each merge is one vocabulary-sized pair-count
-    aggregation + one fold projection. The learned merge table must equal
-    a pure-Python replay exactly (integer counts, deterministic
-    tie-breaks)."""
+    a (word, count) table; each merge argmaxes the materialized pair table
+    and applies signed pair-count deltas from only the carrier words (the
+    production "delta" strategy — equivalence-gated against the full
+    recount by test). The learned merge table must equal a pure-Python
+    replay exactly (integer counts, deterministic tie-breaks)."""
     from .extensions import textstats as ts
 
     _views(spark, sf_dir)
     merges = ts.bpe_train(spark.table("documents"), "text",
-                          n_merges=20, min_pair_count=2)
+                          n_merges=20, min_pair_count=2,
+                          strategy="delta")
     return spark.createDataFrame(
         [(r + 1, a, b, n) for r, (a, b, n) in enumerate(merges)],
         "rank INT, left_sym STRING, right_sym STRING, pair_count BIGINT")

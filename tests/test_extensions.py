@@ -1120,3 +1120,21 @@ def test_ivf_lloyd_trainer_partitioning_independent(spark):
     assert [(r.query_id, r.neighbor_id) for r in a] == \
            [(r.query_id, r.neighbor_id) for r in b]
     assert len(a) > 0
+
+
+def test_bpe_train_delta_equals_full(spark):
+    rows = [(1, "low low low low low"),
+            (2, "lower lower newest newest"),
+            (3, "newest newest newest widest widest")]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    full = textstats.bpe_train(df, "text", n_merges=10)
+    delta = textstats.bpe_train(df, "text", n_merges=10, strategy="delta")
+    assert full == delta and len(full) > 3
+
+
+def test_bpe_train_bad_strategy_raises(spark):
+    df = spark.createDataFrame([(1, "a b")], "id INT, text STRING")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textstats.bpe_train(df, "text", strategy="nope")
