@@ -130,3 +130,26 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    salt: str = "") -> DataFrame:
+    """Per-row importance sampling: keep each row with probability equal
+    to its ``weight_col`` value in [0, 1] — the quality-weighted /
+    length-weighted downsampling step of a data-mixture pass, as a
+    deterministic hash filter rather than RNG (same row, same verdict on
+    any engine/run/partitioning).
+
+    Membership: md5 bucket < printf('%08x', floor(weight * 16^8)) — the
+    same 8-hex-char string compare as deterministic_sample, with the
+    threshold built PER ROW from the weight column (format_string and
+    printf render identical lowercase hex in Spark and the oracle
+    engine). weight >= 1 keeps the row unconditionally (the 9-char hex
+    boundary hazard), weight <= 0 or NULL drops it. One scan, pure
+    filter, pushes to the reader."""
+    bucket = _bucket_expr(id_col, salt)
+    w = F.col(weight_col).cast("double")
+    thr = F.format_string(
+        "%08x", F.floor(w * F.lit(float(_HEX_SPACE))).cast("bigint"))
+    return df.where(
+        w.isNotNull() & ((w >= 1.0) | ((w > 0.0) & (bucket < thr))))

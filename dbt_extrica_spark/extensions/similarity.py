@@ -914,3 +914,53 @@ def hash_embed(df: DataFrame, id_col: str, text_col: str,
         F.expr(emb).alias("embedding"),
         F.expr(f"size({toks})").cast("int").alias("n_tokens"),
     )
+
+
+def cross_cosine_pairs(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Cross-corpus semantic near-dup pairs — the incremental-ingest
+    dedup shape: a NEW batch is checked against the HISTORICAL corpus
+    only (never within either side), so a growing dataset admits each
+    increment with one blocked join instead of a full re-dedup.
+
+    Blocking: centroids seed from the historical side (stable as history
+    grows); both sides assign to their ``nprobe`` nearest cells with the
+    same expression-local assignment as ivf_topk; candidate pairs are
+    (new x hist) within shared cells; cosines are the exact sequential
+    JVM fold (bit-identical to a brute cross-join, so a subset contract
+    is directly checkable). Returns (new_id, hist_id, cosine)."""
+    new_base = _with_norm(new_df, id_col, vec_col)
+    hist_base = _with_norm(hist_df, id_col, vec_col)
+    centroids = hist_base.orderBy("id").limit(n_cells).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"))
+    cell_rows = centroids.collect()
+    if not cell_rows:
+        return new_df.sparkSession.createDataFrame(
+            [], "new_id bigint, hist_id bigint, cosine double")
+    dim = len(cell_rows[0]["cv"])
+    if len(cell_rows) * dim > _IVF_LITERAL_BUDGET:
+        a = _ivf_assign_broadcast(new_base, centroids, nprobe)
+        b = _ivf_assign_broadcast(hist_base, centroids, nprobe)
+    else:
+        a = _ivf_assign_literal(new_base, cell_rows, nprobe)
+        b = _ivf_assign_literal(hist_base, cell_rows, nprobe)
+    a, b = a.alias("a"), b.alias("b")
+    dot = _DOT.format(a="a.v", b="b.v")
+    return (
+        a.join(b, on=[F.col("a.cid") == F.col("b.cid")])
+        .withColumn("cosine",
+                    (F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")))
+                    .cast("double"))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("new_id"),
+                F.col("b.id").alias("hist_id"), "cosine")
+        .dropDuplicates(["new_id", "hist_id"])
+    )

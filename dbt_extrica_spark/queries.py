@@ -4506,6 +4506,100 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank INT, term STRING, weight DOUBLE")
 
 
+# Per-row importance sampling is a pure hash filter, so the oracle is
+# plain SQL: same md5 bucket, same printf('%08x') per-row threshold.
+_WEIGHTED_SAMPLE_DUCK = r"""
+WITH w AS (
+  SELECT doc_id,
+         least(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS DOUBLE) / 100.0, 1.0) AS weight,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, weight
+FROM w
+WHERE weight IS NOT NULL
+  AND (weight >= 1.0 OR (weight > 0.0 AND bucket <
+       printf('%08x', CAST(floor(weight * 4294967296.0) AS BIGINT))))
+"""
+
+
+@q("sample_weighted", _WEIGHTED_SAMPLE_DUCK)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted importance sampling: keep each doc with
+    probability min(n_tokens/100, 1) — deterministic per-row hash
+    thresholds (sampling.weighted_sample), reproduced exactly by the
+    SQL oracle."""
+    from .extensions import sampling
+
+    _views(spark, sf_dir)
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.expr(f"least(CAST(size({toks}) AS DOUBLE) / 100.0, 1.0)")
+        .alias("weight"),
+    )
+    return sampling.weighted_sample(docs, "doc_id", "weight")
+
+
+# Incremental-ingest semantic dedup: new batch vs history only. Contract
+# mirrors dedup_semantic_blocked — blocked cross pairs must be a subset
+# of the exact cross join with bit-identical cosines.
+_SEMANTIC_INCR_DUCK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)) AS nrm
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS subset_ok
+FROM base a JOIN base b
+  ON a.vec_id >= 250 AND a.vec_id < 350 AND b.vec_id < 250
+WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+        / (a.nrm * b.nrm) >= 0.35
+"""
+
+
+@q("dedup_semantic_incremental", _SEMANTIC_INCR_DUCK)
+def dedup_semantic_incremental(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incremental-ingest semantic dedup (similarity.cross_cosine_pairs):
+    a new embedding batch is blocked against the historical corpus only.
+    Contract: every blocked (new, hist) pair appears in the exact brute
+    cross join with a bit-identical cosine."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    hist = emb.where("vec_id < 250")
+    new = emb.where("vec_id >= 250 AND vec_id < 350")
+    blocked = similarity.cross_cosine_pairs(
+        new, hist, "vec_id", "embedding", 0.35, n_cells=16, nprobe=2) \
+        .localCheckpoint(eager=True)
+    nb = similarity._with_norm(new, "vec_id", "embedding").alias("a")
+    hb = similarity._with_norm(hist, "vec_id", "embedding").alias("b")
+    dot = similarity._DOT.format(a="a.v", b="b.v")
+    exact = (
+        nb.join(hb, on=F.lit(True))
+        .withColumn("cosine",
+                    (F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")))
+                    .cast("double"))
+        .where(F.col("cosine") >= 0.35)
+        .select(F.col("a.id").alias("new_id"),
+                F.col("b.id").alias("hist_id"), "cosine")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.groupBy().count().withColumnRenamed("count",
+                                                        "exact_pairs")
+    bad = blocked.join(exact, on=["new_id", "hist_id", "cosine"],
+                       how="left_anti").groupBy().count() \
+        .withColumnRenamed("count", "n_bad")
+    return (
+        n_exact.crossJoin(bad)
+        .select(F.col("exact_pairs").cast("bigint").alias("exact_pairs"),
+                (F.col("n_bad") == 0).alias("subset_ok"))
+    )
+
+
 # HLL sketches are engine-specific bytes, but the ESTIMATE obeys a bound the
 # oracle can assert (contract form): at lg_k=12 the relative error is
 # ~1.6%, so a 2% gate never flaps while catching any merge/estimate defect

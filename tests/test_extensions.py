@@ -1138,3 +1138,47 @@ def test_bpe_train_bad_strategy_raises(spark):
 
     with _pytest.raises(ValueError):
         textstats.bpe_train(df, "text", strategy="nope")
+
+
+def test_weighted_sample_boundaries_and_monotonicity(spark):
+    from dbt_extrica_spark.extensions import sampling
+
+    rows = [(i, w) for i in range(400)
+            for w in ()] or [(i, [0.0, 0.3, 0.7, 1.0][i % 4])
+                             for i in range(400)]
+    df = spark.createDataFrame(rows, "id BIGINT, w DOUBLE")
+    kept = {r.id for r in sampling.weighted_sample(df, "id", "w").collect()}
+    # weight 1.0 rows always kept; weight 0.0 rows never kept
+    assert all(i in kept for i in range(400) if i % 4 == 3)
+    assert all(i not in kept for i in range(400) if i % 4 == 0)
+    # NULL weight dropped
+    dfn = spark.createDataFrame([(1, None), (2, 1.0)],
+                                "id BIGINT, w DOUBLE")
+    assert {r.id for r in sampling.weighted_sample(
+        dfn, "id", "w").collect()} == {2}
+    # monotone: raising every weight can only ADD rows
+    hi = {r.id for r in sampling.weighted_sample(
+        df.withColumn("w", F.least(F.col("w") + 0.3, F.lit(1.0))),
+        "id", "w").collect()}
+    assert kept <= hi
+
+
+def test_cross_cosine_pairs_planted_and_sides(spark):
+    import random
+
+    rng = random.Random(3)
+    hist = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    # new batch: 5 exact copies of history vectors + 5 fresh randoms
+    new = [(1000 + i, hist[i][1]) for i in range(5)]
+    new += [(2000 + i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(5)]
+    hist_df = spark.createDataFrame(hist, "vec_id BIGINT, v ARRAY<FLOAT>")
+    new_df = spark.createDataFrame(new, "vec_id BIGINT, v ARRAY<FLOAT>")
+    got = similarity.cross_cosine_pairs(
+        new_df, hist_df, "vec_id", "v", threshold=0.999,
+        n_cells=6, nprobe=3).collect()
+    found = {(r.new_id, r.hist_id) for r in got}
+    # every planted copy pairs with its original (cosine 1 >= .999)
+    assert all((1000 + i, i) in found for i in range(5))
+    # sides are respected: new ids on the left, hist ids on the right
+    assert all(r.new_id >= 1000 and r.hist_id < 30 for r in got)
