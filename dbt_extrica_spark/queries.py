@@ -4600,6 +4600,46 @@ def dedup_semantic_incremental(spark: SparkSession,
     )
 
 
+# Z-order keys are pure integer bit arithmetic — the oracle computes the
+# identical interleave with its own reduce. Gated on exact key VALUES for
+# every order row.
+_ZORDER_DUCK = """
+WITH dims AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 4096 AS BIGINT) AS d0,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 4096
+              AS BIGINT) AS d1
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(list_reduce(list_transform(generate_series(0, 11), i ->
+            (((d0 >> i) & 1) << (i * 2)) | (((d1 >> i) & 1) << (i * 2 + 1))
+       ), (a, b) -> a | b) AS BIGINT) AS zkey
+FROM dims
+"""
+
+
+@q("layout_zorder", _ZORDER_DUCK)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (customer, order-day) — the
+    write-side clustering pass that gives parquet zone maps multi-
+    dimensional pruning power. Exact integer bit interleave, value-
+    checked against the oracle's own reduce."""
+    from .extensions import layout
+
+    _views(spark, sf_dir)
+    dims = spark.table("orders").select(
+        "o_orderkey",
+        F.expr("CAST(pmod(o_custkey, 4096) AS BIGINT)").alias("d0"),
+        F.expr("CAST(pmod(datediff(o_orderdate, DATE '1992-01-01'), 4096)"
+               " AS BIGINT)").alias("d1"),
+    )
+    return dims.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        layout.morton_key(["d0", "d1"], bits=12).alias("zkey"),
+    )
+
+
 # HLL sketches are engine-specific bytes, but the ESTIMATE obeys a bound the
 # oracle can assert (contract form): at lg_k=12 the relative error is
 # ~1.6%, so a 2% gate never flaps while catching any merge/estimate defect

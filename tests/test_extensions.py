@@ -1182,3 +1182,35 @@ def test_cross_cosine_pairs_planted_and_sides(spark):
     assert all((1000 + i, i) in found for i in range(5))
     # sides are respected: new ids on the left, hist ids on the right
     assert all(r.new_id >= 1000 and r.hist_id < 30 for r in got)
+
+
+def test_morton_key_matches_known_curve(spark):
+    from dbt_extrica_spark.extensions import layout
+
+    # the 4x4 Morton curve is a textbook constant: key(x, y) with x in
+    # bit positions 0,2 and y in 1,3
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x INT, y INT")
+    got = {(r.x, r.y): r.k for r in df.select(
+        "x", "y", layout.morton_key(["x", "y"], bits=2).alias("k")
+    ).collect()}
+    expected = {(x, y): ((x & 1) | ((y & 1) << 1)
+                         | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3))
+                for x, y in rows}
+    assert got == expected
+
+
+def test_zorder_sort_clusters_quadrants(spark):
+    from dbt_extrica_spark.extensions import layout
+
+    # 16x16 grid: the first quarter of the z-sorted order is EXACTLY the
+    # lower-left 8x8 quadrant — the locality property zone maps exploit
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x INT, y INT")
+    out = layout.zorder_sort(df, ["x", "y"], bits=4,
+                             num_partitions=4).collect()
+    first_quarter = out[:64]
+    assert all(r.x < 8 and r.y < 8 for r in first_quarter)
+    # keys are globally non-decreasing across range partitions
+    keys = [r.zkey for r in out]
+    assert keys == sorted(keys)
