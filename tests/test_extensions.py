@@ -1214,3 +1214,41 @@ def test_zorder_sort_clusters_quadrants(spark):
     # keys are globally non-decreasing across range partitions
     keys = [r.zkey for r in out]
     assert keys == sorted(keys)
+
+
+def test_zorder_prunes_more_rowgroups_than_linear_sort(spark, tmp_path):
+    from dbt_extrica_spark.extensions import layout
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    # synthetic 2-D table; a selective box predicate on BOTH dims
+    rows = [(x, y) for x in range(256) for y in range(256)]
+    df = spark.createDataFrame(rows, "x INT, y INT")
+    z_path, lin_path = str(tmp_path / "z"), str(tmp_path / "lin")
+    layout.zorder_sort(df, ["x", "y"], bits=8, num_partitions=16) \
+        .drop("zkey").write.mode("overwrite").parquet(z_path)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x", "y") \
+        .write.mode("overwrite").parquet(lin_path)
+
+    def rowgroups_hit(path, lo, hi):
+        total = hit = 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                total += 1
+                sx = g.column(cols["x"]).statistics
+                sy = g.column(cols["y"]).statistics
+                if (sx.min <= hi and sx.max >= lo
+                        and sy.min <= hi and sy.max >= lo):
+                    hit += 1
+        return hit, total
+
+    z_hit, z_total = rowgroups_hit(z_path, 16, 47)     # 32x32 box
+    l_hit, l_total = rowgroups_hit(lin_path, 16, 47)
+    # the linear sort prunes on x only: every file in the x-range must be
+    # read regardless of y; the z-order layout bounds BOTH dims per file
+    assert z_total > 0 and l_total > 0
+    assert z_hit / z_total < l_hit / l_total
