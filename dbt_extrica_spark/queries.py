@@ -2057,6 +2057,49 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# brp_lsh was the one approximate operator without a battery contract
+# row; measured recall at the default config is 0.939 on this corpus, so
+# a 0.85 floor catches any bucketing/normalization defect without flap.
+# Lazy: n_pairs = 5 neighbors x the subset count at the compare scale.
+def _brp_recall_oracle() -> str:
+    import os
+
+    import duckdb as _duck
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    n = _duck.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/embeddings.parquet')"
+        " WHERE vec_id < 300").fetchone()[0]
+    return (f"SELECT CAST({5 * int(n)} AS BIGINT) AS n_pairs,"
+            " TRUE AS recall_ok")
+
+
+@q("ann_brp_recall", _brp_recall_oracle)
+def ann_brp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 contract for the BucketedRandomProjectionLSH path against
+    exact brute force (the last approximate operator to gain a battery
+    contract row): default config measured 0.939; the 0.85 floor is the
+    gate."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where("vec_id < 300")
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", k=5) \
+        .localCheckpoint(eager=True)
+    approx = similarity.brp_lsh_topk(emb, "vec_id", "embedding", k=5)
+    hits = exact.alias("e").join(
+        approx.alias("a"),
+        on=[F.col("e.query_id") == F.col("a.query_id"),
+            F.col("e.neighbor_id") == F.col("a.neighbor_id")],
+        how="left_semi",
+    ).groupBy().count().withColumnRenamed("count", "hits")
+    total = exact.groupBy().count().withColumnRenamed("count", "total")
+    return (
+        total.crossJoin(hits)
+        .select(F.col("total").cast("bigint").alias("n_pairs"),
+                ((F.col("hits") / F.col("total")) >= 0.85)
+                .alias("recall_ok"))
+    )
+
+
 _PUNCT_CLASS = ".,;:!?'\"()-"
 _TS_DUCK = r"""
 WITH t AS (
