@@ -827,14 +827,32 @@ def kmeans_lloyd_centroids(
     Cross-checkable: the identical arithmetic is replayable in pure Python
     (Decimal HALF_UP quantization + float division), which is how the
     battery's embedding_kmeans oracle pins this operator value-exactly."""
+    base = _km_base(df, id_col, vec_col)
+    return _km_train(base, k, iters, df.sparkSession)
+
+
+def _km_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Reify (id, v) once before the iterative scans. Without this, a
+    computed vec_col (e.g. hash_embed's fold) is re-inlined into every
+    centroid-distance lambda of every iteration — Catalyst does no CSE
+    across HOF lambda references, so the embedding would be recomputed
+    k x (iters + 2) times per row (measured 6x slowdown on the
+    text->embed->cluster composite at sf0.1). localCheckpoint(eager=False)
+    materializes the column on the first job and truncates lineage;
+    iterations then scan stored rows, the shape a 100 TB run needs anyway
+    (persist-before-iterate)."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return base.localCheckpoint(eager=False)
+
+
+def _km_train(base: DataFrame, k: int, iters: int,
+              spark) -> list[list[float]]:
     seed_rows = base.orderBy("id").limit(k).collect()
     if not seed_rows:
         return []
     cents = [[float(x) for x in r["v"]] for r in seed_rows]
     dim = len(cents[0])
     use_literal = k * dim <= _IVF_LITERAL_BUDGET
-    spark = df.sparkSession
     for _ in range(iters):
         assigned = (_km_assign_literal(base, cents) if use_literal
                     else _km_assign_broadcast(base, cents, spark))
@@ -861,8 +879,8 @@ def kmeans_lloyd(
     Returns (id, cid, dist2) — the final assignment under the trained
     centroids. dist2 is the sequential-fold squared euclidean distance,
     bit-identical across partitionings and engines."""
-    cents = kmeans_lloyd_centroids(df, id_col, vec_col, k=k, iters=iters)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = _km_base(df, id_col, vec_col)
+    cents = _km_train(base, k, iters, df.sparkSession)
     if not cents:
         return base.select(
             F.col("id").alias(id_col),
