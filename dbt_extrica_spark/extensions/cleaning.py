@@ -206,6 +206,73 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def pack_documents_global(df: DataFrame, id_col: str, text_col: str,
+                          seq_len: int = 2048,
+                          partitions: int | None = None) -> DataFrame:
+    """Global sequence packing WITHOUT the single-task window: the
+    running token offset over the whole corpus in stable ``id`` order,
+    computed as a two-phase distributed prefix sum —
+
+    1. ``repartitionByRange(id)`` + sort-within-partitions: partition i
+       holds an id-contiguous slice, so (partition, row) order is the
+       total order by id. The per-partition running sum is a window
+       partitioned BY the physical partition — every task scans only its
+       own slice, no global single-task stage.
+    2. Per-partition token totals (one row per partition — bounded model
+       state, not data) are collected, prefix-summed on the driver, and
+       rejoined as a literal array indexed by partition id.
+
+    global offset = partition_prefix[pid] + local_running_sum - n_tokens.
+
+    The result is value-identical to ``pack_documents(shard_col=None)``
+    (exact integer sums; range boundaries only move rows between slices,
+    never change the total order), but the widest stage is
+    corpus/partitions rows instead of the whole corpus in one task — the
+    100 TB path for global packing. ``partitions=None`` keeps the
+    session's shuffle parallelism. Same output contract as
+    pack_documents: (id, n_tokens, offset, first_seq, last_seq)."""
+    tok = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    base = df.select(F.col(id_col), tok.alias("n_tokens"))
+    n_part = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sliced = (
+        base.repartitionByRange(n_part, F.col(id_col))
+        .sortWithinPartitions(F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        # reify the partition assignment: __pid must not be recomputed
+        # under a different physical plan by the two downstream jobs
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        sliced.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()  # one row per partition — bounded model state
+    )
+    by_pid = {r["__pid"]: int(r["t"]) for r in totals}
+    prefix, acc = [], 0
+    for pid in range(max(by_pid) + 1 if by_pid else 0):
+        prefix.append(acc)
+        acc += by_pid.get(pid, 0)
+    if not prefix:
+        prefix = [0]
+    prefix_arr = F.array(*[F.lit(x).cast("bigint") for x in prefix])
+    w = (Window.partitionBy("__pid").orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        sliced.withColumn(
+            "offset",
+            (F.element_at(prefix_arr, F.col("__pid") + 1)
+             + F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .cast("bigint"))
+        .withColumn("first_seq",
+                    F.expr(f"CAST(offset DIV {seq_len} AS BIGINT)"))
+        .withColumn("last_seq",
+                    F.expr(f"CAST((offset + n_tokens - 1) DIV {seq_len}"
+                           f" AS BIGINT)"))
+        .drop("__pid")
+    )
+
+
 def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
                      n: int = 20, min_docs: int = 2) -> DataFrame:
     """Cross-document repeated-span accounting — the signal behind exact

@@ -164,6 +164,87 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# the Gopher rule-filter stopword list (Rae et al. 2021, table A1 rules)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str,
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """The Gopher quality rule filter (Rae et al. 2021 §A1.1) — the
+    standard published heuristic gate for pretraining corpora: word-count
+    band, mean word length 3-10, symbol-to-word ratio (# and ...) < 0.1,
+    <=90% of lines bullet-started, <=30% of lines ellipsis-ended, >=80%
+    of words containing an alphabetic character, and >=2 of the 8 required
+    stopwords present.
+
+    Every threshold is evaluated by integer CROSS-MULTIPLICATION
+    (``10 * n_symbols < n_words`` instead of ``n_symbols / n_words <
+    0.1``) so the comparison is exact integer arithmetic — bit-identical
+    across engines, no float-division drift at any corpus size. One scan,
+    pure codegen expressions, no shuffle; filters compose with the scan so
+    Catalyst pushes the whole gate into the parquet read projection.
+
+    Returns per doc: the raw counts, one boolean per rule, and
+    ``passes_gopher`` (AND of all rules) — counts kept so downstream can
+    re-threshold without a second scan."""
+    t = f"coalesce({text_col}, '')"
+    toks = _tokens(t)  # NULL text counts as empty, not NULL-propagating
+    lines = (f"filter(transform(split({t}, '\\\\n'), l -> trim(l)),"
+             f" l -> l <> '')")
+    n_words = F.expr(f"size(filter({toks}, x -> x <> ''))").cast("bigint")
+    n_word_chars = F.expr(
+        f"aggregate(filter({toks}, x -> x <> ''), 0L, (a, x) -> a + length(x))"
+    ).cast("bigint")
+    n_hash = (F.length(F.expr(t))
+              - F.length(F.expr(f"replace({t}, '#', '')"))).cast("bigint")
+    n_ellipsis = ((F.length(F.expr(t))
+                   - F.length(F.expr(f"replace({t}, '...', '')")))
+                  / 3).cast("bigint")
+    n_lines = F.expr(f"size({lines})").cast("bigint")
+    n_bullet_lines = F.expr(
+        f"size(filter({lines}, l -> substring(l, 1, 1) IN"
+        f" ('-', '*', '•', '●')))").cast("bigint")
+    # LIKE, not negative-index substring: '%...' has identical semantics
+    # in Spark and the oracle engines for strings shorter than the suffix
+    n_ellipsis_lines = F.expr(
+        f"size(filter({lines}, l -> l LIKE '%...' OR l LIKE '%…'))"
+    ).cast("bigint")
+    n_alpha_words = F.expr(
+        f"size(filter({toks}, x -> x rlike '[a-z]'))").cast("bigint")
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    n_stopwords = F.expr(
+        f"size(array_intersect(array_distinct({toks}),"
+        f" array({stop_arr})))").cast("bigint")
+    counts = {
+        "n_words": n_words, "n_word_chars": n_word_chars,
+        "n_symbols": (n_hash + n_ellipsis).cast("bigint"),
+        "n_lines": n_lines, "n_bullet_lines": n_bullet_lines,
+        "n_ellipsis_lines": n_ellipsis_lines,
+        "n_alpha_words": n_alpha_words, "n_stopwords": n_stopwords,
+    }
+    out = df.select(F.col(id_col),
+                    *[c.alias(k) for k, c in counts.items()])
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (3 * F.col("n_words") <= F.col("n_word_chars"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words")),
+        "r_symbol_ratio": 10 * F.col("n_symbols") < F.col("n_words"),
+        "r_bullet_lines": 10 * F.col("n_bullet_lines")
+        <= 9 * F.col("n_lines"),
+        "r_ellipsis_lines": 10 * F.col("n_ellipsis_lines")
+        <= 3 * F.col("n_lines"),
+        "r_alpha_words": 5 * F.col("n_alpha_words") >= 4 * F.col("n_words"),
+        "r_stopwords": F.col("n_stopwords") >= 2,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes_gopher", passes)
+
+
 def char_bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Perplexity-family quality score: average negative log P(c2|c1) under
     a char-bigram model trained on the corpus itself. High scores = strings

@@ -3014,6 +3014,88 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(docs, "doc_id", "text")
 
 
+# structure (bullet lines, ellipsis lines, symbol runs) is injected
+# deterministically on BOTH sides so every Gopher rule fires non-trivially
+# on the synthetic corpus; thresholds compare exact integers
+_GOPHER_INJECT_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), '- bullet one',"
+    " chr(10), '* bullet two') ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(chr(10), 'to be continued...')"
+    " ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN ' ### #' ELSE '' END)"
+)
+_GOPHER_STOP_DUCK = "['the','be','to','of','and','that','have','with']"
+_GOPHER_DUCK = f"""
+WITH injected AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet one'
+         || chr(10) || '* bullet two' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' ### #' ELSE '' END AS txt
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(txt)), '\\s+'),
+                x -> x <> '') AS w,
+    list_filter(list_transform(str_split(txt, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines,
+    txt
+  FROM injected
+), c AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+         AS BIGINT) AS n_word_chars,
+    CAST((length(txt) - length(replace(txt, '#', '')))
+         + (length(txt) - length(replace(txt, '...', ''))) // 3
+         AS BIGINT) AS n_symbols,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l -> substring(l, 1, 1) = '-'
+         OR substring(l, 1, 1) = '*' OR substring(l, 1, 1) = '•'
+         OR substring(l, 1, 1) = '●')) AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+         AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(len(list_intersect(list_distinct(w), {_GOPHER_STOP_DUCK}))
+         AS BIGINT) AS n_stopwords
+  FROM b
+)
+SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines, n_bullet_lines,
+       n_ellipsis_lines, n_alpha_words, n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+         AS r_mean_word_len,
+       (10 * n_symbols < n_words) AS r_symbol_ratio,
+       (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet_lines,
+       (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis_lines,
+       (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+       (n_stopwords >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+        AND (10 * n_symbols < n_words)
+        AND (10 * n_bullet_lines <= 9 * n_lines)
+        AND (10 * n_ellipsis_lines <= 3 * n_lines)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND (n_stopwords >= 2)) AS passes_gopher
+FROM c
+"""
+
+
+@q("text_gopher_rules", _GOPHER_DUCK)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rule gate (Rae et al. 2021 §A1.1): word-count
+    band, mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, stopword presence — all thresholds as exact
+    integer cross-multiplications, one scan, no shuffle."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_GOPHER_INJECT_SPARK).alias("txt"))
+    return textstats.gopher_rules(docs, "doc_id", "txt")
+
+
 # PII is injected deterministically (same concat on both sides) so the
 # redaction counts are non-trivially exercised on the synthetic corpus
 _PII_INJECT_SPARK = (
@@ -3236,6 +3318,41 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     return cleaning.pack_documents(docs, "doc_id", "text", seq_len=512,
                                    shard_col="source")
+
+
+# GLOBAL packing via the two-phase distributed prefix sum — exact integer
+# offsets, so the oracle is the plain global window cumsum
+_PACK_GLOBAL_DUCK = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       CAST("offset" // 512 AS BIGINT) AS first_seq,
+       CAST(("offset" + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+FROM o
+"""
+
+
+@q("text_pack_global", _PACK_GLOBAL_DUCK)
+def text_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sequence packing WITHOUT a single-task window: running
+    token offset over the whole corpus in id order via range-partition +
+    per-slice window + driver prefix sum over the per-partition totals
+    (bounded model state). Value-identical to the naive global cumsum —
+    the oracle IS the naive global cumsum."""
+    from .extensions import cleaning
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return cleaning.pack_documents_global(docs, "doc_id", "text",
+                                          seq_len=512)
 
 
 # deterministic source-mixture downsampling: per-source md5-range rates

@@ -569,6 +569,58 @@ def test_pack_documents_unsharded_guardrail(spark):
         df, "id", "t", seq_len=8, max_rows_unsharded=None).count() == 100
 
 
+def test_gopher_rules_thresholds(spark):
+    from dbt_extrica_spark.extensions import textstats
+
+    good = ("the cat sat on the mat and that dog ran to be near of "
+            "a tree with some food ") * 3  # 60 words, all rules pass
+    bully = "\n".join(["- item"] * 20)     # all lines bullet-started
+    dotty = "\n".join(["wait for it..."] * 10)
+    symbols = "the be to of " + "# " * 30  # symbol-to-word ratio >= 0.1
+    df = spark.createDataFrame(
+        [(1, good), (2, bully), (3, dotty), (4, symbols), (5, ""),
+         (6, None)],
+        "id bigint, t string")
+    out = {r.id: r for r in
+           textstats.gopher_rules(df, "id", "t").collect()}
+    assert out[1].passes_gopher
+    assert not out[2].r_bullet_lines and out[2].n_bullet_lines == 20
+    assert not out[3].r_ellipsis_lines and out[3].n_ellipsis_lines == 10
+    assert not out[4].r_symbol_ratio and out[4].n_symbols == 30
+    # empty / NULL text: zero counts, fails the word-count band, no error
+    for i in (5, 6):
+        assert out[i].n_words == 0 and not out[i].passes_gopher
+    # mean-word-length band is inclusive integer cross-multiplication
+    exact3 = spark.createDataFrame(
+        [(1, "abc " * 60)], "id bigint, t string")
+    r = textstats.gopher_rules(exact3, "id", "t").collect()[0]
+    assert r.n_word_chars == 3 * r.n_words and r.r_mean_word_len
+
+
+def test_pack_documents_global_matches_single_task(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    single = {r.doc_id: (r.offset, r.first_seq, r.last_seq)
+              for r in cleaning.pack_documents(
+                  df, "doc_id", "text", seq_len=64,
+                  max_rows_unsharded=None).collect()}
+    # value-identical under the two-phase prefix sum, at any slice count
+    for n_part in (1, 3, 17):
+        dist = {r.doc_id: (r.offset, r.first_seq, r.last_seq)
+                for r in cleaning.pack_documents_global(
+                    df, "doc_id", "text", seq_len=64,
+                    partitions=n_part).collect()}
+        assert dist == single
+    # widest stage is sliced: more than one partition carries rows
+    sliced = cleaning.pack_documents_global(
+        df, "doc_id", "text", seq_len=64, partitions=8)
+    import pyspark.sql.functions as _F
+    n_used = (sliced.select(_F.spark_partition_id().alias("p"))
+              .distinct().count())
+    assert n_used > 1
+
+
 def test_mixture_sample_disjoint_and_deterministic(spark):
     from dbt_extrica_spark.extensions import cleaning
 
