@@ -4702,6 +4702,79 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample(docs, "doc_id", "weight")
 
 
+# DSIR importance weights are exactly replayable: integer bucket counts,
+# a k-entry log-ratio table quantized to 12 dp, then per-doc decimal sums
+# — so the oracle recomputes the whole model + scoring in pure Python
+# (pinned xxh64) and embeds the per-doc weights as VALUES.
+def _dsir_oracle() -> str:
+    import os
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _duck
+
+    from .functions.xxh64 import xxh64_signed
+
+    k = 64
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT doc_id, source, text"
+        f" FROM read_parquet('{sf}/documents.parquet')"
+        " ORDER BY doc_id").fetchall()
+
+    def feats(text):
+        toks = [t for t in _re.split(r"[ \t\n\x0b\f\r]+",
+                                     (text or "").lower().strip(" ")) if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def counts(docs):
+        c: dict = {}
+        for fs in docs:
+            for f_ in fs:
+                b = xxh64_signed(f_.encode("utf-8")) % k
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    all_feats = {doc_id: feats(text) for doc_id, _src, text in rows}
+    tc = counts([all_feats[d] for d, s, _t in rows if s == "src0"])
+    rc = counts(all_feats.values())
+    t_tot = sum(tc.values()) + k
+    r_tot = sum(rc.values()) + k
+    import math
+    q12 = Decimal("1e-12")
+    lrs = [
+        Decimal(repr(math.log((tc.get(b, 0) + 1) / t_tot)
+                     - math.log((rc.get(b, 0) + 1) / r_tot)))
+        .quantize(q12, ROUND_HALF_UP)
+        for b in range(k)
+    ]
+    vals = []
+    for doc_id, _src, _text in rows:
+        fs = all_feats[doc_id]
+        w = sum((lrs[xxh64_signed(f_.encode('utf-8')) % k] for f_ in fs),
+                Decimal(0))
+        vals.append(f"({int(doc_id)}, {len(fs)},"
+                    f" CAST('{float(w)!r}' AS DOUBLE))")
+    return ("SELECT CAST(id AS BIGINT) AS id, CAST(n_feats AS INT)"
+            " AS n_feats, log_weight FROM (VALUES "
+            + ", ".join(vals) + ") AS t(id, n_feats, log_weight)")
+
+
+@q("sample_dsir_weights", _dsir_oracle)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): how target-like each
+    raw document's hashed n-gram profile is, as log p_target - log p_raw
+    summed over its unigrams+bigrams. Model = 64 bucket log-ratios
+    (bounded driver state); scoring = one scan, sequential decimal fold.
+    Hash-exact vs a full pure-Python replay."""
+    from .extensions import selection
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    target = docs.where("source = 'src0'")
+    return selection.dsir_logweights(docs, target, "doc_id", "text", k=64)
+
+
 # Incremental-ingest semantic dedup: new batch vs history only. Contract
 # mirrors dedup_semantic_blocked — blocked cross pairs must be a subset
 # of the exact cross join with bit-identical cosines.

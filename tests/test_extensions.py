@@ -569,6 +569,46 @@ def test_pack_documents_unsharded_guardrail(spark):
         df, "id", "t", seq_len=8, max_rows_unsharded=None).count() == 100
 
 
+def test_dsir_literal_and_broadcast_paths_agree(spark, monkeypatch):
+    from dbt_extrica_spark.extensions import selection
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").where("doc_id < 80")
+    target = docs.where("source = 'src0'")
+    lit_path = {r.id: (r.n_feats, r.log_weight) for r in
+                selection.dsir_logweights(docs, target, "doc_id", "text",
+                                          k=32).collect()}
+    monkeypatch.setattr(selection, "_LR_LITERAL_BUDGET", 1)
+    bc_path = {r.id: (r.n_feats, r.log_weight) for r in
+               selection.dsir_logweights(docs, target, "doc_id", "text",
+                                         k=32).collect()}
+    # decimal sums are order-independent: join+groupBy == sequential fold
+    assert lit_path == bc_path
+    assert len(lit_path) == docs.count()
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from dbt_extrica_spark.extensions import selection
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    target = docs.where("source = 'src0'")
+    kept = selection.dsir_select(docs, target, "doc_id", "text",
+                                 k=64, temperature=0.5)
+    rows = kept.collect()
+    assert 0 < len(rows) < docs.count()
+    # deterministic: same call, same membership
+    again = {r.id for r in selection.dsir_select(
+        docs, target, "doc_id", "text", k=64, temperature=0.5).collect()}
+    assert {r.id for r in rows} == again
+    # the kept set skews toward positive log-weights
+    w = {r.id: r.log_weight for r in selection.dsir_logweights(
+        docs, target, "doc_id", "text", k=64).collect()}
+    kept_mean = sum(w[r.id] for r in rows) / len(rows)
+    all_mean = sum(w.values()) / len(w)
+    assert kept_mean > all_mean
+
+
 def test_gopher_rules_thresholds(spark):
     from dbt_extrica_spark.extensions import textstats
 
