@@ -45,6 +45,9 @@ HEADLINE = [
     "embedding_kmeans",
     "text_remove_dup_spans",
     "pipeline_text_cluster",
+    "text_gopher_rules",
+    "text_pack_global",
+    "sample_dsir_weights",
 ]
 
 

@@ -86,6 +86,15 @@ def main() -> None:
         "join + per-doc reassembly)":
             lambda: battery.queries()["text_remove_dup_spans"](
                 spark, sf_dir),
+        "text_gopher_rules (all seven rule thresholds in one codegen "
+        "projection next to the scan, zero exchanges)":
+            lambda: battery.queries()["text_gopher_rules"](spark, sf_dir),
+        "text_pack_global (range exchange + per-slice window; NO global "
+        "single-partition sort anywhere)":
+            lambda: battery.queries()["text_pack_global"](spark, sf_dir),
+        "sample_dsir_weights (k-bucket model as literal array: scoring "
+        "is one scan, zero exchanges)":
+            lambda: battery.queries()["sample_dsir_weights"](spark, sf_dir),
     }
     jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     out = ["# PLANS — formatted physical plans at sf0.1 (evidence)",
