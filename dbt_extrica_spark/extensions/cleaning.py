@@ -114,6 +114,50 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def c4_filter(df: DataFrame, id_col: str, text_col: str,
+              min_words_per_line: int = 5,
+              min_kept_lines: int = 3) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the other
+    canonical published web-corpus gate next to gopher_rules:
+
+    - keep only lines that END in terminal punctuation (. ! ? ") after
+      trimming, have >= ``min_words_per_line`` words, and do not mention
+      'javascript';
+    - drop the whole page if fewer than ``min_kept_lines`` lines survive
+      (C4's 'at least 3 sentences' proxy), or if it contains 'lorem
+      ipsum' or a curly brace.
+
+    One scan, single codegen projection (line split + HOF filters), no
+    shuffle — the page verdict and the cleaned text come out of the same
+    expression, so the filter composes with the parquet scan. Returns
+    (id, clean_text, n_lines_total, n_lines_kept, has_lorem_ipsum,
+    has_curly_brace, keep_page)."""
+    t = f"coalesce({text_col}, '')"
+    lo = f"lower({t})"
+    lines = (f"filter(transform(split({t}, '\\\\n'), l -> trim(l)),"
+             f" l -> l <> '')")
+    words = "filter(split(l, '\\\\s+'), x -> x <> '')"
+    kept = (
+        f"filter({lines}, l -> (l LIKE '%.' OR l LIKE '%!'"
+        f" OR l LIKE '%?' OR l LIKE '%\"')"
+        f" AND size({words}) >= {min_words_per_line}"
+        f" AND NOT lower(l) LIKE '%javascript%')"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
+        F.expr(f"size({lines})").cast("int").alias("n_lines_total"),
+        F.expr(f"size({kept})").cast("int").alias("n_lines_kept"),
+        F.expr(f"{lo} LIKE '%lorem ipsum%'").alias("has_lorem_ipsum"),
+        F.expr(f"{lo} LIKE '%{{%'").alias("has_curly_brace"),
+        F.expr(
+            f"size({kept}) >= {min_kept_lines}"
+            f" AND NOT {lo} LIKE '%lorem ipsum%'"
+            f" AND NOT {lo} LIKE '%{{%'"
+        ).alias("keep_page"),
+    )
+
+
 def decontaminate(train: DataFrame, eval_set: DataFrame,
                   id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """Benchmark decontamination: flag every training document sharing at

@@ -3084,6 +3084,74 @@ FROM c
 """
 
 
+# C4 heuristics: lines are injected so every rule fires — short lines,
+# no-terminal-punctuation lines, a javascript line, lorem ipsum and curly
+# braces on modular doc-id slices (same construction both engines)
+_C4_INJECT_SPARK = (
+    "concat(text, '.',"
+    " chr(10), 'short line',"
+    " chr(10), 'this line has no terminal punctuation at all',"
+    " chr(10), 'this longer line does end with a period.',"
+    " chr(10), 'beware the javascript enabled line it must go.',"
+    " CASE WHEN doc_id % 13 = 0 THEN concat(chr(10),"
+    " 'filler Lorem Ipsum dolor sit amet.') ELSE '' END,"
+    " CASE WHEN doc_id % 17 = 0 THEN concat(chr(10),"
+    " 'function f() { return 1; }') ELSE '' END)"
+)
+_C4_INJECT_DUCK = (
+    "text || '.'"
+    " || chr(10) || 'short line'"
+    " || chr(10) || 'this line has no terminal punctuation at all'"
+    " || chr(10) || 'this longer line does end with a period.'"
+    " || chr(10) || 'beware the javascript enabled line it must go.'"
+    " || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||"
+    " 'filler Lorem Ipsum dolor sit amet.' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||"
+    " 'function f() { return 1; }' ELSE '' END"
+)
+_C4_DUCK = f"""
+WITH injected AS (
+  SELECT doc_id, {_C4_INJECT_DUCK} AS txt FROM documents
+), b AS (
+  SELECT doc_id, txt,
+    list_filter(list_transform(str_split(txt, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines
+  FROM injected
+), c AS (
+  SELECT doc_id, txt, lines,
+    list_filter(lines, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+      OR l LIKE '%"')
+      AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                          x -> x <> '')) >= 5
+      AND NOT lower(l) LIKE '%javascript%') AS kept
+  FROM b
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(lines) AS INT) AS n_lines_total,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       (lower(txt) LIKE '%lorem ipsum%') AS has_lorem_ipsum,
+       (lower(txt) LIKE '%{{%') AS has_curly_brace,
+       (len(kept) >= 3 AND NOT lower(txt) LIKE '%lorem ipsum%'
+        AND NOT lower(txt) LIKE '%{{%') AS keep_page
+FROM c
+"""
+
+
+@q("text_c4_filter", _C4_DUCK)
+def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): terminal-
+    punctuation line retention, min words per line, javascript-line drop,
+    lorem-ipsum / curly-brace / min-sentences page gates — one codegen
+    projection, no shuffle."""
+    from .extensions import cleaning
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_C4_INJECT_SPARK).alias("txt"))
+    return cleaning.c4_filter(docs, "doc_id", "txt")
+
+
 @q("text_gopher_rules", _GOPHER_DUCK)
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality rule gate (Rae et al. 2021 §A1.1): word-count

@@ -609,6 +609,30 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert kept_mean > all_mean
 
 
+def test_c4_filter_line_and_page_rules(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    good = ("the first sentence here is long enough to stay.\n"
+            "so is the second one because it ends properly!\n"
+            "and a third question keeps the page alive?")
+    df = spark.createDataFrame(
+        [(1, good),
+         (2, good + "\nnow with some Lorem ipsum inside."),
+         (3, good + "\nfunction f() { return 1; }"),
+         (4, "too short.\nno terminal punctuation here at all\n"
+             "please enable javascript to view this page."),
+         (5, None)],
+        "id bigint, t string")
+    out = {r.id: r for r in cleaning.c4_filter(df, "id", "t").collect()}
+    assert out[1].keep_page and out[1].n_lines_kept == 3
+    assert out[1].clean_text == good
+    assert out[2].has_lorem_ipsum and not out[2].keep_page
+    assert out[3].has_curly_brace and not out[3].keep_page
+    # doc 4: every line fails (short / no punct / javascript)
+    assert out[4].n_lines_kept == 0 and not out[4].keep_page
+    assert out[5].n_lines_total == 0 and not out[5].keep_page
+
+
 def test_gopher_rules_thresholds(spark):
     from dbt_extrica_spark.extensions import textstats
 
