@@ -48,6 +48,7 @@ HEADLINE = [
     "text_gopher_rules",
     "text_pack_global",
     "sample_dsir_weights",
+    "pipeline_pretrain_corpus",
 ]
 
 

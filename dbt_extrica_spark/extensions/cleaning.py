@@ -116,7 +116,8 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
 
 def c4_filter(df: DataFrame, id_col: str, text_col: str,
               min_words_per_line: int = 5,
-              min_kept_lines: int = 3) -> DataFrame:
+              min_kept_lines: int = 3,
+              keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the other
     canonical published web-corpus gate next to gopher_rules:
 
@@ -145,6 +146,7 @@ def c4_filter(df: DataFrame, id_col: str, text_col: str,
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
         F.expr(f"size({lines})").cast("int").alias("n_lines_total"),
         F.expr(f"size({kept})").cast("int").alias("n_lines_kept"),

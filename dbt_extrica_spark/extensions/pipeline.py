@@ -211,3 +211,73 @@ def joint_dedup(
         )
         .withColumn("keep", F.col("component") == F.col("doc_id"))
     )
+
+
+def pretrain_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target_source: str = "src0",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 1,
+    gopher_min_words: int = 20,
+    dsir_k: int = 64,
+    dsir_cutoff: float = 0.0,
+    seq_len: int = 512,
+) -> DataFrame:
+    """The full pretraining-data curation chain, end to end in-engine:
+
+        C4 line/page gate -> Gopher rule gate -> exact dedup
+        -> DSIR target-likeness threshold -> global sequence packing
+
+    i.e. the published-heuristic filters, then dedup, then data SELECTION,
+    then the tokenize-and-pack bookkeeping — each stage an already
+    oracle-verified operator, composed table-in/table-out so the whole
+    chain replays exactly (every stage is integer/decimal-exact; the
+    battery oracle recomputes the entire chain in pure Python).
+
+    Scale: the two gates fuse into scan-side projections; dedup is one
+    hash-group; DSIR is two k-row count jobs + one scan; packing is the
+    two-phase prefix sum — no single-task stage anywhere. Returns
+    (id, log_weight, n_tokens, offset, first_seq, last_seq) for the
+    surviving corpus in stable id order."""
+    from . import cleaning, dedup, selection, textstats
+
+    gated = (
+        cleaning.c4_filter(docs, id_col, text_col,
+                           min_words_per_line=min_words_per_line,
+                           min_kept_lines=min_kept_lines,
+                           keep_cols=(source_col,))
+        .where("keep_page")
+        .select(id_col, source_col, "clean_text")
+    )
+    quality = (
+        textstats.gopher_rules(gated, id_col, "clean_text",
+                               min_words=gopher_min_words,
+                               keep_cols=(source_col, "clean_text"))
+        .where("passes_gopher")
+        .select(id_col, source_col, "clean_text")
+    )
+    # reify the cleaned, deduped corpus ONCE: DSIR reads it three times
+    # (two count jobs + scoring) and packing twice more — without this,
+    # every pass re-runs both gates and the dedup shuffle (measured 2x
+    # end-to-end). At 100 TB this materialization is the natural
+    # intermediate table between cleaning and model-based selection.
+    deduped = (dedup.exact_dedup(quality, id_col, ["clean_text"])
+               .localCheckpoint(eager=False))
+    weights = selection.dsir_logweights(
+        deduped, deduped.where(F.col(source_col) == target_source),
+        id_col, "clean_text", k=dsir_k)
+    kept = (
+        deduped.join(weights.withColumnRenamed("id", id_col)
+                     .select(id_col, "log_weight"), on=id_col)
+        .where(F.col("log_weight") >= float(dsir_cutoff))
+    )
+    packed = cleaning.pack_documents_global(
+        kept, id_col, "clean_text", seq_len=seq_len)
+    return (
+        packed.join(kept.select(id_col, "log_weight"), on=id_col)
+        .select(id_col, "log_weight", "n_tokens", "offset",
+                "first_seq", "last_seq")
+    )

@@ -169,7 +169,8 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_rules(df: DataFrame, id_col: str, text_col: str,
-                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+                 min_words: int = 50, max_words: int = 100_000,
+                 keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """The Gopher quality rule filter (Rae et al. 2021 §A1.1) — the
     standard published heuristic gate for pretraining corpora: word-count
     band, mean word length 3-10, symbol-to-word ratio (# and ...) < 0.1,
@@ -223,6 +224,7 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str,
         "n_alpha_words": n_alpha_words, "n_stopwords": n_stopwords,
     }
     out = df.select(F.col(id_col),
+                    *[F.col(c) for c in keep_cols],
                     *[c.alias(k) for k, c in counts.items()])
     rules = {
         "r_word_count": (F.col("n_words") >= min_words)

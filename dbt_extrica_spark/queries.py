@@ -2464,6 +2464,136 @@ def pipeline_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.joint_dedup(docs, embs)
 
 
+# End-to-end pretraining curation: C4 gate -> Gopher gate -> exact dedup
+# -> DSIR threshold -> global packing. Every stage is integer/decimal
+# exact, so the oracle replays the ENTIRE chain in pure Python (pinned
+# xxh64 for DSIR) and embeds the final packed table as VALUES. The corpus
+# gets ' of the corpus.' appended on both sides so the C4 terminal-punct
+# rule and the Gopher stopword rule operate non-trivially (raw synthetic
+# docs have neither punctuation nor 2 distinct required stopwords).
+def _pretrain_oracle() -> str:
+    import os
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _duck
+
+    from .extensions.textstats import GOPHER_STOPWORDS
+    from .functions.xxh64 import xxh64_signed
+
+    k, seq_len, gmin = 64, 512, 20
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT doc_id, source, text"
+        f" FROM read_parquet('{sf}/documents.parquet')"
+        " ORDER BY doc_id").fetchall()
+    ws = r"[ \t\n\x0b\f\r]+"
+
+    def toks(s):
+        return [w for w in _re.split(ws, s.lower().strip(" ")) if w]
+
+    def c4(t):
+        lines = [x for x in (l.strip(" ") for l in t.split("\n")) if x]
+        kept = [l for l in lines
+                if l.endswith((".", "!", "?", '"'))
+                and len([w for w in _re.split(ws, l) if w]) >= 5
+                and "javascript" not in l.lower()]
+        lo = t.lower()
+        keep = (len(kept) >= 1 and "lorem ipsum" not in lo
+                and "{" not in lo)
+        return keep, "\n".join(kept)
+
+    def gopher(t):
+        w = toks(t)
+        n, chars = len(w), sum(len(x) for x in w)
+        n_sym = t.count("#") + (len(t) - len(t.replace("...", ""))) // 3
+        lines = [x for x in (l.strip(" ") for l in t.split("\n")) if x]
+        n_bul = sum(1 for l in lines if l[:1] in ("-", "*", "•", "●"))
+        n_ell = sum(1 for l in lines
+                    if l.endswith("...") or l.endswith("…"))
+        n_alpha = sum(1 for x in w if _re.search("[a-z]", x))
+        n_stop = len(set(w) & set(GOPHER_STOPWORDS))
+        return (gmin <= n <= 100_000 and 3 * n <= chars <= 10 * n
+                and 10 * n_sym < n and 10 * n_bul <= 9 * len(lines)
+                and 10 * n_ell <= 3 * len(lines) and 5 * n_alpha >= 4 * n
+                and n_stop >= 2)
+
+    surv = []
+    for doc_id, src, text in rows:
+        t = (text or "") + " of the corpus."
+        keep, clean = c4(t)
+        if keep and gopher(clean):
+            surv.append((int(doc_id), src, clean))
+    seen, deduped = set(), []
+    for doc_id, src, clean in surv:       # rows are id-ascending: min-id
+        if clean not in seen:             # survivor per exact-text group
+            seen.add(clean)
+            deduped.append((doc_id, src, clean))
+
+    def feats(s):
+        w = toks(s)
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def counts(texts):
+        c: dict = {}
+        for s in texts:
+            for f_ in feats(s):
+                b = xxh64_signed(f_.encode("utf-8")) % k
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    tc = counts([c for _d, s, c in deduped if s == "src0"])
+    rc = counts([c for _d, _s, c in deduped])
+    t_tot, r_tot = sum(tc.values()) + k, sum(rc.values()) + k
+    import math
+    q12 = Decimal("1e-12")
+    lrs = [Decimal(repr(math.log((tc.get(b, 0) + 1) / t_tot)
+                        - math.log((rc.get(b, 0) + 1) / r_tot)))
+           .quantize(q12, ROUND_HALF_UP) for b in range(k)]
+    kept_docs = []
+    for doc_id, _src, clean in deduped:
+        w = sum((lrs[xxh64_signed(f_.encode("utf-8")) % k]
+                 for f_ in feats(clean)), Decimal(0))
+        if float(w) >= 0.0:
+            kept_docs.append((doc_id, w, len(toks(clean))))
+    vals, off = [], 0
+    for doc_id, w, n in kept_docs:        # id-ascending global pack
+        vals.append(
+            f"({doc_id}, CAST('{float(w)!r}' AS DOUBLE), {n}, {off},"
+            f" {off // seq_len}, {(off + n - 1) // seq_len})")
+        off += n
+    if not vals:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS"
+                " DOUBLE) AS log_weight, CAST(NULL AS INT) AS n_tokens,"
+                " CAST(NULL AS BIGINT) AS \"offset\", CAST(NULL AS BIGINT)"
+                " AS first_seq, CAST(NULL AS BIGINT) AS last_seq WHERE 1=0")
+    return ("SELECT CAST(doc_id AS BIGINT) AS doc_id, log_weight,"
+            " CAST(n_tokens AS INT) AS n_tokens,"
+            " CAST(\"offset\" AS BIGINT) AS \"offset\","
+            " CAST(first_seq AS BIGINT) AS first_seq,"
+            " CAST(last_seq AS BIGINT) AS last_seq FROM (VALUES "
+            + ", ".join(vals)
+            + ") AS t(doc_id, log_weight, n_tokens, \"offset\","
+            " first_seq, last_seq)")
+
+
+@q("pipeline_pretrain_corpus", _pretrain_oracle)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining curation chain in one composite: C4 gate ->
+    Gopher gate -> exact dedup -> DSIR target-likeness threshold ->
+    global prefix-sum packing. Hash-exact against a pure-Python replay of
+    the entire chain."""
+    from .extensions import pipeline
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", "source",
+        F.expr("concat(text, ' of the corpus.')").alias("text"))
+    return pipeline.pretrain_corpus(
+        docs, gopher_min_words=20, min_kept_lines=1,
+        dsir_k=64, dsir_cutoff=0.0, seq_len=512)
+
+
 # a Trino-dialect model body (approx_distinct / strpos / cardinality /
 # date_diff / json_extract_scalar) compiled through the dialect translator
 # and materialized; the oracle expresses the same semantics in DuckDB

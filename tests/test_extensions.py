@@ -609,6 +609,31 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert kept_mean > all_mean
 
 
+def test_pretrain_corpus_chain_invariants(spark):
+    import pyspark.sql.functions as _F
+
+    from dbt_extrica_spark.extensions import pipeline
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source",
+        _F.expr("concat(text, ' of the corpus.')").alias("text"))
+    out = pipeline.pretrain_corpus(docs, gopher_min_words=20,
+                                   min_kept_lines=1, dsir_k=32,
+                                   seq_len=128)
+    rows = sorted(out.collect(), key=lambda r: r.doc_id)
+    n_in = docs.count()
+    assert 0 < len(rows) < n_in          # gates + threshold do real work
+    assert all(r.log_weight >= 0.0 for r in rows)
+    # offsets are the contiguous global token stream in id order
+    off = 0
+    for r in rows:
+        assert r.offset == off
+        assert r.first_seq == off // 128
+        assert r.last_seq == (off + r.n_tokens - 1) // 128
+        off += r.n_tokens
+
+
 def test_c4_filter_line_and_page_rules(spark):
     from dbt_extrica_spark.extensions import cleaning
 

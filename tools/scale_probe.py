@@ -92,6 +92,35 @@ def main() -> None:
         F.count(F.lit(1))).collect()
     out["remove_dup_spans_sec"] = round(time.time() - t0, 2)
 
+    # published-rule gates: pure single-scan projections — must scale
+    # linearly with rows, zero exchanges
+    t0 = time.time()
+    textstats.gopher_rules(dc_big, "doc_id", "text").select(
+        F.count(F.lit(1))).collect()
+    out["gopher_rules_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    cleaning.c4_filter(dc_big, "doc_id", "text").select(
+        F.count(F.lit(1))).collect()
+    out["c4_filter_sec"] = round(time.time() - t0, 2)
+
+    # global packing: the two-phase prefix sum's widest stage is
+    # rows/partitions — the single-task window would be the bottleneck
+    t0 = time.time()
+    cleaning.pack_documents_global(dc_big, "doc_id", "text",
+                                   seq_len=2048).select(
+        F.count(F.lit(1))).collect()
+    out["pack_global_sec"] = round(time.time() - t0, 2)
+
+    # DSIR: two k-row count jobs + one scoring scan — linear in rows,
+    # model state fixed at k buckets
+    from dbt_extrica_spark.extensions import selection
+
+    t0 = time.time()
+    selection.dsir_logweights(
+        dc_big, dc_big.where("source = 'src0'"), "doc_id", "text",
+        k=256).select(F.count(F.lit(1))).collect()
+    out["dsir_sec"] = round(time.time() - t0, 2)
+
     # blocked semantic dedup growth: replicate embeddings with CYCLIC
     # DIMENSION SHIFTS (norms and intra-replica pairwise cosines preserved
     # exactly, so the true pair mass grows ~linearly with replicas instead
