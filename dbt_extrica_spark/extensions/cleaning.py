@@ -128,11 +128,15 @@ def c4_filter(df: DataFrame, id_col: str, text_col: str,
       (C4's 'at least 3 sentences' proxy), or if it contains 'lorem
       ipsum' or a curly brace.
 
-    One scan, single codegen projection (line split + HOF filters), no
-    shuffle — the page verdict and the cleaned text come out of the same
-    expression, so the filter composes with the parquet scan. Returns
-    (id, clean_text, n_lines_total, n_lines_kept, has_lorem_ipsum,
-    has_curly_brace, keep_page)."""
+    One scan, no shuffle — the page verdict and the cleaned text come out
+    of the same pass, so the filter composes with the parquet scan. The
+    expensive HOF arrays (line split/trim, kept-line filter) are STAGED
+    into a first projection and the outputs derive from the stored
+    columns: Catalyst does no CSE across lambda expressions, and
+    CollapseProject keeps non-cheap multiply-referenced aliases in their
+    own projection, so each array computes once per row instead of once
+    per output column. Returns (id, clean_text, n_lines_total,
+    n_lines_kept, has_lorem_ipsum, has_curly_brace, keep_page)."""
     t = f"coalesce({text_col}, '')"
     lo = f"lower({t})"
     lines = (f"filter(transform(split({t}, '\\\\n'), l -> trim(l)),"
@@ -144,18 +148,25 @@ def c4_filter(df: DataFrame, id_col: str, text_col: str,
         f" AND size({words}) >= {min_words_per_line}"
         f" AND NOT lower(l) LIKE '%javascript%')"
     )
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
-        F.expr(f"size({lines})").cast("int").alias("n_lines_total"),
-        F.expr(f"size({kept})").cast("int").alias("n_lines_kept"),
-        F.expr(f"{lo} LIKE '%lorem ipsum%'").alias("has_lorem_ipsum"),
-        F.expr(f"{lo} LIKE '%{{%'").alias("has_curly_brace"),
+        F.expr(lines).alias("__lines"),
+        F.expr(kept).alias("__kept"),
+        F.expr(lo).alias("__lo"),
+    )
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.expr("array_join(__kept, '\\n')").alias("clean_text"),
+        F.expr("size(__lines)").cast("int").alias("n_lines_total"),
+        F.expr("size(__kept)").cast("int").alias("n_lines_kept"),
+        F.expr("__lo LIKE '%lorem ipsum%'").alias("has_lorem_ipsum"),
+        F.expr("__lo LIKE '%{%'").alias("has_curly_brace"),
         F.expr(
-            f"size({kept}) >= {min_kept_lines}"
-            f" AND NOT {lo} LIKE '%lorem ipsum%'"
-            f" AND NOT {lo} LIKE '%{{%'"
+            f"size(__kept) >= {min_kept_lines}"
+            f" AND NOT __lo LIKE '%lorem ipsum%'"
+            f" AND NOT __lo LIKE '%{{%'"
         ).alias("keep_page"),
     )
 
@@ -200,6 +211,30 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
     )
 
 
+def _pack_tokens(text_col: str) -> F.Column:
+    """The packers' shared token count: lowercased whitespace split with
+    empty tokens FILTERED (one definition for both packers and the
+    pretrain composite — an unfiltered split would count a phantom token
+    when the text starts with non-space whitespace, since trim strips
+    only spaces)."""
+    return F.expr(
+        f"size(filter(split(trim(lower(coalesce({text_col}, ''))),"
+        f" '\\\\s+'), x -> x <> ''))")
+
+
+def _seq_spans(out: DataFrame, seq_len: int) -> DataFrame:
+    """first/last training-sequence indexes from (offset, n_tokens) —
+    integer DIV, not double division: token offsets at 100 TB can exceed
+    the exact-double range."""
+    return (
+        out.withColumn("first_seq",
+                       F.expr(f"CAST(offset DIV {seq_len} AS BIGINT)"))
+        .withColumn("last_seq",
+                    F.expr(f"CAST((offset + n_tokens - 1) DIV {seq_len}"
+                           f" AS BIGINT)"))
+    )
+
+
 def pack_documents(df: DataFrame, id_col: str, text_col: str,
                    seq_len: int = 2048,
                    shard_col: str | None = None,
@@ -230,26 +265,19 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
                 f"pack independently, or set max_rows_unsharded=None to "
                 f"accept the single-task window explicitly."
             )
-    tok = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     part = [F.col(shard_col)] if shard_col else []
     w = Window.partitionBy(*part).orderBy(F.col(id_col)) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out_cols = [F.col(id_col)]
     if shard_col:
         out_cols.append(F.col(shard_col))
-    return (
-        df.select(*out_cols, tok.alias("n_tokens"))
+    out = (
+        df.select(*out_cols, _pack_tokens(text_col).alias("n_tokens"))
         .withColumn("offset",
                     (F.sum("n_tokens").over(w) - F.col("n_tokens"))
                     .cast("bigint"))
-        # integer DIV, not double division: token offsets at 100 TB can
-        # exceed the exact-double range
-        .withColumn("first_seq",
-                    F.expr(f"CAST(offset DIV {seq_len} AS BIGINT)"))
-        .withColumn("last_seq",
-                    F.expr(f"CAST((offset + n_tokens - 1) DIV {seq_len}"
-                           f" AS BIGINT)"))
     )
+    return _seq_spans(out, seq_len)
 
 
 def pack_documents_global(df: DataFrame, id_col: str, text_col: str,
@@ -277,16 +305,25 @@ def pack_documents_global(df: DataFrame, id_col: str, text_col: str,
     100 TB path for global packing. ``partitions=None`` keeps the
     session's shuffle parallelism. Same output contract as
     pack_documents: (id, n_tokens, offset, first_seq, last_seq)."""
-    tok = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    base = df.select(F.col(id_col), tok.alias("n_tokens"))
-    n_part = partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = df.select(F.col(id_col), _pack_tokens(text_col).alias("n_tokens"))
+    if partitions is not None:
+        if partitions < 1:
+            raise ValueError("partitions must be >= 1")
+        n_part = partitions
+    else:
+        try:
+            n_part = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except ValueError:  # e.g. 'auto' on AQE-managed platforms
+            n_part = df.sparkSession.sparkContext.defaultParallelism
     sliced = (
         base.repartitionByRange(n_part, F.col(id_col))
         .sortWithinPartitions(F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
         # reify the partition assignment: __pid must not be recomputed
-        # under a different physical plan by the two downstream jobs
+        # under a different physical plan by the two downstream jobs.
+        # (blocks are freed by the ContextCleaner when the result is
+        # dropped — see similarity._km_base for the lifecycle note)
         .localCheckpoint(eager=False)
     )
     totals = (
@@ -304,19 +341,12 @@ def pack_documents_global(df: DataFrame, id_col: str, text_col: str,
     prefix_arr = F.array(*[F.lit(x).cast("bigint") for x in prefix])
     w = (Window.partitionBy("__pid").orderBy(F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
-        sliced.withColumn(
-            "offset",
-            (F.element_at(prefix_arr, F.col("__pid") + 1)
-             + F.sum("n_tokens").over(w) - F.col("n_tokens"))
-            .cast("bigint"))
-        .withColumn("first_seq",
-                    F.expr(f"CAST(offset DIV {seq_len} AS BIGINT)"))
-        .withColumn("last_seq",
-                    F.expr(f"CAST((offset + n_tokens - 1) DIV {seq_len}"
-                           f" AS BIGINT)"))
-        .drop("__pid")
-    )
+    out = sliced.withColumn(
+        "offset",
+        (F.element_at(prefix_arr, F.col("__pid") + 1)
+         + F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("bigint"))
+    return _seq_spans(out, seq_len).drop("__pid")
 
 
 def duplicated_spans(df: DataFrame, id_col: str, text_col: str,

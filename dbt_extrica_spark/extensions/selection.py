@@ -124,7 +124,14 @@ def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
         F.col(id_col).alias("id"),
         F.expr(f"size({feats})").cast("int").alias("n_feats"),
         F.explode_outer(F.expr(feats)).alias("f"),
-    ).withColumn("b", F.expr(f"CAST(pmod(xxhash64(f), {k}) AS INT)"))
+    ).withColumn(
+        # explode_outer emits f=NULL for a zero-feature doc, and Spark's
+        # xxhash64(NULL) returns the SEED (42) — a valid bucket — which
+        # would join a real log-ratio. NULL the bucket instead so the
+        # left join misses and the doc sums to 0, matching the literal
+        # path's fold over an empty array exactly.
+        "b", F.expr(f"IF(f IS NULL, CAST(NULL AS INT),"
+                    f" CAST(pmod(xxhash64(f), {k}) AS INT))"))
     return (
         exploded.join(F.broadcast(lr_df), on="b", how="left")
         .groupBy("id", "n_feats")

@@ -840,7 +840,11 @@ def _km_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     text->embed->cluster composite at sf0.1). localCheckpoint(eager=False)
     materializes the column on the first job and truncates lineage;
     iterations then scan stored rows, the shape a 100 TB run needs anyway
-    (persist-before-iterate)."""
+    (persist-before-iterate). The stored blocks are released by Spark's
+    ContextCleaner once the returned DataFrame is no longer referenced
+    (catalog.clearCache does NOT cover checkpoint blocks) — long-lived
+    callers looping over corpora should drop result references rather
+    than accumulate them."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return base.localCheckpoint(eager=False)
 

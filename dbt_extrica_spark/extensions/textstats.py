@@ -182,8 +182,10 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str,
     (``10 * n_symbols < n_words`` instead of ``n_symbols / n_words <
     0.1``) so the comparison is exact integer arithmetic — bit-identical
     across engines, no float-division drift at any corpus size. One scan,
-    pure codegen expressions, no shuffle; filters compose with the scan so
-    Catalyst pushes the whole gate into the parquet read projection.
+    no shuffle; the token/line arrays are STAGED into a first projection
+    (Catalyst does no CSE across lambda expressions, and CollapseProject
+    keeps non-cheap multiply-referenced aliases in their own projection)
+    so each array computes once per row, not once per count column.
 
     Returns per doc: the raw counts, one boolean per rule, and
     ``passes_gopher`` (AND of all rules) — counts kept so downstream can
@@ -192,40 +194,44 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str,
     toks = _tokens(t)  # NULL text counts as empty, not NULL-propagating
     lines = (f"filter(transform(split({t}, '\\\\n'), l -> trim(l)),"
              f" l -> l <> '')")
-    n_words = F.expr(f"size(filter({toks}, x -> x <> ''))").cast("bigint")
-    n_word_chars = F.expr(
-        f"aggregate(filter({toks}, x -> x <> ''), 0L, (a, x) -> a + length(x))"
-    ).cast("bigint")
-    n_hash = (F.length(F.expr(t))
-              - F.length(F.expr(f"replace({t}, '#', '')"))).cast("bigint")
-    n_ellipsis = ((F.length(F.expr(t))
-                   - F.length(F.expr(f"replace({t}, '...', '')")))
-                  / 3).cast("bigint")
-    n_lines = F.expr(f"size({lines})").cast("bigint")
-    n_bullet_lines = F.expr(
-        f"size(filter({lines}, l -> substring(l, 1, 1) IN"
-        f" ('-', '*', '•', '●')))").cast("bigint")
-    # LIKE, not negative-index substring: '%...' has identical semantics
-    # in Spark and the oracle engines for strings shorter than the suffix
-    n_ellipsis_lines = F.expr(
-        f"size(filter({lines}, l -> l LIKE '%...' OR l LIKE '%…'))"
-    ).cast("bigint")
-    n_alpha_words = F.expr(
-        f"size(filter({toks}, x -> x rlike '[a-z]'))").cast("bigint")
+    staged = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.expr(f"filter({toks}, x -> x <> '')").alias("__toks"),
+        F.expr(lines).alias("__lines"),
+        (F.length(F.expr(t))
+         - F.length(F.expr(f"replace({t}, '#', '')"))).cast("bigint")
+        .alias("__n_hash"),
+        ((F.length(F.expr(t))
+          - F.length(F.expr(f"replace({t}, '...', '')"))) / 3)
+        .cast("bigint").alias("__n_ellipsis"),
+    )
     stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
-    n_stopwords = F.expr(
-        f"size(array_intersect(array_distinct({toks}),"
-        f" array({stop_arr})))").cast("bigint")
     counts = {
-        "n_words": n_words, "n_word_chars": n_word_chars,
-        "n_symbols": (n_hash + n_ellipsis).cast("bigint"),
-        "n_lines": n_lines, "n_bullet_lines": n_bullet_lines,
-        "n_ellipsis_lines": n_ellipsis_lines,
-        "n_alpha_words": n_alpha_words, "n_stopwords": n_stopwords,
+        "n_words": F.expr("size(__toks)").cast("bigint"),
+        "n_word_chars": F.expr(
+            "aggregate(__toks, 0L, (a, x) -> a + length(x))")
+        .cast("bigint"),
+        "n_symbols": (F.col("__n_hash") + F.col("__n_ellipsis"))
+        .cast("bigint"),
+        "n_lines": F.expr("size(__lines)").cast("bigint"),
+        "n_bullet_lines": F.expr(
+            "size(filter(__lines, l -> substring(l, 1, 1) IN"
+            " ('-', '*', '•', '●')))").cast("bigint"),
+        # LIKE, not negative-index substring: '%...' has identical
+        # semantics in Spark and the oracle engines for short strings
+        "n_ellipsis_lines": F.expr(
+            "size(filter(__lines, l -> l LIKE '%...' OR l LIKE '%…'))"
+        ).cast("bigint"),
+        "n_alpha_words": F.expr(
+            "size(filter(__toks, x -> x rlike '[a-z]'))").cast("bigint"),
+        "n_stopwords": F.expr(
+            f"size(array_intersect(array_distinct(__toks),"
+            f" array({stop_arr})))").cast("bigint"),
     }
-    out = df.select(F.col(id_col),
-                    *[F.col(c) for c in keep_cols],
-                    *[c.alias(k) for k, c in counts.items()])
+    out = staged.select(F.col(id_col),
+                        *[F.col(c) for c in keep_cols],
+                        *[c.alias(k) for k, c in counts.items()])
     rules = {
         "r_word_count": (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words),

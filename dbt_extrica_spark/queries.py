@@ -3490,7 +3490,8 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_DUCK = r"""
 WITH t AS (
   SELECT doc_id, source,
-         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+         len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+             '\s+'), x -> x <> '')) AS n_tokens
   FROM documents
 ), o AS (
   SELECT doc_id, source, n_tokens,
@@ -3523,7 +3524,8 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_GLOBAL_DUCK = r"""
 WITH t AS (
   SELECT doc_id,
-         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+         len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+             '\s+'), x -> x <> '')) AS n_tokens
   FROM documents
 ), o AS (
   SELECT doc_id, n_tokens,

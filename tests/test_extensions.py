@@ -572,12 +572,20 @@ def test_pack_documents_unsharded_guardrail(spark):
 def test_dsir_literal_and_broadcast_paths_agree(spark, monkeypatch):
     from dbt_extrica_spark.extensions import selection
 
-    docs = spark.read.parquet(
+    base = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet").where("doc_id < 80")
+    # zero-feature docs (empty / NULL text) must weigh 0 on BOTH paths —
+    # Spark's xxhash64(NULL) is the seed 42, a valid bucket, so the
+    # broadcast path must not let the explode_outer placeholder join it
+    extra = spark.createDataFrame(
+        [(9001, "src0", ""), (9002, "src1", None)],
+        "doc_id bigint, source string, text string")
+    docs = base.select("doc_id", "source", "text").unionByName(extra)
     target = docs.where("source = 'src0'")
     lit_path = {r.id: (r.n_feats, r.log_weight) for r in
                 selection.dsir_logweights(docs, target, "doc_id", "text",
                                           k=32).collect()}
+    assert lit_path[9001] == (0, 0.0) and lit_path[9002] == (0, 0.0)
     monkeypatch.setattr(selection, "_LR_LITERAL_BUDGET", 1)
     bc_path = {r.id: (r.n_feats, r.log_weight) for r in
                selection.dsir_logweights(docs, target, "doc_id", "text",
