@@ -156,11 +156,39 @@ def repetition_exprs(text_col: str) -> dict[str, F.Column]:
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document repetition metrics (duplicate-line fraction, duplicate
-    word bigram/trigram fractions). Pure codegen expressions — one scan,
-    no shuffle."""
-    ex = repetition_exprs(text_col)
-    return df.select(
-        F.col(id_col), *[c.alias(name) for name, c in ex.items()]
+    word bigram/trigram fractions). One scan, no shuffle; the line/gram
+    arrays are staged into a first projection so each lambda HOF computes
+    once per row, not once per referencing output column (Catalyst does
+    no CSE across lambda expressions)."""
+    toks = _tokens(text_col)
+    lines = (f"filter(transform(split({text_col}, '\\n'), x -> trim(x)),"
+             f" x -> x <> '')")
+
+    def grams(n: int) -> str:
+        return (f"transform(sequence(1, greatest(size({toks}) - {n} + 1,"
+                f" 1)), i -> array_join(slice({toks}, i, {n}), ' '))")
+
+    staged = df.select(
+        F.col(id_col),
+        F.expr(lines).alias("__lines"),
+        F.expr(grams(2)).alias("__g2"),
+        F.expr(grams(3)).alias("__g3"),
+    )
+
+    def frac(col: str) -> F.Column:
+        total = F.expr(f"size({col})")
+        return ((total - F.expr(f"size(array_distinct({col}))"))
+                / F.greatest(total, F.lit(1))).cast("double")
+
+    n_lines = F.expr("size(__lines)")
+    return staged.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        frac("__lines").alias("dup_line_frac"),
+        ((F.expr("size(__g2)") - F.expr("size(array_distinct(__g2))"))
+         / F.expr("size(__g2)")).cast("double").alias("dup_bigram_frac"),
+        ((F.expr("size(__g3)") - F.expr("size(array_distinct(__g3))"))
+         / F.expr("size(__g3)")).cast("double").alias("dup_trigram_frac"),
     )
 
 
