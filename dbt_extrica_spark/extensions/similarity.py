@@ -912,29 +912,36 @@ def hash_embed(df: DataFrame, id_col: str, text_col: str,
     text -> hash_embed -> kmeans_lloyd / cell_blocked_cosine_pairs with
     no external embedding model.
 
-    One scan, one codegen'd fold per row, no shuffle, no Python. Bucket
-    sums are INTEGER (exact at any scale); normalization is one sqrt +
-    divide per dimension (IEEE, engine-identical), so the output is
-    bit-deterministic and replayable by the battery oracle via the pinned
-    pure-Python xxh64. A doc with no tokens embeds as the zero vector.
-    Returns (id, embedding array<double>, n_tokens)."""
+    One scan, no shuffle, no Python. Bucket sums are INTEGER (exact at
+    any scale); normalization is one sqrt + divide per dimension (IEEE,
+    engine-identical), so the output is bit-deterministic and replayable
+    by the battery oracle via the pinned pure-Python xxh64. A doc with no
+    tokens embeds as the zero vector. The token array, the bucket-sum
+    fold, and the squared norm are STAGED into successive projections —
+    Catalyst does no CSE across lambda expressions, so inlining would
+    re-run the whole per-token fold for every reference (~4x per row:
+    the norm, the zero test, and each IF branch). Returns (id,
+    embedding array<double>, n_tokens)."""
     toks = (f"filter(split(trim(lower(`{text_col}`)), '\\\\s+'),"
             f" x -> x <> '')")
     # per-token (bucket, sign) computed ONCE, then folded into int sums
-    tb = (f"transform({toks}, t -> named_struct("
+    tb = ("transform(__toks, t -> named_struct("
           f"'b', CAST(pmod(xxhash64(t), {dim}) AS INT),"
-          f" 's', CAST(IF(((xxhash64(t) >> 32) & 1) = 0, 1, -1) AS BIGINT)))")
+          " 's', CAST(IF(((xxhash64(t) >> 32) & 1) = 0, 1, -1) AS BIGINT)))")
     sums = (f"aggregate({tb},"
             f" array_repeat(0L, {dim}),"
             f" (acc, p) -> transform(acc, (x, i) ->"
             f" IF(i = p.b, x + p.s, x)))")
-    ss = f"aggregate({sums}, 0D, (acc, x) -> acc + CAST(x * x AS DOUBLE))"
-    emb = (f"IF({ss} = 0D, transform({sums}, x -> 0D),"
-           f" transform({sums}, x -> CAST(x AS DOUBLE) / sqrt({ss})))")
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.expr(emb).alias("embedding"),
-        F.expr(f"size({toks})").cast("int").alias("n_tokens"),
+    emb = ("IF(__ss = 0D, transform(__sums, x -> 0D),"
+           " transform(__sums, x -> CAST(x AS DOUBLE) / sqrt(__ss)))")
+    return (
+        df.select(F.col(id_col).alias("id"), F.expr(toks).alias("__toks"))
+        .select("id", F.expr(sums).alias("__sums"),
+                F.expr("size(__toks)").cast("int").alias("n_tokens"))
+        .select("id", "__sums", "n_tokens",
+                F.expr("aggregate(__sums, 0D, (acc, x) ->"
+                       " acc + CAST(x * x AS DOUBLE))").alias("__ss"))
+        .select("id", F.expr(emb).alias("embedding"), "n_tokens")
     )
 
 
