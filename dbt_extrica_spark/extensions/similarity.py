@@ -586,22 +586,24 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     (16x smaller than the doubles they'd otherwise widen to in shuffles),
     and reconstruction error is bounded by scale/2 per dimension.
 
-    Every step is deterministic IEEE double arithmetic inside one codegen'd
-    projection (floor(x + 0.5) instead of round() so no rounding-mode
-    ambiguity across engines): one scan, no shuffle, no Python. A zero
+    Every step is deterministic IEEE double arithmetic (floor(x + 0.5)
+    instead of round() so no rounding-mode ambiguity across engines): one
+    scan, no shuffle, no Python. The scale fold is staged so it computes
+    once per row, not once per reference (no CSE across lambdas). A zero
     vector quantizes to all-zero codes with scale 0.
     Returns (id, scale, codes array<int>)."""
     absmax = "aggregate({v}, 0D, (a, x) -> greatest(a, abs(cast(x as double))))"
     scale = "(" + absmax.format(v=vec_col) + " / 127D)"
     codes = (
-        f"IF({scale} = 0D, transform({vec_col}, x -> 0),"
-        f" transform({vec_col},"
-        f" x -> cast(floor(cast(x as double) / {scale} + 0.5D) as int)))"
+        "IF(scale = 0D, transform(__v, x -> 0),"
+        " transform(__v,"
+        " x -> cast(floor(cast(x as double) / scale + 0.5D) as int)))"
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.expr(scale).cast("double").alias("scale"),
-        F.expr(codes).alias("codes"),
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("__v"),
+                  F.expr(scale).cast("double").alias("scale"))
+        .select("id", "scale", F.expr(codes).alias("codes"))
     )
 
 
@@ -612,22 +614,27 @@ def dequantize_error_stats(df: DataFrame, id_col: str,
     scale/2 it must respect — the check a pipeline runs before swapping a
     float32 embedding column for int8 codes.
 
-    Same single-projection shape as quantize_int8 (the quantize expression
-    is inlined, so this is still one scan with no intermediate
-    materialization). Returns (id, scale, max_abs_err, within_bound)."""
+    Same staged single-scan shape as quantize_int8: the scale and error
+    folds each compute once per row (no CSE across lambdas), then the
+    bound check compares the stored columns.
+    Returns (id, scale, max_abs_err, within_bound)."""
     absmax = "aggregate({v}, 0D, (a, x) -> greatest(a, abs(cast(x as double))))"
     scale = "(" + absmax.format(v=vec_col) + " / 127D)"
     err = (
-        f"IF({scale} = 0D, 0D,"
-        f" aggregate(transform({vec_col}, x -> abs(cast(x as double)"
-        f" - floor(cast(x as double) / {scale} + 0.5D) * {scale})),"
-        f" 0D, (a, x) -> greatest(a, x)))"
+        "IF(scale = 0D, 0D,"
+        " aggregate(transform(__v, x -> abs(cast(x as double)"
+        " - floor(cast(x as double) / scale + 0.5D) * scale)),"
+        " 0D, (a, x) -> greatest(a, x)))"
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.expr(scale).cast("double").alias("scale"),
-        F.expr(err).cast("double").alias("max_abs_err"),
-        F.expr(f"{err} <= {scale} / 2D + 1e-12").alias("within_bound"),
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("__v"),
+                  F.expr(scale).cast("double").alias("scale"))
+        .select("id", "scale", F.expr(err).cast("double")
+                .alias("max_abs_err"))
+        .select("id", "scale", "max_abs_err",
+                F.expr("max_abs_err <= scale / 2D + 1e-12")
+                .alias("within_bound"))
     )
 
 

@@ -337,7 +337,9 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap_tokens must be < chunk_tokens")
     stride = chunk_tokens - overlap_tokens
-    toks = _tokens(text_col)
+    # stage the token split: expressions inside a lambda body are
+    # evaluated per element, so an inlined split would re-run per chunk
+    toks = "__toks"
     # number of chunks c = 1 + ceil(max(n_tok - chunk, 0) / stride)
     n_chunks = (
         f"1 + CAST(ceil(greatest(size({toks}) - {chunk_tokens}, 0)"
@@ -351,7 +353,9 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
         f"'chunk_text', array_join(slice({toks}, i * {stride} + 1, {chunk_tokens}), ' ')))"
     )
     return (
-        df.select(F.col(id_col), F.explode(F.expr(chunks)).alias("c"))
+        df.select(F.col(id_col),
+                  F.expr(_tokens(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(F.expr(chunks)).alias("c"))
         .select(
             F.col(id_col),
             F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
