@@ -98,13 +98,32 @@ def char_shingles(text_col: str, k: int = 5) -> F.Column:
 
 
 def word_ngrams(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-grams (space-joined)."""
+    """Distinct word n-grams (space-joined). NOTE: the token split sits
+    inside the per-gram lambda body, which higher-order functions evaluate
+    PER ELEMENT — prefer staging the split into its own projection and
+    calling :func:`word_ngrams_from_tokens` on the stored column when the
+    gram count per doc is non-trivial."""
     toks = f"split(trim(lower({text_col})), '\\\\s+')"
     return F.expr(
         f"array_distinct(transform("
         f"sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
         f" i -> array_join(slice({toks}, i, {n}), ' ')))"
     )
+
+
+def word_ngrams_from_tokens(toks_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-grams from an already-staged token array column —
+    the lambda body references a cheap attribute instead of re-running
+    the split once per gram."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({toks_col}) - {n} + 1, 1)),"
+        f" i -> array_join(slice({toks_col}, i, {n}), ' ')))"
+    )
+
+
+def _tokens_col(text_col: str) -> F.Column:
+    return F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
 
 
 # --------------------------------------------------------------------------
@@ -426,7 +445,8 @@ def ngram_jaccard_pairs(
     base = _spread(df.select(F.col(id_col).alias("id"),
                              F.col(text_col).alias("text")))
     grams = (
-        base.select("id", word_ngrams("text", n).alias("g"))
+        base.select("id", _tokens_col("text").alias("__toks"))
+        .select("id", word_ngrams_from_tokens("__toks", n).alias("g"))
         .withColumn("n_g", F.size("g"))
     )
 
@@ -493,7 +513,8 @@ def ngram_jaccard_pairs(
             _spread(df.select(F.col(id_col).alias("id"),
                               F.col(text_col).alias("text")))
             .join(F.broadcast(pass_ids), on="id", how="left_semi")
-            .select("id", word_ngrams("text", n).alias("g"))
+            .select("id", _tokens_col("text").alias("__toks"))
+            .select("id", word_ngrams_from_tokens("__toks", n).alias("g"))
             .withColumn("n_g", F.size("g"))
             .persist()
         )

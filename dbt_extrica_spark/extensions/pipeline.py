@@ -90,8 +90,12 @@ def clean_corpus(
         tok["est_llm_tokens"].alias("est_llm_tokens"),
     ]
     if not big:
+        # tokens staged first: word_ngrams' split would otherwise re-run
+        # inside the per-gram lambda (HOFs evaluate the body per element)
+        base = base.withColumn("__toks",
+                               dedup._tokens_col("text"))
         feat_cols.append(
-            F.transform(dedup.word_ngrams("text", 3),
+            F.transform(dedup.word_ngrams_from_tokens("__toks", 3),
                         lambda x: F.xxhash64(x)).alias("__gh"))
     feats = base.select(*feat_cols).persist()
 

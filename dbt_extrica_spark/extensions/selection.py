@@ -99,19 +99,23 @@ def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
     the weight is a finite 12-dp decimal rendered as double, so it is
     bit-identical across engines."""
     lrs = dsir_logratios(target, raw, text_col, k=k, bigrams=bigrams)
-    feats = _feats_expr(text_col, bigrams)
+    # stage the feature array: referenced by both the count and the fold/
+    # explode, and Catalyst does no CSE across lambda expressions
+    staged = raw.select(
+        F.col(id_col).alias("id"),
+        F.expr(_feats_expr(text_col, bigrams)).alias("__feats"))
     if k <= _LR_LITERAL_BUDGET:
         arr = "array(" + ", ".join(
             f"CAST('{lr}' AS DECIMAL(20,12))" for lr in lrs) + ")"
         fold = (
-            f"aggregate({feats}, CAST(0 AS DECIMAL(28,12)), (acc, f) ->"
+            f"aggregate(__feats, CAST(0 AS DECIMAL(28,12)), (acc, f) ->"
             f" CAST(acc + element_at({arr},"
             f" CAST(pmod(xxhash64(f), {k}) AS INT) + 1)"
             f" AS DECIMAL(28,12)))"
         )
-        return raw.select(
-            F.col(id_col).alias("id"),
-            F.expr(f"size({feats})").cast("int").alias("n_feats"),
+        return staged.select(
+            "id",
+            F.expr("size(__feats)").cast("int").alias("n_feats"),
             F.expr(fold).cast("double").alias("log_weight"),
         )
     # broadcast path: per-bucket decimal sums are order-independent, so
@@ -120,10 +124,10 @@ def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
     lr_df = spark.createDataFrame(
         [(int(b), lrs[b]) for b in range(k)],
         "b INT, lr DECIMAL(20,12)")
-    exploded = raw.select(
-        F.col(id_col).alias("id"),
-        F.expr(f"size({feats})").cast("int").alias("n_feats"),
-        F.explode_outer(F.expr(feats)).alias("f"),
+    exploded = staged.select(
+        "id",
+        F.expr("size(__feats)").cast("int").alias("n_feats"),
+        F.explode_outer(F.col("__feats")).alias("f"),
     ).withColumn(
         # explode_outer emits f=NULL for a zero-feature doc, and Spark's
         # xxhash64(NULL) returns the SEED (42) — a valid bucket — which
