@@ -62,13 +62,18 @@ def logreg_train(
     for _ in range(iters):
         z = _z_expr(feature_cols, w, b)
         resid = (f"({_sig_expr(z)} - CAST(`{label_col}` AS DOUBLE))")
-        aggs = [F.expr(f"SUM(CAST({resid} AS DECIMAL(18,9)))").alias("gb"),
+        # the residual is STAGED into a projection below the aggregate:
+        # referenced by J+1 gradient sums, it would otherwise re-evaluate
+        # the linear term + sigmoid once per gradient column per row
+        pre = base.select(F.expr(resid).alias("__r"),
+                          *[F.col(c) for c in feature_cols])
+        aggs = [F.expr("SUM(CAST(__r AS DECIMAL(18,9)))").alias("gb"),
                 F.count(F.lit(1)).alias("n")]
         for i, c in enumerate(feature_cols):
             aggs.append(F.expr(
-                f"SUM(CAST(({resid}) * `{c}` AS DECIMAL(18,9)))"
+                f"SUM(CAST(__r * `{c}` AS DECIMAL(18,9)))"
             ).alias(f"g{i}"))
-        row = base.agg(*aggs).collect()[0]  # J+2 driver values per iter
+        row = pre.agg(*aggs).collect()[0]  # J+2 driver values per iter
         n = float(row["n"])
         if n == 0:
             return [b] + w

@@ -311,21 +311,31 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 def simhash(text_col: str, bits: int = 64) -> F.Column:
-    """Classic simhash over whitespace tokens: per bit position, sign of the
-    sum of ±1 over token hashes. Emitted as a bigint.
+    """Classic simhash over whitespace tokens: per bit position, sign of
+    the sum of ±1 over token hashes. Emitted as a bigint.
 
-    Expressed as nested higher-order functions; one scan, no shuffle.
-    """
-    toks = f"split(trim(lower({text_col})), '\\\\s+')"
-    bit = (
-        f"(b, j) -> b + IF(((xxhash64(t) >> j) & 1L) = 1L, 1, -1)"
+    Shaped as ONE fold over the token-hash array (per token, update all
+    ``bits`` counters via zip_with, then fold the counters into the
+    signature) so the split+hash pass sits in ARGUMENT position and is
+    consumed exactly once structurally. The naive per-bit outer fold
+    embeds the token array in its lambda body, and HOF lambda bodies
+    evaluate embedded subtrees per element — the split+hash would re-run
+    ``bits`` times per row (the hazard minhash_signature_from_hashes
+    documents; staging into a projection doesn't help here because
+    CollapseProject inlines single-reference aliases back). Bit sums are
+    integers and order-independent, so the value is identical to the
+    per-bit formulation."""
+    hashes = (f"transform(split(trim(lower({text_col})), '\\\\s+'),"
+              f" t -> xxhash64(t))")
+    seq = f"sequence(0, {bits - 1})"
+    counts = (
+        f"aggregate({hashes}, array_repeat(0, {bits}), (acc, h) ->"
+        f" zip_with(acc, {seq}, (c, j) ->"
+        f" c + IF(((h >> j) & 1L) = 1L, 1, -1)))"
     )
-    # per bit j: fold tokens; >=0 -> set bit j
     return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) ->"
-        f" acc | IF(aggregate({toks}, 0, (cnt, t) ->"
-        f" cnt + IF(((xxhash64(t) >> j) & 1L) = 1L, 1, -1)) >= 0,"
-        f" shiftleft(1L, j), 0L))"
+        f"aggregate(zip_with({counts}, {seq}, (c, j) ->"
+        f" IF(c >= 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a | x)"
     )
 
 
