@@ -375,10 +375,11 @@ def winnow(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     Output: (doc_id, fp) exploded — join on fp to find overlap candidates.
     Pure higher-order functions; one scan, shuffle only if the caller joins.
     """
-    toks = _tokens(text_col)
+    # tokens staged first (two references keep the stage from collapsing):
+    # the gram lambda would otherwise re-run the split once per gram
     grams = (
-        f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
-        f" i -> array_join(slice({toks}, i, {n}), ' '))"
+        f"transform(sequence(1, greatest(size(__toks) - {n} + 1, 1)),"
+        f" i -> array_join(slice(__toks, i, {n}), ' '))"
     )
     hashes = f"transform({grams}, g -> md5(g))"
     mins = (
@@ -386,7 +387,8 @@ def winnow(df: DataFrame, id_col: str, text_col: str, n: int = 3,
         f" i -> array_min(slice(__h, i, {window}))))"
     )
     return (
-        df.select(F.col(id_col), F.expr(hashes).alias("__h"))
+        df.select(F.col(id_col), F.expr(_tokens(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.expr(hashes).alias("__h"))
         .where(F.size("__h") >= window)
         .select(F.col(id_col), F.explode(F.expr(mins)).alias("fp"))
     )
@@ -397,15 +399,19 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     n-grams (a deterministic 1-of-N sample of the rolling-hash family), plus
     the n-gram cardinality. Documents sharing a fingerprint are near-dup
     candidates."""
-    toks = _tokens(text_col)
     grams = (
-        f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
-        f" i -> array_join(slice({toks}, i, {n}), ' '))"
+        f"transform(sequence(1, greatest(size(__toks) - {n} + 1, 1)),"
+        f" i -> array_join(slice(__toks, i, {n}), ' '))"
     )
-    return df.select(
-        F.col(id_col),
-        F.expr(f"array_min(transform({grams}, g -> md5(g)))").alias("fingerprint"),
-        F.expr(f"size(array_distinct({grams}))").alias("n_grams"),
+    return (
+        df.select(F.col(id_col), F.expr(_tokens(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.expr(grams).alias("__g"))
+        .select(
+            F.col(id_col),
+            F.expr("array_min(transform(__g, g -> md5(g)))")
+            .alias("fingerprint"),
+            F.expr("size(array_distinct(__g))").alias("n_grams"),
+        )
     )
 
 
