@@ -726,3 +726,34 @@ def embedding_cosine_pairs(
             F.col("cosine"),
         )
     )
+
+
+def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,
+                          id_col: str, score_col: str) -> DataFrame:
+    """Quality-aware canonical selection: cluster the near-dup pair graph
+    (connected_components) and keep, per cluster, the HIGHEST-``score_col``
+    document (ties -> lowest id) instead of exact_dedup's min-id policy —
+    what a curation pipeline wants when duplicates differ in quality
+    (cleanest extraction survives, boilerplate copies drop).
+
+    Deterministic wherever the score is engine-exact (integer counts,
+    decimal-routed scores). Unpaired documents form singleton clusters and
+    keep themselves. One CC run + one per-cluster window (shuffle keyed on
+    the component — cluster-sized groups, no skew beyond real dup mass).
+    Returns (id, component, score, keep)."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(
+        pairs.select(F.col("id_a"), F.col("id_b")))
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(score_col).alias("score"))
+    labeled = (
+        base.join(comp, on="id", how="left")
+        .withColumn("component", F.coalesce("component", F.col("id")))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score"), F.asc("id"))
+    return (
+        labeled.withColumn("keep", F.row_number().over(w) == 1)
+        .select(F.col("id").alias(id_col), "component", "score", "keep")
+    )

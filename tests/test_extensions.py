@@ -569,6 +569,25 @@ def test_pack_documents_unsharded_guardrail(spark):
         df, "id", "t", seq_len=8, max_rows_unsharded=None).count() == 100
 
 
+def test_keep_best_per_cluster_policy(spark):
+    from dbt_extrica_spark.extensions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 99), (5, 30)],
+        "id bigint, score bigint")
+    # chain 1-2-3 is one cluster; 4 is a singleton; 5 pairs with 2
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 5)], "id_a bigint, id_b bigint")
+    out = {r.id: r for r in dedup.keep_best_per_cluster(
+        docs, pairs, "id", "score").collect()}
+    # cluster {1,2,3,5}: scores 10/30/20/30 -> tie between 2 and 5, lower
+    # id (2) wins; singleton 4 keeps itself
+    assert out[2].keep and not out[1].keep
+    assert not out[3].keep and not out[5].keep
+    assert out[4].keep and out[4].component == 4
+    assert len({r.component for r in out.values()}) == 2
+
+
 def test_dsir_literal_and_broadcast_paths_agree(spark, monkeypatch):
     from dbt_extrica_spark.extensions import selection
 
