@@ -3227,23 +3227,19 @@ _GOPHER_INJECT_SPARK = (
     " CASE WHEN doc_id % 11 = 0 THEN ' ### #' ELSE '' END)"
 )
 _GOPHER_STOP_DUCK = "['the','be','to','of','and','that','have','with']"
-_GOPHER_DUCK = f"""
-WITH injected AS (
-  SELECT doc_id, text
-    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet one'
-         || chr(10) || '* bullet two' ELSE '' END
-    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...'
-         ELSE '' END
-    || CASE WHEN doc_id % 11 = 0 THEN ' ### #' ELSE '' END AS txt
-  FROM documents
-), b AS (
+def _gopher_duck_over(source_cte: str) -> str:
+    """The Gopher-rule oracle SQL over any (doc_id, txt) source CTE —
+    shared by the batch entry (injected structure) and the streaming
+    entry (raw text)."""
+    return f"""
+WITH src AS ({source_cte}), b AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(trim(lower(txt)), '\\s+'),
                 x -> x <> '') AS w,
     list_filter(list_transform(str_split(txt, chr(10)), l -> trim(l)),
                 l -> l <> '') AS lines,
     txt
-  FROM injected
+  FROM src
 ), c AS (
   SELECT doc_id,
     CAST(len(w) AS BIGINT) AS n_words,
@@ -3283,6 +3279,18 @@ SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines, n_bullet_lines,
         AND (n_stopwords >= 2)) AS passes_gopher
 FROM c
 """
+
+
+_GOPHER_INJECTED_CTE = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet one'
+         || chr(10) || '* bullet two' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' ### #' ELSE '' END AS txt
+  FROM documents
+"""
+_GOPHER_DUCK = _gopher_duck_over(_GOPHER_INJECTED_CTE)
 
 
 # C4 heuristics: lines are injected so every rule fires — short lines,
@@ -3709,6 +3717,27 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = run_available_now(deduped, "append")
     return batch.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# the curation gates are stateless projections, so they run UNCHANGED on
+# streaming ingest: gopher_rules over a document file-stream under
+# availableNow equals the batch gate — oracle is the shared gopher SQL
+# over raw text
+_STREAM_GATE_DUCK = _gopher_duck_over(
+    "SELECT doc_id, coalesce(text, '') AS txt FROM documents")
+
+
+@q("streaming_quality_gate", _STREAM_GATE_DUCK)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule gate applied to STREAMING ingest (new crawl shards
+    arriving as files): stateless projection, so the availableNow
+    catch-up batch equals the batch gate exactly — same oracle SQL as the
+    batch entry modulo injection."""
+    from .streaming import read_document_stream, run_available_now
+
+    stream = read_document_stream(spark, sf_dir).select("doc_id", "text")
+    gated = textstats.gopher_rules(stream, "doc_id", "text")
+    return run_available_now(gated, "append")
 
 
 # dbt build orchestration is fully deterministic on a fixed project, so

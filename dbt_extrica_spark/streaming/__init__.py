@@ -1,9 +1,11 @@
 from .incremental import (
-    dedup_within_watermark, read_event_stream, windowed_counts,
-    run_available_now, sessionize_stateful, streaming_incremental_merge,
+    dedup_within_watermark, read_document_stream, read_event_stream,
+    windowed_counts, run_available_now, sessionize_stateful,
+    streaming_incremental_merge,
 )
 
 __all__ = [
-    "dedup_within_watermark", "read_event_stream", "windowed_counts",
+    "dedup_within_watermark", "read_document_stream", "read_event_stream",
+    "windowed_counts",
     "run_available_now", "sessionize_stateful", "streaming_incremental_merge",
 ]

@@ -47,6 +47,23 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.select(*[F.col(f.name) for f in batch.schema.fields])
 
 
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over documents.parquet — the streaming-ingest
+    shape of the corpus curation pipeline (new crawl shards arriving as
+    files). Schema from the batch reader; NTZ normalization as for
+    events."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return normalize_ntz(stream)
+
+
 def windowed_counts(stream: DataFrame, window: str = "1 day",
                     watermark: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregate: count + exact (decimal-routed)
