@@ -327,14 +327,15 @@ def simhash(text_col: str, bits: int = 64) -> F.Column:
     per-bit formulation."""
     hashes = (f"transform(split(trim(lower({text_col})), '\\\\s+'),"
               f" t -> xxhash64(t))")
-    seq = f"sequence(0, {bits - 1})"
+    # transform's (value, index) lambda supplies the bit position — no
+    # sequence() array rebuilt inside the per-token lambda body
     counts = (
         f"aggregate({hashes}, array_repeat(0, {bits}), (acc, h) ->"
-        f" zip_with(acc, {seq}, (c, j) ->"
+        f" transform(acc, (c, j) ->"
         f" c + IF(((h >> j) & 1L) = 1L, 1, -1)))"
     )
     return F.expr(
-        f"aggregate(zip_with({counts}, {seq}, (c, j) ->"
+        f"aggregate(transform({counts}, (c, j) ->"
         f" IF(c >= 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a | x)"
     )
 

@@ -123,56 +123,29 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def repetition_exprs(text_col: str) -> dict[str, F.Column]:
-    """Gopher-style repetition signals as composable Columns: the fraction
-    of duplicate lines and duplicate word n-grams inside a document.
-    High values = listicle soup, scraped boilerplate, degenerate
-    generations — the standard repetition filters of a pretraining
-    quality pass (Rae et al. 2021, table A1 family)."""
-    toks = _tokens(text_col)
-    lines = f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), x -> x <> '')"
-    n_lines = F.expr(f"size({lines})")
-
-    def gram_frac(n: int) -> F.Column:
-        grams = (
-            f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
-            f" i -> array_join(slice({toks}, i, {n}), ' '))"
-        )
-        total = F.expr(f"size({grams})")
-        distinct = F.expr(f"size(array_distinct({grams}))")
-        return ((total - distinct) / total).cast("double")
-
-    dup_lines = (
-        (n_lines - F.expr(f"size(array_distinct({lines}))")) /
-        F.greatest(n_lines, F.lit(1))
-    ).cast("double")
-    return {
-        "n_lines": n_lines.cast("int"),
-        "dup_line_frac": dup_lines,
-        "dup_bigram_frac": gram_frac(2),
-        "dup_trigram_frac": gram_frac(3),
-    }
-
-
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document repetition metrics (duplicate-line fraction, duplicate
-    word bigram/trigram fractions). One scan, no shuffle; the line/gram
-    arrays are staged into a first projection so each lambda HOF computes
-    once per row, not once per referencing output column (Catalyst does
-    no CSE across lambda expressions)."""
-    toks = _tokens(text_col)
+    word bigram/trigram fractions — the Gopher table-A1-family repetition
+    filters). One scan, no shuffle; the token array stages first (the
+    gram lambdas would otherwise re-run the split once per gram), then
+    the line/gram arrays stage so each computes once per row, not once
+    per referencing output column (no CSE across lambda expressions)."""
     lines = (f"filter(transform(split({text_col}, '\\n'), x -> trim(x)),"
              f" x -> x <> '')")
 
     def grams(n: int) -> str:
-        return (f"transform(sequence(1, greatest(size({toks}) - {n} + 1,"
-                f" 1)), i -> array_join(slice({toks}, i, {n}), ' '))")
+        return (f"transform(sequence(1, greatest(size(__toks) - {n} + 1,"
+                f" 1)), i -> array_join(slice(__toks, i, {n}), ' '))")
 
-    staged = df.select(
-        F.col(id_col),
-        F.expr(lines).alias("__lines"),
-        F.expr(grams(2)).alias("__g2"),
-        F.expr(grams(3)).alias("__g3"),
+    staged = (
+        df.select(F.col(id_col), F.col(text_col),
+                  F.expr(_tokens(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.expr(lines).alias("__lines"),
+            F.expr(grams(2)).alias("__g2"),
+            F.expr(grams(3)).alias("__g3"),
+        )
     )
 
     def frac(col: str) -> F.Column:
@@ -180,10 +153,9 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return ((total - F.expr(f"size(array_distinct({col}))"))
                 / F.greatest(total, F.lit(1))).cast("double")
 
-    n_lines = F.expr("size(__lines)")
     return staged.select(
         F.col(id_col),
-        n_lines.cast("int").alias("n_lines"),
+        F.expr("size(__lines)").cast("int").alias("n_lines"),
         frac("__lines").alias("dup_line_frac"),
         ((F.expr("size(__g2)") - F.expr("size(array_distinct(__g2))"))
          / F.expr("size(__g2)")).cast("double").alias("dup_bigram_frac"),

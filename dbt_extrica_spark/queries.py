@@ -1804,57 +1804,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
-_CLUSTERS_DUCK = r"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 150
-        UNION ALL SELECT doc_id + 1000000, text FROM documents
-        WHERE doc_id < 150)
-), grams AS (
-  SELECT doc_id, list_distinct(list_transform(
-    generate_series(1, greatest(len(t) - 2, 1)),
-    i -> array_to_string(t[i:i+2], ' '))) AS g
-  FROM toks
-), sized AS (SELECT doc_id, len(g) AS n_g, g FROM grams),
-ex AS (SELECT doc_id, n_g, unnest(g) AS gram FROM sized),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id, a.n_g, b.n_g
-  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_g + b.n_g - COUNT(*)) >= 0.6
-), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
-), nodes AS (SELECT DISTINCT src AS id FROM edges),
-reach(src, dst) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-)
-SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
-"""
-
-
-@q("dedup_clusters", _CLUSTERS_DUCK)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pair graph -> connected components (iterative min-label
-    propagation — the 'iterative algorithm' class); oracle is a recursive
-    CTE computing min-reachable-id per node. Pairs from exact Jaccard on a
-    corpus with planted exact copies (every doc pairs with its copy)."""
-    _views(spark, sf_dir)
-    docs = spark.table("documents").where("doc_id < 150").select("doc_id", "text")
-    planted = docs.unionByName(
-        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
-    pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", n=3,
-                                      threshold=0.6)
-    return dedup.connected_components(pairs)
-
-
-# quality-aware canonical selection: same planted-copy pair graph, but
-# the keeper is the highest-score doc per cluster (the planted copy gets
-# score + 1, so it — not the min id — survives; integer scores keep the
-# window order engine-exact)
-_KEEP_BEST_DUCK = r"""
+# shared by the clusters and keep-best oracles: planted-copy corpus ->
+# 3-gram Jaccard pairs -> recursive-CTE connected components; ``tail``
+# continues the WITH list after reach (or is the final SELECT)
+def _components_duck_over(tail: str) -> str:
+    return r"""
 WITH RECURSIVE planted AS (
   SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 150
   UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents
@@ -1882,8 +1836,36 @@ reach(src, dst) AS (
   SELECT id, id FROM nodes
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-), comp AS (SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src),
-scored AS (
+)
+""" + tail
+
+
+_CLUSTERS_DUCK = _components_duck_over(
+    "SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src")
+
+
+@q("dedup_clusters", _CLUSTERS_DUCK)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph -> connected components (iterative min-label
+    propagation — the 'iterative algorithm' class); oracle is a recursive
+    CTE computing min-reachable-id per node. Pairs from exact Jaccard on a
+    corpus with planted exact copies (every doc pairs with its copy)."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 150").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", n=3,
+                                      threshold=0.6)
+    return dedup.connected_components(pairs)
+
+
+# quality-aware canonical selection: same planted-copy pair graph, but
+# the keeper is the highest-score doc per cluster (the planted copy gets
+# score + 1, so it — not the min id — survives; integer scores keep the
+# window order engine-exact)
+_KEEP_BEST_DUCK = _components_duck_over(""", comp AS (
+  SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
+), scored AS (
   SELECT doc_id,
          CAST(n_chars + CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END
               AS BIGINT) AS score
@@ -1896,7 +1878,7 @@ SELECT doc_id, CAST(component AS BIGINT) AS component, score,
        (row_number() OVER (PARTITION BY component
         ORDER BY score DESC, doc_id ASC) = 1) AS keep
 FROM labeled
-"""
+""")
 
 
 @q("dedup_keep_best", _KEEP_BEST_DUCK)

@@ -50,18 +50,27 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over documents.parquet — the streaming-ingest
     shape of the corpus curation pipeline (new crawl shards arriving as
-    files). Schema from the batch reader; NTZ normalization as for
-    events."""
+    files). Full parity with read_event_stream: batch-reader schema
+    (column order included), ns-timestamp restoration, and NTZ
+    normalization — documents has no timestamp columns today, but a
+    fetch-time column added later must stream identically to batch."""
     import os
 
     path = os.path.join(sf_dir, "documents.parquet")
+    batch = read_parquet_table(spark, path)
     raw_schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(raw_schema).format("parquet")
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
-    return normalize_ntz(stream)
+    for c in _nanos_columns(path):
+        if c in stream.columns:
+            stream = stream.withColumn(
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)")
+            )
+    stream = normalize_ntz(stream)
+    return stream.select(*[F.col(f.name) for f in batch.schema.fields])
 
 
 def windowed_counts(stream: DataFrame, window: str = "1 day",
