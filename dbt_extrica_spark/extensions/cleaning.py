@@ -225,13 +225,16 @@ def _pack_tokens(text_col: str) -> F.Column:
 def _seq_spans(out: DataFrame, seq_len: int) -> DataFrame:
     """first/last training-sequence indexes from (offset, n_tokens) —
     integer DIV, not double division: token offsets at 100 TB can exceed
-    the exact-double range."""
+    the exact-double range. A zero-token document (empty/NULL text) has
+    no span of its own; ``greatest(offset + n_tokens - 1, offset)`` pins
+    its last_seq to first_seq so DIV's truncation-vs-floor difference on
+    a negative numerator can never matter."""
     return (
         out.withColumn("first_seq",
                        F.expr(f"CAST(offset DIV {seq_len} AS BIGINT)"))
         .withColumn("last_seq",
-                    F.expr(f"CAST((offset + n_tokens - 1) DIV {seq_len}"
-                           f" AS BIGINT)"))
+                    F.expr(f"CAST(greatest(offset + n_tokens - 1, offset)"
+                           f" DIV {seq_len} AS BIGINT)"))
     )
 
 

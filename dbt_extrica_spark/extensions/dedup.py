@@ -198,6 +198,7 @@ def minhash_lsh_pairs(
     bands: int | None = 16,
     threshold: float = 0.8,
     verify: bool = True,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, optionally verified with the
     exact Jaccard of the shingle sets. Returns (id_a, id_b, jaccard) with
@@ -205,6 +206,23 @@ def minhash_lsh_pairs(
 
     shingle -> minhash -> band -> bucket-join, then verification re-computes
     exact Jaccard only for candidates (array_intersect/array_union sizes).
+
+    ``collapse_identical`` (default on) is the heavy-bucket guard: a corpus
+    with m byte-identical boilerplate docs otherwise puts all m ids in the
+    same band buckets and the self-join emits m²/2 candidate rows before
+    verification sees any of them. Docs are first grouped by shingle-SET
+    identity — equal sets mean an identical minhash signature AND identical
+    exact Jaccard against every other doc, so running banding+verification
+    over one representative per set is EXACTLY output-equivalent; member
+    pairs are rejoined afterwards (cross-group pairs inherit the verified
+    rep Jaccard, intra-group pairs are 1.0 by definition). The band join
+    then scales with DISTINCT content, not raw row count. The set key is
+    xxhash64 over the sorted distinct shingle hashes, collision-hardened
+    with the set size (same stance as clean_corpus's (md5, length) key).
+    Output cardinality is unchanged — all true member pairs are still
+    emitted, which is the operator's contract; cluster-level consumers
+    that only need group structure should use exact_dup_groups /
+    connected_components downstream.
 
     The returned pair set is pinned with ``localCheckpoint`` (executor block
     storage, NOT a reliable checkpoint): under dynamic allocation or
@@ -220,8 +238,42 @@ def minhash_lsh_pairs(
 
     texts = _spread(df.select(F.col(id_col).alias("id"),
                               F.col(text_col).alias("text")))
+
+    mapping = None
+    if collapse_identical:
+        # h1 staged as its own column, set digest from the staged array
+        # (Catalyst evaluates HOF lambda bodies per element and does no
+        # CSE across lambdas — see the lambda-evaluation rules in NEXT.md)
+        hd = (
+            texts
+            .withColumn("h1", F.expr(
+                f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"))
+            .select("id", F.expr("array_sort(array_distinct(h1))").alias("hd"))
+        )
+        keyed = hd.select(
+            "id",
+            F.xxhash64(F.expr(
+                "array_join(transform(hd, x -> cast(x as string)), ',')"
+            )).alias("skh"),
+            F.size("hd").alias("set_n"),
+        )
+        groups = keyed.groupBy("skh", "set_n").agg(
+            F.min("id").alias("rep"),
+            F.count(F.lit(1)).cast("bigint").alias("gsize"),
+        )
+        mapping = (
+            keyed.join(groups, on=["skh", "set_n"])
+            .select("id", "rep", "gsize", "set_n")
+            .persist()
+        )
+        work = texts.join(
+            mapping.where(F.col("id") == F.col("rep")).select("id"),
+            on="id", how="left_semi")
+    else:
+        work = texts
+
     sig = (
-        texts
+        work
         .withColumn("h1", F.expr(
             f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"
         ))
@@ -261,48 +313,77 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        # materialize the (small) pair set eagerly so the persisted band
-        # table can be released before returning — same hygiene as
-        # ngram_jaccard_pairs / clean_corpus
-        out = (cand.withColumn("jaccard", F.lit(None).cast("double"))
-               .localCheckpoint(eager=True))
-        banded.unpersist()
-        return out
+        rep_pairs = cand.withColumn("jaccard", F.lit(None).cast("double"))
+    else:
+        # candidates are tiny relative to the corpus; persist so the
+        # broadcast id-set below doesn't re-run the signature+banding
+        # pipeline
+        cand = cand.persist()
 
-    # candidates are tiny relative to the corpus; persist so the broadcast
-    # id-set below doesn't re-run the whole signature+banding pipeline
-    cand = cand.persist()
+        # verification: shingle sets are recomputed ONLY for candidate docs
+        # (semi-join on the candidate id set before the expensive shingling,
+        # so at corpus scale the exact-Jaccard pass touches a tiny fraction)
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .unionByName(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = (
+            work.join(F.broadcast(cand_ids), on="id", how="left_semi")
+            .select("id", char_shingles("text", k).alias("sh"))
+        )
+        pairs = (
+            cand.join(sh.withColumnRenamed("sh", "sh_a"),
+                      cand.id_a == sh.id).drop("id")
+            .join(sh.withColumnRenamed("sh", "sh_b"),
+                  cand.id_b == sh.id).drop("id")
+        )
+        jac = (
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+        )
+        rep_pairs = (
+            pairs.withColumn("jaccard", jac.cast("double"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
-    # verification: shingle sets are recomputed ONLY for candidate docs
-    # (semi-join on the candidate id set before the expensive shingling, so
-    # at corpus scale the exact-Jaccard pass touches a tiny fraction)
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .unionByName(cand.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sh = (
-        texts.join(F.broadcast(cand_ids), on="id", how="left_semi")
-        .select("id", char_shingles("text", k).alias("sh"))
-    )
-    pairs = (
-        cand.join(sh.withColumnRenamed("sh", "sh_a"),
-                  cand.id_a == sh.id).drop("id")
-        .join(sh.withColumnRenamed("sh", "sh_b"),
-              cand.id_b == sh.id).drop("id")
-    )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
-    )
-    out = (
-        pairs.withColumn("jaccard", jac.cast("double"))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(eager=True)  # small: true near-dup pairs only
-    )
+    if mapping is not None:
+        # rejoin members: cross-group pairs inherit the verified rep
+        # Jaccard (equal sets => equal Jaccard vs every other doc);
+        # intra-group pairs are exact duplicates of each other's sets, so
+        # Jaccard = 1.0 — except empty-set groups, whose pairwise Jaccard
+        # is 0/0 = NULL in the uncollapsed path: verified output drops
+        # them, unverified output keeps them as candidates.
+        ma = mapping.select(F.col("rep").alias("id_a"), F.col("id").alias("xa"))
+        mb = mapping.select(F.col("rep").alias("id_b"), F.col("id").alias("xb"))
+        cross = (
+            rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+            .select(F.least("xa", "xb").alias("id_a"),
+                    F.greatest("xa", "xb").alias("id_b"), "jaccard")
+        )
+        intra_src = mapping.where(F.col("gsize") >= 2)
+        if verify:
+            intra_src = intra_src.where(F.col("set_n") > 0)
+            intra_jac = F.lit(1.0).cast("double")
+        else:
+            intra_jac = F.lit(None).cast("double")
+        ia = intra_src.select("rep", F.col("id").alias("xa"))
+        ib = intra_src.select("rep", F.col("id").alias("xb"))
+        intra = (
+            ia.join(ib, on="rep")
+            .where(F.col("xa") < F.col("xb"))
+            .select(F.col("xa").alias("id_a"), F.col("xb").alias("id_b"),
+                    intra_jac.alias("jaccard"))
+        )
+        rep_pairs = cross.unionByName(intra)
+
+    out = rep_pairs.localCheckpoint(eager=True)  # small: true pairs only
     banded.unpersist()
-    cand.unpersist()
+    if verify:
+        cand.unpersist()
+    if mapping is not None:
+        mapping.unpersist()
     return out
 
 

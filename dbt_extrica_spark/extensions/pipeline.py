@@ -189,12 +189,18 @@ def joint_dedup(
             docs, doc_id_col, text_col, n=ngram_n,
             threshold=jaccard_threshold
         ).select("id_a", "id_b")
-    if _over_rows(embeddings, vec_id_col, auto_scale_rows):
-        n_cells = blocked_n_cells
-        if n_cells is None:
-            import math
+    if blocked_n_cells is None and auto_scale_rows is not None:
+        # one pruned count serves BOTH the routing decision and the √n
+        # cell derivation — not a bounded probe plus a second full scan
+        import math
 
-            n_cells = max(16, math.isqrt(embeddings.count()))
+        n_vecs = embeddings.select(vec_id_col).count()
+        big_emb = n_vecs > auto_scale_rows
+        n_cells = max(16, math.isqrt(n_vecs))
+    else:
+        big_emb = _over_rows(embeddings, vec_id_col, auto_scale_rows)
+        n_cells = blocked_n_cells
+    if big_emb:
         emb_pairs = similarity.cell_blocked_cosine_pairs(
             embeddings, vec_id_col, vec_col, threshold=cosine_threshold,
             n_cells=n_cells, nprobe=blocked_nprobe

@@ -2613,7 +2613,7 @@ def _pretrain_oracle() -> str:
     for doc_id, w, n in kept_docs:        # id-ascending global pack
         vals.append(
             f"({doc_id}, CAST('{float(w)!r}' AS DOUBLE), {n}, {off},"
-            f" {off // seq_len}, {(off + n - 1) // seq_len})")
+            f" {off // seq_len}, {max(off + n - 1, off) // seq_len})")
         off += n
     if not vals:
         return ("SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS"
@@ -3201,7 +3201,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministically on BOTH sides so every Gopher rule fires non-trivially
 # on the synthetic corpus; thresholds compare exact integers
 _GOPHER_INJECT_SPARK = (
-    "concat(text,"
+    "concat(coalesce(text, ''),"
     " CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), '- bullet one',"
     " chr(10), '* bullet two') ELSE '' END,"
     " CASE WHEN doc_id % 5 = 0 THEN concat(chr(10), 'to be continued...')"
@@ -3264,7 +3264,7 @@ FROM c
 
 
 _GOPHER_INJECTED_CTE = """
-  SELECT doc_id, text
+  SELECT doc_id, coalesce(text, '')
     || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet one'
          || chr(10) || '* bullet two' ELSE '' END
     || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...'
@@ -3279,7 +3279,7 @@ _GOPHER_DUCK = _gopher_duck_over(_GOPHER_INJECTED_CTE)
 # no-terminal-punctuation lines, a javascript line, lorem ipsum and curly
 # braces on modular doc-id slices (same construction both engines)
 _C4_INJECT_SPARK = (
-    "concat(text, '.',"
+    "concat(coalesce(text, ''), '.',"
     " chr(10), 'short line',"
     " chr(10), 'this line has no terminal punctuation at all',"
     " chr(10), 'this longer line does end with a period.',"
@@ -3290,7 +3290,7 @@ _C4_INJECT_SPARK = (
     " 'function f() { return 1; }') ELSE '' END)"
 )
 _C4_INJECT_DUCK = (
-    "text || '.'"
+    "coalesce(text, '') || '.'"
     " || chr(10) || 'short line'"
     " || chr(10) || 'this line has no terminal punctuation at all'"
     " || chr(10) || 'this longer line does end with a period.'"
@@ -3562,7 +3562,8 @@ WITH t AS (
 )
 SELECT doc_id, source, n_tokens, "offset",
        CAST("offset" // 512 AS BIGINT) AS first_seq,
-       CAST(("offset" + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+       CAST(greatest("offset" + n_tokens - 1, "offset") // 512
+            AS BIGINT) AS last_seq
 FROM o
 """
 
@@ -3596,7 +3597,8 @@ WITH t AS (
 )
 SELECT doc_id, n_tokens, "offset",
        CAST("offset" // 512 AS BIGINT) AS first_seq,
-       CAST(("offset" + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+       CAST(greatest("offset" + n_tokens - 1, "offset") // 512
+            AS BIGINT) AS last_seq
 FROM o
 """
 

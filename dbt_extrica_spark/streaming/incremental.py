@@ -22,20 +22,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..sources.registry import _nanos_columns, normalize_ntz, read_parquet_table
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet, with the same ns-timestamp
-    restoration and TIMESTAMP_NTZ normalization as the batch reader
-    (sources/registry.py) — watermarks reject NTZ event-time columns."""
+def _read_file_stream(spark: SparkSession, sf_dir: str,
+                      file_name: str) -> DataFrame:
+    """File-source stream over one parquet table with full batch-reader
+    parity: schema capture (streams require a schema), ns-timestamp
+    restoration, TIMESTAMP_NTZ normalization (watermarks reject NTZ
+    event-time columns), and the batch reader's column order."""
     import os
 
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, file_name)
     # schema inference needs the batch reader (streams require a schema);
     # the file source wants a DIRECTORY, so stream the sf dir with a glob
     batch = read_parquet_table(spark, path)
     raw_schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(raw_schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", file_name)
         .load(sf_dir)
     )
     for c in _nanos_columns(path):
@@ -45,32 +47,20 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     stream = normalize_ntz(stream)
     return stream.select(*[F.col(f.name) for f in batch.schema.fields])
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet — see _read_file_stream."""
+    return _read_file_stream(spark, sf_dir, "events.parquet")
 
 
 def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over documents.parquet — the streaming-ingest
     shape of the corpus curation pipeline (new crawl shards arriving as
-    files). Full parity with read_event_stream: batch-reader schema
-    (column order included), ns-timestamp restoration, and NTZ
-    normalization — documents has no timestamp columns today, but a
-    fetch-time column added later must stream identically to batch."""
-    import os
-
-    path = os.path.join(sf_dir, "documents.parquet")
-    batch = read_parquet_table(spark, path)
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
-    for c in _nanos_columns(path):
-        if c in stream.columns:
-            stream = stream.withColumn(
-                c, F.expr(f"timestamp_micros(`{c}` div 1000)")
-            )
-    stream = normalize_ntz(stream)
-    return stream.select(*[F.col(f.name) for f in batch.schema.fields])
+    files). Same parity guarantees as read_event_stream — documents has
+    no timestamp columns today, but a fetch-time column added later must
+    stream identically to batch."""
+    return _read_file_stream(spark, sf_dir, "documents.parquet")
 
 
 def windowed_counts(stream: DataFrame, window: str = "1 day",

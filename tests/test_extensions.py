@@ -287,6 +287,56 @@ def test_minhash_auto_banding_low_threshold(spark):
     assert (0, 99999) in found
 
 
+def _minhash_equiv_corpus(spark):
+    """Corpus exercising every collapse shape: a 3-member identical group
+    (doc 0 + two byte-copies), a near-dup of that group (suffix edit), and
+    a 2-member empty-text group (shingles to the singleton set {''} —
+    _shingle_expr's greatest(...,1) floor guarantees >= 1 shingle)."""
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 40")
+    return docs.unionByName(spark.sql(
+        "SELECT 90001 AS doc_id, text FROM documents WHERE doc_id = 0"
+        " UNION ALL"
+        " SELECT 90002 AS doc_id, text FROM documents WHERE doc_id = 0"
+        " UNION ALL"
+        " SELECT 90003 AS doc_id, concat(text, ' tiny suffix') AS text"
+        " FROM documents WHERE doc_id = 0"
+        " UNION ALL SELECT 90004 AS doc_id, '' AS text"
+        " UNION ALL SELECT 90005 AS doc_id, '' AS text"))
+
+
+def test_minhash_collapse_identical_equivalent(spark):
+    # the heavy-bucket pre-collapse path must emit EXACTLY the pairs (and
+    # Jaccard values) of the uncollapsed path — equal shingle sets mean
+    # equal signatures and equal Jaccard vs every other doc
+    planted = _minhash_equiv_corpus(spark)
+    kw = dict(k=5, num_perm=64, bands=16, threshold=0.7)
+    ref = {(r.id_a, r.id_b): r.jaccard for r in dedup.minhash_lsh_pairs(
+        planted, "doc_id", "text", collapse_identical=False, **kw).collect()}
+    got = {(r.id_a, r.id_b): r.jaccard for r in dedup.minhash_lsh_pairs(
+        planted, "doc_id", "text", collapse_identical=True, **kw).collect()}
+    assert got == ref
+    # the identical group's 3 intra pairs at Jaccard exactly 1.0, and the
+    # near-dup is found against EVERY member of the group
+    assert got[(0, 90001)] == 1.0 and got[(0, 90002)] == 1.0
+    assert got[(90001, 90002)] == 1.0
+    assert (0, 90003) in got and (90001, 90003) in got
+    # empty texts shingle to the singleton {''}: an exact-dup group too
+    assert got[(90004, 90005)] == 1.0
+
+
+def test_minhash_collapse_identical_equivalent_unverified(spark):
+    # candidate output (verify=False): identical groups share every band
+    # bucket, so their intra pairs ARE candidates in both paths
+    planted = _minhash_equiv_corpus(spark)
+    kw = dict(k=5, num_perm=64, bands=16, threshold=0.7, verify=False)
+    ref = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        planted, "doc_id", "text", collapse_identical=False, **kw).collect()}
+    got = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        planted, "doc_id", "text", collapse_identical=True, **kw).collect()}
+    assert got == ref
+    assert (90004, 90005) in got
+
+
 def test_bigram_logprob_flags_junk(spark):
     # corpus-typical text scores lower (more probable) than junk bytes
     docs = _docs(spark).select("doc_id", "text").where("doc_id < 100")
@@ -1298,6 +1348,33 @@ def test_bpe_train_delta_equals_full(spark):
     full = textstats.bpe_train(df, "text", n_merges=10)
     delta = textstats.bpe_train(df, "text", n_merges=10, strategy="delta")
     assert full == delta and len(full) > 3
+
+
+def test_bpe_train_driver_equals_distributed(spark):
+    # the production 50k-merge path: merge table from the driver-side
+    # heap trainer must be bit-identical to both distributed strategies,
+    # on a synthetic corpus AND on real corpus text
+    rows = [(1, "low low low low low"),
+            (2, "lower lower newest newest"),
+            (3, "newest newest newest widest widest")]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    full = textstats.bpe_train(df, "text", n_merges=10)
+    drv = textstats.bpe_train(df, "text", n_merges=10, strategy="driver")
+    assert drv == full and len(drv) > 3
+
+    docs = _docs(spark).select("text").where("doc_id < 60")
+    delta = textstats.bpe_train(docs, "text", n_merges=12, strategy="delta")
+    drv2 = textstats.bpe_train(docs, "text", n_merges=12, strategy="driver")
+    assert drv2 == delta and len(drv2) == 12
+
+
+def test_bpe_train_driver_word_cap_raises(spark):
+    import pytest as _pytest
+
+    docs = _docs(spark).select("text").where("doc_id < 60")
+    with _pytest.raises(ValueError, match="distinct words"):
+        textstats.bpe_train(docs, "text", n_merges=2, strategy="driver",
+                            max_driver_words=10)
 
 
 def test_bpe_train_bad_strategy_raises(spark):
