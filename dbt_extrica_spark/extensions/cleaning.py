@@ -415,6 +415,98 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def remove_duplicated_spans_char(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 50, min_docs: int = 2,
+) -> DataFrame:
+    """CHARACTER-level exact substring dedup — the sub-word-boundary
+    variant of remove_duplicated_spans (Lee et al. 2022 full fidelity:
+    their duplicated substrings need not respect token boundaries). A
+    char ``k``-gram occurring in >= ``min_docs`` DISTINCT documents marks
+    the char span [pos, pos+k) as duplicated; every covered position is
+    cut from every document except the gram's minimum-id canonical
+    carrier. This is EXACTLY "remove every position inside some
+    duplicated substring of length >= k": any such substring is a union
+    of shared k-grams, and every shared k-gram is itself a duplicated
+    substring of length k — so positional k-gram hashing equals the
+    suffix-array formulation without the sequential suffix-array build.
+
+    Returns (id, clean_text, n_chars_kept, n_chars); clean_text is the
+    RAW text with covered spans cut (no normalization — char fidelity is
+    the point).
+
+    Scale shape: one positional-gram scan (O(chars) rows, md5 keys), one
+    gram-frequency aggregation carrying (distinct docs, min doc), a join
+    back of non-canonical carrier START positions only (no k-wide
+    position explode: starts are merged into covered intervals with a
+    gaps-and-islands window), and the rebuild is ONE substring-fold over
+    each doc's merged interval array — per-doc work proportional to the
+    number of removed spans, not to k x spans."""
+    t = f"`{text_col}`"
+    grams = (
+        f"transform(sequence(1, greatest(char_length({t}) - {k} + 1, 1)),"
+        f" i -> md5(substring({t}, i, {k})))"
+    )
+    base = (
+        df.where(F.length(text_col) >= k)  # short docs carry no full gram
+        .select(F.col(id_col).alias("__id"),
+                F.posexplode(F.expr(grams)).alias("pos", "h"))
+    )
+    shared = (
+        base.groupBy("h")
+        .agg(F.countDistinct("__id").alias("df_docs"),
+             F.min("__id").alias("canon"))
+        .where(F.col("df_docs") >= min_docs)
+        .select("h", "canon")
+    )
+    starts = (
+        base.join(shared, on="h")
+        .where(F.col("__id") != F.col("canon"))
+        .select("__id", "pos")  # 0-based char start of a covered k-span
+    )
+    # gaps-and-islands merge of [pos, pos+k) intervals: a start at or
+    # before the running coverage end extends the current island
+    w = Window.partitionBy("__id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ivs = (
+        starts.withColumn("pe", F.max(F.col("pos") + k).over(wprev))
+        .withColumn("isl", F.sum(
+            F.when(F.col("pe").isNotNull()
+                   & (F.col("pos") <= F.col("pe")), 0).otherwise(1)
+        ).over(w))
+        .groupBy("__id", "isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+    )
+    per_doc = ivs.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    joined = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(text_col).alias("__text"))
+        .join(per_doc, on="__id", how="left")
+    )
+    # one fold over the (few) merged intervals: emit the text BETWEEN
+    # intervals, then the tail after the last one
+    rebuild = F.expr(
+        "CASE WHEN ivs IS NULL THEN coalesce(__text, '') ELSE"
+        " aggregate(ivs, struct(0 AS pe, '' AS s),"
+        " (acc, iv) -> struct(iv.e AS pe,"
+        "   concat(acc.s, substring(__text, acc.pe + 1, iv.s - acc.pe))"
+        "   AS s),"
+        " acc -> concat(acc.s, substring(__text, acc.pe + 1,"
+        "   char_length(__text) - acc.pe))) END")
+    return (
+        joined.select("__id", rebuild.alias("clean_text"),
+                      F.char_length("__text").alias("__n"))
+        .select(
+            F.col("__id").alias(id_col),
+            "clean_text",
+            F.char_length("clean_text").cast("bigint")
+            .alias("n_chars_kept"),
+            F.col("__n").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
 def alpha_mixture_weights(df: DataFrame, source_col: str,
                           alpha: float = 0.5) -> DataFrame:
     """Temperature-scaled source-mixture weights (the alpha-sampling rule

@@ -250,11 +250,11 @@ def minhash_lsh_pairs(
                 f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"))
             .select("id", F.expr("array_sort(array_distinct(h1))").alias("hd"))
         )
+        # xxhash64 hashes the array column directly (JVM-side, order-
+        # sensitive — hence the sort), no string building
         keyed = hd.select(
             "id",
-            F.xxhash64(F.expr(
-                "array_join(transform(hd, x -> cast(x as string)), ',')"
-            )).alias("skh"),
+            F.xxhash64("hd").alias("skh"),
             F.size("hd").alias("set_n"),
         )
         groups = keyed.groupBy("skh", "set_n").agg(

@@ -3908,6 +3908,74 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CHAR-level removal: same replay technique, positions are raw character
+# offsets (sub-word span boundaries — Lee et al. full fidelity)
+def _remove_dup_spans_char_oracle() -> str:
+    import hashlib
+    import os
+
+    import duckdb as _duck
+
+    k, min_docs = 40, 2
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+        " ORDER BY doc_id").fetchall()
+    gram_docs: dict[str, dict] = {}
+    for doc_id, text in rows:
+        if text is None or len(text) < k:
+            continue
+        for p in range(len(text) - k + 1):
+            d = gram_docs.setdefault(text[p:p + k], {})
+            d.setdefault(int(doc_id), []).append(p)
+    covered: dict[int, set] = {}
+    for g, carriers in gram_docs.items():
+        if len(carriers) < min_docs:
+            continue
+        canon = min(carriers)
+        for doc_id, positions in carriers.items():
+            if doc_id == canon:
+                continue
+            s = covered.setdefault(doc_id, set())
+            for p in positions:
+                s.update(range(p, p + k))
+    vals = []
+    for doc_id, text in rows:
+        if text is None:
+            clean, total = "", "CAST(NULL AS BIGINT)"
+        else:
+            cov = covered.get(int(doc_id), ())
+            clean = "".join(c for p, c in enumerate(text) if p not in cov)
+            total = str(len(text))
+        md5 = hashlib.md5(clean.encode("utf-8")).hexdigest()
+        vals.append(f"({doc_id}, '{md5}', {len(clean)}, {total})")
+    return ("SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_md5,"
+            " CAST(n_chars_kept AS BIGINT) AS n_chars_kept,"
+            " CAST(n_chars AS BIGINT) AS n_chars FROM (VALUES "
+            + ", ".join(vals)
+            + ") AS t(doc_id, clean_md5, n_chars_kept, n_chars)")
+
+
+@q("text_remove_dup_spans_char", _remove_dup_spans_char_oracle)
+def text_remove_dup_spans_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level exact substring dedup output: duplicated char-40
+    spans cut at raw character offsets (token boundaries not respected —
+    the Lee et al. suffix-array semantics, realized as positional k-gram
+    hashing + interval merge). Rebuilt text md5-pinned against a local
+    pure-Python replay of the identical algorithm at the compare scale."""
+    from .extensions import cleaning
+
+    _views(spark, sf_dir)
+    out = cleaning.remove_duplicated_spans_char(
+        spark.table("documents"), "doc_id", "text", k=40, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_chars_kept",
+        "n_chars",
+    )
+
+
 # BPE merge learning is deterministic (integer pair counts, binary-order
 # tie-breaks, sequential greedy merge application), so the oracle replays
 # the identical algorithm in pure Python on the same parquet and embeds

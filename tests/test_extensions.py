@@ -1181,6 +1181,63 @@ def test_remove_duplicated_spans_short_and_null_docs(spark):
     assert out[4].clean_text == "" and out[4].n_tokens_kept == 0
 
 
+def test_remove_duplicated_spans_char_subword_boundaries(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    # the shared passage is cut MID-WORD in doc 2 — char fidelity is the
+    # point of the char-level variant (chars distinct from the frames so
+    # no shared gram straddles a frame junction)
+    shared = "0123456789!@#$%^&*()"  # 20 chars
+    rows = [
+        (1, f"alpha {shared} beta"),
+        (2, f"prefix{shared}suffix"),
+        (3, "entirely unrelated text that is long enough"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in cleaning.remove_duplicated_spans_char(
+        df, "doc_id", "text", k=10, min_docs=2).collect()}
+    # doc 1 canonical for every shared gram -> untouched
+    assert out[1].clean_text == rows[0][1]
+    assert out[1].n_chars_kept == out[1].n_chars == len(rows[0][1])
+    # doc 2 loses exactly the shared 20-char span, keeps its frame —
+    # no token boundary anywhere near the cut
+    assert out[2].clean_text == "prefixsuffix"
+    assert out[2].n_chars_kept == 12 and out[2].n_chars == len(rows[1][1])
+    # doc 3 untouched
+    assert out[3].clean_text == rows[2][1]
+
+
+def test_remove_duplicated_spans_char_short_null_and_merge(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    # two disjoint shared spans in one doc must merge/cut independently;
+    # short and NULL docs pass through
+    s1, s2 = "aaaaaaaaaabbbbbbbbbb", "ccccccccccdddddddddd"
+    rows = [(1, f"{s1} mid {s2}"),
+            (2, f"L{s1}M{s2}R"),
+            (3, "short"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in cleaning.remove_duplicated_spans_char(
+        df, "doc_id", "text", k=10, min_docs=2).collect()}
+    assert out[1].clean_text == rows[0][1]  # canonical
+    assert out[2].clean_text == "LMR"
+    assert out[3].clean_text == "short" and out[3].n_chars == 5
+    assert out[4].clean_text == "" and out[4].n_chars is None
+
+
+def test_remove_duplicated_spans_char_fully_covered_doc(spark):
+    from dbt_extrica_spark.extensions import cleaning
+
+    dup = "0123456789abcdefghij"
+    rows = [(1, dup), (2, dup), (3, f"x{dup}y")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in cleaning.remove_duplicated_spans_char(
+        df, "doc_id", "text", k=10, min_docs=2).collect()}
+    assert out[1].clean_text == dup                  # canonical survives
+    assert out[2].clean_text == "" and out[2].n_chars_kept == 0
+    assert out[3].clean_text == "xy"
+
+
 def test_bpe_train_learns_textbook_merges(spark):
     rows = [(1, "low low low low low"),
             (2, "lower lower newest newest"),
