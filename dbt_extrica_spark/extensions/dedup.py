@@ -387,6 +387,107 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_band_table(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 5, num_perm: int = 64,
+                       bands: int = 16) -> DataFrame:
+    """The (id, band, bh) LSH band table for a corpus — the INDEX an
+    incremental dedup admission flow maintains: materialize it once for
+    the history, append each admitted batch, and new batches join against
+    it instead of re-shingling the corpus (see
+    :func:`minhash_incremental_pairs`)."""
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .withColumn("h1", F.expr(
+            f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"))
+        .withColumn("sig", minhash_signature_from_hashes("h1", num_perm))
+        .select("id", "sig")
+    )
+    return sig.select(
+        "id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}),"
+            f" b -> named_struct('band', b, 'bh',"
+            f" xxhash64(array_join(transform("
+            f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}),"
+            f" x -> cast(x as string)), ','))))"
+        )).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+    hist_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental-ingest text near-dedup: the NEW batch's band table is
+    joined against the HISTORY's only — admit increments without
+    re-deduping the corpus (the text-side counterpart of
+    similarity.cross_cosine_pairs). Returns (id_new, id_hist, jaccard)
+    with exact shingle-set Jaccard >= ``threshold`` when ``verify``.
+
+    Scale shape: per batch, shingling/signatures cost O(batch), never
+    O(history); the join probes the history band table on (band, bh).
+    Pass ``hist_bands`` (a materialized :func:`minhash_band_table` —
+    maintained incrementally by appending each admitted batch's bands)
+    so the history text is touched ONLY to verify candidates; without it
+    the history band table is recomputed from ``hist_df`` each call.
+    New-vs-new duplicates inside one batch are the ordinary
+    :func:`minhash_lsh_pairs` over the (small) batch — compose both for
+    full admission."""
+    if hist_bands is None:
+        hist_bands = minhash_band_table(hist_df, id_col, text_col,
+                                        k=k, num_perm=num_perm, bands=bands)
+    new_bands = minhash_band_table(new_df, id_col, text_col,
+                                   k=k, num_perm=num_perm, bands=bands)
+    cand = (
+        new_bands.alias("a")
+        .join(hist_bands.alias("b"),
+              on=[F.col("a.band") == F.col("b.band"),
+                  F.col("a.bh") == F.col("b.bh")])
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_hist"))
+        .dropDuplicates(["id_new", "id_hist"])
+    )
+    if not verify:
+        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+    cand = cand.persist()
+    sh_new = (
+        new_df.select(F.col(id_col).alias("id_new"),
+                      F.col(text_col).alias("text"))
+        .join(F.broadcast(cand.select("id_new").distinct()),
+              on="id_new", how="left_semi")
+        .select("id_new", char_shingles("text", k).alias("sh_a"))
+    )
+    sh_hist = (
+        hist_df.select(F.col(id_col).alias("id_hist"),
+                       F.col(text_col).alias("text"))
+        .join(F.broadcast(cand.select("id_hist").distinct()),
+              on="id_hist", how="left_semi")
+        .select("id_hist", char_shingles("text", k).alias("sh_b"))
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    out = (
+        cand.join(sh_new, on="id_new").join(sh_hist, on="id_hist")
+        .withColumn("jaccard", jac.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_hist", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    cand.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -132,6 +132,43 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     )
 
 
+def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
+                       weights: dict[str, float], salt: str = "",
+                       split_col: str = "split") -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the duplicate-pair graph (from ANY pair producer —
+    minhash, simhash, n-gram Jaccard, embedding cosine, or their union)
+    is closed into connected components, and the hash-range draw is made
+    ONCE per COMPONENT — every member doc inherits its component's split.
+    A plain per-doc hash_split puts two near-identical docs in train and
+    test with probability 2·p·(1-p); this is the standard
+    contamination-control fix (group-aware splitting).
+
+    Returns (id, component, split): ``component`` is the min reachable id
+    through the pair graph (singletons are their own component), so the
+    assignment is deterministic, engine-reproducible, and stable under
+    re-runs as long as the pair graph is.
+
+    Scale shape: connected components is the iterative min-propagation
+    over the (small) pair set; the split itself is one expression over
+    md5(salt || component) — no extra shuffle beyond the component join.
+    """
+    from . import dedup
+
+    comp = dedup.connected_components(
+        pairs.select("id_a", "id_b")).withColumnRenamed("id", "__id")
+    base = df.select(F.col(id_col).alias("__id"))
+    withcomp = (
+        base.join(comp, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("component", F.col("__id")).alias("component"),
+        )
+    )
+    return hash_split(withcomp, "component", weights, salt=salt,
+                      split_col=split_col)
+
+
 def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
                     salt: str = "") -> DataFrame:
     """Per-row importance sampling: keep each row with probability equal

@@ -1740,6 +1740,45 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    k=5, num_perm=64, bands=16, threshold=0.5)
 
 
+# Incremental admission: exact cross-side Jaccard (new batch vs history)
+# — valid as the oracle for the same reason as _MINHASH_DUCK: the banded
+# path emits exactly the exact pairs it finds, and banding recall on the
+# cross slice is a subset of the measured-100% full-pair recall.
+_MINHASH_INC_DUCK = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(length(text) - 4, 1)),
+    i -> substring(text, i, 5))) AS g
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(g) AS n_g, unnest(g) AS gram FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_hist, a.n_g AS na, b.n_g AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.gram = b.gram
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_new, id_hist,
+       CAST(CAST(inter AS DOUBLE) / (na + nb - inter) AS DOUBLE) AS jaccard
+FROM shared WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+"""
+
+
+@q("dedup_minhash_incremental", _MINHASH_INC_DUCK)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest text near-dedup: the new batch's band table is
+    joined against the history's only — per-batch cost O(batch), never
+    O(history); at scale the history band table is a materialized index
+    appended per admitted batch (hist_bands=). The text-side counterpart
+    of dedup_semantic_incremental."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.minhash_incremental_pairs(
+        docs.where("doc_id >= 250"), docs.where("doc_id < 250"),
+        "doc_id", "text", k=5, num_perm=64, bands=16, threshold=0.5)
+
+
 # xxhash64 is absent from the oracle engine, but it IS reimplementable
 # from the public spec — functions/xxh64.py is byte-parity-pinned against
 # Spark's xxhash64. The oracle therefore computes the EXACT expected pair
@@ -1901,6 +1940,51 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", n=3,
                                       threshold=0.6)
     return dedup.keep_best_per_cluster(scored, pairs, "doc_id", "score")
+
+
+# leakage-safe split: same planted-copy component graph; the split draw
+# is md5(component) hash ranges — cumulative thresholds rendered with the
+# SAME helper the Spark operator uses, so the hex constants can't drift
+def _leakage_split_duck() -> str:
+    from .extensions.sampling import _threshold
+
+    t_train = _threshold(0.8)        # cumulative 0.8
+    t_val = _threshold(0.8 + 0.1)    # cumulative 0.9
+    return _components_duck_over(f""", comp AS (
+  SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
+), labeled AS (
+  SELECT p.doc_id, COALESCE(c.component, p.doc_id) AS component
+  FROM planted p LEFT JOIN comp c ON p.doc_id = c.id
+)
+SELECT doc_id, CAST(component AS BIGINT) AS component,
+       CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 8)
+                 < '{t_train}' THEN 'train'
+            WHEN substring(md5(CAST(component AS VARCHAR)), 1, 8)
+                 < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM labeled
+""")
+
+
+@q("sample_leakage_split", _leakage_split_duck)
+def sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup pairs -> connected
+    components -> ONE hash draw per component, so near-duplicates can
+    never straddle splits (group-aware contamination control). Planted
+    copies prove the property: every copy lands in its original's
+    split."""
+    from .extensions import sampling
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 150").select(
+        "doc_id", "text")
+    planted = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", n=3,
+                                      threshold=0.6)
+    return sampling.leakage_safe_split(
+        planted, "doc_id", pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
 _EMB_PAIRS_DUCK = """

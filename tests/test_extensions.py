@@ -337,6 +337,67 @@ def test_minhash_collapse_identical_equivalent_unverified(spark):
     assert (90004, 90005) in got
 
 
+def test_minhash_incremental_finds_cross_dups_only(spark):
+    docs = _docs(spark).select("doc_id", "text")
+    hist = docs.where("doc_id < 100")
+    # new batch: one near-dup of hist doc 0, one exact dup of hist doc 5,
+    # two byte-identical NEW docs (a new-new pair the cross op must NOT emit)
+    new = spark.sql(
+        "SELECT 90001 AS doc_id, concat(text, ' tail') AS text"
+        " FROM documents WHERE doc_id = 0"
+        " UNION ALL SELECT 90002, text FROM documents WHERE doc_id = 5"
+        " UNION ALL SELECT 90003, text FROM documents WHERE doc_id = 7"
+        " UNION ALL SELECT 90004, text FROM documents WHERE doc_id = 7")
+    pairs = dedup.minhash_incremental_pairs(
+        new, hist, "doc_id", "text", threshold=0.7)
+    got = {(r.id_new, r.id_hist): r.jaccard for r in pairs.collect()}
+    assert (90001, 0) in got
+    assert got[(90002, 5)] == 1.0
+    assert got[(90003, 7)] == 1.0 and got[(90004, 7)] == 1.0
+    assert all(n >= 90000 and h < 90000 for n, h in got)  # cross only
+
+
+def test_minhash_incremental_precomputed_band_index(spark):
+    # the materialized-index path (hist_bands=) must be identical to
+    # recomputing history bands from text
+    docs = _docs(spark).select("doc_id", "text")
+    hist = docs.where("doc_id < 100")
+    new = spark.sql(
+        "SELECT 90001 AS doc_id, text FROM documents WHERE doc_id = 3")
+    idx = dedup.minhash_band_table(hist, "doc_id", "text").persist()
+    a = {(r.id_new, r.id_hist, r.jaccard)
+         for r in dedup.minhash_incremental_pairs(
+             new, hist, "doc_id", "text", threshold=0.7).collect()}
+    b = {(r.id_new, r.id_hist, r.jaccard)
+         for r in dedup.minhash_incremental_pairs(
+             new, hist, "doc_id", "text", threshold=0.7,
+             hist_bands=idx).collect()}
+    idx.unpersist()
+    assert a == b and (90001, 3, 1.0) in a
+
+
+def test_leakage_safe_split_copies_share_split(spark):
+    from dbt_extrica_spark.extensions import sampling
+
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 120")
+    planted = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", n=3,
+                                      threshold=0.6)
+    out = {r.doc_id: r for r in sampling.leakage_safe_split(
+        planted, "doc_id", pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    # every planted copy inherits its original's component AND split —
+    # the no-leakage property
+    for i in range(120):
+        assert out[i].component == out[i + 1000000].component
+        assert out[i].split == out[i + 1000000].split
+    # all three splits exist and the majority is train
+    splits = [r.split for r in out.values()]
+    assert set(splits) == {"train", "val", "test"}
+    assert splits.count("train") > len(splits) * 0.5
+
+
 def test_bigram_logprob_flags_junk(spark):
     # corpus-typical text scores lower (more probable) than junk bytes
     docs = _docs(spark).select("doc_id", "text").where("doc_id < 100")

@@ -164,6 +164,59 @@ def main() -> None:
             F.count(F.lit(1))).collect()
         out[f"kmeans_x{r}_sec"] = round(time.time() - t0, 2)
 
+    # char-level exact substring removal: O(chars) positional gram rows —
+    # the heaviest linear pass here; must still grow ~linearly
+    t0 = time.time()
+    cleaning.remove_duplicated_spans_char(dc_big, "doc_id", "text",
+                                          k=40, min_docs=2).select(
+        F.count(F.lit(1))).collect()
+    out["remove_dup_spans_char_sec"] = round(time.time() - t0, 2)
+
+    # pretrain composite (C4 -> Gopher -> dedup -> DSIR -> global pack):
+    # every stage is scan-side or prefix-sum — the whole chain must scale
+    # like its slowest linear stage
+    from dbt_extrica_spark.extensions import pipeline
+
+    for r in (1, replicas):
+        dc_r = dc
+        for i in range(1, r):
+            dc_r = dc_r.unionByName(
+                dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                .withColumn("text", F.concat(F.lit(f"rep{i} "),
+                                             F.col("text"))))
+        t0 = time.time()
+        pipeline.pretrain_corpus(dc_r, "doc_id", "text").select(
+            F.count(F.lit(1))).collect()
+        out[f"pretrain_corpus_x{r}_sec"] = round(time.time() - t0, 2)
+
+    # BPE training: the corpus pass is paid once; the merge loop must NOT
+    # be dominated by per-merge Spark job launches. strategy='delta' runs
+    # one distributed round per merge; strategy='driver' trains all merges
+    # locally over the collected word table — per-merge cost collapses by
+    # orders of magnitude, which is the 50k-merge production path.
+    n_delta, n_driver = 8, 200
+    t0 = time.time()
+    textstats.bpe_train(dc_big, "text", n_merges=n_delta, strategy="delta")
+    out["bpe_delta_merges"] = n_delta
+    out["bpe_delta_sec_per_merge"] = round((time.time() - t0) / n_delta, 3)
+    t0 = time.time()
+    textstats.bpe_train(dc_big, "text", n_merges=n_driver,
+                        strategy="driver")
+    out["bpe_driver_merges"] = n_driver
+    out["bpe_driver_sec_per_merge"] = round((time.time() - t0) / n_driver, 3)
+
+    # minhash on a DUP-SATURATED corpus (replicas are byte-identical):
+    # the heavy-bucket case the signature pre-collapse exists for — the
+    # band join sees one row per distinct text instead of m rows
+    dup_big = dc
+    for i in range(1, replicas):
+        dup_big = dup_big.unionByName(
+            dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000))
+    t0 = time.time()
+    n_pairs = dedup.minhash_lsh_pairs(dup_big, "doc_id", "text").count()
+    out["minhash_dup_saturated_collapse_sec"] = round(time.time() - t0, 2)
+    out["minhash_dup_saturated_pairs"] = n_pairs
+
     print(json.dumps(out))
     spark.stop()
 
