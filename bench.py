@@ -49,6 +49,10 @@ HEADLINE = [
     "text_pack_global",
     "sample_dsir_weights",
     "pipeline_pretrain_corpus",
+    # round 7 additions
+    "text_remove_dup_spans_char",
+    "dedup_minhash_incremental",
+    "sample_leakage_split",
 ]
 
 

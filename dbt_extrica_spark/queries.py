@@ -5381,87 +5381,80 @@ FROM lineitem GROUP BY l_returnflag
 # entry accumulates driver evidence over time; everything is always
 # verified by the full local battery (tools/check_oracle.py runs ALL 108).
 #
-# Round-6 window: (a) every entry whose code or oracle changed this round
-# plus the never-gated ones — the 2 formerly-ERR array entries (now scalar-
-# serialized), dedup_simhash (upgraded from rows-only to an exact local
-# ground-truth oracle), the new ann_ivf_full_probe, text_bpe_pretokenize
-# (pattern-escaping fix) and the skew entries (never held a driver row),
-# q_funnel (empty-frame coalesce fix), both pipelines (auto-scale routing);
-# plus the three NEW round-6 operators (embedding_kmeans — exact
-# distributed Lloyd's; text_remove_dup_spans — exact substring-span
-# removal; text_bpe_train — distributed BPE merge learning, which takes
-# q_explode_tokens' slot: the explode-generator path is exercised with
-# oracles by the tfidf/bm25/token entries);
-# (b) the 38 entries whose only driver evidence was r1/r2 — the core
-# pass-through queries (q3/q5/q7/q10/q17/q18, windows, set ops, joins,
-# pivot/grouping-sets, JSON, percentiles), 6 of the 7 r2-only shims
-# (shim_date_spine_month yields to the new ops: shim_date_spine_day gates
-# the same spine code path), the three classic materializations, both
-# project composites, and 5 of the 7 incremental strategies
-# (inc_microbatch stays out: inc_microbatch_schema holds an r5 green row
-# and exercises a superset; inc_merge_update_cols yields its slot — the
-# merge machinery is r5-green via inc_merge_partitioned and gated again
-# here via inc_merge).
-# Rotated OUT (all hold green r4/r5 rows; full local battery still checks
-# them every run): the r5 window minus the carried entries above — see
-# COVERAGE.md for each entry's latest driver round.
+# Round-7 window: (a) the 16 round-6 entries that were local-green but
+# never held a driver CORRECTNESS row (the r6 verdict's top item); (b)
+# every entry whose code or oracle changed THIS round — dedup_minhash
+# (identical-signature pre-collapse), pipeline_joint_dedup (single-count
+# cell derivation), text_pack_sequences / text_pack_global /
+# pipeline_pretrain_corpus (last_seq greatest() hardening),
+# text_gopher_rules / text_c4_filter (NULL-coalesce in the injected
+# oracles), streaming_quality_gate (shared stream-reader refactor); (c)
+# the three NEW round-7 operators — text_remove_dup_spans_char
+# (char-level exact substring dedup), dedup_minhash_incremental
+# (band-index admission), sample_leakage_split (component-aware splits);
+# (d) back-fill with the STALEST evidence: inc_microbatch (r2-only) and
+# the 27 entries whose latest driver row is r4.
+# Rotated OUT (all hold green r6 rows; the full local battery still
+# checks them every run): the entire r6 core/shim/materialization slice —
+# see COVERAGE.md for each entry's latest driver round.
 # ==========================================================================
 
 _GATED_WINDOW = [
-    # changed / new / never-gated this round
-    "embedding_mean_pool",       # r5 ERR -> scalar-serialized result
-    "embedding_quantize_int8",   # r5 ERR -> scalar-serialized result
-    "dedup_simhash",             # rows-only -> exact value oracle (xxh64)
-    "ann_ivf_full_probe",        # new: full-probe IVF == brute force
-    "text_bpe_pretokenize",      # pattern-escaping fix; never gated
-    "skew_salted_agg",           # never gated
-    "skew_salted_join",          # never gated
-    "q_funnel",                  # empty-frame coalesce fix
-    "pipeline_clean_corpus",     # auto-scale routing added
-    "pipeline_joint_dedup",      # auto-scale routing added
-    "embedding_kmeans",          # new: exact distributed Lloyd's k-means
-    "text_remove_dup_spans",     # new: exact substring-span removal
-    "text_bpe_train",            # new: distributed BPE merge learning
-    # stale r1/r2-only evidence: core pass-through queries
-    "q3_top_orders",
-    "q5_region_revenue",
-    "q7_volume_by_nation_year",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q_window_rank",
-    "q_window_navigation",
-    "q_setops",
-    "q_setops_all",
-    "q_not_in_null_semantics",
-    "q_multi_distinct",
-    "q_scalar_subquery",
-    "q_rollup",
-    "q_grouping_sets",
-    "q_pivot",
-    "q_semi_anti",
-    "q_theta_join",
-    "q_events_lag",
-    "q_percentiles",
-    "q_json_access",
-    # stale r1/r2-only evidence: shims
-    "shim_dateadd_trunc",
-    "shim_string_fns",
-    "shim_arrays",
-    "shim_listagg",
-    "shim_date_spine_day",
-    "shim_anyvalue_boolor",
-    # stale r1/r2-only evidence: materializations / projects / incremental
-    "mat_table",
-    "mat_view",
-    "mat_mview_refresh",
-    "project_dag_run",
-    "project_lineage",
-    "inc_append",
-    "inc_merge",
-    "inc_delete_insert",
-    "inc_insert_overwrite",
-    "inc_schema_evolution",
+    # (a) round-6 capability, never driver-gated
+    "multimodal_phash_dedup",
+    "text_hash_embed",
+    "dedup_semantic_kmeans",
+    "pipeline_text_cluster",
+    "quality_classifier_train",
+    "sample_weighted",
+    "dedup_semantic_incremental",
+    "layout_zorder",
+    "ann_brp_recall",
+    "text_pack_global",          # also: last_seq greatest() hardening
+    "text_gopher_rules",         # also: oracle NULL-coalesce
+    "sample_dsir_weights",
+    "text_c4_filter",            # also: oracle NULL-coalesce
+    "pipeline_pretrain_corpus",  # also: last_seq greatest() in replay
+    "dedup_keep_best",
+    "streaming_quality_gate",    # also: shared stream-reader refactor
+    # (b) changed this round
+    "dedup_minhash",             # identical-signature pre-collapse
+    "pipeline_joint_dedup",      # single-count cell derivation
+    "text_pack_sequences",       # last_seq greatest() hardening
+    # (c) new round-7 operators
+    "text_remove_dup_spans_char",
+    "dedup_minhash_incremental",
+    "sample_leakage_split",
+    # (d) stalest driver evidence: r2
+    "inc_microbatch",
+    # (d) stalest driver evidence: r4
+    "q_range_join",
+    "q_asof_join",
+    "rollup_hypertable",
+    "seed_types",
+    "catalog_columns",
+    "catalog_relations",
+    "dq_checks",
+    "dedup_exact",
+    "dedup_exact_keep",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "embedding_label_stats",
+    "text_stats",
+    "text_language_id",
+    "text_token_count",
+    "sketch_count_min",
+    "text_bigram_logprob",
+    "text_fingerprint",
+    "text_winnow",
+    "trino_dialect_model",
+    "text_chunks",
+    "sample_deterministic",
+    "sample_hash_split",
+    "sample_stratified",
+    "sample_boundary",
 ]
 
 

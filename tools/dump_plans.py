@@ -95,6 +95,18 @@ def main() -> None:
         "sample_dsir_weights (k-bucket model as literal array: scoring "
         "is one scan, zero exchanges)":
             lambda: battery.queries()["sample_dsir_weights"](spark, sf_dir),
+        "text_remove_dup_spans_char (char-gram agg + interval-merge "
+        "window + substring-fold rebuild; no k-wide explode)":
+            lambda: battery.queries()["text_remove_dup_spans_char"](
+                spark, sf_dir),
+        "dedup_minhash_incremental (batch bands probe the history band "
+        "index; history text touched only for candidate verification)":
+            lambda: battery.queries()["dedup_minhash_incremental"](
+                spark, sf_dir),
+        "sample_leakage_split (component join + md5-range split "
+        "expression — no extra shuffle beyond the CC join)":
+            lambda: battery.queries()["sample_leakage_split"](
+                spark, sf_dir),
     }
     jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     out = ["# PLANS — formatted physical plans at sf0.1 (evidence)",
