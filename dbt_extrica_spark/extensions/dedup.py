@@ -240,15 +240,20 @@ def minhash_lsh_pairs(
                               F.col(text_col).alias("text")))
 
     mapping = None
+    hd = None
     if collapse_identical:
-        # h1 staged as its own column, set digest from the staged array
-        # (Catalyst evaluates HOF lambda bodies per element and does no
-        # CSE across lambdas — see the lambda-evaluation rules in NEXT.md)
+        # ONE shingle+hash pass: the sorted distinct hash array is both
+        # the set-identity key AND the signature input (a minhash is a
+        # min over the set — duplicates never change it), so neither the
+        # grouping nor the rep signatures re-shingle the corpus. h1 is
+        # staged as its own column (Catalyst evaluates HOF lambda bodies
+        # per element and does no CSE across lambdas — NEXT.md rules).
         hd = (
             texts
             .withColumn("h1", F.expr(
                 f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"))
             .select("id", F.expr("array_sort(array_distinct(h1))").alias("hd"))
+            .persist()
         )
         # xxhash64 hashes the array column directly (JVM-side, order-
         # sensitive — hence the sort), no string building
@@ -269,17 +274,22 @@ def minhash_lsh_pairs(
         work = texts.join(
             mapping.where(F.col("id") == F.col("rep")).select("id"),
             on="id", how="left_semi")
+        sig = (
+            hd.join(mapping.where(F.col("id") == F.col("rep")).select("id"),
+                    on="id", how="left_semi")
+            .withColumn("sig", minhash_signature_from_hashes("hd", num_perm))
+            .select("id", "sig")
+        )
     else:
         work = texts
-
-    sig = (
-        work
-        .withColumn("h1", F.expr(
-            f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"
-        ))
-        .withColumn("sig", minhash_signature_from_hashes("h1", num_perm))
-        .select("id", "sig")
-    )
+        sig = (
+            work
+            .withColumn("h1", F.expr(
+                f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"
+            ))
+            .withColumn("sig", minhash_signature_from_hashes("h1", num_perm))
+            .select("id", "sig")
+        )
 
     # band rows are (id, band, band-hash) ONLY — the wide shingle arrays do
     # not travel through the explode+self-join shuffle
@@ -384,6 +394,8 @@ def minhash_lsh_pairs(
         cand.unpersist()
     if mapping is not None:
         mapping.unpersist()
+    if hd is not None:
+        hd.unpersist()
     return out
 
 
