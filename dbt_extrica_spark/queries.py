@@ -3808,6 +3808,60 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(gated, "append")
 
 
+# Streaming minhash admission: under availableNow the single batch makes
+# the result exactly batch semantics — history cross-dedup (exact Jaccard
+# cross pairs, same validity argument as _MINHASH_INC_DUCK) followed by
+# within-batch drop-higher-id over the survivors
+_STREAM_ADMIT_DUCK = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(length(text) - 4, 1)),
+    i -> substring(text, i, 5))) AS g
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(g) AS n_g, unnest(g) AS gram FROM sh
+), cross_dup AS (
+  SELECT DISTINCT a.doc_id AS id_new
+  FROM ex a JOIN ex b ON a.gram = b.gram
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+  GROUP BY a.doc_id, b.doc_id, a.n_g, b.n_g
+  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_g + b.n_g - COUNT(*)) >= 0.5
+), survivors AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id_new FROM cross_dup)
+), intra_dropped AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  JOIN survivors sa ON a.doc_id = sa.doc_id
+  JOIN survivors sb ON b.doc_id = sb.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_g, b.n_g
+  HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_g + b.n_g - COUNT(*)) >= 0.5
+)
+SELECT d.doc_id, md5(d.text) AS text_md5
+FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM intra_dropped)
+"""
+
+
+@q("streaming_admission", _STREAM_ADMIT_DUCK)
+def streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus admission: arriving document batches dedup
+    against the history's materialized minhash band index AND within
+    themselves (drop-higher-id), and admitted docs extend the index for
+    later batches. Under availableNow (one batch here) the admitted set
+    equals batch semantics, which the oracle states in pure SQL."""
+    from .streaming import read_document_stream, streaming_minhash_admission
+
+    _views(spark, sf_dir)
+    hist = spark.table("documents").where("doc_id < 250")
+    stream = (read_document_stream(spark, sf_dir)
+              .where("doc_id >= 250").select("doc_id", "text"))
+    admitted = streaming_minhash_admission(
+        stream, hist, "doc_id", "text", k=5, num_perm=64, bands=16,
+        threshold=0.5)
+    return admitted.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 # dbt build orchestration is fully deterministic on a fixed project, so
 # the oracle is the expected report itself (statuses only — error details
 # carry engine-specific text)
@@ -5425,6 +5479,7 @@ _GATED_WINDOW = [
     "text_remove_dup_spans_char",
     "dedup_minhash_incremental",
     "sample_leakage_split",
+    "streaming_admission",
     # (d) stalest driver evidence: r2
     "inc_microbatch",
     # (d) stalest driver evidence: r4
@@ -5454,7 +5509,9 @@ _GATED_WINDOW = [
     "sample_deterministic",
     "sample_hash_split",
     "sample_stratified",
-    "sample_boundary",
+    # sample_boundary yields its slot to streaming_admission: the
+    # md5-range boundary machinery is gated via sample_deterministic /
+    # sample_hash_split and its own unit + Hypothesis tests
 ]
 
 

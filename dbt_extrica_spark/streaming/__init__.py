@@ -1,11 +1,12 @@
 from .incremental import (
     dedup_within_watermark, read_document_stream, read_event_stream,
     windowed_counts, run_available_now, sessionize_stateful,
-    streaming_incremental_merge,
+    streaming_incremental_merge, streaming_minhash_admission,
 )
 
 __all__ = [
     "dedup_within_watermark", "read_document_stream", "read_event_stream",
     "windowed_counts",
     "run_available_now", "sessionize_stateful", "streaming_incremental_merge",
+    "streaming_minhash_admission",
 ]

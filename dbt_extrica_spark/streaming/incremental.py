@@ -162,6 +162,157 @@ def streaming_incremental_merge(
     return query
 
 
+def streaming_minhash_admission(
+    doc_stream: DataFrame,
+    hist_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming corpus ADMISSION: each arriving micro-batch of documents
+    is near-dup-checked against the history's materialized minhash band
+    index (dedup.minhash_incremental_pairs — per-batch cost O(batch),
+    never O(history)), then deduped within itself
+    (dedup.minhash_lsh_pairs, drop-higher-id), and the survivors are
+    appended to BOTH the history text table and the band index so later
+    batches dedup against them too — the ingest loop a continuously
+    crawled pretraining corpus runs. Executes as an availableNow
+    catch-up and returns the admitted (id, text) rows as a batch
+    DataFrame.
+
+    State per batch is two appends (admitted text + its band rows); the
+    band index is the only thing probed per batch, so steady-state cost
+    is O(batch x bands) join rows against an indexed table. In a
+    production session the two state tables would be real tables
+    (saveAsTable + append) instead of localCheckpoint handles — same
+    shapes, durable storage."""
+    import uuid as _uuid
+
+    from ..extensions import dedup as dedup_ops
+
+    # state checkpoints are LAZY: a batch only pays for the history
+    # snapshot it actually probes (the final appends of the last batch
+    # are never materialized), while the lineage stays capped so the
+    # chain can't grow across many batches
+    state = {
+        "hist": hist_df.select(F.col(id_col), F.col(text_col))
+        .localCheckpoint(eager=False),
+        "bands": dedup_ops.minhash_band_table(
+            hist_df, id_col, text_col, k=k, num_perm=num_perm, bands=bands)
+        .localCheckpoint(eager=False),
+        "admitted": [],
+    }
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (batch_df.select(F.col(id_col), F.col(text_col))
+                 .localCheckpoint(eager=True))
+        if not batch.take(1):
+            return
+        # ONE band table per batch, probed twice (vs the history index for
+        # cross dups, vs itself for intra dups) — the batch is shingled
+        # once for banding and once more only for candidate verification
+        bb = dedup_ops.minhash_band_table(
+            batch, id_col, text_col, k=k, num_perm=num_perm,
+            bands=bands).persist()
+        cross_cand = (
+            bb.alias("a").join(
+                state["bands"].alias("b"),
+                on=[F.col("a.band") == F.col("b.band"),
+                    F.col("a.bh") == F.col("b.bh")])
+            .select(F.col("a.id").alias("id_new"),
+                    F.col("b.id").alias("id_hist"))
+            .dropDuplicates(["id_new", "id_hist"]).persist()
+        )
+        intra_cand = (
+            bb.alias("a").join(
+                bb.alias("b"),
+                on=[F.col("a.band") == F.col("b.band"),
+                    F.col("a.bh") == F.col("b.bh"),
+                    F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]).persist()
+        )
+        bids = (
+            cross_cand.select(F.col("id_new").alias("cid"))
+            .unionByName(intra_cand.select(F.col("id_a").alias("cid")))
+            .unionByName(intra_cand.select(F.col("id_b").alias("cid")))
+            .distinct()
+        )
+        sh_b = (
+            batch.join(F.broadcast(bids),
+                       batch[id_col] == F.col("cid"), "left_semi")
+            .select(F.col(id_col).alias("sid"),
+                    dedup_ops.char_shingles(text_col, k).alias("sh"))
+            .persist()
+        )
+        sh_h = (
+            state["hist"].join(
+                F.broadcast(cross_cand.select("id_hist").distinct()),
+                state["hist"][id_col] == F.col("id_hist"), "left_semi")
+            .select(F.col(id_col).alias("sid"),
+                    dedup_ops.char_shingles(text_col, k).alias("sh"))
+        )
+
+        def jac(a, b):
+            return (F.size(F.array_intersect(a, b))
+                    / F.size(F.array_union(a, b))).cast("double")
+
+        dropped_new = (
+            cross_cand
+            .join(sh_b.withColumnRenamed("sh", "sh_a"),
+                  cross_cand.id_new == F.col("sid")).drop("sid")
+            .join(sh_h.withColumnRenamed("sh", "sh_b"),
+                  cross_cand.id_hist == F.col("sid")).drop("sid")
+            .where(jac(F.col("sh_a"), F.col("sh_b")) >= threshold)
+            .select(F.col("id_new").alias(id_col)).distinct()
+        )
+        kept_ids = (batch.select(id_col)
+                    .join(dropped_new, on=id_col, how="left_anti"))
+        dropped_intra = (
+            intra_cand
+            .join(kept_ids.withColumnRenamed(id_col, "id_a"), on="id_a")
+            .join(kept_ids.withColumnRenamed(id_col, "id_b"), on="id_b")
+            .join(sh_b.withColumnRenamed("sh", "sh_a"),
+                  F.col("id_a") == F.col("sid")).drop("sid")
+            .join(sh_b.withColumnRenamed("sh", "sh_b"),
+                  F.col("id_b") == F.col("sid")).drop("sid")
+            .where(jac(F.col("sh_a"), F.col("sh_b")) >= threshold)
+            .select(F.col("id_b").alias(id_col)).distinct()
+        )
+        kept = (
+            batch.join(kept_ids, on=id_col, how="left_semi")
+            .join(dropped_intra, on=id_col, how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        for h in (bb, cross_cand, intra_cand, sh_b):
+            h.unpersist()
+        state["admitted"].append(kept)
+        state["hist"] = (state["hist"].unionByName(kept)
+                         .localCheckpoint(eager=False))
+        state["bands"] = (state["bands"].unionByName(
+            dedup_ops.minhash_band_table(kept, id_col, text_col, k=k,
+                                         num_perm=num_perm, bands=bands))
+            .localCheckpoint(eager=False))
+
+    query = (
+        doc_stream.writeStream.foreachBatch(admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation",
+                f"/tmp/spark_admission_{_uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    query.awaitTermination()
+    if not state["admitted"]:
+        return state["hist"].limit(0)
+    out = state["admitted"][0]
+    for df in state["admitted"][1:]:
+        out = out.unionByName(df)
+    return out
+
+
 _SESSION_SCHEMA = (
     "user_id bigint, session_id int, n_events int, "
     "session_start timestamp, session_end timestamp"

@@ -81,6 +81,53 @@ def test_streaming_incremental_merge_equals_batch(spark):
     eng.close()
 
 
+def test_streaming_admission_dedups_across_batches(spark, tmp_path):
+    """The admitted-docs band index must extend across micro-batches: a
+    doc admitted in batch 1 blocks its copy arriving in batch 2 — the
+    property the single-batch oracle entry can't observe."""
+    import os
+    import shutil
+
+    from dbt_extrica_spark.streaming import streaming_minhash_admission
+
+    stream_dir = tmp_path / "adm_in"
+    stream_dir.mkdir()
+    stage = tmp_path / "adm_stage"
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far away into the deep quiet forest tonight")
+    other = ("completely different content about distributed systems "
+             "and the economics of large scale data processing work")
+    hist_txt = ("historical document that was already admitted long ago "
+                "and lives in the permanent corpus archive here")
+
+    def add_file(idx: int, rows: list[tuple[int, str]]) -> None:
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        out = str(stage / f"b{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+        dst = stream_dir / f"f{idx}.parquet"
+        shutil.copyfile(os.path.join(out, part), dst)
+        os.utime(dst, (1700000000 + idx, 1700000000 + idx))
+
+    # batch 1: a hist near-dup (dropped), a fresh doc (admitted);
+    # batch 2: a copy of the batch-1 admission (dropped — index grew),
+    #          a fresh doc (admitted)
+    add_file(1, [(101, hist_txt + " x"), (102, base)])
+    add_file(2, [(201, base + " tail"), (202, other)])
+
+    hist = spark.createDataFrame([(1, hist_txt)], "doc_id BIGINT, text STRING")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).format("parquet")
+        .load(str(stream_dir))
+    )
+    admitted = streaming_minhash_admission(
+        stream, hist, "doc_id", "text", threshold=0.5)
+    got = {r.doc_id for r in admitted.collect()}
+    assert got == {102, 202}
+
+
 def test_watermark_advances_and_drops_late_across_microbatches(spark, tmp_path):
     """Continuous-run behavior (NEXT.md gap): sequential availableNow runs
     against one checkpoint execute one micro-batch per newly-arrived file,
