@@ -1286,6 +1286,49 @@ def test_remove_duplicated_spans_char_short_null_and_merge(spark):
     assert out[4].clean_text == "" and out[4].n_chars is None
 
 
+def test_remove_duplicated_spans_char_random_differential(spark):
+    """Seeded randomized differential test: small alphabet + short docs
+    make overlapping/self-repeating shared grams common — the operator
+    must match a brute-force pure-Python replay exactly on every doc."""
+    import random
+
+    from dbt_extrica_spark.extensions import cleaning
+
+    rng = random.Random(1234)
+    k, min_docs = 4, 2
+    for trial in range(3):
+        rows = []
+        for i in range(24):
+            n = rng.randint(0, 14)
+            rows.append((i, "".join(rng.choice("ab ") for _ in range(n))))
+        # replay: gram -> {doc: [starts]}, canonical keep-one
+        gram_docs: dict = {}
+        for d, t in rows:
+            for p in range(len(t) - k + 1):
+                gram_docs.setdefault(t[p:p + k], {}).setdefault(
+                    d, []).append(p)
+        covered: dict = {}
+        for g, carriers in gram_docs.items():
+            if len(carriers) < min_docs:
+                continue
+            canon = min(carriers)
+            for d, ps in carriers.items():
+                if d == canon:
+                    continue
+                s = covered.setdefault(d, set())
+                for p in ps:
+                    s.update(range(p, p + k))
+        want = {}
+        for d, t in rows:
+            cov = covered.get(d, ())
+            want[d] = "".join(c for p, c in enumerate(t) if p not in cov)
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        got = {r.doc_id: r.clean_text
+               for r in cleaning.remove_duplicated_spans_char(
+                   df, "doc_id", "text", k=k, min_docs=min_docs).collect()}
+        assert got == want, f"trial {trial}"
+
+
 def test_remove_duplicated_spans_char_fully_covered_doc(spark):
     from dbt_extrica_spark.extensions import cleaning
 
