@@ -454,36 +454,47 @@ def ivf_topk(
         F.col("id").alias("qid"), F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"), "cid",
     )
-    # per-cell scoring via cogroup + numpy matmul: every vector crosses the
-    # Arrow boundary once per cell-membership (not once per PAIR — a
-    # per-pair UDF ships each 64-float vector hundreds of times), and the
-    # per-cell score matrix is one SIMD matmul.
-    def score_cell(key, probes_pdf: "pd.DataFrame", cells_pdf: "pd.DataFrame"):
-        import numpy as np
+    return _ivf_score_and_rank(probes, cells, k)
 
-        if len(probes_pdf) == 0 or len(cells_pdf) == 0:
-            return pd.DataFrame(columns=["qid", "id", "cosine"])
-        P = np.stack(probes_pdf["qv"].to_numpy()).astype(np.float64)
-        C = np.stack(cells_pdf["v"].to_numpy()).astype(np.float64)
-        sims = (P @ C.T) / np.outer(
-            np.sqrt((P * P).sum(axis=1)), np.sqrt((C * C).sum(axis=1))
-        )
-        qids = probes_pdf["qid"].to_numpy()
-        ids = cells_pdf["id"].to_numpy()
-        qi, ci = np.meshgrid(np.arange(len(qids)), np.arange(len(ids)),
-                             indexing="ij")
-        out = pd.DataFrame({
-            "qid": qids[qi.ravel()],
-            "id": ids[ci.ravel()],
-            "cosine": sims.ravel(),
-        })
-        return out[out["qid"] != out["id"]]
 
-    # both sides derive from `ranked` -> rename one grouping key to avoid
-    # the ambiguous-self-join check (cogroup keys match positionally)
+# per-cell scoring via cogroup + numpy matmul: every vector crosses the
+# Arrow boundary once per cell-membership (not once per PAIR — a per-pair
+# UDF ships each 64-float vector hundreds of times), and the per-cell
+# score matrix is one SIMD matmul.
+def _ivf_score_cell(key, probes_pdf: "pd.DataFrame", cells_pdf: "pd.DataFrame"):
+    import numpy as np
+
+    if len(probes_pdf) == 0 or len(cells_pdf) == 0:
+        return pd.DataFrame(columns=["qid", "id", "cosine"])
+    P = np.stack(probes_pdf["qv"].to_numpy()).astype(np.float64)
+    C = np.stack(cells_pdf["v"].to_numpy()).astype(np.float64)
+    sims = (P @ C.T) / np.outer(
+        np.sqrt((P * P).sum(axis=1)), np.sqrt((C * C).sum(axis=1))
+    )
+    qids = probes_pdf["qid"].to_numpy()
+    ids = cells_pdf["id"].to_numpy()
+    qi, ci = np.meshgrid(np.arange(len(qids)), np.arange(len(ids)),
+                         indexing="ij")
+    out = pd.DataFrame({
+        "qid": qids[qi.ravel()],
+        "id": ids[ci.ravel()],
+        "cosine": sims.ravel(),
+    })
+    return out[out["qid"] != out["id"]]
+
+
+def _ivf_score_and_rank(probes: DataFrame, cells: DataFrame,
+                        k: int) -> DataFrame:
+    """Cogroup probes against cell postings on the cell id, score each
+    cell with one matmul, window-rank per query. ``probes`` must carry
+    (qid, qv, qnrm, cid); ``cells`` (id, v, nrm, cid)."""
+    # rename one grouping key so same-lineage callers dodge the
+    # ambiguous-self-join check (cogroup keys match positionally)
     probes = probes.withColumnRenamed("cid", "pcid")
-    scored = probes.groupBy("pcid").cogroup(cells.groupBy("cid")).applyInPandas(
-        score_cell, schema="qid bigint, id bigint, cosine double"
+    scored = (
+        probes.groupBy("pcid").cogroup(cells.groupBy("cid"))
+        .applyInPandas(_ivf_score_cell,
+                       schema="qid bigint, id bigint, cosine double")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
     return (
@@ -496,6 +507,107 @@ def ivf_topk(
             F.col("rank"),
         )
     )
+
+
+def _ivf_collect_cells(centroids: DataFrame) -> list:
+    """Collect + validate a (cid, cv, cnrm) centroid table (tiny — model
+    state, not data)."""
+    cell_rows = centroids.select("cid", "cv", "cnrm").collect()
+    for r in cell_rows:
+        if r["cv"] is None or any(x is None for x in r["cv"]):
+            raise ValueError(
+                f"IVF: centroid {r['cid']!r} has NULL vector elements")
+        try:
+            int(r["cid"])
+        except (TypeError, ValueError):
+            raise ValueError(f"IVF: centroid id {r['cid']!r} is not integral")
+    return cell_rows
+
+
+def _ivf_assign(base: DataFrame, centroids: DataFrame, cell_rows,
+                nprobe: int) -> DataFrame:
+    """Literal-expression assignment when the codebook fits the literal
+    budget, broadcast-join + window otherwise."""
+    if not cell_rows:
+        raise ValueError("IVF: empty centroid table")
+    dim = len(cell_rows[0]["cv"])
+    if len(cell_rows) * dim > _IVF_LITERAL_BUDGET:
+        return _ivf_assign_broadcast(base, centroids, nprobe)
+    return _ivf_assign_literal(base, cell_rows, nprobe)
+
+
+def ivf_index_build(df: DataFrame, id_col: str, vec_col: str,
+                    n_cells: int = 16, train_centroids: bool = False,
+                    trainer: str = "ml") -> tuple[DataFrame, DataFrame]:
+    """Build a REUSABLE IVF index over an embedding corpus: returns
+    ``(centroids, postings)`` — centroids (cid, cv, cnrm) and postings
+    (id, v, nrm, cid), every corpus vector assigned to its nearest
+    centroid. This is the vector-database shape: write both as tables
+    (postings partitioned/bucketed by cid so a probe reads only its
+    cells), then run :func:`ivf_index_query` against them for every
+    query batch instead of rebuilding the index per search, and
+    :func:`ivf_index_append` to admit new vectors incrementally.
+
+    Centroid options are ivf_topk's: lowest-id seed vectors (default,
+    fully deterministic) or k-means-trained (``trainer="lloyd"`` for the
+    partitioning-independent build). At 100 TB the build is one
+    assignment scan; the index adds one narrow bigint column per vector
+    plus an n_cells-row model table."""
+    base = _with_norm(df, id_col, vec_col)
+    if train_centroids and trainer == "lloyd":
+        import math
+
+        cents = kmeans_lloyd_centroids(df, id_col, vec_col,
+                                       k=n_cells, iters=4)
+        centroids = df.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in v],
+              math.sqrt(math.fsum(x * x for x in v)))
+             for i, v in enumerate(cents)],
+            "cid BIGINT, cv ARRAY<DOUBLE>, cnrm DOUBLE")
+    elif train_centroids:
+        norm_expr = _NORM.format(v="cv")
+        centroids = kmeans_centroids(df, id_col, vec_col, n_cells).select(
+            "cid", "cv", F.expr(norm_expr).alias("cnrm"))
+    else:
+        centroids = base.orderBy("id").limit(n_cells).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"))
+    cell_rows = _ivf_collect_cells(centroids)
+    ranked = _ivf_assign(base, centroids, cell_rows, nprobe=1)
+    postings = (ranked.where(F.col("crank") == 1)
+                .select("id", "v", "nrm", "cid"))
+    return centroids, postings
+
+
+def ivf_index_append(new_df: DataFrame, centroids: DataFrame,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """Posting rows for NEW vectors against an existing index's centroids
+    — append these to the postings table to admit an increment without
+    touching the corpus (centroids stay fixed; retrain/rebuild when
+    drift matters)."""
+    base = _with_norm(new_df, id_col, vec_col)
+    cell_rows = _ivf_collect_cells(centroids)
+    ranked = _ivf_assign(base, centroids, cell_rows, nprobe=1)
+    return ranked.where(F.col("crank") == 1).select("id", "v", "nrm", "cid")
+
+
+def ivf_index_query(queries: DataFrame, centroids: DataFrame,
+                    postings: DataFrame, id_col: str, vec_col: str,
+                    k: int = 10, nprobe: int = 3) -> DataFrame:
+    """Search a prebuilt IVF index: rank each query's ``nprobe`` nearest
+    cells from the centroid table, cogroup against ONLY those cells'
+    postings, score per cell with one numpy matmul, window the top-k.
+    Per-batch cost is O(queries x probed-cell postings) — the corpus is
+    never rescanned. Returns (query_id, neighbor_id, cosine, rank);
+    full probe (nprobe = n_cells) equals brute force exactly."""
+    qbase = _with_norm(queries, id_col, vec_col)
+    cell_rows = _ivf_collect_cells(centroids)
+    ranked = _ivf_assign(qbase, centroids, cell_rows, nprobe=nprobe)
+    probes = ranked.where(F.col("crank") <= nprobe).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"), "cid",
+    )
+    return _ivf_score_and_rank(probes, postings, k)
 
 
 def projection_matrix(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[int]]:

@@ -2087,6 +2087,50 @@ def ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id")
 
 
+# Persisted-index IVF: build on a base slice, APPEND an increment, query
+# a batch at full probe — exhaustive probing over the union must equal
+# brute force over the union (IDs only, same matmul-ulp note as above)
+_IVF_INDEX_DUCK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)) AS nrm
+  FROM embeddings WHERE vec_id < 300
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+           / (q.nrm * b.nrm) AS cosine
+  FROM base q, base b WHERE q.vec_id <> b.vec_id AND q.vec_id < 100
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS r
+  FROM scored
+) WHERE r <= 5
+"""
+
+
+@q("ann_ivf_index_query", _IVF_INDEX_DUCK)
+def ann_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-database flow: ivf_index_build on a base corpus,
+    ivf_index_append for an arriving increment (centroids fixed),
+    ivf_index_query for a query batch — at full probe the persisted-index
+    path must equal brute force over the unioned corpus exactly."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    centroids, postings = similarity.ivf_index_build(
+        emb.where("vec_id < 200"), "vec_id", "embedding", n_cells=16)
+    delta = similarity.ivf_index_append(
+        emb.where("vec_id >= 200 AND vec_id < 300"), centroids,
+        "vec_id", "embedding")
+    postings = postings.unionByName(delta)
+    out = similarity.ivf_index_query(
+        emb.where("vec_id < 100"), centroids, postings,
+        "vec_id", "embedding", k=5, nprobe=16)
+    return out.select("query_id", "neighbor_id")
+
+
 @q("ann_pq_topk", None)  # approximate; quantization-dependent -> rows-only
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank — the compressed-domain
@@ -5480,6 +5524,7 @@ _GATED_WINDOW = [
     "dedup_minhash_incremental",
     "sample_leakage_split",
     "streaming_admission",
+    "ann_ivf_index_query",
     # (d) stalest driver evidence: r2
     "inc_microbatch",
     # (d) stalest driver evidence: r4
@@ -5503,7 +5548,9 @@ _GATED_WINDOW = [
     "sketch_count_min",
     "text_bigram_logprob",
     "text_fingerprint",
-    "text_winnow",
+    # text_winnow yields its slot to ann_ivf_index_query: winnow shares
+    # the fingerprint machinery gated via text_fingerprint + shared-run
+    # test
     "trino_dialect_model",
     "text_chunks",
     "sample_deterministic",

@@ -1342,6 +1342,39 @@ def test_remove_duplicated_spans_char_fully_covered_doc(spark):
     assert out[3].clean_text == "xy"
 
 
+def test_ivf_index_parquet_roundtrip(spark, tmp_path):
+    # the persisted-index story taken literally: build -> write both
+    # tables as parquet -> read back -> query; results identical to the
+    # in-memory index, and full probe equals the one-shot ivf_topk path
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 150")
+    cents, posts = similarity.ivf_index_build(emb, "vec_id", "embedding",
+                                              n_cells=8)
+    cdir, pdir = str(tmp_path / "cents"), str(tmp_path / "posts")
+    cents.write.parquet(cdir)
+    posts.write.partitionBy("cid").parquet(pdir)
+    cents2 = spark.read.parquet(cdir)
+    posts2 = spark.read.parquet(pdir)
+    qs = emb.where("vec_id < 30")
+    mem = {(r.query_id, r.neighbor_id, r.rank)
+           for r in similarity.ivf_index_query(
+               qs, cents, posts, "vec_id", "embedding",
+               k=5, nprobe=8).collect()}
+    disk = {(r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.ivf_index_query(
+                qs, cents2, posts2, "vec_id", "embedding",
+                k=5, nprobe=8).collect()}
+    assert mem == disk and len(mem) > 0
+    one_shot = {(r.query_id, r.neighbor_id, r.rank)
+                for r in similarity.ivf_topk(
+                    emb, "vec_id", "embedding", k=5, n_cells=8,
+                    nprobe=8).collect()
+                if r.query_id < 30}
+    assert mem == one_shot
+
+
 def test_bpe_train_learns_textbook_merges(spark):
     rows = [(1, "low low low low low"),
             (2, "lower lower newest newest"),
