@@ -294,6 +294,69 @@ def char_bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def wordlm_logprob(df: DataFrame, id_col: str, text_col: str,
+                   train_df: DataFrame | None = None,
+                   k_smooth: float = 1.0) -> DataFrame:
+    """Word-bigram LM cross-entropy per document — the CCNet-style
+    perplexity filter (Wenzek et al. 2020 score web pages under an LM
+    trained on a TARGET domain and keep the likely ones): train add-k
+    smoothed bigram counts on ``train_df`` (a curated reference slice;
+    defaults to the corpus itself), score every document's average
+    negative log P(w2|w1). Low = target-like, high = junk/off-domain —
+    the likelihood-based sibling of DSIR's importance weights.
+
+    Smoothing handles OOV exactly: P(w2|w1) = (c(w1,w2) + k) /
+    (c(w1) + k·(V+1)) with V = training vocabulary size; an unseen w1
+    scores k/(k·(V+1)) = 1/(V+1) per token. All counts are exact
+    integers; per-token logs route through DECIMAL(28,12) before the
+    order-independent sum (the char_bigram_logprob treatment). Returns
+    (id, n_bigrams, avg_neg_logp) — perplexity is exp(avg_neg_logp),
+    left to the caller (exp is the cross-engine hazard).
+
+    Scale: one bigram-explode shuffle over each side (the TF-IDF shape),
+    count aggregations partial/final on word keys, one join of corpus
+    bigrams against the (vocab-bigram-sized) count table — no driver
+    data beyond the single vocabulary-size scalar."""
+    train = train_df if train_df is not None else df
+    toks = "__toks"
+
+    def bigrams(src: DataFrame) -> DataFrame:
+        pairs = (f"zip_with(slice({toks}, 1, size({toks}) - 1),"
+                 f" slice({toks}, 2, size({toks}) - 1),"
+                 f" (a, b) -> struct(a AS w1, b AS w2))")
+        return (
+            src.select(F.col(id_col),
+                       F.expr(f"filter({_tokens(text_col)}, x -> x <> '')")
+                       .alias("__toks"))
+            .select(F.col(id_col), F.explode(F.expr(pairs)).alias("p"))
+            .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2"))
+        )
+
+    tr = bigrams(train)
+    c_bg = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab = (
+        train.select(F.explode(
+            F.expr(f"filter({_tokens(text_col)}, x -> x <> '')"))
+            .alias("w")).distinct().count()
+    )
+    k = float(k_smooth)
+    scored = (
+        bigrams(df)
+        .join(c_bg, on=["w1", "w2"], how="left")
+        .join(c_w1, on="w1", how="left")
+        .withColumn("neg_logp", -F.log(
+            (F.coalesce("c_bg", F.lit(0)) + F.lit(k))
+            / (F.coalesce("c_w1", F.lit(0)) + F.lit(k * (vocab + 1)))))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.sum(F.col("neg_logp").cast("decimal(28,12)"))
+         .cast("double") / F.count(F.lit(1))).alias("avg_neg_logp"),
+    )
+
+
 def chunk_text(df: DataFrame, id_col: str, text_col: str,
                chunk_tokens: int = 128, overlap_tokens: int = 16) -> DataFrame:
     """Split documents into overlapping token-window chunks — the

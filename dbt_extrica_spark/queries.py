@@ -2449,6 +2449,54 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.char_bigram_logprob(docs, "doc_id", "text")
 
 
+# CCNet-style word-bigram LM: trained on the src0 reference slice, add-1
+# smoothed with exact integer counts; per-token logs decimal-routed (the
+# proven _BIGRAM_DUCK treatment for the cross-engine ln ulp)
+_WORDLM_DUCK = r"""
+WITH tokd AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+  FROM tokd, LATERAL UNNEST(generate_series(1, greatest(len(t) - 1, 0)))
+       AS u(i)
+), trn AS (
+  SELECT w1, w2 FROM bg WHERE source = 'src0'
+), cbg AS (
+  SELECT w1, w2, COUNT(*) AS c_bg FROM trn GROUP BY 1, 2
+), cw1 AS (
+  SELECT w1, COUNT(*) AS c_w1 FROM trn GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w) AS vocab FROM (
+    SELECT unnest(t) AS w FROM tokd WHERE source = 'src0')
+), scored AS (
+  SELECT b.doc_id,
+         -ln((COALESCE(c_bg, 0) + 1.0)
+             / (COALESCE(c_w1, 0) + 1.0 * (vocab + 1))) AS neg_logp
+  FROM bg b LEFT JOIN cbg USING (w1, w2) LEFT JOIN cw1 USING (w1)
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(neg_logp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS avg_neg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
+@q("text_wordlm_logprob", _WORDLM_DUCK)
+def text_wordlm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style target-domain LM filter: word-bigram cross-entropy of
+    every document under an add-1-smoothed LM trained on the src0
+    reference slice — the likelihood-based sibling of DSIR."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return textstats.wordlm_logprob(
+        docs, "doc_id", "text", train_df=docs.where("source = 'src0'"))
+
+
 _FP_DUCK = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -5525,6 +5573,7 @@ _GATED_WINDOW = [
     "sample_leakage_split",
     "streaming_admission",
     "ann_ivf_index_query",
+    "text_wordlm_logprob",
     # (d) stalest driver evidence: r2
     "inc_microbatch",
     # (d) stalest driver evidence: r4
@@ -5555,10 +5604,11 @@ _GATED_WINDOW = [
     "text_chunks",
     "sample_deterministic",
     "sample_hash_split",
-    "sample_stratified",
-    # sample_boundary yields its slot to streaming_admission: the
-    # md5-range boundary machinery is gated via sample_deterministic /
-    # sample_hash_split and its own unit + Hypothesis tests
+    # sample_stratified yields its slot to text_wordlm_logprob (its
+    # per-stratum window mechanics are gated via sample_shuffle_shards
+    # r5 + unit tests); sample_boundary yields to streaming_admission
+    # (md5-range boundary machinery gated via sample_deterministic /
+    # sample_hash_split and its own unit + Hypothesis tests)
 ]
 
 

@@ -337,6 +337,35 @@ def test_minhash_collapse_identical_equivalent_unverified(spark):
     assert (90004, 90005) in got
 
 
+def test_wordlm_junk_scores_high_and_oov_exact(spark):
+    import math
+
+    # CCNet setup: train on a held-out reference slice, score unseen docs
+    # (self-training would leave the scored doc's own bigrams in the
+    # counts and REWARD rare-word junk — measured and avoided here)
+    docs = _docs(spark).select("doc_id", "text")
+    junk = spark.sql(
+        "SELECT 99998 AS doc_id, 'zqx glorp fnub blarg wibble snark blat"
+        " quux zorp mekk' AS text")
+    train = docs.where("doc_id < 400")
+    held = docs.where("doc_id >= 400").unionByName(junk)
+    out = {r.doc_id: r for r in textstats.wordlm_logprob(
+        held, "doc_id", "text", train_df=train).collect()}
+    typical = sorted(v.avg_neg_logp for k, v in out.items() if k != 99998)
+    assert out[99998].avg_neg_logp > typical[len(typical) // 2]
+    # all-OOV junk scores EXACTLY ln(V+1) under add-1 (w1 unseen ->
+    # P = 1/(V+1) for every bigram)
+    vocab = (train.selectExpr(
+        "explode(filter(split(trim(lower(text)), '\\\\s+'), x -> x <> ''))"
+        " AS w").distinct().count())
+    assert abs(out[99998].avg_neg_logp - math.log(vocab + 1)) < 1e-9
+    # a doc of one-token text carries no bigram -> absent from output
+    one = spark.sql("SELECT 99997 AS doc_id, 'solo' AS text")
+    out2 = textstats.wordlm_logprob(one, "doc_id", "text",
+                                    train_df=train).collect()
+    assert out2 == []
+
+
 def test_minhash_incremental_finds_cross_dups_only(spark):
     docs = _docs(spark).select("doc_id", "text")
     hist = docs.where("doc_id < 100")
