@@ -291,24 +291,10 @@ def minhash_lsh_pairs(
             .select("id", "sig")
         )
 
-    # band rows are (id, band, band-hash) ONLY — the wide shingle arrays do
-    # not travel through the explode+self-join shuffle
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> named_struct('band', b, 'bh',"
-                f" xxhash64(array_join(transform("
-                f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}),"
-                f" x -> cast(x as string)), ','))))"
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     # the self-join below scans `banded` twice; persisting the (tiny:
     # docs × bands rows) band table makes the expensive shingle+signature
     # pipeline run exactly once
-    banded = banded.persist()
+    banded = _bands_from_sigs(sig, bands, rows_per_band).persist()
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -399,23 +385,15 @@ def minhash_lsh_pairs(
     return out
 
 
-def minhash_band_table(df: DataFrame, id_col: str, text_col: str,
-                       k: int = 5, num_perm: int = 64,
-                       bands: int = 16) -> DataFrame:
-    """The (id, band, bh) LSH band table for a corpus — the INDEX an
-    incremental dedup admission flow maintains: materialize it once for
-    the history, append each admitted batch, and new batches join against
-    it instead of re-shingling the corpus (see
-    :func:`minhash_incremental_pairs`)."""
-    rows_per_band = num_perm // bands
-    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
-    sig = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .withColumn("h1", F.expr(
-            f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"))
-        .withColumn("sig", minhash_signature_from_hashes("h1", num_perm))
-        .select("id", "sig")
-    )
+def _bands_from_sigs(sig: DataFrame, bands: int,
+                     rows_per_band: int) -> DataFrame:
+    """(id, band, bh) rows from an (id, sig) signature table — THE band
+    expression, shared by minhash_lsh_pairs and minhash_band_table: the
+    incremental path's oracle-validity argument ('banding recall on the
+    cross slice is a subset of the measured full-pair recall') requires
+    both paths to band IDENTICALLY, so there is exactly one copy. Band
+    rows carry (id, band, band-hash) ONLY — wide shingle arrays never
+    travel through the downstream joins."""
     return sig.select(
         "id",
         F.explode(F.expr(
@@ -426,6 +404,28 @@ def minhash_band_table(df: DataFrame, id_col: str, text_col: str,
             f" x -> cast(x as string)), ','))))"
         )).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_band_table(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 5, num_perm: int = 64,
+                       bands: int = 16) -> DataFrame:
+    """The (id, band, bh) LSH band table for a corpus — the INDEX an
+    incremental dedup admission flow maintains: materialize it once for
+    the history, append each admitted batch, and new batches join against
+    it instead of re-shingling the corpus (see
+    :func:`minhash_incremental_pairs`)."""
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    texts = _spread(df.select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("text")))
+    sig = (
+        texts
+        .withColumn("h1", F.expr(
+            f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"))
+        .withColumn("sig", minhash_signature_from_hashes("h1", num_perm))
+        .select("id", "sig")
+    )
+    return _bands_from_sigs(sig, bands, rows_per_band)
 
 
 def minhash_incremental_pairs(

@@ -404,24 +404,8 @@ def ivf_topk(
     corpus-wide shuffle, but no giant literal expression for Catalyst to
     analyze/codegen."""
     base = _with_norm(df, id_col, vec_col)
-    if train_centroids and trainer == "lloyd":
-        import math
-
-        cents = kmeans_lloyd_centroids(df, id_col, vec_col,
-                                       k=n_cells, iters=4)
-        centroids = df.sparkSession.createDataFrame(
-            [(int(i), [float(x) for x in v],
-              math.sqrt(math.fsum(x * x for x in v)))
-             for i, v in enumerate(cents)],
-            "cid BIGINT, cv ARRAY<DOUBLE>, cnrm DOUBLE")
-    elif train_centroids:
-        norm_expr = _NORM.format(v="cv")
-        centroids = kmeans_centroids(df, id_col, vec_col, n_cells).select(
-            "cid", "cv", F.expr(norm_expr).alias("cnrm"))
-    else:
-        centroids = base.orderBy("id").limit(n_cells).select(
-            F.col("id").alias("cid"), F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"))
+    centroids = _ivf_centroids(df, base, id_col, vec_col, n_cells,
+                               train_centroids, trainer)
     # Cell assignment is EXPRESSION-LOCAL: the centroid table is tiny
     # (n_cells rows), so collect it and rank all cells per vector inside one
     # codegen'd expression — array_sort over struct(-sim, cid) picks the
@@ -430,25 +414,12 @@ def ivf_topk(
     # an n_cells-times-amplified shuffle of the whole corpus just to take
     # argmax-nprobe of n_cells scores — the exact pattern pq_encode_expr
     # already avoids for subspace argmin.)
-    cell_rows = centroids.select("cid", "cv", "cnrm").collect()
+    cell_rows = _ivf_collect_cells(centroids)
     if not cell_rows:
         spark = df.sparkSession
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, cosine double, rank int")
-    for r in cell_rows:
-        if r["cv"] is None or any(x is None for x in r["cv"]):
-            raise ValueError(
-                f"ivf_topk: centroid {r['cid']!r} has NULL vector elements")
-        try:
-            int(r["cid"])
-        except (TypeError, ValueError):
-            raise ValueError(
-                f"ivf_topk: centroid id {r['cid']!r} is not integral")
-    dim = len(cell_rows[0]["cv"])
-    if len(cell_rows) * dim > _IVF_LITERAL_BUDGET:
-        ranked = _ivf_assign_broadcast(base, centroids, nprobe)
-    else:
-        ranked = _ivf_assign_literal(base, cell_rows, nprobe)
+    ranked = _ivf_assign(base, centroids, cell_rows, nprobe)
     cells = ranked.where(F.col("crank") == 1).select("id", "v", "nrm", "cid")
     probes = ranked.where(F.col("crank") <= nprobe).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"),
@@ -509,6 +480,32 @@ def _ivf_score_and_rank(probes: DataFrame, cells: DataFrame,
     )
 
 
+def _ivf_centroids(df: DataFrame, base: DataFrame, id_col: str,
+                   vec_col: str, n_cells: int, train_centroids: bool,
+                   trainer: str) -> DataFrame:
+    """The (cid, cv, cnrm) centroid table — ONE copy of the seeding
+    conventions (lloyd / ml-kmeans / lowest-id seeds) shared by ivf_topk
+    and ivf_index_build, so the one-shot and persisted-index paths can
+    never drift apart."""
+    if train_centroids and trainer == "lloyd":
+        import math
+
+        cents = kmeans_lloyd_centroids(df, id_col, vec_col,
+                                       k=n_cells, iters=4)
+        return df.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in v],
+              math.sqrt(math.fsum(x * x for x in v)))
+             for i, v in enumerate(cents)],
+            "cid BIGINT, cv ARRAY<DOUBLE>, cnrm DOUBLE")
+    if train_centroids:
+        norm_expr = _NORM.format(v="cv")
+        return kmeans_centroids(df, id_col, vec_col, n_cells).select(
+            "cid", "cv", F.expr(norm_expr).alias("cnrm"))
+    return base.orderBy("id").limit(n_cells).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"))
+
+
 def _ivf_collect_cells(centroids: DataFrame) -> list:
     """Collect + validate a (cid, cv, cnrm) centroid table (tiny — model
     state, not data)."""
@@ -554,24 +551,8 @@ def ivf_index_build(df: DataFrame, id_col: str, vec_col: str,
     assignment scan; the index adds one narrow bigint column per vector
     plus an n_cells-row model table."""
     base = _with_norm(df, id_col, vec_col)
-    if train_centroids and trainer == "lloyd":
-        import math
-
-        cents = kmeans_lloyd_centroids(df, id_col, vec_col,
-                                       k=n_cells, iters=4)
-        centroids = df.sparkSession.createDataFrame(
-            [(int(i), [float(x) for x in v],
-              math.sqrt(math.fsum(x * x for x in v)))
-             for i, v in enumerate(cents)],
-            "cid BIGINT, cv ARRAY<DOUBLE>, cnrm DOUBLE")
-    elif train_centroids:
-        norm_expr = _NORM.format(v="cv")
-        centroids = kmeans_centroids(df, id_col, vec_col, n_cells).select(
-            "cid", "cv", F.expr(norm_expr).alias("cnrm"))
-    else:
-        centroids = base.orderBy("id").limit(n_cells).select(
-            F.col("id").alias("cid"), F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"))
+    centroids = _ivf_centroids(df, base, id_col, vec_col, n_cells,
+                               train_centroids, trainer)
     cell_rows = _ivf_collect_cells(centroids)
     ranked = _ivf_assign(base, centroids, cell_rows, nprobe=1)
     postings = (ranked.where(F.col("crank") == 1)

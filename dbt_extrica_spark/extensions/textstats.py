@@ -328,14 +328,20 @@ def wordlm_logprob(df: DataFrame, id_col: str, text_col: str,
             src.select(F.col(id_col),
                        F.expr(f"filter({_tokens(text_col)}, x -> x <> '')")
                        .alias("__toks"))
+            # empty/one-token docs carry no bigram — and slice with
+            # length size-1 = -1 on an EMPTY array is a runtime error,
+            # so the guard is load-bearing, not just semantic
+            .where(F.size("__toks") >= 2)
             .select(F.col(id_col), F.explode(F.expr(pairs)).alias("p"))
             .select(F.col(id_col), F.col("p.w1").alias("w1"),
                     F.col("p.w2").alias("w2"))
         )
 
-    tr = bigrams(train)
-    c_bg = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
-    c_w1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    c_bg = (bigrams(train).groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c_bg")))
+    # prefix counts derive from the already-reduced (vocabulary-sized)
+    # bigram table — not a second corpus-wide explode+shuffle
+    c_w1 = c_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
     vocab = (
         train.select(F.explode(
             F.expr(f"filter({_tokens(text_col)}, x -> x <> '')"))

@@ -287,15 +287,21 @@ def streaming_minhash_admission(
             .join(dropped_intra, on=id_col, how="left_anti")
             .localCheckpoint(eager=True)
         )
+        # the admitted docs' band rows are a SLICE of the already-computed
+        # batch band table — reuse it (materialized before bb is released)
+        # instead of re-shingling the admitted text a third time
+        kept_bands = (
+            bb.join(kept.select(F.col(id_col).alias("id")),
+                    on="id", how="left_semi")
+            .localCheckpoint(eager=True)
+        )
         for h in (bb, cross_cand, intra_cand, sh_b):
             h.unpersist()
         state["admitted"].append(kept)
         state["hist"] = (state["hist"].unionByName(kept)
                          .localCheckpoint(eager=False))
-        state["bands"] = (state["bands"].unionByName(
-            dedup_ops.minhash_band_table(kept, id_col, text_col, k=k,
-                                         num_perm=num_perm, bands=bands))
-            .localCheckpoint(eager=False))
+        state["bands"] = (state["bands"].unionByName(kept_bands)
+                         .localCheckpoint(eager=False))
 
     query = (
         doc_stream.writeStream.foreachBatch(admit)

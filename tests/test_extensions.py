@@ -359,11 +359,18 @@ def test_wordlm_junk_scores_high_and_oov_exact(spark):
         "explode(filter(split(trim(lower(text)), '\\\\s+'), x -> x <> ''))"
         " AS w").distinct().count())
     assert abs(out[99998].avg_neg_logp - math.log(vocab + 1)) < 1e-9
-    # a doc of one-token text carries no bigram -> absent from output
-    one = spark.sql("SELECT 99997 AS doc_id, 'solo' AS text")
-    out2 = textstats.wordlm_logprob(one, "doc_id", "text",
-                                    train_df=train).collect()
-    assert out2 == []
+    # one-token / empty / whitespace-only / NULL docs carry no bigram ->
+    # absent from output, and empty arrays must NOT crash the slice
+    # (regression: slice(toks, 1, size-1) with size 0 is a runtime error
+    # without the >= 2 guard)
+    edge = spark.sql(
+        "SELECT 99997 AS doc_id, 'solo' AS text"
+        " UNION ALL SELECT 99996, ''"
+        " UNION ALL SELECT 99995, '   '"
+        " UNION ALL SELECT 99994, CAST(NULL AS STRING)")
+    out2 = textstats.wordlm_logprob(edge, "doc_id", "text",
+                                    train_df=train.unionByName(edge))
+    assert out2.collect() == []
 
 
 def test_minhash_incremental_finds_cross_dups_only(spark):

@@ -36,6 +36,10 @@ def main() -> None:
         "q3_top_orders (join + TakeOrderedAndProject)": battery._Q3,
         "q_window_rank (single window exchange)": battery._QWIN,
         "q_semi_anti (subqueries -> semi/anti hash joins)": battery._QSEMI,
+        "q6_forecast_revenue (every predicate in PushedFilters, one "
+        "global agg)": battery._Q6,
+        "q19_disjunctive_brackets (OR brackets stay residual on an "
+        "equi-join — no nested-loop fallback)": battery._Q19,
     }
     # DataFrame-built operators: explain through the battery callables
     df_targets = {
