@@ -53,6 +53,10 @@ HEADLINE = [
     "text_remove_dup_spans_char",
     "dedup_minhash_incremental",
     "sample_leakage_split",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "text_wordlm_logprob",
 ]
 
 

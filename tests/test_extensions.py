@@ -1696,13 +1696,17 @@ def test_zorder_prunes_more_rowgroups_than_linear_sort(spark, tmp_path):
     import pyarrow.parquet as pq
     import glob as _glob
 
-    # synthetic 2-D table; a selective box predicate on BOTH dims
+    # synthetic 2-D table; selective box predicates on BOTH dims.
+    # RangePartitioner boundaries are SAMPLED (jitter of +-1 row group per
+    # run), so the comparison uses 64 partitions and the SUM over four
+    # disjoint boxes — the structural ~2x gap cannot be closed by
+    # boundary jitter, where a single 16-partition box could tie.
     rows = [(x, y) for x in range(256) for y in range(256)]
     df = spark.createDataFrame(rows, "x INT, y INT")
     z_path, lin_path = str(tmp_path / "z"), str(tmp_path / "lin")
-    layout.zorder_sort(df, ["x", "y"], bits=8, num_partitions=16) \
+    layout.zorder_sort(df, ["x", "y"], bits=8, num_partitions=64) \
         .drop("zkey").write.mode("overwrite").parquet(z_path)
-    df.repartitionByRange(16, "x").sortWithinPartitions("x", "y") \
+    df.repartitionByRange(64, "x").sortWithinPartitions("x", "y") \
         .write.mode("overwrite").parquet(lin_path)
 
     def rowgroups_hit(path, lo, hi):
@@ -1721,9 +1725,14 @@ def test_zorder_prunes_more_rowgroups_than_linear_sort(spark, tmp_path):
                     hit += 1
         return hit, total
 
-    z_hit, z_total = rowgroups_hit(z_path, 16, 47)     # 32x32 box
-    l_hit, l_total = rowgroups_hit(lin_path, 16, 47)
+    boxes = [(16, 47), (80, 111), (144, 175), (208, 239)]  # 32x32 each
+    z_hit = l_hit = 0
+    for lo, hi in boxes:
+        zh, zt = rowgroups_hit(z_path, lo, hi)
+        lh, lt = rowgroups_hit(lin_path, lo, hi)
+        assert zt > 0 and lt > 0
+        z_hit += zh
+        l_hit += lh
     # the linear sort prunes on x only: every file in the x-range must be
     # read regardless of y; the z-order layout bounds BOTH dims per file
-    assert z_total > 0 and l_total > 0
-    assert z_hit / z_total < l_hit / l_total
+    assert z_hit < l_hit

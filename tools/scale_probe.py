@@ -164,6 +164,13 @@ def main() -> None:
             F.count(F.lit(1))).collect()
         out[f"kmeans_x{r}_sec"] = round(time.time() - t0, 2)
 
+    # word-bigram LM: the training explode+shuffle is the cost (tfidf
+    # shape); scoring joins against the vocabulary-sized count table
+    t0 = time.time()
+    textstats.wordlm_logprob(dc_big, "doc_id", "text").select(
+        F.count(F.lit(1))).collect()
+    out["wordlm_sec"] = round(time.time() - t0, 2)
+
     # char-level exact substring removal: O(chars) positional gram rows —
     # the heaviest linear pass here; must still grow ~linearly
     t0 = time.time()
