@@ -294,6 +294,38 @@ def char_bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def top_phrases(df: DataFrame, id_col: str, text_col: str,
+                n: int = 5, top_k: int = 20,
+                min_docs: int = 2) -> DataFrame:
+    """Exact corpus-wide top-k repeated word ``n``-grams — the
+    boilerplate-DISCOVERY step ahead of remove_boilerplate_lines /
+    decontaminate / remove_duplicated_spans: rank phrases by total
+    occurrence count (overlapping occurrences each count), keeping
+    phrases carried by >= ``min_docs`` distinct documents. Returns
+    (phrase, n_occurrences, df_docs) ordered by count DESC, phrase ASC.
+
+    One positional-gram explode (tokens staged — HOF lambda bodies
+    evaluate per element), one gram-keyed partial/final aggregation, and
+    a TakeOrdered top-k — no all-pairs stage, no driver data."""
+    toks = "__toks"
+    grams = (f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+             f" i -> array_join(slice({toks}, i, {n}), ' '))")
+    base = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.expr(_tokens(text_col)).alias("__toks"))
+        .where(F.size("__toks") >= n)  # short docs carry no full gram
+        .select("__id", F.explode(F.expr(grams)).alias("phrase"))
+    )
+    return (
+        base.groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+             F.countDistinct("__id").cast("bigint").alias("df_docs"))
+        .where(F.col("df_docs") >= min_docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("phrase"))
+        .limit(top_k)
+    )
+
+
 def wordlm_logprob(df: DataFrame, id_col: str, text_col: str,
                    train_df: DataFrame | None = None,
                    k_smooth: float = 1.0) -> DataFrame:

@@ -2699,6 +2699,40 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.char_bigram_logprob(docs, "doc_id", "text")
 
 
+# exact top-k repeated phrases: total-occurrence ranking with a
+# distinct-doc floor — ORDER position matters, so the oracle carries the
+# same (count DESC, phrase ASC) total order and the compare's sorted-row
+# hashing sees identical sets
+_TOP_PHRASES_DUCK = r"""
+WITH tokd AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS phrase
+  FROM tokd, LATERAL UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+)
+SELECT phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs
+FROM g GROUP BY phrase
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, phrase
+LIMIT 20
+"""
+
+
+@q("text_top_phrases", _TOP_PHRASES_DUCK)
+def text_top_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate discovery: exact corpus-wide top-20 repeated word
+    5-grams by total occurrences, with a >= 2 distinct-doc floor — the
+    phrase list remove_boilerplate_lines / decontaminate would be fed."""
+    _views(spark, sf_dir)
+    return textstats.top_phrases(spark.table("documents"), "doc_id",
+                                 "text", n=5, top_k=20, min_docs=2)
+
+
 # CCNet-style word-bigram LM: trained on the src0 reference slice, add-1
 # smoothed with exact integer counts; per-token logs decimal-routed (the
 # proven _BIGRAM_DUCK treatment for the cross-engine ln ulp)
