@@ -15,6 +15,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from dbt_extrica_spark import Engine, Model, get_spark  # noqa: E402
 from dbt_extrica_spark import testing  # noqa: E402
 from dbt_extrica_spark.extensions import pipeline  # noqa: E402
@@ -78,6 +80,38 @@ def main() -> None:
     cleaned = pipeline.clean_corpus(docs)
     print("clean corpus:", cleaned.count(), "docs,",
           cleaned.agg({"est_llm_tokens": "sum"}).collect()[0][0], "est tokens")
+
+    # --- M6: pretraining curation + leakage-safe split ---------------------
+    from dbt_extrica_spark.extensions import dedup, sampling, similarity
+
+    # the synthetic corpus has no sentence punctuation, so give the C4
+    # line gate something to keep (same prep as the battery entry)
+    prepped = docs.select(
+        "doc_id", "source",
+        F.concat(F.col("text"),
+                 F.lit(" and that is the end of the document.")
+                 ).alias("text"))
+    packed = pipeline.pretrain_corpus(prepped)
+    last = packed.orderBy("doc_id", ascending=False).first()
+    print("pretrain corpus:", packed.count(), "docs packed,",
+          (last["offset"] + last["n_tokens"]), "tokens in the stream")
+
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                      threshold=0.6)
+    split = sampling.leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    dist = {r["split"]: r["n"] for r in
+            split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    print("leakage-safe split:", dist)
+
+    # --- M6: persisted vector index ----------------------------------------
+    emb = spark.table(eng.sources["embeddings"].render_unquoted())
+    cents, posts = similarity.ivf_index_build(emb, "vec_id", "embedding",
+                                              n_cells=16)
+    hits = similarity.ivf_index_query(
+        emb.limit(20), cents, posts, "vec_id", "embedding", k=3, nprobe=4)
+    print("ivf index: queried 20 vectors,", hits.count(), "neighbors")
 
     print("catalog:", list(eng.generate_docs()["relations"]))
     eng.close()
