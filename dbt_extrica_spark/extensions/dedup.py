@@ -210,19 +210,19 @@ def minhash_lsh_pairs(
     ``collapse_identical`` (default on) is the heavy-bucket guard: a corpus
     with m byte-identical boilerplate docs otherwise puts all m ids in the
     same band buckets and the self-join emits m²/2 candidate rows before
-    verification sees any of them. Docs are first grouped by shingle-SET
-    identity — equal sets mean an identical minhash signature AND identical
-    exact Jaccard against every other doc, so running banding+verification
-    over one representative per set is EXACTLY output-equivalent; member
-    pairs are rejoined afterwards (cross-group pairs inherit the verified
-    rep Jaccard, intra-group pairs are 1.0 by definition). The band join
-    then scales with DISTINCT content, not raw row count. The set key is
-    xxhash64 over the sorted distinct shingle hashes, collision-hardened
-    with the set size (same stance as clean_corpus's (md5, length) key).
-    Output cardinality is unchanged — all true member pairs are still
-    emitted, which is the operator's contract; cluster-level consumers
-    that only need group structure should use exact_dup_groups /
-    connected_components downstream.
+    verification sees any of them. Docs are first grouped by TEXT identity
+    (md5 + length, collision-hardened like clean_corpus's exact-dedup key
+    — one cheap scan, no shingling): equal texts mean equal shingle sets,
+    hence an identical minhash signature AND identical exact Jaccard
+    against every other doc, so running banding+verification over one
+    representative per group is EXACTLY output-equivalent; member pairs
+    are rejoined afterwards (cross-group pairs inherit the verified rep
+    Jaccard, intra-group pairs are 1.0 by definition). The band join then
+    scales with DISTINCT content, not raw row count. Output cardinality
+    is unchanged — all true member pairs are still emitted, which is the
+    operator's contract; cluster-level consumers that only need group
+    structure should use exact_dup_groups / connected_components
+    downstream.
 
     The returned pair set is pinned with ``localCheckpoint`` (executor block
     storage, NOT a reliable checkpoint): under dynamic allocation or
@@ -240,56 +240,38 @@ def minhash_lsh_pairs(
                               F.col(text_col).alias("text")))
 
     mapping = None
-    hd = None
     if collapse_identical:
-        # ONE shingle+hash pass: the sorted distinct hash array is both
-        # the set-identity key AND the signature input (a minhash is a
-        # min over the set — duplicates never change it), so neither the
-        # grouping nor the rep signatures re-shingle the corpus. h1 is
-        # staged as its own column (Catalyst evaluates HOF lambda bodies
-        # per element and does no CSE across lambdas — NEXT.md rules).
-        hd = (
-            texts
-            .withColumn("h1", F.expr(
-                f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"))
-            .select("id", F.expr("array_sort(array_distinct(h1))").alias("hd"))
-            .persist()
-        )
-        # xxhash64 hashes the array column directly (JVM-side, order-
-        # sensitive — hence the sort), no string building
-        keyed = hd.select(
+        # text-identity key: one cheap md5 scan — no shingling until the
+        # representatives. NULL text is its own group via sentinels
+        # (plain equi-joins drop NULL keys; a 32-hex md5 can't collide
+        # with the sentinel).
+        keyed = texts.select(
             "id",
-            F.xxhash64("hd").alias("skh"),
-            F.size("hd").alias("set_n"),
+            F.coalesce(F.md5("text"), F.lit("__null__")).alias("skh"),
+            F.coalesce(F.length("text"), F.lit(-1)).alias("slen"),
         )
-        groups = keyed.groupBy("skh", "set_n").agg(
+        groups = keyed.groupBy("skh", "slen").agg(
             F.min("id").alias("rep"),
             F.count(F.lit(1)).cast("bigint").alias("gsize"),
         )
         mapping = (
-            keyed.join(groups, on=["skh", "set_n"])
-            .select("id", "rep", "gsize", "set_n")
+            keyed.join(groups, on=["skh", "slen"])
+            .select("id", "rep", "gsize")
             .persist()
         )
         work = texts.join(
             mapping.where(F.col("id") == F.col("rep")).select("id"),
             on="id", how="left_semi")
-        sig = (
-            hd.join(mapping.where(F.col("id") == F.col("rep")).select("id"),
-                    on="id", how="left_semi")
-            .withColumn("sig", minhash_signature_from_hashes("hd", num_perm))
-            .select("id", "sig")
-        )
     else:
         work = texts
-        sig = (
-            work
-            .withColumn("h1", F.expr(
-                f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"
-            ))
-            .withColumn("sig", minhash_signature_from_hashes("h1", num_perm))
-            .select("id", "sig")
-        )
+    sig = (
+        work
+        .withColumn("h1", F.expr(
+            f"transform({_shingle_expr('text', k)}, s -> xxhash64(s))"
+        ))
+        .withColumn("sig", minhash_signature_from_hashes("h1", num_perm))
+        .select("id", "sig")
+    )
 
     # the self-join below scans `banded` twice; persisting the (tiny:
     # docs × bands rows) band table makes the expensive shingle+signature
@@ -346,11 +328,9 @@ def minhash_lsh_pairs(
 
     if mapping is not None:
         # rejoin members: cross-group pairs inherit the verified rep
-        # Jaccard (equal sets => equal Jaccard vs every other doc);
-        # intra-group pairs are exact duplicates of each other's sets, so
-        # Jaccard = 1.0 — except empty-set groups, whose pairwise Jaccard
-        # is 0/0 = NULL in the uncollapsed path: verified output drops
-        # them, unverified output keeps them as candidates.
+        # Jaccard (equal texts => equal sets => equal Jaccard vs every
+        # other doc); intra-group pairs are byte-identical, Jaccard 1.0
+        # (the shingle floor guarantees a non-empty set even for '').
         ma = mapping.select(F.col("rep").alias("id_a"), F.col("id").alias("xa"))
         mb = mapping.select(F.col("rep").alias("id_b"), F.col("id").alias("xb"))
         cross = (
@@ -360,7 +340,6 @@ def minhash_lsh_pairs(
         )
         intra_src = mapping.where(F.col("gsize") >= 2)
         if verify:
-            intra_src = intra_src.where(F.col("set_n") > 0)
             intra_jac = F.lit(1.0).cast("double")
         else:
             intra_jac = F.lit(None).cast("double")
@@ -380,8 +359,6 @@ def minhash_lsh_pairs(
         cand.unpersist()
     if mapping is not None:
         mapping.unpersist()
-    if hd is not None:
-        hd.unpersist()
     return out
 
 

@@ -289,9 +289,10 @@ def test_minhash_auto_banding_low_threshold(spark):
 
 def _minhash_equiv_corpus(spark):
     """Corpus exercising every collapse shape: a 3-member identical group
-    (doc 0 + two byte-copies), a near-dup of that group (suffix edit), and
-    a 2-member empty-text group (shingles to the singleton set {''} —
-    _shingle_expr's greatest(...,1) floor guarantees >= 1 shingle)."""
+    (doc 0 + two byte-copies), a near-dup of that group (suffix edit), a
+    2-member empty-text group (shingles to the singleton set {''} —
+    _shingle_expr's greatest(...,1) floor guarantees >= 1 shingle), and a
+    2-member NULL-text group (its own group, distinct from '')."""
     docs = _docs(spark).select("doc_id", "text").where("doc_id < 40")
     return docs.unionByName(spark.sql(
         "SELECT 90001 AS doc_id, text FROM documents WHERE doc_id = 0"
@@ -301,7 +302,9 @@ def _minhash_equiv_corpus(spark):
         " SELECT 90003 AS doc_id, concat(text, ' tiny suffix') AS text"
         " FROM documents WHERE doc_id = 0"
         " UNION ALL SELECT 90004 AS doc_id, '' AS text"
-        " UNION ALL SELECT 90005 AS doc_id, '' AS text"))
+        " UNION ALL SELECT 90005 AS doc_id, '' AS text"
+        " UNION ALL SELECT 90006 AS doc_id, CAST(NULL AS STRING) AS text"
+        " UNION ALL SELECT 90007 AS doc_id, CAST(NULL AS STRING) AS text"))
 
 
 def test_minhash_collapse_identical_equivalent(spark):
