@@ -308,7 +308,10 @@ def top_phrases(df: DataFrame, id_col: str, text_col: str,
     evaluate per element), one gram-keyed partial/final aggregation, and
     a TakeOrdered top-k — no all-pairs stage, no driver data."""
     toks = "__toks"
-    grams = (f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+    # no greatest(...,1) floor here: the size >= n guard below already
+    # ensures the sequence is non-empty, and a floor would emit truncated
+    # sub-n-gram phrases if the guard were ever dropped
+    grams = (f"transform(sequence(1, size({toks}) - {n} + 1),"
              f" i -> array_join(slice({toks}, i, {n}), ' '))")
     base = (
         df.select(F.col(id_col).alias("__id"),

@@ -93,8 +93,9 @@ def main() -> None:
                  ).alias("text"))
     packed = pipeline.pretrain_corpus(prepped)
     last = packed.orderBy("doc_id", ascending=False).first()
+    stream_tokens = (last["offset"] + last["n_tokens"]) if last else 0
     print("pretrain corpus:", packed.count(), "docs packed,",
-          (last["offset"] + last["n_tokens"]), "tokens in the stream")
+          stream_tokens, "tokens in the stream")
 
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
                                       threshold=0.6)
