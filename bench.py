@@ -103,14 +103,26 @@ def main() -> None:
     cold, cold_total = run_pass("cold")
     warm, warm_total = run_pass("warm")
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Detailed per-query record first (an EARLY line — may exceed a tail
+    # capture window; that's fine, it's for humans and archaeology) ...
+    print(json.dumps({
+        "metric": "headline_queries_detail",
+        "queries": warm,
+        "queries_cold": cold,
+        "sf": sf_val,
+    }))
+    # ... then a COMPACT final line with no per-query maps, so the LAST
+    # line always fits any tail-capture window and stays parseable
+    # (round-7 verdict item #1: BENCH_r07.json was parsed:null because the
+    # single fat line outgrew the driver's tail window).
     print(json.dumps({
         "metric": "headline_queries_wall",
         "value": round(warm_total, 3),
-        "unit": "sec",
-        "queries": warm,
         "value_cold": round(cold_total, 3),
-        "queries_cold": cold,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "unit": "sec",
+        "n_queries": len(HEADLINE),
+        "sf": sf_val,
     }))
     spark.stop()
 

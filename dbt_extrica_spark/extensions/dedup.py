@@ -199,7 +199,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     verify: bool = True,
     collapse_identical: bool = True,
-) -> DataFrame:
+    expand_members: bool = True,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-duplicate pairs via MinHash banding, optionally verified with the
     exact Jaccard of the shingle sets. Returns (id_a, id_b, jaccard) with
     id_a < id_b.
@@ -218,11 +219,24 @@ def minhash_lsh_pairs(
     representative per group is EXACTLY output-equivalent; member pairs
     are rejoined afterwards (cross-group pairs inherit the verified rep
     Jaccard, intra-group pairs are 1.0 by definition). The band join then
-    scales with DISTINCT content, not raw row count. Output cardinality
-    is unchanged — all true member pairs are still emitted, which is the
-    operator's contract; cluster-level consumers that only need group
-    structure should use exact_dup_groups / connected_components
-    downstream.
+    scales with DISTINCT content, not raw row count. With the default
+    ``expand_members=True`` output cardinality is unchanged — all true
+    member pairs are still emitted, which is the pair operator's
+    historical contract.
+
+    ``expand_members=False`` (requires ``collapse_identical``) is the
+    100 TB output shape: the collapse guard fixed the band-join COMPUTE
+    blowup, but an m-copy boilerplate group still expands to m²/2 OUTPUT
+    rows — a million-copy doc makes the pair set itself infeasible. Group
+    mode instead returns the tuple ``(rep_pairs, membership)``:
+    ``rep_pairs`` = the verified (id_a, id_b, jaccard) over group
+    REPRESENTATIVES only, ``membership`` = (id, rep, gsize) for every
+    input doc — linear in the corpus. The expanded pair set is recoverable
+    exactly via :func:`expand_group_pairs` (equivalence-tested);
+    cluster-level consumers should instead feed
+    :func:`group_pairs_to_edges` (rep pairs ∪ member→rep edges, also
+    linear) into connected_components / leakage_safe_split — identical
+    components, no quadratic blowup.
 
     The returned pair set is pinned with ``localCheckpoint`` (executor block
     storage, NOT a reliable checkpoint): under dynamic allocation or
@@ -231,6 +245,11 @@ def minhash_lsh_pairs(
     promptly); for long-lived sessions on preemptible clusters, write the
     result to a table instead of holding the handle.
     """
+    if not expand_members and not collapse_identical:
+        raise ValueError(
+            "expand_members=False returns (rep_pairs, membership), which "
+            "requires collapse_identical=True to define the groups."
+        )
     if bands is None:
         bands = auto_bands(num_perm, threshold)
     rows_per_band = num_perm // bands
@@ -241,21 +260,26 @@ def minhash_lsh_pairs(
 
     mapping = None
     if collapse_identical:
-        # text-identity key: one cheap md5 scan — no shingling until the
+        # text-identity key: one cheap hash scan — no shingling until the
         # representatives. NULL text is its own group via sentinels
         # (plain equi-joins drop NULL keys; a 32-hex md5 can't collide
-        # with the sentinel).
+        # with the sentinel). The key is (md5, length, xxhash64): md5
+        # collisions are constructible (adversarial corpora), but a
+        # simultaneous md5 AND xxhash64 collision at equal length is not
+        # — without the second hash, two crafted distinct texts would be
+        # merged into one group and emitted as fake Jaccard-1.0 pairs.
         keyed = texts.select(
             "id",
             F.coalesce(F.md5("text"), F.lit("__null__")).alias("skh"),
             F.coalesce(F.length("text"), F.lit(-1)).alias("slen"),
+            F.xxhash64("text").alias("sxh"),
         )
-        groups = keyed.groupBy("skh", "slen").agg(
+        groups = keyed.groupBy("skh", "slen", "sxh").agg(
             F.min("id").alias("rep"),
             F.count(F.lit(1)).cast("bigint").alias("gsize"),
         )
         mapping = (
-            keyed.join(groups, on=["skh", "slen"])
+            keyed.join(groups, on=["skh", "slen", "sxh"])
             .select("id", "rep", "gsize")
             .persist()
         )
@@ -326,32 +350,20 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    if mapping is not None:
-        # rejoin members: cross-group pairs inherit the verified rep
-        # Jaccard (equal texts => equal sets => equal Jaccard vs every
-        # other doc); intra-group pairs are byte-identical, Jaccard 1.0
-        # (the shingle floor guarantees a non-empty set even for '').
-        ma = mapping.select(F.col("rep").alias("id_a"), F.col("id").alias("xa"))
-        mb = mapping.select(F.col("rep").alias("id_b"), F.col("id").alias("xb"))
-        cross = (
-            rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
-            .select(F.least("xa", "xb").alias("id_a"),
-                    F.greatest("xa", "xb").alias("id_b"), "jaccard")
-        )
-        intra_src = mapping.where(F.col("gsize") >= 2)
+    if not expand_members:
+        # group mode: rep-level pairs + the linear membership table; the
+        # m²/2 member expansion never materializes
+        out_pairs = rep_pairs.localCheckpoint(eager=True)
+        out_membership = (mapping.select("id", "rep", "gsize")
+                          .localCheckpoint(eager=True))
+        banded.unpersist()
         if verify:
-            intra_jac = F.lit(1.0).cast("double")
-        else:
-            intra_jac = F.lit(None).cast("double")
-        ia = intra_src.select("rep", F.col("id").alias("xa"))
-        ib = intra_src.select("rep", F.col("id").alias("xb"))
-        intra = (
-            ia.join(ib, on="rep")
-            .where(F.col("xa") < F.col("xb"))
-            .select(F.col("xa").alias("id_a"), F.col("xb").alias("id_b"),
-                    intra_jac.alias("jaccard"))
-        )
-        rep_pairs = cross.unionByName(intra)
+            cand.unpersist()
+        mapping.unpersist()
+        return out_pairs, out_membership
+
+    if mapping is not None:
+        rep_pairs = expand_group_pairs(rep_pairs, mapping, verified=verify)
 
     out = rep_pairs.localCheckpoint(eager=True)  # small: true pairs only
     banded.unpersist()
@@ -360,6 +372,59 @@ def minhash_lsh_pairs(
     if mapping is not None:
         mapping.unpersist()
     return out
+
+
+def expand_group_pairs(rep_pairs: DataFrame, membership: DataFrame,
+                       verified: bool = True) -> DataFrame:
+    """Expand group-mode minhash output back to the full member-level pair
+    set — EXACTLY the pairs ``expand_members=True`` emits. Cross-group
+    pairs inherit the verified rep Jaccard (equal texts => equal shingle
+    sets => equal Jaccard vs every other doc); intra-group pairs are
+    byte-identical, Jaccard 1.0 (the shingle floor guarantees a non-empty
+    set even for ''), or NULL when the rep pairs are unverified
+    (``verified=False``). Quadratic in duplicate-group size BY REQUEST —
+    cluster-level consumers should use :func:`group_pairs_to_edges`."""
+    ma = membership.select(F.col("rep").alias("id_a"), F.col("id").alias("xa"))
+    mb = membership.select(F.col("rep").alias("id_b"), F.col("id").alias("xb"))
+    cross = (
+        rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+        .select(F.least("xa", "xb").alias("id_a"),
+                F.greatest("xa", "xb").alias("id_b"), "jaccard")
+    )
+    intra_src = membership.where(F.col("gsize") >= 2)
+    if verified:
+        intra_jac = F.lit(1.0).cast("double")
+    else:
+        intra_jac = F.lit(None).cast("double")
+    ia = intra_src.select("rep", F.col("id").alias("xa"))
+    ib = intra_src.select("rep", F.col("id").alias("xb"))
+    intra = (
+        ia.join(ib, on="rep")
+        .where(F.col("xa") < F.col("xb"))
+        .select(F.col("xa").alias("id_a"), F.col("xb").alias("id_b"),
+                intra_jac.alias("jaccard"))
+    )
+    return cross.unionByName(intra)
+
+
+def group_pairs_to_edges(rep_pairs: DataFrame,
+                         membership: DataFrame) -> DataFrame:
+    """Group-mode minhash output as a LINEAR edge list for clustering:
+    rep-level pairs ∪ (member, rep) edges for every non-rep member.
+    connected_components over these edges yields components IDENTICAL to
+    components over the expanded member-level pair set (every member is
+    connected to its rep, reps carry the cross-group links — same
+    transitive closure), with O(pairs + members) edges instead of
+    O(pairs + Σ gsize²/2). This is what leakage_safe_split / keep-best
+    consumers should feed CC at scale."""
+    member_edges = (
+        membership.where(F.col("id") != F.col("rep"))
+        .select(F.least("id", "rep").alias("id_a"),
+                F.greatest("id", "rep").alias("id_b"))
+    )
+    return (rep_pairs.select("id_a", "id_b")
+            .unionByName(member_edges)
+            .distinct())
 
 
 def _bands_from_sigs(sig: DataFrame, bands: int,
@@ -390,7 +455,14 @@ def minhash_band_table(df: DataFrame, id_col: str, text_col: str,
     incremental dedup admission flow maintains: materialize it once for
     the history, append each admitted batch, and new batches join against
     it instead of re-shingling the corpus (see
-    :func:`minhash_incremental_pairs`)."""
+    :func:`minhash_incremental_pairs`).
+
+    The table carries its build parameters as a literal ``mh_params``
+    column (``k=..,perm=..,bands=..``) — band hashes built with different
+    (k, num_perm, bands) NEVER collide meaningfully, so probing a
+    mismatched index silently admits every duplicate; the stamp survives
+    a parquet round-trip with the index and lets probe time assert the
+    match instead."""
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
     texts = _spread(df.select(F.col(id_col).alias("id"),
@@ -402,7 +474,36 @@ def minhash_band_table(df: DataFrame, id_col: str, text_col: str,
         .withColumn("sig", minhash_signature_from_hashes("h1", num_perm))
         .select("id", "sig")
     )
-    return _bands_from_sigs(sig, bands, rows_per_band)
+    return _bands_from_sigs(sig, bands, rows_per_band).withColumn(
+        "mh_params", F.lit(_mh_params_stamp(k, num_perm, bands)))
+
+
+def _mh_params_stamp(k: int, num_perm: int, bands: int) -> str:
+    return f"k={k},perm={num_perm},bands={bands}"
+
+
+def _check_band_params(hist_bands: DataFrame, k: int, num_perm: int,
+                       bands: int) -> None:
+    """Assert a precomputed band table was built with the same
+    (k, num_perm, bands) as this probe. A mismatch yields near-zero band
+    collisions — duplicates silently admitted — so it must be an error,
+    not a quiet recall collapse."""
+    expected = _mh_params_stamp(k, num_perm, bands)
+    if "mh_params" not in hist_bands.columns:
+        raise ValueError(
+            "hist_bands has no mh_params column — build it with "
+            "minhash_band_table (which stamps its parameters) so the "
+            f"probe can verify it matches {expected!r}."
+        )
+    row = hist_bands.select("mh_params").first()
+    if row is not None and row[0] != expected:
+        raise ValueError(
+            f"hist_bands was built with {row[0]!r} but this probe uses "
+            f"{expected!r}; band hashes from different parameters never "
+            f"collide meaningfully, so every duplicate would be silently "
+            f"admitted. Rebuild the index or pass matching k/num_perm/"
+            f"bands."
+        )
 
 
 def minhash_incremental_pairs(
@@ -435,6 +536,8 @@ def minhash_incremental_pairs(
     if hist_bands is None:
         hist_bands = minhash_band_table(hist_df, id_col, text_col,
                                         k=k, num_perm=num_perm, bands=bands)
+    else:
+        _check_band_params(hist_bands, k, num_perm, bands)
     new_bands = minhash_band_table(new_df, id_col, text_col,
                                    k=k, num_perm=num_perm, bands=bands)
     cand = (
@@ -776,10 +879,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     component = the minimum id reachable through the pair graph. The step a
     dedup pipeline needs after pair generation — keep one doc per component.
 
-    Iterative min-label propagation (the standard large-graph approach —
-    hash joins per round, O(graph diameter) rounds, which is tiny for dup
-    clusters). Labels persist per round and the loop exits when a round
-    changes nothing; localCheckpoint every few rounds caps plan lineage.
+    Iterative min-label propagation with a POINTER-JUMPING shortcut each
+    round (component := label[component], the large-star/small-star trick
+    — path lengths halve per round, so convergence is O(log diameter)
+    rounds, not O(diameter); max_iter=20 covers diameters up to ~2^20).
+    Labels persist per round and the loop exits when a round changes
+    nothing; localCheckpoint every round caps plan lineage.
+
+    Raises RuntimeError if the loop exhausts ``max_iter`` without
+    converging — silent partial labels would split one true component
+    into several, which breaks every downstream guarantee built on
+    components (leakage_safe_split's "near-dups never straddle splits"
+    first among them).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -816,6 +927,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("component"),
             )
         )
+        # pointer-jumping shortcut: follow the label chain one hop
+        # (component := label[component]); combined with the neighbor-min
+        # step above, label paths halve every round -> O(log diameter)
+        # rounds instead of O(diameter). The jump table is the label table
+        # itself (tiny: one row per node appearing in a pair).
+        jump = new_labels.select(F.col("id").alias("jid"),
+                                 F.col("component").alias("jcomp"))
+        new_labels = (
+            new_labels.join(jump, new_labels.component == jump.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("jcomp"), F.col("component")),
+                ).alias("component"),
+            )
+        )
         # checkpoint EVERY round: persist alone leaves the logical plan
         # growing linearly with iterations, and per-round analysis/AQE
         # planning over the accumulated lineage ballooned from 2s to 19s
@@ -831,6 +959,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            f"labels are PARTIAL (one true component may be split into "
+            f"several). With pointer jumping this needs a graph diameter "
+            f"> ~2^{max_iter} — raise max_iter."
+        )
     edges.unpersist()
     return labels.select("id", "component")
 

@@ -432,7 +432,8 @@ def ivf_topk(
 # Arrow boundary once per cell-membership (not once per PAIR — a per-pair
 # UDF ships each 64-float vector hundreds of times), and the per-cell
 # score matrix is one SIMD matmul.
-def _ivf_score_cell(key, probes_pdf: "pd.DataFrame", cells_pdf: "pd.DataFrame"):
+def _ivf_score_cell(key, probes_pdf: "pd.DataFrame", cells_pdf: "pd.DataFrame",
+                    exclude_self: bool = True):
     import numpy as np
 
     if len(probes_pdf) == 0 or len(cells_pdf) == 0:
@@ -451,20 +452,32 @@ def _ivf_score_cell(key, probes_pdf: "pd.DataFrame", cells_pdf: "pd.DataFrame"):
         "id": ids[ci.ravel()],
         "cosine": sims.ravel(),
     })
-    return out[out["qid"] != out["id"]]
+    if exclude_self:
+        out = out[out["qid"] != out["id"]]
+    return out
 
 
 def _ivf_score_and_rank(probes: DataFrame, cells: DataFrame,
-                        k: int) -> DataFrame:
+                        k: int, exclude_self: bool = True) -> DataFrame:
     """Cogroup probes against cell postings on the cell id, score each
     cell with one matmul, window-rank per query. ``probes`` must carry
-    (qid, qv, qnrm, cid); ``cells`` (id, v, nrm, cid)."""
+    (qid, qv, qnrm, cid); ``cells`` (id, v, nrm, cid).
+
+    ``exclude_self`` drops (qid == id) score rows — correct for
+    self-search (ivf_topk: a vector is trivially its own nearest
+    neighbor), WRONG for external-query search (ivf_index_query: a query
+    id is in a different id space, and an accidental id collision with an
+    unrelated corpus vector must not delete that neighbor)."""
     # rename one grouping key so same-lineage callers dodge the
     # ambiguous-self-join check (cogroup keys match positionally)
     probes = probes.withColumnRenamed("cid", "pcid")
+
+    def score(key, p_pdf, c_pdf):
+        return _ivf_score_cell(key, p_pdf, c_pdf, exclude_self=exclude_self)
+
     scored = (
         probes.groupBy("pcid").cogroup(cells.groupBy("cid"))
-        .applyInPandas(_ivf_score_cell,
+        .applyInPandas(score,
                        schema="qid bigint, id bigint, cosine double")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
@@ -574,13 +587,22 @@ def ivf_index_append(new_df: DataFrame, centroids: DataFrame,
 
 def ivf_index_query(queries: DataFrame, centroids: DataFrame,
                     postings: DataFrame, id_col: str, vec_col: str,
-                    k: int = 10, nprobe: int = 3) -> DataFrame:
+                    k: int = 10, nprobe: int = 3,
+                    exclude_self: bool = True) -> DataFrame:
     """Search a prebuilt IVF index: rank each query's ``nprobe`` nearest
     cells from the centroid table, cogroup against ONLY those cells'
     postings, score per cell with one numpy matmul, window the top-k.
     Per-batch cost is O(queries x probed-cell postings) — the corpus is
     never rescanned. Returns (query_id, neighbor_id, cosine, rank);
-    full probe (nprobe = n_cells) equals brute force exactly."""
+    full probe (nprobe = n_cells) equals brute force exactly.
+
+    ``exclude_self`` (default True) drops postings whose id equals the
+    query id — correct ONLY when query ids and posting ids share one id
+    space (querying the index with its own members, as the oracle gates
+    do). When the query batch is EXTERNAL — its ids are a different id
+    space from the corpus — pass ``exclude_self=False``, or an
+    accidental id collision with an unrelated corpus vector silently
+    deletes that neighbor and shifts every rank below it."""
     qbase = _with_norm(queries, id_col, vec_col)
     cell_rows = _ivf_collect_cells(centroids)
     ranked = _ivf_assign(qbase, centroids, cell_rows, nprobe=nprobe)
@@ -588,7 +610,8 @@ def ivf_index_query(queries: DataFrame, centroids: DataFrame,
         F.col("id").alias("qid"), F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"), "cid",
     )
-    return _ivf_score_and_rank(probes, postings, k)
+    return _ivf_score_and_rank(probes, postings, k,
+                               exclude_self=exclude_self)
 
 
 def projection_matrix(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[int]]:

@@ -12,6 +12,8 @@ same code serves both.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 import uuid
 from typing import Iterable
 
@@ -189,8 +191,6 @@ def streaming_minhash_admission(
     production session the two state tables would be real tables
     (saveAsTable + append) instead of localCheckpoint handles — same
     shapes, durable storage."""
-    import uuid as _uuid
-
     from ..extensions import dedup as dedup_ops
 
     # state checkpoints are LAZY: a batch only pays for the history
@@ -303,14 +303,20 @@ def streaming_minhash_admission(
         state["bands"] = (state["bands"].unionByName(kept_bands)
                          .localCheckpoint(eager=False))
 
-    query = (
-        doc_stream.writeStream.foreachBatch(admit)
-        .trigger(availableNow=True)
-        .option("checkpointLocation",
-                f"/tmp/spark_admission_{_uuid.uuid4().hex[:8]}")
-        .start()
-    )
-    query.awaitTermination()
+    # an availableNow catch-up needs no durable checkpoint — use a fresh
+    # tempdir (honors TMPDIR; /tmp may be wrong on shared/diskless hosts)
+    # and remove it after termination so repeated calls don't accumulate
+    ckpt = tempfile.mkdtemp(prefix="spark_admission_")
+    try:
+        query = (
+            doc_stream.writeStream.foreachBatch(admit)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     if not state["admitted"]:
         return state["hist"].limit(0)
     out = state["admitted"][0]

@@ -340,6 +340,99 @@ def test_minhash_collapse_identical_equivalent_unverified(spark):
     assert (90004, 90005) in got
 
 
+def test_minhash_group_mode_equivalent(spark):
+    # expand_members=False returns (rep_pairs, membership); expanding it
+    # back must reproduce EXACTLY the default member-level output
+    planted = _minhash_equiv_corpus(spark)
+    kw = dict(k=5, num_perm=64, bands=16, threshold=0.7)
+    ref = {(r.id_a, r.id_b): r.jaccard for r in dedup.minhash_lsh_pairs(
+        planted, "doc_id", "text", **kw).collect()}
+    rep_pairs, membership = dedup.minhash_lsh_pairs(
+        planted, "doc_id", "text", expand_members=False, **kw)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.expand_group_pairs(rep_pairs, membership).collect()}
+    assert got == ref
+    # membership covers every input doc, reps are group minima, and the
+    # group-mode pair set is rep-level only (no member of a gsize>=2
+    # group other than its rep appears in rep_pairs)
+    mem = {r.id: (r.rep, r.gsize) for r in membership.collect()}
+    assert len(mem) == planted.count()
+    assert mem[90001] == (0, 3) and mem[90002] == (0, 3)
+    assert mem[90005][0] == 90004 and mem[90005][1] == 2
+    non_reps = {i for i, (rep, _g) in mem.items() if i != rep}
+    pair_ids = {x for r in rep_pairs.collect() for x in (r.id_a, r.id_b)}
+    assert not (pair_ids & non_reps)
+
+
+def test_minhash_group_mode_edges_components(spark):
+    # CC over the LINEAR edge list (rep pairs + member->rep edges) must
+    # equal CC over the expanded quadratic pair set
+    planted = _minhash_equiv_corpus(spark)
+    kw = dict(k=5, num_perm=64, bands=16, threshold=0.7)
+    rep_pairs, membership = dedup.minhash_lsh_pairs(
+        planted, "doc_id", "text", expand_members=False, **kw)
+    edges = dedup.group_pairs_to_edges(rep_pairs, membership)
+    expanded = dedup.expand_group_pairs(rep_pairs, membership)
+    comp_lin = {r.id: r.component
+                for r in dedup.connected_components(edges).collect()}
+    comp_full = {r.id: r.component
+                 for r in dedup.connected_components(expanded).collect()}
+    assert comp_lin == comp_full
+    # edge list is linear: <= rep pairs + non-rep member count
+    n_members = membership.where("id != rep").count()
+    assert edges.count() <= rep_pairs.count() + n_members
+
+
+def test_minhash_group_mode_requires_collapse(spark):
+    import pytest as _pytest
+
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 5")
+    with _pytest.raises(ValueError, match="collapse_identical"):
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                collapse_identical=False,
+                                expand_members=False)
+
+
+def test_minhash_band_table_param_stamp(spark):
+    import pytest as _pytest
+
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 20")
+    hist = docs.where("doc_id < 10")
+    new = docs.where("doc_id >= 10")
+    idx = dedup.minhash_band_table(hist, "doc_id", "text", k=5,
+                                   num_perm=64, bands=16)
+    # mismatched build params must raise, not silently admit duplicates
+    with _pytest.raises(ValueError, match="k=7"):
+        dedup.minhash_incremental_pairs(new, hist, "doc_id", "text", k=7,
+                                        num_perm=64, bands=16,
+                                        hist_bands=idx)
+    # an unstamped table (hand-built) is rejected too
+    with _pytest.raises(ValueError, match="mh_params"):
+        dedup.minhash_incremental_pairs(new, hist, "doc_id", "text",
+                                        hist_bands=idx.drop("mh_params"))
+    # matching params pass through
+    dedup.minhash_incremental_pairs(new, hist, "doc_id", "text", k=5,
+                                    num_perm=64, bands=16,
+                                    hist_bands=idx).count()
+
+
+def test_connected_components_pointer_jumping_and_guard(spark):
+    import pytest as _pytest
+
+    # a 200-node chain has diameter 200: plain min-propagation needs ~200
+    # rounds, pointer jumping converges in O(log n) — 12 rounds suffice
+    pairs = spark.sql(
+        "SELECT x AS id_a, x + 1 AS id_b FROM"
+        " (SELECT explode(sequence(0, 199)) AS x)")
+    comp = {r.id: r.component
+            for r in dedup.connected_components(pairs, max_iter=12).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 201
+    # an impossible budget must raise (silent partial labels would break
+    # leakage_safe_split's no-straddle guarantee), never return quietly
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
 def test_wordlm_junk_scores_high_and_oov_exact(spark):
     import math
 
