@@ -819,6 +819,180 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22)
 
 
+# --------------------------------------------------------------------------
+# TPC-H completion: the 5 partsupp patterns (q2/q9/q11/q16/q20)
+#
+# The driver's generator produces no partsupp table, so these five shapes
+# were untestable until now. partsupp is DERIVED deterministically — and
+# IDENTICALLY in Spark and the DuckDB oracle, since the CTE below is plain
+# ANSI SQL — as the supplier catalog implied by observed supply events:
+# one row per DISTINCT (l_partkey, l_suppkey) in lineitem, with availqty /
+# supplycost as pure hash-free integer expressions of the key (modulo
+# arithmetic on BIGINTs — exact in both engines; supplycost lands on
+# exactly 2 decimals so every product with an integral quantity is
+# decimal-exact). Reference behavior: dbt-extrica ships TPC-H SQL through
+# to Trino unchanged (SURVEY §2C); these entries prove the same SQL text
+# runs natively.
+# --------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST((l_partkey * 37 + l_suppkey * 11) % 9991 + 1 AS INT)
+           AS ps_availqty,
+         CAST((l_partkey * 53 + l_suppkey * 17) % 90000 AS DOUBLE) / 100.0
+           + 100.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+)
+"""
+
+_Q2 = f"""
+WITH {_PARTSUPP_CTE.strip()}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+      SELECT MIN(ps_supplycost)
+      FROM partsupp ps2, supplier s2, nation n2, region r2
+      WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        AND s2.s_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r2.r_regionkey
+        AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@q("q2_min_cost_supplier", _Q2)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern (p_size stands in for the size+type pair): the
+    correlated min-cost-supplier scalar subquery over the derived
+    partsupp, re-filtered by the same region inside the correlation.
+    LIMIT is safe: (p_partkey, s_name) makes the ORDER BY total."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q2)
+
+
+_Q9 = """
+WITH {ps}
+SELECT nation, o_year,
+       CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - ps_supplycost * l_quantity AS amount
+  FROM part, supplier, lineitem, partsupp, orders, nation
+  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""".format(ps=_PARTSUPP_CTE.strip())
+
+
+@q("q9_product_profit", _Q9)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by nation and year — the 6-table join with the
+    cost term from partsupp. amount is decimal-exact: extendedprice and
+    discount carry <= 2 decimals (the q1 sum_disc argument), supplycost
+    exactly 2, quantity integral."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q9)
+
+
+_Q11 = """
+WITH {ps},
+instock AS (
+  SELECT ps_partkey,
+         CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4)))
+              AS DOUBLE) AS stock_value
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY ps_partkey
+)
+SELECT ps_partkey, stock_value
+FROM instock
+WHERE stock_value > (
+    SELECT CAST(SUM(CAST(stock_value AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+    FROM instock)
+ORDER BY stock_value DESC, ps_partkey
+""".format(ps=_PARTSUPP_CTE.strip())
+
+
+@q("q11_important_stock", _Q11)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: per-part stock value HAVING over a scalar fraction of
+    the national total — the CTE is reused as both the group table and
+    the threshold subquery (the q15 shape, one level deeper). supplycost
+    x availqty is exactly 2 decimals x int, so both sums are exact."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q11)
+
+
+_Q16 = """
+WITH {ps}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 11, 15, 22, 28, 35, 44)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""".format(ps=_PARTSUPP_CTE.strip())
+
+
+@q("q16_supplier_part_counts", _Q16)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 pattern (negative acctbal stands in for the complaint
+    comment): distinct-supplier counting per part attribute group with a
+    NOT IN exclusion subquery (null-free key, so the anti join is
+    plain)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q16)
+
+
+_Q20 = """
+WITH {ps}
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > (
+          SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                            AS DOUBLE)
+          FROM lineitem
+          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+  AND s_nationkey = n_nationkey AND n_regionkey = 3
+ORDER BY s_name
+""".format(ps=_PARTSUPP_CTE.strip())
+
+
+@q("q20_excess_inventory", _Q20)
+def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 pattern (region stands in for the single nation, keeping
+    the result non-trivial at small SF): suppliers holding more than half
+    a year's shipped quantity of any name-matched part — a correlated agg
+    threshold inside nested IN subqueries (semi-join chain; an empty
+    correlation sums to NULL and correctly fails the >)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q20)
+
+
 _RANGE_DUCK = """
 WITH bands AS (
   SELECT CAST(i AS INT) AS band_id,

@@ -224,6 +224,74 @@ def main() -> None:
     out["minhash_dup_saturated_collapse_sec"] = round(time.time() - t0, 2)
     out["minhash_dup_saturated_pairs"] = n_pairs
 
+    # group-mode output on the same dup-saturated corpus: the OUTPUT
+    # collapses from m²/2 member pairs to rep pairs + a linear membership
+    # table — the shape a million-copy boilerplate doc needs at 100 TB
+    t0 = time.time()
+    rep_pairs, membership = dedup.minhash_lsh_pairs(
+        dup_big, "doc_id", "text", expand_members=False)
+    out["minhash_dup_saturated_group_sec"] = round(time.time() - t0, 2)
+    out["minhash_group_rep_pairs"] = rep_pairs.count()
+    out["minhash_group_membership_rows"] = membership.count()
+
+    # incremental admission over SEQUENTIAL batches: history (and its band
+    # index) grows every round, per-batch cost must stay flat — the probe
+    # is O(batch) against the index, never O(history). Batches are
+    # dimension-tagged copies of the documents table (distinct text),
+    # history starts at 1x and grows by one batch per round.
+    hist = dc
+    hist_bands = dedup.minhash_band_table(hist, "doc_id", "text")
+    hist_bands = hist_bands.localCheckpoint(eager=True)
+    batch_secs = []
+    for i in range(1, 6):
+        batch = (dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                 .withColumn("text", F.concat(F.lit(f"adm{i} "),
+                                              F.col("text"))))
+        t0 = time.time()
+        dedup.minhash_incremental_pairs(
+            batch, hist, "doc_id", "text",
+            hist_bands=hist_bands).count()
+        new_bands = dedup.minhash_band_table(batch, "doc_id", "text")
+        hist_bands = (hist_bands.unionByName(new_bands)
+                      .localCheckpoint(eager=True))
+        hist = hist.unionByName(batch).localCheckpoint(eager=True)
+        batch_secs.append(round(time.time() - t0, 2))
+    out["admission_batch_secs"] = batch_secs  # flat => O(batch) per round
+
+    # persisted IVF index: append must cost O(batch) (assignment scan over
+    # the increment only), and query cost must be unchanged by the append
+    cents, posts = similarity.ivf_index_build(emb, "vec_id", "embedding",
+                                              n_cells=16)
+    posts = posts.localCheckpoint(eager=True)
+    qs = emb.where("vec_id < 200")
+    t0 = time.time()
+    similarity.ivf_index_query(qs, cents, posts, "vec_id", "embedding",
+                               k=5, nprobe=3).count()
+    out["ivf_query_before_append_sec"] = round(time.time() - t0, 2)
+    delta = emb.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    t0 = time.time()
+    appended = similarity.ivf_index_append(delta, cents, "vec_id",
+                                           "embedding")
+    posts2 = posts.unionByName(appended).localCheckpoint(eager=True)
+    out["ivf_append_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    similarity.ivf_index_query(qs, cents, posts2, "vec_id", "embedding",
+                               k=5, nprobe=3).count()
+    out["ivf_query_after_append_sec"] = round(time.time() - t0, 2)
+
+    # leakage-safe split at replicated pair mass: near-dup pairs from the
+    # dup-saturated corpus in GROUP mode -> linear edges -> components ->
+    # one draw per component; must scale with members, not member pairs
+    from dbt_extrica_spark.extensions import sampling
+
+    edges = dedup.group_pairs_to_edges(rep_pairs, membership)
+    t0 = time.time()
+    sampling.leakage_safe_split(
+        dup_big, "doc_id", edges,
+        {"train": 0.8, "val": 0.1, "test": 0.1}).groupBy("split").count(
+        ).collect()
+    out["leakage_split_10x_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
     spark.stop()
 
