@@ -57,6 +57,11 @@ HEADLINE = [
     "q8_market_share",
     "q13_customer_distribution",
     "text_wordlm_logprob",
+    # round 8 additions
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "dedup_minhash_groups",
 ]
 
 

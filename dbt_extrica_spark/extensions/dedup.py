@@ -260,29 +260,11 @@ def minhash_lsh_pairs(
 
     mapping = None
     if collapse_identical:
-        # text-identity key: one cheap hash scan — no shingling until the
-        # representatives. NULL text is its own group via sentinels
-        # (plain equi-joins drop NULL keys; a 32-hex md5 can't collide
-        # with the sentinel). The key is (md5, length, xxhash64): md5
-        # collisions are constructible (adversarial corpora), but a
-        # simultaneous md5 AND xxhash64 collision at equal length is not
-        # — without the second hash, two crafted distinct texts would be
-        # merged into one group and emitted as fake Jaccard-1.0 pairs.
-        keyed = texts.select(
-            "id",
-            F.coalesce(F.md5("text"), F.lit("__null__")).alias("skh"),
-            F.coalesce(F.length("text"), F.lit(-1)).alias("slen"),
-            F.xxhash64("text").alias("sxh"),
-        )
-        groups = keyed.groupBy("skh", "slen", "sxh").agg(
-            F.min("id").alias("rep"),
-            F.count(F.lit(1)).cast("bigint").alias("gsize"),
-        )
-        mapping = (
-            keyed.join(groups, on=["skh", "slen", "sxh"])
-            .select("id", "rep", "gsize")
-            .persist()
-        )
+        # one cheap hash scan — no shingling until the representatives;
+        # NULL texts group together (null_group=True) because the
+        # signature path emits pairs for them (the '' shingle floor), so
+        # collapse must too for exact output equivalence
+        mapping = text_identity_groups(texts, "id", "text").persist()
         work = texts.join(
             mapping.where(F.col("id") == F.col("rep")).select("id"),
             on="id", how="left_semi")
@@ -372,6 +354,49 @@ def minhash_lsh_pairs(
     if mapping is not None:
         mapping.unpersist()
     return out
+
+
+def text_identity_groups(df: DataFrame, id_col: str, text_col: str,
+                         null_group: bool = True) -> DataFrame:
+    """(id, rep, gsize) text-identity groups — the heavy-bucket
+    pre-collapse table: rep = the group's minimum id, gsize = member
+    count. The key is (md5, length, xxhash64): md5 collisions are
+    constructible (adversarial corpora), but a simultaneous md5 AND
+    xxhash64 collision at equal length is not — without the second hash,
+    two crafted distinct texts would merge into one group and surface as
+    fake Jaccard-1.0 pairs. NULL text uses sentinels (plain equi-joins
+    drop NULL keys; a 32-hex md5 can't collide with the sentinel).
+
+    ``null_group``: True (default) groups NULL-text docs together —
+    correct for BOTH gram flavors here: char-shingle minhash's '' floor
+    and the word-n-gram floor ([NULL] gram set, exact J=1 between NULL
+    docs) each make NULL copies truly pair, so collapsing them preserves
+    components exactly (verified by the planted-NULL joint_dedup test).
+    False leaves each NULL-text doc a SINGLETON (id == rep, gsize 1) —
+    for downstream operators whose NULL rows genuinely produce no
+    pairable features."""
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.md5(text_col), F.lit("__null__")).alias("skh"),
+        F.coalesce(F.length(text_col), F.lit(-1)).alias("slen"),
+        F.xxhash64(text_col).alias("sxh"),
+    )
+    groups = keyed.groupBy("skh", "slen", "sxh").agg(
+        F.min("id").alias("rep"),
+        F.count(F.lit(1)).cast("bigint").alias("gsize"),
+    )
+    mapping = keyed.join(groups, on=["skh", "slen", "sxh"])
+    if not null_group:
+        mapping = mapping.select(
+            "id",
+            F.when(F.col("skh") == "__null__", F.col("id"))
+            .otherwise(F.col("rep")).alias("rep"),
+            F.when(F.col("skh") == "__null__", F.lit(1).cast("bigint"))
+            .otherwise(F.col("gsize")).alias("gsize"),
+        )
+    else:
+        mapping = mapping.select("id", "rep", "gsize")
+    return mapping
 
 
 def expand_group_pairs(rep_pairs: DataFrame, membership: DataFrame,

@@ -179,16 +179,36 @@ def joint_dedup(
     exact. None disables the probes (always exact — subject to
     embedding_cosine_pairs' quadratic guardrail).
     """
-    if _over_rows(docs, doc_id_col, auto_scale_rows):
-        text_pairs = dedup.ngram_jaccard_pairs(
-            docs, doc_id_col, text_col, n=ngram_n,
+    # heavy-bucket guard for the text side (joint_dedup has no exact-dedup
+    # pre-stage, so m byte-identical copies would otherwise put m gram
+    # rows in every shared bucket and the candidate join emits m²/2 rows):
+    # collapse to one representative per text-identity group, run the
+    # n-gram join over representatives only, and expand as LINEAR edges
+    # (rep pairs + member->rep links) — components over those edges equal
+    # components over the full member-level pair set (equal texts mean
+    # equal gram sets, so every member inherits its rep's pair structure).
+    # null_group=True matches the gram join's actual NULL semantics: the
+    # n-gram floor gives NULL text the gram set [NULL], so NULL copies
+    # pair at J=1 in the uncollapsed join — collapsing them to one rep
+    # linked by member edges lands in the same component (verified by the
+    # planted-NULL equivalence test).
+    mapping = dedup.text_identity_groups(
+        docs, doc_id_col, text_col, null_group=True).persist()
+    reps = docs.join(
+        mapping.where(F.col("id") == F.col("rep"))
+        .select(F.col("id").alias(doc_id_col)),
+        on=doc_id_col, how="left_semi")
+    if _over_rows(reps, doc_id_col, auto_scale_rows):
+        rep_text_pairs = dedup.ngram_jaccard_pairs(
+            reps, doc_id_col, text_col, n=ngram_n,
             threshold=jaccard_threshold, prefix_filter=True
         ).select("id_a", "id_b")
     else:
-        text_pairs = dedup.ngram_jaccard_pairs(
-            docs, doc_id_col, text_col, n=ngram_n,
+        rep_text_pairs = dedup.ngram_jaccard_pairs(
+            reps, doc_id_col, text_col, n=ngram_n,
             threshold=jaccard_threshold
         ).select("id_a", "id_b")
+    text_pairs = dedup.group_pairs_to_edges(rep_text_pairs, mapping)
     if blocked_n_cells is None and auto_scale_rows is not None:
         # one pruned count serves BOTH the routing decision and the √n
         # cell derivation — not a bounded probe plus a second full scan
@@ -210,7 +230,10 @@ def joint_dedup(
             embeddings, vec_id_col, vec_col, threshold=cosine_threshold
         ).select("id_a", "id_b")
     pairs = text_pairs.unionByName(emb_pairs).distinct()
+    # connected_components materializes the pair set eagerly, so the
+    # mapping cache is consumed here; safe to release after
     comp = dedup.connected_components(pairs)
+    mapping.unpersist()
     base = docs.select(F.col(doc_id_col).alias("doc_id"))
     return (
         base.join(comp.withColumnRenamed("id", "doc_id"), on="doc_id",

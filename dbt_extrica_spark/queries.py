@@ -920,7 +920,8 @@ instock AS (
 SELECT ps_partkey, stock_value
 FROM instock
 WHERE stock_value > (
-    SELECT CAST(SUM(CAST(stock_value AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+    SELECT CAST(SUM(CAST(stock_value AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) * 1.5
     FROM instock)
 ORDER BY stock_value DESC, ps_partkey
 """.format(ps=_PARTSUPP_CTE.strip())
@@ -931,7 +932,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11: per-part stock value HAVING over a scalar fraction of
     the national total — the CTE is reused as both the group table and
     the threshold subquery (the q15 shape, one level deeper). supplycost
-    x availqty is exactly 2 decimals x int, so both sums are exact."""
+    x availqty is exactly 2 decimals x int, so both sums are exact. The
+    threshold is 1.5x the mean stock value (TPC-H's fixed fraction
+    0.0001/SF empties at larger SF on this generator's uniform costs —
+    the mean-relative form keeps the result non-trivial at every
+    scale)."""
     _views(spark, sf_dir)
     return spark.sql(_Q11)
 
@@ -2162,6 +2167,48 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text",
                                    k=5, num_perm=64, bands=16, threshold=0.5)
+
+
+# Group-mode minhash: the 100 TB OUTPUT shape (rep-level pairs + a linear
+# membership table instead of m²/2 member pairs). The membership table is
+# fully deterministic — one row per doc with its text-identity group's
+# min-id representative and size — so it takes a plain SQL oracle; the
+# rep-pair side is equivalence-tested against the expanded operator
+# (tests/test_extensions.py::test_minhash_group_mode_equivalent) whose
+# output dedup_minhash hash-gates every round.
+_MINHASH_GROUPS_DUCK = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+)
+SELECT doc_id AS id,
+       MIN(doc_id) OVER (PARTITION BY COALESCE(md5(text), '__null__'),
+                                      COALESCE(length(text), -1)) AS rep,
+       CAST(COUNT(*) OVER (PARTITION BY COALESCE(md5(text), '__null__'),
+                                        COALESCE(length(text), -1))
+            AS BIGINT) AS gsize
+FROM all_docs
+"""
+
+
+@q("dedup_minhash_groups", _MINHASH_GROUPS_DUCK)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH in GROUP mode (expand_members=False) over a corpus with
+    planted byte-identical copies: returns the (id, rep, gsize)
+    membership table — linear in the corpus where the pair expansion is
+    quadratic in duplicate-group size. expand_group_pairs(rep_pairs,
+    membership) reproduces the classic output exactly (equivalence-
+    tested); group_pairs_to_edges feeds clustering consumers."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    planted = docs.where("doc_id < 200").unionByName(
+        docs.where("doc_id < 100")
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    _pairs, membership = dedup.minhash_lsh_pairs(
+        planted, "doc_id", "text", k=5, num_perm=64, bands=16,
+        threshold=0.5, expand_members=False)
+    return membership
 
 
 # Incremental admission: exact cross-side Jaccard (new batch vs history)
@@ -5983,91 +6030,82 @@ FROM lineitem GROUP BY l_returnflag
 # registered entries only (observed: CORRECTNESS_r01/r02/r04 all contain
 # exactly the first 50). The window rotates each round so every battery
 # entry accumulates driver evidence over time; everything is always
-# verified by the full local battery (tools/check_oracle.py runs ALL 108).
+# verified by the full local battery (tools/check_oracle.py runs ALL
+# entries). The table in COVERAGE.md is regenerated by tools/freshness.py
+# from the actual CORRECTNESS_r*.json records.
 #
-# Round-7 window: (a) the 16 round-6 entries that were local-green but
-# never held a driver CORRECTNESS row (the r6 verdict's top item); (b)
-# every entry whose code or oracle changed THIS round — dedup_minhash
-# (identical-signature pre-collapse), pipeline_joint_dedup (single-count
-# cell derivation), text_pack_sequences / text_pack_global /
-# pipeline_pretrain_corpus (last_seq greatest() hardening),
-# text_gopher_rules / text_c4_filter (NULL-coalesce in the injected
-# oracles), streaming_quality_gate (shared stream-reader refactor); (c)
-# the three NEW round-7 operators — text_remove_dup_spans_char
-# (char-level exact substring dedup), dedup_minhash_incremental
-# (band-index admission), sample_leakage_split (component-aware splits);
-# (d) back-fill with the STALEST evidence: inc_microbatch (r2-only) and
-# the 27 entries whose latest driver row is r4.
-# Rotated OUT (all hold green r6 rows; the full local battery still
-# checks them every run): the entire r6 core/shim/materialization slice —
-# see COVERAGE.md for each entry's latest driver round.
+# Round-8 window: (a) text_top_phrases (the one never-gated entry) and the
+# stalest evidence — the 3 r2-only entries plus the 13 displaced
+# r4-evidence text/sampling entries the round-7 rotation queued; (b) the 5
+# NEW round-8 TPC-H partsupp patterns (q2/q9/q11/q16/q20 over the derived
+# partsupp CTE); (c) every entry whose code changed THIS round —
+# dedup_minhash (xxhash64-hardened collapse key + group-mode refactor),
+# dedup_minhash_incremental / streaming_admission (band-table param
+# stamps), dedup_clusters / sample_leakage_split / dedup_keep_best /
+# pipeline_joint_dedup (connected-components pointer jumping +
+# convergence guard), ann_ivf_full_probe / ann_ivf_index_query /
+# ann_ivf_topk (parameterized self-exclusion in the cogroup scorer); (d)
+# back-fill with the stalest r5-evidence entries (multimodal trio,
+# streaming family, q_sessionize / q1 / snapshot and friends).
+# Rotated OUT (all hold green r7 rows; the full local battery still
+# checks them every run): the r7 capability/TPC-H slice — see COVERAGE.md.
 # ==========================================================================
 
 _GATED_WINDOW = [
-    # (a) round-6 capability, never driver-gated
-    "multimodal_phash_dedup",
-    "text_hash_embed",
-    "dedup_semantic_kmeans",
-    "pipeline_text_cluster",
-    "quality_classifier_train",
-    "sample_weighted",
-    "dedup_semantic_incremental",
-    "layout_zorder",
-    "ann_brp_recall",
-    "text_pack_global",          # also: last_seq greatest() hardening
-    "text_gopher_rules",         # also: oracle NULL-coalesce
-    "sample_dsir_weights",
-    "text_c4_filter",            # also: oracle NULL-coalesce
-    "pipeline_pretrain_corpus",  # also: last_seq greatest() in replay
-    "dedup_keep_best",
-    "streaming_quality_gate",    # also: shared stream-reader refactor
-    # (b) changed this round
-    "dedup_minhash",             # identical-signature pre-collapse
-    "pipeline_joint_dedup",      # single-count cell derivation
-    "text_pack_sequences",       # last_seq greatest() hardening
-    # (c) new round-7 operators
-    "text_remove_dup_spans_char",
+    # (a) never-gated + stalest (r2, then the 13 displaced r4 entries)
+    "text_top_phrases",
+    "inc_merge_update_cols",
+    "q_explode_tokens",
+    "shim_date_spine_month",
+    "text_stats",
+    "text_language_id",
+    "text_token_count",
+    "sketch_count_min",
+    "text_bigram_logprob",
+    "text_fingerprint",
+    "text_winnow",
+    "text_chunks",
+    "sample_deterministic",
+    "sample_hash_split",
+    "sample_stratified",
+    "sample_boundary",
+    "embedding_label_stats",
+    # (b) new round-8 TPC-H partsupp patterns
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_inventory",
+    # (c) code changed / added this round
+    "dedup_minhash_groups",
+    "dedup_minhash",
     "dedup_minhash_incremental",
-    "sample_leakage_split",
     "streaming_admission",
-    "ann_ivf_index_query",
-    "text_wordlm_logprob",
-    # (c) new round-7 TPC-H completion sweep (never gated — takes
-    # priority over r4 refresh; the 10 displaced r4 text/sampling
-    # entries rotate back in round 8 before they age past the ~3-round
-    # freshness bar)
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q19_disjunctive_brackets",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # (d) stalest driver evidence: r2
-    "inc_microbatch",
-    # (d) stalest driver evidence: r4 (the slice that fits; displaced:
-    # text_stats, text_language_id, text_token_count, sketch_count_min,
-    # text_bigram_logprob, text_fingerprint, text_winnow, text_chunks,
-    # sample_deterministic, sample_hash_split, sample_stratified,
-    # sample_boundary, embedding_label_stats — all r4 green, all unit-
-    # tested, first in line for the round-8 window)
-    "q_range_join",
-    "q_asof_join",
-    "rollup_hypertable",
-    "seed_types",
-    "catalog_columns",
-    "catalog_relations",
-    "dq_checks",
-    "dedup_exact",
-    "dedup_exact_keep",
-    "dedup_ngram_jaccard",
     "dedup_clusters",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "trino_dialect_model",
+    "sample_leakage_split",
+    "dedup_keep_best",
+    "pipeline_joint_dedup",
+    "ann_ivf_full_probe",
+    "ann_ivf_index_query",
+    "ann_ivf_topk",
+    # (d) stalest r5-evidence back-fill
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_tiles_chunks",
+    "streaming_window_counts",
+    "streaming_dedup",
+    "streaming_sessionize",
+    "streaming_inc_merge",
+    "q_sessionize",
+    "q1_pricing_summary",
+    "snapshot_scd2",
+    "inc_merge_partitioned",
+    "mat_table_contract",
+    "q_retention_cohorts",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "text_tfidf_terms",
+    "text_bm25_topk",
 ]
 
 

@@ -1292,6 +1292,49 @@ def test_joint_dedup_scale_route_equals_exact(spark):
     assert routed == exact
 
 
+def test_joint_dedup_identical_copies_collapse_equivalent(spark):
+    # the text-identity collapse (reps-only n-gram join + linear edge
+    # expansion) must yield the SAME components as the direct pair
+    # computation over the full corpus — planted byte-identical copies,
+    # a near-dup bridging into a copy group, and a NULL-text pair (which
+    # LINKS in both paths: the n-gram floor gives NULL text the gram set
+    # [NULL], so NULL copies pair at exact J=1)
+    from dbt_extrica_spark.sources.registry import register_sources
+    from dbt_extrica_spark.extensions import pipeline, dedup as dd
+    from pyspark.sql import functions as F
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 60")
+    emb = spark.table("embeddings").where("vec_id < 60")
+    planted = docs.unionByName(spark.sql(
+        "SELECT 70001 AS doc_id, text FROM documents WHERE doc_id = 3"
+        " UNION ALL SELECT 70002 AS doc_id, text FROM documents"
+        " WHERE doc_id = 3"
+        " UNION ALL SELECT 70003 AS doc_id,"
+        " concat(text, ' x') AS text FROM documents WHERE doc_id = 3"
+        " UNION ALL SELECT 70004 AS doc_id, CAST(NULL AS STRING) AS text"
+        " UNION ALL SELECT 70005 AS doc_id, CAST(NULL AS STRING) AS text"))
+    got = {(r.doc_id, r.component, r.keep)
+           for r in pipeline.joint_dedup(planted, emb,
+                                         jaccard_threshold=0.5).collect()}
+    # reference: direct member-level pairs (no collapse) -> CC
+    ref_text = dd.ngram_jaccard_pairs(planted, "doc_id", "text", n=3,
+                                      threshold=0.5).select("id_a", "id_b")
+    ref_emb = dd.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.35).select("id_a", "id_b")
+    comp = dd.connected_components(ref_text.unionByName(ref_emb).distinct())
+    cm = {r.id: r.component for r in comp.collect()}
+    ref = {(r.doc_id, cm.get(r.doc_id, r.doc_id),
+            cm.get(r.doc_id, r.doc_id) == r.doc_id)
+           for r in planted.select("doc_id").collect()}
+    assert got == ref
+    # the copy group + its near-dup share doc 3's component; the NULL
+    # pair forms its own two-member component
+    gotmap = {d: c for d, c, _k in got}
+    assert gotmap[70001] == gotmap[3] == gotmap[70002] == gotmap[70003]
+    assert gotmap[70004] == 70004 and gotmap[70005] == 70004
+
+
 def test_kmeans_lloyd_deterministic_across_partitionings(spark):
     import random
 

@@ -40,6 +40,11 @@ def main() -> None:
         "global agg)": battery._Q6,
         "q19_disjunctive_brackets (OR brackets stay residual on an "
         "equi-join — no nested-loop fallback)": battery._Q19,
+        "q2_min_cost_supplier (derived partsupp; correlated min-cost "
+        "rewritten to aggregate+join — broadcast dims, no nested loop)":
+            battery._Q2,
+        "q9_product_profit (6-table profit join: all-broadcast chain, "
+        "zero sort-merge)": battery._Q9,
     }
     # DataFrame-built operators: explain through the battery callables
     df_targets = {
