@@ -542,6 +542,7 @@ def minhash_incremental_pairs(
     threshold: float = 0.8,
     verify: bool = True,
     hist_bands: DataFrame | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Incremental-ingest text near-dedup: the NEW batch's band table is
     joined against the HISTORY's only — admit increments without
@@ -557,7 +558,17 @@ def minhash_incremental_pairs(
     the history band table is recomputed from ``hist_df`` each call.
     New-vs-new duplicates inside one batch are the ordinary
     :func:`minhash_lsh_pairs` over the (small) batch — compose both for
-    full admission."""
+    full admission.
+
+    ``broadcast_new`` pins the probe join's build side: True (default)
+    BROADCASTS the new batch's band table, so the history index is
+    streamed through the join without a shuffle — per-batch shuffle cost
+    stays O(batch) no matter how large the index grows (the 10x probe
+    measured per-batch wall creeping 6.3 -> 10.9s across 5 batches with
+    the auto-planned join re-shuffling the growing index; broadcast
+    holds it flat). Set False only when a single admission batch is too
+    large to broadcast (then pre-bucket the stored index by (band, bh)
+    so the shuffle happens once at write time instead of per probe)."""
     if hist_bands is None:
         hist_bands = minhash_band_table(hist_df, id_col, text_col,
                                         k=k, num_perm=num_perm, bands=bands)
@@ -565,8 +576,9 @@ def minhash_incremental_pairs(
         _check_band_params(hist_bands, k, num_perm, bands)
     new_bands = minhash_band_table(new_df, id_col, text_col,
                                    k=k, num_perm=num_perm, bands=bands)
+    probe_side = F.broadcast(new_bands) if broadcast_new else new_bands
     cand = (
-        new_bands.alias("a")
+        probe_side.alias("a")
         .join(hist_bands.alias("b"),
               on=[F.col("a.band") == F.col("b.band"),
                   F.col("a.bh") == F.col("b.bh")])

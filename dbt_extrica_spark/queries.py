@@ -3744,6 +3744,45 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(windowed_counts(stream, "1 day", "1 hour"))
 
 
+# stream-stream interval join under availableNow == the batch interval
+# join (nothing is late), so the oracle is the plain SQL join with the
+# identical time bound
+_STREAM_JOIN_DUCK = """
+SELECT a.user_id,
+       a.event_id AS l_event_id, a.ts AS l_ts, a.value AS l_value,
+       b.event_id AS r_event_id, b.ts AS r_ts, b.value AS r_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+"""
+
+
+@q("streaming_interval_join", _STREAM_JOIN_DUCK)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (view -> purchase
+    attribution within 2 hours per user): both sides are file streams
+    with watermarks, the time-bounded condition lets Spark expire join
+    state and emit append-mode — the canonical Structured Streaming
+    two-stream shape the engine was missing. availableNow == batch join
+    (the oracle)."""
+    from .streaming import (read_event_stream, run_available_now,
+                            stream_stream_interval_join)
+
+    ev = read_event_stream(spark, sf_dir)
+    views = ev.where("event_type = 'view'")
+    buys = ev.where("event_type = 'purchase'")
+    joined = stream_stream_interval_join(views, buys, key="user_id",
+                                         interval="2 hours",
+                                         watermark="1 hour")
+    out = run_available_now(joined, output_mode="append")
+    return out.select(
+        "user_id",
+        F.col("l_event_id"), F.col("l_ts"), F.col("l_value"),
+        F.col("r_event_id"), F.col("r_ts"), F.col("r_value"),
+    )
+
+
 # event_id is unique, so upserting every micro-batch on it converges to the
 # full source projection — the oracle for the foreachBatch merge path
 _STREAM_MERGE_DUCK = """
@@ -6078,6 +6117,7 @@ _GATED_WINDOW = [
     "q20_excess_inventory",
     # (c) code changed / added this round
     "dedup_minhash_groups",
+    "streaming_interval_join",
     "dedup_minhash",
     "dedup_minhash_incremental",
     "streaming_admission",
@@ -6105,7 +6145,6 @@ _GATED_WINDOW = [
     "q_approx_distinct",
     "q_approx_quantiles",
     "text_tfidf_terms",
-    "text_bm25_topk",
 ]
 
 

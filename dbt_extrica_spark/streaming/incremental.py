@@ -99,6 +99,51 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     return result.sparkSession.table(name)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the event-time
+    attribution shape (each right event matched to the left events it
+    follows within ``interval``, per ``key``): right.ts in
+    [left.ts, left.ts + interval]. Both sides carry watermarks and the
+    join condition is time-bounded, so Spark can expire buffered state
+    and emit in append mode; under ``trigger(availableNow)`` nothing is
+    late and the result equals the equivalent batch interval join (the
+    oracle the battery entry checks).
+
+    State bound at scale: each side buffers only rows within
+    watermark + interval of the stream head, partitioned by ``key`` —
+    the canonical Structured Streaming join-state story. Returns
+    (key, left_id-side columns, right_id-side columns) with both
+    timestamps, disambiguated by prefix."""
+    l_cols = left.columns
+    r_cols = right.columns
+    assert key in l_cols and key in r_cols, "join key must exist both sides"
+    lw = normalize_ntz(left).withWatermark(left_ts, watermark)
+    rw = normalize_ntz(right).withWatermark(right_ts, watermark)
+    lp = lw.select(F.col(key).alias("k"),
+                   *[F.col(c).alias(f"l_{c}") for c in l_cols if c != key])
+    rp = rw.select(F.col(key).alias("rk"),
+                   *[F.col(c).alias(f"r_{c}") for c in r_cols if c != key])
+    cond = (
+        (F.col("k") == F.col("rk"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
+        & (F.col(f"r_{right_ts}")
+           <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {interval}"))
+    )
+    return (
+        lp.join(rp, cond)
+        .drop("rk")
+        .withColumnRenamed("k", key)
+    )
+
+
 def dedup_within_watermark(stream: DataFrame, keys: list[str],
                            watermark_col: str = "ts",
                            delay: str = "1 hour") -> DataFrame:
@@ -217,8 +262,11 @@ def streaming_minhash_admission(
         bb = dedup_ops.minhash_band_table(
             batch, id_col, text_col, k=k, num_perm=num_perm,
             bands=bands).persist()
+        # broadcast the (small) batch band table: the growing history
+        # index streams through the probe join without a shuffle, so
+        # per-batch shuffle cost stays O(batch) as the index grows
         cross_cand = (
-            bb.alias("a").join(
+            F.broadcast(bb).alias("a").join(
                 state["bands"].alias("b"),
                 on=[F.col("a.band") == F.col("b.band"),
                     F.col("a.bh") == F.col("b.bh")])

@@ -23,6 +23,29 @@ def test_windowed_counts_equals_batch(spark):
     assert g == e
 
 
+def test_stream_stream_interval_join_equals_batch(spark):
+    # two watermarked streams over the same file source, interval-joined
+    # in append mode under availableNow == the batch interval join
+    from dbt_extrica_spark.streaming import stream_stream_interval_join
+
+    register_sources(spark, SF)
+    ev = read_event_stream(spark, SF)
+    joined = stream_stream_interval_join(
+        ev.where("event_type = 'view'"),
+        ev.where("event_type = 'purchase'"),
+        key="user_id", interval="2 hours", watermark="1 hour")
+    got = {(r.user_id, r.l_event_id, r.r_event_id)
+           for r in run_available_now(joined, output_mode="append").collect()}
+    expected = {(r.user_id, r.l, r.r) for r in spark.sql("""
+        SELECT a.user_id, a.event_id AS l, b.event_id AS r
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS
+    """).collect()}
+    assert got == expected and len(got) > 0
+
+
 def test_stateful_sessions_subset_of_batch(spark):
     register_sources(spark, SF)
     stream = read_event_stream(spark, SF).select("user_id", "ts")

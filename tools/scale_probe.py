@@ -235,28 +235,47 @@ def main() -> None:
     out["minhash_group_membership_rows"] = membership.count()
 
     # incremental admission over SEQUENTIAL batches: history (and its band
-    # index) grows every round, per-batch cost must stay flat — the probe
-    # is O(batch) against the index, never O(history). Batches are
-    # dimension-tagged copies of the documents table (distinct text),
-    # history starts at 1x and grows by one batch per round.
+    # index) grows every round; per-batch probe cost must stay flat. Each
+    # batch is half FRESH text (per-batch character substitution — distinct
+    # from every prior batch, admits cleanly) and half COPIES of the
+    # original corpus (constant true-duplicate mass per batch). Only the
+    # admitted (fresh) half extends the history/index — appending rejected
+    # duplicates would manufacture a linearly growing pair mass and measure
+    # the corpus, not the operator (the first version of this probe did
+    # exactly that: batch tags one word apart are near-dups of every prior
+    # batch, so candidates grew with history by construction).
     hist = dc
     hist_bands = dedup.minhash_band_table(hist, "doc_id", "text")
     hist_bands = hist_bands.localCheckpoint(eager=True)
-    batch_secs = []
+    probe_secs, append_secs, pair_counts = [], [], []
+    alphabet = "abcdefghijklmnop"
     for i in range(1, 6):
-        batch = (dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
-                 .withColumn("text", F.concat(F.lit(f"adm{i} "),
-                                              F.col("text"))))
+        rot = alphabet[i:] + alphabet[:i]
+        fresh = (dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                 .withColumn("text", F.expr(
+                     f"translate(text, '{alphabet}', '{rot}')")))
+        copies = (dc.withColumn("doc_id",
+                                F.col("doc_id") + (i + 100) * 10_000_000)
+                  .sample(0.5, seed=i))
+        batch = fresh.unionByName(copies)
         t0 = time.time()
-        dedup.minhash_incremental_pairs(
+        n_pairs = dedup.minhash_incremental_pairs(
             batch, hist, "doc_id", "text",
             hist_bands=hist_bands).count()
-        new_bands = dedup.minhash_band_table(batch, "doc_id", "text")
+        probe_secs.append(round(time.time() - t0, 2))
+        pair_counts.append(n_pairs)
+        # index/history maintenance, timed separately: the local probe
+        # pays an O(index) eager re-checkpoint per round (union + copy),
+        # which a real deployment replaces with an O(batch) table append
+        t0 = time.time()
+        new_bands = dedup.minhash_band_table(fresh, "doc_id", "text")
         hist_bands = (hist_bands.unionByName(new_bands)
                       .localCheckpoint(eager=True))
-        hist = hist.unionByName(batch).localCheckpoint(eager=True)
-        batch_secs.append(round(time.time() - t0, 2))
-    out["admission_batch_secs"] = batch_secs  # flat => O(batch) per round
+        hist = hist.unionByName(fresh).localCheckpoint(eager=True)
+        append_secs.append(round(time.time() - t0, 2))
+    out["admission_probe_secs"] = probe_secs  # flat => O(batch) per round
+    out["admission_probe_pairs"] = pair_counts  # ~constant dup mass
+    out["admission_append_secs"] = append_secs  # O(index): probe artifact
 
     # persisted IVF index: append must cost O(batch) (assignment scan over
     # the increment only), and query cost must be unchanged by the append
