@@ -447,9 +447,14 @@ def group_pairs_to_edges(rep_pairs: DataFrame,
         .select(F.least("id", "rep").alias("id_a"),
                 F.greatest("id", "rep").alias("id_b"))
     )
+    # no distinct(): the two sides are disjoint (rep-pair endpoints are
+    # both reps; every member edge has a non-rep endpoint) and each is
+    # duplicate-free (pair generators dropDuplicates; one row per
+    # member) — a distinct here would add a full shuffle of the edge
+    # list on exactly the linear-scale path this function exists for,
+    # and connected_components dedups its edge input anyway
     return (rep_pairs.select("id_a", "id_b")
-            .unionByName(member_edges)
-            .distinct())
+            .unionByName(member_edges))
 
 
 def _bands_from_sigs(sig: DataFrame, bands: int,
@@ -520,14 +525,20 @@ def _check_band_params(hist_bands: DataFrame, k: int, num_perm: int,
             "minhash_band_table (which stamps its parameters) so the "
             f"probe can verify it matches {expected!r}."
         )
-    row = hist_bands.select("mh_params").first()
-    if row is not None and row[0] != expected:
+    # check every DISTINCT stamp (tiny aggregate), not one arbitrary row:
+    # an index assembled from mixed-parameter segments (partial rebuild
+    # drift — exactly what this guard exists for) would pass or fail
+    # nondeterministically under a .first() probe
+    stamps = [r[0] for r in
+              hist_bands.select("mh_params").distinct().collect()]
+    bad = [s for s in stamps if s != expected]
+    if bad:
         raise ValueError(
-            f"hist_bands was built with {row[0]!r} but this probe uses "
-            f"{expected!r}; band hashes from different parameters never "
-            f"collide meaningfully, so every duplicate would be silently "
-            f"admitted. Rebuild the index or pass matching k/num_perm/"
-            f"bands."
+            f"hist_bands contains segments built with {sorted(bad)!r} but "
+            f"this probe uses {expected!r}; band hashes from different "
+            f"parameters never collide meaningfully, so every duplicate "
+            f"in those segments would be silently admitted. Rebuild the "
+            f"index or pass matching k/num_perm/bands."
         )
 
 

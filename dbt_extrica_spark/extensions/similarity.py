@@ -588,7 +588,7 @@ def ivf_index_append(new_df: DataFrame, centroids: DataFrame,
 def ivf_index_query(queries: DataFrame, centroids: DataFrame,
                     postings: DataFrame, id_col: str, vec_col: str,
                     k: int = 10, nprobe: int = 3,
-                    exclude_self: bool = True) -> DataFrame:
+                    exclude_self: bool = False) -> DataFrame:
     """Search a prebuilt IVF index: rank each query's ``nprobe`` nearest
     cells from the centroid table, cogroup against ONLY those cells'
     postings, score per cell with one numpy matmul, window the top-k.
@@ -596,13 +596,13 @@ def ivf_index_query(queries: DataFrame, centroids: DataFrame,
     never rescanned. Returns (query_id, neighbor_id, cosine, rank);
     full probe (nprobe = n_cells) equals brute force exactly.
 
-    ``exclude_self`` (default True) drops postings whose id equals the
-    query id — correct ONLY when query ids and posting ids share one id
-    space (querying the index with its own members, as the oracle gates
-    do). When the query batch is EXTERNAL — its ids are a different id
-    space from the corpus — pass ``exclude_self=False``, or an
-    accidental id collision with an unrelated corpus vector silently
-    deletes that neighbor and shifts every rank below it."""
+    ``exclude_self`` (default False — the safe setting for the normal
+    external-query use, where query ids are a DIFFERENT id space from
+    the corpus: with exclusion on, an accidental id collision with an
+    unrelated corpus vector silently deletes that neighbor and shifts
+    every rank below it). Pass ``exclude_self=True`` ONLY when querying
+    the index with its own members (one shared id space, a vector must
+    not be its own neighbor — what the oracle gates do)."""
     qbase = _with_norm(queries, id_col, vec_col)
     cell_rows = _ivf_collect_cells(centroids)
     ranked = _ivf_assign(qbase, centroids, cell_rows, nprobe=nprobe)

@@ -2598,7 +2598,8 @@ def ann_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = postings.unionByName(delta)
     out = similarity.ivf_index_query(
         emb.where("vec_id < 100"), centroids, postings,
-        "vec_id", "embedding", k=5, nprobe=16)
+        "vec_id", "embedding", k=5, nprobe=16,
+        exclude_self=True)  # self-search: queries ARE index members
     return out.select("query_id", "neighbor_id")
 
 

@@ -111,7 +111,8 @@ def main() -> None:
     cents, posts = similarity.ivf_index_build(emb, "vec_id", "embedding",
                                               n_cells=16)
     hits = similarity.ivf_index_query(
-        emb.limit(20), cents, posts, "vec_id", "embedding", k=3, nprobe=4)
+        emb.limit(20), cents, posts, "vec_id", "embedding", k=3, nprobe=4,
+        exclude_self=True)  # demo queries the index with its own members
     print("ivf index: queried 20 vectors,", hits.count(), "neighbors")
 
     print("catalog:", list(eng.generate_docs()["relations"]))

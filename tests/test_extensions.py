@@ -414,6 +414,16 @@ def test_minhash_band_table_param_stamp(spark):
     dedup.minhash_incremental_pairs(new, hist, "doc_id", "text", k=5,
                                     num_perm=64, bands=16,
                                     hist_bands=idx).count()
+    # a MIXED index (one segment rebuilt with different params) must
+    # raise deterministically — the guard checks every distinct stamp,
+    # not whichever row a partition serves first
+    mixed = idx.unionByName(
+        dedup.minhash_band_table(hist, "doc_id", "text", k=7,
+                                 num_perm=64, bands=16))
+    with _pytest.raises(ValueError, match="k=7"):
+        dedup.minhash_incremental_pairs(new, hist, "doc_id", "text", k=5,
+                                        num_perm=64, bands=16,
+                                        hist_bands=mixed)
 
 
 def test_connected_components_pointer_jumping_and_guard(spark):
@@ -1533,14 +1543,16 @@ def test_ivf_index_parquet_roundtrip(spark, tmp_path):
     cents2 = spark.read.parquet(cdir)
     posts2 = spark.read.parquet(pdir)
     qs = emb.where("vec_id < 30")
+    # exclude_self=True: these queries ARE index members (one id space),
+    # matching ivf_topk's self-search semantics for the equality below
     mem = {(r.query_id, r.neighbor_id, r.rank)
            for r in similarity.ivf_index_query(
                qs, cents, posts, "vec_id", "embedding",
-               k=5, nprobe=8).collect()}
+               k=5, nprobe=8, exclude_self=True).collect()}
     disk = {(r.query_id, r.neighbor_id, r.rank)
             for r in similarity.ivf_index_query(
                 qs, cents2, posts2, "vec_id", "embedding",
-                k=5, nprobe=8).collect()}
+                k=5, nprobe=8, exclude_self=True).collect()}
     assert mem == disk and len(mem) > 0
     one_shot = {(r.query_id, r.neighbor_id, r.rank)
                 for r in similarity.ivf_topk(

@@ -29,13 +29,16 @@ sys.path.insert(0, REPO)
 
 def _rounds() -> list[tuple[int, dict]]:
     out = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         with open(path) as f:
             out.append((int(m.group(1)), json.load(f)))
-    return out
+    # sort on the ROUND NUMBER, not the filename: lexicographic order
+    # puts r10 before r8 once padding varies, and later rounds must win
+    # the latest[name] overwrite
+    return sorted(out, key=lambda t: t[0])
 
 
 def _verdict(row: dict) -> str:

@@ -17,16 +17,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 4
-    sf_dir = "/root/testdata/sf0.1"
-    for i, a in enumerate(sys.argv[1:], 1):
-        if a == "--runs":
-            runs = int(sys.argv[i + 1])
-            args.remove(sys.argv[i + 1])
-        if a == "--sf":
-            sf_dir = sys.argv[i + 1]
-            args.remove(sys.argv[i + 1])
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Standalone per-query timings on a quiet host")
+    parser.add_argument("names", nargs="+", help="battery query names")
+    parser.add_argument("--runs", type=int, default=4)
+    parser.add_argument("--sf", dest="sf_dir",
+                        default="/root/testdata/sf0.1")
+    ns = parser.parse_args()
+    args, runs, sf_dir = ns.names, ns.runs, ns.sf_dir
 
     from dbt_extrica_spark.session import get_spark
     from dbt_extrica_spark import queries as battery
