@@ -22,7 +22,7 @@ Scale notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -506,6 +506,34 @@ def minhash_band_table(df: DataFrame, id_col: str, text_col: str,
     )
     return _bands_from_sigs(sig, bands, rows_per_band).withColumn(
         "mh_params", F.lit(_mh_params_stamp(k, num_perm, bands)))
+
+
+def minhash_index_save(bands_df: DataFrame, table: str,
+                       buckets: int = 64, mode: str = "overwrite") -> None:
+    """Persist a band table as a (band, bh)-BUCKETED index table — the
+    durable form of the admission index. Bucketing on the probe-join
+    keys means a probe against the stored index shuffles ONLY the batch
+    side (Spark plans no Exchange over a bucketed scan whose bucket
+    columns equal the join keys) — the large-batch complement to
+    minhash_incremental_pairs' ``broadcast_new=True`` (small batches
+    broadcast; huge batches probe the bucketed table and pay one
+    batch-sized shuffle; the index itself is shuffled exactly once, at
+    write time). ``mode="append"`` admits an increment's band rows into
+    the existing index (the bucket spec must match — Spark validates).
+
+    At 100 TB: the index is ~bands rows x 24 bytes per document —
+    orders of magnitude smaller than the corpus — and this table is the
+    ONLY thing a steady-state admission pipeline reads per batch."""
+    (bands_df.write.format("parquet").mode(mode)
+     .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
+     .saveAsTable(table))
+
+
+def minhash_index_load(spark: SparkSession, table: str) -> DataFrame:
+    """Read a saved band index back as the hist_bands= input of
+    :func:`minhash_incremental_pairs` (the mh_params stamp rides along
+    in the table, so probe time still asserts parameter match)."""
+    return spark.table(table)
 
 
 def _mh_params_stamp(k: int, num_perm: int, bands: int) -> str:

@@ -426,6 +426,62 @@ def test_minhash_band_table_param_stamp(spark):
                                         hist_bands=mixed)
 
 
+def test_minhash_bucketed_index_roundtrip_and_no_index_shuffle(spark):
+    # the durable admission index: save bucketed on the probe-join keys,
+    # append an increment, probe — results identical to the in-memory
+    # path, and the probe plan shuffles ONLY the batch side (no Exchange
+    # above the bucketed index scan)
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 60")
+    hist = docs.where("doc_id < 30")
+    inc = docs.where("doc_id >= 30 AND doc_id < 40")
+    new = docs.where("doc_id >= 40").unionByName(
+        hist.select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    tbl = "mh_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    dedup.minhash_index_save(
+        dedup.minhash_band_table(hist, "doc_id", "text"), tbl)
+    dedup.minhash_index_save(
+        dedup.minhash_band_table(inc, "doc_id", "text"), tbl,
+        mode="append")
+    idx = dedup.minhash_index_load(spark, tbl)
+    mem_idx = dedup.minhash_band_table(hist.unionByName(inc),
+                                       "doc_id", "text")
+    got = {(r.id_new, r.id_hist, r.jaccard)
+           for r in dedup.minhash_incremental_pairs(
+               new, hist.unionByName(inc), "doc_id", "text",
+               hist_bands=idx, broadcast_new=False).collect()}
+    ref = {(r.id_new, r.id_hist, r.jaccard)
+           for r in dedup.minhash_incremental_pairs(
+               new, hist.unionByName(inc), "doc_id", "text",
+               hist_bands=mem_idx).collect()}
+    assert got == ref and len(got) > 0  # the planted copies must match
+    # plan shape, with auto-broadcast OFF to force the large-batch case:
+    # the join must use the table's bucketing (Bucketed: true) and the
+    # only hash Exchange is the batch side — the index scan feeds its
+    # join input with no shuffle (this is minhash_index_save's whole
+    # point; with broadcast on, Spark broadcasts the batch instead and
+    # the index still doesn't shuffle)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = (
+            dedup.minhash_band_table(new, "doc_id", "text").alias("a")
+            .join(idx.alias("b"),
+                  on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.bh") == F.col("b.bh")])
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # exactly one hash-partitioning Exchange: the batch side; the
+        # bucketed index branch (the text below the scan node) has none
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        idx_tail = plan[plan.index(tbl):]
+        assert "Exchange hashpartitioning" not in idx_tail, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_connected_components_pointer_jumping_and_guard(spark):
     import pytest as _pytest
 
