@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: an early detail line with the per-query warm/cold maps, then a
+COMPACT final line {"metric": "headline_queries_wall", "value": W,
+"value_cold": C, "unit": "sec", "n_queries": N, "sf": ...} sized to always
+fit a bounded tail capture (the driver parses the LAST line).
 
 Headline set = the heavy end of the battery: the TPC-H-style pass-through
 suite + the data-movement materializations + the M6 extension operators.
