@@ -3745,6 +3745,40 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(windowed_counts(stream, "1 day", "1 hour"))
 
 
+# stream-static enrichment: a streaming fact joined to a broadcast batch
+# dimension — state-free (no watermark needed; the static side is just a
+# broadcast hash table in every micro-batch), availableNow == batch join
+_STREAM_ENRICH_DUCK = """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_name, c.c_mktsegment,
+       CAST(e.value AS DOUBLE) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type IN ('purchase', 'signup')
+"""
+
+
+@q("streaming_enrich", _STREAM_ENRICH_DUCK)
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the customer
+    dimension with an explicit broadcast — the stateless streaming join
+    (each micro-batch hashes the dimension once; no join state, no
+    watermark). The standard shape for dimension lookup in a streaming
+    ingest pipeline."""
+    from .streaming import read_event_stream, run_available_now
+
+    _views(spark, sf_dir)
+    ev = (read_event_stream(spark, sf_dir)
+          .where(F.col("event_type").isin("purchase", "signup")))
+    cust = spark.table("customer")
+    joined = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .select("event_id", "user_id", "event_type",
+                "c_name", "c_mktsegment",
+                F.col("value").cast("double").alias("value"))
+    )
+    return run_available_now(joined, output_mode="append")
+
+
 # stream-stream interval join under availableNow == the batch interval
 # join (nothing is late), so the oracle is the plain SQL join with the
 # identical time bound
@@ -6119,6 +6153,7 @@ _GATED_WINDOW = [
     # (c) code changed / added this round
     "dedup_minhash_groups",
     "streaming_interval_join",
+    "streaming_enrich",
     "dedup_minhash",
     "dedup_minhash_incremental",
     "streaming_admission",
@@ -6145,7 +6180,6 @@ _GATED_WINDOW = [
     "q_retention_cohorts",
     "q_approx_distinct",
     "q_approx_quantiles",
-    "text_tfidf_terms",
 ]
 
 
