@@ -158,3 +158,43 @@ def test_funnel_counts_non_increasing(steps):
     out = analytics.funnel(ev, list(steps))
     counts = [r.n_users for r in out.orderBy("step").collect()]
     assert all(x >= y for x, y in zip(counts, counts[1:]))
+
+
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=39),
+              st.integers(min_value=0, max_value=39)),
+    min_size=1, max_size=60,
+).filter(lambda es: any(a != b for a, b in es)))
+@settings(max_examples=4, deadline=None)
+def test_connected_components_matches_union_find(edges):
+    # pointer-jumping min-label propagation vs a pure-Python union-find on
+    # arbitrary random graphs (self-loops dropped, duplicates allowed):
+    # every node must receive the MINIMUM id reachable in its component
+    from dbt_extrica_spark.session import get_spark
+    from dbt_extrica_spark.extensions import dedup
+
+    edges = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # union-find roots are not necessarily the min id — normalize
+    groups: dict[int, list[int]] = {}
+    for n, r in expected.items():
+        groups.setdefault(find(r), []).append(n)
+    want = {n: min(members) for members in groups.values() for n in members}
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(edges, "id_a INT, id_b INT")
+    got = {r.id: r.component
+           for r in dedup.connected_components(df).collect()}
+    assert got == want
