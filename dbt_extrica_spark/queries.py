@@ -869,11 +869,55 @@ LIMIT 100
 @q("q2_min_cost_supplier", _Q2)
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 pattern (p_size stands in for the size+type pair): the
-    correlated min-cost-supplier scalar subquery over the derived
-    partsupp, re-filtered by the same region inside the correlation.
-    LIMIT is safe: (p_partkey, s_name) makes the ORDER BY total."""
+    correlated min-cost-supplier subquery over the derived partsupp.
+    LIMIT is safe: (p_partkey, s_name) makes the ORDER BY total.
+
+    The Spark side deliberately does NOT run the oracle's SQL text: the
+    CTE form derives partsupp TWICE (outer reference + correlated
+    subquery — Spark inlines CTEs, so the plan runs two full lineitem
+    distinct+shuffles; observed in PLANS.md). Here the European-supplier
+    partsupp slice is built ONCE; the part filter (broadcast) lands
+    BEFORE a window MIN partitioned by ps_partkey, which is safe — the
+    window still sees every European supplier of each surviving part —
+    and makes the min a small exchange over the filtered slice instead
+    of a second lineitem derivation or a cached self-join. Measured
+    head-to-head at sf0.1 local[32]: CTE warm 1.3-1.8s vs window
+    1.7-2.0s — locally the double derivation wins ~0.4s because its two
+    aggregates overlap across threads; kept anyway because halving the
+    full-corpus shuffles is what matters at 1000 executors, and a
+    persist+rejoin variant was slower than both. Results hash-match the
+    CTE oracle exactly (identical supplycost expressions on identical
+    inputs)."""
     _views(spark, sf_dir)
-    return spark.sql(_Q2)
+    ps = spark.sql("""
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST((l_partkey * 53 + l_suppkey * 17) % 90000 AS DOUBLE)
+                 / 100.0 + 100.0 AS ps_supplycost
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+    """)
+    sup = spark.table("supplier")
+    nat = spark.table("nation")
+    reg = spark.table("region").where("r_name = 'EUROPE'")
+    eligible = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost",
+                "s_acctbal", "s_name", "n_name")
+    )
+    part = spark.table("part").where("p_size = 15")
+    w = Window.partitionBy("ps_partkey")
+    out = (
+        eligible
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+    return out
 
 
 _Q9 = """
