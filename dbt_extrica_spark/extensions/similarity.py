@@ -642,10 +642,20 @@ def random_projection(df: DataFrame, id_col: str, vec_col: str,
     coordinate is a sequential JVM fold (bit-reproducible, oracle-
     comparable); one scan, no shuffle, no Python in the data plane.
     Returns (id, p0..p{out_dim-1})."""
-    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
-    if first is None:
+    # derive the input width from an AGGREGATE over all rows, not one
+    # arbitrary row: with mixed-width vectors a single-row probe builds a
+    # matrix that's silently wrong for every other width (zip_with folds
+    # over the shorter side without erroring) — same job count, but the
+    # mismatch becomes a build-time error instead of corrupted output
+    dims = df.agg(F.min(F.size(F.col(vec_col))).alias("lo"),
+                  F.max(F.size(F.col(vec_col))).alias("hi")).first()
+    if dims is None or dims.lo is None:
         raise ValueError("random_projection on an empty DataFrame")
-    in_dim = first.n
+    if dims.lo != dims.hi:
+        raise ValueError(
+            f"random_projection requires uniform vector width; found "
+            f"sizes {dims.lo}..{dims.hi} in {vec_col!r}")
+    in_dim = dims.lo
     mat = projection_matrix(in_dim, out_dim, seed)
     cols = [F.col(id_col)]
     for d in range(out_dim):

@@ -1943,3 +1943,13 @@ def test_zorder_prunes_more_rowgroups_than_linear_sort(spark, tmp_path):
     # the linear sort prunes on x only: every file in the x-range must be
     # read regardless of y; the z-order layout bounds BOTH dims per file
     assert z_hit < l_hit
+
+
+def test_random_projection_mixed_width_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],
+        "id BIGINT, v ARRAY<FLOAT>")
+    with _pytest.raises(ValueError, match="uniform vector width"):
+        similarity.random_projection(df, "id", "v", out_dim=2)
