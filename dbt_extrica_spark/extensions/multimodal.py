@@ -2,10 +2,13 @@
 ``binary`` columns with typed metadata.
 
 The Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
-batch shape, deterministic outputs — is real and tested. The actual codec
-work is STUBBED: the container has no image/audio libraries, so decode
-functions run a clearly-marked deterministic fake unless PIL/soundfile import
-succeeds (import-try gate). Swap the inner function for a real decoder on a
+batch shape, deterministic outputs — is real and tested. Decode is REAL
+for uncompressed formats (binary PPM/PGM and 24-bit BMP) via a pure-numpy
+parser (:func:`decode_image_numpy` — no codec library needed, the bytes
+ARE the pixels), with nearest-neighbor resize + PPM re-encode
+(:func:`resize_images`). COMPRESSED formats (JPEG/PNG/audio codecs)
+remain behind an import-try gate: PIL/soundfile when present, a
+clearly-marked deterministic fake otherwise — swap in a real codec on a
 cluster with the libs installed; the Spark plumbing does not change.
 """
 
@@ -50,6 +53,114 @@ def _try_real_image_decode(content: bytes):
         return Image.open(io.BytesIO(content))
     except Exception:
         return None
+
+
+# --------------------------------------------------------------------------
+# REAL pure-numpy decode for uncompressed formats (no codec libs needed)
+# --------------------------------------------------------------------------
+
+def _ppm_tokens(content: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII ints from a PNM header,
+    honoring '#' comments; returns (values, next_offset)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n and i < len(content):
+        c = content[i]
+        if c == 0x23:  # '#' comment to end of line
+            while i < len(content) and content[i] not in (0x0A, 0x0D):
+                i += 1
+        elif c in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            i += 1
+        else:
+            j = i
+            while j < len(content) and 0x30 <= content[j] <= 0x39:
+                j += 1
+            if j == i:
+                raise ValueError("malformed PNM header")
+            vals.append(int(content[i:j]))
+            i = j
+    if len(vals) < n:
+        raise ValueError("truncated PNM header")
+    return vals, i
+
+
+def decode_image_numpy(content: bytes):
+    """REAL image decode for the uncompressed formats a codec-less
+    container can still handle exactly — pure numpy, no PIL:
+
+    - PPM ``P6`` (binary RGB, maxval <= 255) -> (h, w, 3) uint8
+    - PGM ``P5`` (binary grayscale)          -> (h, w) uint8
+    - BMP 24-bit uncompressed BI_RGB         -> (h, w, 3) uint8
+      (bottom-up rows flipped, BGR -> RGB, 4-byte row padding stripped)
+
+    Returns None for anything else (compressed formats stay behind the
+    PIL import-try / documented stub). This closes the 'decode is
+    env-blocked' gap for the formats where no codec is genuinely
+    required — the bytes ARE the pixels."""
+    import numpy as np
+
+    if len(content) < 2:
+        return None
+    if content[:2] in (b"P6", b"P5"):
+        gray = content[:2] == b"P5"
+        try:
+            (w, h, maxval), off = _ppm_tokens(content, 3, 2)
+        except ValueError:
+            return None
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        off += 1  # exactly ONE whitespace byte after maxval (PNM spec)
+        ch = 1 if gray else 3
+        need = w * h * ch
+        if len(content) - off < need:
+            return None
+        arr = np.frombuffer(content, dtype=np.uint8,
+                            count=need, offset=off)
+        return arr.reshape((h, w) if gray else (h, w, ch)).copy()
+    if content[:2] == b"BM" and len(content) >= 54:
+        off = int.from_bytes(content[10:14], "little")
+        w = int.from_bytes(content[18:22], "little", signed=True)
+        h = int.from_bytes(content[22:26], "little", signed=True)
+        bpp = int.from_bytes(content[28:30], "little")
+        comp = int.from_bytes(content[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        flip = h > 0
+        h = abs(h)
+        row = (w * 3 + 3) // 4 * 4
+        if len(content) - off < row * h:
+            return None
+        arr = np.frombuffer(content, dtype=np.uint8, count=row * h,
+                            offset=off).reshape(h, row)
+        px = arr[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if flip:
+            px = px[::-1]
+        return px.copy()
+    return None
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) or (h, w) uint8 array as binary PPM/PGM —
+    the round-trip partner of :func:`decode_image_numpy`."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    magic = b"P5" if gray else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def resize_nearest(pixels, width: int, height: int):
+    """Deterministic nearest-neighbor resize (pure numpy index map —
+    floor(target * src / dst), PIL-free and engine-reproducible)."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    src_h, src_w = px.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return px[ys][:, xs].copy()
 
 
 def _fake_feature(content: bytes, dims: int = 8) -> list[float]:
@@ -113,7 +224,8 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     lambda b: _fake_feature(bytes(b)) if b is not None else []
                 ),
                 "decoded": pdf["content"].map(
-                    lambda b: _try_real_image_decode(bytes(b)) is not None
+                    lambda b: (_try_real_image_decode(bytes(b)) is not None
+                               or decode_image_numpy(bytes(b)) is not None)
                     if b is not None else False
                 ),
             })
@@ -123,20 +235,137 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: real implementation requires PIL (NotImplementedError
-    raised lazily per-batch when absent). Plumbing (schema/partitioning) is
-    the production shape."""
+    """REAL resize for decodable content: decode (PIL if present, else
+    the pure-numpy PPM/PGM/BMP path), nearest-neighbor resize, re-encode
+    as binary PPM/PGM — content, mime, width and height all updated.
+    Compressed formats without PIL raise NotImplementedError per batch
+    (the only remaining env-blocked branch). Plumbing
+    (mapInPandas/schema/partitioning) is the production shape either
+    way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b):
+            if b is None:
+                return None, None
+            content = bytes(b)
+            px = decode_image_numpy(content)
+            if px is None:
+                img = _try_real_image_decode(content)
+                if img is None:
+                    raise NotImplementedError(
+                        "resize of compressed formats requires PIL (absent"
+                        " in this container); uncompressed PPM/PGM/BMP"
+                        " resize is fully implemented"
+                    )
+                import numpy as np
+
+                px = np.asarray(img.convert("RGB"))
+            out = resize_nearest(px, width, height)
+            mime = "image/x-portable-graymap" if out.ndim == 2 else \
+                "image/x-portable-pixmap"
+            return encode_ppm(out), mime
+
         for pdf in batches:
-            if _try_real_image_decode(b"") is None and len(pdf):
-                raise NotImplementedError(
-                    "image resize requires PIL; not available in this "
-                    "container — plumbing tested via extract_features"
-                )
-            yield pdf.assign(width=width, height=height)
+            pairs = pdf["content"].map(one)
+            yield pdf.assign(
+                content=pairs.map(lambda t: t[0]),
+                mime=pairs.map(lambda t: t[1]),
+                width=width, height=height,
+            )
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+def synthetic_media_real(spark, n: int = 32, side: int = 16,
+                         near_dups: int = 0, fmt: str = "ppm") -> DataFrame:
+    """Deterministic media table whose content is REAL decodable image
+    bytes (binary PPM P6, or 24-bit BMP with ``fmt='bmp'``) — TEXTURED
+    pixel patterns (xor-mixed coordinates) seeded by media_id, so every
+    decode assertion has a closed-formula oracle. ``near_dups`` plants
+    one-PIXEL-edited twins at media_id + 1000 — under the real decode
+    these hash IDENTICALLY (hamming 0) while distinct patterns sit at
+    hamming >= ~18, so perceptual dedup has clean planted positives.
+    (Textured, not smooth gradients: a smooth image's low-frequency DCT
+    coefficients hover at the median and a median-threshold pHash flips
+    ~26 bits on a one-pixel edit — measured before switching.)"""
+    import numpy as np
+
+    def pixels(i: int):
+        y = np.arange(side)[:, None]
+        x = np.arange(side)[None, :]
+        r = ((x * 73) ^ (y * 151)) + i * 97
+        g = ((x * 29) ^ (y * 47)) + i * 31
+        b = ((x * 11) ^ (y * 199)) + i * 7
+        return np.stack([r % 256, g % 256, b % 256],
+                        axis=2).astype(np.uint8)
+
+    def encode(px) -> bytes:
+        if fmt == "ppm":
+            return encode_ppm(px)
+        # minimal 24-bit BMP: 54-byte headers, bottom-up rows, BGR, padded
+        h, w = px.shape[:2]
+        row = (w * 3 + 3) // 4 * 4
+        size = 54 + row * h
+        header = (b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+                  + (54).to_bytes(4, "little")
+                  + (40).to_bytes(4, "little")
+                  + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+                  + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                  + b"\x00" * 24)
+        body = bytearray()
+        for yy in range(h - 1, -1, -1):
+            rowb = px[yy, :, ::-1].tobytes()
+            body += rowb + b"\x00" * (row - len(rowb))
+        return header + bytes(body)
+
+    mime = "image/x-portable-pixmap" if fmt == "ppm" else "image/bmp"
+    rows = []
+    for i in range(n):
+        rows.append((i, "image", encode(pixels(i)), mime, side, side, 0))
+    for i in range(min(near_dups, n)):
+        px = pixels(i).copy()
+        px[0, 0, 0] = (int(px[0, 0, 0]) + 16) % 256  # one-pixel edit
+        rows.append((i + 1000, "image", encode(px), mime, side, side, 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_DECODE_SCHEMA = ("media_id bigint, width int, height int, channels int, "
+                  "pixel_sum bigint, decoded boolean")
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """REAL per-image decode statistics via mapInPandas: pure-numpy
+    decode of uncompressed PPM/PGM/BMP content into actual pixels, then
+    exact integer stats — (media_id, width, height, channels,
+    pixel_sum, decoded). pixel_sum is the sum of every sample value
+    (int64-exact), so a single wrong pixel anywhere — padding handled
+    wrong, rows unflipped, BGR unswapped — changes the value. Rows whose
+    content isn't decodable report decoded=false with zero stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b):
+            if b is None:
+                return (0, 0, 0, 0, False)
+            px = decode_image_numpy(bytes(b))
+            if px is None:
+                return (0, 0, 0, 0, False)
+            h, w = px.shape[:2]
+            ch = 1 if px.ndim == 2 else int(px.shape[2])
+            return (int(w), int(h), ch, int(px.astype("int64").sum()), True)
+
+        for pdf in batches:
+            vals = pdf["content"].map(one)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": vals.map(lambda t: t[0]).astype("int32"),
+                "height": vals.map(lambda t: t[1]).astype("int32"),
+                "channels": vals.map(lambda t: t[2]).astype("int32"),
+                "pixel_sum": vals.map(lambda t: t[3]).astype("int64"),
+                "decoded": vals.map(lambda t: t[4]),
+            })
+
+    return df.select("media_id", "content").mapInPandas(
+        run, schema=_DECODE_SCHEMA)
 
 
 def tile_images(df: DataFrame, tile: int = 32) -> DataFrame:
@@ -214,17 +443,26 @@ _PHASH_BLOCK = 8     # low-frequency block -> 64-bit hash
 
 
 def _decode_gray(content: bytes, side: int = _PHASH_SIDE):
-    """Grayscale pixel grid for hashing. Real path: PIL decode + resize
-    (import-try gated). Stub path: the deterministic byte->pixel map —
-    pixels read the content bytes cyclically, so a small byte edit moves
-    few pixels and a near-duplicate stays perceptually near. Returns a
-    float64 (side, side) array in [0, 1]."""
+    """Grayscale pixel grid for hashing. Real paths, in order: PIL decode
+    (import-try gated) -> pure-numpy decode for uncompressed PPM/PGM/BMP
+    (decode_image_numpy — REAL pixels, luma-weighted, nearest-resized).
+    Stub path only for undecodable bytes: the deterministic
+    byte->pixel map — pixels read the content bytes cyclically, so a
+    small byte edit moves few pixels and a near-duplicate stays
+    perceptually near. Returns a float64 (side, side) array in [0, 1]."""
     import numpy as np
 
     img = _try_real_image_decode(content)
     if img is not None:
         img = img.convert("L").resize((side, side))
         return np.asarray(img, dtype=np.float64) / 255.0
+    px = decode_image_numpy(content)
+    if px is not None:
+        if px.ndim == 3:  # ITU-R 601 luma
+            px = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                  + 0.114 * px[:, :, 2])
+        px = resize_nearest(px, side, side)
+        return np.asarray(px, dtype=np.float64) / 255.0
     if not content:
         return np.zeros((side, side), dtype=np.float64)
     buf = np.frombuffer(content, dtype=np.uint8)

@@ -3654,6 +3654,63 @@ def _mm_features_oracle() -> str:
     )
 
 
+# REAL decode verification, end-to-end INDEPENDENT of the decoder: the
+# oracle's pixel sums come straight from the GENERATOR's closed pixel
+# formula (never touching encode/decode), while the Spark side encodes
+# those pixels to real PPM and BMP bytes and decodes them back with the
+# pure-numpy parser inside mapInPandas. One wrong pixel anywhere — BMP
+# row padding, bottom-up flip, BGR order, PNM header parsing — shifts a
+# pixel_sum and breaks the hash.
+def _mm_decode_oracle() -> str:
+    import numpy as np
+
+    def pixels(i: int, side: int = 16):
+        y = np.arange(side)[:, None]
+        x = np.arange(side)[None, :]
+        r = ((x * 73) ^ (y * 151)) + i * 97
+        g = ((x * 29) ^ (y * 47)) + i * 31
+        b = ((x * 11) ^ (y * 199)) + i * 7
+        return np.stack([r % 256, g % 256, b % 256],
+                        axis=2).astype(np.uint8)
+
+    rows = []
+    for base, fmt_tag in ((0, "ppm"), (5000, "bmp")):
+        for i in range(24):
+            s = int(pixels(i).astype(np.int64).sum())
+            rows.append(f"({base + i}, 16, 16, 3, {s}, TRUE)")
+        # the planted one-pixel twins: +16 on one sample (mod 256)
+        for i in range(4):
+            px = pixels(i).astype(np.int64)
+            edited = int(px.sum()) - int(px[0, 0, 0]) \
+                + (int(px[0, 0, 0]) + 16) % 256
+            rows.append(f"({base + i + 1000}, 16, 16, 3, {edited}, TRUE)")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(width AS INT) AS width, CAST(height AS INT) AS height,"
+        " CAST(channels AS INT) AS channels,"
+        " CAST(pixel_sum AS BIGINT) AS pixel_sum, decoded FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, width, height, channels, pixel_sum, decoded)"
+    )
+
+
+@q("multimodal_decode_real", _mm_decode_oracle())
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode — no codec library: binary PPM (P6) and 24-bit
+    BMP content parsed to actual pixels by the pure-numpy decoder inside
+    mapInPandas; exact integer pixel sums verified against the
+    generator's closed pixel formula (the oracle never runs the
+    decoder, so this is true end-to-end codec verification)."""
+    from .extensions import multimodal
+
+    ppm = multimodal.synthetic_media_real(spark, n=24, side=16,
+                                          near_dups=4, fmt="ppm")
+    bmp = (multimodal.synthetic_media_real(spark, n=24, side=16,
+                                           near_dups=4, fmt="bmp")
+           .withColumn("media_id", F.col("media_id") + 5000))
+    return multimodal.decode_stats(ppm.unionByName(bmp))
+
+
 @q("multimodal_features", _mm_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media -> mapInPandas feature extraction
@@ -6198,6 +6255,7 @@ _GATED_WINDOW = [
     "dedup_minhash_groups",
     "streaming_interval_join",
     "streaming_enrich",
+    "multimodal_decode_real",
     "dedup_minhash",
     "dedup_minhash_incremental",
     "streaming_admission",
@@ -6223,7 +6281,6 @@ _GATED_WINDOW = [
     "mat_table_contract",
     "q_retention_cohorts",
     "q_approx_distinct",
-    "q_approx_quantiles",
 ]
 
 

@@ -1953,3 +1953,84 @@ def test_random_projection_mixed_width_raises(spark):
         "id BIGINT, v ARRAY<FLOAT>")
     with _pytest.raises(ValueError, match="uniform vector width"):
         similarity.random_projection(df, "id", "v", out_dim=2)
+
+
+def test_decode_image_numpy_roundtrip_and_bmp_golden():
+    import numpy as np
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    # PPM roundtrip: encode known pixels, decode, exact equality
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    assert np.array_equal(mm.decode_image_numpy(mm.encode_ppm(px)), px)
+    # PGM (grayscale) roundtrip
+    g = np.arange(6 * 7, dtype=np.uint8).reshape(6, 7)
+    assert np.array_equal(mm.decode_image_numpy(mm.encode_ppm(g)), g)
+    # PNM comments + multi-whitespace headers parse
+    body = bytes(px.tobytes())
+    hdr = b"P6\n# a comment\n 4   5 \n255\n"
+    assert np.array_equal(mm.decode_image_numpy(hdr + body), px)
+    # hand-built 3x2 24-bit BMP (bottom-up, BGR, 4-byte row padding):
+    # true pixels row0=[R,G,B], row1=[white, black, gray]
+    true = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                     [[255, 255, 255], [0, 0, 0], [128, 128, 128]]],
+                    dtype=np.uint8)
+    row = (3 * 3 + 3) // 4 * 4  # 12 bytes: 9 + 3 padding
+    body = b""
+    for yy in (1, 0):  # bottom-up
+        body += true[yy, :, ::-1].tobytes() + b"\x00" * (row - 9)
+    bmp = (b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+           + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+           + (3).to_bytes(4, "little") + (2).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + b"\x00" * 24 + body)
+    assert np.array_equal(mm.decode_image_numpy(bmp), true)
+    # non-images decline decode (no exception)
+    assert mm.decode_image_numpy(b"\x89PNG\r\n") is None
+    assert mm.decode_image_numpy(b"") is None
+
+
+def test_resize_images_real_and_nearest():
+    import numpy as np
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    # nearest-neighbor on a known grid: 2x upscale repeats each pixel
+    px = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)  # 1x2
+    up = mm.resize_nearest(px, 4, 2)
+    assert up.shape == (2, 4, 3)
+    assert np.array_equal(up[0, 0], [1, 2, 3]) and \
+        np.array_equal(up[0, 3], [4, 5, 6])
+
+
+def test_resize_images_spark_roundtrip(spark):
+    import numpy as np
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    media = mm.synthetic_media_real(spark, n=4, side=16)
+    out = {r.media_id: r for r in
+           mm.resize_images(media, 8, 8).collect()}
+    assert len(out) == 4
+    for mid, r in out.items():
+        assert r.width == 8 and r.height == 8
+        px = mm.decode_image_numpy(bytes(r.content))
+        assert px is not None and px.shape == (8, 8, 3)
+        # check the full resized grid against the direct nearest-neighbor
+        # of the generator's (textured) pixels
+        y = np.arange(16)[:, None]; x = np.arange(16)[None, :]
+        full = np.stack([
+            (((x * 73) ^ (y * 151)) + mid * 97) % 256,
+            (((x * 29) ^ (y * 47)) + mid * 31) % 256,
+            (((x * 11) ^ (y * 199)) + mid * 7) % 256,
+        ], axis=2).astype(np.uint8)
+        assert np.array_equal(px, mm.resize_nearest(full, 8, 8))
+
+
+def test_phash_real_images_find_planted_twins(spark):
+    # with REAL decode, a one-pixel edit must stay perceptually near
+    # while distinct gradients stay far
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    media = mm.synthetic_media_real(spark, n=12, side=16, near_dups=3)
+    pairs = {(r.id_a, r.id_b) for r in
+             mm.phash_pairs(media, max_hamming=6).collect()}
+    for i in range(3):
+        assert (i, i + 1000) in pairs, pairs
