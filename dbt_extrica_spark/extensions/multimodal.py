@@ -139,6 +139,68 @@ def decode_image_numpy(content: bytes):
     return None
 
 
+def decode_audio_numpy(content: bytes):
+    """REAL audio decode for uncompressed PCM WAV — pure numpy, no
+    soundfile: walks the RIFF chunk list, accepts fmt audio_format=1
+    (PCM) at 16 bits/sample, and returns ``(samples, sample_rate)``
+    with samples shaped (n_frames, channels) int16 (little-endian data
+    chunk reinterpreted in place). Returns None for anything else —
+    compressed codecs stay behind the documented import-try stub."""
+    import numpy as np
+
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        size = int.from_bytes(content[pos + 4:pos + 8], "little")
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = (
+                int.from_bytes(body[0:2], "little"),    # audio_format
+                int.from_bytes(body[2:4], "little"),    # channels
+                int.from_bytes(body[4:8], "little"),    # sample_rate
+                int.from_bytes(body[14:16], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, rate, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1:
+        return None
+    n = len(data) // (2 * channels)
+    if n == 0:
+        return None
+    samples = np.frombuffer(data, dtype="<i2",
+                            count=n * channels).reshape(n, channels)
+    return samples.copy(), rate
+
+
+def encode_wav(samples, rate: int = 16000) -> bytes:
+    """Encode an (n,) or (n, channels) int16 array as PCM WAV — the
+    round-trip partner of :func:`decode_audio_numpy`."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    block = ch * 2
+    fmt = ((1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = (b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return (b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE"
+            + body)
+
+
 def encode_ppm(pixels) -> bytes:
     """Encode an (h, w, 3) or (h, w) uint8 array as binary PPM/PGM —
     the round-trip partner of :func:`decode_image_numpy`."""
@@ -366,6 +428,77 @@ def decode_stats(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "content").mapInPandas(
         run, schema=_DECODE_SCHEMA)
+
+
+_AUDIO_SCHEMA = ("media_id bigint, sample_rate int, n_frames bigint, "
+                 "channels int, abs_sum bigint, zero_crossings bigint, "
+                 "decoded boolean")
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL per-clip audio statistics via mapInPandas: pure-numpy PCM
+    WAV decode into actual int16 samples, then exact integer stats —
+    (media_id, sample_rate, n_frames, channels, abs_sum,
+    zero_crossings, decoded). abs_sum (sum of |sample| over every
+    channel) and zero_crossings (sign changes along channel 0) are
+    int64-exact, so one wrong sample anywhere — chunk walking, word
+    alignment, channel interleave — changes a value. Undecodable rows
+    report decoded=false with zero stats."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b):
+            if b is None:
+                return (0, 0, 0, 0, 0, False)
+            out = decode_audio_numpy(bytes(b))
+            if out is None:
+                return (0, 0, 0, 0, 0, False)
+            s, rate = out
+            wide = s.astype(np.int64)
+            c0 = wide[:, 0]
+            zc = int(np.sum((c0[1:] >= 0) != (c0[:-1] >= 0)))
+            return (int(rate), int(s.shape[0]), int(s.shape[1]),
+                    int(np.abs(wide).sum()), zc, True)
+
+        for pdf in batches:
+            vals = pdf["content"].map(one)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": vals.map(lambda t: t[0]).astype("int32"),
+                "n_frames": vals.map(lambda t: t[1]).astype("int64"),
+                "channels": vals.map(lambda t: t[2]).astype("int32"),
+                "abs_sum": vals.map(lambda t: t[3]).astype("int64"),
+                "zero_crossings": vals.map(lambda t: t[4]).astype("int64"),
+                "decoded": vals.map(lambda t: t[5]),
+            })
+
+    return df.select("media_id", "content").mapInPandas(
+        run, schema=_AUDIO_SCHEMA)
+
+
+def synthetic_audio_real(spark, n: int = 16, frames: int = 480,
+                         rate: int = 16000, stereo: bool = False) -> DataFrame:
+    """Deterministic media table whose content is REAL PCM WAV bytes —
+    integer sawtooth waveforms seeded by media_id (closed formula, no
+    libm floats), so decode assertions have exact oracles. Stereo adds a
+    phase-shifted second channel."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        t = np.arange(frames, dtype=np.int64)
+        period = 20 + 3 * i
+        saw = ((t % period) * 2000 // period) - 1000  # [-1000, 1000)
+        ch0 = (saw * (i + 1)) % 30000 - 15000
+        if stereo:
+            ch1 = np.roll(ch0, period // 2)
+            samples = np.stack([ch0, ch1], axis=1)
+        else:
+            samples = ch0
+        content = encode_wav(samples.astype(np.int16), rate)
+        rows.append((i, "audio", content, "audio/wav", 0, 0,
+                     frames * 1000 // rate))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def tile_images(df: DataFrame, tile: int = 32) -> DataFrame:

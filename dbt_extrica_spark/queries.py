@@ -3711,6 +3711,59 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_stats(ppm.unionByName(bmp))
 
 
+# Audio counterpart of _mm_decode_oracle: sample stats computed from the
+# GENERATOR's waveform formula (never the decoder); the Spark side
+# encodes to real PCM WAV and decodes with the pure-numpy RIFF walker
+# inside mapInPandas. Chunk alignment, interleave and sign handling are
+# all under the hash.
+def _mm_audio_oracle() -> str:
+    import numpy as np
+
+    rows = []
+    for stereo, base in ((False, 0), (True, 2000)):
+        for i in range(16):
+            t = np.arange(480, dtype=np.int64)
+            period = 20 + 3 * i
+            saw = ((t % period) * 2000 // period) - 1000
+            ch0 = (saw * (i + 1)) % 30000 - 15000
+            if stereo:
+                ch1 = np.roll(ch0, period // 2)
+                abs_sum = int(np.abs(ch0).sum() + np.abs(ch1).sum())
+                ch = 2
+            else:
+                abs_sum = int(np.abs(ch0).sum())
+                ch = 1
+            zc = int(np.sum((ch0[1:] >= 0) != (ch0[:-1] >= 0)))
+            rows.append(f"({base + i}, 16000, 480, {ch}, {abs_sum},"
+                        f" {zc}, TRUE)")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(sample_rate AS INT) AS sample_rate,"
+        " CAST(n_frames AS BIGINT) AS n_frames,"
+        " CAST(channels AS INT) AS channels,"
+        " CAST(abs_sum AS BIGINT) AS abs_sum,"
+        " CAST(zero_crossings AS BIGINT) AS zero_crossings, decoded"
+        " FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, sample_rate, n_frames, channels, abs_sum,"
+        " zero_crossings, decoded)"
+    )
+
+
+@q("multimodal_audio_decode", _mm_audio_oracle())
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode — no codec library: PCM WAV content parsed to
+    actual int16 samples by the pure-numpy RIFF walker inside
+    mapInPandas (mono and interleaved stereo); exact integer |sample|
+    sums and zero-crossing counts verified against the generator's
+    waveform formula (the oracle never runs the decoder)."""
+    from .extensions import multimodal
+
+    mono = multimodal.synthetic_audio_real(spark, n=16)
+    stereo = (multimodal.synthetic_audio_real(spark, n=16, stereo=True)
+              .withColumn("media_id", F.col("media_id") + 2000))
+    return multimodal.audio_stats(mono.unionByName(stereo))
+
+
 @q("multimodal_features", _mm_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media -> mapInPandas feature extraction
@@ -6256,6 +6309,7 @@ _GATED_WINDOW = [
     "streaming_interval_join",
     "streaming_enrich",
     "multimodal_decode_real",
+    "multimodal_audio_decode",
     "dedup_minhash",
     "dedup_minhash_incremental",
     "streaming_admission",
@@ -6280,7 +6334,6 @@ _GATED_WINDOW = [
     "inc_merge_partitioned",
     "mat_table_contract",
     "q_retention_cohorts",
-    "q_approx_distinct",
 ]
 
 

@@ -2034,3 +2034,32 @@ def test_phash_real_images_find_planted_twins(spark):
              mm.phash_pairs(media, max_hamming=6).collect()}
     for i in range(3):
         assert (i, i + 1000) in pairs, pairs
+
+
+def test_decode_audio_numpy_roundtrip_and_chunk_walk():
+    import numpy as np
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    # mono roundtrip
+    s = (np.arange(100, dtype=np.int16) * 117 % 20000) - 10000
+    out = mm.decode_audio_numpy(mm.encode_wav(s, 8000))
+    assert out is not None
+    got, rate = out
+    assert rate == 8000 and got.shape == (100, 1)
+    assert np.array_equal(got[:, 0], s)
+    # stereo interleave preserved
+    st = np.stack([s, s[::-1]], axis=1)
+    got2, _ = mm.decode_audio_numpy(mm.encode_wav(st, 16000))
+    assert np.array_equal(got2, st)
+    # an EXTRA odd-sized chunk before fmt/data must be walked over
+    # (word alignment): splice a 3-byte junk chunk after 'WAVE'
+    wav = bytearray(mm.encode_wav(s, 8000))
+    junk = b"junk" + (3).to_bytes(4, "little") + b"abc\x00"  # padded
+    spliced = bytes(wav[:12]) + junk + bytes(wav[12:])
+    riff_size = len(spliced) - 8
+    spliced = spliced[:4] + riff_size.to_bytes(4, "little") + spliced[8:]
+    got3, _ = mm.decode_audio_numpy(spliced)
+    assert np.array_equal(got3[:, 0], s)
+    # non-PCM and non-WAV decline
+    assert mm.decode_audio_numpy(b"RIFFxxxxAVI ") is None
+    assert mm.decode_audio_numpy(b"\x00" * 100) is None
