@@ -201,6 +201,68 @@ def encode_wav(samples, rate: int = 16000) -> bytes:
             + body)
 
 
+def decode_video_numpy(content: bytes):
+    """REAL video decode for the uncompressed Y4M (YUV4MPEG2) container
+    — pure numpy, no codec: parses the stream header (W/H/C tags; 4:2:0
+    subsampling), then splits FRAME sections into (Y, U, V) planes.
+    Returns ``(frames, width, height)`` where frames is a list of
+    ``(y, u, v)`` uint8 arrays — y is (h, w), u/v are (h//2, w//2).
+    Returns None for anything that isn't plain 4:2:0 Y4M."""
+    import numpy as np
+
+    magic = b"YUV4MPEG2 "
+    if not content.startswith(magic):
+        return None
+    nl = content.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    chroma = "420"
+    for tag in content[len(magic):nl].split(b" "):
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            chroma = tag[1:].decode()
+    if not w or not h or w % 2 or h % 2 or not chroma.startswith("420"):
+        return None
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frame_bytes = ysz + 2 * csz
+    frames = []
+    pos = nl + 1
+    while pos < len(content):
+        if content[pos:pos + 5] != b"FRAME":
+            return None
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or len(content) - (fnl + 1) < frame_bytes:
+            return None
+        buf = content[fnl + 1:fnl + 1 + frame_bytes]
+        y = np.frombuffer(buf, np.uint8, ysz).reshape(h, w)
+        u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(h // 2, w // 2)
+        v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
+            h // 2, w // 2)
+        frames.append((y.copy(), u.copy(), v.copy()))
+        pos = fnl + 1 + frame_bytes
+    if not frames:
+        return None
+    return frames, w, h
+
+
+def encode_y4m(frames, width: int, height: int) -> bytes:
+    """Encode a list of (y, u, v) uint8 plane tuples as 4:2:0 Y4M — the
+    round-trip partner of :func:`decode_video_numpy`."""
+    import numpy as np
+
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    for y, u, v in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(y, np.uint8).tobytes())
+        out.append(np.asarray(u, np.uint8).tobytes())
+        out.append(np.asarray(v, np.uint8).tobytes())
+    return b"".join(out)
+
+
 def encode_ppm(pixels) -> bytes:
     """Encode an (h, w, 3) or (h, w) uint8 array as binary PPM/PGM —
     the round-trip partner of :func:`decode_image_numpy`."""
@@ -498,6 +560,80 @@ def synthetic_audio_real(spark, n: int = 16, frames: int = 480,
         content = encode_wav(samples.astype(np.int16), rate)
         rows.append((i, "audio", content, "audio/wav", 0, 0,
                      frames * 1000 // rate))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_FRAME_SCHEMA = ("media_id bigint, frame_idx int, width int, height int, "
+                 "y_sum bigint, uv_sum bigint")
+
+
+def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame extraction via mapInPandas: pure-numpy Y4M decode into
+    actual YUV planes, one output row per SAMPLED frame (every_n) with
+    exact integer luma/chroma sums — the distributed shape a real
+    frame-level featurizer consumes (swap the stats projection for a
+    vision-model batch; the decode and fan-out stay identical).
+    Undecodable rows produce no frames (sample_frames remains the
+    metadata-only planner for opaque content)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [],
+                   "height": [], "y_sum": [], "uv_sum": []}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                if b is None:
+                    continue
+                dec = decode_video_numpy(bytes(b))
+                if dec is None:
+                    continue
+                frames, w, h = dec
+                for idx in range(0, len(frames), every_n):
+                    y, u, v = frames[idx]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["y_sum"].append(int(y.astype(np.int64).sum()))
+                    out["uv_sum"].append(
+                        int(u.astype(np.int64).sum()
+                            + v.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "y_sum": pd.Series(out["y_sum"], dtype="int64"),
+                "uv_sum": pd.Series(out["uv_sum"], dtype="int64"),
+            })
+
+    return df.select("media_id", "content").mapInPandas(
+        run, schema=_FRAME_SCHEMA)
+
+
+def synthetic_video_real(spark, n: int = 8, side: int = 8,
+                         n_frames: int = 6) -> DataFrame:
+    """Deterministic media table whose content is REAL Y4M video bytes —
+    per-frame xor-textured luma planes seeded by (media_id, frame), so
+    frame-level decode assertions have closed-formula oracles."""
+    import numpy as np
+
+    def planes(i: int, f: int):
+        y = np.arange(side)[:, None]
+        x = np.arange(side)[None, :]
+        luma = (((x * 37) ^ (y * 89)) + f * 11 + i * 17) % 256
+        half = side // 2
+        u = np.full((half, half), (64 + f * 3 + i) % 256)
+        v = np.full((half, half), (192 + f * 5 + i) % 256)
+        return (luma.astype(np.uint8), u.astype(np.uint8),
+                v.astype(np.uint8))
+
+    rows = []
+    for i in range(n):
+        content = encode_y4m([planes(i, f) for f in range(n_frames)],
+                             side, side)
+        rows.append((i, "video", content, "video/x-yuv4mpeg", side, side,
+                     n_frames * 40))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -3764,6 +3764,51 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_stats(mono.unionByName(stereo))
 
 
+# Video counterpart: per-frame luma/chroma sums from the GENERATOR's
+# plane formula; the Spark side encodes real Y4M and decodes it with the
+# pure-numpy container parser inside mapInPandas. Header parsing, FRAME
+# walking and 4:2:0 plane split are all under the hash.
+def _mm_video_oracle() -> str:
+    import numpy as np
+
+    side, n_frames, every = 8, 6, 2
+    rows = []
+    for i in range(8):
+        for f in range(0, n_frames, every):
+            y = np.arange(side)[:, None]
+            x = np.arange(side)[None, :]
+            luma = (((x * 37) ^ (y * 89)) + f * 11 + i * 17) % 256
+            half = side // 2
+            usum = half * half * ((64 + f * 3 + i) % 256)
+            vsum = half * half * ((192 + f * 5 + i) % 256)
+            rows.append(
+                f"({i}, {f}, {side}, {side},"
+                f" {int(luma.astype(np.int64).sum())}, {usum + vsum})")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(frame_idx AS INT) AS frame_idx,"
+        " CAST(width AS INT) AS width, CAST(height AS INT) AS height,"
+        " CAST(y_sum AS BIGINT) AS y_sum,"
+        " CAST(uv_sum AS BIGINT) AS uv_sum"
+        " FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, frame_idx, width, height, y_sum, uv_sum)"
+    )
+
+
+@q("multimodal_video_frames", _mm_video_oracle())
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction — no codec library: Y4M (YUV4MPEG2)
+    content parsed to actual 4:2:0 planes by the pure-numpy container
+    parser inside mapInPandas, sampled every 2nd frame; exact integer
+    luma/chroma sums verified against the generator's plane formula
+    (the oracle never runs the decoder)."""
+    from .extensions import multimodal
+
+    media = multimodal.synthetic_video_real(spark, n=8, side=8,
+                                            n_frames=6)
+    return multimodal.extract_frames(media, every_n=2)
+
+
 @q("multimodal_features", _mm_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media -> mapInPandas feature extraction
@@ -6310,6 +6355,7 @@ _GATED_WINDOW = [
     "streaming_enrich",
     "multimodal_decode_real",
     "multimodal_audio_decode",
+    "multimodal_video_frames",
     "dedup_minhash",
     "dedup_minhash_incremental",
     "streaming_admission",
@@ -6333,7 +6379,6 @@ _GATED_WINDOW = [
     "snapshot_scd2",
     "inc_merge_partitioned",
     "mat_table_contract",
-    "q_retention_cohorts",
 ]
 
 

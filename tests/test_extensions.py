@@ -2063,3 +2063,27 @@ def test_decode_audio_numpy_roundtrip_and_chunk_walk():
     # non-PCM and non-WAV decline
     assert mm.decode_audio_numpy(b"RIFFxxxxAVI ") is None
     assert mm.decode_audio_numpy(b"\x00" * 100) is None
+
+
+def test_decode_video_numpy_roundtrip():
+    import numpy as np
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    w = h = 4
+    frames = []
+    for f in range(3):
+        y = ((np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5 + f)
+             % 256).astype(np.uint8)
+        u = np.full((2, 2), 10 + f, dtype=np.uint8)
+        v = np.full((2, 2), 200 - f, dtype=np.uint8)
+        frames.append((y, u, v))
+    dec = mm.decode_video_numpy(mm.encode_y4m(frames, w, h))
+    assert dec is not None
+    got, gw, gh = dec
+    assert (gw, gh, len(got)) == (w, h, 3)
+    for (y, u, v), (gy, gu, gv) in zip(frames, got):
+        assert np.array_equal(y, gy)
+        assert np.array_equal(u, gu) and np.array_equal(v, gv)
+    # truncated frame / wrong magic decline
+    assert mm.decode_video_numpy(mm.encode_y4m(frames, w, h)[:-5]) is None
+    assert mm.decode_video_numpy(b"NOTAVIDEO") is None
