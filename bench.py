@@ -64,6 +64,18 @@ HEADLINE = [
     "q9_product_profit",
     "q11_important_stock",
     "dedup_minhash_groups",
+    # round 9 additions: the previously-unbenched r7/r8 entries
+    "q4_order_priority",
+    "q12_priority_classes",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_inventory",
+    "streaming_interval_join",
+    "streaming_enrich",
+    "multimodal_decode_real",
+    "multimodal_audio_decode",
+    "multimodal_video_frames",
 ]
 
 
@@ -107,8 +119,19 @@ def main() -> None:
             spark.catalog.clearCache()
         return timings, total
 
+    # loadavg hygiene (round-8 verdict: 8 apparent regressions were host
+    # load, re-litigated a full round later) — stamp start/end 1-min
+    # loadavg and flag noisy runs so a loaded-host bench is marked at the
+    # source instead of adjudicated after the fact.
+    load_start = os.getloadavg()
+    if load_start[0] > 1.0:
+        print(f"# WARNING: loadavg {load_start[0]:.2f} > 1.0 at start — "
+              f"timings will overstate; prefer a quiet host",
+              file=sys.stderr)
+
     cold, cold_total = run_pass("cold")
     warm, warm_total = run_pass("warm")
+    load_end = os.getloadavg()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Detailed per-query record first (an EARLY line — may exceed a tail
@@ -118,6 +141,8 @@ def main() -> None:
         "queries": warm,
         "queries_cold": cold,
         "sf": sf_val,
+        "loadavg_start": round(load_start[0], 2),
+        "loadavg_end": round(load_end[0], 2),
     }))
     # ... then a COMPACT final line with no per-query maps, so the LAST
     # line always fits any tail-capture window and stays parseable
@@ -130,6 +155,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(HEADLINE),
         "sf": sf_val,
+        "loadavg": round(max(load_start[0], load_end[0]), 2),
     }))
     spark.stop()
 

@@ -22,6 +22,8 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -527,17 +529,50 @@ def minhash_index_save(bands_df: DataFrame, table: str,
     (bands_df.write.format("parquet").mode(mode)
      .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
      .saveAsTable(table))
+    # stamp the table with its (single) mh_params so minhash_index_load
+    # can pre-verify from metadata — probes then skip the full-index
+    # distinct() aggregate entirely. The distinct here scans what was
+    # just written ONCE, at write time (an append re-verifies the whole
+    # table — cheap next to the write, and it keeps the property honest
+    # if someone appends mixed-parameter segments).
+    spark = bands_df.sparkSession
+    stamps = [r[0] for r in
+              spark.table(table).select("mh_params").distinct().collect()]
+    if len(stamps) == 1:
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES "
+                  f"('mh_params' = '{stamps[0]}')")
+    else:
+        spark.sql(f"ALTER TABLE {table} UNSET TBLPROPERTIES "
+                  f"IF EXISTS ('mh_params')")
 
 
 def minhash_index_load(spark: SparkSession, table: str) -> DataFrame:
     """Read a saved band index back as the hist_bands= input of
-    :func:`minhash_incremental_pairs` (the mh_params stamp rides along
-    in the table, so probe time still asserts parameter match)."""
-    return spark.table(table)
+    :func:`minhash_incremental_pairs`. When the table carries the
+    ``mh_params`` TBLPROPERTIES stamp (set by minhash_index_save), the
+    stamp is pre-verified here from pure metadata — per-batch probes
+    then skip the full-index distinct() scan."""
+    df = spark.table(table)
+    props = {r["key"]: r["value"]
+             for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    stamp = props.get("mh_params")
+    if stamp is not None:
+        _VERIFIED_STAMPS[df] = {stamp}
+    return df
 
 
 def _mh_params_stamp(k: int, num_perm: int, bands: int) -> str:
     return f"k={k},perm={num_perm},bands={bands}"
+
+
+# per-DataFrame-object memo of stamps already proven uniform: the
+# steady-state admission loop holds ONE loaded index DataFrame and probes
+# it every batch — without this, each probe re-ran a full-index
+# distinct() aggregate (a scan+shuffle of the entire history per batch,
+# counter to the flat O(batch) probe goal). WeakKey: dropping the
+# DataFrame drops its memo entry.
+_VERIFIED_STAMPS: "weakref.WeakKeyDictionary[DataFrame, set]" = \
+    weakref.WeakKeyDictionary()
 
 
 def _check_band_params(hist_bands: DataFrame, k: int, num_perm: int,
@@ -545,7 +580,10 @@ def _check_band_params(hist_bands: DataFrame, k: int, num_perm: int,
     """Assert a precomputed band table was built with the same
     (k, num_perm, bands) as this probe. A mismatch yields near-zero band
     collisions — duplicates silently admitted — so it must be an error,
-    not a quiet recall collapse."""
+    not a quiet recall collapse. Validation runs ONCE per DataFrame
+    object (memoized; pre-seeded from table metadata by
+    minhash_index_load) — re-validate by reloading if the underlying
+    table is rewritten out-of-band under the same object."""
     expected = _mh_params_stamp(k, num_perm, bands)
     if "mh_params" not in hist_bands.columns:
         raise ValueError(
@@ -553,12 +591,20 @@ def _check_band_params(hist_bands: DataFrame, k: int, num_perm: int,
             "minhash_band_table (which stamps its parameters) so the "
             f"probe can verify it matches {expected!r}."
         )
-    # check every DISTINCT stamp (tiny aggregate), not one arbitrary row:
-    # an index assembled from mixed-parameter segments (partial rebuild
-    # drift — exactly what this guard exists for) would pass or fail
-    # nondeterministically under a .first() probe
-    stamps = [r[0] for r in
-              hist_bands.select("mh_params").distinct().collect()]
+    known = _VERIFIED_STAMPS.get(hist_bands)
+    if known is not None:
+        stamps = sorted(known)
+    else:
+        # check every DISTINCT stamp (tiny aggregate), not one arbitrary
+        # row: an index assembled from mixed-parameter segments (partial
+        # rebuild drift — exactly what this guard exists for) would pass
+        # or fail nondeterministically under a .first() probe
+        stamps = [r[0] for r in
+                  hist_bands.select("mh_params").distinct().collect()]
+        try:
+            _VERIFIED_STAMPS[hist_bands] = set(stamps)
+        except TypeError:
+            pass  # unweakrefable wrapper: fall back to per-call checks
     bad = [s for s in stamps if s != expected]
     if bad:
         raise ValueError(
@@ -582,6 +628,7 @@ def minhash_incremental_pairs(
     verify: bool = True,
     hist_bands: DataFrame | None = None,
     broadcast_new: bool = True,
+    max_broadcast_rows: int | None = 200_000,
 ) -> DataFrame:
     """Incremental-ingest text near-dedup: the NEW batch's band table is
     joined against the HISTORY's only — admit increments without
@@ -607,7 +654,15 @@ def minhash_incremental_pairs(
     the auto-planned join re-shuffling the growing index; broadcast
     holds it flat). Set False only when a single admission batch is too
     large to broadcast (then pre-bucket the stored index by (band, bh)
-    so the shuffle happens once at write time instead of per probe)."""
+    so the shuffle happens once at write time instead of per probe).
+
+    ``max_broadcast_rows`` guards the broadcast default: batches above
+    this many DOCUMENTS (band rows = docs x bands, so the 200k-doc
+    default caps the broadcast near 3.2M small rows at 16 bands) fall
+    back to the auto-planned join instead of force-broadcasting a table
+    that could OOM executors. The probe is a bounded limit(n+1) count
+    (the embedding_cosine_pairs guardrail pattern), never a full batch
+    scan; pass None to skip it when the caller asserts batch size."""
     if hist_bands is None:
         hist_bands = minhash_band_table(hist_df, id_col, text_col,
                                         k=k, num_perm=num_perm, bands=bands)
@@ -615,6 +670,10 @@ def minhash_incremental_pairs(
         _check_band_params(hist_bands, k, num_perm, bands)
     new_bands = minhash_band_table(new_df, id_col, text_col,
                                    k=k, num_perm=num_perm, bands=bands)
+    if broadcast_new and max_broadcast_rows is not None:
+        over = (new_df.select(F.col(id_col))
+                .limit(max_broadcast_rows + 1).count()) > max_broadcast_rows
+        broadcast_new = not over
     probe_side = F.broadcast(new_bands) if broadcast_new else new_bands
     cand = (
         probe_side.alias("a")
@@ -950,6 +1009,26 @@ def ngram_jaccard_pairs(
 # duplicate clustering (iterative connected components)
 # --------------------------------------------------------------------------
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``-backed
+    DataFrame. ``DataFrame.unpersist`` only talks to the SQL cache
+    manager; a local checkpoint's blocks belong to the underlying
+    LogicalRDD and stay resident until driver GC + ContextCleaner get
+    around to them. At one checkpoint per connected-components round,
+    repeated invocations in one session accumulate resident blocks
+    (measured warm-run growth 5.3s -> 8.0s over 3 runs of the joint-dedup
+    pipeline); freeing superseded rounds explicitly keeps repeat timings
+    flat. The DataFrame is UNUSABLE after this call — only release
+    checkpoints nothing references anymore. Best-effort: any JVM-shape
+    surprise degrades to the old GC-eventually behavior."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Cluster near-dup PAIRS into components: (id, component) where
     component = the minimum id reachable through the pair graph. The step a
@@ -1031,8 +1110,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.alias("o").join(new_labels.alias("n"), on="id")
             .where(F.expr("o.component != n.component")).limit(1).count()
         )
-        labels.unpersist()
+        # the superseded round is fully consumed (new_labels checkpointed
+        # eagerly, changed-probe done): release its storage NOW instead of
+        # waiting for driver GC — unpersist covers the round-0 persist,
+        # release_local_checkpoint the round>=1 checkpoints.
+        prev = labels
         labels = new_labels
+        prev.unpersist()
+        release_local_checkpoint(prev)
         if changed == 0:
             break
     else:

@@ -109,7 +109,18 @@ def decode_image_numpy(content: bytes):
             return None
         if maxval > 255 or w <= 0 or h <= 0:
             return None
-        off += 1  # exactly ONE whitespace byte after maxval (PNM spec)
+        # exactly ONE whitespace byte after maxval (PNM spec) — but
+        # VERIFY it: a writer that emitted \r\n here would otherwise
+        # decode silently with every pixel shifted by one byte. Accept
+        # a lone \r\n pair (common DOS-mode writers); reject anything
+        # else as malformed rather than mis-decode.
+        if off >= len(content) or content[off] not in (
+                0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            return None
+        if (content[off] == 0x0D and off + 1 < len(content)
+                and content[off + 1] == 0x0A):
+            off += 1
+        off += 1
         ch = 1 if gray else 3
         need = w * h * ch
         if len(content) - off < need:
@@ -358,46 +369,73 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(df: DataFrame, width: int, height: int,
+                  on_undecodable: str = "skip") -> DataFrame:
     """REAL resize for decodable content: decode (PIL if present, else
     the pure-numpy PPM/PGM/BMP path), nearest-neighbor resize, re-encode
-    as binary PPM/PGM — content, mime, width and height all updated.
-    Compressed formats without PIL raise NotImplementedError per batch
-    (the only remaining env-blocked branch). Plumbing
+    as binary PPM/PGM — content, mime, width and height all updated, and
+    a ``decoded`` boolean appended.
+
+    ``on_undecodable`` picks the failure mode for rows no available
+    decoder handles (compressed formats without PIL — the only remaining
+    env-blocked branch): ``"skip"`` (default) passes the row through
+    unmodified with ``decoded=false`` so one opaque blob cannot abort a
+    corpus-wide resize job; ``"error"`` raises NotImplementedError (the
+    old strict behavior — opt in when silent passthrough would corrupt
+    a dataset that assumes uniform dimensions). Plumbing
     (mapInPandas/schema/partitioning) is the production shape either
     way."""
+    if on_undecodable not in ("skip", "error"):
+        raise ValueError("on_undecodable must be 'skip' or 'error'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b):
             if b is None:
-                return None, None
+                return None, None, False
             content = bytes(b)
             px = decode_image_numpy(content)
             if px is None:
                 img = _try_real_image_decode(content)
                 if img is None:
-                    raise NotImplementedError(
-                        "resize of compressed formats requires PIL (absent"
-                        " in this container); uncompressed PPM/PGM/BMP"
-                        " resize is fully implemented"
-                    )
+                    if on_undecodable == "error":
+                        raise NotImplementedError(
+                            "resize of compressed formats requires PIL"
+                            " (absent in this container); uncompressed"
+                            " PPM/PGM/BMP resize is fully implemented"
+                        )
+                    return None, None, False
                 import numpy as np
 
                 px = np.asarray(img.convert("RGB"))
             out = resize_nearest(px, width, height)
             mime = "image/x-portable-graymap" if out.ndim == 2 else \
                 "image/x-portable-pixmap"
-            return encode_ppm(out), mime
+            return encode_ppm(out), mime, True
 
         for pdf in batches:
-            pairs = pdf["content"].map(one)
-            yield pdf.assign(
-                content=pairs.map(lambda t: t[0]),
-                mime=pairs.map(lambda t: t[1]),
-                width=width, height=height,
+            trips = pdf["content"].map(one)
+            ok = list(trips.map(lambda t: t[2]))
+            # skip mode passes undecodable rows through UNCHANGED
+            # (original bytes/mime/dims), flagged decoded=false
+            cols = dict(
+                content=[t[0] if t[2] else c
+                         for t, c in zip(trips, pdf["content"])],
+                decoded=ok,
             )
+            for name, new in (("mime", None), ("width", width),
+                              ("height", height)):
+                old = pdf[name] if name in pdf.columns else [None] * len(ok)
+                cols[name] = [
+                    (t[1] if name == "mime" else new) if o else prev
+                    for t, o, prev in zip(trips, ok, old)
+                ]
+            yield pdf.assign(**cols)
 
-    return df.mapInPandas(run, schema=df.schema)
+    # copy the field list — StructType.add mutates in place, and
+    # df.schema is the DataFrame's own cached object
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField("decoded", T.BooleanType())])
+    return df.mapInPandas(run, schema=schema)
 
 
 def synthetic_media_real(spark, n: int = 32, side: int = 16,

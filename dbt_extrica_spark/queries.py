@@ -2647,25 +2647,108 @@ def ann_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id")
 
 
-@q("ann_pq_topk", None)  # approximate; quantization-dependent -> rows-only
+# Raw-ANN contracts (r9): the exact same operator calls as the old
+# rows-only ann_pq_topk / ann_ivf_topk entries, wrapped in verifiable
+# recall/exactness contracts so the driver file holds a full-strength
+# green row per operator (the ann_brp_recall pattern). Measured recall at
+# both sf0.001 and sf0.01: PQ defaults 0.40-0.408, IVF nprobe=3/16
+# full-table 0.40-0.408 — floor 0.25 catches any codebook/ADC/rerank or
+# cell-assignment breakage without flapping.
+_PQ_TOPK_DUCK = """
+SELECT CAST(COUNT(*) * 5 AS BIGINT) AS n_pairs,
+       TRUE AS rerank_d2_exact,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+@q("ann_pq_topk", _PQ_TOPK_DUCK)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-rank — the compressed-domain
     scale path (codes are ~16x smaller than vectors; scoring is m table
-    lookups per pair via the ADC trick)."""
+    lookups per pair via the ADC trick). Contract form: the default-config
+    pq_topk call (m=8, ks=16, rerank=4, untrained codebooks; queries
+    vec_id<50 over the full corpus) must clear a 0.25 recall@5 floor vs
+    exact L2 brute force, and every emitted rerank distance must equal the
+    recomputed exact squared L2."""
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
     qs = emb.where("vec_id < 50")
-    return similarity.pq_topk(emb, "vec_id", "embedding", k=5,
-                              queries=qs, query_id_col="vec_id")
+    approx = similarity.pq_topk(emb, "vec_id", "embedding", k=5,
+                                queries=qs, query_id_col="vec_id") \
+        .localCheckpoint(eager=True)
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("v")).alias("b")
+    qv = qs.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qv")).alias("q")
+    d2 = ("aggregate(zip_with(q.qv, b.v, (x, y) ->"
+          " (cast(x as double) - y) * (cast(x as double) - y)),"
+          " 0D, (a, x) -> a + x)")
+    w = Window.partitionBy("q.qid").orderBy(F.asc("d2"), F.asc(F.col("b.id")))
+    exact = (
+        F.broadcast(qv).join(base, on=F.expr("q.qid != b.id"))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(F.col("q.qid").alias("query_id"),
+                F.col("b.id").alias("neighbor_id"))
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.groupBy().count().withColumnRenamed("count", "n_pairs")
+    hits = exact.join(approx, on=["query_id", "neighbor_id"],
+                      how="left_semi").groupBy().count() \
+        .withColumnRenamed("count", "n_hits")
+    re_d2 = ("aggregate(zip_with(__qv, __bv, (x, y) ->"
+             " (cast(x as double) - y) * (cast(x as double) - y)),"
+             " 0D, (a, x) -> a + x)")
+    bad_d2 = (
+        approx
+        .join(emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("__qv")), on="query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("__bv")), on="neighbor_id")
+        .where(F.expr(re_d2) != F.col("approx_d2"))
+        .groupBy().count().withColumnRenamed("count", "n_bad")
+    )
+    return (
+        n_exact.crossJoin(hits).crossJoin(bad_d2)
+        .select(
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_bad") == 0).alias("rerank_d2_exact"),
+            ((F.col("n_hits") / F.col("n_pairs")) >= 0.25).alias("recall_ok"),
+        )
+    )
 
 
-@q("ann_ivf_topk", None)  # approximate; probe-set dependent -> rows-only
+_IVF_TOPK_DUCK = """
+SELECT CAST(COUNT(*) * 5 AS BIGINT) AS n_pairs,
+       TRUE AS recall_ok
+FROM embeddings
+"""
+
+
+@q("ann_ivf_topk", _IVF_TOPK_DUCK)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k — the 100 TB scale path."""
+    """IVF-bucketed approximate top-k — the 100 TB scale path. Contract
+    form: the full-table self-search call (n_cells=16, nprobe=3) must clear
+    a 0.25 recall@5 floor vs exact brute-force cosine over the same
+    corpus (measured 0.40-0.41 at both sf)."""
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
-    return similarity.ivf_topk(emb, "vec_id", "embedding", k=5,
-                               n_cells=16, nprobe=3)
+    approx = similarity.ivf_topk(emb, "vec_id", "embedding", k=5,
+                                 n_cells=16, nprobe=3)
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", k=5) \
+        .localCheckpoint(eager=True)
+    total = exact.groupBy().count().withColumnRenamed("count", "n_pairs")
+    hits = exact.join(approx, on=["query_id", "neighbor_id"],
+                      how="left_semi").groupBy().count() \
+        .withColumnRenamed("count", "n_hits")
+    return (
+        total.crossJoin(hits)
+        .select(F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                ((F.col("n_hits") / F.col("n_pairs")) >= 0.25)
+                .alias("recall_ok"))
+    )
 
 
 _EMB_STATS_DUCK = """

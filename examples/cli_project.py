@@ -1,0 +1,55 @@
+"""Example CLI project — the module ``python -m dbt_extrica_spark`` loads.
+
+Drive it end-to-end from the shell (the dbt UX; reference README.md:66-105):
+
+    cd /root/repo
+    python -m dbt_extrica_spark build --project examples/cli_project.py
+    python -m dbt_extrica_spark run   --project examples/cli_project.py \
+        --select +fct_daily_revenue
+    python -m dbt_extrica_spark docs  --project examples/cli_project.py \
+        --output /tmp/catalog.json
+"""
+
+import os
+
+from dbt_extrica_spark import Model
+
+schema = "cli_demo"
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+models = [
+    Model("stg_orders",
+          sql="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate"
+              " FROM {source:orders}",
+          config={"materialized": "view"}),
+    Model("fct_daily_revenue",
+          sql="SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,"
+              " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+              " AS revenue FROM {ref:stg_orders} GROUP BY 1",
+          config={"materialized": "table", "partition_by": ["d"]}),
+    Model("dim_status",
+          sql="SELECT status_code, status_name FROM {ref:status_seed}",
+          config={"materialized": "table"}),
+    Model("events_history",
+          sql="SELECT event_id, event_type, value, ts FROM {source:events}",
+          config={"materialized": "snapshot", "unique_key": "event_id",
+                  "strategy": "timestamp", "updated_at": "ts"}),
+]
+
+seeds = {
+    "status_seed": (
+        "status_code,status_name\n"
+        "O,Open\n"
+        "F,Fulfilled\n"
+        "P,Pending\n"
+    ),
+}
+
+checks = [
+    {"check": "unique", "table": f"{schema}.fct_daily_revenue",
+     "column": "d"},
+    {"check": "not_null", "table": f"{schema}.fct_daily_revenue",
+     "column": "revenue"},
+    {"check": "accepted_values", "table": f"{schema}.dim_status",
+     "column": "status_code", "values": ["O", "F", "P"]},
+]

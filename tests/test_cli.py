@@ -1,0 +1,83 @@
+"""CLI smoke tests — `python -m dbt_extrica_spark <cmd>` over the example
+project (reference UX: dbt-core's run/seed/snapshot/test/build/docs,
+reference README.md:66-105)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dbt_extrica_spark import cli  # noqa: E402
+
+PROJ = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples", "cli_project.py")
+
+
+@pytest.fixture()
+def run_cli(spark, tmp_path):
+    """Invoke the CLI in-process on the test session, warehousing under a
+    tmp dir; drops the demo schema afterward."""
+
+    def invoke(*argv: str) -> int:
+        return cli.main(list(argv) + ["--project", PROJ,
+                                      "--target-dir", str(tmp_path)],
+                        spark=spark)
+
+    yield invoke
+    spark.sql("DROP SCHEMA IF EXISTS cli_demo CASCADE")
+
+
+def test_cli_build_end_to_end(spark, run_cli, capsys):
+    rc = run_cli("build", "--threads", "2")
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "seed status_seed" in out
+    assert "model fct_daily_revenue: OK" in out
+    assert "model events_history: OK" in out          # snapshot in the DAG
+    assert "0 failures" in out
+    # the CLI's materializations PERSIST (no engine teardown)
+    assert spark.table("cli_demo.fct_daily_revenue").count() > 0
+    assert spark.table("cli_demo.status_seed").count() == 3
+
+
+def test_cli_run_select_and_snapshot_split(spark, run_cli, capsys):
+    run_cli("seed")
+    # run --select +fct pulls the staging ancestor, NOT the snapshot
+    rc = run_cli("run", "--select", "+fct_daily_revenue")
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "model stg_orders: OK" in out
+    assert "model fct_daily_revenue: OK" in out
+    assert "events_history" not in out
+    # snapshot command runs ONLY snapshot-configured models
+    rc = run_cli("snapshot")
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "model events_history: OK" in out
+    assert "stg_orders" not in out
+
+
+def test_cli_test_and_docs(spark, run_cli, capsys, tmp_path):
+    run_cli("build")
+    capsys.readouterr()
+    rc = run_cli("test")
+    out = capsys.readouterr().out
+    assert rc == 0 and "3 tests, 0 failures" in out
+    dest = str(tmp_path / "catalog.json")
+    rc = run_cli("docs", "--output", dest)
+    assert rc == 0
+    doc = json.loads(open(dest).read())
+    assert "fct_daily_revenue" in doc["relations"]
+    assert any(c["name"] == "revenue"
+               for c in doc["relations"]["fct_daily_revenue"]["columns"])
+
+
+def test_cli_missing_project_errors(spark):
+    with pytest.raises(SystemExit):
+        cli.main(["run", "--project", "/nonexistent/project.py"],
+                 spark=spark)

@@ -482,6 +482,47 @@ def test_minhash_bucketed_index_roundtrip_and_no_index_shuffle(spark):
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_minhash_index_stamp_metadata_and_broadcast_guard(spark):
+    import pytest as _pytest
+
+    docs = _docs(spark).select("doc_id", "text").where("doc_id < 40")
+    hist = docs.where("doc_id < 20")
+    new = docs.where("doc_id >= 20").unionByName(
+        hist.select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    tbl = "mh_idx_stamp_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    dedup.minhash_index_save(
+        dedup.minhash_band_table(hist, "doc_id", "text"), tbl)
+    # save stamps the table metadata; load pre-seeds the per-DataFrame
+    # memo from it — per-batch probes then skip the full-index distinct()
+    props = {r["key"]: r["value"] for r in
+             spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()}
+    assert props.get("mh_params") == "k=5,perm=64,bands=16"
+    idx = dedup.minhash_index_load(spark, tbl)
+    assert dedup._VERIFIED_STAMPS.get(idx) == {"k=5,perm=64,bands=16"}
+    # mismatched probe params still raise — straight from the memo
+    with _pytest.raises(ValueError, match="k=7"):
+        dedup.minhash_incremental_pairs(new, hist, "doc_id", "text", k=7,
+                                        num_perm=64, bands=16,
+                                        hist_bands=idx)
+    # matching probe works and the memoized path returns the same pairs
+    # as an unmemoized in-memory index
+    mem = dedup.minhash_band_table(hist, "doc_id", "text")
+    got = {(r.id_new, r.id_hist) for r in dedup.minhash_incremental_pairs(
+        new, hist, "doc_id", "text", hist_bands=idx).collect()}
+    ref = {(r.id_new, r.id_hist) for r in dedup.minhash_incremental_pairs(
+        new, hist, "doc_id", "text", hist_bands=mem).collect()}
+    assert got == ref and len(got) > 0
+    # broadcast guard: a batch over the row cap falls back to the
+    # auto-planned join — same pairs, no forced broadcast of a huge side
+    guarded = {(r.id_new, r.id_hist)
+               for r in dedup.minhash_incremental_pairs(
+                   new, hist, "doc_id", "text", hist_bands=idx,
+                   max_broadcast_rows=1).collect()}
+    assert guarded == ref
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_connected_components_pointer_jumping_and_guard(spark):
     import pytest as _pytest
 
@@ -2022,6 +2063,62 @@ def test_resize_images_spark_roundtrip(spark):
             (((x * 11) ^ (y * 199)) + mid * 7) % 256,
         ], axis=2).astype(np.uint8)
         assert np.array_equal(px, mm.resize_nearest(full, 8, 8))
+
+
+def test_resize_images_skip_mode_passes_undecodable(spark):
+    # one opaque (compressed, no-PIL) blob must NOT abort the batch in
+    # the default skip mode: it passes through unchanged with
+    # decoded=false while the decodable rows resize normally
+    from pyspark.sql import functions as F
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    media = mm.synthetic_media_real(spark, n=3, side=16)
+    opaque = media.limit(1).select(
+        (F.col("media_id") + 500).alias("media_id"),
+        F.lit(b"\x89PNG\r\nnot-actually-decodable").cast("binary")
+        .alias("content"),
+        *[c for c in media.columns if c not in ("media_id", "content")],
+    ).select(media.columns)
+    out = {r.media_id: r for r in
+           mm.resize_images(media.unionByName(opaque), 8, 8).collect()}
+    assert len(out) == 4
+    assert not out[500].decoded
+    assert bytes(out[500].content).startswith(b"\x89PNG")
+    assert out[500].width == 16 and out[500].height == 16  # untouched
+    for mid in (0, 1, 2):
+        assert out[mid].decoded
+        assert out[mid].width == 8 and out[mid].height == 8
+    # strict mode keeps the old abort behavior
+    import pytest as _pytest
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with _pytest.raises(Exception):
+            mm.resize_images(media.unionByName(opaque), 8, 8,
+                             on_undecodable="error").collect()
+
+
+def test_decode_pnm_crlf_and_bad_whitespace():
+    # a PNM written with \r\n after maxval must decode with pixels
+    # UNSHIFTED; a non-whitespace byte there must decline, not shift
+    import numpy as np
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    true = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    good = b"P6 2 2 255\n" + true.tobytes()
+    crlf = b"P6 2 2 255\r\n" + true.tobytes()
+    assert np.array_equal(mm.decode_image_numpy(good), true)
+    assert np.array_equal(mm.decode_image_numpy(crlf), true)
+    # trailing slack bytes + \r\n: still exact (regression for the
+    # one-byte-shift hazard)
+    assert np.array_equal(
+        mm.decode_image_numpy(crlf + b"\x00\x00"), true)
+    assert mm.decode_image_numpy(b"P6 2 2 255" + true.tobytes()) is None \
+        or not np.array_equal(
+            mm.decode_image_numpy(b"P6 2 2 255" + true.tobytes()), true)
 
 
 def test_phash_real_images_find_planted_twins(spark):
