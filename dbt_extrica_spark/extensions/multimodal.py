@@ -3,13 +3,14 @@
 
 The Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
 batch shape, deterministic outputs — is real and tested. Decode is REAL
-for uncompressed formats (binary PPM/PGM and 24-bit BMP) via a pure-numpy
-parser (:func:`decode_image_numpy` — no codec library needed, the bytes
-ARE the pixels), with nearest-neighbor resize + PPM re-encode
-(:func:`resize_images`). COMPRESSED formats (JPEG/PNG/audio codecs)
-remain behind an import-try gate: PIL/soundfile when present, a
-clearly-marked deterministic fake otherwise — swap in a real codec on a
-cluster with the libs installed; the Spark plumbing does not change.
+for binary PPM/PGM, 24-bit BMP AND 8-bit PNG via pure numpy
+(:func:`decode_image_numpy` / :func:`decode_png_numpy` — PNG needs only
+stdlib zlib for IDAT plus per-row unfiltering, no codec library), with
+nearest-neighbor resize + PPM re-encode (:func:`resize_images`).
+LOSSY-COMPRESSED formats (JPEG/audio codecs) remain behind an import-try
+gate: PIL/soundfile when present, a clearly-marked deterministic fake
+otherwise — swap in a real codec on a cluster with the libs installed;
+the Spark plumbing does not change.
 """
 
 from __future__ import annotations
@@ -85,22 +86,26 @@ def _ppm_tokens(content: bytes, n: int, start: int) -> tuple[list[int], int]:
 
 
 def decode_image_numpy(content: bytes):
-    """REAL image decode for the uncompressed formats a codec-less
-    container can still handle exactly — pure numpy, no PIL:
+    """REAL image decode for every format a codec-less container can
+    still handle exactly — pure numpy, no PIL:
 
     - PPM ``P6`` (binary RGB, maxval <= 255) -> (h, w, 3) uint8
     - PGM ``P5`` (binary grayscale)          -> (h, w) uint8
     - BMP 24-bit uncompressed BI_RGB         -> (h, w, 3) uint8
       (bottom-up rows flipped, BGR -> RGB, 4-byte row padding stripped)
+    - PNG 8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced
+      (:func:`decode_png_numpy` — stdlib zlib + per-row unfilter)
 
-    Returns None for anything else (compressed formats stay behind the
-    PIL import-try / documented stub). This closes the 'decode is
-    env-blocked' gap for the formats where no codec is genuinely
-    required — the bytes ARE the pixels."""
+    Returns None for anything else (lossy codecs stay behind the PIL
+    import-try / documented stub). This closes the 'decode is
+    env-blocked' gap for the formats where no codec library is genuinely
+    required."""
     import numpy as np
 
     if len(content) < 2:
         return None
+    if content.startswith(_PNG_SIG):
+        return decode_png_numpy(content)
     if content[:2] in (b"P6", b"P5"):
         gray = content[:2] == b"P5"
         try:
@@ -274,6 +279,187 @@ def encode_y4m(frames, width: int, height: int) -> bytes:
     return b"".join(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_numpy(content: bytes):
+    """REAL PNG decode with stdlib zlib + numpy — no PIL. The dominant
+    web/image-corpus format needs no codec library at all: IDAT is zlib
+    (RFC 1950) and the rest is per-row unfiltering, both expressible
+    exactly in numpy.
+
+    Supported: 8-bit depth, color types 0 (gray -> (h, w)), 2 (RGB),
+    3 (palette -> expanded RGB), 4 (gray+alpha), 6 (RGBA), interlace 0,
+    all five filter types (None/Sub/Up/Average/Paeth). Chunk CRCs are
+    VERIFIED (a silently corrupted IDAT must decline, not mis-decode).
+    Returns None for anything else (16-bit, Adam7, malformed) — decline,
+    never guess.
+
+    Unfilter cost: Sub is a per-lane cumsum (vectorized), Up a
+    vectorized add; Average/Paeth carry an x-sequential recursion, done
+    in a per-pixel loop over the row — O(w) Python steps per filtered
+    row, acceptable inside an Arrow-batched mapInPandas where each
+    worker decodes its own partition's blobs."""
+    import zlib
+
+    import numpy as np
+
+    if not content.startswith(_PNG_SIG):
+        return None
+    pos, n = len(_PNG_SIG), len(content)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        length = int.from_bytes(content[pos:pos + 4], "big")
+        ctype = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        if len(data) < length or pos + 12 + length > n:
+            return None  # truncated chunk
+        crc = int.from_bytes(content[pos + 8 + length:pos + 12 + length],
+                             "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None  # corrupted chunk must decline, not mis-decode
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (depth != 8 or channels is None or comp != 0 or filt != 0
+            or interlace != 0 or w <= 0 or h <= 0):
+        return None
+    if color == 3 and (plte is None or len(plte) % 3):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int16)  # headroom for the mod-256 adds
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        cur = data[y]
+        prior = out[y - 1].astype(np.int16) if y > 0 else \
+            np.zeros(stride, dtype=np.int16)
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] -> lane cumsum
+            rec = cur.copy()
+            for lane in range(bpp):
+                # int64 accumulator: an int16 cumsum overflows past ~128
+                # pixels of 0xFF
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp],
+                                           dtype=np.int64) % 256
+        elif f == 2:  # Up
+            rec = cur + prior
+        elif f == 3:  # Average — x-sequential
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + (int(left) + int(prior[x])) // 2) % 256
+        elif f == 4:  # Paeth — x-sequential
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec % 256
+    px = out.reshape(h, w, channels)
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            return None
+        return pal[idx].copy()
+    if channels == 1:
+        return px[:, :, 0].copy()
+    return px.copy()
+
+
+def encode_png(pixels, filter_mode: str = "cycle") -> bytes:
+    """Encode a uint8 array ((h, w) gray, (h, w, 2) gray+alpha, (h, w, 3)
+    RGB, (h, w, 4) RGBA) as a real PNG — the round-trip partner of
+    :func:`decode_png_numpy` and the fixture generator for its tests.
+    ``filter_mode``: "none" writes filter 0 rows; "cycle" (default)
+    cycles filter type y % 5 per row so every decoder branch
+    (None/Sub/Up/Average/Paeth) is exercised by any multi-row image."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = channels
+    flat = px.reshape(h, w * channels).astype(np.int16)
+    stream = bytearray()
+    for y in range(h):
+        f = 0 if filter_mode == "none" else y % 5
+        cur = flat[y]
+        prior = flat[y - 1] if y > 0 else np.zeros_like(cur)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.zeros_like(cur)
+            left[bpp:] = cur[:-bpp]
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prior) % 256
+        elif f == 3:
+            left = np.zeros_like(cur)
+            left[bpp:] = cur[:-bpp]
+            enc = (cur - (left + prior) // 2) % 256
+        else:  # Paeth predictor
+            left = np.zeros_like(cur)
+            left[bpp:] = cur[:-bpp]
+            ul = np.zeros_like(cur)
+            ul[bpp:] = prior[:-bpp]
+            p = left + prior - ul
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                          np.abs(p - ul))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            enc = (cur - pred) % 256
+        stream.append(f)
+        stream += enc.astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + (zlib.crc32(ctype + data) & 0xFFFFFFFF)
+                .to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 0]))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+            + chunk(b"IEND", b""))
+
+
 def encode_ppm(pixels) -> bytes:
     """Encode an (h, w, 3) or (h, w) uint8 array as binary PPM/PGM —
     the round-trip partner of :func:`decode_image_numpy`."""
@@ -441,7 +627,9 @@ def resize_images(df: DataFrame, width: int, height: int,
 def synthetic_media_real(spark, n: int = 32, side: int = 16,
                          near_dups: int = 0, fmt: str = "ppm") -> DataFrame:
     """Deterministic media table whose content is REAL decodable image
-    bytes (binary PPM P6, or 24-bit BMP with ``fmt='bmp'``) — TEXTURED
+    bytes (binary PPM P6; 24-bit BMP with ``fmt='bmp'``; real 8-bit RGB
+    PNG with ``fmt='png'`` — filter types cycled per row so all five
+    unfilter branches are under test) — TEXTURED
     pixel patterns (xor-mixed coordinates) seeded by media_id, so every
     decode assertion has a closed-formula oracle. ``near_dups`` plants
     one-PIXEL-edited twins at media_id + 1000 — under the real decode
@@ -464,6 +652,8 @@ def synthetic_media_real(spark, n: int = 32, side: int = 16,
     def encode(px) -> bytes:
         if fmt == "ppm":
             return encode_ppm(px)
+        if fmt == "png":
+            return encode_png(px)
         # minimal 24-bit BMP: 54-byte headers, bottom-up rows, BGR, padded
         h, w = px.shape[:2]
         row = (w * 3 + 3) // 4 * 4
@@ -480,7 +670,8 @@ def synthetic_media_real(spark, n: int = 32, side: int = 16,
             body += rowb + b"\x00" * (row - len(rowb))
         return header + bytes(body)
 
-    mime = "image/x-portable-pixmap" if fmt == "ppm" else "image/bmp"
+    mime = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp",
+            "png": "image/png"}[fmt]
     rows = []
     for i in range(n):
         rows.append((i, "image", encode(pixels(i)), mime, side, side, 0))

@@ -3757,7 +3757,7 @@ def _mm_decode_oracle() -> str:
                         axis=2).astype(np.uint8)
 
     rows = []
-    for base, fmt_tag in ((0, "ppm"), (5000, "bmp")):
+    for base, fmt_tag in ((0, "ppm"), (5000, "bmp"), (9000, "png")):
         for i in range(24):
             s = int(pixels(i).astype(np.int64).sum())
             rows.append(f"({base + i}, 16, 16, 3, {s}, TRUE)")
@@ -3779,11 +3779,13 @@ def _mm_decode_oracle() -> str:
 
 @q("multimodal_decode_real", _mm_decode_oracle())
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode — no codec library: binary PPM (P6) and 24-bit
-    BMP content parsed to actual pixels by the pure-numpy decoder inside
-    mapInPandas; exact integer pixel sums verified against the
-    generator's closed pixel formula (the oracle never runs the
-    decoder, so this is true end-to-end codec verification)."""
+    """REAL image decode — no codec library: binary PPM (P6), 24-bit
+    BMP, AND real zlib-compressed 8-bit PNG (filter types cycled per
+    row, so all five unfilter branches are under the hash) parsed to
+    actual pixels by the pure-numpy decoders inside mapInPandas; exact
+    integer pixel sums verified against the generator's closed pixel
+    formula (the oracle never runs the decoder, so this is true
+    end-to-end codec verification)."""
     from .extensions import multimodal
 
     ppm = multimodal.synthetic_media_real(spark, n=24, side=16,
@@ -3791,7 +3793,10 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     bmp = (multimodal.synthetic_media_real(spark, n=24, side=16,
                                            near_dups=4, fmt="bmp")
            .withColumn("media_id", F.col("media_id") + 5000))
-    return multimodal.decode_stats(ppm.unionByName(bmp))
+    png = (multimodal.synthetic_media_real(spark, n=24, side=16,
+                                           near_dups=4, fmt="png")
+           .withColumn("media_id", F.col("media_id") + 9000))
+    return multimodal.decode_stats(ppm.unionByName(bmp).unionByName(png))
 
 
 # Audio counterpart of _mm_decode_oracle: sample stats computed from the

@@ -2065,6 +2065,73 @@ def test_resize_images_spark_roundtrip(spark):
         assert np.array_equal(px, mm.resize_nearest(full, 8, 8))
 
 
+def test_png_roundtrip_all_color_types_and_filters():
+    import zlib
+
+    import numpy as np
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    # >= 5 rows so the cycling encoder exercises every filter type;
+    # width 130 crosses the int16-cumsum overflow boundary for Sub rows
+    for ch in (1, 2, 3, 4):
+        shape = (7, 130) if ch == 1 else (7, 130, ch)
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for fmode in ("none", "cycle"):
+            out = mm.decode_png_numpy(mm.encode_png(px, filter_mode=fmode))
+            assert out is not None, (ch, fmode)
+            assert np.array_equal(out, px), (ch, fmode)
+    # the main decoder routes PNG content too
+    px = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    assert np.array_equal(mm.decode_image_numpy(mm.encode_png(px)), px)
+    # palette: hand-build a 2x2 type-3 PNG and expect expanded RGB
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 0, 2, 0])  # 2 rows, filter 0, indices
+    def chunk(t, d):
+        return (len(d).to_bytes(4, "big") + t + d
+                + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big"))
+    p3 = (b"\x89PNG\r\n\x1a\n"
+          + chunk(b"IHDR", (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+                  + bytes([8, 3, 0, 0, 0]))
+          + chunk(b"PLTE", pal)
+          + chunk(b"IDAT", zlib.compress(raw))
+          + chunk(b"IEND", b""))
+    out = mm.decode_png_numpy(p3)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[0, 1].tolist() == [0, 255, 0]
+    assert out[1, 0].tolist() == [0, 0, 255]
+
+
+def test_png_declines_corruption_and_unsupported():
+    import numpy as np
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = mm.encode_png(px)
+    # flip one IDAT byte: CRC check must decline, never mis-decode
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 8] ^= 0xFF
+    assert mm.decode_png_numpy(bytes(bad)) is None
+    # truncation declines
+    assert mm.decode_png_numpy(good[:30]) is None
+    # interlaced (Adam7) declines: patch IHDR interlace byte + its CRC
+    import zlib
+    ihdr_at = good.index(b"IHDR")
+    ihdr = bytearray(good[ihdr_at:ihdr_at + 17])
+    ihdr[16] = 1  # interlace
+    crc = (zlib.crc32(bytes(ihdr)) & 0xFFFFFFFF).to_bytes(4, "big")
+    patched = good[:ihdr_at] + bytes(ihdr) + crc + good[ihdr_at + 21:]
+    assert mm.decode_png_numpy(patched) is None
+    # 16-bit depth declines (same patch route)
+    ihdr = bytearray(good[ihdr_at:ihdr_at + 17])
+    ihdr[12] = 16
+    crc = (zlib.crc32(bytes(ihdr)) & 0xFFFFFFFF).to_bytes(4, "big")
+    patched = good[:ihdr_at] + bytes(ihdr) + crc + good[ihdr_at + 21:]
+    assert mm.decode_png_numpy(patched) is None
+
+
 def test_resize_images_skip_mode_passes_undecodable(spark):
     # one opaque (compressed, no-PIL) blob must NOT abort the batch in
     # the default skip mode: it passes through unchanged with
