@@ -1029,7 +1029,8 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 20,
+                         stats: dict | None = None) -> DataFrame:
     """Cluster near-dup PAIRS into components: (id, component) where
     component = the minimum id reachable through the pair graph. The step a
     dedup pipeline needs after pair generation — keep one doc per component.
@@ -1046,6 +1047,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     into several, which breaks every downstream guarantee built on
     components (leakage_safe_split's "near-dups never straddle splits"
     first among them).
+
+    ``stats``: pass a dict to receive {"rounds": N} — the number of
+    label-propagation rounds executed before convergence (tools/
+    cc_probe.py uses it to show rounds grow ~log(diameter) while wall
+    per round stays flat as the pair mass scales).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -1118,6 +1124,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         prev.unpersist()
         release_local_checkpoint(prev)
+        if stats is not None:
+            stats["rounds"] = i + 1
         if changed == 0:
             break
     else:

@@ -6395,78 +6395,76 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-8 window: (a) text_top_phrases (the one never-gated entry) and the
-# stalest evidence — the 3 r2-only entries plus the 13 displaced
-# r4-evidence text/sampling entries the round-7 rotation queued; (b) the 5
-# NEW round-8 TPC-H partsupp patterns (q2/q9/q11/q16/q20 over the derived
-# partsupp CTE); (c) every entry whose code changed THIS round —
-# dedup_minhash (xxhash64-hardened collapse key + group-mode refactor),
-# dedup_minhash_incremental / streaming_admission (band-table param
-# stamps), dedup_clusters / sample_leakage_split / dedup_keep_best /
-# pipeline_joint_dedup (connected-components pointer jumping +
-# convergence guard), ann_ivf_full_probe / ann_ivf_index_query /
-# ann_ivf_topk (parameterized self-exclusion in the cogroup scorer); (d)
-# back-fill with the stalest r5-evidence entries (multimodal trio,
-# streaming family, q_sessionize / q1 / snapshot and friends).
-# Rotated OUT (all hold green r7 rows; the full local battery still
-# checks them every run): the r7 capability/TPC-H slice — see COVERAGE.md.
+# Round-9 window: (a) ALL 29 entries whose latest driver evidence is r5
+# (tools/freshness.py --stale at round-9 start) — including ann_pq_topk
+# (rows-only r5, now a full recall contract) and ann_pq_recall /
+# ann_recall_report, so every ANN operator holds fresh full-strength
+# evidence; (b) every entry whose code changed THIS round — the two raw-
+# ANN entries rebuilt as recall contracts (ann_ivf_topk / ann_pq_topk),
+# multimodal_decode_real (new PNG decode group under the hash),
+# dedup_minhash_incremental / streaming_admission (stamp memo +
+# broadcast guard), dedup_clusters / sample_leakage_split /
+# pipeline_joint_dedup (connected-components checkpoint release); (c)
+# back-fill to 50 with the OLDEST r6-evidence entries. After the r9 file
+# lands no battery entry's latest driver row is older than r6.
+# Rotated OUT (all hold green r8 rows; the full local battery still
+# checks them every run): the r8 window — see COVERAGE.md.
 # ==========================================================================
 
 _GATED_WINDOW = [
-    # (a) never-gated + stalest (r2, then the 13 displaced r4 entries)
-    "text_top_phrases",
-    "inc_merge_update_cols",
-    "q_explode_tokens",
-    "shim_date_spine_month",
-    "text_stats",
-    "text_language_id",
-    "text_token_count",
-    "sketch_count_min",
-    "text_bigram_logprob",
-    "text_fingerprint",
-    "text_winnow",
-    "text_chunks",
-    "sample_deterministic",
-    "sample_hash_split",
-    "sample_stratified",
-    "sample_boundary",
-    "embedding_label_stats",
-    # (b) new round-8 TPC-H partsupp patterns
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_inventory",
-    # (c) code changed / added this round
-    "dedup_minhash_groups",
-    "streaming_interval_join",
-    "streaming_enrich",
+    # (a) the 29 r5-stale entries
+    "ann_pq_recall",
+    "ann_pq_topk",
+    "ann_recall_report",
+    "dedup_semantic_blocked",
+    "dedup_simhash_contract",
+    "dq_source_freshness",
+    "dq_unit_test",
+    "embedding_dequant_error",
+    "embedding_random_projection",
+    "inc_microbatch_schema",
+    "project_build",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "q_retention_cohorts",
+    "q_window_time_range",
+    "rollup_cascade_month",
+    "sample_alpha_mixture",
+    "sample_mixture",
+    "sample_shuffle_shards",
+    "shim_datediff",
+    "sketch_hll_rollup",
+    "text_bm25_topk",
+    "text_boilerplate_lines",
+    "text_decontaminate",
+    "text_dup_spans",
+    "text_redact_pii",
+    "text_repetition",
+    "text_tfidf_terms",
+    "text_url_domains",
+    # (b) code changed this round
+    "ann_ivf_topk",
     "multimodal_decode_real",
-    "multimodal_audio_decode",
-    "multimodal_video_frames",
-    "dedup_minhash",
     "dedup_minhash_incremental",
     "streaming_admission",
     "dedup_clusters",
     "sample_leakage_split",
-    "dedup_keep_best",
     "pipeline_joint_dedup",
-    "ann_ivf_full_probe",
-    "ann_ivf_index_query",
-    "ann_ivf_topk",
-    # (d) stalest r5-evidence back-fill
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_tiles_chunks",
-    "streaming_window_counts",
-    "streaming_dedup",
-    "streaming_sessionize",
-    "streaming_inc_merge",
-    "q_sessionize",
-    "q1_pricing_summary",
-    "snapshot_scd2",
-    "inc_merge_partitioned",
-    "mat_table_contract",
+    # (c) oldest-r6 back-fill
+    "dedup_simhash",
+    "embedding_kmeans",
+    "embedding_mean_pool",
+    "embedding_quantize_int8",
+    "inc_append",
+    "inc_delete_insert",
+    "inc_insert_overwrite",
+    "inc_merge",
+    "inc_schema_evolution",
+    "mat_mview_refresh",
+    "mat_table",
+    "mat_view",
+    "pipeline_clean_corpus",
+    "project_dag_run",
 ]
 
 
