@@ -1,0 +1,531 @@
+"""[EXTENSION] Pure-numpy baseline JPEG codec — no PIL, no libjpeg.
+
+Closes the last image-codec gap in the multimodal decode surface
+(reference scope: multimodal columns are an extension beyond the
+reference adapter; see multimodal.py). Baseline sequential DCT JPEG is
+fully specified by public ITU T.81: entropy coding is canonical Huffman
+over (run, size) symbols, the transform is the 8x8 DCT-II, and both are
+exactly expressible in numpy — slow-path Python bit-reading is
+acceptable because decode runs inside Arrow-batched ``mapInPandas``
+where each worker handles its own partition's blobs.
+
+Decoder (:func:`decode_jpeg_numpy`):
+- baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit samples
+- grayscale (1 component) and YCbCr (3 components), any sampling
+  factors up to 2x2 (4:4:4, 4:2:2, 4:4:0, 4:2:0), chroma upsampled by
+  replication
+- Huffman/quant tables taken from the STREAM (DHT/DQT, 8- or 16-bit
+  quant), restart markers (DRI/RSTn), FF00 byte unstuffing
+- declines (returns None): progressive (SOF2), arithmetic coding,
+  12-bit, lossless — never guesses.
+
+Encoder (:func:`encode_jpeg_blockmean`): encodes the per-8x8-block MEAN
+of the input with all-ones quant tables — every AC coefficient is
+dropped, so for BLOCK-CONSTANT inputs the round-trip is BIT-EXACT
+(DC = 8*(v-128) is integral, quantization at step 1 is lossless, and
+the IDCT of a DC-only block is the constant DC/8). That exactness is
+what lets the battery oracle state expected pixel sums from the
+generator's closed formula without ever consulting the decoder.
+Grayscale stays in one component (no color transform — exact);
+``subsample='420'`` writes 2x2-sampled chroma (exact when blocks are
+constant per 16x16), exercising the decoder's MCU interleave +
+upsampling path with real bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# zigzag scan order: zigzag_index -> (row, col) linear offset
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_basis():
+    """Orthonormal 8x8 DCT-II basis C: block = C.T @ coef @ C."""
+    import numpy as np
+
+    n = 8
+    k = np.arange(n)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    c *= np.sqrt(2.0 / n)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
+    stops at any real marker (FFxx, xx != 00) and reports it."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(d):
+                return self.nbits > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(d):
+                    return self.nbits > 0
+                nxt = d[self.pos + 1]
+                if nxt != 0x00:
+                    # real marker (RSTn handled by the MCU loop, anything
+                    # else ends the scan): stop filling, leave pos at FF
+                    self.marker = nxt
+                    return self.nbits > 0
+                self.pos += 2  # stuffed FF00 -> data byte FF
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise EOFError
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_take_rst(self) -> bool:
+        """Byte-align and consume one RSTn marker; False if absent."""
+        self.bits = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            # marker bytes FF xx sit at self.pos
+            self.pos += 2
+            self.marker = None
+            return True
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF \
+                and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return True
+        return False
+
+
+class _Huff:
+    """Canonical JPEG Huffman table: (length, code) -> symbol."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lut[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map `size` raw bits to the signed coefficient."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_numpy(content: bytes):
+    """Decode a baseline JPEG to uint8 pixels — (h, w) for grayscale,
+    (h, w, 3) RGB for YCbCr. Returns None for anything outside the
+    supported profile (see module docstring). Pure numpy + Python bit
+    reader; exact per T.81 for the supported profile."""
+    import numpy as np
+
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    dc_tables: dict[int, _Huff] = {}
+    ac_tables: dict[int, _Huff] = {}
+    frame = None  # (h, w, components)
+    restart_interval = 0
+    n = len(content)
+    try:
+        while pos + 4 <= n:
+            if content[pos] != 0xFF:
+                return None
+            marker = content[pos + 1]
+            if marker == 0xFF:  # fill byte before a marker
+                pos += 1
+                continue
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            (seglen,) = struct.unpack(">H", content[pos + 2:pos + 4])
+            seg = content[pos + 4:pos + 2 + seglen]
+            if len(seg) != seglen - 2:
+                return None
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                    i += 1
+                    if pq == 0:
+                        vals = np.frombuffer(seg[i:i + 64], dtype=np.uint8)
+                        i += 64
+                    elif pq == 1:
+                        vals = np.frombuffer(seg[i:i + 128],
+                                             dtype=">u2").astype(np.int64)
+                        i += 128
+                    else:
+                        return None
+                    table = np.zeros(64, dtype=np.int64)
+                    table[_ZIGZAG] = vals.astype(np.int64)
+                    qt[tq] = table.reshape(8, 8)
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0x0F
+                    counts = list(seg[i + 1:i + 17])
+                    total = sum(counts)
+                    syms = seg[i + 17:i + 17 + total]
+                    if len(syms) != total:
+                        return None
+                    (dc_tables if tc == 0 else ac_tables)[th] = \
+                        _Huff(counts, syms)
+                    i += 17 + total
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-compatible
+                prec = seg[0]
+                h = struct.unpack(">H", seg[1:3])[0]
+                w = struct.unpack(">H", seg[3:5])[0]
+                nc = seg[5]
+                if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid = seg[6 + 3 * ci]
+                    hv = seg[7 + 3 * ci]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                                  "tq": seg[8 + 3 * ci]})
+                if any(c["h"] not in (1, 2) or c["v"] not in (1, 2)
+                       for c in comps):
+                    return None
+                frame = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/arithmetic/lossless: decline
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan = []
+                for si in range(ns):
+                    cs = seg[1 + 2 * si]
+                    td = seg[2 + 2 * si] >> 4
+                    ta = seg[2 + 2 * si] & 0x0F
+                    scan.append((cs, td, ta))
+                return _decode_scan(content, pos + 2 + seglen, frame, scan,
+                                    qt, dc_tables, ac_tables,
+                                    restart_interval)
+            # APPn/COM/others: skip
+            pos += 2 + seglen
+    except (EOFError, ValueError, IndexError, struct.error):
+        return None
+    return None
+
+
+def _decode_scan(content, pos, frame, scan, qt, dc_tables, ac_tables,
+                 restart_interval):
+    import numpy as np
+
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        return None  # multi-scan not supported (baseline has one)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None or td not in dc_tables or ta not in ac_tables \
+                or c["tq"] not in qt:
+            return None
+        order.append((c, dc_tables[td], ac_tables[ta], qt[c["tq"]]))
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    basis = _dct_basis()
+    planes = []
+    for c, *_ in order:
+        pw = mcus_x * c["h"] * 8
+        ph = mcus_y * c["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    br = _BitReader(content, pos)
+    preds = [0] * len(order)
+    mcu_count = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    if not br.align_and_take_rst():
+                        return None
+                    preds = [0] * len(order)
+                for ci, (c, dct_t, act, q) in enumerate(order):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = np.zeros(64, dtype=np.int64)
+                            s = dct_t.decode(br)
+                            diff = _extend(br.read_bits(s), s)
+                            preds[ci] += diff
+                            coef[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = act.decode(br)
+                                r, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[_ZIGZAG[k]] = _extend(
+                                    br.read_bits(size), size)
+                                k += 1
+                            block = coef.reshape(8, 8) * q
+                            px = basis.T @ block.astype(np.float64) @ basis
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+                mcu_count += 1
+    except (EOFError, ValueError, IndexError):
+        return None
+    out_planes = []
+    for (c, *_), plane in zip(order, planes):
+        # level shift + clamp, then replicate-upsample to full frame res
+        p = np.clip(np.round(plane) + 128, 0, 255).astype(np.uint8)
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return out_planes[0]
+    y = out_planes[0].astype(np.float64)
+    cb = out_planes[1].astype(np.float64) - 128.0
+    cr = out_planes[2].astype(np.float64) - 128.0
+    # JFIF YCbCr -> RGB
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1s per convention
+
+
+def _size_cat(v: int) -> int:
+    s = 0
+    a = abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+def encode_jpeg_blockmean(pixels, subsample: str = "444",
+                          restart_interval: int = 0) -> bytes:
+    """Encode the per-8x8-block mean of a uint8 image ((h, w) gray or
+    (h, w, 3) RGB) as a REAL baseline JPEG: stream-defined canonical
+    Huffman tables, all-ones quant, DC-only blocks (AC = EOB). For
+    block-constant inputs the decode round-trip is bit-exact (gray) /
+    exact through the YCbCr transform (color — use values produced by
+    :func:`rgb_blockmean_roundtrip` for closed-formula oracles).
+    ``subsample='420'`` writes 2x2-subsampled chroma (input must be 3-
+    channel); ``restart_interval`` emits DRI + RSTn every N MCUs."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w = px.shape[:2]
+
+    if gray:
+        planes = [px.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        rgb = px.astype(np.float64)
+        y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+             + 0.114 * rgb[:, :, 2])
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+            + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+            - 0.081312 * rgb[:, :, 2]
+        planes = [y, cb, cr]
+        samps = [(1, 1)] * 3 if subsample == "444" else \
+            [(2, 2), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-component padded plane of BLOCK MEANS (DC-only encoding), with
+    # chroma box-downsampled first when subsampling
+    def block_dc(plane, sh, sv):
+        ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
+        # downsample by the component's factor relative to max
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            th, tw = -(-plane.shape[0] // fy), -(-plane.shape[1] // fx)
+            pad = np.pad(plane, ((0, th * fy - plane.shape[0]),
+                                 (0, tw * fx - plane.shape[1])),
+                         mode="edge")
+            plane = pad.reshape(th, fy, tw, fx).mean(axis=(1, 3))
+        pad = np.pad(plane, ((0, ph - plane.shape[0]),
+                             (0, pw - plane.shape[1])), mode="edge")
+        means = pad.reshape(ph // 8, 8, pw // 8, 8).mean(axis=(1, 3))
+        # DC of a constant block v is 8*(v-128); round once, here
+        return np.round(means - 128.0).astype(np.int64) * 8
+
+    dcs = [block_dc(p, s[0], s[1]) for p, s in zip(planes, samps)]
+
+    # canonical Huffman: DC sizes 0..11 at length 4, AC EOB alone at len 1
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = bytes(range(12))
+    ac_counts = [1] + [0] * 15
+    ac_syms = bytes([0x00])
+    ac_code = (1, 0)  # (length, code): the lone EOB symbol
+    dc_codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(dc_counts[length - 1]):
+            dc_codes[dc_syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    zz_ones = bytes([1] * 64)
+    seg(0xDB, bytes([0x00]) + zz_ones)          # DQT id 0, all ones
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci, (sh, sv) in enumerate(samps):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_syms)   # DC table 0
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_syms)   # AC table 0
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                bw.flush()
+                out.extend(bw.out)
+                bw = _BitWriter()
+                out.extend(b"\xff" + bytes([0xD0 + (rst % 8)]))
+                rst += 1
+                preds = [0] * nc
+            for ci, (sh, sv) in enumerate(samps):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(dcs[ci][my * sv + by, mx * sh + bx])
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _size_cat(diff)
+                        length, code = dc_codes[s]
+                        bw.write(code, length)
+                        if s:
+                            v = diff if diff >= 0 else diff + (1 << s) - 1
+                            bw.write(v, s)
+                        bw.write(ac_code[1], ac_code[0])  # EOB
+            mcu_count += 1
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def rgb_blockmean_roundtrip(rgb):
+    """The closed-formula oracle transform for COLOR block-mean JPEG:
+    given the block-constant RGB the generator produced, return the RGB
+    the decoder must emit — forward JFIF YCbCr with the encoder's
+    single rounding (DC quantization), then the decoder's inverse with
+    its single rounding. Pure integer-in/integer-out numpy; never runs
+    the codec."""
+    import numpy as np
+
+    v = np.asarray(rgb, dtype=np.float64)
+    y = 0.299 * v[..., 0] + 0.587 * v[..., 1] + 0.114 * v[..., 2]
+    cb = 128.0 - 0.168736 * v[..., 0] - 0.331264 * v[..., 1] \
+        + 0.5 * v[..., 2]
+    cr = 128.0 + 0.5 * v[..., 0] - 0.418688 * v[..., 1] \
+        - 0.081312 * v[..., 2]
+    # encoder: DC = round(mean - 128) * 8; decoder: round(DC/8) + 128,
+    # CLIPPED to uint8 at the plane level (cb/cr can round to +128 at the
+    # saturated corners -> plane value 256 -> clip 255 -> chroma 127)
+    yq = np.clip(np.round(y - 128.0), -128.0, 127.0)
+    cbq = np.clip(np.round(cb - 128.0), -128.0, 127.0)
+    crq = np.clip(np.round(cr - 128.0), -128.0, 127.0)
+    r = (yq + 128) + 1.402 * crq
+    g = (yq + 128) - 0.344136 * cbq - 0.714136 * crq
+    b = (yq + 128) + 1.772 * cbq
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
+                   255).astype(np.uint8)

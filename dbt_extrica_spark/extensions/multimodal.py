@@ -2,15 +2,16 @@
 ``binary`` columns with typed metadata.
 
 The Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
-batch shape, deterministic outputs — is real and tested. Decode is REAL
-for binary PPM/PGM, 24-bit BMP AND 8-bit PNG via pure numpy
-(:func:`decode_image_numpy` / :func:`decode_png_numpy` — PNG needs only
-stdlib zlib for IDAT plus per-row unfiltering, no codec library), with
-nearest-neighbor resize + PPM re-encode (:func:`resize_images`).
-LOSSY-COMPRESSED formats (JPEG/audio codecs) remain behind an import-try
-gate: PIL/soundfile when present, a clearly-marked deterministic fake
-otherwise — swap in a real codec on a cluster with the libs installed;
-the Spark plumbing does not change.
+batch shape, deterministic outputs — is real and tested. IMAGE decode is
+REAL for binary PPM/PGM, 24-bit BMP, 8-bit PNG AND baseline JPEG via
+pure numpy (:func:`decode_image_numpy`; PNG = stdlib zlib + per-row
+unfilter, JPEG = stream-table Huffman + 8x8 IDCT per ITU T.81 in
+jpeg.py), with nearest-neighbor resize + PPM re-encode
+(:func:`resize_images`). Remaining codec-gated formats (progressive
+JPEG, lossy audio like MP3) sit behind an import-try gate: PIL/soundfile
+when present, a clearly-marked deterministic fake otherwise — swap in a
+real codec on a cluster with the libs installed; the Spark plumbing does
+not change.
 """
 
 from __future__ import annotations
@@ -95,17 +96,24 @@ def decode_image_numpy(content: bytes):
       (bottom-up rows flipped, BGR -> RGB, 4-byte row padding stripped)
     - PNG 8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced
       (:func:`decode_png_numpy` — stdlib zlib + per-row unfilter)
+    - baseline JPEG, 8-bit gray/YCbCr, sampling factors up to 2x2,
+      restart markers (jpeg.decode_jpeg_numpy — Huffman + IDCT in
+      numpy per ITU T.81)
 
-    Returns None for anything else (lossy codecs stay behind the PIL
-    import-try / documented stub). This closes the 'decode is
-    env-blocked' gap for the formats where no codec library is genuinely
-    required."""
+    Returns None for anything else (progressive JPEG / exotic profiles
+    decline rather than guess). No decode in this container is
+    env-blocked anymore; the PIL import-try remains only as an optional
+    fast path for profiles outside this set."""
     import numpy as np
 
     if len(content) < 2:
         return None
     if content.startswith(_PNG_SIG):
         return decode_png_numpy(content)
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_numpy
+
+        return decode_jpeg_numpy(content)
     if content[:2] in (b"P6", b"P5"):
         gray = content[:2] == b"P5"
         try:
@@ -680,6 +688,49 @@ def synthetic_media_real(spark, n: int = 32, side: int = 16,
         px[0, 0, 0] = (int(px[0, 0, 0]) + 16) % 256  # one-pixel edit
         rows.append((i + 1000, "image", encode(px), mime, side, side, 0))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_media_jpeg(spark, n: int = 24, side: int = 16,
+                         color: bool = False) -> DataFrame:
+    """Deterministic media table of REAL baseline-JPEG bytes — BLOCK-
+    CONSTANT mosaics (8x8 blocks for gray, 16x16 for color 4:2:0), the
+    one image family whose lossy round-trip is exactly predictable: the
+    block-mean encoder drops no information, so decoded pixels follow a
+    closed formula the oracle can state without running the codec
+    (gray: identical values; color: jpeg.rgb_blockmean_roundtrip). Gray
+    JPEGs have NO color transform — decode must be bit-exact."""
+    from .jpeg import encode_jpeg_blockmean
+
+    import numpy as np
+
+    assert side % (16 if color else 8) == 0
+    rows = []
+    for i in range(n):
+        px = _jpeg_fixture_pixels(i, side, color)
+        content = encode_jpeg_blockmean(
+            px, subsample="420" if color else "444")
+        rows.append((i, "image", content, "image/jpeg", side, side, 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _jpeg_fixture_pixels(i: int, side: int, color: bool):
+    """The closed formula behind synthetic_media_jpeg — shared by the
+    battery oracle (which never touches JPEG bytes)."""
+    import numpy as np
+
+    block = 16 if color else 8
+    g = side // block
+    y = np.arange(g)[:, None]
+    x = np.arange(g)[None, :]
+    if not color:
+        vals = (((x * 73) ^ (y * 151)) + i * 97) % 256
+        return np.repeat(np.repeat(vals.astype(np.uint8), block, axis=0),
+                         block, axis=1)
+    r = (((x * 73) ^ (y * 151)) + i * 97) % 256
+    gr = (((x * 29) ^ (y * 47)) + i * 31) % 256
+    b = (((x * 11) ^ (y * 199)) + i * 7) % 256
+    px = np.stack([r, gr, b], axis=2).astype(np.uint8)
+    return np.repeat(np.repeat(px, block, axis=0), block, axis=1)
 
 
 _DECODE_SCHEMA = ("media_id bigint, width int, height int, channels int, "

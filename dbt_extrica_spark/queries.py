@@ -3767,6 +3767,20 @@ def _mm_decode_oracle() -> str:
             edited = int(px.sum()) - int(px[0, 0, 0]) \
                 + (int(px[0, 0, 0]) + 16) % 256
             rows.append(f"({base + i + 1000}, 16, 16, 3, {edited}, TRUE)")
+    # baseline-JPEG groups: block-constant mosaics whose lossy round-trip
+    # is exactly predictable (block-mean encoding drops nothing) — gray is
+    # bit-exact, color goes through the closed YCbCr round-trip formula;
+    # neither path runs the codec
+    from dbt_extrica_spark.extensions.jpeg import rgb_blockmean_roundtrip
+    from dbt_extrica_spark.extensions.multimodal import _jpeg_fixture_pixels
+
+    for i in range(24):
+        s = int(_jpeg_fixture_pixels(i, 16, False).astype(np.int64).sum())
+        rows.append(f"({12000 + i}, 16, 16, 1, {s}, TRUE)")
+    for i in range(24):
+        exp = rgb_blockmean_roundtrip(_jpeg_fixture_pixels(i, 32, True))
+        rows.append(f"({13000 + i}, 32, 32, 3,"
+                    f" {int(exp.astype(np.int64).sum())}, TRUE)")
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id,"
         " CAST(width AS INT) AS width, CAST(height AS INT) AS height,"
@@ -3780,12 +3794,14 @@ def _mm_decode_oracle() -> str:
 @q("multimodal_decode_real", _mm_decode_oracle())
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode — no codec library: binary PPM (P6), 24-bit
-    BMP, AND real zlib-compressed 8-bit PNG (filter types cycled per
-    row, so all five unfilter branches are under the hash) parsed to
-    actual pixels by the pure-numpy decoders inside mapInPandas; exact
-    integer pixel sums verified against the generator's closed pixel
-    formula (the oracle never runs the decoder, so this is true
-    end-to-end codec verification)."""
+    BMP, real zlib-compressed 8-bit PNG (filter types cycled per row,
+    so all five unfilter branches are under the hash), AND real
+    baseline JPEG (gray 4:4:4 + color 4:2:0 with restartable Huffman
+    entropy data — block-constant mosaics make the lossy round-trip
+    exactly predictable) parsed to actual pixels by the pure-numpy
+    decoders inside mapInPandas; exact integer pixel sums verified
+    against the generator's closed pixel formula (the oracle never runs
+    the decoders, so this is true end-to-end codec verification)."""
     from .extensions import multimodal
 
     ppm = multimodal.synthetic_media_real(spark, n=24, side=16,
@@ -3796,7 +3812,15 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = (multimodal.synthetic_media_real(spark, n=24, side=16,
                                            near_dups=4, fmt="png")
            .withColumn("media_id", F.col("media_id") + 9000))
-    return multimodal.decode_stats(ppm.unionByName(bmp).unionByName(png))
+    jpg_gray = (multimodal.synthetic_media_jpeg(spark, n=24, side=16,
+                                                color=False)
+                .withColumn("media_id", F.col("media_id") + 12000))
+    jpg_rgb = (multimodal.synthetic_media_jpeg(spark, n=24, side=32,
+                                               color=True)
+               .withColumn("media_id", F.col("media_id") + 13000))
+    return multimodal.decode_stats(
+        ppm.unionByName(bmp).unionByName(png)
+        .unionByName(jpg_gray).unionByName(jpg_rgb))
 
 
 # Audio counterpart of _mm_decode_oracle: sample stats computed from the

@@ -2132,6 +2132,58 @@ def test_png_declines_corruption_and_unsupported():
     assert mm.decode_png_numpy(patched) is None
 
 
+def test_jpeg_blockmean_roundtrips_exact():
+    import numpy as np
+    from dbt_extrica_spark.extensions import jpeg as J
+
+    rng = np.random.RandomState(3)
+    # gray block-constant: bit-exact, including a non-multiple-of-8 crop
+    # (edge padding keeps boundary blocks constant)
+    blocks = rng.randint(0, 256, size=(3, 2)).astype(np.uint8)
+    gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    assert np.array_equal(J.decode_jpeg_numpy(
+        J.encode_jpeg_blockmean(gray)), gray)
+    crop = gray[:20, :13]
+    assert np.array_equal(J.decode_jpeg_numpy(
+        J.encode_jpeg_blockmean(crop)), crop)
+    # color: 16x16-constant blocks, both 4:4:4 and 4:2:0 (MCU interleave
+    # + chroma upsampling), must equal the closed round-trip formula —
+    # including saturated corners that exercise the chroma clip
+    for src in (
+        rng.randint(0, 256, size=(2, 2, 3)).astype(np.uint8),
+        np.array([[[255, 0, 0], [0, 0, 255]],
+                  [[0, 255, 0], [255, 255, 255]]], dtype=np.uint8),
+    ):
+        rgb = np.repeat(np.repeat(src, 16, axis=0), 16, axis=1)
+        exp = J.rgb_blockmean_roundtrip(rgb)
+        for ss in ("444", "420"):
+            got = J.decode_jpeg_numpy(
+                J.encode_jpeg_blockmean(rgb, subsample=ss))
+            assert got is not None and np.array_equal(got, exp), ss
+    # restart markers: DRI + RSTn every 3 MCUs, predictors reset
+    blocks = rng.randint(0, 256, size=(4, 5)).astype(np.uint8)
+    g3 = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    assert np.array_equal(J.decode_jpeg_numpy(
+        J.encode_jpeg_blockmean(g3, restart_interval=3)), g3)
+    # the main decoder routes JPEG bytes
+    from dbt_extrica_spark.extensions import multimodal as mm
+    assert np.array_equal(mm.decode_image_numpy(
+        J.encode_jpeg_blockmean(gray)), gray)
+
+
+def test_jpeg_declines_unsupported():
+    import numpy as np
+    from dbt_extrica_spark.extensions import jpeg as J
+
+    gray = np.full((16, 16), 77, dtype=np.uint8)
+    enc = J.encode_jpeg_blockmean(gray)
+    # progressive (SOF2) declines: patch the frame marker
+    i = enc.index(b"\xff\xc0")
+    assert J.decode_jpeg_numpy(enc[:i + 1] + b"\xc2" + enc[i + 2:]) is None
+    assert J.decode_jpeg_numpy(enc[:40]) is None     # truncated
+    assert J.decode_jpeg_numpy(b"not a jpeg") is None
+
+
 def test_resize_images_skip_mode_passes_undecodable(spark):
     # one opaque (compressed, no-PIL) blob must NOT abort the batch in
     # the default skip mode: it passes through unchanged with
