@@ -3823,6 +3823,66 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpg_gray).unionByName(jpg_rgb))
 
 
+# resize oracle: nearest-neighbor at 16 -> 8 samples the even source
+# coordinates (floor(t * src/dst) = 2t), so the resized pixel sum is the
+# generator formula summed over the even grid — again never running
+# decoder or resizer. One undecodable row rides along to pin the skip
+# path (passes through untouched, decoded=false).
+def _mm_resize_oracle() -> str:
+    import numpy as np
+
+    def pixels(i: int, side: int = 16):
+        y = np.arange(side)[:, None]
+        x = np.arange(side)[None, :]
+        r = ((x * 73) ^ (y * 151)) + i * 97
+        g = ((x * 29) ^ (y * 47)) + i * 31
+        b = ((x * 11) ^ (y * 199)) + i * 7
+        return np.stack([r % 256, g % 256, b % 256],
+                        axis=2).astype(np.uint8)
+
+    rows = []
+    for base in (0, 9000):  # ppm group, png group
+        for i in range(24):
+            s = int(pixels(i)[::2, ::2].astype(np.int64).sum())
+            rows.append(f"({base + i}, 8, 8, 3, {s}, TRUE)")
+    rows.append("(77777, 0, 0, 0, 0, FALSE)")  # the opaque passthrough
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(width AS INT) AS width, CAST(height AS INT) AS height,"
+        " CAST(channels AS INT) AS channels,"
+        " CAST(pixel_sum AS BIGINT) AS pixel_sum, decoded FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, width, height, channels, pixel_sum, decoded)"
+    )
+
+
+@q("multimodal_resize", _mm_resize_oracle())
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize end-to-end: decode (PPM and PNG groups) ->
+    nearest-neighbor 16->8 -> re-encode as PPM -> decode AGAIN for
+    stats; the oracle states the resized pixel sums straight from the
+    generator formula sampled on the even grid. A planted opaque blob
+    verifies skip-mode passthrough (decoded=false, original row
+    untouched) inside the same job."""
+    from .extensions import multimodal
+
+    ppm = multimodal.synthetic_media_real(spark, n=24, side=16, fmt="ppm")
+    png = (multimodal.synthetic_media_real(spark, n=24, side=16, fmt="png")
+           .withColumn("media_id", F.col("media_id") + 9000))
+    opaque = ppm.limit(1).select(
+        F.lit(77777).cast("bigint").alias("media_id"), "kind",
+        F.lit(b"\xff\xd8\xff\xee not decodable").cast("binary")
+        .alias("content"),
+        "mime", "width", "height", "duration_ms")
+    media = ppm.unionByName(png).unionByName(opaque)
+    resized = multimodal.resize_images(media, 8, 8)
+    stats = multimodal.decode_stats(resized.drop("decoded"))
+    # the passthrough row keeps its original (undecodable) content: its
+    # stats row must be all-zero/decoded=false — exactly what the VALUES
+    # oracle states
+    return stats
+
+
 # Audio counterpart of _mm_decode_oracle: sample stats computed from the
 # GENERATOR's waveform formula (never the decoder); the Spark side
 # encodes to real PCM WAV and decodes with the pure-numpy RIFF walker
@@ -6466,8 +6526,9 @@ _GATED_WINDOW = [
     "text_repetition",
     "text_tfidf_terms",
     "text_url_domains",
-    # (b) code changed this round
+    # (b) code changed / added this round
     "ann_ivf_topk",
+    "multimodal_resize",
     "multimodal_decode_real",
     "dedup_minhash_incremental",
     "streaming_admission",
@@ -6488,7 +6549,6 @@ _GATED_WINDOW = [
     "mat_table",
     "mat_view",
     "pipeline_clean_corpus",
-    "project_dag_run",
 ]
 
 

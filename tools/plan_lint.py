@@ -58,7 +58,12 @@ BNLJ_OK = {
                                  # guardrail raises above 200k rows)
     "ann_cosine_topk",           # brute-force exact baseline by contract;
                                  # scale paths are ivf/pq/brp entries
+    "ann_ivf_topk",              # r9 recall contract: the BNLJ is its
+                                 # exact brute-force REFERENCE side
+                                 # (cosine_topk over the 500-row corpus);
+                                 # the operator under test joins on cell id
     "ann_pq_topk",               # bounded query batch x codes ADC scoring
+                                 # + r9 contract exact-L2 reference
     "dedup_semantic_blocked",    # the blocked path joins on cell id; the
                                  # BNLJ is its subset-of-EXACT contract
                                  # reference over the bounded test corpus
