@@ -17,13 +17,18 @@ Jinja project here — a PROJECT is a plain Python module (default
 Commands mirror dbt resource semantics: ``run`` executes non-snapshot
 models, ``snapshot`` executes snapshot-configured models, ``seed`` loads
 seeds, ``test`` evaluates checks (exit 1 on any error-severity failure),
-``build`` does seed -> all models (one DAG, snapshots included) -> test,
-``docs`` emits the catalog document as JSON.
+``build`` runs the full orchestrator (seeds -> models in DAG order with
+attached tests, snapshots in DAG position -> module-level checks) and
+writes ``target/run_results.json``, ``retry`` reruns only the
+failed/skipped slice of the last build (dbt retry), ``ls`` lists
+resolved selection, ``compile`` prints compiled SQL, ``docs`` emits the
+catalog document as JSON.
 
 Usage::
 
     python -m dbt_extrica_spark run --select +fct_daily_revenue --threads 4
     python -m dbt_extrica_spark build --project my_project.py --full-refresh
+    python -m dbt_extrica_spark retry --project my_project.py
     python -m dbt_extrica_spark docs --output target/catalog.json
 """
 
@@ -143,6 +148,89 @@ def _cmd_test(engine: Engine, mod, args) -> int:
     return 1 if bad else 0
 
 
+def _run_results_path(args) -> str:
+    return os.path.join(args.target_dir, "run_results.json")
+
+
+def _save_run_results(report, args) -> None:
+    rows = [{"node_type": r["node_type"], "name": r["name"],
+             "status": r["status"], "detail": r["detail"]}
+            for r in report.collect()]
+    os.makedirs(args.target_dir, exist_ok=True)
+    with open(_run_results_path(args), "w", encoding="utf-8") as f:
+        json.dump(rows, f, indent=1)
+
+
+def _cmd_build(engine: Engine, mod, project: Project, args,
+               retry: bool = False) -> int:
+    """dbt build / dbt retry over the runner's orchestrator: seeds ->
+    models in DAG order with attached tests (error-severity failures
+    skip descendants) -> snapshots; writes target/run_results.json."""
+    from .plans.runner import build_project
+
+    retry_from = None
+    if retry:
+        path = _run_results_path(args)
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"no prior run results at {path!r} — run `build` first")
+        with open(path, encoding="utf-8") as f:
+            saved = json.load(f)
+        retry_from = engine.spark.createDataFrame(
+            [(r["node_type"], r["name"], r["status"], r["detail"])
+             for r in saved],
+            "node_type string, name string, status string, detail string")
+    seeds = [{"name": name, "csv_text": _read_seed(value),
+              "column_types": (getattr(mod, "seed_column_types", {}) or {})
+              .get(name)}
+             for name, value in (getattr(mod, "seeds", {}) or {}).items()]
+    report = build_project(
+        engine, project, seeds=None if retry else seeds,
+        threads=args.threads, full_refresh=args.full_refresh,
+        select=args.select or None, exclude=args.exclude or None,
+        retry_from=retry_from)
+    _save_run_results(report, args)
+    bad = 0
+    for r in report.collect():
+        print(f"{r['node_type']} {r['name']}: {r['status']}"
+              + (f" ({r['detail']})" if r["detail"] else ""))
+        if r["status"] in ("error", "skip"):
+            bad += 1
+    print(f"Completed with {bad} error/skip nodes; "
+          f"results in {_run_results_path(args)}")
+    # module-level checks run after the graph (dbt build's test phase
+    # for tests not attached to a model)
+    rc = _cmd_test(engine, mod, args)
+    return 1 if bad else rc
+
+
+def _cmd_ls(project: Project, args) -> int:
+    chosen = project.select_nodes(args.select or None, args.exclude or None)
+    for level in project.topo_order():
+        for name in level:
+            if name in chosen:
+                m = project.model(name)
+                print(f"{name} [{m.config.get('materialized', 'view')}]")
+    print(f"Completed: {len(chosen)} nodes")
+    return 0
+
+
+def _cmd_compile(engine: Engine, project: Project, args) -> int:
+    chosen = project.select_nodes(args.select or None, args.exclude or None)
+    for level in project.topo_order():
+        for name in level:
+            if name not in chosen:
+                continue
+            m = project.model(name)
+            if m.sql is None:
+                print(f"-- model {name}: (DataFrame builder, no SQL)")
+                continue
+            print(f"-- model {name}")
+            print(engine.compile_sql(m).strip())
+            print()
+    return 0
+
+
 def _cmd_docs(engine: Engine, args) -> int:
     doc = engine.generate_docs()
     text = json.dumps(doc, indent=2, default=str)
@@ -163,7 +251,7 @@ def _build_parser() -> argparse.ArgumentParser:
         description="dbt-style CLI over the Spark-native engine")
     p.add_argument("command",
                    choices=["run", "seed", "snapshot", "test", "build",
-                            "docs"])
+                            "retry", "ls", "compile", "docs"])
     p.add_argument("--project", "-p", default="project.py",
                    help="project module path (default ./project.py)")
     p.add_argument("--select", "-s", action="append",
@@ -224,11 +312,12 @@ def main(argv: list[str] | None = None,
             return _cmd_test(engine, mod, args)
         if args.command == "docs":
             return _cmd_docs(engine, args)
-        # build: seed -> full model DAG (snapshots in DAG position,
-        # dbt-build semantics) -> tests
-        rc = _cmd_seed(engine, mod, set(args.select) if args.select else None)
-        rc = rc or _cmd_models(engine, project, args, only_snapshots=None)
-        return rc or _cmd_test(engine, mod, args)
+        if args.command == "ls":
+            return _cmd_ls(project, args)
+        if args.command == "compile":
+            return _cmd_compile(engine, project, args)
+        return _cmd_build(engine, mod, project, args,
+                          retry=args.command == "retry")
     finally:
         if own_session:
             spark.stop()

@@ -2723,22 +2723,47 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_TOPK_DUCK = """
 SELECT CAST(COUNT(*) * 5 AS BIGINT) AS n_pairs,
        TRUE AS recall_ok
-FROM embeddings
+FROM embeddings WHERE vec_id < 300
 """
 
 
 @q("ann_ivf_topk", _IVF_TOPK_DUCK)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k — the 100 TB scale path. Contract
-    form: the full-table self-search call (n_cells=16, nprobe=3) must clear
-    a 0.25 recall@5 floor vs exact brute-force cosine over the same
-    corpus (measured 0.40-0.41 at both sf)."""
+    form: the full-table self-search call (n_cells=16, nprobe=3) must
+    clear a 0.25 recall@5 floor vs exact cosine ground truth (measured
+    0.40-0.44 across sf0.001/0.01/0.1). The reference side is LINEAR,
+    not all-pairs: ground truth is computed only for a 300-query probe
+    set (broadcast) against the full corpus, so the contract's own cost
+    scales with the corpus like the operator does — a full-table
+    brute-force reference cost 32s at sf0.1 and was the bench's worst
+    entry before this bound."""
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
     approx = similarity.ivf_topk(emb, "vec_id", "embedding", k=5,
-                                 n_cells=16, nprobe=3)
-    exact = similarity.cosine_topk(emb, "vec_id", "embedding", k=5) \
+                                 n_cells=16, nprobe=3) \
+        .where(F.col("query_id") < 300)
+    nrm = ("sqrt(aggregate(zip_with({v}, {v}, (x, y) ->"
+           " cast(x as double) * y), 0D, (acc, x) -> acc + x))")
+    dot = ("aggregate(zip_with(q.qv, b.v, (x, y) ->"
+           " cast(x as double) * y), 0D, (acc, x) -> acc + x)")
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("v"),
+                      F.expr(nrm.format(v="embedding")).alias("bn")).alias("b")
+    qv = emb.where("vec_id < 300").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.expr(nrm.format(v="embedding")).alias("qn")).alias("q")
+    w = Window.partitionBy("q.qid").orderBy(F.desc("cos"),
+                                            F.asc(F.col("b.id")))
+    exact = (
+        F.broadcast(qv).join(base, on=F.expr("q.qid != b.id"))
+        .withColumn("cos", F.expr(dot) / (F.col("qn") * F.col("bn")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(F.col("q.qid").alias("query_id"),
+                F.col("b.id").alias("neighbor_id"))
         .localCheckpoint(eager=True)
+    )
     total = exact.groupBy().count().withColumnRenamed("count", "n_pairs")
     hits = exact.join(approx, on=["query_id", "neighbor_id"],
                       how="left_semi").groupBy().count() \

@@ -32,17 +32,41 @@ def run_cli(spark, tmp_path):
     spark.sql("DROP SCHEMA IF EXISTS cli_demo CASCADE")
 
 
-def test_cli_build_end_to_end(spark, run_cli, capsys):
+def test_cli_build_end_to_end(spark, run_cli, capsys, tmp_path):
     rc = run_cli("build", "--threads", "2")
     out = capsys.readouterr().out
     assert rc == 0, out
-    assert "seed status_seed" in out
-    assert "model fct_daily_revenue: OK" in out
-    assert "model events_history: OK" in out          # snapshot in the DAG
+    assert "seed status_seed: success" in out
+    assert "model fct_daily_revenue: success" in out
+    assert "model events_history: success" in out     # snapshot in the DAG
     assert "0 failures" in out
     # the CLI's materializations PERSIST (no engine teardown)
     assert spark.table("cli_demo.fct_daily_revenue").count() > 0
     assert spark.table("cli_demo.status_seed").count() == 3
+    # run_results.json written (the dbt artifact retry feeds from)
+    results = json.loads((tmp_path / "run_results.json").read_text())
+    assert {r["name"] for r in results if r["node_type"] == "model"} == {
+        "stg_orders", "fct_daily_revenue", "dim_status", "events_history"}
+    assert all(r["status"] == "success" for r in results)
+    # retry with an all-green report reruns nothing
+    rc = run_cli("retry")
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "model" not in out.split("Completed")[0]
+
+
+def test_cli_ls_and_compile(run_cli, capsys):
+    rc = run_cli("ls", "--select", "+fct_daily_revenue")
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "stg_orders [view]" in out
+    assert "fct_daily_revenue [table]" in out
+    assert "events_history" not in out
+    rc = run_cli("compile", "--select", "stg_orders")
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "-- model stg_orders" in out
+    assert "orders" in out and "{source:" not in out  # refs resolved
 
 
 def test_cli_run_select_and_snapshot_split(spark, run_cli, capsys):
