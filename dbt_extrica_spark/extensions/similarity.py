@@ -614,6 +614,195 @@ def ivf_index_query(queries: DataFrame, centroids: DataFrame,
                                exclude_self=exclude_self)
 
 
+def _pq_cb_literal(codebooks: list[list[list[float]]]) -> str:
+    return "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(f"{x!r}D" for x in cent)
+            for cent in book)
+        for book in codebooks)
+
+
+def _pq_dtab_expr(codebooks: list[list[list[float]]], vec_expr: str) -> str:
+    """The ADC distance-table expression: per row, the m x ks table of
+    ||sub_j(vec) - centroid_c||^2 (vec_expr is any array<double>-typed
+    SQL expression — pq_topk uses the raw query vector, IVF-PQ the
+    query residual against the probed cell's centroid)."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    cb = _pq_cb_literal(codebooks)
+    diff = (f"(element_at(__pqv, j * {d_sub} + t + 1)"
+            f" - element_at(element_at(element_at({cb}, j + 1), c + 1),"
+            f" t + 1))")
+    body = (
+        f"transform(sequence(0, {m - 1}), j ->"
+        f" transform(sequence(0, {ks - 1}), c ->"
+        f" aggregate(sequence(0, {d_sub - 1}), 0D, (s, t) ->"
+        f" s + {diff} * {diff})))"
+    )
+    # bind vec_expr ONCE via a lambda-let (transform over a 1-element
+    # array) so a compound residual expression isn't re-evaluated per
+    # (j, c, t) — HOF lambda bodies evaluate embedded subtrees per
+    # element (the simhash/minhash hazard)
+    return (f"element_at(transform(array(cast(({vec_expr}) as"
+            f" array<double>)), __pqv -> {body}), 1)")
+
+
+def ivf_pq_index_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    train_centroids: bool = False,
+    trainer: str = "ml",
+    train_codebooks: bool = True,
+) -> tuple[DataFrame, list[list[list[float]]], DataFrame]:
+    """IVF-PQ (IVFADC, Jégou et al. TPAMI'11): the billion-vector index
+    shape — coarse IVF cells plus PQ codes of the RESIDUAL (v - cell
+    centroid). Returns ``(centroids, codebooks, postings)`` where
+    postings is (id, cid, codes) — NO raw vectors: the stored index is
+    m small ints per vector (~16x smaller than float32 embeddings at
+    m=8/dim=32, far more at real dims), which is the structural win at
+    100 TB — the per-query scan covers nprobe cells of CODES, and raw
+    vectors are touched only by the rerank join on the candidate ids.
+
+    Codebooks train on residuals of a bounded deterministic sample
+    (pq_codebooks_kmeans — classic PQ trains on a sample regardless of
+    corpus size; driver state stays O(model)). Centroid options are
+    ivf_index_build's. Write postings partitioned/bucketed by cid and
+    the codebooks as a JSON artifact next to the centroid table."""
+    base = _with_norm(df, id_col, vec_col)
+    centroids = _ivf_centroids(df, base, id_col, vec_col, n_cells,
+                               train_centroids, trainer)
+    cell_rows = _ivf_collect_cells(centroids)
+    assigned = (
+        _ivf_assign(base, centroids, cell_rows, nprobe=1)
+        .where(F.col("crank") == 1)
+        .join(centroids.select("cid", "cv"), on="cid")
+        .withColumn("resid", F.expr(
+            "zip_with(v, cv, (x, y) -> cast(x as double) - y)"))
+    )
+    if train_codebooks:
+        books = pq_codebooks_kmeans(assigned, "id", "resid", m=m, ks=ks)
+    else:
+        books = pq_codebooks(assigned, "id", "resid", m=m, ks=ks)
+    postings = assigned.select(
+        "id", "cid", pq_encode_expr(books, "resid").alias("codes"))
+    return centroids, books, postings
+
+
+def ivf_pq_index_append(new_df: DataFrame, centroids: DataFrame,
+                        codebooks: list[list[list[float]]],
+                        id_col: str, vec_col: str) -> DataFrame:
+    """Posting rows (id, cid, codes) for NEW vectors against an existing
+    IVF-PQ index's centroids + codebooks — append to the postings table
+    to admit an increment; the model (centroids, codebooks) stays fixed
+    until a deliberate retrain."""
+    base = _with_norm(new_df, id_col, vec_col)
+    cell_rows = _ivf_collect_cells(centroids)
+    assigned = (
+        _ivf_assign(base, centroids, cell_rows, nprobe=1)
+        .where(F.col("crank") == 1)
+        .join(centroids.select("cid", "cv"), on="cid")
+        .withColumn("resid", F.expr(
+            "zip_with(v, cv, (x, y) -> cast(x as double) - y)"))
+    )
+    return assigned.select(
+        "id", "cid", pq_encode_expr(codebooks, "resid").alias("codes"))
+
+
+def ivf_pq_query(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    postings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 3,
+    rerank: int = 4,
+    raw_df: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Search an IVF-PQ index: rank each query's ``nprobe`` nearest
+    cells, build the ADC table from the query's RESIDUAL against each
+    probed cell's centroid (that is what makes this IVFADC — the table
+    is per (query, cell)), score that cell's code postings with m array
+    lookups per pair, take the ADC top ``k*rerank``, then re-score
+    those candidates with EXACT squared L2 against ``raw_df`` (required
+    when rerank > 0 — the raw vectors live in the corpus table, not the
+    compressed index). Returns (query_id, neighbor_id, approx_d2,
+    rank); with rerank, approx_d2 is exact L2 within the candidates.
+
+    ``exclude_self`` as in ivf_index_query: only for self-search over a
+    shared id space."""
+    if rerank > 0 and raw_df is None:
+        raise ValueError(
+            "rerank > 0 needs raw_df (the corpus with raw vectors); pass "
+            "rerank=0 for ADC-only ranking")
+    qbase = _with_norm(queries, id_col, vec_col)
+    cell_rows = _ivf_collect_cells(centroids)
+    probes = (
+        _ivf_assign(qbase, centroids, cell_rows, nprobe=nprobe)
+        .where(F.col("crank") <= nprobe)
+        .join(centroids.select("cid", "cv"), on="cid")
+        .select(F.col("id").alias("qid"), "cid",
+                F.expr("zip_with(v, cv, (x, y) -> cast(x as double) - y)")
+                .alias("rq"))
+        .withColumn("dtab", F.expr(_pq_dtab_expr(codebooks, "rq")))
+        .drop("rq")
+    )
+    m = len(codebooks)
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), 0D, (a, j) ->"
+        f" a + element_at(element_at(dtab, j + 1),"
+        f" element_at(codes, j + 1) + 1))"
+    )
+    scored = (
+        F.broadcast(probes).join(postings, on="cid")
+        .where(F.expr("qid != id") if exclude_self else F.lit(True))
+        .withColumn("approx_d2", F.expr(adc))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_d2"),
+                                          F.asc(F.col("id")))
+    topn = k * rerank if rerank > 0 else k
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topn)
+        .select(F.col("qid").alias("query_id"),
+                F.col("id").alias("neighbor_id"), "approx_d2")
+    )
+    if rerank <= 0:
+        return cand.withColumn(
+            "rank", F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("approx_d2"), F.asc("neighbor_id"))))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    bv = raw_df.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__bv"))
+    exact_d2 = (
+        "aggregate(zip_with(__qv, __bv, (x, y) ->"
+        " (cast(x as double) - y) * (cast(x as double) - y)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    rr = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(bv, on="neighbor_id")
+        .withColumn("approx_d2", F.expr(exact_d2))
+        .drop("__qv", "__bv")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"),
+                                                F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rank")
+    )
+
+
 def projection_matrix(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[int]]:
     """Deterministic ±1 random-projection matrix (Achlioptas-style sign
     matrix) derived from md5 — reproducible on any engine/run without RNG

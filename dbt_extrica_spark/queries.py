@@ -2776,6 +2776,96 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-PQ contract: the compressed-postings index (IVFADC — PQ codes of
+# the residual against the probed cell's Lloyd-trained centroid; the
+# stored index carries NO raw vectors). Measured recall@5 vs exact L2
+# with ks=64/rerank=4: full probe 0.54-0.73, nprobe=3 0.42-0.50 across
+# sf0.001/0.01/0.1 — floors 0.35/0.25 catch any cell-assignment,
+# residual-encode, ADC, or rerank breakage without flapping; rerank d2
+# must BE the exact squared L2 (recomputable invariant).
+_IVF_PQ_DUCK = """
+SELECT CAST(COUNT(*) * 5 AS BIGINT) AS n_pairs,
+       TRUE AS rerank_d2_exact,
+       TRUE AS full_probe_ok,
+       TRUE AS partial_probe_ok
+FROM embeddings WHERE vec_id < 100
+"""
+
+
+@q("ann_ivf_pq_recall", _IVF_PQ_DUCK)
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) quality contract: build the compressed index
+    (coarse Lloyd cells + residual PQ codes — postings are (id, cid,
+    codes), no raw vectors), query 100 vectors at full and partial
+    probe with exact rerank, and gate recall floors plus rerank-d2
+    exactness against brute-force L2 ground truth."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qs = emb.where("vec_id < 100")
+    cents, books, posts = similarity.ivf_pq_index_build(
+        emb, "vec_id", "embedding", n_cells=16, m=8, ks=64,
+        train_centroids=True, trainer="lloyd")
+    posts = posts.localCheckpoint(eager=True)
+    d2 = ("aggregate(zip_with(q.qv, b.v, (x, y) ->"
+          " (cast(x as double) - y) * (cast(x as double) - y)),"
+          " 0D, (a, x) -> a + x)")
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("v")).alias("b")
+    qv = qs.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qv")).alias("q")
+    w = Window.partitionBy("q.qid").orderBy(F.asc("d2"), F.asc(F.col("b.id")))
+    exact = (
+        F.broadcast(qv).join(base, on=F.expr("q.qid != b.id"))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(F.col("q.qid").alias("query_id"),
+                F.col("b.id").alias("neighbor_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    def hits(nprobe: int, name: str):
+        got = similarity.ivf_pq_query(
+            qs, cents, books, posts, "vec_id", "embedding", k=5,
+            nprobe=nprobe, rerank=4, raw_df=emb, exclude_self=True)
+        return (exact.join(got, on=["query_id", "neighbor_id"],
+                           how="left_semi")
+                .groupBy().count().withColumnRenamed("count", name))
+
+    full = similarity.ivf_pq_query(
+        qs, cents, books, posts, "vec_id", "embedding", k=5,
+        nprobe=16, rerank=4, raw_df=emb,
+        exclude_self=True).localCheckpoint(eager=True)
+    re_d2 = ("aggregate(zip_with(__qv, __bv, (x, y) ->"
+             " (cast(x as double) - y) * (cast(x as double) - y)),"
+             " 0D, (a, x) -> a + x)")
+    bad_d2 = (
+        full
+        .join(emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("__qv")), on="query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("__bv")), on="neighbor_id")
+        .where(F.expr(re_d2) != F.col("approx_d2"))
+        .groupBy().count().withColumnRenamed("count", "n_bad")
+    )
+    full_hits = (exact.join(full, on=["query_id", "neighbor_id"],
+                            how="left_semi")
+                 .groupBy().count().withColumnRenamed("count", "full_hits"))
+    total = exact.groupBy().count().withColumnRenamed("count", "n_pairs")
+    return (
+        total.crossJoin(bad_d2).crossJoin(full_hits)
+        .crossJoin(hits(3, "part_hits"))
+        .select(
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_bad") == 0).alias("rerank_d2_exact"),
+            ((F.col("full_hits") / F.col("n_pairs")) >= 0.35)
+            .alias("full_probe_ok"),
+            ((F.col("part_hits") / F.col("n_pairs")) >= 0.25)
+            .alias("partial_probe_ok"),
+        )
+    )
+
+
 _EMB_STATS_DUCK = """
 WITH nrm AS (
   SELECT label,
@@ -6553,6 +6643,7 @@ _GATED_WINDOW = [
     "text_url_domains",
     # (b) code changed / added this round
     "ann_ivf_topk",
+    "ann_ivf_pq_recall",
     "multimodal_resize",
     "multimodal_decode_real",
     "dedup_minhash_incremental",
@@ -6572,7 +6663,6 @@ _GATED_WINDOW = [
     "inc_schema_evolution",
     "mat_mview_refresh",
     "mat_table",
-    "mat_view",
     "pipeline_clean_corpus",
 ]
 

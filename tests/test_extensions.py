@@ -1659,6 +1659,50 @@ def test_ivf_index_parquet_roundtrip(spark, tmp_path):
     assert mem == one_shot
 
 
+def test_ivf_pq_index_compressed_and_correct(spark, tmp_path):
+    import pytest as _pytest
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 200") \
+        .select("vec_id", "embedding")
+    cents, books, posts = similarity.ivf_pq_index_build(
+        emb, "vec_id", "embedding", n_cells=8, m=8, ks=16,
+        train_centroids=True, trainer="lloyd")
+    posts = posts.localCheckpoint(eager=True)
+    # the structural point: postings carry CODES, never raw vectors
+    assert set(posts.columns) == {"id", "cid", "codes"}
+    assert posts.count() == emb.count()
+    # codes are valid codebook indices
+    assert posts.where(
+        f"exists(codes, c -> c < 0 OR c >= {len(books[0])})").count() == 0
+    # parquet round-trip (the persisted-index story), then query: full
+    # probe + exact rerank finds each planted EXACT duplicate as its
+    # twin's top neighbor (residual-code match + rerank d2 = 0)
+    pdir = str(tmp_path / "pq_posts")
+    posts.write.partitionBy("cid").parquet(pdir)
+    # partition-column inference reads cid back as INT; restore the type
+    posts2 = spark.read.parquet(pdir).withColumn(
+        "cid", F.col("cid").cast("bigint"))
+    twins = emb.where("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    posts_all = posts2.unionByName(similarity.ivf_pq_index_append(
+        twins, cents, books, "vec_id", "embedding"))
+    corpus = emb.unionByName(twins)
+    got = similarity.ivf_pq_query(
+        twins, cents, books, posts_all, "vec_id", "embedding",
+        k=1, nprobe=8, rerank=4, raw_df=corpus,
+        exclude_self=True).collect()
+    top = {r.query_id: (r.neighbor_id, r.approx_d2) for r in got}
+    assert len(top) == 20
+    for qid, (nid, dd) in top.items():
+        assert nid == qid - 100000 and dd == 0.0
+    # rerank demands the raw corpus
+    with _pytest.raises(ValueError, match="raw_df"):
+        similarity.ivf_pq_query(twins, cents, books, posts_all,
+                                "vec_id", "embedding", rerank=4)
+
+
 def test_bpe_train_learns_textbook_merges(spark):
     rows = [(1, "low low low low low"),
             (2, "lower lower newest newest"),
