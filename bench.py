@@ -76,6 +76,11 @@ HEADLINE = [
     "multimodal_decode_real",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    "multimodal_resize",
+    # ann_ivf_pq_recall is deliberately NOT here: it is a CONTRACT entry
+    # (index build + brute-force ground truth + two probe configs), so
+    # its wall measures the verification harness, not the operator —
+    # the ivf_pq operator cost shows up in scale probes instead.
 ]
 
 

@@ -497,7 +497,8 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
 
 def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
                 top_t: int = 5, max_df_frac: float | None = None,
-                stopwords: list[str] | None = None) -> DataFrame:
+                stopwords: list[str] | None = None,
+                min_df: int | None = None) -> DataFrame:
     """Top ``top_t`` characteristic terms per document by TF-IDF
     (tf * ln(N / df)) — the classic keyword/topic signal a corpus curator
     uses to label or route documents.
@@ -520,7 +521,14 @@ def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
     shuffle to learn df first), a fixed stopword list cuts the exploded
     row volume itself, the dominant cost at corpus scale (measured ~3x on
     the token shuffle for English stopword ratios). Semantics change the
-    same way: dropped terms vanish from df accounting — opt-in only."""
+    same way: dropped terms vanish from df accounting — opt-in only.
+
+    ``min_df`` (opt-in) drops terms appearing in FEWER than min_df
+    documents before the join+window — the long-tail complement of
+    max_df_frac (hapax typos and noise dominate vocabulary size on web
+    corpora; the df table and the ranking join shrink accordingly while
+    the exploded shuffle is unchanged). Same opt-in caveat: a document
+    whose every term is rare can lose all its rows."""
     from pyspark.sql.window import Window
 
     toks = _tokens(text_col)
@@ -534,6 +542,8 @@ def tfidf_terms(df: DataFrame, id_col: str, text_col: str,
     tf = exploded.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df is not None:
+        dfreq = dfreq.where(F.col("df") >= min_df)
     n_docs = df.select(
         F.count(F.lit(1)).cast("double").alias("__n"))
     scored = (

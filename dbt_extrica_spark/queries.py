@@ -5019,6 +5019,63 @@ def streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admitted.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+# vector-admission oracle: exact-mode semantics stated in pure SQL —
+# cosine folds are the bit-parity pair (sequential JVM fold vs DuckDB
+# list_reduce, the dedup_embedding_cosine precedent), so the >= threshold
+# decisions match exactly
+_VEC_ADMIT_DUCK = """
+WITH nb AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+              p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)) AS nrm
+  FROM embeddings
+), hist AS (
+  SELECT * FROM nb WHERE vec_id < 300
+), cross_dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM nb b JOIN hist h
+    ON list_reduce(list_transform(list_zip(b.embedding, h.embedding),
+         p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+       / (b.nrm * h.nrm) >= 0.5
+), kept1 AS (
+  SELECT * FROM nb
+  WHERE vec_id NOT IN (SELECT vec_id FROM cross_dropped)
+), intra_dropped AS (
+  SELECT DISTINCT b2.vec_id
+  FROM kept1 b1 JOIN kept1 b2
+    ON b1.vec_id < b2.vec_id
+   AND list_reduce(list_transform(list_zip(b1.embedding, b2.embedding),
+         p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+       / (b1.nrm * b2.nrm) >= 0.5
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM kept1
+WHERE vec_id NOT IN (SELECT vec_id FROM intra_dropped)
+"""
+
+
+@q("streaming_vector_admission", _VEC_ADMIT_DUCK)
+def streaming_vector_admission_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming VECTOR admission — embedding batches arrive as a file
+    stream, near-dup-screen against the admitted history by exact
+    cosine, dedup within the batch (higher id drops), survivors extend
+    the history for later batches. Under availableNow the admitted set
+    equals batch semantics, stated by the oracle in pure SQL (exact
+    reference mode; the blocked cross_cosine_pairs mode is the scale
+    path, equivalence-tested separately)."""
+    from .streaming import read_embedding_stream
+    from .streaming.incremental import streaming_vector_admission
+
+    _views(spark, sf_dir)
+    hist = spark.table("embeddings").where("vec_id < 300") \
+        .select("vec_id", "embedding")
+    stream = read_embedding_stream(spark, sf_dir) \
+        .select("vec_id", "embedding")
+    admitted = streaming_vector_admission(
+        stream, hist, "vec_id", "embedding", threshold=0.5, exact=True)
+    return admitted.select(F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
 # dbt build orchestration is fully deterministic on a fixed project, so
 # the oracle is the expected report itself (statuses only — error details
 # carry engine-specific text)
@@ -6644,6 +6701,7 @@ _GATED_WINDOW = [
     # (b) code changed / added this round
     "ann_ivf_topk",
     "ann_ivf_pq_recall",
+    "streaming_vector_admission",
     "multimodal_resize",
     "multimodal_decode_real",
     "dedup_minhash_incremental",
@@ -6661,7 +6719,6 @@ _GATED_WINDOW = [
     "inc_insert_overwrite",
     "inc_merge",
     "inc_schema_evolution",
-    "mat_mview_refresh",
     "mat_table",
     "pipeline_clean_corpus",
 ]

@@ -1,14 +1,18 @@
 from .incremental import (
-    dedup_within_watermark, read_document_stream, read_event_stream,
+    dedup_within_watermark, read_document_stream,
+    read_embedding_stream, read_event_stream,
     windowed_counts, run_available_now, sessionize_stateful,
     stream_stream_interval_join,
     streaming_incremental_merge, streaming_minhash_admission,
+    streaming_vector_admission,
 )
 
 __all__ = [
-    "dedup_within_watermark", "read_document_stream", "read_event_stream",
+    "dedup_within_watermark", "read_document_stream",
+    "read_embedding_stream", "read_event_stream",
     "windowed_counts",
     "run_available_now", "sessionize_stateful",
     "stream_stream_interval_join",
     "streaming_incremental_merge", "streaming_minhash_admission",
+    "streaming_vector_admission",
 ]

@@ -373,6 +373,113 @@ def streaming_minhash_admission(
     return out
 
 
+def read_embedding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over embeddings.parquet — vector batches
+    arriving from a continuous embedding job (the ingest side of a
+    vector database). Same parity guarantees as read_event_stream."""
+    return _read_file_stream(spark, sf_dir, "embeddings.parquet")
+
+
+def streaming_vector_admission(
+    vec_stream: DataFrame,
+    hist_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    exact: bool = False,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Streaming VECTOR admission — the embedding counterpart of
+    :func:`streaming_minhash_admission`: each arriving micro-batch of
+    vectors is near-dup-checked against the admitted HISTORY (cosine >=
+    ``threshold`` drops the new vector), then deduped within itself
+    (for an intra-batch pair of survivors, the higher id drops — same
+    rule as the minhash path), and survivors join the history so later
+    batches screen against them. Executes as an availableNow catch-up
+    and returns the admitted (id, vector) rows as a batch DataFrame.
+    Feed the result to similarity.ivf_pq_index_append to grow a
+    compressed vector index in the same pass (tested composition).
+
+    ``exact=False`` (default) screens via similarity.cross_cosine_pairs
+    — cell-blocked candidates with exact JVM-fold cosines, per-batch
+    cost O(batch x probed cells), the 100 TB path; blocking can miss a
+    qualifying pair (bounded by the probe config). ``exact=True`` scores
+    the full batch x history cross (broadcast batch, history streams
+    through unshuffled — one O(batch x history) compute pass, no
+    shuffle growth): the deterministic reference mode the oracle gates,
+    and a fine choice while history fits a scan budget."""
+    from ..extensions import similarity as sim_ops
+
+    dot = ("aggregate(zip_with(b.v, h.v, (x, y) ->"
+           " cast(x as double) * y), 0D, (acc, x) -> acc + x)")
+
+    state = {
+        "hist": hist_df.select(F.col(id_col), F.col(vec_col))
+        .localCheckpoint(eager=False),
+        "admitted": [],
+    }
+
+    def _norm_side(df: DataFrame, alias: str) -> DataFrame:
+        nrm = (f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) ->"
+               f" cast(x as double) * y), 0D, (acc, x) -> acc + x))")
+        return df.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v"),
+                         F.expr(nrm).alias("nrm")).alias(alias)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (batch_df.select(F.col(id_col), F.col(vec_col))
+                 .localCheckpoint(eager=True))
+        if not batch.take(1):
+            return
+        if exact:
+            b = _norm_side(batch, "b")
+            h = _norm_side(state["hist"], "h")
+            cross_dropped = (
+                F.broadcast(b).join(h, on=F.expr(
+                    f"{dot} / (b.nrm * h.nrm) >= {threshold!r}D"))
+                .select(F.col("b.id").alias(id_col)).distinct()
+            )
+        else:
+            cross_dropped = (
+                sim_ops.cross_cosine_pairs(
+                    batch, state["hist"], id_col, vec_col,
+                    threshold=threshold, n_cells=n_cells, nprobe=nprobe)
+                .select(F.col("new_id").alias(id_col)).distinct()
+            )
+        kept1 = batch.join(cross_dropped, on=id_col, how="left_anti") \
+            .localCheckpoint(eager=True)
+        # intra-batch among cross-survivors: exact pairs, higher id drops
+        from ..extensions import dedup as dedup_ops
+
+        pairs = dedup_ops.embedding_cosine_pairs(
+            kept1, id_col, vec_col, threshold=threshold)
+        dropped_b = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = kept1.join(dropped_b, on=id_col, how="left_anti") \
+            .localCheckpoint(eager=True)
+        state["admitted"].append(kept)
+        state["hist"] = (state["hist"].unionByName(kept)
+                         .localCheckpoint(eager=False))
+
+    ckpt = tempfile.mkdtemp(prefix="spark_vec_admission_")
+    try:
+        query = (
+            vec_stream.writeStream.foreachBatch(admit)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not state["admitted"]:
+        return state["hist"].limit(0)
+    out = state["admitted"][0]
+    for df in state["admitted"][1:]:
+        out = out.unionByName(df)
+    return out
+
+
 _SESSION_SCHEMA = (
     "user_id bigint, session_id int, n_events int, "
     "session_start timestamp, session_end timestamp"

@@ -1703,6 +1703,40 @@ def test_ivf_pq_index_compressed_and_correct(spark, tmp_path):
                                 "vec_id", "embedding", rerank=4)
 
 
+def test_streaming_vector_admission_modes_and_index_composition(spark):
+    from dbt_extrica_spark.sources.registry import register_sources
+    from dbt_extrica_spark.streaming import (read_embedding_stream,
+                                             streaming_vector_admission)
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    hist = spark.table("embeddings").where("vec_id < 300") \
+        .select("vec_id", "embedding")
+    stream = read_embedding_stream(spark, "/root/testdata/sf0.001") \
+        .select("vec_id", "embedding")
+    exact = {r.vec_id for r in streaming_vector_admission(
+        stream, hist, threshold=0.5, exact=True).collect()}
+    # every history member in the stream is its own exact duplicate ->
+    # dropped; something genuinely new survives
+    assert exact and all(v >= 300 for v in exact)
+    # blocked mode at FULL probe == exact mode (all pairs reach a shared
+    # cell, cosines are the same JVM fold)
+    blocked = {r.vec_id for r in streaming_vector_admission(
+        stream, hist, threshold=0.5, exact=False,
+        n_cells=8, nprobe=8).collect()}
+    assert blocked == exact
+    # the advertised composition: admitted vectors extend a compressed
+    # IVF-PQ index via append, under the FIXED model
+    emb = hist
+    cents, books, posts = similarity.ivf_pq_index_build(
+        emb, "vec_id", "embedding", n_cells=8, m=8, ks=16)
+    admitted = streaming_vector_admission(stream, hist, threshold=0.5,
+                                          exact=True)
+    delta = similarity.ivf_pq_index_append(admitted, cents, books,
+                                           "vec_id", "embedding")
+    assert delta.count() == len(exact)
+    assert set(delta.columns) == {"id", "cid", "codes"}
+
+
 def test_bpe_train_learns_textbook_merges(spark):
     rows = [(1, "low low low low low"),
             (2, "lower lower newest newest"),
@@ -1761,6 +1795,35 @@ def test_tfidf_stopword_prefilter_drops_only_stopwords(spark):
     expected = {k: v for k, v in full_rows.items()
                 if k[1] not in ("the", "and", "on")}
     assert filt_rows == expected
+
+
+def test_tfidf_min_df_prefilter_drops_rare_terms(spark):
+    rows = [(1, "cat sat mat mat"),
+            (2, "cat dog bone"),
+            (3, "cat dog bird zyqwx")]   # zyqwx/bird/bone/sat/mat: rare
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    full = textstats.tfidf_terms(df, "doc_id", "text", top_t=100)
+    # min_df=1 is a no-op — exact same rows
+    same = textstats.tfidf_terms(df, "doc_id", "text", top_t=100, min_df=1)
+    key = lambda r: (r.doc_id, r.term, r.tf, r.df, r.tfidf)
+    assert sorted(map(key, full.collect())) == \
+        sorted(map(key, same.collect()))
+    # min_df=2: single-document terms vanish; survivors keep identical
+    # tf/df/tfidf (the filter runs AFTER df accounting)
+    filt = textstats.tfidf_terms(df, "doc_id", "text", top_t=100, min_df=2)
+    full_rows = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+                 for r in full.collect()}
+    filt_rows = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+                 for r in filt.collect()}
+    expected = {k: v for k, v in full_rows.items() if v[1] >= 2}
+    assert filt_rows == expected and len(filt_rows) < len(full_rows)
+    # a hapax-only document yields no rows (the documented caveat)
+    solo = spark.createDataFrame([(9, "unique1 unique2")],
+                                 "doc_id BIGINT, text STRING")
+    both = df.unionByName(solo)
+    out = textstats.tfidf_terms(both, "doc_id", "text", top_t=100,
+                                min_df=2)
+    assert out.where("doc_id = 9").count() == 0
 
 
 def test_phash_identical_content_zero_hamming(spark):

@@ -64,6 +64,9 @@ BNLJ_OK = {
                                  # the operator under test joins on cell id
     "ann_pq_topk",               # bounded query batch x codes ADC scoring
                                  # + r9 contract exact-L2 reference
+    "ann_ivf_pq_recall",         # r9 IVFADC contract: BNLJ is the exact
+                                 # brute-force reference over the bounded
+                                 # query set; the operator joins on cid
     "dedup_semantic_blocked",    # the blocked path joins on cell id; the
                                  # BNLJ is its subset-of-EXACT contract
                                  # reference over the bounded test corpus
