@@ -72,8 +72,7 @@ def _project_from(mod) -> Project:
 def _read_seed(value: str) -> str:
     # a value that names an existing .csv file is read from disk; anything
     # else is inline CSV text
-    if value.lstrip().startswith(("#", "\n")) is False and \
-            value.endswith(".csv") and os.path.exists(value):
+    if value.endswith(".csv") and os.path.exists(value):
         with open(value, "r", encoding="utf-8") as f:
             return f.read()
     return value
@@ -184,8 +183,15 @@ def _cmd_build(engine: Engine, mod, project: Project, args,
               "column_types": (getattr(mod, "seed_column_types", {}) or {})
               .get(name)}
              for name, value in (getattr(mod, "seeds", {}) or {}).items()]
+    if retry:
+        # dbt retry reruns FAILED seeds too (a fixed CSV must reload
+        # before its dependent models rebuild); successful seeds stay put
+        failed_seeds = {r["name"] for r in saved
+                        if r["node_type"] == "seed"
+                        and r["status"] == "error"}
+        seeds = [s for s in seeds if s["name"] in failed_seeds]
     report = build_project(
-        engine, project, seeds=None if retry else seeds,
+        engine, project, seeds=seeds,
         threads=args.threads, full_refresh=args.full_refresh,
         select=args.select or None, exclude=args.exclude or None,
         retry_from=retry_from)

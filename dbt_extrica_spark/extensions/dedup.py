@@ -526,16 +526,33 @@ def minhash_index_save(bands_df: DataFrame, table: str,
     At 100 TB: the index is ~bands rows x 24 bytes per document —
     orders of magnitude smaller than the corpus — and this table is the
     ONLY thing a steady-state admission pipeline reads per batch."""
+    spark = bands_df.sparkSession
+    # an APPEND must match the existing index's parameters BEFORE any
+    # bytes land: writing a mixed-parameter segment both corrupts the
+    # index (near-zero collisions for that segment -> silent admission)
+    # and would invalidate every already-loaded handle's verified-stamp
+    # memo. The incoming batch's distinct() is over the BATCH only.
+    new_stamps = [r[0] for r in
+                  bands_df.select("mh_params").distinct().collect()]
+    if mode == "append" and spark.catalog.tableExists(table):
+        props = {r["key"]: r["value"] for r in
+                 spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+        existing = props.get("mh_params")
+        bad = [s for s in new_stamps if existing and s != existing]
+        if len(new_stamps) != 1 or bad:
+            raise ValueError(
+                f"refusing to append band rows with params "
+                f"{sorted(new_stamps)!r} to index {table!r} built with "
+                f"{existing!r} — mixed-parameter segments silently admit "
+                f"every duplicate. Rebuild the index with the new "
+                f"parameters instead.")
     (bands_df.write.format("parquet").mode(mode)
      .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
      .saveAsTable(table))
     # stamp the table with its (single) mh_params so minhash_index_load
     # can pre-verify from metadata — probes then skip the full-index
-    # distinct() aggregate entirely. The distinct here scans what was
-    # just written ONCE, at write time (an append re-verifies the whole
-    # table — cheap next to the write, and it keeps the property honest
-    # if someone appends mixed-parameter segments).
-    spark = bands_df.sparkSession
+    # distinct() aggregate entirely (guarded appends above keep the
+    # property truthful for the table's whole life)
     stamps = [r[0] for r in
               spark.table(table).select("mh_params").distinct().collect()]
     if len(stamps) == 1:

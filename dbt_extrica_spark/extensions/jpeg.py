@@ -94,7 +94,13 @@ class _BitReader:
         if self.nbits == 0 and not self._fill():
             raise EOFError
         self.nbits -= 1
-        return (self.bits >> self.nbits) & 1
+        bit = (self.bits >> self.nbits) & 1
+        # mask the consumed bit off: without this, bits grows into an
+        # unbounded bignum and every refill shift costs O(bits-read) —
+        # decode went quadratic in scan size (measured 40s for 200KB of
+        # entropy data vs 2.7s for 50KB before the mask)
+        self.bits &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -269,6 +275,13 @@ def _decode_scan(content, pos, frame, scan, qt, dc_tables, ac_tables,
                 or c["tq"] not in qt:
             return None
         order.append((c, dc_tables[td], ac_tables[ta], qt[c["tq"]]))
+    if len(comps) == 1:
+        # T.81: a single-component scan is NON-interleaved — the MCU is
+        # one 8x8 block regardless of declared sampling factors (a gray
+        # JPEG transcoded from color often keeps 2x2 in SOF; decoding it
+        # as interleaved 2x2 MCUs scrambles block placement)
+        comps = [dict(comps[0], h=1, v=1)]
+        order = [(comps[0], *rest) for (_, *rest) in order]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))

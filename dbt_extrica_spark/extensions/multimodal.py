@@ -124,18 +124,23 @@ def decode_image_numpy(content: bytes):
             return None
         # exactly ONE whitespace byte after maxval (PNM spec) — but
         # VERIFY it: a writer that emitted \r\n here would otherwise
-        # decode silently with every pixel shifted by one byte. Accept
-        # a lone \r\n pair (common DOS-mode writers); reject anything
-        # else as malformed rather than mis-decode.
+        # decode silently with every pixel shifted by one byte. A \r
+        # followed by \n is ambiguous (the \n could be the first pixel
+        # of a spec-valid lone-\r file): treat it as a CRLF pair ONLY
+        # when the lone-\r reading leaves the wrong byte count and the
+        # pair reading leaves exactly the pixel payload — spec-valid
+        # files always win, exact-length DOS-mode files still decode,
+        # and the irreducibly ambiguous slack case follows the spec.
         if off >= len(content) or content[off] not in (
                 0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
             return None
-        if (content[off] == 0x0D and off + 1 < len(content)
-                and content[off + 1] == 0x0A):
-            off += 1
-        off += 1
         ch = 1 if gray else 3
         need = w * h * ch
+        if (content[off] == 0x0D and off + 1 < len(content)
+                and content[off + 1] == 0x0A
+                and len(content) - (off + 2) == need):
+            off += 1
+        off += 1
         if len(content) - off < need:
             return None
         arr = np.frombuffer(content, dtype=np.uint8,

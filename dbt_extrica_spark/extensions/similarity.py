@@ -180,6 +180,33 @@ def pq_encode_expr(codebooks: list[list[list[float]]], vec_col: str) -> F.Column
     )
 
 
+def _exact_l2_rerank(cand: DataFrame, qv: DataFrame, bv: DataFrame,
+                     k: int) -> DataFrame:
+    """Shared exact-refinement tail for the PQ family: re-score ADC
+    candidates (query_id, neighbor_id, approx_d2) with EXACT squared L2
+    against the raw vectors — qv/bv are (query_id, __qv) / (neighbor_id,
+    __bv) — and window down to top-k. One definition keeps pq_topk and
+    ivf_pq_query bit-identical (review finding: hand-copies drift)."""
+    exact_d2 = (
+        "aggregate(zip_with(__qv, __bv, (x, y) ->"
+        " (cast(x as double) - y) * (cast(x as double) - y)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    rr = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(bv, on="neighbor_id")
+        .withColumn("approx_d2", F.expr(exact_d2))
+        .drop("__qv", "__bv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"),
+                                               F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rank")
+    )
+
+
 def pq_codebooks(df: DataFrame, id_col: str, vec_col: str, m: int = 8,
                  ks: int = 16) -> list[list[list[float]]]:
     """Deterministic, training-free codebooks: subvectors of the ``ks``
@@ -293,24 +320,7 @@ def pq_topk(
         F.col(vec_col).alias("__qv"))
     bv = df.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("__bv"))
-    exact_d2 = (
-        "aggregate(zip_with(__qv, __bv, (x, y) ->"
-        " (cast(x as double) - y) * (cast(x as double) - y)),"
-        " 0D, (a, x) -> a + x)"
-    )
-    rr = (
-        cand.join(F.broadcast(qv), on="query_id")
-        .join(bv, on="neighbor_id")
-        .withColumn("approx_d2", F.expr(exact_d2))
-        .drop("__qv", "__bv")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"),
-                                                F.asc("neighbor_id"))
-    return (
-        rr.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "approx_d2", "rank")
-    )
+    return _exact_l2_rerank(cand, qv, bv, k)
 
 
 # Above this many literal doubles (n_cells * dim), centroid-as-literal
@@ -783,24 +793,7 @@ def ivf_pq_query(
                         F.col(vec_col).alias("__qv"))
     bv = raw_df.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("__bv"))
-    exact_d2 = (
-        "aggregate(zip_with(__qv, __bv, (x, y) ->"
-        " (cast(x as double) - y) * (cast(x as double) - y)),"
-        " 0D, (a, x) -> a + x)"
-    )
-    rr = (
-        cand.join(F.broadcast(qv), on="query_id")
-        .join(bv, on="neighbor_id")
-        .withColumn("approx_d2", F.expr(exact_d2))
-        .drop("__qv", "__bv")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"),
-                                                F.asc("neighbor_id"))
-    return (
-        rr.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "approx_d2", "rank")
-    )
+    return _exact_l2_rerank(cand, qv, bv, k)
 
 
 def projection_matrix(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[int]]:

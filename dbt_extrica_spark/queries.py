@@ -2647,6 +2647,48 @@ def ann_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id")
 
 
+# Shared exact-L2 reference blocks for every PQ-family contract (one
+# definition so the fold expressions stay bit-parity-identical across
+# contracts — three hand-copies drifted apart was a review finding):
+# _exact_l2_topk computes brute-force (query_id, neighbor_id) top-k by
+# squared L2 for a BOUNDED broadcast query set against the full corpus
+# (linear, never all-pairs); _rerank_d2_mismatch counts emitted pairs
+# whose approx_d2 differs from the recomputed exact squared L2.
+def _exact_l2_topk(emb: DataFrame, qs: DataFrame, k: int = 5) -> DataFrame:
+    d2 = ("aggregate(zip_with(q.qv, b.v, (x, y) ->"
+          " (cast(x as double) - y) * (cast(x as double) - y)),"
+          " 0D, (a, x) -> a + x)")
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("v")).alias("b")
+    qv = qs.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qv")).alias("q")
+    w = Window.partitionBy("q.qid").orderBy(F.asc("d2"), F.asc(F.col("b.id")))
+    return (
+        F.broadcast(qv).join(base, on=F.expr("q.qid != b.id"))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("q.qid").alias("query_id"),
+                F.col("b.id").alias("neighbor_id"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _rerank_d2_mismatch(approx: DataFrame, emb: DataFrame) -> DataFrame:
+    re_d2 = ("aggregate(zip_with(__qv, __bv, (x, y) ->"
+             " (cast(x as double) - y) * (cast(x as double) - y)),"
+             " 0D, (a, x) -> a + x)")
+    return (
+        approx
+        .join(emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("__qv")), on="query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("__bv")), on="neighbor_id")
+        .where(F.expr(re_d2) != F.col("approx_d2"))
+        .groupBy().count().withColumnRenamed("count", "n_bad")
+    )
+
+
 # Raw-ANN contracts (r9): the exact same operator calls as the old
 # rows-only ann_pq_topk / ann_ivf_topk entries, wrapped in verifiable
 # recall/exactness contracts so the driver file holds a full-strength
@@ -2677,41 +2719,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.pq_topk(emb, "vec_id", "embedding", k=5,
                                 queries=qs, query_id_col="vec_id") \
         .localCheckpoint(eager=True)
-    base = emb.select(F.col("vec_id").alias("id"),
-                      F.col("embedding").alias("v")).alias("b")
-    qv = qs.select(F.col("vec_id").alias("qid"),
-                   F.col("embedding").alias("qv")).alias("q")
-    d2 = ("aggregate(zip_with(q.qv, b.v, (x, y) ->"
-          " (cast(x as double) - y) * (cast(x as double) - y)),"
-          " 0D, (a, x) -> a + x)")
-    w = Window.partitionBy("q.qid").orderBy(F.asc("d2"), F.asc(F.col("b.id")))
-    exact = (
-        F.broadcast(qv).join(base, on=F.expr("q.qid != b.id"))
-        .withColumn("d2", F.expr(d2))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select(F.col("q.qid").alias("query_id"),
-                F.col("b.id").alias("neighbor_id"))
-        .localCheckpoint(eager=True)
-    )
+    exact = _exact_l2_topk(emb, qs, k=5)
     n_exact = exact.groupBy().count().withColumnRenamed("count", "n_pairs")
     hits = exact.join(approx, on=["query_id", "neighbor_id"],
                       how="left_semi").groupBy().count() \
         .withColumnRenamed("count", "n_hits")
-    re_d2 = ("aggregate(zip_with(__qv, __bv, (x, y) ->"
-             " (cast(x as double) - y) * (cast(x as double) - y)),"
-             " 0D, (a, x) -> a + x)")
-    bad_d2 = (
-        approx
-        .join(emb.select(F.col("vec_id").alias("query_id"),
-                         F.col("embedding").alias("__qv")), on="query_id")
-        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
-                         F.col("embedding").alias("__bv")), on="neighbor_id")
-        .where(F.expr(re_d2) != F.col("approx_d2"))
-        .groupBy().count().withColumnRenamed("count", "n_bad")
-    )
     return (
-        n_exact.crossJoin(hits).crossJoin(bad_d2)
+        n_exact.crossJoin(hits).crossJoin(_rerank_d2_mismatch(approx, emb))
         .select(
             F.col("n_pairs").cast("bigint").alias("n_pairs"),
             (F.col("n_bad") == 0).alias("rerank_d2_exact"),
@@ -2806,23 +2820,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", n_cells=16, m=8, ks=64,
         train_centroids=True, trainer="lloyd")
     posts = posts.localCheckpoint(eager=True)
-    d2 = ("aggregate(zip_with(q.qv, b.v, (x, y) ->"
-          " (cast(x as double) - y) * (cast(x as double) - y)),"
-          " 0D, (a, x) -> a + x)")
-    base = emb.select(F.col("vec_id").alias("id"),
-                      F.col("embedding").alias("v")).alias("b")
-    qv = qs.select(F.col("vec_id").alias("qid"),
-                   F.col("embedding").alias("qv")).alias("q")
-    w = Window.partitionBy("q.qid").orderBy(F.asc("d2"), F.asc(F.col("b.id")))
-    exact = (
-        F.broadcast(qv).join(base, on=F.expr("q.qid != b.id"))
-        .withColumn("d2", F.expr(d2))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select(F.col("q.qid").alias("query_id"),
-                F.col("b.id").alias("neighbor_id"))
-        .localCheckpoint(eager=True)
-    )
+    exact = _exact_l2_topk(emb, qs, k=5)
 
     def hits(nprobe: int, name: str):
         got = similarity.ivf_pq_query(
@@ -2836,18 +2834,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs, cents, books, posts, "vec_id", "embedding", k=5,
         nprobe=16, rerank=4, raw_df=emb,
         exclude_self=True).localCheckpoint(eager=True)
-    re_d2 = ("aggregate(zip_with(__qv, __bv, (x, y) ->"
-             " (cast(x as double) - y) * (cast(x as double) - y)),"
-             " 0D, (a, x) -> a + x)")
-    bad_d2 = (
-        full
-        .join(emb.select(F.col("vec_id").alias("query_id"),
-                         F.col("embedding").alias("__qv")), on="query_id")
-        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
-                         F.col("embedding").alias("__bv")), on="neighbor_id")
-        .where(F.expr(re_d2) != F.col("approx_d2"))
-        .groupBy().count().withColumnRenamed("count", "n_bad")
-    )
+    bad_d2 = _rerank_d2_mismatch(full, emb)
     full_hits = (exact.join(full, on=["query_id", "neighbor_id"],
                             how="left_semi")
                  .groupBy().count().withColumnRenamed("count", "full_hits"))
@@ -5975,23 +5962,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance must equal the recomputed exact squared L2."""
     _views(spark, sf_dir)
     emb = spark.table("embeddings").where("vec_id < 300")
-    base = emb.select(F.col("vec_id").alias("id"),
-                      F.col("embedding").alias("v")).alias("b")
-    qv = emb.select(F.col("vec_id").alias("qid"),
-                    F.col("embedding").alias("qv")).alias("q")
-    d2 = ("aggregate(zip_with(q.qv, b.v, (x, y) ->"
-          " (cast(x as double) - y) * (cast(x as double) - y)),"
-          " 0D, (a, x) -> a + x)")
-    w = Window.partitionBy("q.qid").orderBy(F.asc("d2"), F.asc(F.col("b.id")))
-    exact = (
-        F.broadcast(qv).join(base, on=F.expr("q.qid != b.id"))
-        .withColumn("d2", F.expr(d2))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select(F.col("q.qid").alias("query_id"),
-                F.col("b.id").alias("neighbor_id"), "d2")
-        .localCheckpoint(eager=True)
-    )
+    exact = _exact_l2_topk(emb, emb, k=5)
     approx = similarity.pq_topk(emb, "vec_id", "embedding", k=5, m=8, ks=16,
                                 rerank=4, train_codebooks=True) \
         .localCheckpoint(eager=True)
@@ -5999,21 +5970,8 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = exact.join(approx, on=["query_id", "neighbor_id"],
                       how="left_semi").groupBy().count() \
         .withColumnRenamed("count", "n_hits")
-    # recompute exact d2 for every emitted pair and compare to approx_d2
-    re_d2 = ("aggregate(zip_with(__qv, __bv, (x, y) ->"
-             " (cast(x as double) - y) * (cast(x as double) - y)),"
-             " 0D, (a, x) -> a + x)")
-    bad_d2 = (
-        approx
-        .join(emb.select(F.col("vec_id").alias("query_id"),
-                         F.col("embedding").alias("__qv")), on="query_id")
-        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
-                         F.col("embedding").alias("__bv")), on="neighbor_id")
-        .where(F.expr(re_d2) != F.col("approx_d2"))
-        .groupBy().count().withColumnRenamed("count", "n_bad")
-    )
     return (
-        n_exact.crossJoin(hits).crossJoin(bad_d2)
+        n_exact.crossJoin(hits).crossJoin(_rerank_d2_mismatch(approx, emb))
         .select(
             F.col("n_pairs").cast("bigint").alias("n_pairs"),
             (F.col("n_bad") == 0).alias("rerank_d2_exact"),

@@ -350,6 +350,9 @@ def streaming_minhash_admission(
                          .localCheckpoint(eager=False))
         state["bands"] = (state["bands"].unionByName(kept_bands)
                          .localCheckpoint(eager=False))
+        # the batch's eager checkpoint is superseded by kept/kept_bands:
+        # free its blocks now rather than on driver GC
+        dedup_ops.release_local_checkpoint(batch)
 
     # an availableNow catch-up needs no durable checkpoint — use a fresh
     # tempdir (honors TMPDIR; /tmp may be wrong on shared/diskless hosts)
@@ -460,6 +463,12 @@ def streaming_vector_admission(
         state["admitted"].append(kept)
         state["hist"] = (state["hist"].unionByName(kept)
                          .localCheckpoint(eager=False))
+        # batch and kept1 are fully superseded by kept: release their
+        # eager-checkpoint blocks now instead of waiting on driver GC
+        # (the warm-session residue class release_local_checkpoint
+        # documents)
+        dedup_ops.release_local_checkpoint(kept1)
+        dedup_ops.release_local_checkpoint(batch)
 
     ckpt = tempfile.mkdtemp(prefix="spark_vec_admission_")
     try:

@@ -2278,6 +2278,25 @@ def test_jpeg_blockmean_roundtrips_exact():
         J.encode_jpeg_blockmean(gray)), gray)
 
 
+def test_jpeg_single_component_scan_is_noninterleaved():
+    # T.81: a one-component scan has MCU = one 8x8 block REGARDLESS of
+    # the SOF sampling factors (libjpeg color->gray transcodes keep
+    # 2x2); decoding it as interleaved scrambles block placement
+    import numpy as np
+    from dbt_extrica_spark.extensions import jpeg as J
+
+    rng = np.random.RandomState(11)
+    blocks = rng.randint(0, 256, size=(4, 4)).astype(np.uint8)
+    gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    enc = bytearray(J.encode_jpeg_blockmean(gray))
+    sof = enc.index(b"\xff\xc0")
+    hv_at = sof + 2 + 2 + 6 + 1  # marker(2) len(2) prec+h+w+nc(6) id(1)
+    assert enc[hv_at] == 0x11
+    enc[hv_at] = 0x22  # declare 2x2 sampling on the lone component
+    out = J.decode_jpeg_numpy(bytes(enc))
+    assert out is not None and np.array_equal(out, gray)
+
+
 def test_jpeg_declines_unsupported():
     import numpy as np
     from dbt_extrica_spark.extensions import jpeg as J
@@ -2328,8 +2347,10 @@ def test_resize_images_skip_mode_passes_undecodable(spark):
 
 
 def test_decode_pnm_crlf_and_bad_whitespace():
-    # a PNM written with \r\n after maxval must decode with pixels
-    # UNSHIFTED; a non-whitespace byte there must decline, not shift
+    # an exact-length PNM written with \r\n after maxval must decode
+    # UNSHIFTED; a spec-valid lone-\r file whose FIRST PIXEL is 0x0A
+    # must too (the CRLF heuristic may not eat a pixel byte); a
+    # non-whitespace byte there must decline, not shift
     import numpy as np
     from dbt_extrica_spark.extensions import multimodal as mm
 
@@ -2338,10 +2359,12 @@ def test_decode_pnm_crlf_and_bad_whitespace():
     crlf = b"P6 2 2 255\r\n" + true.tobytes()
     assert np.array_equal(mm.decode_image_numpy(good), true)
     assert np.array_equal(mm.decode_image_numpy(crlf), true)
-    # trailing slack bytes + \r\n: still exact (regression for the
-    # one-byte-shift hazard)
-    assert np.array_equal(
-        mm.decode_image_numpy(crlf + b"\x00\x00"), true)
+    # spec-valid lone \r where pixel[0] == 0x0A: exact-length wins the
+    # ambiguity — no byte may be eaten
+    tricky = true.copy()
+    tricky[0, 0, 0] = 0x0A
+    lone_cr = b"P6 2 2 255\r" + tricky.tobytes()
+    assert np.array_equal(mm.decode_image_numpy(lone_cr), tricky)
     assert mm.decode_image_numpy(b"P6 2 2 255" + true.tobytes()) is None \
         or not np.array_equal(
             mm.decode_image_numpy(b"P6 2 2 255" + true.tobytes()), true)

@@ -67,6 +67,12 @@ BNLJ_OK = {
     "ann_ivf_pq_recall",         # r9 IVFADC contract: BNLJ is the exact
                                  # brute-force reference over the bounded
                                  # query set; the operator joins on cid
+    "streaming_vector_admission",  # r9: the entry runs exact=True (the
+                                 # deterministic oracle-gated reference
+                                 # mode — broadcast batch x history
+                                 # threshold screen); the scale path is
+                                 # blocked cross_cosine_pairs (cell-id
+                                 # equi-join), equivalence-tested
     "dedup_semantic_blocked",    # the blocked path joins on cell id; the
                                  # BNLJ is its subset-of-EXACT contract
                                  # reference over the bounded test corpus
