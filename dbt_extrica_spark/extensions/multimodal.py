@@ -171,9 +171,13 @@ def decode_image_numpy(content: bytes):
 def decode_audio_numpy(content: bytes):
     """REAL audio decode for uncompressed PCM WAV — pure numpy, no
     soundfile: walks the RIFF chunk list, accepts fmt audio_format=1
-    (PCM) at 16 bits/sample, and returns ``(samples, sample_rate)``
-    with samples shaped (n_frames, channels) int16 (little-endian data
-    chunk reinterpreted in place). Returns None for anything else —
+    (PCM) at 8 / 16 / 24 / 32 bits per sample, and returns ``(samples,
+    sample_rate)`` with samples shaped (n_frames, channels):
+    int16 for 16-bit (reinterpreted in place); int16 for 8-bit
+    (UNSIGNED per the WAV spec, recentered to signed and scaled <<8 so
+    every depth shares the int16-compatible range semantics of
+    audio_stats); int32 for 24-bit (3-byte little-endian assembled with
+    sign extension) and 32-bit. Returns None for anything else —
     compressed codecs stay behind the documented import-try stub."""
     import numpy as np
 
@@ -199,31 +203,69 @@ def decode_audio_numpy(content: bytes):
     if fmt is None or data is None:
         return None
     audio_format, channels, rate, bits = fmt
-    if audio_format != 1 or bits != 16 or channels < 1:
+    if audio_format != 1 or bits not in (8, 16, 24, 32) or channels < 1:
         return None
-    n = len(data) // (2 * channels)
+    bps = bits // 8
+    n = len(data) // (bps * channels)
     if n == 0:
         return None
-    samples = np.frombuffer(data, dtype="<i2",
-                            count=n * channels).reshape(n, channels)
-    return samples.copy(), rate
+    count = n * channels
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=count)
+    elif bits == 8:
+        # 8-bit WAV is UNSIGNED, midpoint 128; recenter and scale to the
+        # int16 range so downstream stats mean the same thing per depth
+        raw = np.frombuffer(data, dtype=np.uint8, count=count)
+        samples = ((raw.astype(np.int16) - 128) << 8)
+    elif bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8,
+                            count=count * 3).reshape(count, 3)
+        val = (raw[:, 0].astype(np.int32)
+               | (raw[:, 1].astype(np.int32) << 8)
+               | (raw[:, 2].astype(np.int32) << 16))
+        samples = np.where(val & 0x800000, val - (1 << 24), val) \
+            .astype(np.int32)
+    else:  # 32
+        samples = np.frombuffer(data, dtype="<i4", count=count)
+    return samples.reshape(n, channels).copy(), rate
 
 
-def encode_wav(samples, rate: int = 16000) -> bytes:
-    """Encode an (n,) or (n, channels) int16 array as PCM WAV — the
-    round-trip partner of :func:`decode_audio_numpy`."""
+def encode_wav(samples, rate: int = 16000, bits: int = 16) -> bytes:
+    """Encode an (n,) or (n, channels) integer array as PCM WAV — the
+    round-trip partner of :func:`decode_audio_numpy`. ``bits``: 16
+    (int16 input, default), 8 (input is SIGNED int16-scaled values as
+    decode returns them — stored as unsigned bytes per spec), 24
+    (int32 input within ±2^23), 32 (int32 input)."""
     import numpy as np
 
-    s = np.asarray(samples, dtype="<i2")
+    s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
-    data = s.tobytes()
-    block = ch * 2
+    if bits == 16:
+        data = s.astype("<i2").tobytes()
+    elif bits == 8:
+        data = ((s.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        v = s.astype(np.int64)
+        if v.size and (int(v.max()) >= 1 << 23
+                       or int(v.min()) < -(1 << 23)):
+            raise ValueError(
+                "24-bit WAV samples must fit [-2^23, 2^23 - 1]")
+        u = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        flat = u.reshape(-1)
+        data = np.stack([flat & 0xFF, (flat >> 8) & 0xFF,
+                         (flat >> 16) & 0xFF], axis=1) \
+            .astype(np.uint8).tobytes()
+    elif bits == 32:
+        data = s.astype("<i4").tobytes()
+    else:
+        raise ValueError("bits must be 8, 16, 24 or 32")
+    block = ch * (bits // 8)
     fmt = ((1).to_bytes(2, "little") + ch.to_bytes(2, "little")
            + rate.to_bytes(4, "little")
            + (rate * block).to_bytes(4, "little")
-           + block.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+           + block.to_bytes(2, "little") + bits.to_bytes(2, "little"))
     body = (b"fmt " + (16).to_bytes(4, "little") + fmt
             + b"data" + len(data).to_bytes(4, "little") + data)
     return (b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE"
@@ -831,11 +873,14 @@ def audio_stats(df: DataFrame) -> DataFrame:
 
 
 def synthetic_audio_real(spark, n: int = 16, frames: int = 480,
-                         rate: int = 16000, stereo: bool = False) -> DataFrame:
+                         rate: int = 16000, stereo: bool = False,
+                         bits: int = 16) -> DataFrame:
     """Deterministic media table whose content is REAL PCM WAV bytes —
     integer sawtooth waveforms seeded by media_id (closed formula, no
     libm floats), so decode assertions have exact oracles. Stereo adds a
-    phase-shifted second channel."""
+    phase-shifted second channel. ``bits`` picks the PCM depth (16 or
+    24 — the int16-range waveform values are exactly representable in
+    both, so per-clip stats are depth-invariant)."""
     import numpy as np
 
     rows = []
@@ -849,7 +894,8 @@ def synthetic_audio_real(spark, n: int = 16, frames: int = 480,
             samples = np.stack([ch0, ch1], axis=1)
         else:
             samples = ch0
-        content = encode_wav(samples.astype(np.int16), rate)
+        dt = np.int16 if bits == 16 else np.int32
+        content = encode_wav(samples.astype(dt), rate, bits=bits)
         rows.append((i, "audio", content, "audio/wav", 0, 0,
                      frames * 1000 // rate))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -3994,7 +3994,11 @@ def _mm_audio_oracle() -> str:
     import numpy as np
 
     rows = []
-    for stereo, base in ((False, 0), (True, 2000)):
+    # third group (base 4000): the SAME mono waveforms stored as 24-bit
+    # PCM — sample values are depth-invariant, so the stats rows are too;
+    # what changes is the bytes the RIFF walker must parse (3-byte
+    # little-endian with sign extension)
+    for stereo, base in ((False, 0), (True, 2000), (False, 4000)):
         for i in range(16):
             t = np.arange(480, dtype=np.int64)
             period = 20 + 3 * i
@@ -4026,16 +4030,21 @@ def _mm_audio_oracle() -> str:
 @q("multimodal_audio_decode", _mm_audio_oracle())
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode — no codec library: PCM WAV content parsed to
-    actual int16 samples by the pure-numpy RIFF walker inside
-    mapInPandas (mono and interleaved stereo); exact integer |sample|
-    sums and zero-crossing counts verified against the generator's
-    waveform formula (the oracle never runs the decoder)."""
+    actual integer samples by the pure-numpy RIFF walker inside
+    mapInPandas (mono + interleaved stereo 16-bit, and the same
+    waveforms as 24-bit PCM — 3-byte sign-extended assembly under the
+    hash); exact integer |sample| sums and zero-crossing counts
+    verified against the generator's waveform formula (the oracle never
+    runs the decoder)."""
     from .extensions import multimodal
 
     mono = multimodal.synthetic_audio_real(spark, n=16)
     stereo = (multimodal.synthetic_audio_real(spark, n=16, stereo=True)
               .withColumn("media_id", F.col("media_id") + 2000))
-    return multimodal.audio_stats(mono.unionByName(stereo))
+    mono24 = (multimodal.synthetic_audio_real(spark, n=16, bits=24)
+              .withColumn("media_id", F.col("media_id") + 4000))
+    return multimodal.audio_stats(
+        mono.unionByName(stereo).unionByName(mono24))
 
 
 # Video counterpart: per-frame luma/chroma sums from the GENERATOR's

@@ -101,6 +101,43 @@ def test_cli_test_and_docs(spark, run_cli, capsys, tmp_path):
                for c in doc["relations"]["fct_daily_revenue"]["columns"])
 
 
+def test_cli_retry_reruns_failed_seed(spark, tmp_path, capsys):
+    # review finding: retry passed seeds=None, so a failed seed could
+    # never recover. Scenario: build with a broken seed (dependent model
+    # skips), fix the project, retry -> seed reloads AND the model runs.
+    proj = tmp_path / "proj.py"
+    broken = '''
+from dbt_extrica_spark import Model
+schema = "cli_retry_demo"
+models = [Model("uses_seed",
+                sql="SELECT k, v FROM {ref:s1}",
+                config={"materialized": "table"})]
+seeds = {"s1": "k,v\\nx,2\\n"}
+seed_column_types = {"s1": {"k": "integer"}}
+'''
+    proj.write_text(broken)
+
+    def run(*argv):
+        return cli.main(list(argv) + ["--project", str(proj),
+                                      "--target-dir", str(tmp_path)],
+                        spark=spark)
+
+    try:
+        rc = run("build")
+        out = capsys.readouterr().out
+        assert rc == 1
+        assert "seed s1: error" in out
+        proj.write_text(broken.replace('"k,v\\nx,2\\n"', '"k,v\\n1,2\\n"'))
+        rc = run("retry")
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "seed s1: success" in out
+        assert "model uses_seed: success" in out
+        assert spark.table("cli_retry_demo.uses_seed").count() == 1
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS cli_retry_demo CASCADE")
+
+
 def test_cli_missing_project_errors(spark):
     with pytest.raises(SystemExit):
         cli.main(["run", "--project", "/nonexistent/project.py"],

@@ -2409,6 +2409,30 @@ def test_decode_audio_numpy_roundtrip_and_chunk_walk():
     # non-PCM and non-WAV decline
     assert mm.decode_audio_numpy(b"RIFFxxxxAVI ") is None
     assert mm.decode_audio_numpy(b"\x00" * 100) is None
+    # 8-bit: unsigned storage, signed <<8-scaled round-trip (values on
+    # the 256-step grid survive exactly)
+    s8 = ((np.arange(64, dtype=np.int16) * 7 % 256) - 128) << 8
+    got8, _ = mm.decode_audio_numpy(mm.encode_wav(s8, 8000, bits=8))
+    assert got8.dtype == np.int16 and np.array_equal(got8[:, 0], s8)
+    # 24-bit: sign extension exact at both extremes
+    s24 = np.array([0, 1, -1, (1 << 23) - 1, -(1 << 23), 123456, -654321],
+                   dtype=np.int32)
+    got24, _ = mm.decode_audio_numpy(mm.encode_wav(s24, 48000, bits=24))
+    assert got24.dtype == np.int32 and np.array_equal(got24[:, 0], s24)
+    # 24-bit stereo interleave (reversed channel, not negated — negating
+    # -2^23 would overflow the 24-bit range)
+    st24 = np.stack([s24, s24[::-1]], axis=1)
+    got24s, _ = mm.decode_audio_numpy(mm.encode_wav(st24, 48000, bits=24))
+    assert np.array_equal(got24s, st24)
+    # 32-bit
+    s32 = np.array([0, 2**31 - 1, -(2**31), 42], dtype=np.int32)
+    got32, _ = mm.decode_audio_numpy(mm.encode_wav(s32, 44100, bits=32))
+    assert np.array_equal(got32[:, 0], s32)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="2\\^23"):
+        mm.encode_wav(np.array([1 << 23], dtype=np.int32), bits=24)
+    with _pytest.raises(ValueError, match="2\\^23"):
+        mm.encode_wav(np.array([-(1 << 23) - 1], dtype=np.int32), bits=24)
 
 
 def test_decode_video_numpy_roundtrip():
