@@ -272,13 +272,19 @@ def encode_wav(samples, rate: int = 16000, bits: int = 16) -> bytes:
             + body)
 
 
+# Y4M chroma subsampling -> (x divisor, y divisor) for the U/V planes
+_Y4M_CHROMA = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}
+
+
 def decode_video_numpy(content: bytes):
     """REAL video decode for the uncompressed Y4M (YUV4MPEG2) container
-    — pure numpy, no codec: parses the stream header (W/H/C tags; 4:2:0
-    subsampling), then splits FRAME sections into (Y, U, V) planes.
-    Returns ``(frames, width, height)`` where frames is a list of
-    ``(y, u, v)`` uint8 arrays — y is (h, w), u/v are (h//2, w//2).
-    Returns None for anything that isn't plain 4:2:0 Y4M."""
+    — pure numpy, no codec: parses the stream header (W/H/C tags;
+    4:2:0 / 4:2:2 / 4:4:4 subsampling), then splits FRAME sections into
+    (Y, U, V) planes. Returns ``(frames, width, height)`` where frames
+    is a list of ``(y, u, v)`` uint8 arrays — y is (h, w), u/v are
+    (h//cy, w//cx) per the stream's chroma mode. Returns None for
+    anything else (other colorspaces, mono, malformed) — decline,
+    never guess."""
     import numpy as np
 
     magic = b"YUV4MPEG2 "
@@ -296,9 +302,16 @@ def decode_video_numpy(content: bytes):
             h = int(tag[1:])
         elif tag[:1] == b"C":
             chroma = tag[1:].decode()
-    if not w or not h or w % 2 or h % 2 or not chroma.startswith("420"):
+    # C420 variants (jpeg/paldv/mpeg2) share the plane layout; C422/C444
+    # must match exactly
+    base = "420" if chroma.startswith("420") else chroma
+    div = _Y4M_CHROMA.get(base)
+    if not w or not h or div is None:
         return None
-    ysz, csz = w * h, (w // 2) * (h // 2)
+    cx, cy = div
+    if w % cx or h % cy:
+        return None
+    ysz, csz = w * h, (w // cx) * (h // cy)
     frame_bytes = ysz + 2 * csz
     frames = []
     pos = nl + 1
@@ -310,9 +323,10 @@ def decode_video_numpy(content: bytes):
             return None
         buf = content[fnl + 1:fnl + 1 + frame_bytes]
         y = np.frombuffer(buf, np.uint8, ysz).reshape(h, w)
-        u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(h // 2, w // 2)
+        u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(
+            h // cy, w // cx)
         v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
-            h // 2, w // 2)
+            h // cy, w // cx)
         frames.append((y.copy(), u.copy(), v.copy()))
         pos = fnl + 1 + frame_bytes
     if not frames:
@@ -320,12 +334,17 @@ def decode_video_numpy(content: bytes):
     return frames, w, h
 
 
-def encode_y4m(frames, width: int, height: int) -> bytes:
-    """Encode a list of (y, u, v) uint8 plane tuples as 4:2:0 Y4M — the
+def encode_y4m(frames, width: int, height: int,
+               chroma: str = "420") -> bytes:
+    """Encode a list of (y, u, v) uint8 plane tuples as Y4M (C420 /
+    C422 / C444 — plane shapes must match the chosen mode) — the
     round-trip partner of :func:`decode_video_numpy`."""
     import numpy as np
 
-    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    if chroma not in _Y4M_CHROMA:
+        raise ValueError("chroma must be one of " + str(sorted(_Y4M_CHROMA)))
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1"
+           f" C{chroma}\n".encode()]
     for y, u, v in frames:
         out.append(b"FRAME\n")
         out.append(np.asarray(y, np.uint8).tobytes())

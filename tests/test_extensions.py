@@ -2435,6 +2435,34 @@ def test_decode_audio_numpy_roundtrip_and_chunk_walk():
         mm.encode_wav(np.array([-(1 << 23) - 1], dtype=np.int32), bits=24)
 
 
+def test_decode_video_y4m_422_444_roundtrip():
+    import numpy as np
+    import pytest as _pytest
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    w, h = 4, 4
+    y = (np.arange(16, dtype=np.uint8) * 7 % 256).reshape(h, w)
+    cases = {"422": (h, w // 2), "444": (h, w)}
+    for chroma, cshape in cases.items():
+        u = (np.arange(cshape[0] * cshape[1], dtype=np.uint8) * 3
+             ).reshape(cshape)
+        v = 255 - u
+        blob = mm.encode_y4m([(y, u, v)] * 2, w, h, chroma=chroma)
+        dec = mm.decode_video_numpy(blob)
+        assert dec is not None, chroma
+        frames, gw, gh = dec
+        assert (gw, gh, len(frames)) == (w, h, 2)
+        gy, gu, gv = frames[1]
+        assert np.array_equal(gy, y) and np.array_equal(gu, u) \
+            and np.array_equal(gv, v)
+    # unknown colorspace declines; bad encoder chroma raises
+    blob = mm.encode_y4m([(y, y, y)], w, h, chroma="444")
+    mono = blob.replace(b"C444", b"Cmono")
+    assert mm.decode_video_numpy(mono) is None
+    with _pytest.raises(ValueError, match="chroma"):
+        mm.encode_y4m([(y, y, y)], w, h, chroma="411")
+
+
 def test_decode_video_numpy_roundtrip():
     import numpy as np
     from dbt_extrica_spark.extensions import multimodal as mm
