@@ -99,6 +99,8 @@ def decode_image_numpy(content: bytes):
     - baseline JPEG, 8-bit gray/YCbCr, sampling factors up to 2x2,
       restart markers (jpeg.decode_jpeg_numpy — Huffman + IDCT in
       numpy per ITU T.81)
+    - GIF87a/89a first frame composed to RGB (gif.decode_gif_numpy —
+      LZW, palettes, interlace, transparency/disposal)
 
     Returns None for anything else (progressive JPEG / exotic profiles
     decline rather than guess). No decode in this container is
@@ -114,6 +116,10 @@ def decode_image_numpy(content: bytes):
         from .jpeg import decode_jpeg_numpy
 
         return decode_jpeg_numpy(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_numpy
+
+        return decode_gif_numpy(content)
     if content[:2] in (b"P6", b"P5"):
         gray = content[:2] == b"P5"
         try:
@@ -735,6 +741,10 @@ def synthetic_media_real(spark, n: int = 32, side: int = 16,
             return encode_ppm(px)
         if fmt == "png":
             return encode_png(px)
+        if fmt == "gif":
+            from .gif import encode_gif
+
+            return encode_gif(px)
         # minimal 24-bit BMP: 54-byte headers, bottom-up rows, BGR, padded
         h, w = px.shape[:2]
         row = (w * 3 + 3) // 4 * 4
@@ -752,7 +762,7 @@ def synthetic_media_real(spark, n: int = 32, side: int = 16,
         return header + bytes(body)
 
     mime = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp",
-            "png": "image/png"}[fmt]
+            "png": "image/png", "gif": "image/gif"}[fmt]
     rows = []
     for i in range(n):
         rows.append((i, "image", encode(pixels(i)), mime, side, side, 0))

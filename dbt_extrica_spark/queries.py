@@ -3859,7 +3859,8 @@ def _mm_decode_oracle() -> str:
                         axis=2).astype(np.uint8)
 
     rows = []
-    for base, fmt_tag in ((0, "ppm"), (5000, "bmp"), (9000, "png")):
+    for base, fmt_tag in ((0, "ppm"), (5000, "bmp"), (9000, "png"),
+                          (15000, "gif")):
         for i in range(24):
             s = int(pixels(i).astype(np.int64).sum())
             rows.append(f"({base + i}, 16, 16, 3, {s}, TRUE)")
@@ -3897,10 +3898,12 @@ def _mm_decode_oracle() -> str:
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode — no codec library: binary PPM (P6), 24-bit
     BMP, real zlib-compressed 8-bit PNG (filter types cycled per row,
-    so all five unfilter branches are under the hash), AND real
-    baseline JPEG (gray 4:4:4 + color 4:2:0 with restartable Huffman
-    entropy data — block-constant mosaics make the lossy round-trip
-    exactly predictable) parsed to actual pixels by the pure-numpy
+    so all five unfilter branches are under the hash), real baseline
+    JPEG (gray 4:4:4 + color 4:2:0 with restartable Huffman entropy
+    data — block-constant mosaics make the lossy round-trip exactly
+    predictable), AND real LZW-compressed GIF89a (the textured 16x16
+    mosaics are palette-exact by construction, so the lossless
+    round-trip is bit-exact) parsed to actual pixels by the pure-numpy
     decoders inside mapInPandas; exact integer pixel sums verified
     against the generator's closed pixel formula (the oracle never runs
     the decoders, so this is true end-to-end codec verification)."""
@@ -3920,9 +3923,12 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpg_rgb = (multimodal.synthetic_media_jpeg(spark, n=24, side=32,
                                                color=True)
                .withColumn("media_id", F.col("media_id") + 13000))
+    gif = (multimodal.synthetic_media_real(spark, n=24, side=16,
+                                           near_dups=4, fmt="gif")
+           .withColumn("media_id", F.col("media_id") + 15000))
     return multimodal.decode_stats(
         ppm.unionByName(bmp).unionByName(png)
-        .unionByName(jpg_gray).unionByName(jpg_rgb))
+        .unionByName(jpg_gray).unionByName(jpg_rgb).unionByName(gif))
 
 
 # resize oracle: nearest-neighbor at 16 -> 8 samples the even source

@@ -2239,6 +2239,46 @@ def test_png_declines_corruption_and_unsupported():
     assert mm.decode_png_numpy(patched) is None
 
 
+def test_gif_roundtrip_lzw_interlace_animation():
+    import numpy as np
+    import pytest as _pytest
+    from dbt_extrica_spark.extensions import gif as G
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    # small-palette roundtrip + the main decoder routes GIF
+    pal = rng.randint(0, 256, size=(7, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, 7, size=(13, 9))]
+    assert np.array_equal(G.decode_gif_numpy(G.encode_gif(img)), img)
+    assert np.array_equal(mm.decode_image_numpy(G.encode_gif(img)), img)
+    # full 256-color palette at a size that forces 9+-bit codes, and a
+    # 200x200 random image that overflows the 4096-entry dictionary
+    # (the clear-and-reset path)
+    pal = np.array([[i, (i * 7) % 256, (i * 13) % 256]
+                    for i in range(256)], dtype=np.uint8)
+    big = pal[rng.randint(0, 256, size=(64, 64))]
+    assert np.array_equal(G.decode_gif_numpy(G.encode_gif(big)), big)
+    huge = pal[rng.randint(0, 256, size=(200, 200))]
+    assert np.array_equal(G.decode_gif_numpy(G.encode_gif(huge)), huge)
+    # interlaced (4-pass row shuffle), odd height
+    il = pal[rng.randint(0, 7, size=(17, 5))]
+    assert np.array_equal(
+        G.decode_gif_numpy(G.encode_gif(il, interlace=True)), il)
+    # animation: both composed frames come back exactly
+    f1 = pal[rng.randint(0, 10, size=(8, 8))]
+    f2 = pal[rng.randint(0, 10, size=(8, 8))]
+    frames, w, h = G.decode_gif_frames(G.encode_gif([f1, f2]))
+    assert (w, h, len(frames)) == (8, 8, 2)
+    assert np.array_equal(frames[0], f1) and np.array_equal(frames[1], f2)
+    # declines + encoder guard
+    assert G.decode_gif_numpy(b"NOTAGIF") is None
+    assert G.decode_gif_numpy(G.encode_gif(img)[:20]) is None
+    over = np.array([[i % 256, i // 256, 0] for i in range(300)],
+                    dtype=np.uint8).reshape(100, 3, 3)
+    with _pytest.raises(ValueError, match="palette-exact"):
+        G.encode_gif(over)
+
+
 def test_jpeg_blockmean_roundtrips_exact():
     import numpy as np
     from dbt_extrica_spark.extensions import jpeg as J
