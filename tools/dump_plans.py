@@ -69,12 +69,13 @@ def main() -> None:
             lambda: battery.queries()["text_dup_spans"](spark, sf_dir),
         "sample_shuffle_shards (scan-side shard expr + per-shard window)":
             lambda: battery.queries()["sample_shuffle_shards"](spark, sf_dir),
-        # proof for the r4 ivf rewrite: cell assignment is expression-local,
-        # so each cogroup branch shows scan -> (assignment projection) ->
-        # ONE Exchange (the cogroup shuffle on cell id). The old plan had a
-        # BroadcastExchange + an n_cells-amplified window Exchange before it.
-        "ann_ivf_topk (expression-local cell assignment: single Exchange "
-        "per cogroup branch, none between scan and assignment)":
+        # r9: the entry is now a recall CONTRACT — the inner window branch
+        # is still the r4 expression-local ivf rewrite (scan ->
+        # assignment projection -> ONE Exchange per cogroup branch); the
+        # BNLJ above it is the allowlisted exact ground-truth reference
+        # over the bounded query set (plan_lint BNLJ_OK)
+        "ann_ivf_topk (recall contract: ivf cogroup branches unchanged; "
+        "BNLJ = the bounded exact reference side)":
             lambda: battery.queries()["ann_ivf_topk"](spark, sf_dir),
         "embedding_quantize_int8 (single codegen projection, zero exchanges)":
             lambda: battery.queries()["embedding_quantize_int8"](
