@@ -298,6 +298,28 @@ def main() -> None:
                                k=5, nprobe=3).count()
     out["ivf_query_after_append_sec"] = round(time.time() - t0, 2)
 
+    # IVF-PQ (compressed postings): build at 1x and N x corpus size —
+    # build is one assignment+encode scan (linear), query probes codes
+    # only; the N x corpus pays ~N x scan in build and ~N x probed-cell
+    # postings in query, never an all-pairs term
+    emb_big = emb
+    for i in range(1, replicas):
+        emb_big = emb_big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + i * 10_000_000))
+    emb_big = emb_big.localCheckpoint(eager=True)
+    for tag, corpus in (("x1", emb), (f"x{replicas}", emb_big)):
+        t0 = time.time()
+        pc, pb, pp = similarity.ivf_pq_index_build(
+            corpus, "vec_id", "embedding", n_cells=16, m=8, ks=64,
+            train_centroids=True, trainer="lloyd")
+        pp = pp.localCheckpoint(eager=True)
+        out[f"ivf_pq_build_{tag}_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        similarity.ivf_pq_query(
+            qs, pc, pb, pp, "vec_id", "embedding", k=5, nprobe=3,
+            rerank=4, raw_df=corpus).count()
+        out[f"ivf_pq_query_{tag}_sec"] = round(time.time() - t0, 2)
+
     # leakage-safe split at replicated pair mass: near-dup pairs from the
     # dup-saturated corpus in GROUP mode -> linear edges -> components ->
     # one draw per component; must scale with members, not member pairs
