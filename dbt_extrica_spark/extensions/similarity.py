@@ -723,6 +723,47 @@ def ivf_pq_index_append(new_df: DataFrame, centroids: DataFrame,
         "id", "cid", pq_encode_expr(codebooks, "resid").alias("codes"))
 
 
+def ivf_pq_index_save(centroids: DataFrame,
+                      codebooks: list[list[list[float]]],
+                      postings: DataFrame, table_prefix: str,
+                      mode: str = "overwrite") -> None:
+    """Persist an IVF-PQ index as catalog tables — the durable vector-
+    database artifact: ``{prefix}_centroids`` (the coarse model),
+    ``{prefix}_postings`` PARTITIONED BY cid (a probe reads only its
+    nprobe cells' files), and ``{prefix}_model`` (one row holding the
+    codebooks as JSON — a metastore-agnostic model store; TBLPROPERTIES
+    value-size limits vary by catalog). ``mode="append"`` admits an
+    increment's posting rows (centroids/model must already exist and
+    stay fixed — pass the SAME codebooks used to encode)."""
+    import json as _json
+
+    spark = postings.sparkSession
+    if mode == "overwrite":
+        (centroids.write.format("parquet").mode("overwrite")
+         .saveAsTable(f"{table_prefix}_centroids"))
+        spark.createDataFrame(
+            [(_json.dumps(codebooks),)], "codebooks_json string"
+        ).write.format("parquet").mode("overwrite") \
+            .saveAsTable(f"{table_prefix}_model")
+    (postings.write.format("parquet").mode(mode)
+     .partitionBy("cid").saveAsTable(f"{table_prefix}_postings"))
+
+
+def ivf_pq_index_load(spark: SparkSession, table_prefix: str):
+    """Read a saved IVF-PQ index back as ``(centroids, codebooks,
+    postings)`` — the inputs of :func:`ivf_pq_query` /
+    :func:`ivf_pq_index_append`. The partition column comes back as its
+    original bigint."""
+    import json as _json
+
+    centroids = spark.table(f"{table_prefix}_centroids")
+    codebooks = _json.loads(
+        spark.table(f"{table_prefix}_model").first()["codebooks_json"])
+    postings = spark.table(f"{table_prefix}_postings").withColumn(
+        "cid", F.col("cid").cast("bigint"))
+    return centroids, codebooks, postings
+
+
 def ivf_pq_query(
     queries: DataFrame,
     centroids: DataFrame,

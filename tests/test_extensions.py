@@ -1701,6 +1701,27 @@ def test_ivf_pq_index_compressed_and_correct(spark, tmp_path):
     with _pytest.raises(ValueError, match="raw_df"):
         similarity.ivf_pq_query(twins, cents, books, posts_all,
                                 "vec_id", "embedding", rerank=4)
+    # durable tables: save (overwrite) + append the twins' codes + load
+    # -> identical query results to the in-memory index
+    pfx = "ivf_pq_idx_test"
+    for t in ("_centroids", "_model", "_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {pfx}{t}")
+    similarity.ivf_pq_index_save(cents, books, posts, pfx)
+    similarity.ivf_pq_index_save(
+        cents, books,
+        similarity.ivf_pq_index_append(twins, cents, books,
+                                       "vec_id", "embedding"),
+        pfx, mode="append")
+    c2, b2, p2 = similarity.ivf_pq_index_load(spark, pfx)
+    assert b2 == books
+    got_disk = {(r.query_id, r.neighbor_id)
+                for r in similarity.ivf_pq_query(
+                    twins, c2, b2, p2, "vec_id", "embedding", k=1,
+                    nprobe=8, rerank=4, raw_df=corpus,
+                    exclude_self=True).collect()}
+    assert got_disk == {(r.query_id, r.neighbor_id) for r in got}
+    for t in ("_centroids", "_model", "_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {pfx}{t}")
 
 
 def test_streaming_vector_admission_modes_and_index_composition(spark):
