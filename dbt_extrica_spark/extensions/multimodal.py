@@ -101,6 +101,8 @@ def decode_image_numpy(content: bytes):
       numpy per ITU T.81)
     - GIF87a/89a first frame composed to RGB (gif.decode_gif_numpy —
       LZW, palettes, interlace, transparency/disposal)
+    - TIFF 8-bit gray/RGB, strip-organized, II/MM byte order,
+      compression none or PackBits (:func:`decode_tiff_numpy`)
 
     Returns None for anything else (progressive JPEG / exotic profiles
     decline rather than guess). No decode in this container is
@@ -120,6 +122,8 @@ def decode_image_numpy(content: bytes):
         from .gif import decode_gif_numpy
 
         return decode_gif_numpy(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_numpy(content)
     if content[:2] in (b"P6", b"P5"):
         gray = content[:2] == b"P5"
         try:
@@ -357,6 +361,233 @@ def encode_y4m(frames, width: int, height: int,
         out.append(np.asarray(u, np.uint8).tobytes())
         out.append(np.asarray(v, np.uint8).tobytes())
     return b"".join(out)
+
+
+def _packbits_decode(data: bytes, expect: int):
+    """Apple PackBits RLE (TIFF compression 32773): returns exactly
+    ``expect`` bytes or None."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:                      # literal run of c+1 bytes
+            if i + c + 1 > n:
+                return None
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:                    # repeat next byte 257-c times
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out[:expect]) if len(out) >= expect else None
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (row-at-a-time per the TIFF recommendation is the
+    caller's concern; this encodes one buffer)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find a run
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of length j-i+1 >= 2
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal: until the next run of >= 3 or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def decode_tiff_numpy(content: bytes):
+    """REAL TIFF decode — pure numpy: both byte orders (II/MM), 8-bit
+    gray (MinIsBlack/MinIsWhite — the latter inverted) and RGB, chunky
+    planar config, strip organization, compression none (1) or PackBits
+    (32773). Returns (h, w) or (h, w, 3) uint8; None outside the
+    profile (tiles, LZW/JPEG-in-TIFF, 16-bit, palette) — decline, never
+    guess."""
+    import numpy as np
+
+    if len(content) < 8:
+        return None
+    if content[:4] == b"II*\x00":
+        bo = "little"
+    elif content[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+
+    def rd(off, size):
+        return int.from_bytes(content[off:off + size], bo)
+
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+
+    def entry_values(pos):
+        tag = rd(pos, 2)
+        typ = rd(pos + 2, 2)
+        cnt = rd(pos + 4, 4)
+        sz = type_size.get(typ)
+        if sz is None:
+            return tag, None
+        total = sz * cnt
+        off = pos + 8 if total <= 4 else rd(pos + 8, 4)
+        if off + total > len(content):
+            return tag, None
+        return tag, [rd(off + k * sz, sz) for k in range(cnt)]
+
+    try:
+        ifd = rd(4, 4)
+        n_entries = rd(ifd, 2)
+        tags = {}
+        for e in range(n_entries):
+            tag, vals = entry_values(ifd + 2 + 12 * e)
+            if vals is not None:
+                tags[tag] = vals
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        bits = tags.get(258, [8])
+        comp = tags.get(259, [1])[0]
+        photo = tags.get(262, [1])[0]
+        offsets = tags.get(273)
+        spp = tags.get(277, [1])[0]
+        rows_per_strip = tags.get(278, [h])[0]
+        counts = tags.get(279)
+        planar = tags.get(284, [1])[0]
+    except (IndexError, ValueError):
+        return None
+    if (not w or not h or offsets is None or counts is None
+            or len(offsets) != len(counts) or planar != 1
+            or comp not in (1, 32773) or any(b != 8 for b in bits)
+            or spp not in (1, 3) or photo not in (0, 1, 2)
+            or (photo == 2) != (spp == 3) or rows_per_strip == 0):
+        return None
+    data = bytearray()
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(content):
+            return None
+        strip_rows = min(rows_per_strip, remaining_rows)
+        expect = strip_rows * w * spp
+        raw = content[off:off + cnt]
+        if comp == 32773:
+            raw = _packbits_decode(raw, expect)
+            if raw is None:
+                return None
+        elif len(raw) < expect:
+            return None
+        data += raw[:expect]
+        remaining_rows -= strip_rows
+    if remaining_rows > 0:
+        return None
+    arr = np.frombuffer(bytes(data), dtype=np.uint8,
+                        count=h * w * spp)
+    px = arr.reshape((h, w) if spp == 1 else (h, w, 3)).copy()
+    if photo == 0:  # MinIsWhite
+        px = (255 - px.astype(np.int16)).astype(np.uint8)
+    return px
+
+
+def encode_tiff(pixels, packbits: bool = False,
+                rows_per_strip: int | None = None,
+                big_endian: bool = False) -> bytes:
+    """Encode a uint8 (h, w) gray or (h, w, 3) RGB array as a real TIFF
+    (II or MM, strip-organized, compression none or PackBits) — the
+    round-trip partner of :func:`decode_tiff_numpy`; lossless, so
+    round-trips are bit-exact."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    bo = "big" if big_endian else "little"
+
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = px[y0:y0 + rps].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+
+    n_strips = len(strips)
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def short(v):
+        return (3, 1, v)
+
+    def longv(v):
+        return (4, 1, v)
+
+    header = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
+    # layout: header(8) + IFD + value arrays + strip data
+    tag_list = [
+        (256, *longv(w)), (257, *longv(h)), (258, *short(8)),
+        (259, *short(32773 if packbits else 1)),
+        (262, *short(1 if gray else 2)),
+        (273, 4, n_strips, None),          # strip offsets (patched)
+        (277, *short(spp)), (278, *longv(rps)),
+        (279, 4, n_strips, [len(s) for s in strips]),
+        (284, *short(1)),
+    ]
+    if not gray:
+        tag_list[2] = (258, 3, 3, [8, 8, 8])
+    ifd_at = 8
+    ifd_size = 2 + 12 * len(tag_list) + 4
+    extra_at = ifd_at + ifd_size
+    extra = bytearray()
+
+    def value_field(typ, cnt, val):
+        sz = {3: 2, 4: 4}[typ]
+        vals = val if isinstance(val, list) else [val]
+        blob = b"".join(v.to_bytes(sz, bo) for v in vals)
+        if len(blob) <= 4:
+            return blob + b"\x00" * (4 - len(blob))
+        off = extra_at + len(extra)
+        extra.extend(blob)
+        return off.to_bytes(4, bo)
+
+    # first pass to learn extra-block length for strip offsets
+    provisional = bytearray()
+    for tag, typ, cnt, val in tag_list:
+        if val is None:
+            val = [0] * cnt
+        provisional += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) \
+            + cnt.to_bytes(4, bo) + value_field(typ, cnt, val)
+    data_at = extra_at + len(extra)
+    offsets = []
+    pos = data_at
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    # rebuild with real offsets (extra block layout is identical because
+    # the offsets array has the same size as the zero placeholder)
+    extra = bytearray()
+    body = bytearray()
+    for tag, typ, cnt, val in tag_list:
+        if val is None:
+            val = offsets
+        body += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) \
+            + cnt.to_bytes(4, bo) + value_field(typ, cnt, val)
+    out = header + ifd_at.to_bytes(4, bo)
+    out += len(tag_list).to_bytes(2, bo) + body + (0).to_bytes(4, bo)
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -736,7 +967,7 @@ def synthetic_media_real(spark, n: int = 32, side: int = 16,
         return np.stack([r % 256, g % 256, b % 256],
                         axis=2).astype(np.uint8)
 
-    def encode(px) -> bytes:
+    def encode(px, i: int = 0) -> bytes:
         if fmt == "ppm":
             return encode_ppm(px)
         if fmt == "png":
@@ -745,6 +976,12 @@ def synthetic_media_real(spark, n: int = 32, side: int = 16,
             from .gif import encode_gif
 
             return encode_gif(px)
+        if fmt == "tiff":
+            # PackBits + 4-row strips, endianness alternating per image:
+            # the RLE path, strip reassembly AND both byte orders all sit
+            # under the battery hash
+            return encode_tiff(px, packbits=True, rows_per_strip=4,
+                               big_endian=bool(i % 2))
         # minimal 24-bit BMP: 54-byte headers, bottom-up rows, BGR, padded
         h, w = px.shape[:2]
         row = (w * 3 + 3) // 4 * 4
@@ -762,14 +999,17 @@ def synthetic_media_real(spark, n: int = 32, side: int = 16,
         return header + bytes(body)
 
     mime = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp",
-            "png": "image/png", "gif": "image/gif"}[fmt]
+            "png": "image/png", "gif": "image/gif",
+            "tiff": "image/tiff"}[fmt]
     rows = []
     for i in range(n):
-        rows.append((i, "image", encode(pixels(i)), mime, side, side, 0))
+        rows.append((i, "image", encode(pixels(i), i), mime, side,
+                     side, 0))
     for i in range(min(near_dups, n)):
         px = pixels(i).copy()
         px[0, 0, 0] = (int(px[0, 0, 0]) + 16) % 256  # one-pixel edit
-        rows.append((i + 1000, "image", encode(px), mime, side, side, 0))
+        rows.append((i + 1000, "image", encode(px, i), mime, side,
+                     side, 0))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -3860,7 +3860,7 @@ def _mm_decode_oracle() -> str:
 
     rows = []
     for base, fmt_tag in ((0, "ppm"), (5000, "bmp"), (9000, "png"),
-                          (15000, "gif")):
+                          (15000, "gif"), (18000, "tiff")):
         for i in range(24):
             s = int(pixels(i).astype(np.int64).sum())
             rows.append(f"({base + i}, 16, 16, 3, {s}, TRUE)")
@@ -3901,10 +3901,11 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     so all five unfilter branches are under the hash), real baseline
     JPEG (gray 4:4:4 + color 4:2:0 with restartable Huffman entropy
     data — block-constant mosaics make the lossy round-trip exactly
-    predictable), AND real LZW-compressed GIF89a (the textured 16x16
+    predictable), real LZW-compressed GIF89a (the textured 16x16
     mosaics are palette-exact by construction, so the lossless
-    round-trip is bit-exact) parsed to actual pixels by the pure-numpy
-    decoders inside mapInPandas; exact integer pixel sums verified
+    round-trip is bit-exact), AND real TIFF (PackBits RLE, 4-row
+    strips, byte order alternating per image) parsed to actual pixels
+    by the pure-numpy decoders inside mapInPandas; exact integer pixel sums verified
     against the generator's closed pixel formula (the oracle never runs
     the decoders, so this is true end-to-end codec verification)."""
     from .extensions import multimodal
@@ -3926,9 +3927,13 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     gif = (multimodal.synthetic_media_real(spark, n=24, side=16,
                                            near_dups=4, fmt="gif")
            .withColumn("media_id", F.col("media_id") + 15000))
+    tif = (multimodal.synthetic_media_real(spark, n=24, side=16,
+                                           near_dups=4, fmt="tiff")
+           .withColumn("media_id", F.col("media_id") + 18000))
     return multimodal.decode_stats(
         ppm.unionByName(bmp).unionByName(png)
-        .unionByName(jpg_gray).unionByName(jpg_rgb).unionByName(gif))
+        .unionByName(jpg_gray).unionByName(jpg_rgb).unionByName(gif)
+        .unionByName(tif))
 
 
 # resize oracle: nearest-neighbor at 16 -> 8 samples the even source

@@ -105,11 +105,13 @@ def _seed_blobs():
         J.encode_jpeg_blockmean(block, subsample="420"),
         G.encode_gif(gif_img), mm.encode_wav(wav),
         mm.encode_wav(wav, bits=24), mm.encode_y4m(y4m, 16, 16),
+        mm.encode_tiff(rgb, packbits=True, rows_per_strip=4),
+        mm.encode_tiff(gray, big_endian=True),
     ]
 
 
 @settings(max_examples=120, deadline=None)
-@given(blob_i=st.integers(0, 9), op=st.sampled_from(["flip", "trunc",
+@given(blob_i=st.integers(0, 11), op=st.sampled_from(["flip", "trunc",
                                                      "splice", "extend"]),
        a=st.integers(0, 10**6), b=st.integers(0, 255))
 def test_decoders_never_raise_on_mutated_files(blob_i, op, a, b):
@@ -137,7 +139,7 @@ def test_decoders_never_raise_on_mutated_files(blob_i, op, a, b):
 def test_decoders_never_raise_on_random_bytes():
     rng = np.random.RandomState(42)
     sigs = [b"", b"P6", b"P5", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
-            b"GIF89a", b"RIFF", b"YUV4MPEG2 "]
+            b"GIF89a", b"RIFF", b"YUV4MPEG2 ", b"II*\x00", b"MM\x00*"]
     for i in range(200):
         junk = sigs[i % len(sigs)] + bytes(
             rng.randint(0, 256, size=i % 97, dtype=np.uint8).tolist())

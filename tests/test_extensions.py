@@ -2260,6 +2260,36 @@ def test_png_declines_corruption_and_unsupported():
     assert mm.decode_png_numpy(patched) is None
 
 
+def test_tiff_roundtrip_strips_packbits_byteorders():
+    import numpy as np
+    from dbt_extrica_spark.extensions import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, size=(13, 17, 3)).astype(np.uint8)
+    gray = rgb[:, :, 1]
+    for px in (rgb, gray):
+        for pb in (False, True):
+            for rps in (None, 4):
+                for be in (False, True):
+                    out = mm.decode_tiff_numpy(mm.encode_tiff(
+                        px, packbits=pb, rows_per_strip=rps,
+                        big_endian=be))
+                    assert out is not None and np.array_equal(out, px), \
+                        (px.shape, pb, rps, be)
+    # the main decoder routes TIFF
+    assert np.array_equal(mm.decode_image_numpy(mm.encode_tiff(rgb)), rgb)
+    # MinIsWhite photometric inverts (patch the tag value in place)
+    blob = bytearray(mm.encode_tiff(gray))
+    i = blob.find((262).to_bytes(2, "little"))
+    assert blob[i + 8] == 1
+    blob[i + 8] = 0
+    assert np.array_equal(mm.decode_tiff_numpy(bytes(blob)), 255 - gray)
+    # declines: truncation, bad magic, empty IFD
+    assert mm.decode_tiff_numpy(mm.encode_tiff(rgb)[:40]) is None
+    assert mm.decode_tiff_numpy(b"II*\x00" + b"\x00" * 4) is None
+    assert mm.decode_tiff_numpy(b"garbage") is None
+
+
 def test_gif_roundtrip_lzw_interlace_animation():
     import numpy as np
     import pytest as _pytest
