@@ -29,6 +29,7 @@ def main() -> None:
     import numpy as np
 
     from dbt_extrica_spark.extensions import multimodal as mm
+    from dbt_extrica_spark.extensions.gif import encode_gif
     from dbt_extrica_spark.extensions.jpeg import encode_jpeg_blockmean
     from dbt_extrica_spark.session import get_spark
 
@@ -53,16 +54,23 @@ def main() -> None:
                       axis=2).astype(np.uint8)
         return np.repeat(np.repeat(px, 16, axis=0), 16, axis=1)
 
+    def gif_px(i: int):
+        # <=256 distinct colors: quantize the textured pattern to a
+        # 6x6x6 color cube so any side stays palette-exact
+        px = pixels(i)
+        return (px // 43 * 43).astype(np.uint8)
+
     encoders = {
         "ppm": lambda i: mm.encode_ppm(pixels(i)),
-        "bmp": None,  # reuse synthetic_media_real's BMP writer via PPM? no:
         "png": lambda i: mm.encode_png(pixels(i)),
         "jpeg_gray": lambda i: encode_jpeg_blockmean(
             block16(i)[:, :, 0]),
         "jpeg_420": lambda i: encode_jpeg_blockmean(
             block16(i), subsample="420"),
+        "gif": lambda i: encode_gif(gif_px(i)),
+        "tiff_packbits": lambda i: mm.encode_tiff(
+            pixels(i), packbits=True, rows_per_strip=8),
     }
-    encoders.pop("bmp")
 
     out = {"n_blobs": n, "side": side,
            "loadavg_start": os.getloadavg()[0], "formats": {}}
