@@ -8,10 +8,21 @@ fit a bounded tail capture (the driver parses the LAST line).
 Headline set = the heavy end of the battery: the TPC-H-style pass-through
 suite + the data-movement materializations + the M6 extension operators.
 Each query executes to completion via a count/collect action.
+
+Load-resistance (round-9 verdict #1): the recorded artifact is now
+load-resistant BY CONSTRUCTION, not by after-the-fact adjudication —
+(a) before starting Spark the harness waits (up to --loadavg-wait sec,
+default 300) for 1-min loadavg to drop below --loadavg-max (default 2.0
+on a 32-cpu host); if it never does, it proceeds but stamps
+loadavg_gate="failed" in both JSON lines so a loaded run is marked at the
+source; (b) the warm headline is the MIN per query across --runs warm
+passes (default 2), so a transient load spike inflates at most one pass's
+copy of each query, never the recorded number.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -38,7 +49,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "ann_cosine_topk",
-    "ann_ivf_topk",
+    # ann_ivf_topk_raw (bench-only, defined below) replaces the battery's
+    # ann_ivf_topk CONTRACT entry in the headline (round-9 verdict #1b):
+    # the contract's wall measures its linear ground-truth pass + recall
+    # join, not the operator — the raw shape is the exact operator call the
+    # contract wraps (ivf_topk full-table self-search, n_cells=16,
+    # nprobe=3), comparable to the r8 headline line (4.66s cold).
+    "ann_ivf_topk_raw",
     "text_stats",
     "pipeline_clean_corpus",
     "pipeline_joint_dedup",
@@ -84,10 +101,64 @@ HEADLINE = [
 ]
 
 
+def _ann_ivf_topk_raw(spark, sf_dir: str):
+    """Bench-only raw-operator shape: the exact ivf_topk call that the
+    ann_ivf_topk battery contract wraps, WITHOUT the contract's ground
+    truth + recall join — so the headline line tracks the operator, not
+    the verifier. NOT a battery entry (no oracle); correctness for this
+    operator is gated by ann_ivf_topk in CORRECTNESS_r*.json."""
+    from dbt_extrica_spark.extensions import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.ivf_topk(emb, "vec_id", "embedding", k=5,
+                               n_cells=16, nprobe=3)
+
+
+BENCH_ONLY = {"ann_ivf_topk_raw": _ann_ivf_topk_raw}
+
+
+def _loadavg_gate(max_load: float, wait_sec: float) -> dict:
+    """Wait for a quiet host (1-min loadavg <= max_load), up to wait_sec.
+    Never refuses outright — the driver needs SOME artifact — but stamps
+    the gate outcome so a run recorded under load carries the mark."""
+    waited = 0.0
+    start = os.getloadavg()[0]
+    while os.getloadavg()[0] > max_load and waited < wait_sec:
+        print(f"# loadavg {os.getloadavg()[0]:.2f} > {max_load} — waiting "
+              f"({waited:.0f}/{wait_sec:.0f}s)", file=sys.stderr)
+        time.sleep(15.0)
+        waited += 15.0
+    final = os.getloadavg()[0]
+    ok = final <= max_load
+    if not ok:
+        print(f"# WARNING: loadavg still {final:.2f} > {max_load} after "
+              f"{waited:.0f}s — proceeding; timings will overstate",
+              file=sys.stderr)
+    return {"loadavg_gate": "ok" if ok else "failed",
+            "loadavg_at_gate": round(final, 2),
+            "gate_waited_sec": round(waited, 1),
+            "loadavg_before_gate": round(start, 2)}
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")),
+                    help="warm passes; recorded warm value is min-per-query")
+    ap.add_argument("--loadavg-max", type=float,
+                    default=float(os.environ.get(
+                        "SPARK_GRAFT_BENCH_LOADMAX", "2.0")))
+    ap.add_argument("--loadavg-wait", type=float,
+                    default=float(os.environ.get(
+                        "SPARK_GRAFT_BENCH_LOADWAIT", "300")))
+    args = ap.parse_args()
+    runs = max(1, args.runs)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    gate = _loadavg_gate(args.loadavg_max, args.loadavg_wait)
 
     from dbt_extrica_spark.session import get_spark
     from dbt_extrica_spark import queries as battery
@@ -96,18 +167,20 @@ def main() -> None:
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = battery.queries()
+    qs = dict(battery.queries())
+    qs.update(BENCH_ONLY)
 
-    # Two full TIMED passes over the same query list, both reported:
+    # One cold pass, then `runs` warm passes:
     # - pass 1 ("cold"): first invocation in the process — includes codegen
     #   JIT, parquet footer reads, Arrow/py4j init, HOF interpreter
     #   classloads. This pass doubles as the warmup (no separate untimed
     #   warmup list, so nothing is silently flattered and a warmup failure
     #   fails the bench loudly).
-    # - pass 2 ("warm"): steady-state throughput with a hot JVM — the
-    #   headline `value`, comparable across rounds.
+    # - passes 2..runs+1 ("warm"): steady-state throughput with a hot JVM;
+    #   the recorded warm map is the per-query MIN across the warm passes,
+    #   so a transient host-load spike can inflate at most one pass.
     # clearCache between queries keeps each timing cold-CACHE (no
-    # cross-query CacheManager hits) in both passes; only JIT/page-cache
+    # cross-query CacheManager hits) in every pass; only JIT/page-cache
     # state differs between the passes.
     def run_pass(label: str) -> tuple[dict[str, float], float]:
         timings: dict[str, float] = {}
@@ -124,18 +197,11 @@ def main() -> None:
             spark.catalog.clearCache()
         return timings, total
 
-    # loadavg hygiene (round-8 verdict: 8 apparent regressions were host
-    # load, re-litigated a full round later) — stamp start/end 1-min
-    # loadavg and flag noisy runs so a loaded-host bench is marked at the
-    # source instead of adjudicated after the fact.
     load_start = os.getloadavg()
-    if load_start[0] > 1.0:
-        print(f"# WARNING: loadavg {load_start[0]:.2f} > 1.0 at start — "
-              f"timings will overstate; prefer a quiet host",
-              file=sys.stderr)
-
     cold, cold_total = run_pass("cold")
-    warm, warm_total = run_pass("warm")
+    warm_passes = [run_pass(f"warm{i + 1}") for i in range(runs)]
+    warm = {name: min(p[0][name] for p in warm_passes) for name in HEADLINE}
+    warm_total = round(sum(warm.values()), 3)
     load_end = os.getloadavg()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -145,9 +211,12 @@ def main() -> None:
         "metric": "headline_queries_detail",
         "queries": warm,
         "queries_cold": cold,
+        "warm_pass_totals": [round(p[1], 3) for p in warm_passes],
+        "runs": runs,
         "sf": sf_val,
         "loadavg_start": round(load_start[0], 2),
         "loadavg_end": round(load_end[0], 2),
+        **gate,
     }))
     # ... then a COMPACT final line with no per-query maps, so the LAST
     # line always fits any tail-capture window and stays parseable
@@ -155,12 +224,14 @@ def main() -> None:
     # single fat line outgrew the driver's tail window).
     print(json.dumps({
         "metric": "headline_queries_wall",
-        "value": round(warm_total, 3),
+        "value": warm_total,
         "value_cold": round(cold_total, 3),
         "unit": "sec",
         "n_queries": len(HEADLINE),
+        "runs": runs,
         "sf": sf_val,
         "loadavg": round(max(load_start[0], load_end[0]), 2),
+        "loadavg_gate": gate["loadavg_gate"],
     }))
     spark.stop()
 

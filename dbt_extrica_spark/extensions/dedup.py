@@ -22,6 +22,7 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import re
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -510,6 +511,32 @@ def minhash_band_table(df: DataFrame, id_col: str, text_col: str,
         "mh_params", F.lit(_mh_params_stamp(k, num_perm, bands)))
 
 
+def _quote_table_ident(table: str) -> str:
+    """Backtick-quote a (possibly db-qualified) table identifier for safe
+    interpolation into DDL text. Rejects empty parts and embedded
+    backticks — a hostile or malformed name must fail here, not get
+    spliced into SQL."""
+    parts = table.split(".")
+    for p in parts:
+        if not p or "`" in p:
+            raise ValueError(f"invalid table identifier: {table!r}")
+    return ".".join(f"`{p}`" for p in parts)
+
+
+_STAMP_SAFE = re.compile(r"^[A-Za-z0-9=,._:-]+$")
+
+
+def _quote_prop_value(value: str) -> str:
+    """Validate a TBLPROPERTIES value for safe single-quoted
+    interpolation. Internal stamps are [A-Za-z0-9=,._:-]; anything else
+    (quotes, backslashes) is rejected rather than escaped — Spark's
+    literal escaping rules vary with the ANSI/escapedStringLiterals
+    confs, so a whitelist is the only portable guarantee."""
+    if not _STAMP_SAFE.match(value):
+        raise ValueError(f"unsafe TBLPROPERTIES value: {value!r}")
+    return value
+
+
 def minhash_index_save(bands_df: DataFrame, table: str,
                        buckets: int = 64, mode: str = "overwrite") -> None:
     """Persist a band table as a (band, bh)-BUCKETED index table — the
@@ -527,6 +554,7 @@ def minhash_index_save(bands_df: DataFrame, table: str,
     orders of magnitude smaller than the corpus — and this table is the
     ONLY thing a steady-state admission pipeline reads per batch."""
     spark = bands_df.sparkSession
+    qtable = _quote_table_ident(table)
     # an APPEND must match the existing index's parameters BEFORE any
     # bytes land: writing a mixed-parameter segment both corrupts the
     # index (near-zero collisions for that segment -> silent admission)
@@ -536,7 +564,7 @@ def minhash_index_save(bands_df: DataFrame, table: str,
                   bands_df.select("mh_params").distinct().collect()]
     if mode == "append" and spark.catalog.tableExists(table):
         props = {r["key"]: r["value"] for r in
-                 spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+                 spark.sql(f"SHOW TBLPROPERTIES {qtable}").collect()}
         existing = props.get("mh_params")
         bad = [s for s in new_stamps if existing and s != existing]
         if len(new_stamps) != 1 or bad:
@@ -556,10 +584,10 @@ def minhash_index_save(bands_df: DataFrame, table: str,
     stamps = [r[0] for r in
               spark.table(table).select("mh_params").distinct().collect()]
     if len(stamps) == 1:
-        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES "
-                  f"('mh_params' = '{stamps[0]}')")
+        spark.sql(f"ALTER TABLE {qtable} SET TBLPROPERTIES "
+                  f"('mh_params' = '{_quote_prop_value(stamps[0])}')")
     else:
-        spark.sql(f"ALTER TABLE {table} UNSET TBLPROPERTIES "
+        spark.sql(f"ALTER TABLE {qtable} UNSET TBLPROPERTIES "
                   f"IF EXISTS ('mh_params')")
 
 
@@ -571,7 +599,9 @@ def minhash_index_load(spark: SparkSession, table: str) -> DataFrame:
     then skip the full-index distinct() scan."""
     df = spark.table(table)
     props = {r["key"]: r["value"]
-             for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+             for r in spark.sql(
+                 f"SHOW TBLPROPERTIES {_quote_table_ident(table)}"
+             ).collect()}
     stamp = props.get("mh_params")
     if stamp is not None:
         _VERIFIED_STAMPS[df] = {stamp}
@@ -593,14 +623,21 @@ _VERIFIED_STAMPS: "weakref.WeakKeyDictionary[DataFrame, set]" = \
 
 
 def _check_band_params(hist_bands: DataFrame, k: int, num_perm: int,
-                       bands: int) -> None:
+                       bands: int, revalidate: bool = False) -> None:
     """Assert a precomputed band table was built with the same
     (k, num_perm, bands) as this probe. A mismatch yields near-zero band
     collisions — duplicates silently admitted — so it must be an error,
     not a quiet recall collapse. Validation runs ONCE per DataFrame
     object (memoized; pre-seeded from table metadata by
-    minhash_index_load) — re-validate by reloading if the underlying
-    table is rewritten out-of-band under the same object."""
+    minhash_index_load).
+
+    STALENESS CAVEAT: the memo (and the TBLPROPERTIES pre-seed) vouches
+    only for rows written through minhash_band_table/minhash_index_save —
+    rows INSERTed into the table by an external job keep the stale stamp
+    and are not re-checked. If the underlying table can be written
+    out-of-band, pass ``revalidate=True`` (re-runs the distinct() scan
+    and refreshes the memo) or reload the handle via
+    minhash_index_load after the external write."""
     expected = _mh_params_stamp(k, num_perm, bands)
     if "mh_params" not in hist_bands.columns:
         raise ValueError(
@@ -608,7 +645,7 @@ def _check_band_params(hist_bands: DataFrame, k: int, num_perm: int,
             "minhash_band_table (which stamps its parameters) so the "
             f"probe can verify it matches {expected!r}."
         )
-    known = _VERIFIED_STAMPS.get(hist_bands)
+    known = None if revalidate else _VERIFIED_STAMPS.get(hist_bands)
     if known is not None:
         stamps = sorted(known)
     else:
@@ -646,6 +683,7 @@ def minhash_incremental_pairs(
     hist_bands: DataFrame | None = None,
     broadcast_new: bool = True,
     max_broadcast_rows: int | None = 200_000,
+    revalidate_bands: bool = False,
 ) -> DataFrame:
     """Incremental-ingest text near-dedup: the NEW batch's band table is
     joined against the HISTORY's only — admit increments without
@@ -679,12 +717,18 @@ def minhash_incremental_pairs(
     back to the auto-planned join instead of force-broadcasting a table
     that could OOM executors. The probe is a bounded limit(n+1) count
     (the embedding_cosine_pairs guardrail pattern), never a full batch
-    scan; pass None to skip it when the caller asserts batch size."""
+    scan; pass None to skip it when the caller asserts batch size.
+
+    ``revalidate_bands`` forces the hist_bands parameter-stamp check to
+    re-scan the index instead of trusting the per-handle memo — use it
+    after an out-of-band write to the index table (the memo/TBLPROPERTIES
+    pre-seed only vouches for rows written through minhash_index_save)."""
     if hist_bands is None:
         hist_bands = minhash_band_table(hist_df, id_col, text_col,
                                         k=k, num_perm=num_perm, bands=bands)
     else:
-        _check_band_params(hist_bands, k, num_perm, bands)
+        _check_band_params(hist_bands, k, num_perm, bands,
+                           revalidate=revalidate_bands)
     new_bands = minhash_band_table(new_df, id_col, text_col,
                                    k=k, num_perm=num_perm, bands=bands)
     if broadcast_new and max_broadcast_rows is not None:

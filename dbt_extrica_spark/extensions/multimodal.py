@@ -888,7 +888,13 @@ def resize_images(df: DataFrame, width: int, height: int,
     old strict behavior — opt in when silent passthrough would corrupt
     a dataset that assumes uniform dimensions). Plumbing
     (mapInPandas/schema/partitioning) is the production shape either
-    way."""
+    way.
+
+    API CHANGE (r9, deliberate): the output schema is input schema +
+    the appended ``decoded`` boolean — it is NO LONGER equal to the
+    input schema. Callers that chain resize_images twice or union the
+    result with the source frame must drop ``decoded`` first (call
+    sites inside this repo already do)."""
     if on_undecodable not in ("skip", "error"):
         raise ValueError("on_undecodable must be 'skip' or 'error'")
 

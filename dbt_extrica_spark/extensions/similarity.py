@@ -723,6 +723,20 @@ def ivf_pq_index_append(new_df: DataFrame, centroids: DataFrame,
         "id", "cid", pq_encode_expr(codebooks, "resid").alias("codes"))
 
 
+def _ivf_pq_model_stamp(centroids: DataFrame,
+                        codebooks: list[list[list[float]]]) -> str:
+    """Deterministic md5 fingerprint of an IVF-PQ model (coarse centroids
+    + PQ codebooks). Collects only the centroid table — O(n_cells x dim),
+    driver-bounded model state."""
+    import hashlib
+    import json as _json
+
+    cents = sorted((int(r["cid"]), [float(x) for x in r["cv"]])
+                   for r in centroids.select("cid", "cv").collect())
+    payload = _json.dumps([cents, codebooks])
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 def ivf_pq_index_save(centroids: DataFrame,
                       codebooks: list[list[list[float]]],
                       postings: DataFrame, table_prefix: str,
@@ -734,10 +748,34 @@ def ivf_pq_index_save(centroids: DataFrame,
     codebooks as JSON — a metastore-agnostic model store; TBLPROPERTIES
     value-size limits vary by catalog). ``mode="append"`` admits an
     increment's posting rows (centroids/model must already exist and
-    stay fixed — pass the SAME codebooks used to encode)."""
+    stay fixed — pass the SAME codebooks used to encode).
+
+    Appends are GUARDED: overwrite stamps an md5 of the model (centroids
+    + codebooks) into the postings table's TBLPROPERTIES; an append whose
+    model hashes differently is refused BEFORE any bytes land — posting
+    rows encoded against different codebooks score garbage ADC distances
+    and silently corrupt recall (the minhash_index_save mh_params guard,
+    applied to the vector index)."""
     import json as _json
 
+    from .dedup import _quote_table_ident
+
     spark = postings.sparkSession
+    stamp = _ivf_pq_model_stamp(centroids, codebooks)
+    post_table = f"{table_prefix}_postings"
+    if mode == "append" and spark.catalog.tableExists(post_table):
+        props = {r["key"]: r["value"] for r in spark.sql(
+            f"SHOW TBLPROPERTIES {_quote_table_ident(post_table)}"
+        ).collect()}
+        existing = props.get("ivfpq_model")
+        if existing is not None and existing != stamp:
+            raise ValueError(
+                f"refusing to append postings encoded with model "
+                f"{stamp[:12]}… to index {table_prefix!r} built with "
+                f"{existing[:12]}… — codes from different codebooks/"
+                f"centroids silently corrupt recall. Rebuild the index "
+                f"(mode='overwrite') or encode with the saved model "
+                f"(ivf_pq_index_load + ivf_pq_index_append).")
     if mode == "overwrite":
         (centroids.write.format("parquet").mode("overwrite")
          .saveAsTable(f"{table_prefix}_centroids"))
@@ -746,7 +784,10 @@ def ivf_pq_index_save(centroids: DataFrame,
         ).write.format("parquet").mode("overwrite") \
             .saveAsTable(f"{table_prefix}_model")
     (postings.write.format("parquet").mode(mode)
-     .partitionBy("cid").saveAsTable(f"{table_prefix}_postings"))
+     .partitionBy("cid").saveAsTable(post_table))
+    if mode == "overwrite":
+        spark.sql(f"ALTER TABLE {_quote_table_ident(post_table)} "
+                  f"SET TBLPROPERTIES ('ivfpq_model' = '{stamp}')")
 
 
 def ivf_pq_index_load(spark: SparkSession, table_prefix: str):

@@ -411,7 +411,18 @@ def streaming_vector_admission(
     the full batch x history cross (broadcast batch, history streams
     through unshuffled — one O(batch x history) compute pass, no
     shuffle growth): the deterministic reference mode the oracle gates,
-    and a fine choice while history fits a scan budget."""
+    and a fine choice while history fits a scan budget.
+
+    ARRIVAL-ORDER ASSUMPTION (shared with streaming_minhash_admission):
+    the intra-batch "higher id drops" rule matches the batch-semantics
+    oracle only when colliding ids arrive in the same micro-batch or in
+    ascending-id batch order. If a LATER micro-batch delivers a lower id
+    that collides with an earlier-admitted higher id, the lower id is
+    dropped (admission is first-come-wins by construction — an admitted
+    vector cannot be retroactively un-admitted once emitted downstream),
+    while a single-batch oracle would keep it. File-source replays of a
+    monotone-id table satisfy the assumption; out-of-order producers get
+    first-come-wins semantics, not lowest-id-wins."""
     from ..extensions import similarity as sim_ops
 
     dot = ("aggregate(zip_with(b.v, h.v, (x, y) ->"

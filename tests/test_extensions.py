@@ -1724,6 +1724,66 @@ def test_ivf_pq_index_compressed_and_correct(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {pfx}{t}")
 
 
+def test_ivf_pq_index_append_model_mismatch_refused(spark):
+    # appending postings encoded against DIFFERENT codebooks/centroids
+    # must be refused before any bytes land (the minhash mh_params guard
+    # applied to the vector index): a mixed-model postings table scores
+    # garbage ADC distances and silently corrupts recall
+    import pytest as _pytest
+
+    from dbt_extrica_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").where("vec_id < 120")
+    cents, books, posts = similarity.ivf_pq_index_build(
+        emb, "vec_id", "embedding", n_cells=4, m=8, ks=8)
+    pfx = "ivf_pq_guard_test"
+    for t in ("_centroids", "_model", "_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {pfx}{t}")
+    try:
+        similarity.ivf_pq_index_save(cents, books, posts, pfx)
+        # a model trained on a different slice hashes differently
+        c2, b2, p2 = similarity.ivf_pq_index_build(
+            spark.table("embeddings").where("vec_id >= 120"),
+            "vec_id", "embedding", n_cells=4, m=8, ks=8)
+        with _pytest.raises(ValueError, match="refusing to append"):
+            similarity.ivf_pq_index_save(c2, b2, p2, pfx, mode="append")
+        # same model appends fine (and the stamp survives the append)
+        similarity.ivf_pq_index_save(
+            cents, books,
+            similarity.ivf_pq_index_append(
+                emb.select((F.col("vec_id") + 500000).alias("vec_id"),
+                           "embedding"),
+                cents, books, "vec_id", "embedding"),
+            pfx, mode="append")
+        props = {r["key"]: r["value"] for r in spark.sql(
+            f"SHOW TBLPROPERTIES {pfx}_postings").collect()}
+        assert props.get("ivfpq_model") == similarity._ivf_pq_model_stamp(
+            cents, books)
+    finally:
+        for t in ("_centroids", "_model", "_postings"):
+            spark.sql(f"DROP TABLE IF EXISTS {pfx}{t}")
+
+
+def test_table_ident_and_prop_value_quoting():
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.dedup import (_quote_prop_value,
+                                                    _quote_table_ident)
+
+    assert _quote_table_ident("t") == "`t`"
+    assert _quote_table_ident("db.t") == "`db`.`t`"
+    assert _quote_table_ident("my-idx.v2") == "`my-idx`.`v2`"
+    for bad in ("", "a..b", "a.`b", "`; DROP TABLE x; --"):
+        with _pytest.raises(ValueError, match="invalid table identifier"):
+            _quote_table_ident(bad)
+    assert _quote_prop_value("k=5,perm=64,bands=16") == \
+        "k=5,perm=64,bands=16"
+    for bad in ("a'b", "a\\b", "a b", "a's') -- "):
+        with _pytest.raises(ValueError, match="unsafe TBLPROPERTIES"):
+            _quote_prop_value(bad)
+
+
 def test_streaming_vector_admission_modes_and_index_composition(spark):
     from dbt_extrica_spark.sources.registry import register_sources
     from dbt_extrica_spark.streaming import (read_embedding_stream,
