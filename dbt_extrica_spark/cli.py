@@ -22,7 +22,12 @@ attached tests, snapshots in DAG position -> module-level checks) and
 writes ``target/run_results.json``, ``retry`` reruns only the
 failed/skipped slice of the last build (dbt retry), ``ls`` lists
 resolved selection, ``compile`` prints compiled SQL, ``docs`` emits the
-catalog document as JSON.
+catalog document as JSON, ``source freshness`` (or the one-token
+``source-freshness``) evaluates the module's ``sources_freshness``
+specs via testing.source_freshness with test-style exit codes (error
+-> 1, warn/pass -> 0). ``--vars '{"k": v}'`` injects a dict into the
+project module's globals as ``dbt_vars`` before it executes (dbt's
+variable passing).
 
 Usage::
 
@@ -47,7 +52,22 @@ from .plans.runner import run_project
 from .session import Profile, get_spark
 
 
-def _load_project_module(path: str):
+def _parse_vars(text: str | None) -> dict:
+    """``--vars`` accepts a JSON object (dbt accepts YAML/JSON; JSON is
+    the stdlib-parseable subset)."""
+    if not text:
+        return {}
+    try:
+        parsed = json.loads(text)
+    except json.JSONDecodeError as exc:
+        raise SystemExit(f"--vars must be a JSON object: {exc}") from None
+    if not isinstance(parsed, dict):
+        raise SystemExit("--vars must be a JSON object, e.g. "
+                         "--vars '{\"start_date\": \"2024-01-01\"}'")
+    return parsed
+
+
+def _load_project_module(path: str, dbt_vars: dict | None = None):
     if not os.path.exists(path):
         raise SystemExit(
             f"project file not found: {path!r} — pass --project or create "
@@ -56,6 +76,11 @@ def _load_project_module(path: str):
     spec = importlib.util.spec_from_file_location("_dbt_spark_project", path)
     mod = importlib.util.module_from_spec(spec)
     assert spec.loader is not None
+    # dbt's `--vars` analog: the parsed dict is injected into the module's
+    # globals BEFORE execution, so project code can parameterize itself
+    # with `dbt_vars.get("name", default)` (use
+    # `globals().get("dbt_vars", {})` to stay importable outside the CLI)
+    mod.__dict__["dbt_vars"] = dict(dbt_vars or {})
     spec.loader.exec_module(mod)
     return mod
 
@@ -144,6 +169,37 @@ def _cmd_test(engine: Engine, mod, args) -> int:
         if r["status"] == "error":
             bad += 1
     print(f"Completed: {len(rows)} tests, {bad} failures")
+    return 1 if bad else 0
+
+
+def _cmd_source_freshness(engine: Engine, mod, args) -> int:
+    """`dbt source freshness` analog over testing.source_freshness: the
+    project module's ``sources_freshness`` list holds one spec per
+    source (table, loaded_at_field, warn_after_minutes,
+    error_after_minutes, now). Exit-code semantics match `test`: any
+    error-status source exits 1; warn stays 0 (dbt's warn severity)."""
+    from . import testing
+
+    specs: list[dict] = getattr(mod, "sources_freshness", []) or []
+    if not specs:
+        print("Completed: 0 sources")
+        return 0
+    bad = 0
+    for spec in specs:
+        spec = dict(spec)
+        name = spec.get("table")
+        # bare source names resolve through the engine's source registry
+        # (register_sources catalogs them schema-qualified)
+        rel = engine.sources.get(name)
+        if rel is not None:
+            spec["table"] = rel.render_unquoted()
+        row = testing.source_freshness(engine.spark, **spec).collect()[0]
+        age = ("" if row["age_minutes"] is None
+               else f", age {row['age_minutes']:.1f} min")
+        print(f"source {name}: {row['status']}{age}")
+        if row["status"] == "error":
+            bad += 1
+    print(f"Completed: {len(specs)} sources, {bad} errors")
     return 1 if bad else 0
 
 
@@ -257,7 +313,11 @@ def _build_parser() -> argparse.ArgumentParser:
         description="dbt-style CLI over the Spark-native engine")
     p.add_argument("command",
                    choices=["run", "seed", "snapshot", "test", "build",
-                            "retry", "ls", "compile", "docs"])
+                            "retry", "ls", "compile", "docs", "source",
+                            "source-freshness"])
+    p.add_argument("subcommand", nargs="?", default=None,
+                   help="`source freshness` two-token form "
+                        "(equivalent to the source-freshness command)")
     p.add_argument("--project", "-p", default="project.py",
                    help="project module path (default ./project.py)")
     p.add_argument("--select", "-s", action="append",
@@ -277,13 +337,25 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-dir", default="target",
                    help="warehouse/artifact directory (default ./target; "
                         "the dbt target/ convention)")
+    p.add_argument("--vars", default=None,
+                   help="JSON object injected into the project module's "
+                        "globals as `dbt_vars` before it executes "
+                        "(dbt --vars)")
     return p
 
 
 def main(argv: list[str] | None = None,
          spark: Any | None = None) -> int:
     args = _build_parser().parse_args(argv)
-    mod = _load_project_module(args.project)
+    if args.command == "source":
+        if args.subcommand != "freshness":
+            raise SystemExit("usage: source freshness (the only source "
+                             "subcommand)")
+        args.command = "source-freshness"
+    elif args.subcommand is not None:
+        raise SystemExit(f"unexpected argument {args.subcommand!r} after "
+                         f"{args.command!r}")
+    mod = _load_project_module(args.project, _parse_vars(args.vars))
     project = _project_from(mod)
     schema = args.schema or getattr(mod, "schema", None) or "analytics"
     sf_dir = args.sf_dir or getattr(mod, "sf_dir", None)
@@ -316,6 +388,8 @@ def main(argv: list[str] | None = None,
             return _cmd_models(engine, project, args, only_snapshots=True)
         if args.command == "test":
             return _cmd_test(engine, mod, args)
+        if args.command == "source-freshness":
+            return _cmd_source_freshness(engine, mod, args)
         if args.command == "docs":
             return _cmd_docs(engine, args)
         if args.command == "ls":

@@ -2853,6 +2853,93 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Durable-index contract (r10): the persistence half of the 100 TB ANN
+# story — at cluster scale the index build is a (possibly days-long) job
+# whose output MUST outlive the building driver; queries run in later,
+# separate sessions. The gate is restart-shaped: build -> save as catalog
+# tables -> reload through a FRESH SparkSession (spark.newSession():
+# separate SQLConf / temp views / UDFs — only the shared catalog carries
+# the index across, exactly what survives a driver restart in a shared
+# metastore) -> query the LOADED index, and require (a) loaded-index
+# results == in-memory-index results pair-for-pair and (b) the partial-
+# probe recall floor vs brute-force L2 ground truth (nprobe=3/16 measured
+# 0.42-0.50 across scales; floor 0.25 — the ann_ivf_pq_recall bands).
+_IVF_PQ_DURABLE_DUCK = """
+SELECT CAST(COUNT(*) * 5 AS BIGINT) AS n_pairs,
+       TRUE AS disk_equals_memory,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 100
+"""
+
+
+@q("ann_ivf_pq_durable", _IVF_PQ_DURABLE_DUCK)
+def ann_ivf_pq_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable IVF-PQ index gate: ivf_pq_index_save (cid-partitioned
+    postings + one-row JSON model table, TBLPROPERTIES model stamp) then
+    ivf_pq_index_load through a NEW SparkSession, querying the loaded
+    index — disk results must equal the in-memory index's results
+    exactly, and clear the recall floor vs exact L2 ground truth."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qs = emb.where("vec_id < 100")
+    cents, books, posts = similarity.ivf_pq_index_build(
+        emb, "vec_id", "embedding", n_cells=16, m=8, ks=64,
+        train_centroids=True, trainer="lloyd")
+    posts = posts.localCheckpoint(eager=True)
+    # a dedicated database at a fresh tempdir LOCATION: managed-table
+    # paths under the default warehouse dir survive the (in-memory)
+    # catalog across processes, so a fresh session's overwrite would hit
+    # LOCATION_ALREADY_EXISTS on the orphan directory; a per-process
+    # tempdir location sidesteps that while staying catalog-addressed
+    db = "ivf_pq_durable_db"
+    if not spark.catalog.databaseExists(db):
+        import tempfile
+
+        loc = tempfile.mkdtemp(prefix="ivf_pq_durable_")
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    pfx = f"{db}.ivf_pq_idx"
+    for t in ("_centroids", "_model", "_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {pfx}{t}")
+    similarity.ivf_pq_index_save(cents, books, posts, pfx)
+
+    def query_index(c, b, p, queries_df, corpus_df):
+        return similarity.ivf_pq_query(
+            queries_df, c, b, p, "vec_id", "embedding", k=5,
+            nprobe=3, rerank=4, raw_df=corpus_df, exclude_self=True)
+
+    mem = query_index(cents, books, posts, qs, emb) \
+        .localCheckpoint(eager=True)
+    # the restart: a fresh session sees the index ONLY through the shared
+    # catalog — raw corpus re-read from source (rerank needs raw vectors;
+    # the index itself carries none)
+    s2 = spark.newSession()
+    emb2 = s2.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c2, b2, p2 = similarity.ivf_pq_index_load(s2, pfx)
+    disk_rows = query_index(c2, b2, p2, emb2.where("vec_id < 100"),
+                            emb2).collect()  # bounded: 100 queries x k
+    disk = spark.createDataFrame(
+        [(r.query_id, r.neighbor_id) for r in disk_rows],
+        "query_id bigint, neighbor_id bigint")
+    mem_pairs = mem.select("query_id", "neighbor_id")
+    sym_diff = (mem_pairs.exceptAll(disk).unionAll(
+        disk.exceptAll(mem_pairs))
+        .groupBy().count().withColumnRenamed("count", "n_diff"))
+    exact = _exact_l2_topk(emb, qs, k=5)
+    total = exact.groupBy().count().withColumnRenamed("count", "n_pairs")
+    hits = exact.join(mem_pairs, on=["query_id", "neighbor_id"],
+                      how="left_semi").groupBy().count() \
+        .withColumnRenamed("count", "n_hits")
+    return (
+        total.crossJoin(sym_diff).crossJoin(hits)
+        .select(
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_diff") == 0).alias("disk_equals_memory"),
+            ((F.col("n_hits") / F.col("n_pairs")) >= 0.25)
+            .alias("recall_ok"),
+        )
+    )
+
+
 _EMB_STATS_DUCK = """
 WITH nrm AS (
   SELECT label,

@@ -14,7 +14,12 @@ import os
 
 from dbt_extrica_spark import Model
 
-schema = "cli_demo"
+# `--vars '{"schema": "...", "freshness_now": "..."}'` overrides these —
+# the CLI injects the parsed dict as `dbt_vars` before executing this
+# module; the globals().get fallback keeps the module importable directly
+_vars = globals().get("dbt_vars", {})
+
+schema = _vars.get("schema", "cli_demo")
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 models = [
@@ -44,6 +49,16 @@ seeds = {
         "P,Pending\n"
     ),
 }
+
+# `source freshness` specs (dbt: sources.yml freshness config). `now` is
+# pinned near the synthetic data's max ts so the demo is deterministic;
+# real deployments omit it (wall clock) — override via
+# --vars '{"freshness_now": "..."}'
+sources_freshness = [
+    {"table": "events", "loaded_at_field": "ts",
+     "warn_after_minutes": 60, "error_after_minutes": 24 * 60,
+     "now": _vars.get("freshness_now", "2024-01-31 00:00:00")},
+]
 
 checks = [
     {"check": "unique", "table": f"{schema}.fct_daily_revenue",

@@ -11,8 +11,14 @@ def test_bench_headline_subset_of_queries():
     import bench
 
     qs = entrymod.queries()
-    missing = [n for n in bench.HEADLINE if n not in qs]
+    # BENCH_ONLY shapes are raw-operator measurements (no oracle by
+    # design — their correctness is gated by a wrapping contract entry);
+    # everything else in the headline must be a battery entry
+    missing = [n for n in bench.HEADLINE
+               if n not in qs and n not in bench.BENCH_ONLY]
     assert not missing, f"bench names not in battery: {missing}"
+    for n in bench.BENCH_ONLY:
+        assert n not in qs, f"bench-only name shadows a battery entry: {n}"
 
 
 def test_all_oracles_parse_in_duckdb():

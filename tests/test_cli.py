@@ -142,3 +142,64 @@ def test_cli_missing_project_errors(spark):
     with pytest.raises(SystemExit):
         cli.main(["run", "--project", "/nonexistent/project.py"],
                  spark=spark)
+
+
+def test_cli_source_freshness(spark, run_cli, capsys):
+    # pinned `now` in the example project makes the age deterministic:
+    # events max ts is 2024-01-30 23:26 -> ~34 min old at the pinned
+    # clock -> over warn_after (60? no: 34 < 60) -> pass... the spec pins
+    # warn 60 / error 1440, so status is "pass" at ~34 min
+    rc = run_cli("source-freshness")
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "source events: pass" in out
+    assert "1 sources, 0 errors" in out
+    # the two-token dbt form `source freshness`
+    rc = run_cli("source", "freshness")
+    out = capsys.readouterr().out
+    assert rc == 0 and "source events: pass" in out
+    # --vars moves the evaluation clock past error_after -> exit 1
+    rc = run_cli("source-freshness", "--vars",
+                 '{"freshness_now": "2024-02-15 00:00:00"}')
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "source events: error" in out
+    # bogus subcommand is rejected
+    with pytest.raises(SystemExit):
+        run_cli("source", "refresh")
+
+
+def test_cli_vars_injection(spark, tmp_path, capsys):
+    proj = tmp_path / "proj.py"
+    proj.write_text('''
+from dbt_extrica_spark import Model
+_vars = globals().get("dbt_vars", {})
+schema = _vars.get("schema", "vars_default")
+models = [Model("one_row",
+                sql="SELECT 1 AS x WHERE 1 = {min_x}".format(
+                    min_x=_vars.get("min_x", 1)),
+                config={"materialized": "table"})]
+''')
+
+    def run(*argv):
+        return cli.main(list(argv) + ["--project", str(proj),
+                                      "--target-dir", str(tmp_path)],
+                        spark=spark)
+
+    try:
+        rc = run("run", "--vars", '{"schema": "vars_demo", "min_x": 1}')
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert spark.table("vars_demo.one_row").count() == 1
+        # vars reach model SQL too: min_x=2 makes the predicate false
+        rc = run("run", "--vars", '{"schema": "vars_demo", "min_x": 2}')
+        assert rc == 0
+        assert spark.table("vars_demo.one_row").count() == 0
+        # malformed --vars fails loudly before any work
+        with pytest.raises(SystemExit, match="JSON object"):
+            run("run", "--vars", "not json")
+        with pytest.raises(SystemExit, match="JSON object"):
+            run("run", "--vars", '["a", "list"]')
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS vars_demo CASCADE")
+        spark.sql("DROP SCHEMA IF EXISTS vars_default CASCADE")

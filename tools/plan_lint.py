@@ -76,6 +76,11 @@ BNLJ_OK = {
     "dedup_semantic_blocked",    # the blocked path joins on cell id; the
                                  # BNLJ is its subset-of-EXACT contract
                                  # reference over the bounded test corpus
+    "ann_ivf_pq_durable",        # r10 durable-index contract: BNLJ is the
+                                 # exact brute-force reference over the
+                                 # bounded 100-query set + the 1-row
+                                 # disk==memory / recall contract joins;
+                                 # the operator itself joins on cid
 }
 
 
