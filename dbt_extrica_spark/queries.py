@@ -6716,76 +6716,73 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-9 window: (a) ALL 29 entries whose latest driver evidence is r5
-# (tools/freshness.py --stale at round-9 start) — including ann_pq_topk
-# (rows-only r5, now a full recall contract) and ann_pq_recall /
-# ann_recall_report, so every ANN operator holds fresh full-strength
-# evidence; (b) every entry whose code changed THIS round — the two raw-
-# ANN entries rebuilt as recall contracts (ann_ivf_topk / ann_pq_topk),
-# multimodal_decode_real (new PNG decode group under the hash),
-# dedup_minhash_incremental / streaming_admission (stamp memo +
-# broadcast guard), dedup_clusters / sample_leakage_split /
-# pipeline_joint_dedup (connected-components checkpoint release); (c)
-# back-fill to 50 with the OLDEST r6-evidence entries. After the r9 file
-# lands no battery entry's latest driver row is older than r6.
-# Rotated OUT (all hold green r8 rows; the full local battery still
-# checks them every run): the r8 window — see COVERAGE.md.
+# Round-10 window: (a) ALL 37 entries whose latest driver evidence is r6
+# (tools/freshness.py --stale at round-10 start — the round-9 verdict's
+# rotation demand, met exactly); (b) every entry whose code changed or
+# was added THIS round — ann_ivf_pq_durable (new: the durable-index
+# restart gate), dedup_minhash_incremental / streaming_admission (the
+# band-stamp revalidate flag + quoted-identifier index save touch their
+# probe path); (c) back-fill to 50 with the OLDEST r7-evidence entries.
+# After the r10 file lands no battery entry's latest driver row is older
+# than r7.
+# Rotated OUT (all hold green r9 rows; the full local battery still
+# checks them every run): the r9 window — see COVERAGE.md.
 # ==========================================================================
 
 _GATED_WINDOW = [
-    # (a) the 29 r5-stale entries
-    "ann_pq_recall",
-    "ann_pq_topk",
-    "ann_recall_report",
-    "dedup_semantic_blocked",
-    "dedup_simhash_contract",
-    "dq_source_freshness",
-    "dq_unit_test",
-    "embedding_dequant_error",
-    "embedding_random_projection",
-    "inc_microbatch_schema",
-    "project_build",
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    "q_retention_cohorts",
-    "q_window_time_range",
-    "rollup_cascade_month",
-    "sample_alpha_mixture",
-    "sample_mixture",
-    "sample_shuffle_shards",
-    "shim_datediff",
-    "sketch_hll_rollup",
-    "text_bm25_topk",
-    "text_boilerplate_lines",
-    "text_decontaminate",
-    "text_dup_spans",
-    "text_redact_pii",
-    "text_repetition",
-    "text_tfidf_terms",
-    "text_url_domains",
+    # (a) the 37 r6-stale entries
+    "mat_mview_refresh",
+    "mat_view",
+    "project_dag_run",
+    "project_lineage",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q7_volume_by_nation_year",
+    "q_events_lag",
+    "q_funnel",
+    "q_grouping_sets",
+    "q_json_access",
+    "q_multi_distinct",
+    "q_not_in_null_semantics",
+    "q_percentiles",
+    "q_pivot",
+    "q_rollup",
+    "q_scalar_subquery",
+    "q_semi_anti",
+    "q_setops",
+    "q_setops_all",
+    "q_theta_join",
+    "q_window_navigation",
+    "q_window_rank",
+    "shim_anyvalue_boolor",
+    "shim_arrays",
+    "shim_date_spine_day",
+    "shim_dateadd_trunc",
+    "shim_listagg",
+    "shim_string_fns",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_bpe_pretokenize",
+    "text_bpe_train",
+    "text_remove_dup_spans",
     # (b) code changed / added this round
-    "ann_ivf_topk",
-    "ann_ivf_pq_recall",
-    "streaming_vector_admission",
-    "multimodal_resize",
-    "multimodal_decode_real",
+    "ann_ivf_pq_durable",
     "dedup_minhash_incremental",
     "streaming_admission",
-    "dedup_clusters",
-    "sample_leakage_split",
-    "pipeline_joint_dedup",
-    # (c) oldest-r6 back-fill
-    "dedup_simhash",
-    "embedding_kmeans",
-    "embedding_mean_pool",
-    "embedding_quantize_int8",
-    "inc_append",
-    "inc_delete_insert",
-    "inc_insert_overwrite",
-    "inc_merge",
-    "inc_schema_evolution",
-    "mat_table",
-    "pipeline_clean_corpus",
+    # (c) oldest-r7 back-fill
+    "ann_brp_recall",
+    "ann_cosine_topk",
+    "catalog_columns",
+    "catalog_relations",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_keep",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_incremental",
+    "dedup_semantic_kmeans",
 ]
 
 
