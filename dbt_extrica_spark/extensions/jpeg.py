@@ -16,8 +16,15 @@ Decoder (:func:`decode_jpeg_numpy`):
   replication
 - Huffman/quant tables taken from the STREAM (DHT/DQT, 8- or 16-bit
   quant), restart markers (DRI/RSTn), FF00 byte unstuffing
-- declines (returns None): progressive (SOF2), arithmetic coding,
-  12-bit, lossless — never guesses.
+- PROGRESSIVE (SOF2, r10): full T.81 spectral selection + successive
+  approximation — interleaved/non-interleaved DC first+refinement
+  scans, single-component AC first scans with EOBRUN, AC refinement
+  scans with history-correction bits (the libjpeg
+  decode_mcu_AC_refine algorithm), DHT redefinition between scans,
+  restart markers inside any scan type; coefficients accumulate
+  across scans and one vectorized IDCT runs at EOI
+- declines (returns None): arithmetic coding, 12-bit, lossless,
+  hierarchical — never guesses.
 
 Encoder (:func:`encode_jpeg_blockmean`): encodes the per-8x8-block MEAN
 of the input with all-ones quant tables — every AC coefficient is
@@ -170,10 +177,12 @@ def decode_jpeg_numpy(content: bytes):
     dc_tables: dict[int, _Huff] = {}
     ac_tables: dict[int, _Huff] = {}
     frame = None  # (h, w, components)
+    progressive = False
+    prog_state = None  # per-component coefficient buffers (SOF2 path)
     restart_interval = 0
     n = len(content)
     try:
-        while pos + 4 <= n:
+        while pos + 2 <= n:
             if content[pos] != 0xFF:
                 return None
             marker = content[pos + 1]
@@ -183,7 +192,11 @@ def decode_jpeg_numpy(content: bytes):
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 pos += 2
                 continue
-            if marker == 0xD9:  # EOI before SOS
+            if marker == 0xD9:  # EOI
+                if progressive and prog_state is not None:
+                    return _finalize_progressive(frame, prog_state, qt)
+                return None  # EOI before any (baseline) SOS
+            if pos + 4 > n:
                 return None
             (seglen,) = struct.unpack(">H", content[pos + 2:pos + 4])
             seg = content[pos + 4:pos + 2 + seglen]
@@ -218,7 +231,7 @@ def decode_jpeg_numpy(content: bytes):
                     (dc_tables if tc == 0 else ac_tables)[th] = \
                         _Huff(counts, syms)
                     i += 17 + total
-            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-compatible
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
                 prec = seg[0]
                 h = struct.unpack(">H", seg[1:3])[0]
                 w = struct.unpack(">H", seg[3:5])[0]
@@ -235,9 +248,10 @@ def decode_jpeg_numpy(content: bytes):
                        for c in comps):
                     return None
                 frame = (h, w, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive/arithmetic/lossless: decline
+                return None  # arithmetic/lossless/hierarchical: decline
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", seg[:2])[0]
             elif marker == 0xDA:  # SOS
@@ -250,13 +264,31 @@ def decode_jpeg_numpy(content: bytes):
                     td = seg[2 + 2 * si] >> 4
                     ta = seg[2 + 2 * si] & 0x0F
                     scan.append((cs, td, ta))
-                return _decode_scan(content, pos + 2 + seglen, frame, scan,
-                                    qt, dc_tables, ac_tables,
-                                    restart_interval)
+                if not progressive:
+                    return _decode_scan(content, pos + 2 + seglen, frame,
+                                        scan, qt, dc_tables, ac_tables,
+                                        restart_interval)
+                # progressive: accumulate this scan's coefficients and
+                # keep walking markers (DHT may be redefined between
+                # scans; decode ends at EOI)
+                ss = seg[1 + 2 * ns]
+                se = seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if prog_state is None:
+                    prog_state = _init_prog_state(frame)
+                pos = _decode_prog_scan(
+                    content, pos + 2 + seglen, frame, prog_state, scan,
+                    ss, se, ahal >> 4, ahal & 0x0F, dc_tables, ac_tables,
+                    restart_interval)
+                if pos is None:
+                    return None
+                continue
             # APPn/COM/others: skip
             pos += 2 + seglen
     except (EOFError, ValueError, IndexError, struct.error):
         return None
+    # stream ended without EOI: decline (same corruption posture as the
+    # PNG/TIFF decoders — truncation is never silently rendered)
     return None
 
 
@@ -347,6 +379,262 @@ def _decode_scan(content, pos, frame, scan, qt, dc_tables, ac_tables,
     cb = out_planes[1].astype(np.float64) - 128.0
     cr = out_planes[2].astype(np.float64) - 128.0
     # JFIF YCbCr -> RGB
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+def _init_prog_state(frame):
+    """Per-component progressive decode state: an int64 coefficient
+    buffer in NATURAL order, (padded_block_rows, padded_block_cols, 64),
+    plus the non-interleaved block geometry (T.81 A.1.1: a single-
+    component scan covers ceil(comp_dim/8) blocks, not the MCU-padded
+    grid)."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    state = []
+    for c in comps:
+        comp_w = -(-(w * c["h"]) // hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        bx_pad = mcus_x * c["h"]
+        by_pad = mcus_y * c["v"]
+        state.append({
+            "coef": np.zeros((by_pad, bx_pad, 64), dtype=np.int64),
+            "nbx": -(-comp_w // 8), "nby": -(-comp_h // 8),
+        })
+    return state
+
+
+def _decode_prog_scan(content, pos, frame, state, scan, ss, se, ah, al,
+                      dc_tables, ac_tables, restart_interval):
+    """Decode ONE progressive scan into the coefficient buffers; returns
+    the stream position of the next marker, or None on any spec
+    violation (never guesses). DC scans (ss == 0) may be interleaved;
+    AC scans are single-component non-interleaved per T.81. The AC
+    refinement path is the T.81 G.1.2.3 correction-bit algorithm."""
+    h, w, comps = frame
+    by_cid = {c["id"]: i for i, c in enumerate(comps)}
+    order = []  # (comp_index, dc_table or None, ac_table or None)
+    for cs, td, ta in scan:
+        ci = by_cid.get(cs)
+        if ci is None:
+            return None
+        dct = act = None
+        if ss == 0 and ah == 0:  # DC first needs a DC table
+            dct = dc_tables.get(td)
+            if dct is None:
+                return None
+        if ss != 0:  # AC scans need an AC table
+            act = ac_tables.get(ta)
+            if act is None:
+                return None
+        order.append((ci, dct, act))
+    br = _BitReader(content, pos)
+
+    if ss == 0:
+        if se != 0 or al > 13 or (ah and ah != al + 1):
+            return None
+        ok = _prog_dc_scan(br, frame, state, order, ah, al,
+                           restart_interval)
+    else:
+        if (len(order) != 1 or se > 63 or ss > se or al > 13
+                or (ah and ah != al + 1)):
+            return None
+        ok = _prog_ac_scan(br, state[order[0][0]], order[0][2], ss, se,
+                           ah, al, restart_interval)
+    if not ok:
+        return None
+    # the bit reader never crosses a real marker; skip any residual
+    # non-marker bytes (padding garbage) up to the next FFxx
+    p = br.pos
+    n = len(content)
+    while p + 1 < n and not (content[p] == 0xFF
+                             and content[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _prog_dc_scan(br, frame, state, order, ah, al, restart_interval):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    preds = [0] * len(order)
+    mcu_count = 0
+
+    def rst():
+        nonlocal preds
+        if not br.align_and_take_rst():
+            raise EOFError
+        preds = [0] * len(order)
+
+    def one_block(oi, ci, by, bx):
+        coef = state[ci]["coef"]
+        if ah == 0:
+            s = order[oi][1].decode(br)
+            if s > 11:
+                raise ValueError("DC size out of range")
+            diff = _extend(br.read_bits(s), s)
+            preds[oi] += diff
+            coef[by, bx, 0] = preds[oi] << al
+        else:
+            # refinement: one raw bit ORs in at position al (Python ints
+            # are two's-complement for |, so negative DCs refine exactly)
+            if br.read_bit():
+                coef[by, bx, 0] |= 1 << al
+
+    if len(order) > 1:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    rst()
+                for oi, (ci, _, _) in enumerate(order):
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            one_block(oi, ci, my * c["v"] + by,
+                                      mx * c["h"] + bx)
+                mcu_count += 1
+    else:
+        ci = order[0][0]
+        st = state[ci]
+        for by in range(st["nby"]):
+            for bx in range(st["nbx"]):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    rst()
+                one_block(0, ci, by, bx)
+                mcu_count += 1
+    return True
+
+
+def _prog_ac_scan(br, st, act, ss, se, ah, al, restart_interval):
+    coef = st["coef"]
+    eobrun = 0
+    mcu_count = 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    for by in range(st["nby"]):
+        for bx in range(st["nbx"]):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                if not br.align_and_take_rst():
+                    return False
+                eobrun = 0
+            mcu_count += 1
+            blk = coef[by, bx]
+            if ah == 0:
+                # AC first scan (G.1.2.2): (run, size) with EOBRUN
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = act.decode(br)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        return False
+                    blk[_ZIGZAG[k]] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:
+                # AC refinement (G.1.2.3, the libjpeg
+                # decode_mcu_AC_refine shape): newly-significant coeffs
+                # arrive as ±1<<al; every nonzero-history coefficient
+                # passed contributes one correction bit
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = act.decode(br)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                return False
+                            val = p1 if br.read_bit() else m1
+                        while k <= se:
+                            z = _ZIGZAG[k]
+                            if blk[z] != 0:
+                                if br.read_bit() and (blk[z] & p1) == 0:
+                                    blk[z] += p1 if blk[z] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                return False
+                            blk[_ZIGZAG[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    # the EOB run still carries correction bits for every
+                    # remaining nonzero-history coefficient in the band
+                    while k <= se:
+                        z = _ZIGZAG[k]
+                        if blk[z] != 0:
+                            if br.read_bit() and (blk[z] & p1) == 0:
+                                blk[z] += p1 if blk[z] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return True
+
+
+def _finalize_progressive(frame, state, qt):
+    """Dequantize + IDCT every component's accumulated coefficients in
+    one vectorized pass, then upsample/crop/color-transform exactly like
+    the baseline path."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    basis = _dct_basis()
+    out_planes = []
+    for c, st in zip(comps, state):
+        q = qt.get(c["tq"])
+        if q is None:
+            return None
+        coefs = st["coef"]
+        by_pad, bx_pad = coefs.shape[:2]
+        blocks = coefs.reshape(by_pad, bx_pad, 8, 8).astype(np.float64) * q
+        # px[a,b] = basis.T @ block @ basis, all blocks at once
+        px = np.einsum("ij,abjk,kl->abil", basis.T, blocks, basis,
+                       optimize=True)
+        plane = px.transpose(0, 2, 1, 3).reshape(by_pad * 8, bx_pad * 8)
+        p = np.clip(np.round(plane) + 128, 0, 255).astype(np.uint8)
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return out_planes[0]
+    y = out_planes[0].astype(np.float64)
+    cb = out_planes[1].astype(np.float64) - 128.0
+    cr = out_planes[2].astype(np.float64) - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
@@ -514,6 +802,378 @@ def encode_jpeg_blockmean(pixels, subsample: str = "444",
     out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def _canonical_from_symbols(symbols: set[int]):
+    """Minimal valid canonical Huffman table covering ``symbols``: all n
+    symbols at length L = ceil(log2(n+1)) — n <= 2^L - 1 guarantees the
+    all-ones code (reserved for padding disambiguation) is never
+    assigned. Returns (counts16, syms_bytes, {sym: (length, code)})."""
+    syms = sorted(symbols)
+    n = len(syms)
+    # smallest L with 2^L >= n + 1
+    length = 1
+    while (1 << length) < n + 1:
+        length += 1
+    counts = [0] * 16
+    counts[length - 1] = n
+    codes = {s: (length, i) for i, s in enumerate(syms)}
+    return counts, bytes(syms), codes
+
+
+class _ProgTokens:
+    """Token stream for one progressive scan: Huffman symbols (resolved
+    to codes only after the whole scan is simulated, so tables can be
+    built from the symbols actually used), raw bit runs, and restart
+    boundaries."""
+
+    def __init__(self):
+        self.tokens: list[tuple] = []
+        self.used: dict[tuple, set[int]] = {}
+
+    def sym(self, tid: tuple, symbol: int) -> None:
+        self.tokens.append(("sym", tid, symbol))
+        self.used.setdefault(tid, set()).add(symbol)
+
+    def bits(self, value: int, nbits: int) -> None:
+        if nbits:
+            self.tokens.append(("bits", value, nbits))
+
+    def rst(self) -> None:
+        self.tokens.append(("rst",))
+
+
+def _sim_dc_scan(tk, planes_coef, comps_oi, samps, mcus, ah, al,
+                 restart_interval, geoms):
+    """DC scan tokens: interleaved over MCUs when >1 component, else the
+    component's own block grid. First pass (ah=0) codes point-transformed
+    diffs; refinement emits one raw bit per block."""
+    preds = [0] * len(comps_oi)
+    mcu_count = 0
+
+    def block(oi, by, bx):
+        nonlocal mcu_count
+        dc = int(planes_coef[comps_oi[oi]][by, bx, 0])
+        if ah == 0:
+            dcv = dc >> al  # arithmetic shift = T.81 DC point transform
+            diff = dcv - preds[oi]
+            preds[oi] = dcv
+            s = _size_cat(diff)
+            tk.sym(("dc", oi), s)
+            if s:
+                tk.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        else:
+            tk.bits((dc >> al) & 1, 1)
+
+    def maybe_rst():
+        nonlocal preds
+        if restart_interval and mcu_count \
+                and mcu_count % restart_interval == 0:
+            tk.rst()
+            preds = [0] * len(comps_oi)
+
+    mcus_y, mcus_x = mcus
+    if len(comps_oi) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_rst()
+                for oi, ci in enumerate(comps_oi):
+                    sh, sv = samps[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            block(oi, my * sv + by, mx * sh + bx)
+                mcu_count += 1
+    else:
+        nby, nbx = geoms[comps_oi[0]]
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_rst()
+                block(0, by, bx)
+                mcu_count += 1
+
+
+def _sim_ac_first(tk, coefs, nby, nbx, ss, se, al, restart_interval):
+    """AC first scan (G.1.2.2): in-band (run, size) symbols with EOBRUN
+    folding of all-zero tails/blocks."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rb = eobrun.bit_length() - 1
+            tk.sym(("ac", 0), rb << 4)
+            tk.bits(eobrun - (1 << rb), rb)
+            eobrun = 0
+
+    mcu_count = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                flush_eob()
+                tk.rst()
+            mcu_count += 1
+            blk = coefs[by, bx]
+            r = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                c = int(blk[_ZIGZAG[k]])
+                v = (abs(c) >> al) * (1 if c >= 0 else -1)
+                if v == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    tk.sym(("ac", 0), 0xF0)
+                    r -= 16
+                s = _size_cat(v)
+                tk.sym(("ac", 0), (r << 4) | s)
+                tk.bits(v if v > 0 else v + (1 << s) - 1, s)
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _sim_ac_refine(tk, coefs, nby, nbx, ss, se, ah, al, restart_interval):
+    """AC refinement scan (G.1.2.3 / libjpeg encode_mcu_AC_refine):
+    newly-significant coefficients ((|c| >> al) == 1) emit (run, 1) with
+    a sign bit; already-nonzero history coefficients contribute one
+    correction bit each, buffered and flushed after the next symbol (or
+    with the EOBRUN that covers them)."""
+    eobrun = 0
+    be: list[int] = []  # correction bits riding on the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rb = eobrun.bit_length() - 1
+            tk.sym(("ac", 0), rb << 4)
+            tk.bits(eobrun - (1 << rb), rb)
+            for b in be:
+                tk.bits(b, 1)
+            be.clear()
+            eobrun = 0
+
+    mcu_count = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                flush_eob()
+                tk.rst()
+            mcu_count += 1
+            blk = coefs[by, bx]
+            absvals = [abs(int(blk[_ZIGZAG[k]])) >> al
+                       for k in range(ss, se + 1)]
+            eob_rel = -1  # band-relative index of last newly-significant
+            for i, t in enumerate(absvals):
+                if t == 1:
+                    eob_rel = i
+            r = 0
+            pending: list[int] = []  # bits since the last emitted symbol
+            for i, t in enumerate(absvals):
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs can't fold into EOB only up to the last new coeff
+                while r > 15 and i <= eob_rel:
+                    flush_eob()
+                    tk.sym(("ac", 0), 0xF0)
+                    r -= 16
+                    for b in pending:
+                        tk.bits(b, 1)
+                    pending = []
+                if t > 1:
+                    pending.append(t & 1)
+                    continue
+                flush_eob()
+                tk.sym(("ac", 0), (r << 4) | 1)
+                c = int(blk[_ZIGZAG[ss + i]])
+                tk.bits(1 if c >= 0 else 0, 1)
+                for b in pending:
+                    tk.bits(b, 1)
+                pending = []
+                r = 0
+            if r > 0 or pending:
+                eobrun += 1
+                be.extend(pending)
+                if eobrun == 0x7FFF or len(be) >= 930:
+                    flush_eob()
+    flush_eob()
+
+
+def _emit_prog_scan(out, tk, scan_comps_sos, ss, se, ah, al):
+    """DHT (one minimal canonical table per table-id actually used) +
+    SOS + entropy-coded tokens for one progressive scan."""
+    codes: dict[tuple, dict] = {}
+    for tid, syms in tk.used.items():
+        counts, symbytes, cmap = _canonical_from_symbols(syms)
+        kind, t = tid
+        tc = 0 if kind == "dc" else 1
+        out.extend(b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(symbytes))
+                   + bytes([(tc << 4) | t]) + bytes(counts) + symbytes)
+        codes[tid] = cmap
+    sos = bytes([len(scan_comps_sos)])
+    for cid, td, ta in scan_comps_sos:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+    bw = _BitWriter()
+    rstn = 0
+    for tok in tk.tokens:
+        if tok[0] == "sym":
+            length, code = codes[tok[1]][tok[2]]
+            bw.write(code, length)
+        elif tok[0] == "bits":
+            bw.write(tok[1], tok[2])
+        else:  # restart boundary
+            bw.flush()
+            out.extend(bw.out)
+            bw = _BitWriter()
+            out.extend(b"\xff" + bytes([0xD0 + (rstn % 8)]))
+            rstn += 1
+    bw.flush()
+    out.extend(bw.out)
+
+
+def encode_jpeg_progressive_coefs(planes_coef, h, w, samps, scan_script,
+                                  restart_interval: int = 0) -> bytes:
+    """Encode explicit quantized coefficient planes as a REAL progressive
+    (SOF2) JPEG with all-ones quant tables — the honest-fixture core:
+    the expected pixels are a closed function of the coefficients
+    (IDCT), independent of this encoder's entropy layer.
+
+    ``planes_coef``: one int array (block_rows, block_cols, 64) per
+    component, NATURAL coefficient order, block grids padded to the MCU
+    multiple. ``samps``: (h, v) per component. ``scan_script``: list of
+    (comp_indices, Ss, Se, Ah, Al) — T.81 rules apply (DC first before
+    DC refinement, AC scans single-component, Ah = Al + 1 on
+    refinements); this encoder trusts the script and the decoder is the
+    validator. Per-scan minimal canonical Huffman tables are emitted as
+    fresh DHT segments, so multi-scan table redefinition is exercised by
+    construction."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus = (-(-h // (8 * vmax)), -(-w // (8 * hmax)))
+    geoms = []
+    for (sh, sv) in samps:
+        comp_w = -(-(w * sh) // hmax)
+        comp_h = -(-(h * sv) // vmax)
+        geoms.append((-(-comp_h // 8), -(-comp_w // 8)))
+    out = bytearray(b"\xff\xd8")
+    out.extend(b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00])
+               + bytes([1] * 64))
+    nc = len(planes_coef)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci, (sh, sv) in enumerate(samps):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out.extend(b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof)
+    if restart_interval:
+        out.extend(b"\xff\xdd" + struct.pack(">H", 4)
+                   + struct.pack(">H", restart_interval))
+    for comps_oi, ss, se, ah, al in scan_script:
+        tk = _ProgTokens()
+        if ss == 0:
+            _sim_dc_scan(tk, planes_coef, list(comps_oi), samps, mcus,
+                         ah, al, restart_interval, geoms)
+            sos_comps = [(ci + 1, oi if ah == 0 else 0, 0)
+                         for oi, ci in enumerate(comps_oi)]
+        else:
+            (ci,) = comps_oi
+            nby, nbx = geoms[ci]
+            if ah == 0:
+                _sim_ac_first(tk, planes_coef[ci], nby, nbx, ss, se, al,
+                              restart_interval)
+            else:
+                _sim_ac_refine(tk, planes_coef[ci], nby, nbx, ss, se,
+                               ah, al, restart_interval)
+            sos_comps = [(ci + 1, 0, 0)]
+        _emit_prog_scan(out, tk, sos_comps, ss, se, ah, al)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def default_progressive_script(nc: int):
+    """A representative scan script: DC first at Al=1 (interleaved when
+    multi-component), two spectral AC bands per component at Al=1, then
+    DC and AC refinements down to full precision — every progressive
+    decode path (successive approximation, spectral selection, EOBRUN,
+    refinement correction bits) executes on every image."""
+    script = [(tuple(range(nc)), 0, 0, 0, 1)]
+    for ci in range(nc):
+        script += [((ci,), 1, 5, 0, 1), ((ci,), 6, 63, 0, 1)]
+    script.append((tuple(range(nc)), 0, 0, 1, 0))
+    for ci in range(nc):
+        script += [((ci,), 1, 5, 1, 0), ((ci,), 6, 63, 1, 0)]
+    return script
+
+
+def encode_jpeg_progressive_blockmean(pixels, subsample: str = "444",
+                                      restart_interval: int = 0) -> bytes:
+    """The progressive counterpart of :func:`encode_jpeg_blockmean`:
+    per-8x8-block means, all-ones quant, DC-only coefficients — encoded
+    as a multi-scan SOF2 stream (default_progressive_script). Because
+    the coefficients are identical to the baseline block-mean encoding,
+    the decoded pixels follow the SAME closed formulas (gray bit-exact,
+    color via rgb_blockmean_roundtrip) — the oracle needs no new math,
+    while the bytes exercise the whole progressive decode surface."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        rgb = px.astype(np.float64)
+        y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+             + 0.114 * rgb[:, :, 2])
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+            + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+            - 0.081312 * rgb[:, :, 2]
+        planes = [y, cb, cr]
+        samps = [(1, 1)] * 3 if subsample == "444" else \
+            [(2, 2), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    def block_dc(plane, sh, sv):
+        import numpy as np
+
+        ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            th, tw = -(-plane.shape[0] // fy), -(-plane.shape[1] // fx)
+            pad = np.pad(plane, ((0, th * fy - plane.shape[0]),
+                                 (0, tw * fx - plane.shape[1])),
+                         mode="edge")
+            plane = pad.reshape(th, fy, tw, fx).mean(axis=(1, 3))
+        pad = np.pad(plane, ((0, ph - plane.shape[0]),
+                             (0, pw - plane.shape[1])), mode="edge")
+        means = pad.reshape(ph // 8, 8, pw // 8, 8).mean(axis=(1, 3))
+        return np.round(means - 128.0).astype(np.int64) * 8
+
+    planes_coef = []
+    for p, (sh, sv) in zip(planes, samps):
+        import numpy as np
+
+        dc = block_dc(p, sh, sv)
+        coefs = np.zeros((dc.shape[0], dc.shape[1], 64), dtype=np.int64)
+        coefs[:, :, 0] = dc
+        planes_coef.append(coefs)
+    return encode_jpeg_progressive_coefs(
+        planes_coef, h, w, samps, default_progressive_script(len(planes)),
+        restart_interval=restart_interval)
 
 
 def rgb_blockmean_roundtrip(rgb):

@@ -1020,24 +1020,32 @@ def synthetic_media_real(spark, n: int = 32, side: int = 16,
 
 
 def synthetic_media_jpeg(spark, n: int = 24, side: int = 16,
-                         color: bool = False) -> DataFrame:
+                         color: bool = False,
+                         progressive: bool = False) -> DataFrame:
     """Deterministic media table of REAL baseline-JPEG bytes — BLOCK-
     CONSTANT mosaics (8x8 blocks for gray, 16x16 for color 4:2:0), the
     one image family whose lossy round-trip is exactly predictable: the
     block-mean encoder drops no information, so decoded pixels follow a
     closed formula the oracle can state without running the codec
     (gray: identical values; color: jpeg.rgb_blockmean_roundtrip). Gray
-    JPEGs have NO color transform — decode must be bit-exact."""
-    from .jpeg import encode_jpeg_blockmean
+    JPEGs have NO color transform — decode must be bit-exact.
+
+    ``progressive=True`` (r10) encodes the SAME coefficients as a
+    multi-scan SOF2 stream (DC successive approximation, spectral AC
+    bands, AC refinement, EOBRUN) — identical decoded pixels, so the
+    oracle formulas carry over unchanged while the bytes exercise the
+    full progressive decode surface."""
+    from .jpeg import encode_jpeg_blockmean, encode_jpeg_progressive_blockmean
 
     import numpy as np
 
     assert side % (16 if color else 8) == 0
+    enc = (encode_jpeg_progressive_blockmean if progressive
+           else encode_jpeg_blockmean)
     rows = []
     for i in range(n):
         px = _jpeg_fixture_pixels(i, side, color)
-        content = encode_jpeg_blockmean(
-            px, subsample="420" if color else "444")
+        content = enc(px, subsample="420" if color else "444")
         rows.append((i, "image", content, "image/jpeg", side, side, 0))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

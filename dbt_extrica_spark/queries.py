@@ -3971,6 +3971,18 @@ def _mm_decode_oracle() -> str:
         exp = rgb_blockmean_roundtrip(_jpeg_fixture_pixels(i, 32, True))
         rows.append(f"({13000 + i}, 32, 32, 3,"
                     f" {int(exp.astype(np.int64).sum())}, TRUE)")
+    # progressive-JPEG groups (r10): SAME block-constant coefficients as
+    # the baseline groups, re-encoded as multi-scan SOF2 — identical
+    # expected pixels, so the oracle formulas are reused verbatim while
+    # the Spark side decodes successive-approximation/spectral-selection/
+    # EOBRUN/AC-refinement bytes
+    for i in range(24):
+        s = int(_jpeg_fixture_pixels(i, 16, False).astype(np.int64).sum())
+        rows.append(f"({19000 + i}, 16, 16, 1, {s}, TRUE)")
+    for i in range(24):
+        exp = rgb_blockmean_roundtrip(_jpeg_fixture_pixels(i, 32, True))
+        rows.append(f"({20000 + i}, 32, 32, 3,"
+                    f" {int(exp.astype(np.int64).sum())}, TRUE)")
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id,"
         " CAST(width AS INT) AS width, CAST(height AS INT) AS height,"
@@ -3990,8 +4002,12 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     data — block-constant mosaics make the lossy round-trip exactly
     predictable), real LZW-compressed GIF89a (the textured 16x16
     mosaics are palette-exact by construction, so the lossless
-    round-trip is bit-exact), AND real TIFF (PackBits RLE, 4-row
-    strips, byte order alternating per image) parsed to actual pixels
+    round-trip is bit-exact), real TIFF (PackBits RLE, 4-row
+    strips, byte order alternating per image), AND (r10) PROGRESSIVE
+    JPEG — multi-scan SOF2 with DC successive approximation, spectral
+    AC bands, EOBRUN and AC refinement, same block-constant
+    coefficients as the baseline groups so the same closed formulas
+    apply — parsed to actual pixels
     by the pure-numpy decoders inside mapInPandas; exact integer pixel sums verified
     against the generator's closed pixel formula (the oracle never runs
     the decoders, so this is true end-to-end codec verification)."""
@@ -4017,10 +4033,17 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     tif = (multimodal.synthetic_media_real(spark, n=24, side=16,
                                            near_dups=4, fmt="tiff")
            .withColumn("media_id", F.col("media_id") + 18000))
+    jpg_prog_gray = (multimodal.synthetic_media_jpeg(
+        spark, n=24, side=16, color=False, progressive=True)
+        .withColumn("media_id", F.col("media_id") + 19000))
+    jpg_prog_rgb = (multimodal.synthetic_media_jpeg(
+        spark, n=24, side=32, color=True, progressive=True)
+        .withColumn("media_id", F.col("media_id") + 20000))
     return multimodal.decode_stats(
         ppm.unionByName(bmp).unionByName(png)
         .unionByName(jpg_gray).unionByName(jpg_rgb).unionByName(gif)
-        .unionByName(tif))
+        .unionByName(tif).unionByName(jpg_prog_gray)
+        .unionByName(jpg_prog_rgb))
 
 
 # resize oracle: nearest-neighbor at 16 -> 8 samples the even source
@@ -6772,6 +6795,7 @@ _GATED_WINDOW = [
     "ann_ivf_pq_durable",
     "dedup_minhash_incremental",
     "streaming_admission",
+    "multimodal_decode_real",  # progressive-JPEG groups added
     # (c) oldest-r7 back-fill
     "ann_brp_recall",
     "ann_cosine_topk",
@@ -6782,7 +6806,6 @@ _GATED_WINDOW = [
     "dedup_exact_keep",
     "dedup_ngram_jaccard",
     "dedup_semantic_incremental",
-    "dedup_semantic_kmeans",
 ]
 
 

@@ -89,6 +89,90 @@ def test_y4m_roundtrip_any_chroma(w, h, chroma, n_frames, seed):
             and np.array_equal(gv, v)
 
 
+def _idct_ref(coefs):
+    """Direct IDCT of a natural-order coefficient tensor — the closed
+    reference the progressive entropy layer is verified against (all-ones
+    quant, level shift, clamp: the decoder's output contract)."""
+    basis = J._dct_basis()
+    nby, nbx, _ = coefs.shape
+    blocks = coefs.reshape(nby, nbx, 8, 8).astype(np.float64)
+    px = np.einsum("ij,abjk,kl->abil", basis.T, blocks, basis)
+    plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    return np.clip(np.round(plane) + 128, 0, 255).astype(np.uint8)
+
+
+_PROG_LADDER = [((0,), 0, 0, 0, 2), ((0,), 1, 20, 0, 2),
+                ((0,), 21, 63, 0, 2),
+                ((0,), 0, 0, 2, 1), ((0,), 1, 20, 2, 1),
+                ((0,), 21, 63, 2, 1),
+                ((0,), 0, 0, 1, 0), ((0,), 1, 20, 1, 0),
+                ((0,), 21, 63, 1, 0)]
+
+
+@settings(max_examples=60, deadline=None)
+@given(nby=st.integers(1, 4), nbx=st.integers(1, 4),
+       seed=st.integers(0, 10**6), ri=st.integers(0, 4))
+def test_progressive_jpeg_coef_roundtrip(nby, nbx, seed, ri):
+    # sparse random coefficients through a full successive-approximation
+    # ladder (Al 2 -> 1 -> 0) with spectral selection: the decode must
+    # equal the direct IDCT bit-for-bit — this exercises DC first +
+    # refinement, AC first with EOBRUN/ZRL, and AC refinement correction
+    # bits, with and without restart markers
+    rng = np.random.RandomState(seed)
+    coefs = np.zeros((nby, nbx, 64), np.int64)
+    for b in range(nby * nbx):
+        nnz = rng.randint(0, 24)
+        idx = rng.choice(64, nnz, replace=False)
+        coefs[b // nbx, b % nbx, idx] = rng.randint(-200, 201, nnz)
+    data = J.encode_jpeg_progressive_coefs(
+        [coefs], nby * 8, nbx * 8, [(1, 1)], _PROG_LADDER,
+        restart_interval=ri)
+    out = J.decode_jpeg_numpy(data)
+    assert out is not None
+    assert np.array_equal(out, _idct_ref(coefs))
+
+
+def test_progressive_jpeg_blockmean_gray_bitexact():
+    rng = np.random.RandomState(3)
+    for _ in range(6):
+        block = np.repeat(np.repeat(
+            rng.randint(0, 256, size=(3, 3)).astype(np.uint8), 8, 0), 8, 1)
+        out = J.decode_jpeg_numpy(J.encode_jpeg_progressive_blockmean(block))
+        assert out is not None and np.array_equal(out, block)
+
+
+def test_progressive_jpeg_blockmean_color_420_formula():
+    rng = np.random.RandomState(4)
+    for _ in range(4):
+        block = np.repeat(np.repeat(
+            rng.randint(0, 256, size=(2, 2, 3)).astype(np.uint8), 16, 0),
+            16, 1)
+        out = J.decode_jpeg_numpy(
+            J.encode_jpeg_progressive_blockmean(block, subsample="420"))
+        assert out is not None
+        assert np.array_equal(out, J.rgb_blockmean_roundtrip(block))
+
+
+def test_progressive_jpeg_band_edges_and_all_zero():
+    # a lone coefficient at every band boundary, and the all-zero image
+    # (maximal EOBRUN): positions are ZIGZAG indices
+    for pos in (1, 17, 40, 62, 63):
+        coefs = np.zeros((2, 2, 64), np.int64)
+        for b in range(4):
+            coefs[b // 2, b % 2, J._ZIGZAG[pos]] = 33 if b % 2 else -33
+        script = [((0,), 0, 0, 0, 1), ((0,), 1, 63, 0, 1),
+                  ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)]
+        out = J.decode_jpeg_numpy(J.encode_jpeg_progressive_coefs(
+            [coefs], 16, 16, [(1, 1)], script))
+        assert out is not None and np.array_equal(out, _idct_ref(coefs))
+    zero = np.zeros((8, 8, 64), np.int64)
+    script = [((0,), 0, 0, 0, 1), ((0,), 1, 63, 0, 1),
+              ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)]
+    out = J.decode_jpeg_numpy(J.encode_jpeg_progressive_coefs(
+        [zero], 64, 64, [(1, 1)], script))
+    assert out is not None and np.array_equal(out, _idct_ref(zero))
+
+
 def _seed_blobs():
     """Real encoded files of every format — the fuzz corpus."""
     rng = np.random.RandomState(0)
@@ -107,11 +191,13 @@ def _seed_blobs():
         mm.encode_wav(wav, bits=24), mm.encode_y4m(y4m, 16, 16),
         mm.encode_tiff(rgb, packbits=True, rows_per_strip=4),
         mm.encode_tiff(gray, big_endian=True),
+        J.encode_jpeg_progressive_blockmean(block),
+        J.encode_jpeg_progressive_blockmean(block, subsample="420"),
     ]
 
 
 @settings(max_examples=120, deadline=None)
-@given(blob_i=st.integers(0, 11), op=st.sampled_from(["flip", "trunc",
+@given(blob_i=st.integers(0, 13), op=st.sampled_from(["flip", "trunc",
                                                      "splice", "extend"]),
        a=st.integers(0, 10**6), b=st.integers(0, 255))
 def test_decoders_never_raise_on_mutated_files(blob_i, op, a, b):
