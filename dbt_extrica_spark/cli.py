@@ -184,10 +184,22 @@ def _cmd_source_freshness(engine: Engine, mod, args) -> int:
     if not specs:
         print("Completed: 0 sources")
         return 0
+    allowed = {"table", "loaded_at_field", "warn_after_minutes",
+               "error_after_minutes", "now"}
     bad = 0
     for spec in specs:
         spec = dict(spec)
         name = spec.get("table")
+        # fail with the offending source named, not a raw TypeError from
+        # deep inside source_freshness (dbt's key names differ — e.g.
+        # warn_after — so misspellings are a likely authoring error)
+        unknown = set(spec) - allowed
+        if not name or "loaded_at_field" not in spec or unknown:
+            raise SystemExit(
+                f"bad sources_freshness spec {name or spec!r}: "
+                + (f"unknown keys {sorted(unknown)}; " if unknown else "")
+                + f"required keys: table, loaded_at_field; optional: "
+                  f"warn_after_minutes, error_after_minutes, now")
         # bare source names resolve through the engine's source registry
         # (register_sources catalogs them schema-qualified)
         rel = engine.sources.get(name)

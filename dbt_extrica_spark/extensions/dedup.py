@@ -511,14 +511,20 @@ def minhash_band_table(df: DataFrame, id_col: str, text_col: str,
         "mh_params", F.lit(_mh_params_stamp(k, num_perm, bands)))
 
 
+_IDENT_PART = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def _quote_table_ident(table: str) -> str:
     """Backtick-quote a (possibly db-qualified) table identifier for safe
-    interpolation into DDL text. Rejects empty parts and embedded
-    backticks — a hostile or malformed name must fail here, not get
-    spliced into SQL."""
+    interpolation into DDL text. STRICT: each part must be a plain
+    [A-Za-z_][A-Za-z0-9_]* identifier — the same functions also pass the
+    raw name to saveAsTable/spark.table/tableExists, which cannot parse
+    exotic names, so blessing anything broader here would split the
+    accepted name set mid-function. A hostile or malformed name fails
+    here, before any SQL splice."""
     parts = table.split(".")
     for p in parts:
-        if not p or "`" in p:
+        if not _IDENT_PART.match(p):
             raise ValueError(f"invalid table identifier: {table!r}")
     return ".".join(f"`{p}`" for p in parts)
 

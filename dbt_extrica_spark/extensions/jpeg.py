@@ -366,9 +366,18 @@ def _decode_scan(content, pos, frame, scan, qt, dc_tables, ac_tables,
                 mcu_count += 1
     except (EOFError, ValueError, IndexError):
         return None
+    return _assemble_image([c for c, *_ in order], planes, h, w,
+                           hmax, vmax)
+
+
+def _assemble_image(comps, planes, h, w, hmax, vmax):
+    """Shared output tail of BOTH decode paths (baseline + progressive):
+    level shift + clamp each float plane, replicate-upsample to full
+    frame resolution, crop, and (3-component) JFIF YCbCr -> RGB."""
+    import numpy as np
+
     out_planes = []
-    for (c, *_), plane in zip(order, planes):
-        # level shift + clamp, then replicate-upsample to full frame res
+    for c, plane in zip(comps, planes):
         p = np.clip(np.round(plane) + 128, 0, 255).astype(np.uint8)
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
@@ -614,7 +623,7 @@ def _finalize_progressive(frame, state, qt):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     basis = _dct_basis()
-    out_planes = []
+    planes = []
     for c, st in zip(comps, state):
         q = qt.get(c["tq"])
         if q is None:
@@ -625,21 +634,9 @@ def _finalize_progressive(frame, state, qt):
         # px[a,b] = basis.T @ block @ basis, all blocks at once
         px = np.einsum("ij,abjk,kl->abil", basis.T, blocks, basis,
                        optimize=True)
-        plane = px.transpose(0, 2, 1, 3).reshape(by_pad * 8, bx_pad * 8)
-        p = np.clip(np.round(plane) + 128, 0, 255).astype(np.uint8)
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                      hmax // c["h"], axis=1)
-        out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        return out_planes[0]
-    y = out_planes[0].astype(np.float64)
-    cb = out_planes[1].astype(np.float64) - 128.0
-    cr = out_planes[2].astype(np.float64) - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
-                   255).astype(np.uint8)
+        planes.append(px.transpose(0, 2, 1, 3)
+                      .reshape(by_pad * 8, bx_pad * 8))
+    return _assemble_image(comps, planes, h, w, hmax, vmax)
 
 
 class _BitWriter:

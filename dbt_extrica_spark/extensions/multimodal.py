@@ -96,16 +96,17 @@ def decode_image_numpy(content: bytes):
       (bottom-up rows flipped, BGR -> RGB, 4-byte row padding stripped)
     - PNG 8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced
       (:func:`decode_png_numpy` — stdlib zlib + per-row unfilter)
-    - baseline JPEG, 8-bit gray/YCbCr, sampling factors up to 2x2,
-      restart markers (jpeg.decode_jpeg_numpy — Huffman + IDCT in
-      numpy per ITU T.81)
+    - JPEG, 8-bit gray/YCbCr, sampling factors up to 2x2, restart
+      markers — BOTH baseline (SOF0/1) and progressive (SOF2: spectral
+      selection + successive approximation, EOBRUN, AC refinement)
+      (jpeg.decode_jpeg_numpy — Huffman + IDCT in numpy per ITU T.81)
     - GIF87a/89a first frame composed to RGB (gif.decode_gif_numpy —
       LZW, palettes, interlace, transparency/disposal)
     - TIFF 8-bit gray/RGB, strip-organized, II/MM byte order,
       compression none or PackBits (:func:`decode_tiff_numpy`)
 
-    Returns None for anything else (progressive JPEG / exotic profiles
-    decline rather than guess). No decode in this container is
+    Returns None for anything else (arithmetic/lossless JPEG and exotic
+    profiles decline rather than guess). No decode in this container is
     env-blocked anymore; the PIL import-try remains only as an optional
     fast path for profiles outside this set."""
     import numpy as np

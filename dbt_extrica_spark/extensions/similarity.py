@@ -763,7 +763,8 @@ def ivf_pq_index_save(centroids: DataFrame,
     spark = postings.sparkSession
     stamp = _ivf_pq_model_stamp(centroids, codebooks)
     post_table = f"{table_prefix}_postings"
-    if mode == "append" and spark.catalog.tableExists(post_table):
+    existed = spark.catalog.tableExists(post_table)
+    if mode == "append" and existed:
         props = {r["key"]: r["value"] for r in spark.sql(
             f"SHOW TBLPROPERTIES {_quote_table_ident(post_table)}"
         ).collect()}
@@ -785,7 +786,13 @@ def ivf_pq_index_save(centroids: DataFrame,
             .saveAsTable(f"{table_prefix}_model")
     (postings.write.format("parquet").mode(mode)
      .partitionBy("cid").saveAsTable(post_table))
-    if mode == "overwrite":
+    # stamp on overwrite AND on an append that CREATED the table (every
+    # row is vouched for either way) — otherwise the first-write-is-append
+    # pattern would leave the table unstamped and the guard above
+    # permanently inert for that index. An append to a pre-existing
+    # UNstamped table stays unstamped: we cannot vouch for rows we did
+    # not write.
+    if mode == "overwrite" or not existed:
         spark.sql(f"ALTER TABLE {_quote_table_ident(post_table)} "
                   f"SET TBLPROPERTIES ('ivfpq_model' = '{stamp}')")
 

@@ -2893,9 +2893,14 @@ def ann_ivf_pq_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tempdir location sidesteps that while staying catalog-addressed
     db = "ivf_pq_durable_db"
     if not spark.catalog.databaseExists(db):
+        import os
+        import shutil
         import tempfile
 
-        loc = tempfile.mkdtemp(prefix="ivf_pq_durable_")
+        # ONE fixed location, wiped before reuse: a per-process mkdtemp
+        # would leak an index-sized orphan directory per battery run
+        loc = os.path.join(tempfile.gettempdir(), "spark_ivf_pq_durable")
+        shutil.rmtree(loc, ignore_errors=True)
         spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
     pfx = f"{db}.ivf_pq_idx"
     for t in ("_centroids", "_model", "_postings"):

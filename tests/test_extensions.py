@@ -1773,8 +1773,12 @@ def test_table_ident_and_prop_value_quoting():
 
     assert _quote_table_ident("t") == "`t`"
     assert _quote_table_ident("db.t") == "`db`.`t`"
-    assert _quote_table_ident("my-idx.v2") == "`my-idx`.`v2`"
-    for bad in ("", "a..b", "a.`b", "`; DROP TABLE x; --"):
+    assert _quote_table_ident("my_idx.v2") == "`my_idx`.`v2`"
+    # strict by design: names the unquoted API path (saveAsTable,
+    # tableExists) can't parse are rejected too, so the quoted-DDL and
+    # unquoted-API paths inside minhash_index_save accept the SAME set
+    for bad in ("", "a..b", "a.`b", "`; DROP TABLE x; --", "my-idx.v2",
+                "2tbl", "a b"):
         with _pytest.raises(ValueError, match="invalid table identifier"):
             _quote_table_ident(bad)
     assert _quote_prop_value("k=5,perm=64,bands=16") == \

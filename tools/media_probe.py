@@ -144,12 +144,17 @@ def _run_chain(spark, mm, encoders, n: int, side: int) -> None:
         t0 = _time.time()
         n_feat = mm.extract_features(df).where("decoded").count()
         t1 = _time.time()
-        resized = mm.resize_images(df, side // 2, side // 2)
+        # persist the resized frame so the phash stage reads cached
+        # resized bytes instead of re-running decode+resize through the
+        # lineage — without this, phash_sec double-counts the resize
+        # stage and the per-stage breakdown lies
+        resized = mm.resize_images(df, side // 2, side // 2).persist()
         n_res = resized.where("decoded").count()
         t2 = _time.time()
         n_sig = mm.phash_signatures(
             resized.where("decoded").drop("decoded")).count()
         t3 = _time.time()
+        resized.unpersist()
         assert n_feat == n_res == n_sig == count, (n_feat, n_res, n_sig)
         return {"features_sec": round(t1 - t0, 2),
                 "resize_sec": round(t2 - t1, 2),
