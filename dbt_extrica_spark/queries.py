@@ -361,6 +361,139 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QROLLUP)
 
 
+_QCUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@q("q_cube", _QCUBE)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping-set combinations
+    in one pass (the remaining multi-dimensional aggregate after
+    ROLLUP/GROUPING SETS/PIVOT), with GROUPING() flags disambiguating
+    data NULLs from subtotal NULLs. Identical SQL text on both engines.
+    At 100 TB: one shuffle feeding every grouping set via Expand —
+    partial aggregation still applies map-side."""
+    _views(spark, sf_dir)
+    return spark.sql(_QCUBE)
+
+
+# UNPIVOT syntax differs between engines (SQL standard leaves it out):
+# Spark 3.4+ uses the UNPIVOT clause, DuckDB its own UNPIVOT statement —
+# same relational result, asserted by the driver hash.
+_QUNPIVOT_SPARK = """
+WITH wide AS (
+  SELECT o_orderstatus,
+    CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)
+         AS BIGINT) AS urgent,
+    CAST(SUM(CASE WHEN o_orderpriority LIKE '2%' THEN 1 ELSE 0 END)
+         AS BIGINT) AS high,
+    CAST(SUM(CASE WHEN o_orderpriority LIKE '3%' THEN 1 ELSE 0 END)
+         AS BIGINT) AS medium
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, priority, cnt
+FROM wide UNPIVOT (cnt FOR priority IN (urgent, high, medium))
+"""
+_QUNPIVOT_DUCK = """
+WITH wide AS (
+  SELECT o_orderstatus,
+    CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)
+         AS BIGINT) AS urgent,
+    CAST(SUM(CASE WHEN o_orderpriority LIKE '2%' THEN 1 ELSE 0 END)
+         AS BIGINT) AS high,
+    CAST(SUM(CASE WHEN o_orderpriority LIKE '3%' THEN 1 ELSE 0 END)
+         AS BIGINT) AS medium
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, priority, cnt
+FROM (UNPIVOT wide ON urgent, high, medium INTO NAME priority VALUE cnt)
+"""
+
+
+@q("q_unpivot", _QUNPIVOT_DUCK)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt, the inverse of q_pivot): per-status
+    priority counts melted to (status, priority, cnt) rows. Expand-based
+    in Spark — no shuffle beyond the feeding aggregate."""
+    _views(spark, sf_dir)
+    return spark.sql(_QUNPIVOT_SPARK)
+
+
+# Source-format round-trip gates: read_table (sources/registry.py) is the
+# generic datasource entry point (the reference reaches any storage
+# through Trino connectors; ours is Spark's datasource API) — these
+# entries PROVE the non-parquet formats by writing the documents table
+# out and reading it back: the re-read must aggregate identically to the
+# parquet original, which is exactly what the oracle computes (the
+# oracle never touches the converted files). Value-bearing columns cover
+# ints, multi-line unicode text, and NULLs.
+_SRC_ROUNDTRIP_DUCK = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+FROM documents GROUP BY lang, source
+"""
+
+_SRC_ROUNDTRIP_AGG = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+FROM {tbl} GROUP BY lang, source
+"""
+
+_DOCS_DDL = "doc_id bigint, text string, lang string, source string, " \
+    "n_chars bigint"
+
+
+def _source_roundtrip(spark: SparkSession, sf_dir: str,
+                      fmt: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.registry import read_table
+
+    _views(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"spark_src_{fmt}_docs")
+    shutil.rmtree(out, ignore_errors=True)
+    spark.table("documents").write.mode("overwrite").format(fmt).save(out)
+    # explicit DDL schema: JSON inference would widen/reorder and the
+    # gate is about the DATA surviving the format, not inference quirks
+    back = read_table(spark, out, format=fmt, schema=_DOCS_DDL)
+    back.createOrReplaceTempView(f"docs_{fmt}_back")
+    return spark.sql(_SRC_ROUNDTRIP_AGG.format(tbl=f"docs_{fmt}_back"))
+
+
+@q("source_json_roundtrip", _SRC_ROUNDTRIP_DUCK)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source gate: documents -> .json -> read_table
+    (format='json', explicit schema) must aggregate identically to the
+    parquet original — multi-line unicode text survives JSON escaping,
+    NULLs survive field omission. At 100 TB: JSON scan has no row-group
+    pruning or column projection, so it is an INGEST format — convert to
+    parquet at the boundary (this gate proves the conversion preserves
+    the data)."""
+    return _source_roundtrip(spark, sf_dir, "json")
+
+
+@q("source_orc_roundtrip", _SRC_ROUNDTRIP_DUCK)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source gate: documents -> .orc -> read_table (format='orc')
+    must aggregate identically to the parquet original. ORC is the other
+    columnar warehouse format Spark reads natively (predicate pushdown +
+    column pruning apply, same as parquet)."""
+    return _source_roundtrip(spark, sf_dir, "orc")
+
+
 _QSEMI = """
 SELECT c_custkey, c_name
 FROM customer
@@ -6796,8 +6929,12 @@ _GATED_WINDOW = [
     "text_bpe_pretokenize",
     "text_bpe_train",
     "text_remove_dup_spans",
-    # (b) code changed / added this round
+    # (b) code changed / added this round (never-gated entries first)
     "ann_ivf_pq_durable",
+    "q_cube",
+    "q_unpivot",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
     "dedup_minhash_incremental",
     "streaming_admission",
     "multimodal_decode_real",  # progressive-JPEG groups added
@@ -6807,10 +6944,6 @@ _GATED_WINDOW = [
     "catalog_columns",
     "catalog_relations",
     "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_keep",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_incremental",
 ]
 
 
