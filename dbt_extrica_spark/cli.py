@@ -25,9 +25,13 @@ resolved selection, ``compile`` prints compiled SQL, ``docs`` emits the
 catalog document as JSON, ``source freshness`` (or the one-token
 ``source-freshness``) evaluates the module's ``sources_freshness``
 specs via testing.source_freshness with test-style exit codes (error
--> 1, warn/pass -> 0). ``--vars '{"k": v}'`` injects a dict into the
-project module's globals as ``dbt_vars`` before it executes (dbt's
-variable passing).
+-> 1, warn/pass -> 0), ``show --select m --limit n`` previews a
+model's compiled query without materializing, ``debug`` runs
+session/schema/graph/source connectivity checks, ``run-operation
+<name> --args '{...}'`` invokes a module-level callable taking
+(engine, **kwargs) — the dbt maintenance-macro analog. ``--vars
+'{"k": v}'`` injects a dict into the project module's globals as
+``dbt_vars`` before it executes (dbt's variable passing).
 
 Usage::
 
@@ -215,6 +219,80 @@ def _cmd_source_freshness(engine: Engine, mod, args) -> int:
     return 1 if bad else 0
 
 
+def _cmd_show(engine: Engine, project: Project, args) -> int:
+    """`dbt show` analog: compile the selected model's SQL and preview
+    the first --limit rows WITHOUT materializing anything (DataFrame-
+    builder models are built, not saved)."""
+    sel = args.select or []
+    if len(sel) != 1:
+        raise SystemExit("show needs exactly one --select <model>")
+    name = sel[0].lstrip("+").rstrip("+")
+    try:
+        m = project.model(name)
+    except KeyError:
+        raise SystemExit(f"unknown model {name!r}") from None
+    if m.df_builder is not None:
+        df = m.df_builder(engine)
+    else:
+        # refs/sources resolve to catalog relations, so upstreams must be
+        # materialized first (dbt show has the same requirement)
+        df = engine.spark.sql(
+            f"SELECT * FROM ({engine.compile_sql(m)}) __show_q")
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def _cmd_debug(engine: Engine, mod, project: Project, args) -> int:
+    """`dbt debug` analog: session, warehouse, project graph, and source
+    connectivity checks with ok/FAIL lines; exit 1 on any failure."""
+    checks: list[tuple[str, bool, str]] = []
+
+    def check(label: str, fn) -> None:
+        try:
+            detail = fn()
+            checks.append((label, True, str(detail)))
+        except Exception as exc:  # noqa: BLE001 — each failure reported
+            checks.append((label, False, f"{type(exc).__name__}: {exc}"))
+
+    check("spark session", lambda: f"version {engine.spark.version}")
+    check("target schema",
+          lambda: engine.spark.sql(
+              f"SHOW TABLES IN {engine.schema}").count() is not None
+          and engine.schema)
+    check("project graph",
+          lambda: f"{len(project.models)} models, "
+                  f"{len(project.topo_order())} levels")
+    for name, rel in sorted(getattr(engine, "sources", {}).items()):
+        check(f"source {name}",
+              lambda rel=rel: f"{engine.spark.table(rel.render_unquoted()).count()} rows")
+    bad = 0
+    for label, ok, detail in checks:
+        print(f"{'ok  ' if ok else 'FAIL'} {label}: {detail}")
+        if not ok:
+            bad += 1
+    print(f"Completed: {len(checks)} checks, {bad} failures")
+    return 1 if bad else 0
+
+
+def _cmd_run_operation(engine: Engine, mod, args) -> int:
+    """`dbt run-operation` analog: invoke a named function defined in the
+    project module with (engine, **--args). The reference ecosystem uses
+    this for maintenance macros (grants sweeps, manual snapshots)."""
+    if not args.subcommand:
+        raise SystemExit("usage: run-operation <name> [--args '{...}']")
+    fn = getattr(mod, args.subcommand, None)
+    if not callable(fn):
+        raise SystemExit(
+            f"project module defines no operation {args.subcommand!r} "
+            f"(a module-level callable taking (engine, **kwargs))")
+    kwargs = _parse_vars(args.op_args)
+    result = fn(engine, **kwargs)
+    if result is not None:
+        print(result)
+    print(f"Completed: run-operation {args.subcommand}")
+    return 0
+
+
 def _run_results_path(args) -> str:
     return os.path.join(args.target_dir, "run_results.json")
 
@@ -326,10 +404,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("command",
                    choices=["run", "seed", "snapshot", "test", "build",
                             "retry", "ls", "compile", "docs", "source",
-                            "source-freshness"])
+                            "source-freshness", "show", "debug",
+                            "run-operation"])
     p.add_argument("subcommand", nargs="?", default=None,
-                   help="`source freshness` two-token form "
-                        "(equivalent to the source-freshness command)")
+                   help="`source freshness` two-token form, or the "
+                        "operation name for run-operation")
     p.add_argument("--project", "-p", default="project.py",
                    help="project module path (default ./project.py)")
     p.add_argument("--select", "-s", action="append",
@@ -353,6 +432,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="JSON object injected into the project module's "
                         "globals as `dbt_vars` before it executes "
                         "(dbt --vars)")
+    p.add_argument("--limit", type=int, default=5,
+                   help="show: number of preview rows (default 5)")
+    p.add_argument("--args", dest="op_args", default=None,
+                   help="run-operation: JSON object of keyword arguments")
     return p
 
 
@@ -364,7 +447,7 @@ def main(argv: list[str] | None = None,
             raise SystemExit("usage: source freshness (the only source "
                              "subcommand)")
         args.command = "source-freshness"
-    elif args.subcommand is not None:
+    elif args.subcommand is not None and args.command != "run-operation":
         raise SystemExit(f"unexpected argument {args.subcommand!r} after "
                          f"{args.command!r}")
     mod = _load_project_module(args.project, _parse_vars(args.vars))
@@ -402,6 +485,12 @@ def main(argv: list[str] | None = None,
             return _cmd_test(engine, mod, args)
         if args.command == "source-freshness":
             return _cmd_source_freshness(engine, mod, args)
+        if args.command == "show":
+            return _cmd_show(engine, project, args)
+        if args.command == "debug":
+            return _cmd_debug(engine, mod, project, args)
+        if args.command == "run-operation":
+            return _cmd_run_operation(engine, mod, args)
         if args.command == "docs":
             return _cmd_docs(engine, args)
         if args.command == "ls":

@@ -60,6 +60,12 @@ sources_freshness = [
      "now": _vars.get("freshness_now", "2024-01-31 00:00:00")},
 ]
 
+# `run-operation` targets: module-level callables taking (engine, **kw)
+def grant_report(engine, role="analyst"):
+    """Example maintenance operation (dbt run-operation analog)."""
+    return f"grants for role {role}: {len(engine.spark.catalog.listTables(schema))} relations in {schema}"
+
+
 checks = [
     {"check": "unique", "table": f"{schema}.fct_daily_revenue",
      "column": "d"},

@@ -169,6 +169,31 @@ def test_cli_source_freshness(spark, run_cli, capsys):
         run_cli("source", "refresh")
 
 
+def test_cli_show_debug_run_operation(spark, run_cli, capsys):
+    run_cli("build")
+    capsys.readouterr()
+    # show: preview a SQL model (upstreams materialized by the build)
+    rc = run_cli("show", "--select", "fct_daily_revenue", "--limit", "3")
+    out = capsys.readouterr().out
+    assert rc == 0 and "revenue" in out
+    # show: a missing model fails loudly
+    with pytest.raises(SystemExit, match="unknown model"):
+        run_cli("show", "--select", "nope")
+    # debug: session + schema + graph + per-source connectivity
+    rc = run_cli("debug")
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "ok   spark session" in out and "ok   source events" in out
+    assert "0 failures" in out
+    # run-operation: module-level callable with --args kwargs
+    rc = run_cli("run-operation", "grant_report", "--args",
+                 '{"role": "admin"}')
+    out = capsys.readouterr().out
+    assert rc == 0 and "grants for role admin" in out
+    with pytest.raises(SystemExit, match="no operation"):
+        run_cli("run-operation", "not_a_thing")
+
+
 def test_cli_vars_injection(spark, tmp_path, capsys):
     proj = tmp_path / "proj.py"
     proj.write_text('''
