@@ -119,3 +119,72 @@ def retention_cohorts(
             F.col("n_users").cast("bigint").alias("n_users"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Distributed PageRank over a directed edge list — the iterative
+    graph-RANKING counterpart of dedup.connected_components (labeling):
+    rank influential suppliers/hosts/documents from link structure.
+
+    INTEGER semantics for cross-engine bit-exactness: ranks are BIGINTs
+    at ``scale`` (rank 1.0 == ``scale``), per-edge contributions use
+    floor division (rank div outdegree), and the update is
+    ``rank' = scale*(100-damping)/100 + damping*incoming/100`` in
+    integer arithmetic — no float summation order, no decimal-scale
+    divergence, so a k-iteration SQL unroll on any engine reproduces
+    the values exactly. Dangling nodes (no out-edges) keep receiving
+    the teleport term; their rank is not redistributed (documented
+    variant — redistribution needs a global aggregate per round).
+
+    Overflow bound: SUM of contributions <= scale * n_nodes per node,
+    so BIGINT is safe while n_nodes * scale < 9e18 / damping_pct —
+    at the default scale that is ~10^5 nodes; drop ``scale`` for
+    larger graphs.
+
+    Scale shape: the edge table is deduped, pre-joined with outdegree
+    ONCE, and localCheckpointed — each iteration is then one
+    (edges x ranks) equi-join on src (ranks is the node-sized small
+    side) plus one groupBy(dst) partial-aggregated sum. Lineage is
+    capped per round via localCheckpoint and superseded round
+    checkpoints are freed (the connected_components mechanism)."""
+    from .dedup import release_local_checkpoint
+
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(F.col(src_col).cast("bigint").alias("src"),
+                     F.col(dst_col).cast("bigint").alias("dst")) \
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()) \
+        .distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    e2 = e.join(outdeg, on="src").localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    base = scale * (100 - damping_pct) // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint")) \
+        .localCheckpoint(eager=True)
+    for _ in range(iterations):
+        incoming = (
+            e2.join(ranks.withColumnRenamed("id", "src"), on="src")
+            .select("dst", F.expr("rank div odeg").alias("contrib"))
+            .groupBy("dst").agg(F.sum("contrib").alias("inc"))
+        )
+        new_ranks = (
+            nodes.join(incoming.withColumnRenamed("dst", "id"),
+                       on="id", how="left")
+            .select("id",
+                    (F.lit(base)
+                     + F.expr(f"{damping_pct} * coalesce(inc, 0L) div 100"))
+                    .cast("bigint").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(ranks)
+        ranks = new_ranks
+    return ranks

@@ -494,6 +494,53 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _source_roundtrip(spark, sf_dir, "orc")
 
 
+# PageRank gate: the operator runs in INTEGER arithmetic (ranks as
+# BIGINTs at scale 1e12, floor-division contributions), so a k-iteration
+# UNROLLED SQL on the oracle engine reproduces every rank bit-for-bit —
+# a full-strength oracle for an iterative graph algorithm (the CC
+# labeling gate's ranking counterpart). The edge list folds lineitem
+# keys modulo two coprimes for an irregular digraph (90 distinct ranks
+# over 97 nodes at sf0.001 — a uniform-rank graph would gate nothing).
+_PR_EDGES = ("SELECT DISTINCT l_orderkey % 97 AS src, "
+             "l_partkey % 89 AS dst FROM lineitem WHERE l_quantity > 10")
+
+
+def _pagerank_duck(iterations: int = 3) -> str:
+    ctes = [
+        f"edges AS ({_PR_EDGES})",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg"
+        " FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS id FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank"
+        " FROM nodes)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""r{t} AS (
+  SELECT n.id,
+         CAST(150000000000 + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, CAST(SUM(r.rank // o.odeg) AS BIGINT) AS inc
+    FROM edges e JOIN r{t - 1} r ON r.id = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.id = n.id)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, rank FROM r{iterations}")
+
+
+@q("graph_pagerank", _pagerank_duck(3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (analytics.pagerank): 3 integer-arithmetic
+    iterations over the folded lineitem digraph; every BIGINT rank must
+    equal the oracle's unrolled 3-step recomputation exactly."""
+    from .extensions import analytics
+
+    _views(spark, sf_dir)
+    edges = spark.sql(_PR_EDGES)
+    return analytics.pagerank(edges, "src", "dst", iterations=3)
+
+
 _QSEMI = """
 SELECT c_custkey, c_name
 FROM customer
@@ -6935,6 +6982,7 @@ _GATED_WINDOW = [
     "q_unpivot",
     "source_json_roundtrip",
     "source_orc_roundtrip",
+    "graph_pagerank",
     "dedup_minhash_incremental",
     "streaming_admission",
     "multimodal_decode_real",  # progressive-JPEG groups added
@@ -6943,7 +6991,6 @@ _GATED_WINDOW = [
     "ann_cosine_topk",
     "catalog_columns",
     "catalog_relations",
-    "dedup_embedding_cosine",
 ]
 
 

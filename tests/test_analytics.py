@@ -102,3 +102,43 @@ def test_funnel_no_matching_events_reports_zeros(spark):
            for r in analytics.funnel(_ev(spark, [(1, 1, 1, "browse")]),
                                      ["signup", "click"]).collect()}
     assert out == {1: 0, 2: 0}
+
+
+def test_pagerank_matches_pure_python_replay(spark):
+    # tiny digraph with a cycle, a dangling node (D has no out-edges),
+    # and asymmetric outdegrees; 3 iterations replayed in pure Python
+    # with the SAME integer semantics must match every BIGINT rank
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (2, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.rank
+           for r in analytics.pagerank(df, "src", "dst",
+                                       iterations=3).collect()}
+
+    scale, damping = 10**12, 85
+    nodes = {n for e in edges for n in e}
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    ranks = {n: scale for n in nodes}
+    base = scale * (100 - damping) // 100
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += ranks[s] // out[s]
+        ranks = {n: base + damping * inc[n] // 100 for n in nodes}
+    assert got == ranks
+    # ranks genuinely differ (a uniform result would gate nothing)
+    assert len(set(got.values())) >= 3
+
+
+def test_pagerank_validates_damping_and_handles_nulls(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2), (None, 3), (2, None)],
+                               "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="damping_pct"):
+        analytics.pagerank(df, "src", "dst", damping_pct=100)
+    # NULL endpoints are dropped, not propagated into the node set
+    got = {r.id for r in analytics.pagerank(df, "src", "dst",
+                                            iterations=1).collect()}
+    assert got == {1, 2}
