@@ -94,10 +94,16 @@ HEADLINE = [
     "multimodal_audio_decode",
     "multimodal_video_frames",
     "multimodal_resize",
-    # ann_ivf_pq_recall is deliberately NOT here: it is a CONTRACT entry
-    # (index build + brute-force ground truth + two probe configs), so
-    # its wall measures the verification harness, not the operator —
-    # the ivf_pq operator cost shows up in scale probes instead.
+    # round 10 additions: the new coverage entries
+    "q_cube",
+    "q_unpivot",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "graph_pagerank",
+    # ann_ivf_pq_recall / ann_ivf_pq_durable are deliberately NOT here:
+    # CONTRACT entries (index build + brute-force ground truth + probe
+    # configs), so their wall measures the verification harness, not the
+    # operator — the ivf_pq operator cost shows up in scale probes.
 ]
 
 

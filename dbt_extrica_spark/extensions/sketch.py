@@ -95,3 +95,125 @@ def hll_rollup(df: DataFrame, group_cols: list[str], value_col: str,
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(__sk, false))")
              .cast("bigint").alias("distinct_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q-digest: DETERMINISTIC mergeable quantile sketch (Shrivastava et al.,
+# SenSys'04) — completes the mergeable-sketch family (CMS: frequencies,
+# HLL: distincts, q-digest: quantiles). Unlike KLL/t-digest it uses no
+# randomness, so build -> merge -> query replays bit-identically on any
+# cluster layout, and the per-group digest is <= 3k nodes regardless of
+# data size. Rank-error bound: |rank(estimate) - q*n| <= log2(U)/k * n.
+#
+# Shape at 100 TB: one applyInPandas per group builds each shard/month
+# digest from its own partition of values (Arrow-batched); merging is
+# UNION ALL + node-wise count sum + one sketch-sized recompress — the
+# merged input is digests, never data.
+# ---------------------------------------------------------------------------
+
+def _qd_compress(counts: dict, n: int, k: int, bits: int) -> dict:
+    """Canonical bottom-up q-digest compression (deterministic: levels
+    leaf->root, node ids ascending). Node ids are heap indices (root=1,
+    leaf for value v = 2^bits + v)."""
+    thr = max(1, n // k)
+    for level in range(bits, 0, -1):
+        lo, hi = 1 << level, 1 << (level + 1)
+        for node in sorted(x for x in counts if lo <= x < hi):
+            c = counts.get(node, 0)
+            if c == 0:
+                continue
+            sib = node ^ 1
+            if c + counts.get(sib, 0) + counts.get(node >> 1, 0) <= thr:
+                counts[node >> 1] = (counts.get(node >> 1, 0) + c
+                                     + counts.pop(sib, 0))
+                counts.pop(node, None)
+    return {nd: c for nd, c in counts.items() if c > 0}
+
+
+def _qd_quantile(counts: dict, n: int, q: float, bits: int) -> int:
+    """Standard q-digest quantile: walk nodes in increasing range-upper-
+    bound order (smaller ranges first on ties), accumulate counts, report
+    the upper bound where the accumulated rank crosses ceil(q*n)."""
+    import math
+
+    items = []
+    for node, c in counts.items():
+        level = node.bit_length() - 1
+        size = 1 << (bits - level)
+        lo = (node - (1 << level)) * size
+        items.append((lo + size - 1, size, c))
+    items.sort()
+    target = max(1, math.ceil(q * n))
+    acc = 0
+    for hi, _, c in items:
+        acc += c
+        if acc >= target:
+            return hi
+    return items[-1][0]
+
+
+def qdigest_build(df: DataFrame, value_col: str, group_cols: list[str],
+                  k: int = 1024, bits: int = 25) -> DataFrame:
+    """Per-group q-digest over a non-negative integer column in
+    [0, 2^bits): returns (group..., node bigint, cnt bigint) — the
+    digest AS A TABLE, the repo's mergeable-sketch convention (CMS
+    counts table, HLL register table). Out-of-range or negative values
+    RAISE (a silently clamped digest answers wrong quantiles)."""
+    import pandas as pd
+
+    limit = 1 << bits
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        vals = pdf[value_col]
+        if len(vals) and (int(vals.min()) < 0 or int(vals.max()) >= limit):
+            raise ValueError(
+                f"qdigest_build: {value_col} outside [0, 2^{bits})")
+        counts: dict = {}
+        for v, c in vals.value_counts().items():
+            counts[limit + int(v)] = int(c)
+        n = int(len(vals))
+        counts = _qd_compress(counts, n, k, bits)
+        out = pd.DataFrame({"node": list(counts), "cnt": list(counts.values())})
+        for g in group_cols:
+            out[g] = pdf[g].iloc[0]
+        return out[group_cols + ["node", "cnt"]]
+
+    gtypes = ", ".join(f"{g} {dict(df.select(group_cols + [value_col]).dtypes)[g]}"
+                       for g in group_cols)
+    schema = (gtypes + ", " if gtypes else "") + "node bigint, cnt bigint"
+    return (df.select(*group_cols, value_col)
+            .groupBy(*group_cols).applyInPandas(build, schema=schema))
+
+
+def qdigest_merge(digests: DataFrame, k: int = 1024,
+                  bits: int = 25) -> DataFrame:
+    """Merge per-group digests into ONE digest (node, cnt): node-wise
+    count sum, then one recompress under the combined n. The recompress
+    input is sketch-sized (sum of digest sizes), never data-sized — a
+    single bounded task, the HLL-rollup merge shape."""
+    import pandas as pd
+
+    summed = digests.groupBy("node").agg(F.sum("cnt").alias("cnt"))
+
+    def recompress(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        counts = {int(r.node): int(r.cnt) for r in pdf.itertuples()}
+        n = sum(counts.values())
+        counts = _qd_compress(counts, n, k, bits)
+        return pd.DataFrame({"node": list(counts),
+                             "cnt": list(counts.values())})
+
+    return (summed.withColumn("__one", F.lit(1))
+            .groupBy("__one")
+            .applyInPandas(lambda pdf: recompress(pdf),
+                           schema="node bigint, cnt bigint"))
+
+
+def qdigest_quantiles(digest: DataFrame, qs: list[float],
+                      bits: int = 25) -> dict:
+    """Quantile estimates from a digest table. Collects the digest —
+    sketch-sized model state (<= 3k rows), the same bounded-collect
+    class as centroids/codebooks."""
+    rows = digest.collect()
+    counts = {int(r["node"]): int(r["cnt"]) for r in rows}
+    n = sum(counts.values())
+    return {q: _qd_quantile(counts, n, q, bits) for q in qs}

@@ -529,6 +529,55 @@ def _pagerank_duck(iterations: int = 3) -> str:
             + f"\nSELECT id, rank FROM r{iterations}")
 
 
+# q-digest contract: the estimates are data-dependent, but two properties
+# are invariants — the digest preserves TOTAL MASS exactly (sum of node
+# counts == n), and every quantile estimate's exact rank sits within the
+# THEORETICAL bound |rank - q*n| <= (bits/k)*n = 25/1024*n ≈ 0.0245*n
+# (measured 0.001-0.019 across sf0.001/0.01/0.1 — the theory bound can't
+# flap). The rank of each estimate is recomputed against the full data.
+_QDIGEST_DUCK = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS mass_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+FROM lineitem
+"""
+
+
+@q("sketch_qdigest_rollup", _QDIGEST_DUCK)
+def sketch_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (q-digest) rollup: per-month digests
+    over price cents, merged to one corpus digest (node-sum + one
+    sketch-sized recompress — the HLL-rollup merge shape), quantiles
+    queried from the MERGED digest and their exact ranks gated against
+    the theoretical q-digest error bound; total mass must be exact."""
+    from .extensions import sketch
+
+    _views(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        .alias("cents"),
+        F.expr("date_format(l_shipdate, 'yyyy-MM')").alias("ym"))
+    k, bits = 1024, 25
+    monthly = sketch.qdigest_build(li, "cents", ["ym"], k=k, bits=bits)
+    merged = sketch.qdigest_merge(monthly, k=k, bits=bits) \
+        .localCheckpoint(eager=True)
+    ests = sketch.qdigest_quantiles(merged, [0.25, 0.5, 0.75], bits=bits)
+    eps = bits / k
+    n_df = li.groupBy().count().withColumnRenamed("count", "n_rows")
+    mass = merged.agg(F.sum("cnt").alias("mass"))
+    out = n_df.crossJoin(mass)
+    for tag, qv in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75)):
+        rank = (li.where(F.col("cents") <= int(ests[qv]))
+                .groupBy().count().withColumnRenamed("count", f"r_{tag}"))
+        out = out.crossJoin(rank)
+    return out.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("mass") == F.col("n_rows")).alias("mass_ok"),
+        *[(F.abs(F.col(f"r_{tag}") - F.lit(qv) * F.col("n_rows"))
+           <= F.lit(eps) * F.col("n_rows")).alias(f"{tag}_ok")
+          for tag, qv in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75))],
+    )
+
+
 @q("graph_pagerank", _pagerank_duck(3))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (analytics.pagerank): 3 integer-arithmetic
@@ -6983,6 +7032,7 @@ _GATED_WINDOW = [
     "source_json_roundtrip",
     "source_orc_roundtrip",
     "graph_pagerank",
+    "sketch_qdigest_rollup",
     "dedup_minhash_incremental",
     "streaming_admission",
     "multimodal_decode_real",  # progressive-JPEG groups added
@@ -6990,7 +7040,6 @@ _GATED_WINDOW = [
     "ann_brp_recall",
     "ann_cosine_topk",
     "catalog_columns",
-    "catalog_relations",
 ]
 
 

@@ -2640,3 +2640,43 @@ def test_decode_video_numpy_roundtrip():
     # truncated frame / wrong magic decline
     assert mm.decode_video_numpy(mm.encode_y4m(frames, w, h)[:-5]) is None
     assert mm.decode_video_numpy(b"NOTAVIDEO") is None
+
+
+def test_qdigest_build_merge_quantiles(spark):
+    import numpy as np
+
+    from dbt_extrica_spark.extensions import sketch as sk
+
+    # skewed integer data across 4 groups; merged-digest quantiles must
+    # sit within the theoretical rank bound vs the exact distribution
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        rng.randint(0, 100, 4000),          # heavy head
+        rng.randint(100, 100000, 1000),     # long tail
+        np.full(500, 77),                   # a spike
+    ])
+    groups = rng.randint(0, 4, len(vals))
+    df = spark.createDataFrame(
+        [(int(g), int(v)) for g, v in zip(groups, vals)],
+        "g int, v bigint")
+    k, bits = 256, 17
+    dig = sk.qdigest_build(df, "v", ["g"], k=k, bits=bits)
+    # deterministic: a rebuild is row-identical (no randomness anywhere)
+    a = sorted(map(tuple, dig.collect()))
+    b = sorted(map(tuple, sk.qdigest_build(df, "v", ["g"],
+                                           k=k, bits=bits).collect()))
+    assert a == b
+    merged = sk.qdigest_merge(dig, k=k, bits=bits)
+    n = len(vals)
+    assert merged.agg({"cnt": "sum"}).collect()[0][0] == n  # exact mass
+    ests = sk.qdigest_quantiles(merged, [0.1, 0.5, 0.9], bits=bits)
+    s = np.sort(vals)
+    for q, est in ests.items():
+        rank = int((s <= est).sum())
+        assert abs(rank - q * n) <= (bits / k) * n + 1, (q, est, rank)
+    # out-of-range values must raise, not silently clamp
+    bad = spark.createDataFrame([(0, 1 << bits)], "g int, v bigint")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="outside"):
+        sk.qdigest_build(bad, "v", ["g"], k=k, bits=bits).collect()

@@ -81,6 +81,10 @@ BNLJ_OK = {
                                  # bounded 100-query set + the 1-row
                                  # disk==memory / recall contract joins;
                                  # the operator itself joins on cid
+    "sketch_qdigest_rollup",     # r10 quantile-sketch contract: BNLJ is
+                                 # the crossJoin of 1-row aggregates
+                                 # (n, mass, three rank counts); the
+                                 # sketch itself is groupBy+applyInPandas
 }
 
 
