@@ -95,7 +95,13 @@ def create_table_as(
         )
         assert_columns_equivalent(engine, relation, sql, contract)
         enforce_not_null(engine, sql, contract)
-        engine.spark.sql(f"INSERT INTO {relation.render()} {sql}")
+        # explicit column list: a bare INSERT INTO maps POSITIONALLY
+        # against the table's PHYSICAL order, which moves partition
+        # columns last — a contract that declares the partition column
+        # anywhere else would silently cross-write columns (review r10)
+        col_list = ", ".join(f"`{c['name']}`" for c in contract)
+        engine.spark.sql(
+            f"INSERT INTO {relation.render()} ({col_list}) {sql}")
     else:
         engine.spark.sql(
             f"CREATE TABLE {relation.render()} USING {using}"
@@ -695,7 +701,11 @@ def process_schema_changes_from_columns(
         )
     if mode == "append_new_columns":
         engine.catalog.add_columns(target, added)
-        return [c.name for c in tgt_cols] + [c.name for c in added]
+        # re-read the target: the writes downstream are POSITIONAL
+        # insertInto, and Spark puts added columns BEFORE the partition
+        # columns — `old + added` would write partition values into the
+        # new column on every partitioned target (review r10)
+        return [c.name for c in engine.catalog.get_columns_in_relation(target)]
     # sync_all_columns
     engine.catalog.add_columns(target, added)
     engine.catalog.remove_columns(target, removed)

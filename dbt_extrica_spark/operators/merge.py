@@ -168,6 +168,22 @@ def delete_insert(
     return kept.unionByName(inserted)
 
 
+def dynamic_overwrite_insert(spark, table_name: str,
+                             df: DataFrame) -> None:
+    """The single shared partition-scoped commit primitive: positional
+    insertInto under dynamic partitionOverwriteMode, with conf
+    save/restore. Every dynamic-overwrite write in the package routes
+    through here (review r10: the save/set/write/restore dance was
+    copy-pasted four times — one helper, one place to fix)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.insertInto(table_name, overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def partition_scoped_overwrite(
     engine,
     target,  # Relation
@@ -210,12 +226,7 @@ def partition_scoped_overwrite(
         ).collect()
     ]
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        final_scope.write.insertInto(target.render_unquoted(), overwrite=True)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    dynamic_overwrite_insert(spark, target.render_unquoted(), final_scope)
     for part in emptied:
         clause = ", ".join(
             "`%s` = '%s'" % (k, str(v).replace("'", "''"))
