@@ -56,18 +56,20 @@ from .plans.runner import run_project
 from .session import Profile, get_spark
 
 
-def _parse_vars(text: str | None) -> dict:
-    """``--vars`` accepts a JSON object (dbt accepts YAML/JSON; JSON is
-    the stdlib-parseable subset)."""
+def _parse_vars(text: str | None, flag: str = "--vars") -> dict:
+    """``--vars`` / ``--args`` accept a JSON object (dbt accepts
+    YAML/JSON; JSON is the stdlib-parseable subset). ``flag`` names the
+    option in error messages so ``--args`` failures don't point the user
+    at ``--vars``."""
     if not text:
         return {}
     try:
         parsed = json.loads(text)
     except json.JSONDecodeError as exc:
-        raise SystemExit(f"--vars must be a JSON object: {exc}") from None
+        raise SystemExit(f"{flag} must be a JSON object: {exc}") from None
     if not isinstance(parsed, dict):
-        raise SystemExit("--vars must be a JSON object, e.g. "
-                         "--vars '{\"start_date\": \"2024-01-01\"}'")
+        raise SystemExit(f"{flag} must be a JSON object, e.g. "
+                         f"{flag} '{{\"start_date\": \"2024-01-01\"}}'")
     return parsed
 
 
@@ -285,7 +287,7 @@ def _cmd_run_operation(engine: Engine, mod, args) -> int:
         raise SystemExit(
             f"project module defines no operation {args.subcommand!r} "
             f"(a module-level callable taking (engine, **kwargs))")
-    kwargs = _parse_vars(args.op_args)
+    kwargs = _parse_vars(args.op_args, flag="--args")
     result = fn(engine, **kwargs)
     if result is not None:
         print(result)

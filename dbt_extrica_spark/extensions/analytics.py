@@ -143,10 +143,15 @@ def pagerank(
     the teleport term; their rank is not redistributed (documented
     variant — redistribution needs a global aggregate per round).
 
-    Overflow bound: SUM of contributions <= scale * n_nodes per node,
-    so BIGINT is safe while n_nodes * scale < 9e18 / damping_pct —
-    at the default scale that is ~10^5 nodes; drop ``scale`` for
-    larger graphs.
+    Overflow bound: a node's incoming SUM of contributions is bounded
+    by the total rank mass <= scale * n_nodes, and the update forms the
+    intermediate ``damping_pct * inc`` before dividing by 100 — so
+    BIGINT is safe while n_nodes * scale * damping_pct < 2^63; at the
+    default scale that is ~10^5 nodes; drop ``scale`` for larger
+    graphs. The bound is ENFORCED at runtime: the node count is already
+    materialized (one metadata-sized count on the checkpointed
+    ``nodes``), and a graph past the bound raises ValueError instead of
+    wrapping silently under non-ANSI BIGINT overflow.
 
     Scale shape: the edge table is deduped, pre-joined with outdegree
     ONCE, and localCheckpointed — each iteration is then one
@@ -167,6 +172,21 @@ def pagerank(
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id")))
              .distinct().localCheckpoint(eager=True))
+    # Overflow guard (see docstring): a node's incoming sum is bounded by
+    # the total rank mass <= n_nodes * scale, and the update computes the
+    # intermediate product damping_pct * inc BEFORE the //100 — so the
+    # binding constraint is n_nodes * scale * damping_pct <= 2^63-1.
+    # Past it, Spark's BIGINT arithmetic either wraps silently (non-ANSI
+    # sum) or aborts mid-job (ANSI multiply) — raise up front instead.
+    # The count is metadata-sized (nodes is already checkpointed).
+    n_nodes = nodes.count()
+    if n_nodes * scale * damping_pct > 2**63 - 1:
+        raise ValueError(
+            f"pagerank overflow risk: n_nodes={n_nodes} * scale={scale} "
+            f"* damping_pct={damping_pct} exceeds BIGINT range; lower "
+            f"`scale` (e.g. scale="
+            f"{max(1, (2**63 - 1) // max(n_nodes * damping_pct, 1))} "
+            f"or below)")
     base = scale * (100 - damping_pct) // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint")) \
         .localCheckpoint(eager=True)

@@ -1094,6 +1094,23 @@ def encode_jpeg_progressive_coefs(planes_coef, h, w, samps, scan_script,
     return bytes(out)
 
 
+def idct_pixels_ref(coefs):
+    """Direct IDCT of one component's natural-order coefficient tensor
+    ((block_rows, block_cols, 64)) under all-ones quant — the CLOSED
+    output contract of the gray single-component decode path (level
+    shift + clamp included). Oracles use this formula instead of running
+    the decoder, so entropy-layer bugs can't cancel out."""
+    import numpy as np
+
+    basis = _dct_basis()
+    nby, nbx, _ = coefs.shape
+    blocks = np.asarray(coefs).reshape(nby, nbx, 8, 8).astype(np.float64)
+    px = np.einsum("ij,abjk,kl->abil", basis.T, blocks, basis,
+                   optimize=True)
+    plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    return np.clip(np.round(plane) + 128, 0, 255).astype(np.uint8)
+
+
 def default_progressive_script(nc: int):
     """A representative scan script: DC first at Al=1 (interleaved when
     multi-component), two spectral AC bands per component at Al=1, then
@@ -1116,8 +1133,14 @@ def encode_jpeg_progressive_blockmean(pixels, subsample: str = "444",
     as a multi-scan SOF2 stream (default_progressive_script). Because
     the coefficients are identical to the baseline block-mean encoding,
     the decoded pixels follow the SAME closed formulas (gray bit-exact,
-    color via rgb_blockmean_roundtrip) — the oracle needs no new math,
-    while the bytes exercise the whole progressive decode surface."""
+    color via rgb_blockmean_roundtrip) — the oracle needs no new math.
+    COVERAGE CAVEAT: DC-only coefficients mean the AC scans carry only
+    EOBRUNs — the AC newly-significant and correction-bit decode paths
+    do NOT execute on these bytes. Those paths are battery-covered by
+    the nonzero-AC fixture family (multimodal.synthetic_media_jpeg_
+    prog_ac, oracle = idct_pixels_ref) and property-covered by the
+    hypothesis entropy-vs-IDCT suite over encode_jpeg_progressive_
+    coefs."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)

@@ -1051,6 +1051,51 @@ def synthetic_media_jpeg(spark, n: int = 24, side: int = 16,
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def jpeg_prog_ac_coefs(i: int, nby: int = 2, nbx: int = 2):
+    """Deterministic SPARSE NONZERO-AC coefficient planes for the
+    progressive-JPEG battery fixtures (natural order, all-ones quant).
+    Zigzag positions span BOTH spectral bands of
+    default_progressive_script (1,3,5 in band 1-5; 6,20,40,63 in band
+    6-63) and the modular values cover odd magnitudes (correction bits
+    on refinement) and magnitude 1 (newly-significant at Al=0), so the
+    AC-refinement decode paths the DC-only blockmean fixtures never
+    reach actually execute under the battery hash. Shared with the
+    oracle, which applies jpeg.idct_pixels_ref — never the decoder."""
+    import numpy as np
+
+    from .jpeg import _ZIGZAG
+
+    coefs = np.zeros((nby, nbx, 64), np.int64)
+    for b in range(nby * nbx):
+        by, bx = b // nbx, b % nbx
+        coefs[by, bx, 0] = (((i * 97 + b * 53) % 256) - 128) * 8
+        for p in (1, 3, 5, 6, 20, 40, 63):
+            coefs[by, bx, _ZIGZAG[p]] = ((i * 31 + b * 17 + p * 7)
+                                         % 29) - 14
+    return coefs
+
+
+def synthetic_media_jpeg_prog_ac(spark, n: int = 24,
+                                 side: int = 16) -> DataFrame:
+    """Progressive-JPEG fixtures with NONZERO AC coefficients: gray
+    single-component SOF2 streams of jpeg_prog_ac_coefs through the
+    default successive-approximation ladder, restart interval cycling
+    0/1/2 per image so restarts in every scan type ride along. Expected
+    pixels are jpeg.idct_pixels_ref(coefs) — a closed formula, not a
+    decoder run."""
+    from .jpeg import default_progressive_script, \
+        encode_jpeg_progressive_coefs
+
+    nb = side // 8
+    rows = []
+    for i in range(n):
+        content = encode_jpeg_progressive_coefs(
+            [jpeg_prog_ac_coefs(i, nb, nb)], side, side, [(1, 1)],
+            default_progressive_script(1), restart_interval=i % 3)
+        rows.append((i, "image", content, "image/jpeg", side, side, 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _jpeg_fixture_pixels(i: int, side: int, color: bool):
     """The closed formula behind synthetic_media_jpeg — shared by the
     battery oracle (which never touches JPEG bytes)."""

@@ -463,14 +463,25 @@ def _source_roundtrip(spark: SparkSession, sf_dir: str,
     from .sources.registry import read_table
 
     _views(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), f"spark_src_{fmt}_docs")
+    # per-PROCESS path: a fixed name raced concurrent battery/bench runs
+    # on one host (one process's rmtree deleting the other's files
+    # mid-read); pid-scoping isolates them, and the wipe-before-write
+    # still handles a recycled pid's stale dir
+    out = os.path.join(tempfile.gettempdir(),
+                       f"spark_src_{fmt}_docs_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     spark.table("documents").write.mode("overwrite").format(fmt).save(out)
     # explicit DDL schema: JSON inference would widen/reorder and the
     # gate is about the DATA surviving the format, not inference quirks
     back = read_table(spark, out, format=fmt, schema=_DOCS_DDL)
     back.createOrReplaceTempView(f"docs_{fmt}_back")
-    return spark.sql(_SRC_ROUNDTRIP_AGG.format(tbl=f"docs_{fmt}_back"))
+    # eager checkpoint materializes the (group-count-sized) aggregate so
+    # the written files can be removed before returning — the caller's
+    # later collect must not depend on the tempdir
+    res = spark.sql(_SRC_ROUNDTRIP_AGG.format(tbl=f"docs_{fmt}_back")) \
+        .localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return res
 
 
 @q("source_json_roundtrip", _SRC_ROUNDTRIP_DUCK)
@@ -531,10 +542,15 @@ def _pagerank_duck(iterations: int = 3) -> str:
 
 # q-digest contract: the estimates are data-dependent, but two properties
 # are invariants — the digest preserves TOTAL MASS exactly (sum of node
-# counts == n), and every quantile estimate's exact rank sits within the
-# THEORETICAL bound |rank - q*n| <= (bits/k)*n = 25/1024*n ≈ 0.0245*n
-# (measured 0.001-0.019 across sf0.001/0.01/0.1 — the theory bound can't
-# flap). The rank of each estimate is recomputed against the full data.
+# counts == n), and each estimate's exact RANK INTERVAL
+# [count(< est), count(<= est)] overlaps q*n ± (bits/k)*n = 25/1024*n
+# ≈ 0.0245*n. The interval form (not |count(<=est) - q*n| <= eps*n) is
+# the actual q-digest guarantee: a single value carrying heavy mass (a
+# leaf count can exceed n/k under duplicates) legitimately pushes
+# count(<=est) past q*n + eps*n while the value still covers rank q*n —
+# the one-sided gate would flap on such data even for a correct digest.
+# Ranks are recomputed against the full data (measured slack 0.001-0.019
+# across sf0.001/0.01/0.1 on near-unique TPC-H cents).
 _QDIGEST_DUCK = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        TRUE AS mass_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
@@ -547,8 +563,11 @@ def sketch_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (q-digest) rollup: per-month digests
     over price cents, merged to one corpus digest (node-sum + one
     sketch-sized recompress — the HLL-rollup merge shape), quantiles
-    queried from the MERGED digest and their exact ranks gated against
-    the theoretical q-digest error bound; total mass must be exact."""
+    queried from the MERGED digest and each estimate's exact rank
+    interval [count(<est), count(<=est)] gated against the theoretical
+    q-digest bound via interval OVERLAP with q*n ± eps*n (the form that
+    stays valid under heavy single-value mass); total mass must be
+    exact."""
     from .extensions import sketch
 
     _views(spark, sf_dir)
@@ -562,19 +581,28 @@ def sketch_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     ests = sketch.qdigest_quantiles(merged, [0.25, 0.5, 0.75], bits=bits)
     eps = bits / k
-    n_df = li.groupBy().count().withColumnRenamed("count", "n_rows")
+    tagged = (("q25", 0.25), ("q50", 0.5), ("q75", 0.75))
+    # ONE scan computes n plus both interval endpoints per quantile
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for tag, qv in tagged:
+        est = int(ests[qv])
+        aggs.append(F.sum(F.when(F.col("cents") < est, 1).otherwise(0))
+                    .cast("bigint").alias(f"lo_{tag}"))
+        aggs.append(F.sum(F.when(F.col("cents") <= est, 1).otherwise(0))
+                    .cast("bigint").alias(f"hi_{tag}"))
+    stats = li.agg(*aggs)
     mass = merged.agg(F.sum("cnt").alias("mass"))
-    out = n_df.crossJoin(mass)
-    for tag, qv in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75)):
-        rank = (li.where(F.col("cents") <= int(ests[qv]))
-                .groupBy().count().withColumnRenamed("count", f"r_{tag}"))
-        out = out.crossJoin(rank)
-    return out.select(
+    return stats.crossJoin(mass).select(
         F.col("n_rows").cast("bigint").alias("n_rows"),
         (F.col("mass") == F.col("n_rows")).alias("mass_ok"),
-        *[(F.abs(F.col(f"r_{tag}") - F.lit(qv) * F.col("n_rows"))
-           <= F.lit(eps) * F.col("n_rows")).alias(f"{tag}_ok")
-          for tag, qv in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75))],
+        # [lo, hi] intersects [(q-eps)*n, (q+eps)*n]: lo at or below the
+        # upper edge AND hi at or above the lower edge
+        *[((F.col(f"lo_{tag}")
+            <= (F.lit(qv) + F.lit(eps)) * F.col("n_rows"))
+           & (F.col(f"hi_{tag}")
+              >= (F.lit(qv) - F.lit(eps)) * F.col("n_rows")))
+          .alias(f"{tag}_ok")
+          for tag, qv in tagged],
     )
 
 
@@ -3122,14 +3150,22 @@ def ann_ivf_pq_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tempdir location sidesteps that while staying catalog-addressed
     db = "ivf_pq_durable_db"
     if not spark.catalog.databaseExists(db):
+        import atexit
+        import functools
         import os
         import shutil
         import tempfile
 
-        # ONE fixed location, wiped before reuse: a per-process mkdtemp
-        # would leak an index-sized orphan directory per battery run
-        loc = os.path.join(tempfile.gettempdir(), "spark_ivf_pq_durable")
+        # per-PROCESS location (a fixed name raced concurrent runs on one
+        # host), wiped before reuse in case the pid was recycled, and
+        # cleaned up at process exit so runs don't leak index-sized
+        # orphan dirs; the dir must outlive this ENTRY because the
+        # catalog database persists in-process across battery entries
+        loc = os.path.join(tempfile.gettempdir(),
+                           f"spark_ivf_pq_durable_{os.getpid()}")
         shutil.rmtree(loc, ignore_errors=True)
+        atexit.register(functools.partial(
+            shutil.rmtree, loc, ignore_errors=True))
         spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
     pfx = f"{db}.ivf_pq_idx"
     for t in ("_centroids", "_model", "_postings"):
@@ -4217,6 +4253,20 @@ def _mm_decode_oracle() -> str:
         exp = rgb_blockmean_roundtrip(_jpeg_fixture_pixels(i, 32, True))
         rows.append(f"({20000 + i}, 32, 32, 3,"
                     f" {int(exp.astype(np.int64).sum())}, TRUE)")
+    # nonzero-AC progressive group (r11): the blockmean fixtures are
+    # DC-only, so their AC scans carry only EOBRUNs — this family plants
+    # deterministic sparse AC coefficients across both spectral bands
+    # (odd magnitudes -> refinement correction bits, magnitude 1 ->
+    # newly-significant at Al=0) so those decode paths execute UNDER THE
+    # BATTERY HASH, not just in the unit property suite. Oracle = the
+    # closed IDCT formula on the shared coefficients (decoder never runs)
+    from dbt_extrica_spark.extensions.jpeg import idct_pixels_ref
+    from dbt_extrica_spark.extensions.multimodal import jpeg_prog_ac_coefs
+
+    for i in range(24):
+        s = int(idct_pixels_ref(jpeg_prog_ac_coefs(i))
+                .astype(np.int64).sum())
+        rows.append(f"({21000 + i}, 16, 16, 1, {s}, TRUE)")
     return (
         "SELECT CAST(media_id AS BIGINT) AS media_id,"
         " CAST(width AS INT) AS width, CAST(height AS INT) AS height,"
@@ -4241,7 +4291,9 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG — multi-scan SOF2 with DC successive approximation, spectral
     AC bands, EOBRUN and AC refinement, same block-constant
     coefficients as the baseline groups so the same closed formulas
-    apply — parsed to actual pixels
+    apply, PLUS (r11) a nonzero-AC family (sparse deterministic AC
+    coefficients, closed-IDCT oracle) so the AC newly-significant and
+    correction-bit paths run in-battery — parsed to actual pixels
     by the pure-numpy decoders inside mapInPandas; exact integer pixel sums verified
     against the generator's closed pixel formula (the oracle never runs
     the decoders, so this is true end-to-end codec verification)."""
@@ -4273,11 +4325,16 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpg_prog_rgb = (multimodal.synthetic_media_jpeg(
         spark, n=24, side=32, color=True, progressive=True)
         .withColumn("media_id", F.col("media_id") + 20000))
+    # nonzero-AC progressive family (r11): sparse AC coefficients ->
+    # AC newly-significant + correction-bit paths execute in-battery
+    jpg_prog_ac = (multimodal.synthetic_media_jpeg_prog_ac(
+        spark, n=24, side=16)
+        .withColumn("media_id", F.col("media_id") + 21000))
     return multimodal.decode_stats(
         ppm.unionByName(bmp).unionByName(png)
         .unionByName(jpg_gray).unionByName(jpg_rgb).unionByName(gif)
         .unionByName(tif).unionByName(jpg_prog_gray)
-        .unionByName(jpg_prog_rgb))
+        .unionByName(jpg_prog_rgb).unionByName(jpg_prog_ac))
 
 
 # resize oracle: nearest-neighbor at 16 -> 8 samples the even source

@@ -142,3 +142,22 @@ def test_pagerank_validates_damping_and_handles_nulls(spark):
     got = {r.id for r in analytics.pagerank(df, "src", "dst",
                                             iterations=1).collect()}
     assert got == {1, 2}
+
+
+def test_pagerank_overflow_guard(spark):
+    """Past the BIGINT bound, non-ANSI Spark sum overflow would WRAP
+    silently and produce wrong ranks — the guard must raise instead
+    (and the error must suggest a workable scale)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                               "src bigint, dst bigint")
+    # 3 nodes * 2^62 * 85 > 2^63 - 1 -> must raise before any iteration
+    with pytest.raises(ValueError, match="overflow"):
+        analytics.pagerank(df, "src", "dst", iterations=1, scale=2**62)
+    # a scale just UNDER the bound still runs (guard is not overbroad):
+    # 3 * 85 * (2^63 // 400) < 2^63 - 1, and the intermediate
+    # damping_pct * inc product fits too
+    ok = analytics.pagerank(df, "src", "dst", iterations=2,
+                            scale=2**63 // 400).collect()
+    assert len(ok) == 3

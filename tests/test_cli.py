@@ -192,6 +192,10 @@ def test_cli_show_debug_run_operation(spark, run_cli, capsys):
     assert rc == 0 and "grants for role admin" in out
     with pytest.raises(SystemExit, match="no operation"):
         run_cli("run-operation", "not_a_thing")
+    # malformed --args names --args in the error, not --vars (the shared
+    # parser previously pointed run-operation users at the wrong flag)
+    with pytest.raises(SystemExit, match=r"--args must be a JSON object"):
+        run_cli("run-operation", "grant_report", "--args", "not json")
 
 
 def test_cli_vars_injection(spark, tmp_path, capsys):

@@ -153,6 +153,26 @@ def test_progressive_jpeg_blockmean_color_420_formula():
         assert np.array_equal(out, J.rgb_blockmean_roundtrip(block))
 
 
+def test_progressive_jpeg_battery_ac_family_bitexact():
+    """The battery's nonzero-AC progressive fixture family (r11): every
+    image must decode bit-for-bit to the closed IDCT of its shared
+    coefficients, and the family must actually carry the AC paths the
+    DC-only blockmean fixtures miss — newly-significant coefficients at
+    Al=0 (|v| == 1) and refinement correction bits (odd |v| >= 3)."""
+    newsig = corr = 0
+    for i in range(24):
+        coefs = mm.jpeg_prog_ac_coefs(i)
+        data = J.encode_jpeg_progressive_coefs(
+            [coefs], 16, 16, [(1, 1)], J.default_progressive_script(1),
+            restart_interval=i % 3)
+        out = J.decode_jpeg_numpy(data)
+        assert out is not None and np.array_equal(out, _idct_ref(coefs))
+        ac = np.abs(coefs.reshape(-1, 64)[:, 1:])
+        newsig += int((ac == 1).sum())
+        corr += int(((ac >= 3) & (ac % 2 == 1)).sum())
+    assert newsig > 0 and corr > 0, (newsig, corr)
+
+
 def test_progressive_jpeg_band_edges_and_all_zero():
     # a lone coefficient at every band boundary, and the all-zero image
     # (maximal EOBRUN): positions are ZIGZAG indices

@@ -2680,3 +2680,44 @@ def test_qdigest_build_merge_quantiles(spark):
 
     with _pytest.raises(Exception, match="outside"):
         sk.qdigest_build(bad, "v", ["g"], k=k, bits=bits).collect()
+
+
+def test_qdigest_heavy_mass_interval_bound(spark):
+    """The q-digest guarantee under HEAVY single-value mass is the rank
+    INTERVAL form: [count(<est), count(<=est)] overlaps q*n ± eps*n. One
+    value holding 50% of the mass makes the naive one-sided gate
+    |count(<=est) - q*n| <= eps*n fail on a CORRECT digest (a leaf count
+    can exceed n/k under duplicates — the r10 ADVICE repro), so this
+    test pins the interval form the battery entry now uses."""
+    import numpy as np
+
+    from dbt_extrica_spark.extensions import sketch as sk
+
+    n_half = 2000
+    vals = np.concatenate([
+        np.full(n_half, 500),                       # 50% mass on one value
+        np.arange(n_half) * 37 % 100000 + 1000,     # spread remainder
+    ])
+    df = spark.createDataFrame([(0, int(v)) for v in vals], "g int, v bigint")
+    k, bits = 256, 17
+    eps = bits / k
+    merged = sk.qdigest_merge(sk.qdigest_build(df, "v", ["g"],
+                                               k=k, bits=bits),
+                              k=k, bits=bits)
+    n = len(vals)
+    assert merged.agg({"cnt": "sum"}).collect()[0][0] == n
+    ests = sk.qdigest_quantiles(merged, [0.25, 0.5], bits=bits)
+    s = np.sort(vals)
+    one_sided_violated = False
+    for q, est in ests.items():
+        lo = int((s < est).sum())
+        hi = int((s <= est).sum())
+        # the interval form — must ALWAYS hold for a correct digest
+        assert lo <= (q + eps) * n + 1, (q, est, lo)
+        assert hi >= (q - eps) * n - 1, (q, est, hi)
+        if abs(hi - q * n) > eps * n + 1:
+            one_sided_violated = True
+    # the repro: at least one estimate sits ON the heavy value, where
+    # count(<=est) jumps by n/2 — the one-sided gate would have flapped
+    assert one_sided_violated, \
+        "expected the heavy value to break the one-sided gate"
