@@ -1,0 +1,134 @@
+"""Golden-plan regression guard (r11 verdict #3).
+
+plan_lint (tools/plan_lint.py) is a point-in-time anti-pattern sweep; this
+test pins POSITIVE plan invariants for the battery's most expensive
+lazy-plan entries so a future edit that silently de-broadcasts a dimension
+join, drops a pushed filter, or adds a stray shuffle fails a TEST instead
+of showing up one round later as a slow bench line.
+
+What is asserted, per entry (node counts from the formatted-explain
+DETAIL section, so each physical node counts once):
+- ``bhj_min``    — at least N BroadcastHashJoins (the dimension chain)
+- ``smj_max``    — at most N SortMergeJoins (0 for all-broadcast plans)
+- ``bnlj_max``   — at most N BroadcastNestedLoopJoins (only the
+  allowlisted bounded exact-reference sides may have one)
+- ``pushed_min`` — at least N scans with NON-EMPTY PushedFilters
+- ``exchange_max`` — at most N shuffle Exchanges (BroadcastExchange is a
+  separate node name and does not count)
+- ``hashagg``    — exact HashAggregate count (2 = one partial/final pair
+  around a single exchange)
+- ``window_min`` — at least N Window nodes
+
+Checked red-path: forcing spark.sql.autoBroadcastJoinThreshold=-1 turns
+q5's five BroadcastHashJoins into SortMergeJoins and MUST trip the
+invariants (test_guard_goes_red_when_broadcasts_forced_off proves the
+guard actually guards).
+
+Deliberately NOT covered here: the checkpoint-heavy pipelines
+(pipeline_clean_corpus, dedup_minhash*, pipeline_pretrain_corpus,
+multimodal_*, streaming_*) return POST-execution plans (LogicalRDD /
+ExistingRDD leaves) whose interesting stages already executed — their
+anti-pattern coverage is plan_lint over the full battery, and their cost
+posture is the scale probes in NEXT.md.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from dbt_extrica_spark import queries as battery
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan_counts(df):
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    nodes = Counter(re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.M))
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    return nodes, pushed
+
+
+# expectations measured at sf0.001 / local[4] / shuffle_partitions=4 — the
+# deterministic test session; thresholds are chosen so host noise can't
+# flip them but a de-broadcast / dropped pushdown / extra shuffle does
+INVARIANTS = {
+    "q1_pricing_summary": dict(pushed_min=1, exchange_max=1, hashagg=2,
+                               smj_max=0),
+    "q5_region_revenue": dict(bhj_min=5, smj_max=0, pushed_min=3,
+                              exchange_max=1),
+    "q7_volume_by_nation_year": dict(bhj_min=2, smj_max=0, pushed_min=3,
+                                     exchange_max=1),
+    "q10_returned_items": dict(bhj_min=3, smj_max=0, pushed_min=3,
+                               exchange_max=1),
+    "q9_product_profit": dict(bhj_min=5, smj_max=0, exchange_max=3),
+    "q2_min_cost_supplier": dict(bhj_min=4, smj_max=0, exchange_max=2,
+                                 window_min=1),
+    "q6_forecast_revenue": dict(pushed_min=1, exchange_max=1, hashagg=2),
+    "q19_disjunctive_brackets": dict(bhj_min=1, bnlj_max=0, pushed_min=2),
+    "q_semi_anti": dict(bhj_min=2, smj_max=0, exchange_max=0),
+    "q_window_rank": dict(bhj_min=1, exchange_max=2, window_min=2),
+    # sessionize: the two windows and the final agg share ONE shuffle
+    "q_sessionize": dict(exchange_max=1, window_min=2),
+    "dedup_exact": dict(exchange_max=1, hashagg=2, smj_max=0),
+    # the exact reference side is the allowlisted bounded BNLJ
+    "ann_cosine_topk": dict(bnlj_max=1, exchange_max=1, window_min=1),
+    "sample_leakage_split": dict(smj_max=1, bnlj_max=0),
+}
+
+
+def _check(nodes, pushed, inv):
+    errs = []
+    if "bhj_min" in inv and nodes["BroadcastHashJoin"] < inv["bhj_min"]:
+        errs.append(f"BroadcastHashJoin {nodes['BroadcastHashJoin']} "
+                    f"< {inv['bhj_min']} (dimension join de-broadcasted?)")
+    if "smj_max" in inv and nodes["SortMergeJoin"] > inv["smj_max"]:
+        errs.append(f"SortMergeJoin {nodes['SortMergeJoin']} "
+                    f"> {inv['smj_max']}")
+    if "bnlj_max" in inv and \
+            nodes["BroadcastNestedLoopJoin"] > inv["bnlj_max"]:
+        errs.append(f"BroadcastNestedLoopJoin "
+                    f"{nodes['BroadcastNestedLoopJoin']} "
+                    f"> {inv['bnlj_max']}")
+    if "pushed_min" in inv and pushed < inv["pushed_min"]:
+        errs.append(f"non-empty PushedFilters scans {pushed} "
+                    f"< {inv['pushed_min']} (pushdown dropped?)")
+    if "exchange_max" in inv and nodes["Exchange"] > inv["exchange_max"]:
+        errs.append(f"shuffle Exchange {nodes['Exchange']} "
+                    f"> {inv['exchange_max']} (stray shuffle added?)")
+    if "hashagg" in inv and nodes["HashAggregate"] != inv["hashagg"]:
+        errs.append(f"HashAggregate {nodes['HashAggregate']} "
+                    f"!= {inv['hashagg']} (partial/final pair broken?)")
+    if "window_min" in inv and nodes["Window"] < inv["window_min"]:
+        errs.append(f"Window {nodes['Window']} < {inv['window_min']}")
+    if nodes["CartesianProduct"]:
+        errs.append("CartesianProduct in plan")
+    return errs
+
+
+@pytest.mark.parametrize("name", sorted(INVARIANTS))
+def test_plan_invariants(spark, name):
+    df = battery.queries()[name](spark, SF_DIR)
+    nodes, pushed = _plan_counts(df)
+    errs = _check(nodes, pushed, INVARIANTS[name])
+    assert not errs, f"{name}: " + "; ".join(errs) + f"\nnodes={dict(nodes)}"
+
+
+def test_guard_goes_red_when_broadcasts_forced_off(spark):
+    """The guard must actually guard: with autoBroadcastJoinThreshold=-1
+    (the silent-de-broadcast failure mode the verdict asked to pin), q5's
+    dimension chain plans as SortMergeJoins and the invariants trip."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = battery.queries()["q5_region_revenue"](spark, SF_DIR)
+        nodes, pushed = _plan_counts(df)
+        errs = _check(nodes, pushed, INVARIANTS["q5_region_revenue"])
+        assert errs, "guard failed to detect forced de-broadcast"
+        assert any("de-broadcasted" in e for e in errs)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
