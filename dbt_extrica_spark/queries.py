@@ -7030,73 +7030,74 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-10 window: (a) ALL 37 entries whose latest driver evidence is r6
-# (tools/freshness.py --stale at round-10 start — the round-9 verdict's
-# rotation demand, met exactly); (b) every entry whose code changed or
-# was added THIS round — ann_ivf_pq_durable (new: the durable-index
-# restart gate), dedup_minhash_incremental / streaming_admission (the
-# band-stamp revalidate flag + quoted-identifier index save touch their
-# probe path); (c) back-fill to 50 with the OLDEST r7-evidence entries.
-# After the r10 file lands no battery entry's latest driver row is older
-# than r7.
-# Rotated OUT (all hold green r9 rows; the full local battery still
-# checks them every run): the r9 window — see COVERAGE.md.
+# Round-11 window: (a) ALL 39 entries whose latest driver evidence is r7
+# (tools/freshness.py --stale at round-11 start — the round-10 verdict's
+# rotation demand, met exactly); (b) every entry whose code changed THIS
+# round — sketch_qdigest_rollup (rank-interval gate), graph_pagerank
+# (overflow guard), multimodal_decode_real (nonzero-AC progressive
+# family), source_json/orc_roundtrip (per-pid tempdir + checkpointed
+# aggregate), ann_ivf_pq_durable (per-pid db location); (c) back-fill to
+# 50 with r8-evidence entries (dedup_minhash + q_sessionize first — the
+# round's adjudication subjects). After the r11 file lands no battery
+# entry's latest driver row is older than r8.
+# Rotated OUT (all hold green r10 rows; the full local battery still
+# checks them every run): the r10 window — see COVERAGE.md.
 # ==========================================================================
 
 _GATED_WINDOW = [
-    # (a) the 37 r6-stale entries
-    "mat_mview_refresh",
-    "mat_view",
-    "project_dag_run",
-    "project_lineage",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "q7_volume_by_nation_year",
-    "q_events_lag",
-    "q_funnel",
-    "q_grouping_sets",
-    "q_json_access",
-    "q_multi_distinct",
-    "q_not_in_null_semantics",
-    "q_percentiles",
-    "q_pivot",
-    "q_rollup",
-    "q_scalar_subquery",
-    "q_semi_anti",
-    "q_setops",
-    "q_setops_all",
-    "q_theta_join",
-    "q_window_navigation",
-    "q_window_rank",
-    "shim_anyvalue_boolor",
-    "shim_arrays",
-    "shim_date_spine_day",
-    "shim_dateadd_trunc",
-    "shim_listagg",
-    "shim_string_fns",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "text_bpe_pretokenize",
-    "text_bpe_train",
-    "text_remove_dup_spans",
-    # (b) code changed / added this round (never-gated entries first)
-    "ann_ivf_pq_durable",
-    "q_cube",
-    "q_unpivot",
+    # (a) the 39 r7-stale entries
+    "catalog_relations",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_keep",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_incremental",
+    "dedup_semantic_kmeans",
+    "dq_checks",
+    "inc_microbatch",
+    "layout_zorder",
+    "multimodal_phash_dedup",
+    "pipeline_pretrain_corpus",
+    "pipeline_text_cluster",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q19_disjunctive_brackets",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q_asof_join",
+    "q_range_join",
+    "quality_classifier_train",
+    "rollup_hypertable",
+    "sample_dsir_weights",
+    "sample_weighted",
+    "seed_types",
+    "streaming_quality_gate",
+    "text_c4_filter",
+    "text_gopher_rules",
+    "text_hash_embed",
+    "text_pack_global",
+    "text_pack_sequences",
+    "text_remove_dup_spans_char",
+    "text_wordlm_logprob",
+    "trino_dialect_model",
+    # (b) code changed this round
+    "sketch_qdigest_rollup",
+    "graph_pagerank",
+    "multimodal_decode_real",  # nonzero-AC progressive family
     "source_json_roundtrip",
     "source_orc_roundtrip",
-    "graph_pagerank",
-    "sketch_qdigest_rollup",
-    "dedup_minhash_incremental",
-    "streaming_admission",
-    "multimodal_decode_real",  # progressive-JPEG groups added
-    # (c) oldest-r7 back-fill
-    "ann_brp_recall",
-    "ann_cosine_topk",
-    "catalog_columns",
+    "ann_ivf_pq_durable",
+    # (c) r8-evidence back-fill
+    "dedup_minhash",
+    "q_sessionize",
+    "ann_ivf_full_probe",
+    "ann_ivf_index_query",
+    "dedup_keep_best",
 ]
 
 
