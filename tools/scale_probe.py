@@ -333,6 +333,41 @@ def main() -> None:
         ).collect()
     out["leakage_split_10x_sec"] = round(time.time() - t0, 2)
 
+    # PageRank at 1x and Nx edge mass (r11 verdict #5): the first battery
+    # op whose shuffle count grows with an iteration parameter — each of
+    # the 3 iterations is one (edges x ranks) equi-join + one partial-agg
+    # sum, so wall must grow AT MOST linearly with edge mass. Wide moduli
+    # (9700 x 8900 node space) keep distinct-edge mass growing with the
+    # replicated rows instead of saturating like the battery's 97 x 89.
+    from dbt_extrica_spark.extensions import analytics, sketch
+
+    for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
+        e = src_tbl.where("l_quantity > 10").selectExpr(
+            "l_orderkey % 9700 AS src", "l_partkey % 8900 AS dst")
+        out[f"pagerank_{tag}_edges"] = e.distinct().count()
+        t0 = time.time()
+        analytics.pagerank(e, "src", "dst", iterations=3).count()
+        out[f"pagerank_{tag}_sec"] = round(time.time() - t0, 2)
+
+    # q-digest rollup at 1x and Nx group count (r11 verdict #5): build is
+    # one applyInPandas pass over groups, merge is node-sum + ONE
+    # sketch-sized recompress — so Nx groups may pay ~Nx in the (linear)
+    # build scan but the merge stays digest-bounded. rep = replica tag
+    # recovered from the shifted orderkeys.
+    for tag, src_tbl, gcols in (("x1", li, ["ym"]),
+                                (f"x{replicas}", li_big, ["ym", "rep"])):
+        vals = src_tbl.selectExpr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+            "date_format(l_shipdate, 'yyyy-MM') AS ym",
+            "CAST(l_orderkey div 10000000 AS INT) AS rep")
+        out[f"qdigest_{tag}_groups"] = \
+            vals.select(*gcols).distinct().count()
+        t0 = time.time()
+        dig = sketch.qdigest_build(vals, "cents", gcols, k=1024, bits=25)
+        merged = sketch.qdigest_merge(dig, k=1024, bits=25)
+        sketch.qdigest_quantiles(merged, [0.5], bits=25)
+        out[f"qdigest_{tag}_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
     spark.stop()
 
