@@ -100,6 +100,11 @@ HEADLINE = [
     "source_json_roundtrip",
     "source_orc_roundtrip",
     "graph_pagerank",
+    # graph_triangles is deliberately NOT here: its fixed 2000-node fold
+    # is density-SATURATED at sf0.1 (14% density, 3.6M triangles), so a
+    # headline line would measure a pathological clique-like graph, not
+    # the operator; realistic-sparsity scaling evidence lives in
+    # tools/scale_probe.py (triangles_x1/x10)
     # ann_ivf_pq_recall / ann_ivf_pq_durable are deliberately NOT here:
     # CONTRACT entries (index build + brute-force ground truth + probe
     # configs), so their wall measures the verification harness, not the

@@ -121,6 +121,92 @@ def retention_cohorts(
     )
 
 
+def triangle_count(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    per_node: bool = False,
+) -> DataFrame:
+    """Distributed triangle counting over an UNDIRECTED graph given as an
+    edge list (direction and duplicates ignored; self-loops dropped) —
+    with connected_components (labeling) and pagerank (ranking) this
+    completes the graph-analytics family: triangles drive clustering
+    coefficients, community density, and spam/bot detection on link
+    graphs.
+
+    Algorithm: degree ORIENTATION (the compact-forward / MPS pattern) —
+    every undirected edge is directed from the endpoint of lower
+    (degree, id) rank to the higher, turning the graph into a DAG where
+    each triangle {a,b,c} appears EXACTLY ONCE as wedge a->b, a->c
+    closed by b->c (a = the rank-minimum). Two self-joins on the
+    oriented edge table count it:
+
+        wedges  = oriented(a,b) JOIN oriented(a,c) ON a, b < c
+        closed  = wedges JOIN oriented(b,c)
+
+    Scale posture: orientation bounds every node's out-degree by
+    O(sqrt(m)) on any graph (high-degree hubs point INTO the wedge
+    apexes, never out), so the wedge join mass is sum(outdeg^2) <=
+    m^1.5 worst-case instead of sum(deg^2) — the standard defense
+    against power-law hubs. The plan is two equi-joins + one aggregate:
+    oriented edges shuffle once on the apex for the wedge join and the
+    closing join is another equi-join on (b, c); no all-pairs, no
+    iteration, no driver state. Exactly SQL-expressible, so the battery
+    entry carries a full-strength oracle (identical SQL on DuckDB).
+
+    ``per_node=False`` returns one row (n_triangles bigint);
+    ``per_node=True`` returns (id, n_triangles) counting each node's
+    incident triangles (sums to 3x the total).
+    """
+    e = (edges.select(F.col(src_col).cast("bigint").alias("u"),
+                      F.col(dst_col).cast("bigint").alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                & (F.col("u") != F.col("v"))))
+    # canonical undirected form, then true degrees
+    und = (e.select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v")).distinct())
+    deg = (und.select(F.col("u").alias("id"))
+           .unionAll(und.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    # orient by (degree, id): lower rank -> higher rank
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, on="u").join(dv, on="v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    # oriented edge a->b carries b's degree so the wedge stage can order
+    # leg pairs by the SAME (deg, id) rank without re-joining degrees
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du"))
+        .alias("db"))
+    # each unordered leg pair {b, c} is emitted ONCE with b ranked below
+    # c — exactly the direction of the oriented closing edge b->c, so the
+    # closing equi-join sees each candidate triangle once
+    o1 = oriented.select("a", "b", "db")
+    o2 = oriented.select("a", F.col("b").alias("c"),
+                         F.col("db").alias("dc"))
+    rank_lt = (F.col("db") < F.col("dc")) | (
+        (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    wedges = o1.join(o2, on="a").where(rank_lt).select("a", "b", "c")
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        on=["b", "c"])
+    if not per_node:
+        return closed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    stacked = (closed.select(F.col("a").alias("id"))
+               .unionAll(closed.select(F.col("b").alias("id")))
+               .unionAll(closed.select(F.col("c").alias("id"))))
+    return (deg.select("id").join(
+        stacked.groupBy("id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triangles")),
+        on="id", how="left")
+        .select("id", F.coalesce("n_triangles", F.lit(0))
+                .cast("bigint").alias("n_triangles")))
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str,

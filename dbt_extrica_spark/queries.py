@@ -606,6 +606,55 @@ def sketch_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# triangle gate: the operator counts via degree ORIENTATION (each edge
+# directed low-(deg,id)-rank -> high, wedges closed by one equi-join);
+# the oracle counts the SAME value through the canonical-id-order
+# 3-way join (a<b<c appears once as (a,b),(a,c),(b,c)) — two
+# independent derivations of an exact integer, so a full-strength
+# oracle for a non-iterative graph op. The folded lineitem graph uses
+# ONE modulus so src/dst share a node space and real triangles form.
+_TRI_EDGES = ("SELECT l_orderkey % 2000 AS u, l_partkey % 2000 AS v "
+              "FROM lineitem WHERE l_quantity > 25")
+
+_TRI_DUCK = f"""
+WITH raw AS ({_TRI_EDGES}),
+und AS (
+  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+  FROM raw WHERE u <> v),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST(3 * COUNT(*) AS BIGINT) AS n_incident
+FROM tri
+"""
+
+
+@q("graph_triangles", _TRI_DUCK)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (analytics.triangle_count,
+    degree-oriented wedge join): total triangles must equal the
+    oracle's canonical-order 3-way self-join exactly, and the per-node
+    mode must distribute exactly 3 incidences per triangle."""
+    from .extensions import analytics
+
+    _views(spark, sf_dir)
+    # canonicalize ONCE and checkpoint: both operator modes and the edge
+    # count read the reified edge set instead of re-scanning lineitem
+    und = (spark.sql(_TRI_EDGES).where("u <> v")
+           .selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
+           .distinct().localCheckpoint(eager=True))
+    tri = analytics.triangle_count(und, "u", "v")
+    n_e = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    incident = (analytics.triangle_count(und, "u", "v", per_node=True)
+                .agg(F.sum("n_triangles").cast("bigint")
+                     .alias("n_incident")))
+    return n_e.crossJoin(tri).crossJoin(incident)
+
+
 @q("graph_pagerank", _pagerank_duck(3))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (analytics.pagerank): 3 integer-arithmetic
@@ -7085,7 +7134,8 @@ _GATED_WINDOW = [
     "text_remove_dup_spans_char",
     "text_wordlm_logprob",
     "trino_dialect_model",
-    # (b) code changed this round
+    # (b) code changed / added this round
+    "graph_triangles",  # NEW: degree-oriented triangle counting
     "sketch_qdigest_rollup",
     "graph_pagerank",
     "multimodal_decode_real",  # nonzero-AC progressive family
@@ -7097,7 +7147,6 @@ _GATED_WINDOW = [
     "q_sessionize",
     "ann_ivf_full_probe",
     "ann_ivf_index_query",
-    "dedup_keep_best",
 ]
 
 

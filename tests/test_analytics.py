@@ -144,6 +144,60 @@ def test_pagerank_validates_damping_and_handles_nulls(spark):
     assert got == {1, 2}
 
 
+def test_triangle_count_known_graphs(spark):
+    def count(edges):
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return analytics.triangle_count(df, "src", "dst") \
+            .collect()[0].n_triangles
+
+    # K4: 4 triangles; C5 (5-cycle): 0; two triangles sharing edge (1,2)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert count(k4) == 4
+    assert count([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]) == 0
+    assert count([(1, 2), (2, 3), (3, 1), (1, 4), (4, 2)]) == 2
+    # direction, duplicates and self-loops are ignored
+    assert count([(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]) == 1
+
+
+def test_triangle_count_matches_pure_python_replay(spark):
+    # deterministic pseudo-random graph (md5-derived endpoints: 21
+    # nodes, 84 distinct edges, 88 triangles); brute-force O(n^3) replay
+    import hashlib
+
+    edges = []
+    for i in range(120):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        edges.append((int(h[:4], 16) % 21, int(h[4:8], 16) % 21))
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = analytics.triangle_count(df, "src", "dst") \
+        .collect()[0].n_triangles
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    expected = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:] if b in adj[a]
+        for c in nodes if c > b and c in adj[a] and c in adj[b])
+    assert got == expected and expected > 0
+
+    # per-node mode: every node accounted for, incidences sum to 3x
+    per = {r.id: r.n_triangles
+           for r in analytics.triangle_count(
+               df, "src", "dst", per_node=True).collect()}
+    assert set(per) == set(nodes)
+    assert sum(per.values()) == 3 * expected
+    # spot-check one node against the replay
+    some = nodes[0]
+    exp_node = sum(
+        1 for i, b in enumerate(sorted(adj[some]))
+        for c in sorted(adj[some])[i + 1:] if c in adj[b])
+    assert per[some] == exp_node
+
+
 def test_pagerank_overflow_guard(spark):
     """Past the BIGINT bound, non-ANSI Spark sum overflow would WRAP
     silently and produce wrong ranks — the guard must raise instead

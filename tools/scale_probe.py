@@ -349,6 +349,23 @@ def main() -> None:
         analytics.pagerank(e, "src", "dst", iterations=3).count()
         out[f"pagerank_{tag}_sec"] = round(time.time() - t0, 2)
 
+    # triangle counting at 1x and Nx edge mass AT CONSTANT DENSITY
+    # (r11): the node-space modulus scales with the replicas (prime, so
+    # the 10M replica key shift never aliases) — this is how real link
+    # graphs grow, and it isolates the degree-oriented wedge join's
+    # growth with edge mass (its one quadratic-looking stage, bounded by
+    # orientation to sum(outdeg^2) <= m^1.5). A FIXED node space would
+    # densify ~N^3 in triangle output and measure the corpus, not the
+    # operator (measured: 992x triangles at 10x edges on fixed nodes).
+    for tag, src_tbl, mod in (("x1", li, 19997),
+                              (f"x{replicas}", li_big, 199999)):
+        e = src_tbl.where("l_quantity > 10").selectExpr(
+            f"l_orderkey % {mod} AS u", f"l_partkey % {mod} AS v")
+        t0 = time.time()
+        row = analytics.triangle_count(e, "u", "v").collect()[0]
+        out[f"triangles_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"triangles_{tag}_count"] = int(row.n_triangles)
+
     # q-digest rollup at 1x and Nx group count (r11 verdict #5): build is
     # one applyInPandas pass over groups, merge is node-sum + ONE
     # sketch-sized recompress — so Nx groups may pay ~Nx in the (linear)
