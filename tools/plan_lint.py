@@ -85,6 +85,11 @@ BNLJ_OK = {
                                  # the crossJoin of 1-row aggregates
                                  # (n, mass, three rank counts); the
                                  # sketch itself is groupBy+applyInPandas
+    "graph_triangles",           # r11 contract: BNLJ is the crossJoin of
+                                 # 1-row aggregates (n_edges, total,
+                                 # per-node incidence sum); the counting
+                                 # itself is two equi-joins on apex and
+                                 # (b, c)
 }
 
 
