@@ -100,6 +100,8 @@ HEADLINE = [
     "source_json_roundtrip",
     "source_orc_roundtrip",
     "graph_pagerank",
+    # round 11 addition: mergeable MG heavy hitters (full corpus, ~2s)
+    "sketch_heavy_hitters",
     # graph_triangles is deliberately NOT here: its fixed 2000-node fold
     # is density-SATURATED at sf0.1 (14% density, 3.6M triangles), so a
     # headline line would measure a pathological clique-like graph, not

@@ -98,6 +98,88 @@ def hll_rollup(df: DataFrame, group_cols: list[str], value_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries: DETERMINISTIC mergeable heavy-hitters summary (Misra &
+# Gries '82; mergeability per Agarwal et al., "Mergeable Summaries",
+# PODS'12) — completes the mergeable-sketch family (CMS: frequencies,
+# HLL: distincts, q-digest: quantiles, MG: heavy hitters).
+#
+# This implementation is the ORDER-FREE equivalent of the streaming
+# algorithm: per group, exact token counts are truncated to the top k by
+# subtracting the (k+1)-th largest count (ties broken by token, so the
+# summary is bit-replayable on any cluster layout and reproducible in
+# any SQL engine — which is what makes the DuckDB oracle possible).
+# Guarantees, with D = the sum of every decrement applied along the
+# build/merge chain: 0 <= exact - est <= D for every token (est = 0 when
+# absent), and D <= n/(k+1) because each group's decrement is its
+# (k+1)-th largest count <= n_group/(k+1). Hence every token with
+# exact > n/(k+1) SURVIVES the merge — the classic MG guarantee.
+#
+# Shape at 100 TB: the per-group count is one partial-aggregated shuffle
+# (map-side combine does the heavy lifting) + one window over the SAME
+# partitioning (no second exchange); the merge input is summaries
+# (<= k rows per group, never data), so the single-task merge window is
+# sketch-sized — the q-digest-merge shape.
+# ---------------------------------------------------------------------------
+
+def _mg_truncate(counts: DataFrame, token_col: str,
+                 group_cols: list[str], k: int):
+    """Shared truncate-to-k: rank per group by (cnt desc, token), subtract
+    the (k+1)-th largest. Returns (summary, stats) where stats is ONE row
+    (dec = sum of per-group decrements, n = total count mass)."""
+    from pyspark.sql import Window
+
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("cnt").desc(), F.col(token_col).asc())
+        wg = Window.partitionBy(*group_cols)
+    else:
+        w = Window.orderBy(F.col("cnt").desc(), F.col(token_col).asc())
+        wg = Window.partitionBy(F.lit(1))
+    ranked = (counts.withColumn("rn", F.row_number().over(w))
+              .withColumn("ck1", F.max(
+                  F.when(F.col("rn") == k + 1, F.col("cnt"))
+                  .otherwise(F.lit(0))).over(wg)))
+    summary = (ranked
+               .where((F.col("rn") <= k) & (F.col("cnt") > F.col("ck1")))
+               .select(*group_cols, token_col,
+                       (F.col("cnt") - F.col("ck1")).cast("bigint")
+                       .alias("est")))
+    stats = ranked.agg(
+        F.coalesce(F.sum(F.when(F.col("rn") == k + 1, F.col("cnt"))),
+                   F.lit(0)).cast("bigint").alias("dec"),
+        F.sum("cnt").cast("bigint").alias("n"))
+    return summary, stats
+
+
+def mg_build(df: DataFrame, token_col: str, group_cols: list[str],
+             k: int = 64, return_stats: bool = False):
+    """Per-group Misra-Gries summary: (group..., token, est bigint) with
+    at most k rows per group, est = exact_in_group - (k+1)-th largest
+    count (dropped when <= 0). Deterministic: count ties are broken by
+    token ascending. ``return_stats=True`` additionally returns a 1-row
+    (dec, n) DataFrame — the build stage's total decrement and the total
+    count mass — computed from the SAME ranked pass (no re-scan)."""
+    counts = (df.groupBy(*group_cols, token_col)
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    summary, stats = _mg_truncate(counts, token_col, group_cols, k)
+    return (summary, stats) if return_stats else summary
+
+
+def mg_merge(summaries: DataFrame, token_col: str, k: int = 64,
+             return_stats: bool = False):
+    """Merge per-group MG summaries into ONE (token, est) summary:
+    token-wise est sum, then one truncate-to-k with the same decrement
+    rule. The input is sketch-sized (<= k rows per group), so the
+    single-partition window is a bounded task — the q-digest /
+    HLL-rollup merge shape, never data-sized. ``return_stats=True``
+    additionally returns the merge stage's 1-row (dec, n)."""
+    summed = (summaries.groupBy(token_col)
+              .agg(F.sum("est").cast("bigint").alias("cnt")))
+    summary, stats = _mg_truncate(summed, token_col, [], k)
+    return (summary, stats) if return_stats else summary
+
+
+# ---------------------------------------------------------------------------
 # Q-digest: DETERMINISTIC mergeable quantile sketch (Shrivastava et al.,
 # SenSys'04) — completes the mergeable-sketch family (CMS: frequencies,
 # HLL: distincts, q-digest: quantiles). Unlike KLL/t-digest it uses no

@@ -606,6 +606,97 @@ def sketch_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Misra-Gries heavy-hitters gate: the summary is DETERMINISTIC (count
+# ties broken by token), so the same per-shard build + merge algorithm
+# written in plain SQL reproduces the merged summary's every (token,
+# est) row bit-for-bit — a full-strength oracle for a sketch. The
+# dec_total / bound_ok columns additionally pin the classic MG
+# guarantee: total undercount D satisfies D*(k+1) <= n, so any token
+# with exact count > n/(k+1) must survive the merge.
+_MG_K = 64
+_MG_DUCK = rf"""
+WITH toks AS (
+  SELECT shard, token FROM (
+    SELECT doc_id % 8 AS shard,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE length(token) > 0
+), counts AS (
+  SELECT shard, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY shard, token
+), ranked AS (
+  SELECT shard, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, token) AS rn
+  FROM counts
+), ck AS (
+  SELECT shard, MAX(CASE WHEN rn = {_MG_K + 1} THEN cnt ELSE 0 END) AS ck1
+  FROM ranked GROUP BY shard
+), summ AS (
+  SELECT r.token, r.cnt - c.ck1 AS est
+  FROM ranked r JOIN ck c USING (shard)
+  WHERE r.rn <= {_MG_K} AND r.cnt > c.ck1
+), merged AS (
+  SELECT token, CAST(SUM(est) AS BIGINT) AS cnt FROM summ GROUP BY token
+), mranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+  FROM merged
+), mck AS (
+  SELECT MAX(CASE WHEN rn = {_MG_K + 1} THEN cnt ELSE 0 END) AS ck1
+  FROM mranked
+), final AS (
+  SELECT token, CAST(cnt - ck1 AS BIGINT) AS est
+  FROM mranked, mck WHERE rn <= {_MG_K} AND cnt > ck1
+), dec_build AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN rn = {_MG_K + 1} THEN cnt END), 0)
+         AS BIGINT) AS d
+  FROM ranked
+), dec_merge AS (
+  SELECT CAST(MAX(CASE WHEN rn = {_MG_K + 1} THEN cnt ELSE 0 END)
+         AS BIGINT) AS d
+  FROM mranked
+), n_tok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+SELECT f.token, f.est,
+       CAST(db.d + dm.d AS BIGINT) AS dec_total,
+       (db.d + dm.d) * {_MG_K + 1} <= n AS bound_ok
+FROM final f, dec_build db, dec_merge dm, n_tok
+"""
+
+
+@q("sketch_heavy_hitters", _MG_DUCK)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy hitters (sketch.mg_build/mg_merge):
+    per-shard summaries truncated to k=64 counters, merged to one corpus
+    summary — every merged (token, est) row must match the oracle's SQL
+    replay exactly, and the total decrement must respect the MG bound
+    D*(k+1) <= n (so tokens above n/(k+1) are guaranteed present)."""
+    from .extensions import sketch
+
+    _views(spark, sf_dir)
+    toks = (spark.table("documents")
+            .select((F.col("doc_id") % 8).alias("shard"),
+                    F.explode(F.expr("split(trim(lower(text)), '\\\\s+')"))
+                    .alias("token"))
+            .where(F.length("token") > 0))
+    summ, bstats = sketch.mg_build(toks, "token", ["shard"], k=_MG_K,
+                                   return_stats=True)
+    final, mstats = sketch.mg_merge(summ, "token", k=_MG_K,
+                                    return_stats=True)
+    # one counts pass feeds summary + build stats; merge stats come from
+    # the sketch-sized merge input — no re-scan of the token stream
+    return (final
+            .crossJoin(bstats.select(F.col("dec").alias("db"),
+                                     F.col("n").alias("n")))
+            .crossJoin(mstats.select(F.col("dec").alias("dm")))
+            .select(
+                "token", "est",
+                (F.col("db") + F.col("dm")).cast("bigint")
+                .alias("dec_total"),
+                (((F.col("db") + F.col("dm")) * (_MG_K + 1))
+                 <= F.col("n")).alias("bound_ok")))
+
+
 # triangle gate: the operator counts via degree ORIENTATION (each edge
 # directed low-(deg,id)-rank -> high, wedges closed by one equi-join);
 # the oracle counts the SAME value through the canonical-id-order
@@ -7136,6 +7227,7 @@ _GATED_WINDOW = [
     "trino_dialect_model",
     # (b) code changed / added this round
     "graph_triangles",  # NEW: degree-oriented triangle counting
+    "sketch_heavy_hitters",  # NEW: mergeable Misra-Gries summary
     "sketch_qdigest_rollup",
     "graph_pagerank",
     "multimodal_decode_real",  # nonzero-AC progressive family
@@ -7146,7 +7238,6 @@ _GATED_WINDOW = [
     "dedup_minhash",
     "q_sessionize",
     "ann_ivf_full_probe",
-    "ann_ivf_index_query",
 ]
 
 

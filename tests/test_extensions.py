@@ -2682,6 +2682,96 @@ def test_qdigest_build_merge_quantiles(spark):
         sk.qdigest_build(bad, "v", ["g"], k=k, bits=bits).collect()
 
 
+def _mg_replay(counts_by_group: dict, k: int):
+    """Pure-python replay of the order-free MG build+merge (truncate by
+    the (k+1)-th largest, ties by token)."""
+    def truncate(counts):
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        ck1 = items[k][1] if len(items) > k else 0
+        dec = ck1
+        return ({t: c - ck1 for t, c in items[:k] if c > ck1}, dec)
+
+    summaries, dec_total = [], 0
+    for g in sorted(counts_by_group):
+        s, d = truncate(counts_by_group[g])
+        summaries.append(s)
+        dec_total += d
+    merged: dict = {}
+    for s in summaries:
+        for t, c in s.items():
+            merged[t] = merged.get(t, 0) + c
+    final, d = truncate(merged)
+    return final, dec_total + d
+
+
+def test_misra_gries_matches_replay_and_guarantee(spark):
+    """mg_build/mg_merge vs a pure-python replay, plus the MG guarantee:
+    0 <= exact - est <= dec_total for every token, dec_total*(k+1) <= n,
+    and every token with exact > dec_total survives the merge."""
+    import numpy as np
+
+    from dbt_extrica_spark.extensions import sketch as sk
+
+    rng = np.random.RandomState(7)
+    k = 8
+    rows, counts_by_group, exact = [], {}, {}
+    vocab = [f"w{j}" for j in range(60)]
+    for g in range(4):
+        counts_by_group[g] = {}
+        # zipf-ish counts so some tokens are genuinely heavy
+        for j, t in enumerate(vocab):
+            c = int(rng.randint(0, 4) * (40 // (j + 1) + 1))
+            if c:
+                counts_by_group[g][t] = c
+                exact[t] = exact.get(t, 0) + c
+                rows += [(g, t)] * c
+    df = spark.createDataFrame(rows, "shard int, token string")
+    summ, bstats = sk.mg_build(df, "token", ["shard"], k=k,
+                               return_stats=True)
+    final, mstats = sk.mg_merge(summ, "token", k=k, return_stats=True)
+    got = {r.token: r.est for r in final.collect()}
+    brow, mrow = bstats.collect()[0], mstats.collect()[0]
+    dec_total = brow.dec + mrow.dec
+    n = brow.n
+
+    exp_final, exp_dec = _mg_replay(counts_by_group, k)
+    assert got == exp_final
+    assert dec_total == exp_dec
+    assert n == len(rows)
+    # guarantees
+    assert dec_total * (k + 1) <= n
+    for t, c in exact.items():
+        est = got.get(t, 0)
+        assert 0 <= c - est <= dec_total, (t, c, est, dec_total)
+        if c > dec_total:
+            assert t in got, f"heavy hitter {t} missing"
+    # per-group summary size cap + determinism of a rebuild
+    sizes = {r.shard: 0 for r in summ.collect()}
+    for r in summ.collect():
+        sizes[r.shard] += 1
+    assert all(v <= k for v in sizes.values())
+    again = {(r.shard, r.token): r.est
+             for r in sk.mg_build(df, "token", ["shard"], k=k).collect()}
+    assert again == {(r.shard, r.token): r.est for r in summ.collect()}
+
+
+def test_misra_gries_small_groups_exact(spark):
+    """Groups with <= k distinct tokens truncate nothing: the summary IS
+    the exact count table and the merge of one group is exact too."""
+    from dbt_extrica_spark.extensions import sketch as sk
+
+    rows = [(0, "a")] * 5 + [(0, "b")] * 3 + [(0, "c")]
+    df = spark.createDataFrame(rows, "shard int, token string")
+    summ, stats = sk.mg_build(df, "token", ["shard"], k=8,
+                              return_stats=True)
+    assert {r.token: r.est for r in summ.collect()} == \
+        {"a": 5, "b": 3, "c": 1}
+    assert stats.collect()[0].dec == 0
+    merged = sk.mg_merge(summ, "token", k=8)
+    assert {r.token: r.est for r in merged.collect()} == \
+        {"a": 5, "b": 3, "c": 1}
+
+
 def test_qdigest_heavy_mass_interval_bound(spark):
     """The q-digest guarantee under HEAVY single-value mass is the rank
     INTERVAL form: [count(<est), count(<=est)] overlaps q*n ± eps*n. One
