@@ -48,3 +48,68 @@ def zorder_sort(df: DataFrame, cols: list[str], bits: int = 16,
     parted = (keyed.repartitionByRange(num_partitions, key_col)
               if num_partitions else keyed.repartitionByRange(key_col))
     return parted.sortWithinPartitions(key_col)
+
+
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def data_file_count(spark, path: str) -> int:
+    """Number of data files (part-*) under a dataset directory, via the
+    Hadoop FileSystem API — works on any Spark-supported FS, not just
+    the local one."""
+    fs, jpath = _fs_for(spark, path)
+    return sum(1 for st in fs.listStatus(jpath)
+               if st.getPath().getName().startswith("part-"))
+
+
+def compact_files(spark, path: str, format: str = "parquet",
+                  target_rows_per_file: int | None = None,
+                  target_files: int | None = None,
+                  sort_cols: list[str] | None = None) -> dict:
+    """Small-files compaction — the table-maintenance pass (Delta
+    OPTIMIZE / Iceberg rewrite_data_files) a 100 TB warehouse runs
+    continuously: streaming ingest and fine-grained incremental writes
+    leave datasets as thousands of tiny files, and every downstream scan
+    then pays per-file open/footer/driver-listing costs that dwarf the
+    data read.
+
+    Rewrites the dataset at ``path`` into ``target_files`` files (or
+    ceil(rows / target_rows_per_file)); with ``sort_cols`` the rewrite
+    range-partitions on those columns so zone maps stay tight (compose
+    with zorder_sort upstream for multi-dimensional locality), otherwise
+    it round-robin repartitions for even file sizes. The rewrite lands
+    in a sibling temp directory first and swaps in via the Hadoop
+    FileSystem API (delete + rename — the object-store-safe pattern;
+    readers mid-swap see the old or new listing, never a mix of file
+    generations, because the swap replaces the whole directory).
+
+    Returns {"rows", "files_before", "files_after"}; driver state is
+    metadata-only (one count, one listing). At 100 TB, run per
+    partition-directory rather than whole-table."""
+    if (target_rows_per_file is None) == (target_files is None):
+        raise ValueError(
+            "pass exactly one of target_rows_per_file / target_files")
+    df = spark.read.format(format).load(path)
+    n = df.count()
+    files_before = data_file_count(spark, path)
+    n_files = (int(target_files) if target_files is not None
+               else max(1, -(-n // int(target_rows_per_file))))
+    out = (df.repartitionByRange(n_files, *sort_cols)
+           .sortWithinPartitions(*sort_cols)
+           if sort_cols else df.repartition(n_files))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    fs, jpath = _fs_for(spark, path)
+    _, jtmp = _fs_for(spark, tmp)
+    fs.delete(jtmp, True)
+    out.write.mode("overwrite").format(format).save(tmp)
+    if not fs.delete(jpath, True):
+        raise IOError(f"compact_files: could not remove {path}")
+    if not fs.rename(jtmp, jpath):
+        raise IOError(
+            f"compact_files: rename {tmp} -> {path} failed; "
+            f"the compacted data is intact at {tmp}")
+    return {"rows": int(n), "files_before": int(files_before),
+            "files_after": data_file_count(spark, path)}

@@ -606,6 +606,56 @@ def sketch_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# compaction gate: the data-integrity half is the same aggregate the
+# source-roundtrip entries use (every doc id, char count and text byte
+# under the hash — one lost/duplicated row or mangled value anywhere in
+# the rewrite+swap breaks it); the file-count half is a contract
+# (64 fragments -> exactly 4 files, fewer than before).
+_COMPACT_DUCK = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum,
+       TRUE AS fewer_files, TRUE AS target_met
+FROM documents GROUP BY lang, source
+"""
+
+
+@q("layout_compaction", _COMPACT_DUCK)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (layout.compact_files): documents written
+    as 64 fragments, compacted to 4 range-partitioned files via the
+    Hadoop-FS rewrite+swap; the re-read data must aggregate identically
+    to the source (integrity) and the file counts must hit the target
+    (maintenance contract)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .extensions import layout
+
+    _views(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_compact_docs_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.table("documents").repartition(64) \
+        .write.mode("overwrite").parquet(path)
+    stats = layout.compact_files(spark, path, target_files=4,
+                                 sort_cols=["doc_id"])
+    back = spark.read.parquet(path)
+    back.createOrReplaceTempView("docs_compacted")
+    res = spark.sql(
+        _SRC_ROUNDTRIP_AGG.format(tbl="docs_compacted")).select(
+        "*",
+        F.lit(stats["files_after"] < stats["files_before"])
+        .alias("fewer_files"),
+        F.lit(stats["files_after"] == 4).alias("target_met"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return res
+
+
 # Misra-Gries heavy-hitters gate: the summary is DETERMINISTIC (count
 # ties broken by token), so the same per-shard build + merge algorithm
 # written in plain SQL reproduces the merged summary's every (token,
@@ -7228,6 +7278,7 @@ _GATED_WINDOW = [
     # (b) code changed / added this round
     "graph_triangles",  # NEW: degree-oriented triangle counting
     "sketch_heavy_hitters",  # NEW: mergeable Misra-Gries summary
+    "layout_compaction",  # NEW: small-files rewrite+swap maintenance
     "sketch_qdigest_rollup",
     "graph_pagerank",
     "multimodal_decode_real",  # nonzero-AC progressive family
@@ -7237,7 +7288,6 @@ _GATED_WINDOW = [
     # (c) r8-evidence back-fill
     "dedup_minhash",
     "q_sessionize",
-    "ann_ivf_full_probe",
 ]
 
 

@@ -2131,6 +2131,49 @@ def test_zorder_sort_clusters_quadrants(spark):
     assert keys == sorted(keys)
 
 
+def test_compact_files_roundtrip_and_counts(spark, tmp_path):
+    from dbt_extrica_spark.extensions import layout
+
+    path = str(tmp_path / "frag")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "id bigint, val string")
+    df.repartition(16).write.parquet(path)
+    assert layout.data_file_count(spark, path) == 16
+
+    stats = layout.compact_files(spark, path, target_files=2,
+                                 sort_cols=["id"])
+    assert stats == {"rows": 1000, "files_before": 16, "files_after": 2}
+    assert layout.data_file_count(spark, path) == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert {(r.id, r.val) for r in back.collect()} == \
+        {(i, f"v{i}") for i in range(1000)}
+    # sort_cols rewrite: each file owns a contiguous id range (tight
+    # zone maps) — file-level min/max ranges must not overlap
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    ranges = []
+    for f in _glob.glob(path + "/part-*"):
+        t = _pq.read_table(f, columns=["id"])["id"].to_pylist()
+        ranges.append((min(t), max(t)))
+    ranges.sort()
+    assert ranges[0][1] < ranges[1][0]
+
+    # rows-per-file arithmetic + argument validation
+    import pytest
+
+    stats2 = layout.compact_files(spark, path,
+                                  target_rows_per_file=300)
+    assert stats2["files_after"] == 4  # ceil(1000 / 300)
+    with pytest.raises(ValueError, match="exactly one"):
+        layout.compact_files(spark, path)
+    with pytest.raises(ValueError, match="exactly one"):
+        layout.compact_files(spark, path, target_files=2,
+                             target_rows_per_file=10)
+
+
 def test_zorder_prunes_more_rowgroups_than_linear_sort(spark, tmp_path):
     from dbt_extrica_spark.extensions import layout
     import pyarrow.parquet as pq
