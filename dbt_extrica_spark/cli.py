@@ -295,6 +295,84 @@ def _cmd_run_operation(engine: Engine, mod, args) -> int:
     return 0
 
 
+def _model_fingerprint(m) -> str:
+    """Content hash of a model for state comparison: SQL text (or the
+    DataFrame builder's SOURCE — a logic edit changes the hash; an
+    unreadable builder falls back to its qualname, so only renames are
+    detected for C-level callables) + the canonicalized config."""
+    import hashlib
+    import inspect
+
+    if m.sql is not None:
+        body = m.sql
+    elif m.df_builder is not None:
+        try:
+            body = inspect.getsource(m.df_builder)
+        except (OSError, TypeError):
+            body = f"<builder:{getattr(m.df_builder, '__qualname__', '')}>"
+    else:
+        body = ""
+    cfg = json.dumps(m.config, sort_keys=True, default=str)
+    return hashlib.md5(
+        f"{body}\n--config--\n{cfg}".encode("utf-8")).hexdigest()
+
+
+def _manifest_path(target_dir: str) -> str:
+    return os.path.join(target_dir, "manifest.json")
+
+
+def _save_manifest(project, args) -> None:
+    """Write target/manifest.json (the dbt state artifact): one content
+    hash per model, the input to --state + state:modified selection."""
+    os.makedirs(args.target_dir, exist_ok=True)
+    doc = {"models": {m.name: {"hash": _model_fingerprint(m)}
+                      for m in project.models}}
+    with open(_manifest_path(args.target_dir), "w", encoding="utf-8") as f:
+        json.dump(doc, f, indent=1)
+
+
+def _resolve_state_selectors(project, select: list[str],
+                             args) -> list[str]:
+    """Expand dbt ``state:modified`` / ``state:new`` selector specs
+    (with optional +prefix/suffix graph operators) into concrete model
+    names by comparing fingerprints against the manifest in --state —
+    the slim-CI workflow (`dbt run --select state:modified+ --state
+    prod-artifacts/`). Non-state specs pass through untouched. May
+    return an EMPTY list: state selection legitimately matches nothing
+    when no model changed."""
+    if not any("state:" in s for s in select):
+        return select
+    if not args.state:
+        raise SystemExit("state:... selectors need --state <dir holding "
+                         "a prior manifest.json>")
+    path = _manifest_path(args.state)
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"no manifest at {path!r} — run `run`/`build` with "
+            f"--target-dir {args.state!r} first to record state")
+    with open(path, encoding="utf-8") as f:
+        old = json.load(f).get("models", {})
+    out = []
+    for spec in select:
+        core = spec.strip("+")
+        if not core.startswith("state:"):
+            out.append(spec)
+            continue
+        pre = "+" if spec.startswith("+") else ""
+        post = "+" if spec.endswith("+") else ""
+        method = core.split(":", 1)[1]
+        if method not in ("modified", "new"):
+            raise SystemExit(f"unsupported state method {core!r} "
+                             f"(supported: state:modified, state:new)")
+        for m in project.models:
+            is_new = m.name not in old
+            hit = is_new if method == "new" else (
+                is_new or old[m.name].get("hash") != _model_fingerprint(m))
+            if hit:
+                out.append(pre + m.name + post)
+    return out
+
+
 def _run_results_path(args) -> str:
     return os.path.join(args.target_dir, "run_results.json")
 
@@ -438,6 +516,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="show: number of preview rows (default 5)")
     p.add_argument("--args", dest="op_args", default=None,
                    help="run-operation: JSON object of keyword arguments")
+    p.add_argument("--state", default=None,
+                   help="directory holding a prior manifest.json; enables "
+                        "state:modified / state:new selectors (dbt "
+                        "--state)")
     return p
 
 
@@ -475,6 +557,15 @@ def main(argv: list[str] | None = None,
     engine = Engine(spark, schema=schema, warehouse_dir=wh)
     if sf_dir:
         engine.register_sources(sf_dir)
+    if args.select:
+        args.select = _resolve_state_selectors(project, args.select, args)
+        if not args.select:
+            # dbt's behavior: state selection matching nothing is a
+            # successful no-op, NOT "no selector -> run everything"
+            print("Nothing to do: state selector matched no models")
+            if own_session:
+                spark.stop()
+            return 0
     try:
         if args.command == "seed":
             sel = set(args.select) if args.select else None
@@ -502,6 +593,11 @@ def main(argv: list[str] | None = None,
         return _cmd_build(engine, mod, project, args,
                           retry=args.command == "retry")
     finally:
+        # record state for future --state comparisons (dbt writes the
+        # manifest on every compile/run/build invocation)
+        if args.command in ("run", "build", "retry", "snapshot",
+                            "compile"):
+            _save_manifest(project, args)
         if own_session:
             spark.stop()
 

@@ -198,6 +198,77 @@ def test_cli_show_debug_run_operation(spark, run_cli, capsys):
         run_cli("run-operation", "grant_report", "--args", "not json")
 
 
+def test_cli_state_modified_selection(spark, tmp_path, capsys):
+    """dbt slim-CI: --state <artifacts> + state:modified/state:new.
+    Unchanged project -> no-op; an edited model is selected (with +
+    operators expanding through the graph); a brand-new model shows
+    under state:new."""
+    from dbt_extrica_spark import cli
+
+    proj = tmp_path / "proj.py"
+
+    def write_project(base_sql: str, extra: str = ""):
+        proj.write_text(f'''
+from dbt_extrica_spark import Model
+schema = "state_demo"
+models = [
+    Model("base", sql="{base_sql}",
+          config={{"materialized": "table"}}),
+    Model("downstream", sql="SELECT x + 1 AS y FROM {{ref:base}}",
+          config={{"materialized": "table"}}),
+{extra}]
+''')
+
+    def run(*argv):
+        return cli.main(list(argv) + ["--project", str(proj),
+                                      "--target-dir", str(tmp_path)],
+                        spark=spark)
+
+    try:
+        write_project("SELECT 1 AS x")
+        assert run("run") == 0
+        assert (tmp_path / "manifest.json").exists()
+        capsys.readouterr()
+
+        # unchanged -> state:modified matches nothing, successful no-op
+        rc = run("run", "--select", "state:modified",
+                 "--state", str(tmp_path))
+        out = capsys.readouterr().out
+        assert rc == 0 and "Nothing to do" in out
+
+        # edit base -> state:modified+ selects base AND its descendant
+        write_project("SELECT 2 AS x")
+        rc = run("run", "--select", "state:modified+",
+                 "--state", str(tmp_path))
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "base" in out and "downstream" in out
+        assert spark.sql("SELECT x FROM state_demo.base").collect()[0].x == 2
+
+        # the rerun refreshed the manifest -> modified matches nothing
+        rc = run("run", "--select", "state:modified",
+                 "--state", str(tmp_path))
+        out = capsys.readouterr().out
+        assert rc == 0 and "Nothing to do" in out
+
+        # a NEW model is state:new (and state:modified includes it too)
+        write_project("SELECT 2 AS x",
+                      extra='    Model("extra", sql="SELECT 9 AS z"),\n')
+        rc = run("run", "--select", "state:new", "--state", str(tmp_path))
+        out = capsys.readouterr().out
+        assert rc == 0 and "extra" in out
+        assert "base" not in out.replace("database", "")
+
+        # guard rails: --state required; unknown method rejected
+        with pytest.raises(SystemExit, match="--state"):
+            run("run", "--select", "state:modified")
+        with pytest.raises(SystemExit, match="unsupported state method"):
+            run("run", "--select", "state:renamed",
+                "--state", str(tmp_path))
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS state_demo CASCADE")
+
+
 def test_cli_vars_injection(spark, tmp_path, capsys):
     proj = tmp_path / "proj.py"
     proj.write_text('''
