@@ -557,12 +557,21 @@ def main(argv: list[str] | None = None,
     engine = Engine(spark, schema=schema, warehouse_dir=wh)
     if sf_dir:
         engine.register_sources(sf_dir)
+    if args.exclude:
+        # an exclusion matching nothing is just an empty exclusion
+        args.exclude = _resolve_state_selectors(project, args.exclude,
+                                                args) or None
     if args.select:
         args.select = _resolve_state_selectors(project, args.select, args)
         if not args.select:
             # dbt's behavior: state selection matching nothing is a
-            # successful no-op, NOT "no selector -> run everything"
+            # successful no-op, NOT "no selector -> run everything" —
+            # but the state artifact is still written (a CI pipeline
+            # uploads target/manifest.json even on the no-op day)
             print("Nothing to do: state selector matched no models")
+            if args.command in ("run", "build", "retry", "snapshot",
+                                "compile"):
+                _save_manifest(project, args)
             if own_session:
                 spark.stop()
             return 0

@@ -56,13 +56,20 @@ def _fs_for(spark, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
-def data_file_count(spark, path: str) -> int:
+def data_file_count(spark, path: str, recursive: bool = False) -> int:
     """Number of data files (part-*) under a dataset directory, via the
     Hadoop FileSystem API — works on any Spark-supported FS, not just
-    the local one."""
+    the local one. ``recursive=True`` also counts files inside
+    partition subdirectories (dt=*/...)."""
     fs, jpath = _fs_for(spark, path)
-    return sum(1 for st in fs.listStatus(jpath)
-               if st.getPath().getName().startswith("part-"))
+    if not recursive:
+        return sum(1 for st in fs.listStatus(jpath)
+                   if st.getPath().getName().startswith("part-"))
+    n, it = 0, fs.listFiles(jpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().startswith("part-"):
+            n += 1
+    return n
 
 
 def compact_files(spark, path: str, format: str = "parquet",
@@ -81,10 +88,22 @@ def compact_files(spark, path: str, format: str = "parquet",
     range-partitions on those columns so zone maps stay tight (compose
     with zorder_sort upstream for multi-dimensional locality), otherwise
     it round-robin repartitions for even file sizes. The rewrite lands
-    in a sibling temp directory first and swaps in via the Hadoop
-    FileSystem API (delete + rename — the object-store-safe pattern;
-    readers mid-swap see the old or new listing, never a mix of file
-    generations, because the swap replaces the whole directory).
+    in a sibling temp directory, then swaps in via two directory
+    renames (path -> __old, tmp -> path) and deletes __old — so the
+    data ALWAYS exists somewhere and a crash at any point is
+    recoverable by hand (either path or __old holds a complete
+    generation; nothing is deleted before its replacement is in
+    place). On HDFS each rename is atomic; object stores emulate
+    rename per-file, so a concurrent reader there can transiently miss
+    the listing or see one generation's partial list — true concurrent
+    atomicity needs a table format's metadata commit (Delta/Iceberg),
+    which is exactly what they exist for. Run compaction in a
+    maintenance window or behind a catalog swap when readers are live.
+
+    Hive-PARTITIONED datasets must be compacted per partition
+    directory: pointed at a partitioned root (no top-level part files
+    but data files in subdirectories) this function raises instead of
+    silently flattening the dt=*/ layout.
 
     Returns {"rows", "files_before", "files_after"}; driver state is
     metadata-only (one count, one listing). At 100 TB, run per
@@ -92,24 +111,40 @@ def compact_files(spark, path: str, format: str = "parquet",
     if (target_rows_per_file is None) == (target_files is None):
         raise ValueError(
             "pass exactly one of target_rows_per_file / target_files")
+    files_before = data_file_count(spark, path)
+    if files_before == 0:
+        if data_file_count(spark, path, recursive=True) > 0:
+            raise ValueError(
+                f"compact_files: {path!r} looks like a partitioned "
+                f"dataset root (data files only in subdirectories) — "
+                f"compact each partition directory instead, or the "
+                f"dt=*/ layout would be flattened")
+        raise ValueError(f"compact_files: no data files under {path!r}")
     df = spark.read.format(format).load(path)
     n = df.count()
-    files_before = data_file_count(spark, path)
     n_files = (int(target_files) if target_files is not None
                else max(1, -(-n // int(target_rows_per_file))))
     out = (df.repartitionByRange(n_files, *sort_cols)
            .sortWithinPartitions(*sort_cols)
            if sort_cols else df.repartition(n_files))
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     fs, jpath = _fs_for(spark, path)
     _, jtmp = _fs_for(spark, tmp)
+    _, jold = _fs_for(spark, old)
     fs.delete(jtmp, True)
+    fs.delete(jold, True)
     out.write.mode("overwrite").format(format).save(tmp)
-    if not fs.delete(jpath, True):
-        raise IOError(f"compact_files: could not remove {path}")
+    # rename-rename-delete: the old generation survives until the new
+    # one is in place at the final path
+    if not fs.rename(jpath, jold):
+        raise IOError(f"compact_files: could not move {path} aside; "
+                      f"the compacted data is intact at {tmp}")
     if not fs.rename(jtmp, jpath):
+        fs.rename(jold, jpath)  # roll back
         raise IOError(
-            f"compact_files: rename {tmp} -> {path} failed; "
-            f"the compacted data is intact at {tmp}")
+            f"compact_files: rename {tmp} -> {path} failed; original "
+            f"restored, compacted data left at {tmp}")
+    fs.delete(jold, True)
     return {"rows": int(n), "files_before": int(files_before),
             "files_after": data_file_count(spark, path)}

@@ -454,22 +454,48 @@ _DOCS_DDL = "doc_id bigint, text string, lang string, source string, " \
     "n_chars bigint"
 
 
-def _source_roundtrip(spark: SparkSession, sf_dir: str,
-                      fmt: str) -> DataFrame:
+def _pid_tempdir(prefix: str) -> str:
+    """A per-PROCESS battery tempdir: ``/tmp/<prefix>_<pid>``. A fixed
+    name raced concurrent battery/bench runs on one host (one process's
+    rmtree deleting the other's files mid-read); pid-scoping isolates
+    them. Crash hygiene: before handing out a path, same-prefix dirs
+    whose owning pid is DEAD are swept (a SIGKILL/OOM'd run can't clean
+    up after itself; sweeping only dead-pid dirs never races a live
+    concurrent process), and the returned path itself is wiped in case
+    the pid was recycled."""
     import os
+    import re
     import shutil
     import tempfile
+
+    tmp = tempfile.gettempdir()
+    pat = re.compile(re.escape(prefix) + r"_(\d+)$")
+    try:
+        for name in os.listdir(tmp):
+            m = pat.match(name)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)  # raises if pid is gone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another user — leave it
+    except OSError:
+        pass
+    out = os.path.join(tmp, f"{prefix}_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
+def _source_roundtrip(spark: SparkSession, sf_dir: str,
+                      fmt: str) -> DataFrame:
+    import shutil
 
     from .sources.registry import read_table
 
     _views(spark, sf_dir)
-    # per-PROCESS path: a fixed name raced concurrent battery/bench runs
-    # on one host (one process's rmtree deleting the other's files
-    # mid-read); pid-scoping isolates them, and the wipe-before-write
-    # still handles a recycled pid's stale dir
-    out = os.path.join(tempfile.gettempdir(),
-                       f"spark_src_{fmt}_docs_{os.getpid()}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _pid_tempdir(f"spark_src_{fmt}_docs")
     spark.table("documents").write.mode("overwrite").format(fmt).save(out)
     # explicit DDL schema: JSON inference would widen/reorder and the
     # gate is about the DATA surviving the format, not inference quirks
@@ -629,16 +655,12 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hadoop-FS rewrite+swap; the re-read data must aggregate identically
     to the source (integrity) and the file counts must hit the target
     (maintenance contract)."""
-    import os
     import shutil
-    import tempfile
 
     from .extensions import layout
 
     _views(spark, sf_dir)
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_compact_docs_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _pid_tempdir("spark_compact_docs")
     spark.table("documents").repartition(64) \
         .write.mode("overwrite").parquet(path)
     stats = layout.compact_files(spark, path, target_files=4,
@@ -3342,18 +3364,15 @@ def ann_ivf_pq_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not spark.catalog.databaseExists(db):
         import atexit
         import functools
-        import os
         import shutil
-        import tempfile
 
         # per-PROCESS location (a fixed name raced concurrent runs on one
-        # host), wiped before reuse in case the pid was recycled, and
-        # cleaned up at process exit so runs don't leak index-sized
-        # orphan dirs; the dir must outlive this ENTRY because the
-        # catalog database persists in-process across battery entries
-        loc = os.path.join(tempfile.gettempdir(),
-                           f"spark_ivf_pq_durable_{os.getpid()}")
-        shutil.rmtree(loc, ignore_errors=True)
+        # host): _pid_tempdir sweeps dead-pid orphans (a SIGKILL'd run
+        # can't run its atexit) and wipes the recycled-pid case; atexit
+        # covers normal exits. The dir must outlive this ENTRY because
+        # the catalog database persists in-process across battery
+        # entries.
+        loc = _pid_tempdir("spark_ivf_pq_durable")
         atexit.register(functools.partial(
             shutil.rmtree, loc, ignore_errors=True))
         spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")

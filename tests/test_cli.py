@@ -259,6 +259,28 @@ models = [
         assert rc == 0 and "extra" in out
         assert "base" not in out.replace("database", "")
 
+        # the no-op path still writes the manifest (a CI pipeline uploads
+        # target/manifest.json even on the day nothing changed)
+        run("run")  # settle state: extra is now recorded
+        capsys.readouterr()
+        manifest = tmp_path / "manifest.json"
+        state_dir = tmp_path / "state"
+        state_dir.mkdir(exist_ok=True)
+        (state_dir / "manifest.json").write_text(manifest.read_text())
+        manifest.unlink()
+        rc = run("run", "--select", "state:modified",
+                 "--state", str(state_dir))
+        out = capsys.readouterr().out
+        assert rc == 0 and "Nothing to do" in out
+        assert manifest.exists(), "no-op run must still write manifest"
+
+        # --exclude also resolves state specs (dbt slim-CI inverse form)
+        rc = run("run", "--exclude", "state:modified",
+                 "--state", str(state_dir))
+        out = capsys.readouterr().out
+        assert rc == 0  # nothing modified -> empty exclusion -> full run
+        assert "base" in out and "downstream" in out
+
         # guard rails: --state required; unknown method rejected
         with pytest.raises(SystemExit, match="--state"):
             run("run", "--select", "state:modified")

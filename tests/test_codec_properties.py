@@ -89,16 +89,11 @@ def test_y4m_roundtrip_any_chroma(w, h, chroma, n_frames, seed):
             and np.array_equal(gv, v)
 
 
-def _idct_ref(coefs):
-    """Direct IDCT of a natural-order coefficient tensor — the closed
-    reference the progressive entropy layer is verified against (all-ones
-    quant, level shift, clamp: the decoder's output contract)."""
-    basis = J._dct_basis()
-    nby, nbx, _ = coefs.shape
-    blocks = coefs.reshape(nby, nbx, 8, 8).astype(np.float64)
-    px = np.einsum("ij,abjk,kl->abil", basis.T, blocks, basis)
-    plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-    return np.clip(np.round(plane) + 128, 0, 255).astype(np.uint8)
+# the closed IDCT reference the progressive entropy layer is verified
+# against — the SAME function the battery oracle uses (one copy of the
+# contract formula; a drift between test and oracle references would
+# otherwise go unnoticed)
+_idct_ref = J.idct_pixels_ref
 
 
 _PROG_LADDER = [((0,), 0, 0, 0, 2), ((0,), 1, 20, 0, 2),

@@ -2173,6 +2173,20 @@ def test_compact_files_roundtrip_and_counts(spark, tmp_path):
         layout.compact_files(spark, path, target_files=2,
                              target_rows_per_file=10)
 
+    # a Hive-partitioned ROOT is refused (per-partition compaction is
+    # the correct unit; flattening dt=*/ would break layout readers)
+    part_path = str(tmp_path / "parted")
+    df.withColumn("dt", (df.id % 3).cast("string")) \
+        .write.partitionBy("dt").parquet(part_path)
+    assert layout.data_file_count(spark, part_path) == 0
+    assert layout.data_file_count(spark, part_path, recursive=True) > 0
+    with pytest.raises(ValueError, match="partitioned"):
+        layout.compact_files(spark, part_path, target_files=2)
+    # ... while each partition directory compacts fine
+    stats3 = layout.compact_files(spark, part_path + "/dt=0",
+                                  target_files=1)
+    assert stats3["files_after"] == 1
+
 
 def test_zorder_prunes_more_rowgroups_than_linear_sort(spark, tmp_path):
     from dbt_extrica_spark.extensions import layout

@@ -90,6 +90,10 @@ BNLJ_OK = {
                                  # per-node incidence sum); the counting
                                  # itself is two equi-joins on apex and
                                  # (b, c)
+    "sketch_heavy_hitters",      # r11 contract: BNLJ is the crossJoin of
+                                 # the 1-row build/merge (dec, n) stats
+                                 # onto the summary rows; the sketch is
+                                 # one shuffle + same-partitioning window
 }
 
 
