@@ -135,6 +135,12 @@ def _mg_truncate(counts: DataFrame, token_col: str,
     else:
         w = Window.orderBy(F.col("cnt").desc(), F.col(token_col).asc())
         wg = Window.partitionBy(F.lit(1))
+    # summary and stats both consume ranked; they are returned as
+    # separate lazy plans (no internal persist — an operator-owned
+    # checkpoint would leak blocks the caller can't release, and
+    # measured locally it costs more than the re-scan). A caller
+    # collecting BOTH against a huge corpus should persist the token
+    # counts upstream or rely on AQE exchange reuse.
     ranked = (counts.withColumn("rn", F.row_number().over(w))
               .withColumn("ck1", F.max(
                   F.when(F.col("rn") == k + 1, F.col("cnt"))

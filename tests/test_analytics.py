@@ -198,6 +198,35 @@ def test_triangle_count_matches_pure_python_replay(spark):
     assert per[some] == exp_node
 
 
+def test_triangle_count_random_graphs_property(spark):
+    """Randomized graphs (seeded) vs the brute-force replay — covers
+    degree ties, hubs, isolated edges and both-direction duplicates
+    that the fixed known-graph cases might miss."""
+    import numpy as np
+
+    for seed in (1, 2, 5):
+        rng = np.random.RandomState(seed)
+        n_nodes = int(rng.randint(8, 26))
+        n_edges = int(rng.randint(10, 120))
+        edges = [(int(rng.randint(0, n_nodes)),
+                  int(rng.randint(0, n_nodes))) for _ in range(n_edges)]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = analytics.triangle_count(df, "src", "dst") \
+            .collect()[0].n_triangles
+        adj: dict = {}
+        for u, v in edges:
+            if u != v:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+        nodes = sorted(adj)
+        exp = sum(
+            1
+            for i, a in enumerate(nodes)
+            for b in nodes[i + 1:] if b in adj[a]
+            for c in nodes if c > b and c in adj[a] and c in adj[b])
+        assert got == exp, (seed, got, exp)
+
+
 def test_pagerank_overflow_guard(spark):
     """Past the BIGINT bound, non-ANSI Spark sum overflow would WRAP
     silently and produce wrong ranks — the guard must raise instead

@@ -79,6 +79,9 @@ INVARIANTS = {
     # the exact reference side is the allowlisted bounded BNLJ
     "ann_cosine_topk": dict(bnlj_max=1, exchange_max=1, window_min=1),
     "sample_leakage_split": dict(smj_max=1, bnlj_max=0),
+    # r11: MG summary — windows sit on the counts partitioning; the two
+    # BNLJ are the 1-row stats crossJoins (lint-allowlisted); no SMJ
+    "sketch_heavy_hitters": dict(smj_max=0, bnlj_max=2, window_min=4),
 }
 
 
