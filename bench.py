@@ -99,6 +99,8 @@ HEADLINE = [
     "q_unpivot",
     "source_json_roundtrip",
     "source_orc_roundtrip",
+    # round 11: the multiLine quote-all CSV gate (the treacherous one)
+    "source_csv_roundtrip",
     "graph_pagerank",
     # round 11 addition: mergeable MG heavy hitters (full corpus, ~2s)
     "sketch_heavy_hitters",

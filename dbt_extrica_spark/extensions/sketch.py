@@ -158,15 +158,27 @@ def _mg_truncate(counts: DataFrame, token_col: str,
 
 
 def mg_build(df: DataFrame, token_col: str, group_cols: list[str],
-             k: int = 64, return_stats: bool = False):
+             k: int = 64, return_stats: bool = False,
+             weight_col: str | None = None):
     """Per-group Misra-Gries summary: (group..., token, est bigint) with
     at most k rows per group, est = exact_in_group - (k+1)-th largest
     count (dropped when <= 0). Deterministic: count ties are broken by
     token ascending. ``return_stats=True`` additionally returns a 1-row
     (dec, n) DataFrame — the build stage's total decrement and the total
-    count mass — computed from the SAME ranked pass (no re-scan)."""
+    count mass — computed from the SAME ranked pass (no re-scan).
+
+    ``weight_col`` generalizes to WEIGHTED heavy hitters (heavy BYTES /
+    heavy cost instead of heavy count): cnt = sum of the non-negative
+    integer weights, and every guarantee holds verbatim with n = total
+    weight mass — 0 <= exact - est <= D, D*(k+1) <= n, items above
+    n/(k+1) always survive. The mergeable-summaries decrement argument
+    only needs additivity, not unit weights."""
+    if weight_col is None:
+        agg = F.count(F.lit(1))
+    else:
+        agg = F.sum(F.col(weight_col).cast("bigint"))
     counts = (df.groupBy(*group_cols, token_col)
-              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+              .agg(agg.cast("bigint").alias("cnt")))
     summary, stats = _mg_truncate(counts, token_col, group_cols, k)
     return (summary, stats) if return_stats else summary
 

@@ -488,6 +488,18 @@ def _pid_tempdir(prefix: str) -> str:
     return out
 
 
+# per-format write/read options for the roundtrip gates. CSV is the
+# treacherous one: document text embeds newlines, quotes and unicode, so
+# the writer must quote everything with RFC-4180 doubled-quote escaping
+# (escape = quote char) and the reader must parse multi-line records
+# with the same escape — the default backslash escape + single-line
+# parser silently shears multi-line rows apart.
+_SRC_FMT_OPTS: dict = {
+    "csv": ({"header": "true", "quoteAll": "true", "escape": '"'},
+            {"header": "true", "multiLine": "true", "escape": '"'}),
+}
+
+
 def _source_roundtrip(spark: SparkSession, sf_dir: str,
                       fmt: str) -> DataFrame:
     import shutil
@@ -496,10 +508,14 @@ def _source_roundtrip(spark: SparkSession, sf_dir: str,
 
     _views(spark, sf_dir)
     out = _pid_tempdir(f"spark_src_{fmt}_docs")
-    spark.table("documents").write.mode("overwrite").format(fmt).save(out)
+    wopts, ropts = _SRC_FMT_OPTS.get(fmt, ({}, {}))
+    w = spark.table("documents").write.mode("overwrite").format(fmt)
+    for key, val in wopts.items():
+        w = w.option(key, val)
+    w.save(out)
     # explicit DDL schema: JSON inference would widen/reorder and the
     # gate is about the DATA surviving the format, not inference quirks
-    back = read_table(spark, out, format=fmt, schema=_DOCS_DDL)
+    back = read_table(spark, out, format=fmt, schema=_DOCS_DDL, **ropts)
     back.createOrReplaceTempView(f"docs_{fmt}_back")
     # eager checkpoint materializes the (group-count-sized) aggregate so
     # the written files can be removed before returning — the caller's
@@ -529,6 +545,24 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar warehouse format Spark reads natively (predicate pushdown +
     column pruning apply, same as parquet)."""
     return _source_roundtrip(spark, sf_dir, "orc")
+
+
+@q("source_csv_roundtrip", _SRC_ROUNDTRIP_DUCK)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source gate: documents -> .csv -> read_table (format='csv',
+    explicit schema) must aggregate identically to the parquet
+    original. CSV is the treacherous ingest format: the document text
+    embeds NEWLINES, quotes and unicode, so this exercises quote-all
+    writing with RFC-4180 doubled-quote escaping and multiLine reading
+    — the silent-shear failure mode (default single-line parser
+    splitting a quoted record at its embedded newline) breaks n_docs /
+    text_len_sum under the hash. At 100 TB: multiLine CSV cannot be
+    split within a file, so it is strictly an ingest boundary —
+    convert to parquet immediately (this gate proves the conversion
+    preserves the data). Avro stays documented-out: Spark ships it as
+    an external jar (spark-avro) that this environment does not carry,
+    and pip installs are off-limits."""
+    return _source_roundtrip(spark, sf_dir, "csv")
 
 
 # PageRank gate: the operator runs in INTEGER arithmetic (ranks as
@@ -686,7 +720,14 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # guarantee: total undercount D satisfies D*(k+1) <= n, so any token
 # with exact count > n/(k+1) must survive the merge.
 _MG_K = 64
-_MG_DUCK = rf"""
+
+
+def _mg_duck(cnt_expr: str, n_expr: str) -> str:
+    """The MG build+merge SQL replay, parametrized over the mass
+    expression: COUNT(*) for classic heavy hitters, SUM(length(token))
+    for the weighted (heavy-BYTES) variant — everything else is
+    identical because the truncation rule only needs additive mass."""
+    return rf"""
 WITH toks AS (
   SELECT shard, token FROM (
     SELECT doc_id % 8 AS shard,
@@ -694,7 +735,7 @@ WITH toks AS (
     FROM documents
   ) WHERE length(token) > 0
 ), counts AS (
-  SELECT shard, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  SELECT shard, token, CAST({cnt_expr} AS BIGINT) AS cnt
   FROM toks GROUP BY shard, token
 ), ranked AS (
   SELECT shard, token, cnt,
@@ -728,7 +769,7 @@ WITH toks AS (
   SELECT CAST(MAX(CASE WHEN rn = {_MG_K + 1} THEN cnt ELSE 0 END)
          AS BIGINT) AS d
   FROM mranked
-), n_tok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+), n_tok AS (SELECT CAST({n_expr} AS BIGINT) AS n FROM toks)
 SELECT f.token, f.est,
        CAST(db.d + dm.d AS BIGINT) AS dec_total,
        (db.d + dm.d) * {_MG_K + 1} <= n AS bound_ok
@@ -736,13 +777,8 @@ FROM final f, dec_build db, dec_merge dm, n_tok
 """
 
 
-@q("sketch_heavy_hitters", _MG_DUCK)
-def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable Misra-Gries heavy hitters (sketch.mg_build/mg_merge):
-    per-shard summaries truncated to k=64 counters, merged to one corpus
-    summary — every merged (token, est) row must match the oracle's SQL
-    replay exactly, and the total decrement must respect the MG bound
-    D*(k+1) <= n (so tokens above n/(k+1) are guaranteed present)."""
+def _mg_entry(spark: SparkSession, sf_dir: str,
+              weighted: bool) -> DataFrame:
     from .extensions import sketch
 
     _views(spark, sf_dir)
@@ -751,8 +787,12 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.explode(F.expr("split(trim(lower(text)), '\\\\s+')"))
                     .alias("token"))
             .where(F.length("token") > 0))
+    wcol = None
+    if weighted:
+        toks = toks.withColumn("w", F.length("token").cast("bigint"))
+        wcol = "w"
     summ, bstats = sketch.mg_build(toks, "token", ["shard"], k=_MG_K,
-                                   return_stats=True)
+                                   return_stats=True, weight_col=wcol)
     final, mstats = sketch.mg_merge(summ, "token", k=_MG_K,
                                     return_stats=True)
     # one counts pass feeds summary + build stats; merge stats come from
@@ -767,6 +807,27 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("dec_total"),
                 (((F.col("db") + F.col("dm")) * (_MG_K + 1))
                  <= F.col("n")).alias("bound_ok")))
+
+
+@q("sketch_heavy_hitters", _mg_duck("COUNT(*)", "COUNT(*)"))
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy hitters (sketch.mg_build/mg_merge):
+    per-shard summaries truncated to k=64 counters, merged to one corpus
+    summary — every merged (token, est) row must match the oracle's SQL
+    replay exactly, and the total decrement must respect the MG bound
+    D*(k+1) <= n (so tokens above n/(k+1) are guaranteed present)."""
+    return _mg_entry(spark, sf_dir, weighted=False)
+
+
+@q("sketch_heavy_bytes",
+   _mg_duck("SUM(length(token))", "SUM(length(token))"))
+def sketch_heavy_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Misra-Gries (mg_build(weight_col=...)): mass = character
+    length instead of occurrence count — 'which tokens dominate the
+    corpus BYTES' (storage/cost attribution), the additive-weight
+    generalization. Same bit-exact SQL replay oracle and the same
+    guarantee with n = total weight mass."""
+    return _mg_entry(spark, sf_dir, weighted=True)
 
 
 # triangle gate: the operator counts via degree ORIENTATION (each edge
@@ -7245,10 +7306,14 @@ FROM lineitem GROUP BY l_returnflag
 # round — sketch_qdigest_rollup (rank-interval gate), graph_pagerank
 # (overflow guard), multimodal_decode_real (nonzero-AC progressive
 # family), source_json/orc_roundtrip (per-pid tempdir + checkpointed
-# aggregate), ann_ivf_pq_durable (per-pid db location); (c) back-fill to
-# 50 with r8-evidence entries (dedup_minhash + q_sessionize first — the
-# round's adjudication subjects). After the r11 file lands no battery
-# entry's latest driver row is older than r8.
+# aggregate), ann_ivf_pq_durable (per-pid db location) — and the FIVE
+# entries added this round (graph_triangles, sketch_heavy_hitters,
+# sketch_heavy_bytes, layout_compaction, source_csv_roundtrip):
+# never-gated entries outrank every rN backfill tier in staleness
+# priority. dedup_minhash and q_sessionize (r8 rows) were adjudicated
+# STANDALONE this round instead (quiet-host bands in NEXT.md). After
+# the r11 file lands no battery entry's latest driver row is older
+# than r8 except those two r8 rows and the r8 tier queued for r12.
 # Rotated OUT (all hold green r10 rows; the full local battery still
 # checks them every run): the r10 window — see COVERAGE.md.
 # ==========================================================================
@@ -7297,16 +7362,15 @@ _GATED_WINDOW = [
     # (b) code changed / added this round
     "graph_triangles",  # NEW: degree-oriented triangle counting
     "sketch_heavy_hitters",  # NEW: mergeable Misra-Gries summary
+    "sketch_heavy_bytes",  # NEW: weighted (heavy-bytes) MG variant
     "layout_compaction",  # NEW: small-files rewrite+swap maintenance
+    "source_csv_roundtrip",  # NEW: multiLine quote-all CSV gate
     "sketch_qdigest_rollup",
     "graph_pagerank",
     "multimodal_decode_real",  # nonzero-AC progressive family
     "source_json_roundtrip",
     "source_orc_roundtrip",
     "ann_ivf_pq_durable",
-    # (c) r8-evidence back-fill
-    "dedup_minhash",
-    "q_sessionize",
 ]
 
 

@@ -2812,6 +2812,46 @@ def test_misra_gries_matches_replay_and_guarantee(spark):
     assert again == {(r.shard, r.token): r.est for r in summ.collect()}
 
 
+def test_misra_gries_weighted(spark):
+    """Weighted MG (weight_col): mass = sum of weights; the replay and
+    every guarantee hold verbatim with n = total weight mass."""
+    import numpy as np
+
+    from dbt_extrica_spark.extensions import sketch as sk
+
+    rng = np.random.RandomState(3)
+    k = 6
+    rows, counts_by_group, exact = [], {}, {}
+    for g in range(3):
+        counts_by_group[g] = {}
+        for j in range(25):
+            t = f"t{j}"
+            w = int(rng.randint(1, 9))
+            n_rows = int(rng.randint(0, 5))
+            if n_rows:
+                counts_by_group[g][t] = w * n_rows
+                exact[t] = exact.get(t, 0) + w * n_rows
+                rows += [(g, t, w)] * n_rows
+    df = spark.createDataFrame(rows, "shard int, token string, w bigint")
+    summ, bstats = sk.mg_build(df, "token", ["shard"], k=k,
+                               return_stats=True, weight_col="w")
+    final, mstats = sk.mg_merge(summ, "token", k=k, return_stats=True)
+    got = {r.token: r.est for r in final.collect()}
+    exp_final, exp_dec = _mg_replay(counts_by_group, k)
+    assert got == exp_final
+    brow, mrow = bstats.collect()[0], mstats.collect()[0]
+    dec_total = brow.dec + mrow.dec
+    n = brow.n
+    assert dec_total == exp_dec
+    assert n == sum(exact.values())
+    assert dec_total * (k + 1) <= n
+    for t, c in exact.items():
+        est = got.get(t, 0)
+        assert 0 <= c - est <= dec_total
+        if c > dec_total:
+            assert t in got
+
+
 def test_misra_gries_small_groups_exact(spark):
     """Groups with <= k distinct tokens truncate nothing: the summary IS
     the exact count table and the merge of one group is exact too."""

@@ -94,6 +94,7 @@ BNLJ_OK = {
                                  # the 1-row build/merge (dec, n) stats
                                  # onto the summary rows; the sketch is
                                  # one shuffle + same-partitioning window
+    "sketch_heavy_bytes",        # same shape, weighted mass
 }
 
 
