@@ -33,6 +33,14 @@ session/schema/graph/source connectivity checks, ``run-operation
 '{"k": v}'`` injects a dict into the project module's globals as
 ``dbt_vars`` before it executes (dbt's variable passing).
 
+State workflows (slim CI): ``run``/``build``/``retry``/``snapshot``/
+``compile`` write ``target/manifest.json`` (a content hash per model +
+the target schema); ``--state <dir>`` enables ``state:modified`` /
+``state:new`` selector specs (with the usual +graph operators) for
+both ``--select`` and ``--exclude``, and ``clone --state <dir>
+--schema <dev>`` recreates the state schema's relations in the dev
+schema as pointer views.
+
 Usage::
 
     python -m dbt_extrica_spark run --select +fct_daily_revenue --threads 4
@@ -321,14 +329,62 @@ def _manifest_path(target_dir: str) -> str:
     return os.path.join(target_dir, "manifest.json")
 
 
-def _save_manifest(project, args) -> None:
+def _save_manifest(project, args, schema: str | None = None) -> None:
     """Write target/manifest.json (the dbt state artifact): one content
-    hash per model, the input to --state + state:modified selection."""
+    hash per model plus the schema the project materializes into — the
+    inputs to --state + state:modified selection and to `clone`."""
     os.makedirs(args.target_dir, exist_ok=True)
-    doc = {"models": {m.name: {"hash": _model_fingerprint(m)}
+    doc = {"schema": schema,
+           "models": {m.name: {"hash": _model_fingerprint(m)}
                       for m in project.models}}
     with open(_manifest_path(args.target_dir), "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=1)
+
+
+def _cmd_clone(engine: Engine, project, args, schema: str) -> int:
+    """`dbt clone`: recreate the --state manifest's relations in the
+    CURRENT schema as pointer VIEWS onto the state schema's relations —
+    the cheap dev-environment bootstrap (no data copied; Spark has no
+    zero-copy table clone, so views are the honest equivalent dbt-core
+    uses on such adapters). Selectors apply; relations missing on the
+    state side are reported and skipped (exit 1 if nothing cloned).
+    NOTE: with the default in-memory catalog this is same-session
+    cloning (schema -> schema); point the session at a Hive metastore
+    for the cross-process dbt workflow."""
+    if not args.state:
+        raise SystemExit("clone needs --state <dir holding a prior "
+                         "manifest.json>")
+    path = _manifest_path(args.state)
+    if not os.path.exists(path):
+        raise SystemExit(f"no manifest at {path!r}")
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    src_schema = doc.get("schema")
+    if not src_schema:
+        raise SystemExit("state manifest records no schema — re-run "
+                         "`run`/`build` with a current version to "
+                         "record it")
+    if src_schema == schema:
+        raise SystemExit(f"clone target schema {schema!r} equals the "
+                         f"state schema — pass --schema <dev_schema>")
+    chosen = project.select_nodes(args.select or None,
+                                  args.exclude or None)
+    spark = engine.spark
+    spark.sql(f"CREATE SCHEMA IF NOT EXISTS `{schema}`")
+    cloned = skipped = 0
+    for name in sorted(chosen & set(doc.get("models", {}))):
+        if not spark.catalog.tableExists(f"{src_schema}.{name}"):
+            print(f"clone {name}: SKIP (no relation "
+                  f"{src_schema}.{name} on the state side)")
+            skipped += 1
+            continue
+        spark.sql(f"CREATE OR REPLACE VIEW `{schema}`.`{name}` AS "
+                  f"SELECT * FROM `{src_schema}`.`{name}`")
+        print(f"clone {name}: view {schema}.{name} -> "
+              f"{src_schema}.{name}")
+        cloned += 1
+    print(f"Completed: {cloned} cloned, {skipped} skipped")
+    return 0 if cloned or not skipped else 1
 
 
 def _resolve_state_selectors(project, select: list[str],
@@ -485,7 +541,7 @@ def _build_parser() -> argparse.ArgumentParser:
                    choices=["run", "seed", "snapshot", "test", "build",
                             "retry", "ls", "compile", "docs", "source",
                             "source-freshness", "show", "debug",
-                            "run-operation"])
+                            "run-operation", "clone"])
     p.add_argument("subcommand", nargs="?", default=None,
                    help="`source freshness` two-token form, or the "
                         "operation name for run-operation")
@@ -571,7 +627,7 @@ def main(argv: list[str] | None = None,
             print("Nothing to do: state selector matched no models")
             if args.command in ("run", "build", "retry", "snapshot",
                                 "compile"):
-                _save_manifest(project, args)
+                _save_manifest(project, args, schema=schema)
             if own_session:
                 spark.stop()
             return 0
@@ -599,6 +655,8 @@ def main(argv: list[str] | None = None,
             return _cmd_ls(project, args)
         if args.command == "compile":
             return _cmd_compile(engine, project, args)
+        if args.command == "clone":
+            return _cmd_clone(engine, project, args, schema)
         return _cmd_build(engine, mod, project, args,
                           retry=args.command == "retry")
     finally:
@@ -606,7 +664,7 @@ def main(argv: list[str] | None = None,
         # manifest on every compile/run/build invocation)
         if args.command in ("run", "build", "retry", "snapshot",
                             "compile"):
-            _save_manifest(project, args)
+            _save_manifest(project, args, schema=schema)
         if own_session:
             spark.stop()
 

@@ -500,15 +500,17 @@ _SRC_FMT_OPTS: dict = {
 }
 
 
-def _source_roundtrip(spark: SparkSession, sf_dir: str,
-                      fmt: str) -> DataFrame:
+def _source_roundtrip(spark: SparkSession, sf_dir: str, fmt: str,
+                      tag: str | None = None,
+                      extra_write_opts: dict | None = None) -> DataFrame:
     import shutil
 
     from .sources.registry import read_table
 
     _views(spark, sf_dir)
-    out = _pid_tempdir(f"spark_src_{fmt}_docs")
+    out = _pid_tempdir(f"spark_src_{tag or fmt}_docs")
     wopts, ropts = _SRC_FMT_OPTS.get(fmt, ({}, {}))
+    wopts = {**wopts, **(extra_write_opts or {})}
     w = spark.table("documents").write.mode("overwrite").format(fmt)
     for key, val in wopts.items():
         w = w.option(key, val)
@@ -545,6 +547,22 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar warehouse format Spark reads natively (predicate pushdown +
     column pruning apply, same as parquet)."""
     return _source_roundtrip(spark, sf_dir, "orc")
+
+
+@q("source_json_gzip_roundtrip", _SRC_ROUNDTRIP_DUCK)
+def source_json_gzip_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """GZIP-compressed JSON-lines ingest gate: documents -> .json.gz ->
+    read_table must aggregate identically to the parquet original.
+    Compressed JSONL is THE 100 TB ingest reality (web dumps, API
+    exports ship gzipped); Spark's codec layer decompresses
+    transparently on read (file extension dispatch — the read side
+    needs no option at all, which is exactly what this gate pins).
+    Scale note: gzip is NOT splittable — one .json.gz file = one task,
+    so ingest throughput comes from MANY files, not big ones; convert
+    to parquet at the boundary."""
+    return _source_roundtrip(spark, sf_dir, "json", tag="json_gz",
+                             extra_write_opts={"compression": "gzip"})
 
 
 @q("source_csv_roundtrip", _SRC_ROUNDTRIP_DUCK)

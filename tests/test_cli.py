@@ -291,6 +291,58 @@ models = [
         spark.sql("DROP SCHEMA IF EXISTS state_demo CASCADE")
 
 
+def test_cli_clone(spark, tmp_path, capsys):
+    """dbt clone: recreate the state manifest's relations in a dev
+    schema as pointer views; selectors apply; guard rails fire."""
+    from dbt_extrica_spark import cli
+
+    proj = tmp_path / "proj.py"
+    proj.write_text('''
+from dbt_extrica_spark import Model
+schema = "clone_prod"
+models = [
+    Model("base", sql="SELECT 7 AS x", config={"materialized": "table"}),
+    Model("down", sql="SELECT x * 2 AS y FROM {ref:base}",
+          config={"materialized": "table"}),
+]
+''')
+
+    def run(*argv):
+        return cli.main(list(argv) + ["--project", str(proj),
+                                      "--target-dir", str(tmp_path)],
+                        spark=spark)
+
+    try:
+        assert run("run") == 0
+        capsys.readouterr()
+        # clone everything into a dev schema
+        rc = run("clone", "--state", str(tmp_path),
+                 "--schema", "clone_dev")
+        out = capsys.readouterr().out
+        assert rc == 0 and "2 cloned, 0 skipped" in out
+        assert spark.sql("SELECT x FROM clone_dev.base").collect()[0].x == 7
+        assert spark.sql("SELECT y FROM clone_dev.down").collect()[0].y == 14
+        # pointer semantics: the clone tracks the prod relation
+        spark.sql("INSERT INTO clone_prod.base VALUES (8)")
+        assert spark.table("clone_dev.base").count() == 2
+        # selector subset
+        spark.sql("DROP SCHEMA IF EXISTS clone_dev CASCADE")
+        rc = run("clone", "--state", str(tmp_path),
+                 "--schema", "clone_dev", "--select", "base")
+        out = capsys.readouterr().out
+        assert rc == 0 and "1 cloned" in out
+        assert not spark.catalog.tableExists("clone_dev.down")
+        # guard rails
+        with pytest.raises(SystemExit, match="--state"):
+            run("clone", "--schema", "clone_dev")
+        with pytest.raises(SystemExit, match="equals the"):
+            run("clone", "--state", str(tmp_path),
+                "--schema", "clone_prod")
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS clone_prod CASCADE")
+        spark.sql("DROP SCHEMA IF EXISTS clone_dev CASCADE")
+
+
 def test_cli_vars_injection(spark, tmp_path, capsys):
     proj = tmp_path / "proj.py"
     proj.write_text('''
