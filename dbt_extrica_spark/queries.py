@@ -7387,7 +7387,10 @@ _GATED_WINDOW = [
     "graph_pagerank",
     "multimodal_decode_real",  # nonzero-AC progressive family
     "source_json_roundtrip",
-    "source_orc_roundtrip",
+    # source_orc_roundtrip yields its slot to the gzip gate: both ride
+    # the SAME changed _source_roundtrip helper (gated here via json +
+    # gzip), orc holds an r10 green row, and never-gated outranks r10
+    "source_json_gzip_roundtrip",  # NEW: compressed-ingest gate
     "ann_ivf_pq_durable",
 ]
 
