@@ -4927,6 +4927,39 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(windowed_counts(stream, "1 day", "1 hour"))
 
 
+# continuous-aggregate maintenance: update-mode window counts merged
+# into a durable rollup table per micro-batch — once the availableNow
+# stream drains, the TABLE (not a memory sink) must equal the batch
+# GROUP BY exactly, proving the emit-on-change + keyed-merge loop is
+# idempotent and loses no tail windows
+@q("streaming_rollup_maintenance", _STREAM_WIN_DUCK)
+def streaming_rollup_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (streaming.streaming_rollup_
+    maintenance): watermarked windowed counts in UPDATE output mode,
+    each micro-batch MERGED into a durable rollup table keyed on
+    (window_start, event_type) — the Timescale continuous-aggregate
+    shape. Update mode re-emits changed windows so the keyed merge
+    converges to the exact batch aggregate (append mode would drop the
+    tail windows the watermark never closes); the durable table holds
+    history while streaming state stays watermark-bounded."""
+    import shutil
+
+    from .streaming import (read_event_stream,
+                            streaming_rollup_maintenance as roll)
+
+    eng = _engine(spark, sf_dir, "stream_rollup")
+    shutil.rmtree(f"{eng.warehouse_dir}/_checkpoints/stream_rollup",
+                  ignore_errors=True)
+    q_ = roll(eng, read_event_stream(spark, sf_dir), "stream_rollup",
+              window="1 day", watermark="1 hour")
+    q_.awaitTermination()
+    return eng.table("stream_rollup").select(
+        "window_start", "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("value_sum").cast("double").alias("value_sum"))
+
+
 # stream-static enrichment: a streaming fact joined to a broadcast batch
 # dimension — state-free (no watermark needed; the static side is just a
 # broadcast hash table in every micro-batch), availableNow == batch join

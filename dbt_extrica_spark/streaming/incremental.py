@@ -165,21 +165,12 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str],
     )
 
 
-def streaming_incremental_merge(
-    engine,
-    stream: DataFrame,
-    table_name: str,
-    unique_key,
-    dest_columns: list[str] | None = None,
-) -> "object":
-    """Streaming incremental materialization: every micro-batch upserts into
-    an engine table through the SAME merge rewrite the batch incremental
-    strategy uses (operators/merge.py) — the live-stream version of dbt's
-    rerun-the-model loop.
-
-    Returns the StreamingQuery; combine with ``trigger(availableNow=True)``
-    upstream of .start() via run semantics below (we always use availableNow
-    so tests/catch-up runs terminate)."""
+def _merge_upsert_callback(engine, table_name: str, unique_key,
+                           dest_columns: list[str] | None):
+    """The foreachBatch upsert closure shared by the streaming
+    materialization shapes: first non-empty batch creates the table,
+    later batches run the SAME merge rewrite the batch incremental
+    strategy uses (operators/merge.py) and commit by atomic swap."""
     from ..operators import merge as merge_ops
     from ..relation import RelationType
 
@@ -199,8 +190,66 @@ def streaming_incremental_merge(
             tgt_df, batch_df, unique_key, cols, None, None)
         engine.overwrite_table_atomic(target, result)
 
+    return upsert
+
+
+def streaming_incremental_merge(
+    engine,
+    stream: DataFrame,
+    table_name: str,
+    unique_key,
+    dest_columns: list[str] | None = None,
+) -> "object":
+    """Streaming incremental materialization: every micro-batch upserts into
+    an engine table through the SAME merge rewrite the batch incremental
+    strategy uses (operators/merge.py) — the live-stream version of dbt's
+    rerun-the-model loop.
+
+    Returns the StreamingQuery; combine with ``trigger(availableNow=True)``
+    upstream of .start() via run semantics below (we always use availableNow
+    so tests/catch-up runs terminate)."""
     query = (
-        stream.writeStream.foreachBatch(upsert)
+        stream.writeStream.foreachBatch(
+            _merge_upsert_callback(engine, table_name, unique_key,
+                                   dest_columns))
+        .trigger(availableNow=True)
+        .option("checkpointLocation",
+                f"{engine.warehouse_dir}/_checkpoints/{table_name}")
+        .start()
+    )
+    return query
+
+
+def streaming_rollup_maintenance(
+    engine,
+    stream: DataFrame,
+    table_name: str,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> "object":
+    """CONTINUOUS-AGGREGATE maintenance (the Timescale continuous
+    aggregate / Materialize shape): a watermarked windowed aggregate
+    runs in UPDATE output mode, and every micro-batch MERGES its changed
+    (window_start, event_type) rows into a durable rollup table keyed on
+    them — so the table always holds the current aggregate per window
+    and converges to the exact batch GROUP BY once the stream drains.
+
+    Why update mode (not append): append emits a window only after the
+    watermark CLOSES it, so the tail windows would never land in the
+    table; update mode re-emits a window's current value whenever it
+    changes, and the keyed merge makes re-emission idempotent. Why not
+    complete mode: it re-emits EVERY window each batch — state and sink
+    traffic grow with history, while update mode's traffic is bounded
+    by the watermark horizon. State is watermark-bounded either way on
+    the aggregation side; the durable table is what holds history.
+
+    Returns the StreamingQuery (availableNow — callers await it)."""
+    agg = windowed_counts(stream, window=window, watermark=watermark)
+    query = (
+        agg.writeStream.foreachBatch(
+            _merge_upsert_callback(engine, table_name,
+                                   ["window_start", "event_type"], None))
+        .outputMode("update")
         .trigger(availableNow=True)
         .option("checkpointLocation",
                 f"{engine.warehouse_dir}/_checkpoints/{table_name}")

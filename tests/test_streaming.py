@@ -104,6 +104,67 @@ def test_streaming_incremental_merge_equals_batch(spark):
     eng.close()
 
 
+def test_streaming_rollup_maintenance_converges_across_batches(
+        spark, tmp_path):
+    """Continuous-aggregate maintenance: with maxFilesPerTrigger=1 the
+    SAME window is updated across several micro-batches — the final
+    durable table must still equal the batch GROUP BY exactly (update
+    re-emission + keyed merge is idempotent and convergent). A
+    single-batch run can't observe this; the battery entry drains the
+    whole file at once."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark import Engine
+    from dbt_extrica_spark.streaming import streaming_rollup_maintenance
+
+    src = tmp_path / "roll_in"
+    src.mkdir()
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for f in range(3):
+        part = []
+        for i in range(40):
+            # every file contributes to BOTH days -> every window is
+            # touched by every micro-batch
+            ts = base + dt.timedelta(hours=(i % 2) * 24 + f, minutes=i)
+            part.append((f * 100 + i, ts, "click" if i % 3 else "view",
+                         float(i)))
+        spark.createDataFrame(
+            part, "event_id bigint, ts timestamp, event_type string, "
+                  "value double") \
+            .coalesce(1).write.mode("append").parquet(str(src / f"f{f}"))
+        rows += part
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, event_type string,"
+                      " value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    eng = Engine(spark)
+    try:
+        q = streaming_rollup_maintenance(eng, stream, "roll_tbl",
+                                         window="1 day",
+                                         watermark="1 hour")
+        q.awaitTermination(180)
+        got = {(str(r.window_start), r.event_type, r.n, round(r.value_sum, 4))
+               for r in eng.table("roll_tbl").collect()}
+        batch = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, event_type string, "
+                  "value double")
+        exp = {(str(r.ws), r.event_type, r.n, round(r.vs, 4))
+               for r in batch.groupBy(
+                   F.date_trunc("day", "ts").alias("ws"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double").alias("vs")).collect()}
+        assert got == exp
+        # both days present -> windows genuinely updated across batches
+        assert len({w for w, *_ in got}) == 2
+    finally:
+        eng.close()
+
+
 def test_streaming_admission_dedups_across_batches(spark, tmp_path):
     """The admitted-docs band index must extend across micro-batches: a
     doc admitted in batch 1 blocks its copy arriving in batch 2 — the
