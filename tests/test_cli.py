@@ -291,6 +291,37 @@ models = [
         spark.sql("DROP SCHEMA IF EXISTS state_demo CASCADE")
 
 
+def test_model_fingerprint_builder_and_config():
+    """State fingerprints: SQL text, builder SOURCE, and config all
+    feed the hash — an edit to any of them marks the model modified,
+    and an unchanged model hashes stably."""
+    from dbt_extrica_spark import Model
+    from dbt_extrica_spark.cli import _model_fingerprint
+
+    a = Model("m", sql="SELECT 1 AS x", config={"materialized": "table"})
+    assert _model_fingerprint(a) == _model_fingerprint(
+        Model("m", sql="SELECT 1 AS x",
+              config={"materialized": "table"}))
+    assert _model_fingerprint(a) != _model_fingerprint(
+        Model("m", sql="SELECT 2 AS x",
+              config={"materialized": "table"}))
+    assert _model_fingerprint(a) != _model_fingerprint(
+        Model("m", sql="SELECT 1 AS x", config={"materialized": "view"}))
+
+    def build_one(engine):
+        return engine.spark.range(1)
+
+    def build_two(engine):
+        return engine.spark.range(2)
+
+    b1 = Model("b", df_builder=build_one, config={"depends_on": []})
+    b2 = Model("b", df_builder=build_two, config={"depends_on": []})
+    assert _model_fingerprint(b1) == _model_fingerprint(
+        Model("b", df_builder=build_one, config={"depends_on": []}))
+    # a builder LOGIC edit changes the hash (source-based fingerprint)
+    assert _model_fingerprint(b1) != _model_fingerprint(b2)
+
+
 def test_cli_clone(spark, tmp_path, capsys):
     """dbt clone: recreate the state manifest's relations in a dev
     schema as pointer views; selectors apply; guard rails fire."""

@@ -82,6 +82,7 @@ INVARIANTS = {
     # r11: MG summary — windows sit on the counts partitioning; the two
     # BNLJ are the 1-row stats crossJoins (lint-allowlisted); no SMJ
     "sketch_heavy_hitters": dict(smj_max=0, bnlj_max=2, window_min=4),
+    "sketch_heavy_bytes": dict(smj_max=0, bnlj_max=2, window_min=4),
 }
 
 
