@@ -367,12 +367,30 @@ def _cmd_clone(engine: Engine, project, args, schema: str) -> int:
     if src_schema == schema:
         raise SystemExit(f"clone target schema {schema!r} equals the "
                          f"state schema — pass --schema <dev_schema>")
-    chosen = project.select_nodes(args.select or None,
-                                  args.exclude or None)
+    # dbt clone iterates the STATE manifest's nodes: with no selector
+    # every state model is cloned (including ones renamed/deleted in the
+    # current project — they exist on the state side and would silently
+    # vanish otherwise); a selector resolves against the current graph
+    # and filters the state set, with state-only leftovers reported
+    state_models = set(doc.get("models", {}))
+    if args.select or args.exclude:
+        chosen = project.select_nodes(args.select or None,
+                                      args.exclude or None)
+        targets = sorted(state_models & chosen)
+        for name in sorted(state_models - {m.name
+                                           for m in project.models}):
+            print(f"clone {name}: NOTE state-only model (not in the "
+                  f"current project) — excluded by the selector")
+    else:
+        targets = sorted(state_models)
+    if not targets:
+        print("Nothing to clone: selection matches no state-manifest "
+              "models")
+        return 1
     spark = engine.spark
     spark.sql(f"CREATE SCHEMA IF NOT EXISTS `{schema}`")
     cloned = skipped = 0
-    for name in sorted(chosen & set(doc.get("models", {}))):
+    for name in targets:
         if not spark.catalog.tableExists(f"{src_schema}.{name}"):
             print(f"clone {name}: SKIP (no relation "
                   f"{src_schema}.{name} on the state side)")
@@ -384,7 +402,7 @@ def _cmd_clone(engine: Engine, project, args, schema: str) -> int:
               f"{src_schema}.{name}")
         cloned += 1
     print(f"Completed: {cloned} cloned, {skipped} skipped")
-    return 0 if cloned or not skipped else 1
+    return 0 if cloned else 1
 
 
 def _resolve_state_selectors(project, select: list[str],

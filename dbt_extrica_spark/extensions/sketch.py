@@ -172,11 +172,20 @@ def mg_build(df: DataFrame, token_col: str, group_cols: list[str],
     integer weights, and every guarantee holds verbatim with n = total
     weight mass — 0 <= exact - est <= D, D*(k+1) <= n, items above
     n/(k+1) always survive. The mergeable-summaries decrement argument
-    only needs additivity, not unit weights."""
+    only needs additivity, not unit weights. NULL or negative weights
+    would silently break the guarantee (F.sum skips NULLs; negative
+    mass inverts the bound), so they RAISE in-scan (a zero-extra-pass
+    raise_error guard on the weight expression)."""
     if weight_col is None:
         agg = F.count(F.lit(1))
     else:
-        agg = F.sum(F.col(weight_col).cast("bigint"))
+        w = F.col(weight_col).cast("bigint")
+        guarded = F.when(
+            w.isNull() | (w < 0),
+            F.expr("raise_error('mg_build: weight_col must be "
+                   "non-negative and non-null')").cast("bigint")
+        ).otherwise(w)
+        agg = F.sum(guarded)
     counts = (df.groupBy(*group_cols, token_col)
               .agg(agg.cast("bigint").alias("cnt")))
     summary, stats = _mg_truncate(counts, token_col, group_cols, k)

@@ -30,13 +30,20 @@ def _key_list(unique_key: str | list[str]) -> list[str]:
     return [unique_key] if isinstance(unique_key, str) else list(unique_key)
 
 
-def _join_condition(keys: list[str], incremental_predicates: list[str] | None):
+def _join_condition(keys: list[str],
+                    incremental_predicates: list[str] | None,
+                    null_safe: bool = False):
     """Equality on every key (reference: incremental.sql:161-180) AND any
     extra predicates, which may reference DBT_INTERNAL_SOURCE/DEST aliases
-    (reference: incremental.sql:153)."""
+    (reference: incremental.sql:153). ``null_safe=True`` uses <=> so a
+    NULL key matches a NULL key — NOT the ANSI MERGE / dbt default
+    (where NULL keys silently re-insert every run), but what a
+    key-converging maintenance loop over aggregate rows needs (a NULL
+    group key is legitimate data there)."""
+    op = "<=>" if null_safe else "="
     cond = None
     for k in keys:
-        c = F.expr(f"{SOURCE_ALIAS}.`{k}` = {DEST_ALIAS}.`{k}`")
+        c = F.expr(f"{SOURCE_ALIAS}.`{k}` {op} {DEST_ALIAS}.`{k}`")
         cond = c if cond is None else cond & c
     for p in incremental_predicates or []:
         cond = cond & F.expr(p)
@@ -50,10 +57,13 @@ def merge_upsert(
     dest_columns: list[str],
     update_columns: list[str] | None = None,
     incremental_predicates: list[str] | None = None,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """A7 — result of ``MERGE INTO target USING source ON keys WHEN MATCHED
     THEN UPDATE SET <update_columns> WHEN NOT MATCHED THEN INSERT
     <dest_columns>`` (reference: incremental.sql:152-205).
+    ``null_safe_keys``: see _join_condition — defaults to the ANSI/dbt
+    plain-equality behavior.
 
     ``update_columns`` defaults to all dest columns (dbt's
     get_merge_update_columns with merge_update_columns/merge_exclude_columns
@@ -63,7 +73,8 @@ def merge_upsert(
     update_cols = {c.lower() for c in (update_columns or dest_columns)}
     src = source.alias(SOURCE_ALIAS)
     tgt = target.alias(DEST_ALIAS)
-    cond = _join_condition(keys, incremental_predicates)
+    cond = _join_condition(keys, incremental_predicates,
+                           null_safe=null_safe_keys)
 
     # ANSI/Trino MERGE errors when one target row matches >1 source row
     # (reference semantics; a silent fan-out would grow the target

@@ -518,11 +518,14 @@ def _source_roundtrip(spark: SparkSession, sf_dir: str, fmt: str,
     # explicit DDL schema: JSON inference would widen/reorder and the
     # gate is about the DATA surviving the format, not inference quirks
     back = read_table(spark, out, format=fmt, schema=_DOCS_DDL, **ropts)
-    back.createOrReplaceTempView(f"docs_{fmt}_back")
+    # tag-scoped like the tempdir: the json and json_gz gates must not
+    # swap each other's view out from under a concurrent aggregation
+    back.createOrReplaceTempView(f"docs_{tag or fmt}_back")
     # eager checkpoint materializes the (group-count-sized) aggregate so
     # the written files can be removed before returning — the caller's
     # later collect must not depend on the tempdir
-    res = spark.sql(_SRC_ROUNDTRIP_AGG.format(tbl=f"docs_{fmt}_back")) \
+    res = spark.sql(
+        _SRC_ROUNDTRIP_AGG.format(tbl=f"docs_{tag or fmt}_back")) \
         .localCheckpoint(eager=True)
     shutil.rmtree(out, ignore_errors=True)
     return res

@@ -166,11 +166,15 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str],
 
 
 def _merge_upsert_callback(engine, table_name: str, unique_key,
-                           dest_columns: list[str] | None):
+                           dest_columns: list[str] | None,
+                           null_safe_keys: bool = False):
     """The foreachBatch upsert closure shared by the streaming
     materialization shapes: first non-empty batch creates the table,
     later batches run the SAME merge rewrite the batch incremental
-    strategy uses (operators/merge.py) and commit by atomic swap."""
+    strategy uses (operators/merge.py) and commit by atomic swap.
+    ``null_safe_keys``: key-converging loops over AGGREGATE rows set
+    this — a NULL group key is legitimate data there and must converge
+    instead of re-inserting every batch (merge_upsert docs)."""
     from ..operators import merge as merge_ops
     from ..relation import RelationType
 
@@ -187,7 +191,8 @@ def _merge_upsert_callback(engine, table_name: str, unique_key,
             return
         tgt_df = engine.spark.table(target.render_unquoted())
         result = merge_ops.merge_upsert(
-            tgt_df, batch_df, unique_key, cols, None, None)
+            tgt_df, batch_df, unique_key, cols, None, None,
+            null_safe_keys=null_safe_keys)
         engine.overwrite_table_atomic(target, result)
 
     return upsert
@@ -243,12 +248,18 @@ def streaming_rollup_maintenance(
     by the watermark horizon. State is watermark-bounded either way on
     the aggregation side; the durable table is what holds history.
 
+    Keys merge NULL-SAFELY (<=>): a NULL event_type is a legitimate
+    aggregate group and must CONVERGE — under the ANSI/dbt
+    plain-equality join it would re-insert one duplicate row per
+    micro-batch forever.
+
     Returns the StreamingQuery (availableNow — callers await it)."""
     agg = windowed_counts(stream, window=window, watermark=watermark)
     query = (
         agg.writeStream.foreachBatch(
             _merge_upsert_callback(engine, table_name,
-                                   ["window_start", "event_type"], None))
+                                   ["window_start", "event_type"], None,
+                                   null_safe_keys=True))
         .outputMode("update")
         .trigger(availableNow=True)
         .option("checkpointLocation",

@@ -363,6 +363,34 @@ models = [
         out = capsys.readouterr().out
         assert rc == 0 and "1 cloned" in out
         assert not spark.catalog.tableExists("clone_dev.down")
+        # empty selection -> exit 1 (CI must not believe a no-op clone)
+        rc = run("clone", "--state", str(tmp_path),
+                 "--schema", "clone_dev", "--select", "base",
+                 "--exclude", "base")
+        out = capsys.readouterr().out
+        assert rc == 1 and "Nothing to clone" in out
+        # a model renamed AWAY in the current project still clones with
+        # no selector (dbt iterates the STATE manifest's nodes)
+        proj.write_text('''
+from dbt_extrica_spark import Model
+schema = "clone_prod"
+models = [Model("renamed", sql="SELECT 1 AS z",
+                config={"materialized": "table"})]
+''')
+        spark.sql("DROP SCHEMA IF EXISTS clone_dev CASCADE")
+        rc = run("clone", "--state", str(tmp_path),
+                 "--schema", "clone_dev")
+        out = capsys.readouterr().out
+        assert rc == 0 and "2 cloned" in out
+        assert spark.catalog.tableExists("clone_dev.down")
+        # ... and with a selector, the state-only leftovers are reported
+        # and the empty intersection (renamed is not in the state
+        # manifest) exits 1
+        rc = run("clone", "--state", str(tmp_path),
+                 "--schema", "clone_dev", "--select", "renamed")
+        out = capsys.readouterr().out
+        assert rc == 1 and "Nothing to clone" in out
+        assert "state-only model" in out
         # guard rails
         with pytest.raises(SystemExit, match="--state"):
             run("clone", "--schema", "clone_dev")

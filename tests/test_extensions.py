@@ -2850,6 +2850,20 @@ def test_misra_gries_weighted(spark):
         assert 0 <= c - est <= dec_total
         if c > dec_total:
             assert t in got
+    # NULL / negative weights break the documented guarantee -> in-scan
+    # raise instead of a silently wrong summary
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(0, "a", -1)],
+                                "shard int, token string, w bigint")
+    with _pytest.raises(Exception, match="non-negative"):
+        sk.mg_build(bad, "token", ["shard"], k=4,
+                    weight_col="w").collect()
+    bad_null = spark.createDataFrame([(0, "a", None)],
+                                     "shard int, token string, w bigint")
+    with _pytest.raises(Exception, match="non-negative"):
+        sk.mg_build(bad_null, "token", ["shard"], k=4,
+                    weight_col="w").collect()
 
 
 def test_misra_gries_small_groups_exact(spark):

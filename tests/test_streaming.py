@@ -127,10 +127,13 @@ def test_streaming_rollup_maintenance_converges_across_batches(
         part = []
         for i in range(40):
             # every file contributes to BOTH days -> every window is
-            # touched by every micro-batch
+            # touched by every micro-batch; a NULL event_type group in
+            # every batch pins the null-safe merge key (plain equality
+            # would re-insert the NULL-keyed row per batch forever)
             ts = base + dt.timedelta(hours=(i % 2) * 24 + f, minutes=i)
-            part.append((f * 100 + i, ts, "click" if i % 3 else "view",
-                         float(i)))
+            etype = None if i % 5 == 0 else (
+                "click" if i % 3 else "view")
+            part.append((f * 100 + i, ts, etype, float(i)))
         spark.createDataFrame(
             part, "event_id bigint, ts timestamp, event_type string, "
                   "value double") \
@@ -146,7 +149,7 @@ def test_streaming_rollup_maintenance_converges_across_batches(
         q = streaming_rollup_maintenance(eng, stream, "roll_tbl",
                                          window="1 day",
                                          watermark="1 hour")
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not drain in 180s"
         got = {(str(r.window_start), r.event_type, r.n, round(r.value_sum, 4))
                for r in eng.table("roll_tbl").collect()}
         batch = spark.createDataFrame(
@@ -161,6 +164,8 @@ def test_streaming_rollup_maintenance_converges_across_batches(
         assert got == exp
         # both days present -> windows genuinely updated across batches
         assert len({w for w, *_ in got}) == 2
+        # the NULL-keyed group converged to ONE row per window
+        assert sum(1 for _, et, *_ in got if et is None) == 2
     finally:
         eng.close()
 
