@@ -638,6 +638,17 @@ def main(argv: list[str] | None = None,
     if args.select:
         args.select = _resolve_state_selectors(project, args.select, args)
         if not args.select:
+            if args.command == "clone":
+                # clone is the exception to the successful-no-op rule:
+                # its own empty-selection path deliberately exits 1 (CI
+                # must not believe a no-op clone built a dev schema),
+                # so a state: selector matching nothing must signal the
+                # same way — one consistent exit code for CI to trust
+                print("Nothing to clone: state selector matched no "
+                      "models")
+                if own_session:
+                    spark.stop()
+                return 1
             # dbt's behavior: state selection matching nothing is a
             # successful no-op, NOT "no selector -> run everything" —
             # but the state artifact is still written (a CI pipeline

@@ -112,13 +112,18 @@ def compact_files(spark, path: str, format: str = "parquet",
         raise ValueError(
             "pass exactly one of target_rows_per_file / target_files")
     files_before = data_file_count(spark, path)
+    # the partitioned-root refusal must match its promise: ANY data
+    # file below the top level means dt=*/ structure the swap would
+    # destroy — including the MIXED layout (some top-level part files
+    # plus partition subdirectories), which a files_before==0-only
+    # check would wave through
+    if data_file_count(spark, path, recursive=True) > files_before:
+        raise ValueError(
+            f"compact_files: {path!r} looks like a partitioned "
+            f"dataset root (data files in subdirectories) — "
+            f"compact each partition directory instead, or the "
+            f"dt=*/ layout would be flattened")
     if files_before == 0:
-        if data_file_count(spark, path, recursive=True) > 0:
-            raise ValueError(
-                f"compact_files: {path!r} looks like a partitioned "
-                f"dataset root (data files only in subdirectories) — "
-                f"compact each partition directory instead, or the "
-                f"dt=*/ layout would be flattened")
         raise ValueError(f"compact_files: no data files under {path!r}")
     df = spark.read.format(format).load(path)
     n = df.count()

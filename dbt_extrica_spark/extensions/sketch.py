@@ -175,15 +175,24 @@ def mg_build(df: DataFrame, token_col: str, group_cols: list[str],
     only needs additivity, not unit weights. NULL or negative weights
     would silently break the guarantee (F.sum skips NULLs; negative
     mass inverts the bound), so they RAISE in-scan (a zero-extra-pass
-    raise_error guard on the weight expression)."""
+    raise_error guard on the weight expression). The guard checks the
+    RAW column, before any cast: cast('bigint') truncates toward zero,
+    so a fractional DOUBLE weight (0.9, or -0.9) would otherwise slip
+    past a post-cast negative/null check while silently losing mass —
+    non-integral weights raise too (every double >= 2^53 is exactly
+    integral, so the floor comparison cannot false-positive on large
+    integer weights)."""
     if weight_col is None:
         agg = F.count(F.lit(1))
     else:
-        w = F.col(weight_col).cast("bigint")
+        raw = F.col(weight_col)
+        rd = raw.cast("double")
+        w = raw.cast("bigint")
         guarded = F.when(
-            w.isNull() | (w < 0),
+            raw.isNull() | w.isNull() | (rd < 0) | (rd != F.floor(rd)),
             F.expr("raise_error('mg_build: weight_col must be "
-                   "non-negative and non-null')").cast("bigint")
+                   "non-negative, non-null and integral')")
+            .cast("bigint")
         ).otherwise(w)
         agg = F.sum(guarded)
     counts = (df.groupBy(*group_cols, token_col)

@@ -493,10 +493,20 @@ def _pid_tempdir(prefix: str) -> str:
 # the writer must quote everything with RFC-4180 doubled-quote escaping
 # (escape = quote char) and the reader must parse multi-line records
 # with the same escape — the default backslash escape + single-line
-# parser silently shears multi-line rows apart.
+# parser silently shears multi-line rows apart. NULL vs empty string is
+# the other CSV trap: Spark's defaults write BOTH as '' and read ''
+# back as NULL, conflating them — so the gate pins an explicit Hive-
+# style \N null sentinel plus emptyValue='', making the distinction
+# roundtrip-stable instead of fixture-dependent. Residual (inherent to
+# untyped CSV, documented not papered over): a field whose literal TEXT
+# is the two characters backslash-N reads back as NULL — the sentinel
+# occupies one point of the value space, the price every \N-convention
+# system (Hive, MySQL LOAD DATA) pays.
 _SRC_FMT_OPTS: dict = {
-    "csv": ({"header": "true", "quoteAll": "true", "escape": '"'},
-            {"header": "true", "multiLine": "true", "escape": '"'}),
+    "csv": ({"header": "true", "quoteAll": "true", "escape": '"',
+             "nullValue": "\\N", "emptyValue": ""},
+            {"header": "true", "multiLine": "true", "escape": '"',
+             "nullValue": "\\N", "emptyValue": ""}),
 }
 
 

@@ -369,6 +369,13 @@ models = [
                  "--exclude", "base")
         out = capsys.readouterr().out
         assert rc == 1 and "Nothing to clone" in out
+        # a STATE selector matching nothing must exit 1 the same way —
+        # the generic "Nothing to do" success path is for run/build,
+        # where a no-op day is fine; CI must not believe a no-op clone
+        rc = run("clone", "--state", str(tmp_path),
+                 "--schema", "clone_dev", "--select", "state:modified")
+        out = capsys.readouterr().out
+        assert rc == 1 and "Nothing to clone" in out
         # a model renamed AWAY in the current project still clones with
         # no selector (dbt iterates the STATE manifest's nodes)
         proj.write_text('''

@@ -2182,6 +2182,19 @@ def test_compact_files_roundtrip_and_counts(spark, tmp_path):
     assert layout.data_file_count(spark, part_path, recursive=True) > 0
     with pytest.raises(ValueError, match="partitioned"):
         layout.compact_files(spark, part_path, target_files=2)
+    # a MIXED layout (some top-level part files PLUS partition
+    # subdirectories) must be refused too: the old files_before==0-only
+    # guard waved it through, and the rename+delete swap would then
+    # destroy the subdirectory generation with __compact_old
+    mixed_path = str(tmp_path / "mixed")
+    df.limit(10).coalesce(1).write.parquet(mixed_path)
+    df.limit(10).withColumn("dt", F.lit("0")).coalesce(1) \
+        .write.parquet(mixed_path + "/dt=0")
+    assert layout.data_file_count(spark, mixed_path) > 0
+    assert layout.data_file_count(spark, mixed_path, recursive=True) > \
+        layout.data_file_count(spark, mixed_path)
+    with pytest.raises(ValueError, match="partitioned"):
+        layout.compact_files(spark, mixed_path, target_files=1)
     # ... while each partition directory compacts fine
     stats3 = layout.compact_files(spark, part_path + "/dt=0",
                                   target_files=1)
@@ -2864,6 +2877,23 @@ def test_misra_gries_weighted(spark):
     with _pytest.raises(Exception, match="non-negative"):
         sk.mg_build(bad_null, "token", ["shard"], k=4,
                     weight_col="w").collect()
+    # FRACTIONAL weights must raise too: the guard validates the RAW
+    # column — a post-cast('bigint') check would see 0.9 -> 0 and
+    # -0.9 -> 0 (truncation toward zero), pass its negative/null test,
+    # and silently lose mass out of the documented MG bound
+    for frac in (0.9, -0.9):
+        bad_frac = spark.createDataFrame(
+            [(0, "a", frac)], "shard int, token string, w double")
+        with _pytest.raises(Exception, match="integral"):
+            sk.mg_build(bad_frac, "token", ["shard"], k=4,
+                        weight_col="w").collect()
+    # ...while INTEGRAL doubles are honest weights and pass: the raw
+    # guard rejects fractional values, not the double type itself
+    ok_frac = spark.createDataFrame(
+        [(0, "a", 3.0), (0, "b", 1.0)], "shard int, token string, w double")
+    assert {r.token: r.est for r in
+            sk.mg_build(ok_frac, "token", ["shard"], k=4,
+                        weight_col="w").collect()} == {"a": 3, "b": 1}
 
 
 def test_misra_gries_small_groups_exact(spark):

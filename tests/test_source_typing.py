@@ -145,3 +145,29 @@ def test_normalized_schema_contract(spark):
         for name, df in views.items()
     }
     assert got == EXPECTED_SCHEMAS
+
+
+def test_csv_roundtrip_null_vs_empty_distinct(spark, tmp_path):
+    """The source_csv_roundtrip gate's CSV options must make NULL and
+    empty string ROUNDTRIP-DISTINCT, not fixture-dependent: Spark's CSV
+    defaults write both as '' and read '' back as NULL, so a fixture
+    that one day contains either would silently mutate under the hash
+    the gate claims to pin. The gate's options pin the Hive-style \\N
+    null sentinel + emptyValue='' on BOTH sides."""
+    from dbt_extrica_spark.queries import _SRC_FMT_OPTS
+    from dbt_extrica_spark.sources.registry import read_table
+
+    wopts, ropts = _SRC_FMT_OPTS["csv"]
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None), (4, 'multi\nline "quoted"')],
+        "id int, t string")
+    out = str(tmp_path / "csvnull")
+    w = df.coalesce(1).write.mode("overwrite").format("csv")
+    for k, v in wopts.items():
+        w = w.option(k, v)
+    w.save(out)
+    back = read_table(spark, out, format="csv",
+                      schema="id int, t string", **ropts)
+    got = {r.id: r.t for r in back.collect()}
+    assert got == {1: "hello", 2: "", 3: None,
+                   4: 'multi\nline "quoted"'}
