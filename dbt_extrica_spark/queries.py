@@ -7383,61 +7383,63 @@ FROM lineitem GROUP BY l_returnflag
 # ==========================================================================
 
 _GATED_WINDOW = [
-    # (a) the 39 r7-stale entries
-    "catalog_relations",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_keep",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_incremental",
-    "dedup_semantic_kmeans",
-    "dq_checks",
-    "inc_microbatch",
-    "layout_zorder",
-    "multimodal_phash_dedup",
-    "pipeline_pretrain_corpus",
-    "pipeline_text_cluster",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q19_disjunctive_brackets",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q_asof_join",
-    "q_range_join",
-    "quality_classifier_train",
-    "rollup_hypertable",
-    "sample_dsir_weights",
-    "sample_weighted",
-    "seed_types",
-    "streaming_quality_gate",
-    "text_c4_filter",
-    "text_gopher_rules",
-    "text_hash_embed",
-    "text_pack_global",
-    "text_pack_sequences",
-    "text_remove_dup_spans_char",
-    "text_wordlm_logprob",
-    "trino_dialect_model",
-    # (b) code changed / added this round
-    "graph_triangles",  # NEW: degree-oriented triangle counting
-    "sketch_heavy_hitters",  # NEW: mergeable Misra-Gries summary
-    "sketch_heavy_bytes",  # NEW: weighted (heavy-bytes) MG variant
-    "layout_compaction",  # NEW: small-files rewrite+swap maintenance
-    "source_csv_roundtrip",  # NEW: multiLine quote-all CSV gate
-    "sketch_qdigest_rollup",
-    "graph_pagerank",
-    "multimodal_decode_real",  # nonzero-AC progressive family
-    "source_json_roundtrip",
-    # source_orc_roundtrip yields its slot to the gzip gate: both ride
-    # the SAME changed _source_roundtrip helper (gated here via json +
-    # gzip), orc holds an r10 green row, and never-gated outranks r10
-    "source_json_gzip_roundtrip",  # NEW: compressed-ingest gate
-    "ann_ivf_pq_durable",
+    # (a) the one never-gated entry — first (r11 verdict #1)
+    "streaming_rollup_maintenance",
+    # (b) the 43 r8-stale entries (tools/freshness.py --stale at round
+    # start: nothing older than r8 remains)
+    "ann_ivf_full_probe",
+    "ann_ivf_index_query",
+    "dedup_keep_best",
+    "dedup_minhash",
+    "dedup_minhash_groups",
+    "embedding_label_stats",
+    "inc_merge_partitioned",
+    "inc_merge_update_cols",
+    "mat_table_contract",
+    "multimodal_audio_decode",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_tiles_chunks",
+    "multimodal_video_frames",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q1_pricing_summary",
+    "q20_excess_inventory",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q_explode_tokens",
+    "q_sessionize",
+    "sample_boundary",
+    "sample_deterministic",
+    "sample_hash_split",
+    "sample_stratified",
+    "shim_date_spine_month",
+    "sketch_count_min",
+    "snapshot_scd2",
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_inc_merge",
+    "streaming_interval_join",
+    "streaming_sessionize",
+    "streaming_window_counts",
+    "text_bigram_logprob",
+    "text_chunks",
+    "text_fingerprint",
+    "text_language_id",
+    "text_stats",
+    "text_token_count",
+    "text_top_phrases",
+    "text_winnow",
+    # (c) code changed this round (r12 advice fixes): mg_build's raw
+    # weight guard (both MG entries), the CSV null-sentinel options,
+    # and compact_files' mixed-layout refusal
+    "sketch_heavy_hitters",
+    "sketch_heavy_bytes",
+    "source_csv_roundtrip",
+    "layout_compaction",
+    # (d) backfill from the oldest (r9) tier, alphabetical
+    "ann_ivf_pq_recall",
+    "ann_ivf_topk",
 ]
 
 
