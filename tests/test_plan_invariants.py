@@ -136,3 +136,77 @@ def test_guard_goes_red_when_broadcasts_forced_off(spark):
         assert any("de-broadcasted" in e for e in errs)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+# --- r12: the round-11 EAGER entries (verdict #3) -------------------------
+# layout_compaction and the CSV/gzip roundtrips checkpoint their results,
+# so the battery DataFrames carry post-execution plans. Their lazy
+# CONSTITUENT plans are pinned here instead: the read-back scan + the
+# shared roundtrip aggregate (group-by with COUNT DISTINCT = exactly two
+# shuffles and the 4-node two-phase aggregate chain; any stray
+# repartition/SMJ/cartesian in a future edit shows up as node drift).
+_RT_AGG_INV = dict(hashagg=4, exchange_max=2, smj_max=0, bnlj_max=0)
+
+
+def _roundtrip_agg_plan(spark, back, view):
+    from dbt_extrica_spark.queries import _SRC_ROUNDTRIP_AGG
+
+    back.createOrReplaceTempView(view)
+    return spark.sql(_SRC_ROUNDTRIP_AGG.format(tbl=view))
+
+
+def test_roundtrip_scan_plan_invariants(spark, tmp_path):
+    from dbt_extrica_spark.queries import _DOCS_DDL, _SRC_FMT_OPTS
+    from dbt_extrica_spark.sources.registry import read_table
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    # CSV: quote-all multiLine + null-sentinel options, as the gate reads
+    wopts, ropts = _SRC_FMT_OPTS["csv"]
+    w = docs.write.mode("overwrite").format("csv")
+    for k, v in wopts.items():
+        w = w.option(k, v)
+    w.save(str(tmp_path / "csv"))
+    back = read_table(spark, str(tmp_path / "csv"), format="csv",
+                      schema=_DOCS_DDL, **ropts)
+    agg = _roundtrip_agg_plan(spark, back, "pi_csv_back")
+    nodes, pushed = _plan_counts(agg)
+    errs = _check(nodes, pushed, _RT_AGG_INV)
+    assert not errs, f"csv roundtrip agg: {errs}\nnodes={dict(nodes)}"
+
+    # gzip JSONL: codec dispatch by extension; gzip is unsplittable so
+    # ONE .json.gz file must plan as ONE scan partition (the scale
+    # posture the gate documents — throughput comes from many files)
+    docs.coalesce(1).write.mode("overwrite").format("json") \
+        .option("compression", "gzip").save(str(tmp_path / "jgz"))
+    back_gz = read_table(spark, str(tmp_path / "jgz"), format="json",
+                         schema=_DOCS_DDL)
+    assert back_gz.rdd.getNumPartitions() == 1
+    agg_gz = _roundtrip_agg_plan(spark, back_gz, "pi_gz_back")
+    nodes, pushed = _plan_counts(agg_gz)
+    errs = _check(nodes, pushed, _RT_AGG_INV)
+    assert not errs, f"gzip roundtrip agg: {errs}\nnodes={dict(nodes)}"
+
+
+def test_compaction_reread_plan_invariants(spark, tmp_path):
+    from dbt_extrica_spark.extensions import layout
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    path = str(tmp_path / "frag")
+    docs.repartition(8).write.parquet(path)
+    stats = layout.compact_files(spark, path, target_files=2,
+                                 sort_cols=["doc_id"])
+    assert stats["files_after"] == 2
+    back = spark.read.parquet(path)
+    agg = _roundtrip_agg_plan(spark, back, "pi_comp_back")
+    nodes, pushed = _plan_counts(agg)
+    errs = _check(nodes, pushed, _RT_AGG_INV)
+    assert not errs, f"compaction re-read agg: {errs}\nnodes={dict(nodes)}"
+
+    # trip-proof (the r11 meta-test pattern): a stray repartition before
+    # the aggregate adds a third Exchange and MUST trip exchange_max —
+    # the failure mode this guard exists to catch
+    agg_red = _roundtrip_agg_plan(spark, back.repartition(16), "pi_red")
+    nodes, pushed = _plan_counts(agg_red)
+    errs = _check(nodes, pushed, _RT_AGG_INV)
+    assert errs and any("stray shuffle" in e for e in errs), \
+        "guard failed to detect a stray pre-aggregate shuffle"
