@@ -39,7 +39,11 @@ the target schema); ``--state <dir>`` enables ``state:modified`` /
 ``state:new`` selector specs (with the usual +graph operators) for
 both ``--select`` and ``--exclude``, and ``clone --state <dir>
 --schema <dev>`` recreates the state schema's relations in the dev
-schema as pointer views.
+schema as pointer views. ``--defer`` (optionally ``--favor-state``)
+resolves refs to UNSELECTED models against the state manifest's
+schema, so ``run --select state:modified+ --defer --state prod/``
+builds only the changed models against prod parents — the full dbt
+slim-CI loop.
 
 Usage::
 
@@ -594,6 +598,15 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="directory holding a prior manifest.json; enables "
                         "state:modified / state:new selectors (dbt "
                         "--state)")
+    p.add_argument("--defer", action="store_true", dest="defer",
+                   help="resolve refs to UNSELECTED models against the "
+                        "--state manifest's schema (dbt --defer: slim-CI "
+                        "builds state:modified models against prod "
+                        "parents without rebuilding them)")
+    p.add_argument("--favor-state", action="store_true",
+                   help="with --defer: prefer the state schema's relation "
+                        "even when the target schema already has one "
+                        "(dbt --favor-state)")
     return p
 
 
@@ -660,6 +673,35 @@ def main(argv: list[str] | None = None,
             if own_session:
                 spark.stop()
             return 0
+    if args.favor_state and not args.defer:
+        raise SystemExit("--favor-state requires --defer")
+    if args.defer:
+        # dbt --defer: refs to models OUTSIDE the current selection
+        # resolve to the state manifest's schema (prod), so a slim-CI
+        # `run --select state:modified+ --defer --state prod/` builds
+        # only the changed models against prod parents. Selected models
+        # and models absent from the state manifest resolve normally.
+        if not args.state:
+            raise SystemExit("--defer needs --state <dir holding a "
+                             "prior manifest.json>")
+        mpath = _manifest_path(args.state)
+        if not os.path.exists(mpath):
+            raise SystemExit(f"no manifest at {mpath!r}")
+        with open(mpath, encoding="utf-8") as f:
+            mdoc = json.load(f)
+        state_schema = mdoc.get("schema")
+        if not state_schema:
+            raise SystemExit("state manifest records no schema — re-run "
+                             "`run`/`build` with a current version to "
+                             "record it")
+        chosen = project.select_nodes(args.select or None,
+                                      args.exclude or None)
+        candidates = set(mdoc.get("models", {})) - chosen
+        if state_schema == schema:
+            print("--defer: state schema equals the target schema; "
+                  "deferral resolves identically (no-op)")
+        engine.set_defer(state_schema, candidates,
+                         favor_state=args.favor_state)
     try:
         if args.command == "seed":
             sel = set(args.select) if args.select else None

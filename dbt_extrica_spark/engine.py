@@ -74,6 +74,10 @@ class Engine:
             self.schema, location=os.path.join(self.warehouse_dir, self.schema)
         )
         self.sources: dict[str, Relation] = {}
+        # --defer state (set_defer): disarmed by default
+        self._defer_schema: str | None = None
+        self._defer_candidates: set[str] = set()
+        self._defer_favor_state = False
 
     # ------------------------------------------------------------------
     # naming / resolution
@@ -84,7 +88,29 @@ class Engine:
         return rel.incorporate(type) if type else rel
 
     def ref(self, name: str) -> str:
-        return self.relation(name).render()
+        """Resolve ``{ref:name}``. With deferral active (``set_defer``,
+        the dbt ``--defer --state`` workflow) a ref to an UNSELECTED
+        model resolves to the state (prod) schema's relation instead of
+        the target schema — unless the target schema already holds the
+        relation (a prior dev build), which wins, dbt's default;
+        ``favor_state=True`` inverts that tie-break (dbt
+        --favor-state). Selected models always resolve to the target
+        schema: this run is about to (re)build them there."""
+        rel = self.relation(name)
+        if name in self._defer_candidates:
+            if self._defer_favor_state or not self.spark.catalog.tableExists(
+                    rel.render_unquoted()):
+                return Relation(name, schema=self._defer_schema).render()
+        return rel.render()
+
+    def set_defer(self, state_schema: str, candidates: set[str],
+                  favor_state: bool = False) -> None:
+        """Arm ref-deferral: ``candidates`` (state-manifest models NOT in
+        the current selection) resolve to ``state_schema`` per dbt's
+        --defer rules. Call with an empty set to disarm."""
+        self._defer_schema = state_schema
+        self._defer_candidates = set(candidates)
+        self._defer_favor_state = bool(favor_state)
 
     def source(self, name: str) -> str:
         if name in self.sources:

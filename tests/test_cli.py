@@ -443,3 +443,75 @@ models = [Model("one_row",
     finally:
         spark.sql("DROP SCHEMA IF EXISTS vars_demo CASCADE")
         spark.sql("DROP SCHEMA IF EXISTS vars_default CASCADE")
+
+
+def test_cli_defer(spark, tmp_path, capsys):
+    """dbt --defer: refs to UNSELECTED models resolve to the --state
+    manifest's schema; a target-schema relation wins the tie-break by
+    default; --favor-state inverts it; guard rails fire."""
+    from dbt_extrica_spark import cli
+
+    prod_dir = tmp_path / "prod"
+    dev_dir = tmp_path / "dev"
+    proj = tmp_path / "proj.py"
+
+    def write_project(down_sql: str):
+        proj.write_text(f'''
+from dbt_extrica_spark import Model
+schema = "defer_prod"
+models = [
+    Model("parent", sql="SELECT 10 AS x",
+          config={{"materialized": "table"}}),
+    Model("down", sql="{down_sql}",
+          config={{"materialized": "table"}}),
+]
+''')
+
+    def run(*argv, target=dev_dir):
+        return cli.main(list(argv) + ["--project", str(proj),
+                                      "--target-dir", str(target)],
+                        spark=spark)
+
+    try:
+        # prod build records the state manifest (schema defer_prod)
+        write_project("SELECT x + 1 AS y FROM {ref:parent}")
+        assert run("run", target=prod_dir) == 0
+        capsys.readouterr()
+
+        # edit ONLY down; slim-CI run in a dev schema with --defer:
+        # parent is unselected -> its ref resolves to defer_prod, and
+        # parent is NOT rebuilt in the dev schema
+        write_project("SELECT x + 2 AS y FROM {ref:parent}")
+        rc = run("run", "--select", "state:modified", "--defer",
+                 "--state", str(prod_dir), "--schema", "defer_dev")
+        out = capsys.readouterr().out
+        assert rc == 0 and "model down: OK" in out
+        assert spark.sql("SELECT y FROM defer_dev.down").collect()[0].y == 12
+        assert not spark.catalog.tableExists("defer_dev.parent")
+
+        # tie-break: once the DEV schema holds parent, the dev relation
+        # wins by default...
+        spark.sql("CREATE SCHEMA IF NOT EXISTS defer_dev")
+        spark.sql("CREATE TABLE defer_dev.parent AS SELECT 100 AS x")
+        rc = run("run", "--select", "down", "--defer",
+                 "--state", str(prod_dir), "--schema", "defer_dev")
+        capsys.readouterr()
+        assert rc == 0
+        assert spark.sql("SELECT y FROM defer_dev.down").collect()[0].y == 102
+        # ...and --favor-state prefers prod even then
+        rc = run("run", "--select", "down", "--defer", "--favor-state",
+                 "--state", str(prod_dir), "--schema", "defer_dev")
+        capsys.readouterr()
+        assert rc == 0
+        assert spark.sql("SELECT y FROM defer_dev.down").collect()[0].y == 12
+
+        # guard rails
+        with pytest.raises(SystemExit, match="requires --defer"):
+            run("run", "--favor-state")
+        with pytest.raises(SystemExit, match="--defer needs --state"):
+            run("run", "--defer")
+        with pytest.raises(SystemExit, match="no manifest"):
+            run("run", "--defer", "--state", str(tmp_path / "nowhere"))
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS defer_prod CASCADE")
+        spark.sql("DROP SCHEMA IF EXISTS defer_dev CASCADE")
