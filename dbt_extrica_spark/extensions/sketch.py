@@ -335,3 +335,139 @@ def qdigest_quantiles(digest: DataFrame, qs: list[float],
     counts = {int(r["node"]): int(r["cnt"]) for r in rows}
     n = sum(counts.values())
     return {q: _qd_quantile(counts, n, q, bits) for q in qs}
+
+
+# ---------------------------------------------------------------------------
+# Theta/KMV sketch: DETERMINISTIC mergeable distinct-count sketch with SET
+# ALGEBRA (Beyer et al. SIGMOD'07 KMV; Dasgupta et al. "Theta Sketch
+# Framework", the Apache DataSketches formulation). Completes the
+# mergeable-sketch family's missing axis: CMS answers frequencies, HLL
+# answers |A| (and union via max-merge), q-digest quantiles, MG heavy
+# hitters — but only a theta sketch answers |A ∩ B| / |A \ B| across
+# shards without re-scanning data. The sketch of a set is its k SMALLEST
+# distinct xxhash64 values ("k minimum values"): union = merge + re-
+# truncate (exactly the HLL/q-digest shape), and any full sketch bounds a
+# uniform sample region {h < kth} that intersections/differences are
+# estimated from.
+#
+# Determinism (the battery's oracle requirement): no RNG anywhere — the
+# hash is Spark's xxhash64 at seed 42 over CAST(item AS STRING) (the
+# string path is the one with pinned pure-Python parity,
+# functions/xxh64.py + tests/test_xxh64.py), and every estimate is pure
+# INTEGER arithmetic: with num(h) = h + 2^63 + 1 (the 1-based unsigned
+# rank of a signed-bigint hash, i.e. num/2^64 = the fraction of hash
+# space at or below h),
+#   est_full  = floor((k-1) * 2^64 / num(kth))          (KMV estimator)
+#   est_inter = floor(|C| * 2^64 / theta_num),  C = common hashes
+#               strictly below theta = min(kth over the FULL sides)
+# computed with DECIMAL(38,0) `div` — no float division, so build ->
+# merge -> estimate replays bit-identically on any cluster layout and in
+# the pure-Python oracle. Relative standard error ~ 1/sqrt(k-2).
+#
+# Shape at 100 TB: build is one distinct + per-group window (or global
+# top-k, which plans as TakeOrderedAndProject — no single-partition
+# shuffle); merges are UNION ALL + re-truncate over sketch-sized input
+# (<= k rows per side, broadcastable); set ops join two <= k-row sketches.
+# Driver never sees data-plane rows.
+_THETA_HALF = 9223372036854775809  # 2^63 + 1: num(h) = h + THIS
+
+
+def _theta_truncate(hashes: DataFrame, group_cols: list[str],
+                    k: int) -> DataFrame:
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        return (hashes.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k).drop("__rn"))
+    # global sketch: top-k by ascending hash plans as
+    # TakeOrderedAndProject — never a 1-partition window
+    return hashes.orderBy("h").limit(k)
+
+
+def theta_build(df: DataFrame, item_col: str, group_cols: list[str],
+                k: int = 64) -> DataFrame:
+    """Per-group theta/KMV sketch: (group..., h bigint) with the k
+    smallest DISTINCT ``xxhash64(CAST(item AS STRING))`` values per
+    group (all of them when a group has < k distinct). The string cast
+    is deliberate: it routes every key type through the hash path whose
+    pure-Python replica is parity-pinned, so oracles replay the sketch
+    outside Spark."""
+    hashes = (df.select(*group_cols,
+                        F.xxhash64(F.col(item_col).cast("string"))
+                        .alias("h"))
+              .distinct())
+    return _theta_truncate(hashes, group_cols, k)
+
+
+def theta_union(sketches: DataFrame, group_cols: list[str],
+                k: int) -> DataFrame:
+    """Merge sketch rows (any number of sketches UNIONed into one
+    DataFrame) into one sketch per group (or ONE global sketch with
+    group_cols=[]): distinct hashes, re-truncate to the k smallest.
+    Input is sketch-sized — <= k rows per constituent sketch — so this
+    is the cheap merge shape, never data-sized."""
+    return _theta_truncate(sketches.select(*group_cols, "h").distinct(),
+                           group_cols, k)
+
+
+def theta_estimate(sketch: DataFrame, group_cols: list[str],
+                   k: int) -> DataFrame:
+    """Distinct-count estimates from sketches: (group..., n_hashes,
+    theta_h, est). A non-full sketch (n_hashes < k) holds EVERY distinct
+    hash, so est = n_hashes exactly; a full one uses the integer KMV
+    estimator on the k-th smallest hash. est is exact integer arithmetic
+    (DECIMAL(38,0) div), bit-replayable."""
+    agg = [F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+           F.max("h").alias("theta_h")]
+    stats = (sketch.groupBy(*group_cols).agg(*agg) if group_cols
+             else sketch.agg(*agg))
+    est_full = F.expr(
+        f"CAST({(k - 1) * (1 << 64)} AS DECIMAL(38,0)) div"
+        f" (CAST(theta_h AS DECIMAL(38,0)) + {_THETA_HALF})")
+    return stats.select(
+        *group_cols, "n_hashes", "theta_h",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes"))
+        .otherwise(est_full).cast("bigint").alias("est"))
+
+
+def theta_set_op(a: DataFrame, b: DataFrame, k: int,
+                 op: str = "intersect") -> DataFrame:
+    """|A ∩ B| (op='intersect') or |A \\ B| (op='difference') estimated
+    from two GLOBAL sketches (columns: h). Theta rule: the sample
+    region is {h strictly below theta}, theta = the smallest k-th hash
+    among the FULL input sketches (no full side -> both sketches hold
+    every hash and the answer is exact). Returns one row:
+    (n_candidates bigint, theta_h bigint nullable, est bigint).
+
+    The two 1-row stats sides join via crossJoin — bounded model state,
+    the lint-allowlisted 1-row pattern, never data-sized."""
+    if op not in ("intersect", "difference"):
+        raise ValueError(f"op must be intersect|difference, got {op!r}")
+    sa = a.agg(F.count(F.lit(1)).alias("na"),
+               F.max("h").alias("ka"))
+    sb = b.agg(F.count(F.lit(1)).alias("nb"),
+               F.max("h").alias("kb"))
+    stats = sa.crossJoin(sb).select(
+        F.when(F.col("na") >= k,
+               F.col("ka")).alias("ta"),
+        F.when(F.col("nb") >= k, F.col("kb")).alias("tb"),
+    ).select(F.least("ta", "tb").alias("theta_h"))
+    joined = (a.join(b.select("h"), on="h", how="inner") if op == "intersect"
+              else a.join(b.select("h"), on="h", how="left_anti"))
+    cand = (joined.crossJoin(F.broadcast(stats))
+            .where(F.col("theta_h").isNull() |
+                   (F.col("h") < F.col("theta_h"))))
+    est_sampled = F.expr(
+        f"CAST(n_candidates AS DECIMAL(38,0)) * {1 << 64} div"
+        f" (CAST(theta_h AS DECIMAL(38,0)) + {_THETA_HALF})")
+    # global agg (not groupBy) so ZERO candidates still yields one row
+    # (n_candidates=0, est=0); theta_h is constant across candidate rows
+    # so min() is a deterministic pick, NULL when exact-mode or empty
+    return (cand.agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("n_candidates"),
+                     F.min("theta_h").alias("theta_h"))
+            .select(
+                "n_candidates", "theta_h",
+                F.when(F.col("theta_h").isNull(), F.col("n_candidates"))
+                .otherwise(est_sampled).cast("bigint").alias("est")))
