@@ -113,6 +113,10 @@ HEADLINE = [
     # CONTRACT entries (index build + brute-force ground truth + probe
     # configs), so their wall measures the verification harness, not the
     # operator — the ivf_pq operator cost shows up in scale probes.
+    # sketch_theta_ops is deliberately NOT here for the same reason: the
+    # entry carries exact countDistinct references for every scope, so
+    # its wall is ~half verifier; the sketch itself is one distinct +
+    # truncate pass (strictly cheaper than the gated MG line above).
 ]
 
 

@@ -861,6 +861,156 @@ def sketch_heavy_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mg_entry(spark, sf_dir, weighted=True)
 
 
+# Theta/KMV gate: the sketch is DETERMINISTIC (xxhash64 string path +
+# integer-only estimator), so the oracle is a full bit-exact replay
+# through the parity-pinned pure-Python xxh64 — every hash, truncation,
+# and DECIMAL-div estimate, for per-group builds, the union merge, and
+# the intersection/difference theta rule. The bound contract 2*|est -
+# exact| <= exact (~4 sigma at k=64) is additionally pinned per row.
+_THETA_K = 64
+
+
+def _theta_oracle() -> str:
+    import os
+
+    import duckdb as _duck
+
+    from .functions.xxh64 import xxh64_signed
+
+    k = _THETA_K
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT year(o_orderdate), o_custkey"
+        f" FROM read_parquet('{sf}/orders.parquet')"
+        f" WHERE o_custkey IS NOT NULL").fetchall()
+    by_year: dict[int, set[int]] = {}
+    for y, c in rows:
+        by_year.setdefault(int(y), set()).add(int(c))
+
+    def sk(vals):
+        return sorted({xxh64_signed(str(v).encode()) for v in vals})[:k]
+
+    def est(hs):
+        if len(hs) < k:
+            return len(hs)
+        return ((k - 1) << 64) // (hs[-1] + (1 << 63) + 1)
+
+    out = []
+
+    def emit(scope, n, theta_h, e, exact):
+        out.append(f"('{scope}', CAST({n} AS BIGINT),"
+                   + (f" CAST({theta_h} AS BIGINT),"
+                      if theta_h is not None else " CAST(NULL AS BIGINT),")
+                   + f" CAST({e} AS BIGINT), CAST({exact} AS BIGINT),"
+                   + f" {2 * abs(e - exact) <= exact})")
+
+    sketches = {y: sk(vs) for y, vs in by_year.items()}
+    for y in sorted(by_year):
+        hs = sketches[y]
+        emit(f"year_{y}", len(hs), max(hs), est(hs), len(by_year[y]))
+    allv = set().union(*by_year.values())
+    uhs = sk(allv)
+    emit("union", len(uhs), max(uhs), est(uhs), len(allv))
+    a, b = sketches[1995], sketches[1996]
+    alive = [s[-1] for s in (a, b) if len(s) >= k]
+    th = min(alive) if alive else None
+    # set-op error is relative to the INPUT-SET mass, not the (possibly
+    # tiny) result — the theta-sketch bound shape — so these rows gate
+    # 2*err <= |1995| + |1996| (~6 sigma here) instead of the result-
+    # relative build/union bound
+    mass = len(by_year[1995]) + len(by_year[1996])
+    for scope, pool, exact in (
+            ("intersect_95_96", set(a) & set(b),
+             len(by_year[1995] & by_year[1996])),
+            ("diff_95_96", set(a) - set(b),
+             len(by_year[1995] - by_year[1996]))):
+        cand = {h for h in pool if th is None or h < th}
+        e = (len(cand) if th is None
+             else (len(cand) << 64) // (th + (1 << 63) + 1))
+        out.append(f"('{scope}', CAST({len(cand)} AS BIGINT),"
+                   + (f" CAST({th} AS BIGINT),"
+                      if th is not None else " CAST(NULL AS BIGINT),")
+                   + f" CAST({e} AS BIGINT), CAST({exact} AS BIGINT),"
+                   + f" {2 * abs(e - exact) <= mass})")
+    return ("SELECT scope, n_hashes, theta_h, est, exact, bound_ok"
+            " FROM (VALUES " + ", ".join(out) +
+            ") AS t(scope, n_hashes, theta_h, est, exact, bound_ok)")
+
+
+@q("sketch_theta_ops", _theta_oracle)
+def sketch_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV distinct-count sketch with SET ALGEBRA
+    (sketch.theta_build/theta_union/theta_estimate/theta_set_op): the
+    k smallest distinct hash values per year of customers ordering,
+    merged across years, plus |1995 ∩ 1996| and |1995 \\ 1996| via the
+    theta rule — the across-shards set-overlap question HLL cannot
+    answer. Every row (sketch size, k-th hash, integer KMV estimate)
+    must replay bit-exactly through the pinned pure-Python xxh64, and
+    every estimate must sit within the 2*|est-exact| <= exact contract.
+    The exact sides and the 1-row stats joins are gate-only apparatus
+    (bounded crossJoins, the lint-allowlisted contract shape); the
+    operator itself never touches data after the one distinct+truncate
+    pass per side."""
+    from .extensions import sketch
+
+    _views(spark, sf_dir)
+    k = _THETA_K
+    ords = (spark.table("orders").where("o_custkey IS NOT NULL")
+            .select(F.year("o_orderdate").alias("yr"), "o_custkey"))
+    per_year = sketch.theta_build(ords, "o_custkey", ["yr"], k=k) \
+        .localCheckpoint(eager=True)  # reused five ways below
+
+    bound = (2 * F.abs(F.col("est") - F.col("exact"))
+             <= F.col("exact")).alias("bound_ok")
+    cols = ["scope", "n_hashes", "theta_h", "est", "exact"]
+
+    exact_year = ords.groupBy("yr").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact"))
+    est_year = (sketch.theta_estimate(per_year, ["yr"], k=k)
+                .join(exact_year, on="yr")
+                .select(F.concat(F.lit("year_"), F.col("yr"))
+                        .alias("scope"), *cols[1:], bound))
+
+    exact_union = ords.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact"))
+    est_union = (sketch.theta_estimate(
+        sketch.theta_union(per_year, [], k=k), [], k=k)
+        .crossJoin(exact_union)
+        .select(F.lit("union").alias("scope"), *cols[1:], bound))
+
+    flags = ords.groupBy("o_custkey").agg(
+        F.max(F.col("yr") == 1995).alias("in95"),
+        F.max(F.col("yr") == 1996).alias("in96"))
+    sk95 = per_year.where("yr = 1995").select("h")
+    sk96 = per_year.where("yr = 1996").select("h")
+    parts = [est_year, est_union]
+    # set-op rows gate error against the INPUT-SET mass (|1995| +
+    # |1996|), the theta-sketch bound shape — a result-relative bound
+    # on a small difference would sit ~2 sigma from its own sampling
+    # noise and flip on a testdata re-seed
+    set_bound = (2 * F.abs(F.col("est") - F.col("exact"))
+                 <= F.col("mass")).alias("bound_ok")
+    for scope, op, cond in (
+            ("intersect_95_96", "intersect",
+             F.col("in95") & F.col("in96")),
+            ("diff_95_96", "difference",
+             F.col("in95") & ~F.col("in96"))):
+        exact = flags.agg(
+            F.sum(cond.cast("bigint")).cast("bigint").alias("exact"),
+            F.sum(F.col("in95").cast("bigint")
+                  + F.col("in96").cast("bigint"))
+            .cast("bigint").alias("mass"))
+        parts.append(
+            sketch.theta_set_op(sk95, sk96, k=k, op=op)
+            .withColumnRenamed("n_candidates", "n_hashes")
+            .crossJoin(exact)
+            .select(F.lit(scope).alias("scope"), *cols[1:], set_bound))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # triangle gate: the operator counts via degree ORIENTATION (each edge
 # directed low-(deg,id)-rank -> high, wedges closed by one equi-join);
 # the oracle counts the SAME value through the canonical-id-order
@@ -7437,9 +7587,10 @@ _GATED_WINDOW = [
     "sketch_heavy_bytes",
     "source_csv_roundtrip",
     "layout_compaction",
-    # (d) backfill from the oldest (r9) tier, alphabetical
+    # (d) NEW this round (never-gated outranks any rN tier)
+    "sketch_theta_ops",
+    # (e) backfill from the oldest (r9) tier, alphabetical
     "ann_ivf_pq_recall",
-    "ann_ivf_topk",
 ]
 
 

@@ -2952,3 +2952,92 @@ def test_qdigest_heavy_mass_interval_bound(spark):
     # count(<=est) jumps by n/2 — the one-sided gate would have flapped
     assert one_sided_violated, \
         "expected the heavy value to break the one-sided gate"
+
+
+def test_theta_sketch_replay_and_set_ops(spark):
+    """theta_build/union/estimate/set_op vs a pure-python replay through
+    the pinned xxh64 (bit-exact: hashes, truncation, integer KMV
+    estimator), plus exact-mode semantics and estimator sanity."""
+    from dbt_extrica_spark.extensions import sketch as sk
+    from dbt_extrica_spark.functions.xxh64 import xxh64_signed
+
+    k = 16
+    rows = [(g, v) for g in range(3)
+            for v in range(g * 7, g * 7 + 40 + g * 25)]
+    df = spark.createDataFrame(rows, "g int, item bigint")
+
+    def ref_sketch(vals):
+        return sorted({xxh64_signed(str(v).encode()) for v in vals})[:k]
+
+    def ref_est(hs, kk=k):
+        if len(hs) < kk:
+            return len(hs)
+        return ((kk - 1) << 64) // (hs[-1] + (1 << 63) + 1)
+
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, set()).add(v)
+    exp_sk = {g: ref_sketch(vs) for g, vs in by_g.items()}
+
+    bs = sk.theta_build(df, "item", ["g"], k=k)
+    got_sk: dict = {}
+    for r in bs.collect():
+        got_sk.setdefault(r.g, []).append(r.h)
+    assert {g: sorted(v) for g, v in got_sk.items()} == exp_sk
+
+    est = {r.g: (r.n_hashes, r.theta_h, r.est)
+           for r in sk.theta_estimate(bs, ["g"], k=k).collect()}
+    for g, hs in exp_sk.items():
+        assert est[g] == (len(hs), max(hs), ref_est(hs))
+
+    # union of per-group sketches == sketch of the union (KMV property),
+    # and the merged estimate replays
+    un = sk.theta_union(bs, [], k=k)
+    exp_un = ref_sketch(set().union(*by_g.values()))
+    assert sorted(r.h for r in un.collect()) == exp_un
+    assert sk.theta_estimate(un, [], k=k).collect()[0].est == \
+        ref_est(exp_un)
+
+    # intersect / difference with the theta rule, vs replay
+    def ref_setop(a, b, op):
+        ta = a[-1] if len(a) >= k else None
+        tb = b[-1] if len(b) >= k else None
+        alive = [x for x in (ta, tb) if x is not None]
+        th = min(alive) if alive else None
+        pool = (set(a) & set(b)) if op == "intersect" else set(a) - set(b)
+        c = {h for h in pool if th is None or h < th}
+        if th is None:
+            return (len(c), None, len(c))
+        return (len(c), th, (len(c) << 64) // (th + (1 << 63) + 1))
+
+    A, B = bs.where("g = 0").select("h"), bs.where("g = 1").select("h")
+    for op in ("intersect", "difference"):
+        r = sk.theta_set_op(A, B, k=k, op=op).collect()[0]
+        assert (r.n_candidates, r.theta_h, r.est) == \
+            ref_setop(exp_sk[0], exp_sk[1], op), op
+
+    # exact mode: neither sketch full -> theta_h NULL, est = exact count
+    small = spark.createDataFrame(
+        [(0, i) for i in range(5)] + [(1, i) for i in range(3, 9)],
+        "g int, item bigint")
+    ss = sk.theta_build(small, "item", ["g"], k=k)
+    r = sk.theta_set_op(ss.where("g = 0").select("h"),
+                        ss.where("g = 1").select("h"), k=k).collect()[0]
+    assert (r.n_candidates, r.theta_h, r.est) == (2, None, 2)
+    # ...and zero overlap still returns one row
+    r = sk.theta_set_op(ss.where("g = 0 AND h IS NOT NULL").select("h")
+                        .where(F.lit(False)),
+                        ss.where("g = 1").select("h"), k=k).collect()[0]
+    assert (r.n_candidates, r.est) == (0, 0)
+
+    # estimator sanity: k=64 on 5000 distinct -> well inside 4 sigma
+    big = spark.createDataFrame([(0, v) for v in range(5000)],
+                                "g int, item bigint")
+    e = sk.theta_estimate(sk.theta_build(big, "item", ["g"], k=64),
+                          ["g"], k=64).collect()[0]
+    assert abs(e.est - 5000) / 5000 < 0.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="intersect"):
+        sk.theta_set_op(A, B, k=k, op="union")

@@ -95,6 +95,11 @@ BNLJ_OK = {
                                  # onto the summary rows; the sketch is
                                  # one shuffle + same-partitioning window
     "sketch_heavy_bytes",        # same shape, weighted mass
+    "sketch_theta_ops",          # r12 contract: BNLJs are the 1-row
+                                 # theta/exact stats crossJoins (set-op
+                                 # theta row, exact distinct counts);
+                                 # the sketch itself is one distinct +
+                                 # per-group window / global top-k
 }
 
 
