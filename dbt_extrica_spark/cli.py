@@ -21,7 +21,11 @@ seeds, ``test`` evaluates checks (exit 1 on any error-severity failure),
 attached tests, snapshots in DAG position -> module-level checks) and
 writes ``target/run_results.json``, ``retry`` reruns only the
 failed/skipped slice of the last build (dbt retry), ``ls`` lists
-resolved selection, ``compile`` prints compiled SQL, ``docs`` emits the
+resolved selection (``--output json`` emits one machine-readable JSON
+object per node for CI tooling), ``parse`` validates the project
+(graph acyclicity + every placeholder resolvable) and writes the
+manifest without executing anything, ``compile`` prints compiled SQL,
+``docs`` emits the
 catalog document as JSON, ``source freshness`` (or the one-token
 ``source-freshness``) evaluates the module's ``sources_freshness``
 specs via testing.source_freshness with test-style exit codes (error
@@ -516,12 +520,53 @@ def _cmd_build(engine: Engine, mod, project: Project, args,
 
 def _cmd_ls(project: Project, args) -> int:
     chosen = project.select_nodes(args.select or None, args.exclude or None)
+    as_json = args.output == "json"
     for level in project.topo_order():
         for name in level:
-            if name in chosen:
-                m = project.model(name)
+            if name not in chosen:
+                continue
+            m = project.model(name)
+            if as_json:
+                # dbt `ls --output json`: one JSON object per line, the
+                # machine-readable selection feed for CI tooling (no
+                # trailing summary line — the output IS the node list)
+                print(json.dumps(
+                    {"name": name, "resource_type": "model",
+                     "materialized": m.config.get("materialized", "view"),
+                     "depends_on": sorted(m.refs()),
+                     "config": m.config}, default=str))
+            else:
                 print(f"{name} [{m.config.get('materialized', 'view')}]")
-    print(f"Completed: {len(chosen)} nodes")
+    if not as_json:
+        print(f"Completed: {len(chosen)} nodes")
+    return 0
+
+
+def _cmd_parse(engine: Engine, project: Project, args,
+               schema: str) -> int:
+    """dbt parse: validate the project WITHOUT executing anything —
+    graph acyclicity (topo_order raises on cycles), every SQL model's
+    {ref:}/{source:}/{this}/{is_incremental:} placeholders resolvable
+    in both first-run and incremental renders — and write
+    target/manifest.json (the state artifact slim CI diffs against).
+    Sources resolve against the same --sf-dir registration the run
+    would get, so an unregistered {source:} fails HERE, not mid-run.
+    DataFrame-builder models are counted but not rendered (rendering
+    one executes user code — dbt parse does not run python models)."""
+    levels = project.topo_order()
+    n_sql = n_py = 0
+    for m in project.models:
+        if m.sql is None:
+            n_py += 1
+            continue
+        this = engine.relation(m.name).render()
+        for is_incr in (False, True):
+            m.render(engine.ref, engine.source, this, is_incr)
+        n_sql += 1
+    _save_manifest(project, args, schema=schema)
+    print(f"Parsed {len(project.models)} models ({n_sql} sql, {n_py} "
+          f"python) across {len(levels)} DAG levels; manifest written "
+          f"to {_manifest_path(args.target_dir)}")
     return 0
 
 
@@ -563,7 +608,7 @@ def _build_parser() -> argparse.ArgumentParser:
                    choices=["run", "seed", "snapshot", "test", "build",
                             "retry", "ls", "compile", "docs", "source",
                             "source-freshness", "show", "debug",
-                            "run-operation", "clone"])
+                            "run-operation", "clone", "parse"])
     p.add_argument("subcommand", nargs="?", default=None,
                    help="`source freshness` two-token form, or the "
                         "operation name for run-operation")
@@ -728,6 +773,8 @@ def main(argv: list[str] | None = None,
             return _cmd_compile(engine, project, args)
         if args.command == "clone":
             return _cmd_clone(engine, project, args, schema)
+        if args.command == "parse":
+            return _cmd_parse(engine, project, args, schema)
         return _cmd_build(engine, mod, project, args,
                           retry=args.command == "retry")
     finally:

@@ -515,3 +515,75 @@ models = [
     finally:
         spark.sql("DROP SCHEMA IF EXISTS defer_prod CASCADE")
         spark.sql("DROP SCHEMA IF EXISTS defer_dev CASCADE")
+
+
+def test_cli_parse_and_ls_json(spark, tmp_path, capsys):
+    """dbt parse validates without executing and writes the manifest;
+    ls --output json emits one JSON object per node."""
+    proj = tmp_path / "proj.py"
+    proj.write_text('''
+from dbt_extrica_spark import Model
+schema = "parse_demo"
+models = [
+    Model("base", sql="SELECT 1 AS x", config={"materialized": "table"}),
+    Model("down", sql="SELECT x FROM {ref:base} "
+                      "{is_incremental: WHERE x > 0}",
+          config={"materialized": "incremental", "unique_key": "x"}),
+]
+''')
+
+    def run(*argv):
+        return cli.main(list(argv) + ["--project", str(proj),
+                                      "--target-dir", str(tmp_path)],
+                        spark=spark)
+
+    try:
+        rc = run("parse")
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Parsed 2 models (2 sql, 0 python)" in out
+        # the manifest is the state artifact — parse must produce it
+        # WITHOUT creating any relation
+        doc = json.loads((tmp_path / "manifest.json").read_text())
+        assert set(doc["models"]) == {"base", "down"}
+        assert not spark.catalog.tableExists("parse_demo.base")
+
+        # a dependency cycle fails parse (not mid-run)
+        proj.write_text('''
+from dbt_extrica_spark import Model
+schema = "parse_demo"
+models = [
+    Model("a", sql="SELECT * FROM {ref:b}"),
+    Model("b", sql="SELECT * FROM {ref:a}"),
+]
+''')
+        with pytest.raises(Exception, match="[Cc]ycle"):
+            run("parse")
+        # ...and so does an unregistered {source:}
+        proj.write_text('''
+from dbt_extrica_spark import Model
+schema = "parse_demo"
+models = [Model("s", sql="SELECT * FROM {source:not_registered}")]
+''')
+        with pytest.raises(Exception, match="[Uu]nknown source"):
+            run("parse")
+
+        # ls --output json: one JSON line per node, no summary line
+        proj.write_text('''
+from dbt_extrica_spark import Model
+schema = "parse_demo"
+models = [
+    Model("base", sql="SELECT 1 AS x", config={"materialized": "table"}),
+    Model("down", sql="SELECT x FROM {ref:base}"),
+]
+''')
+        rc = run("ls", "--output", "json")
+        out = capsys.readouterr().out
+        assert rc == 0
+        lines = [json.loads(ln) for ln in out.strip().splitlines()]
+        assert [ln["name"] for ln in lines] == ["base", "down"]
+        assert lines[0]["materialized"] == "table"
+        assert lines[1]["depends_on"] == ["base"]
+        assert "Completed" not in out
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS parse_demo CASCADE")
