@@ -190,3 +190,34 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
         "%08x", F.floor(w * F.lit(float(_HEX_SPACE))).cast("bigint"))
     return df.where(
         w.isNotNull() & ((w >= 1.0) | ((w > 0.0) & (bucket < thr))))
+
+
+def cap_per_key(df: DataFrame, id_col: str, key_col: str, cap: int,
+                order_col: str | None = None, salt: str = "") -> DataFrame:
+    """Per-key contribution cap: keep AT MOST ``cap`` rows per
+    ``key_col`` — the domain-cap rule a pretraining mixture applies so
+    no single domain/site dominates the corpus (the count-based
+    complement to mixture_sample's rate knob). Preference is
+    deterministic: with ``order_col``, the cap keeps the HIGHEST values
+    (quality-score semantics, ties broken by id ascending); without
+    one, preference is ``md5(salt || id)`` ascending — an unbiased,
+    engine-reproducible pseudo-random draw (same convention as every
+    sampler here, so the oracle replays it in plain SQL).
+
+    Returns the surviving rows with a ``key_rank`` column (1-based
+    preference rank within the key).
+
+    Scale shape: ONE shuffle on key_col + a rank-truncated window —
+    Spark's InferWindowGroupLimit turns the rn <= cap filter into
+    map-side WindowGroupLimit partial top-k, so a skewed key (one
+    domain with 100M rows) prunes to ``cap`` rows per map task BEFORE
+    the exchange instead of sorting the whole domain in one task."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if order_col is not None:
+        order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    else:
+        order = [_bucket_expr(id_col, salt).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (df.withColumn("key_rank", F.row_number().over(w))
+            .where(F.col("key_rank") <= cap))

@@ -4574,6 +4574,52 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(docs, "doc_id", "lang", 20)
 
 
+# per-key contribution cap: both preference modes replay in plain SQL —
+# md5 hash order (the samplers' shared convention) and quality order
+# (n_chars desc). ROW_NUMBER is deterministic under the total orders.
+_CAP_DUCK = """
+SELECT mode, doc_id, source, key_rank FROM (
+  SELECT 'hash' AS mode, doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                       doc_id) AS BIGINT) AS key_rank
+  FROM documents
+  UNION ALL
+  SELECT 'quality', doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS BIGINT)
+  FROM documents
+) t WHERE key_rank <= 8
+"""
+
+
+@q("sample_cap_per_source", _CAP_DUCK)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key contribution cap (sampling.cap_per_key): at most 8 docs
+    per source, in BOTH preference modes — md5-hash order (unbiased
+    reproducible draw) and quality order (n_chars desc) — the domain-cap
+    rule that keeps one site from dominating a pretraining mixture. The
+    kept (doc, rank) sets must match the SQL window replay exactly; the
+    rn <= cap filter plans as map-side WindowGroupLimit partial top-k,
+    so a skewed key prunes before the exchange."""
+    from .extensions import sampling
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source", "n_chars")
+    hash_mode = sampling.cap_per_key(docs, "doc_id", "source", cap=8)
+    qual_mode = sampling.cap_per_key(docs, "doc_id", "source", cap=8,
+                                     order_col="n_chars")
+    return (hash_mode.select(F.lit("hash").alias("mode"), "doc_id",
+                             "source",
+                             F.col("key_rank").cast("bigint")
+                             .alias("key_rank"))
+            .unionByName(
+                qual_mode.select(F.lit("quality").alias("mode"),
+                                 "doc_id", "source",
+                                 F.col("key_rank").cast("bigint")
+                                 .alias("key_rank"))))
+
+
 # boundary rates: rate 1.0 keeps EVERY row and rate 0.0 keeps none; a
 # {1.0, 0.0}-weighted split sends every row to the first split. These are
 # exactly the cases the 8-hex-char threshold trick can get wrong (16^8
@@ -7589,8 +7635,7 @@ _GATED_WINDOW = [
     "layout_compaction",
     # (d) NEW this round (never-gated outranks any rN tier)
     "sketch_theta_ops",
-    # (e) backfill from the oldest (r9) tier, alphabetical
-    "ann_ivf_pq_recall",
+    "sample_cap_per_source",
 ]
 
 

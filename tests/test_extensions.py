@@ -3041,3 +3041,59 @@ def test_theta_sketch_replay_and_set_ops(spark):
 
     with _pytest.raises(ValueError, match="intersect"):
         sk.theta_set_op(A, B, k=k, op="union")
+
+
+def test_cap_per_key_modes_and_plan(spark):
+    """cap_per_key: both preference modes vs a python replay, cap >=
+    group size keeps everything, and the rn <= cap filter plans as
+    map-side WindowGroupLimit (partial top-k before the exchange — the
+    skewed-domain defense)."""
+    import hashlib
+
+    from dbt_extrica_spark.extensions import sampling
+
+    rows = [(i, f"d{i % 3}", (i * 7) % 11) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, dom string, score bigint")
+
+    def md5_8(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:8]
+
+    by_dom: dict = {}
+    for i, d, s in rows:
+        by_dom.setdefault(d, []).append((i, s))
+
+    # hash mode
+    got = {(r.dom, r.id): r.key_rank
+           for r in sampling.cap_per_key(df, "id", "dom", cap=4).collect()}
+    exp = {}
+    for d, members in by_dom.items():
+        for rank, (i, _) in enumerate(
+                sorted(members, key=lambda m: (md5_8(m[0]), m[0]))[:4], 1):
+            exp[(d, i)] = rank
+    assert got == exp
+
+    # quality mode: highest score first, ties by id
+    got = {(r.dom, r.id): r.key_rank
+           for r in sampling.cap_per_key(df, "id", "dom", cap=4,
+                                         order_col="score").collect()}
+    exp = {}
+    for d, members in by_dom.items():
+        for rank, (i, _) in enumerate(
+                sorted(members, key=lambda m: (-m[1], m[0]))[:4], 1):
+            exp[(d, i)] = rank
+    assert got == exp
+
+    # cap >= group size keeps every row (rank is a permutation)
+    assert sampling.cap_per_key(df, "id", "dom", cap=100).count() == 30
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap"):
+        sampling.cap_per_key(df, "id", "dom", cap=0)
+
+    # scale posture: the window must plan as WindowGroupLimit
+    out = sampling.cap_per_key(df, "id", "dom", cap=4)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "WindowGroupLimit" in plan
