@@ -349,6 +349,29 @@ def _save_manifest(project, args, schema: str | None = None) -> None:
         json.dump(doc, f, indent=1)
 
 
+def _load_state_manifest(state_dir: str | None, who: str,
+                         need_schema: bool = False):
+    """Load --state's manifest.json (shared by clone / --defer /
+    state: selectors — one loader so path checks and error wording
+    can't drift). Returns (doc, schema-or-None)."""
+    if not state_dir:
+        raise SystemExit(f"{who} needs --state <dir holding a prior "
+                         f"manifest.json>")
+    path = _manifest_path(state_dir)
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"no manifest at {path!r} — run `run`/`build` with "
+            f"--target-dir {state_dir!r} first to record state")
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    schema = doc.get("schema")
+    if need_schema and not schema:
+        raise SystemExit("state manifest records no schema — re-run "
+                         "`run`/`build` with a current version to "
+                         "record it")
+    return doc, schema
+
+
 def _cmd_clone(engine: Engine, project, args, schema: str) -> int:
     """`dbt clone`: recreate the --state manifest's relations in the
     CURRENT schema as pointer VIEWS onto the state schema's relations —
@@ -359,19 +382,8 @@ def _cmd_clone(engine: Engine, project, args, schema: str) -> int:
     NOTE: with the default in-memory catalog this is same-session
     cloning (schema -> schema); point the session at a Hive metastore
     for the cross-process dbt workflow."""
-    if not args.state:
-        raise SystemExit("clone needs --state <dir holding a prior "
-                         "manifest.json>")
-    path = _manifest_path(args.state)
-    if not os.path.exists(path):
-        raise SystemExit(f"no manifest at {path!r}")
-    with open(path, encoding="utf-8") as f:
-        doc = json.load(f)
-    src_schema = doc.get("schema")
-    if not src_schema:
-        raise SystemExit("state manifest records no schema — re-run "
-                         "`run`/`build` with a current version to "
-                         "record it")
+    doc, src_schema = _load_state_manifest(args.state, "clone",
+                                           need_schema=True)
     if src_schema == schema:
         raise SystemExit(f"clone target schema {schema!r} equals the "
                          f"state schema — pass --schema <dev_schema>")
@@ -424,16 +436,8 @@ def _resolve_state_selectors(project, select: list[str],
     when no model changed."""
     if not any("state:" in s for s in select):
         return select
-    if not args.state:
-        raise SystemExit("state:... selectors need --state <dir holding "
-                         "a prior manifest.json>")
-    path = _manifest_path(args.state)
-    if not os.path.exists(path):
-        raise SystemExit(
-            f"no manifest at {path!r} — run `run`/`build` with "
-            f"--target-dir {args.state!r} first to record state")
-    with open(path, encoding="utf-8") as f:
-        old = json.load(f).get("models", {})
+    doc, _ = _load_state_manifest(args.state, "state:... selectors")
+    old = doc.get("models", {})
     out = []
     for spec in select:
         core = spec.strip("+")
@@ -519,6 +523,13 @@ def _cmd_build(engine: Engine, mod, project: Project, args,
 
 
 def _cmd_ls(project: Project, args) -> int:
+    # dbt ls supports --output json|name|path|selector; only json is
+    # meaningful here (no file paths, no YAML selectors). Anything else
+    # must fail loudly — silently printing the human format would feed
+    # a CI pipeline garbage with exit code 0.
+    if args.output not in (None, "json"):
+        raise SystemExit(f"ls --output supports only 'json', got "
+                         f"{args.output!r}")
     chosen = project.select_nodes(args.select or None, args.exclude or None)
     as_json = args.output == "json"
     for level in project.topo_order():
@@ -542,10 +553,13 @@ def _cmd_ls(project: Project, args) -> int:
     return 0
 
 
-def _cmd_parse(engine: Engine, project: Project, args,
+def _cmd_parse(engine: Engine, mod, project: Project, args,
                schema: str) -> int:
     """dbt parse: validate the project WITHOUT executing anything —
-    graph acyclicity (topo_order raises on cycles), every SQL model's
+    graph acyclicity (topo_order raises on cycles), every {ref:} names
+    a model or seed of THIS project (topo_order silently drops unknown
+    deps, so an unchecked ghost ref would otherwise surface only
+    mid-run as TABLE_OR_VIEW_NOT_FOUND), every SQL model's
     {ref:}/{source:}/{this}/{is_incremental:} placeholders resolvable
     in both first-run and incremental renders — and write
     target/manifest.json (the state artifact slim CI diffs against).
@@ -554,8 +568,16 @@ def _cmd_parse(engine: Engine, project: Project, args,
     DataFrame-builder models are counted but not rendered (rendering
     one executes user code — dbt parse does not run python models)."""
     levels = project.topo_order()
+    known = {m.name for m in project.models} \
+        | set(getattr(mod, "seeds", {}) or {})
     n_sql = n_py = 0
     for m in project.models:
+        ghosts = m.refs() - known
+        if ghosts:
+            raise SystemExit(
+                f"model {m.name!r} refs unknown node(s): "
+                f"{sorted(ghosts)} (not a model or seed of this "
+                f"project)")
         if m.sql is None:
             n_py += 1
             continue
@@ -726,19 +748,8 @@ def main(argv: list[str] | None = None,
         # `run --select state:modified+ --defer --state prod/` builds
         # only the changed models against prod parents. Selected models
         # and models absent from the state manifest resolve normally.
-        if not args.state:
-            raise SystemExit("--defer needs --state <dir holding a "
-                             "prior manifest.json>")
-        mpath = _manifest_path(args.state)
-        if not os.path.exists(mpath):
-            raise SystemExit(f"no manifest at {mpath!r}")
-        with open(mpath, encoding="utf-8") as f:
-            mdoc = json.load(f)
-        state_schema = mdoc.get("schema")
-        if not state_schema:
-            raise SystemExit("state manifest records no schema — re-run "
-                             "`run`/`build` with a current version to "
-                             "record it")
+        mdoc, state_schema = _load_state_manifest(args.state, "--defer",
+                                                  need_schema=True)
         chosen = project.select_nodes(args.select or None,
                                       args.exclude or None)
         candidates = set(mdoc.get("models", {})) - chosen
@@ -774,7 +785,7 @@ def main(argv: list[str] | None = None,
         if args.command == "clone":
             return _cmd_clone(engine, project, args, schema)
         if args.command == "parse":
-            return _cmd_parse(engine, project, args, schema)
+            return _cmd_parse(engine, mod, project, args, schema)
         return _cmd_build(engine, mod, project, args,
                           retry=args.command == "retry")
     finally:

@@ -111,13 +111,26 @@ def compact_files(spark, path: str, format: str = "parquet",
     if (target_rows_per_file is None) == (target_files is None):
         raise ValueError(
             "pass exactly one of target_rows_per_file / target_files")
-    files_before = data_file_count(spark, path)
-    # the partitioned-root refusal must match its promise: ANY data
-    # file below the top level means dt=*/ structure the swap would
-    # destroy — including the MIXED layout (some top-level part files
-    # plus partition subdirectories), which a files_before==0-only
-    # check would wave through
-    if data_file_count(spark, path, recursive=True) > files_before:
+    # ONE recursive walk derives both counts (object-store LISTs are the
+    # dominant guard cost — don't pay a flat listStatus AND a tree walk).
+    # The partitioned-root refusal must match its promise: ANY data file
+    # below the top level means dt=*/ structure the swap would destroy —
+    # including the MIXED layout (some top-level part files plus
+    # partition subdirectories), which a top-level-only check would
+    # wave through.
+    fs0, jroot = _fs_for(spark, path)
+    root = fs0.makeQualified(jroot).toUri().getPath()
+    files_before = nested = 0
+    it0 = fs0.listFiles(jroot, True)
+    while it0.hasNext():
+        st = it0.next()
+        if not st.getPath().getName().startswith("part-"):
+            continue
+        if st.getPath().getParent().toUri().getPath() == root:
+            files_before += 1
+        else:
+            nested += 1
+    if nested > 0:
         raise ValueError(
             f"compact_files: {path!r} looks like a partitioned "
             f"dataset root (data files in subdirectories) — "

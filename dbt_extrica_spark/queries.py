@@ -897,12 +897,20 @@ def _theta_oracle() -> str:
 
     out = []
 
+    # the oracle ASSERTS each bound and emits literal TRUE: were it to
+    # interpolate the same formula the Spark side computes, a violated
+    # bound would go false on BOTH sides and the gate would stay green —
+    # a tautology instead of a contract. This way a violation fails
+    # loudly here (attributable) and any silent Spark-side drift
+    # mismatches the literal.
     def emit(scope, n, theta_h, e, exact):
+        assert 2 * abs(e - exact) <= exact, \
+            f"theta bound violated for {scope}: est={e} exact={exact}"
         out.append(f"('{scope}', CAST({n} AS BIGINT),"
                    + (f" CAST({theta_h} AS BIGINT),"
                       if theta_h is not None else " CAST(NULL AS BIGINT),")
                    + f" CAST({e} AS BIGINT), CAST({exact} AS BIGINT),"
-                   + f" {2 * abs(e - exact) <= exact})")
+                   + " true)")
 
     sketches = {y: sk(vs) for y, vs in by_year.items()}
     for y in sorted(by_year):
@@ -927,11 +935,14 @@ def _theta_oracle() -> str:
         cand = {h for h in pool if th is None or h < th}
         e = (len(cand) if th is None
              else (len(cand) << 64) // (th + (1 << 63) + 1))
+        assert 2 * abs(e - exact) <= mass, \
+            f"theta set-op bound violated for {scope}: est={e} " \
+            f"exact={exact} mass={mass}"
         out.append(f"('{scope}', CAST({len(cand)} AS BIGINT),"
                    + (f" CAST({th} AS BIGINT),"
                       if th is not None else " CAST(NULL AS BIGINT),")
                    + f" CAST({e} AS BIGINT), CAST({exact} AS BIGINT),"
-                   + f" {2 * abs(e - exact) <= mass})")
+                   + " true)")
     return ("SELECT scope, n_hashes, theta_h, est, exact, bound_ok"
             " FROM (VALUES " + ", ".join(out) +
             ") AS t(scope, n_hashes, theta_h, est, exact, bound_ok)")

@@ -559,6 +559,24 @@ models = [
 ''')
         with pytest.raises(Exception, match="[Cc]ycle"):
             run("parse")
+        # ...a ghost {ref:} fails parse too (topo_order silently drops
+        # unknown deps, so without this check it would only fail mid-run)
+        proj.write_text('''
+from dbt_extrica_spark import Model
+schema = "parse_demo"
+models = [Model("m", sql="SELECT * FROM {ref:ghost}")]
+''')
+        with pytest.raises(SystemExit, match="unknown node"):
+            run("parse")
+        # ...while a seed ref is a KNOWN node (dbt refs resolve to seeds)
+        proj.write_text('''
+from dbt_extrica_spark import Model
+schema = "parse_demo"
+models = [Model("m", sql="SELECT * FROM {ref:s1}")]
+seeds = {"s1": "k,v\\n1,2\\n"}
+''')
+        assert run("parse") == 0
+        capsys.readouterr()
         # ...and so does an unregistered {source:}
         proj.write_text('''
 from dbt_extrica_spark import Model
@@ -585,5 +603,10 @@ models = [
         assert lines[0]["materialized"] == "table"
         assert lines[1]["depends_on"] == ["base"]
         assert "Completed" not in out
+        # unsupported --output values fail loudly (dbt's name/path
+        # formats are not emulated — silent fallback would feed CI the
+        # human format with exit 0)
+        with pytest.raises(SystemExit, match="supports only"):
+            run("ls", "--output", "name")
     finally:
         spark.sql("DROP SCHEMA IF EXISTS parse_demo CASCADE")
