@@ -69,6 +69,18 @@ def main() -> None:
             lambda: battery.queries()["text_dup_spans"](spark, sf_dir),
         "sample_shuffle_shards (scan-side shard expr + per-shard window)":
             lambda: battery.queries()["sample_shuffle_shards"](spark, sf_dir),
+        # r12: global sketch top-k must plan as TakeOrderedAndProject
+        # (never a 1-partition window); the BNLJs are the 1-row
+        # theta/exact contract joins (plan_lint BNLJ_OK)
+        "sketch_theta_ops (distinct+truncate KMV builds; global union "
+        "as TakeOrderedAndProject; 1-row contract crossJoins)":
+            lambda: battery.queries()["sketch_theta_ops"](spark, sf_dir),
+        # r12: the rn <= cap filter must plan as map-side
+        # WindowGroupLimit (partial top-k before the exchange)
+        "sample_cap_per_source (per-key cap: WindowGroupLimit partial "
+        "top-k, one exchange per mode)":
+            lambda: battery.queries()["sample_cap_per_source"](
+                spark, sf_dir),
         # r9: the entry is now a recall CONTRACT — the inner window branch
         # is still the r4 expression-local ivf rewrite (scan ->
         # assignment projection -> ONE Exchange per cogroup branch); the
