@@ -948,6 +948,69 @@ def _theta_oracle() -> str:
             ") AS t(scope, n_hashes, theta_h, est, exact, bound_ok)")
 
 
+def _stream_theta_oracle() -> str:
+    """Pure-Python replay of the MAINTAINED theta sketch table: per
+    event_type, the k smallest distinct xxh64(str(user_id)) over ALL
+    events — the batch-invariance contract (k smallest of the union of
+    per-batch k-smallest == k smallest overall) means the streaming
+    table must equal this regardless of micro-batch boundaries."""
+    import os
+
+    import duckdb as _duck
+
+    from .functions.xxh64 import xxh64_signed
+
+    k = _THETA_K
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = _duck.sql(
+        f"SELECT event_type, user_id"
+        f" FROM read_parquet('{sf}/events.parquet')"
+        f" WHERE user_id IS NOT NULL").fetchall()
+    by_type: dict[str, set[int]] = {}
+    for et, u in rows:
+        by_type.setdefault(str(et), set()).add(int(u))
+    vals = []
+    for et in sorted(by_type):
+        hs = sorted({xxh64_signed(str(u).encode())
+                     for u in by_type[et]})[:k]
+        e = (len(hs) if len(hs) < k
+             else ((k - 1) << 64) // (hs[-1] + (1 << 63) + 1))
+        vals.append(f"('{et}', CAST({len(hs)} AS BIGINT),"
+                    f" CAST({hs[-1]} AS BIGINT), CAST({e} AS BIGINT))")
+    return ("SELECT event_type, n_hashes, theta_h, est FROM (VALUES "
+            + ", ".join(vals)
+            + ") AS t(event_type, n_hashes, theta_h, est)")
+
+
+@q("streaming_theta_distinct", _stream_theta_oracle)
+def streaming_theta_distinct(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Continuous distinct-count sketch maintenance (streaming.
+    streaming_theta_maintenance): each micro-batch's theta/KMV sketch
+    of user_id per event_type is UNIONed into a durable <= k-rows-per-
+    group table. Theta union is BATCH-INVARIANT (the k smallest of the
+    union of per-batch k-smallest equals the k smallest overall), so
+    the drained table — and the integer KMV estimates read from it —
+    must equal the batch theta_build bit-for-bit no matter how the
+    stream was chopped; the oracle replays that through the pinned
+    pure-Python xxh64."""
+    import shutil
+
+    from .extensions import sketch
+    from .streaming import read_event_stream, streaming_theta_maintenance
+
+    eng = _engine(spark, sf_dir, "stream_theta")
+    shutil.rmtree(f"{eng.warehouse_dir}/_checkpoints/stream_theta",
+                  ignore_errors=True)
+    ev = (read_event_stream(spark, sf_dir)
+          .where("user_id IS NOT NULL"))
+    q_ = streaming_theta_maintenance(eng, ev, "stream_theta", "user_id",
+                                     ["event_type"], k=_THETA_K)
+    q_.awaitTermination()
+    return sketch.theta_estimate(eng.table("stream_theta"),
+                                 ["event_type"], k=_THETA_K)
+
+
 @q("sketch_theta_ops", _theta_oracle)
 def sketch_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV distinct-count sketch with SET ALGEBRA
@@ -7636,7 +7699,8 @@ _GATED_WINDOW = [
     "text_stats",
     "text_token_count",
     "text_top_phrases",
-    "text_winnow",
+    # text_winnow yields its slot to streaming_theta_distinct
+    # (never-gated outranks the r8 tier); it rejoins the r13 rotation
     # (c) code changed this round (r12 advice fixes): mg_build's raw
     # weight guard (both MG entries), the CSV null-sentinel options,
     # and compact_files' mixed-layout refusal
@@ -7647,6 +7711,7 @@ _GATED_WINDOW = [
     # (d) NEW this round (never-gated outranks any rN tier)
     "sketch_theta_ops",
     "sample_cap_per_source",
+    "streaming_theta_distinct",
 ]
 
 

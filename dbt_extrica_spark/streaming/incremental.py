@@ -269,6 +269,61 @@ def streaming_rollup_maintenance(
     return query
 
 
+def streaming_theta_maintenance(
+    engine,
+    stream: DataFrame,
+    table_name: str,
+    item_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> "object":
+    """CONTINUOUS distinct-count sketch maintenance: each micro-batch's
+    theta/KMV sketch (extensions.sketch.theta_build) is UNIONed into a
+    durable sketch table (<= k rows per group) — the streaming
+    companion to the batch theta operators, answering "distinct users
+    per event type so far" (and, via theta_set_op over two maintained
+    sketches, set overlaps) without ever re-scanning history.
+
+    The contract that makes this ORACLE-EXACT, unlike a streaming MG
+    summary: theta union is BATCH-INVARIANT — the k smallest of the
+    union of per-batch k-smallest hashes equals the k smallest over
+    all data (any hash among the global k smallest is necessarily
+    among its own batch's k smallest), so the maintained table equals
+    theta_build over the fully-drained input bit-for-bit REGARDLESS of
+    how the stream was batched. Merge cost is sketch-sized (<= k rows
+    per group per side); the durable table is the only state that
+    grows — by groups, never by rows seen.
+
+    Returns the StreamingQuery (availableNow — callers await it)."""
+    from ..extensions.sketch import theta_build, theta_union
+    from ..relation import RelationType
+
+    target = engine.relation(table_name, RelationType.Table)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sk = theta_build(batch_df, item_col, group_cols, k=k)
+        existing = engine.catalog.get_relation(target)
+        if existing is None:
+            sk.write.format("parquet").saveAsTable(
+                target.render_unquoted())
+            return
+        merged = theta_union(
+            engine.spark.table(target.render_unquoted())
+            .unionByName(sk), group_cols, k)
+        engine.overwrite_table_atomic(target, merged)
+
+    query = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation",
+                f"{engine.warehouse_dir}/_checkpoints/{table_name}")
+        .start()
+    )
+    return query
+
+
 def streaming_minhash_admission(
     doc_stream: DataFrame,
     hist_df: DataFrame,

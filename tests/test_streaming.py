@@ -402,3 +402,56 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     assert per_run[0] == {("2024-01-01 10:00:00", "A")}
     assert per_run[1] == {("2024-01-01 12:00:00", "B")}  # dup A dropped
     assert per_run[2] == {("2024-01-01 12:10:00", "A")}  # re-emitted
+
+
+def test_streaming_theta_maintenance_batch_invariant(spark, tmp_path):
+    """Continuous theta-sketch maintenance: with maxFilesPerTrigger=1
+    the durable sketch is merged across several micro-batches — the
+    final table must equal theta_build over ALL rows bit-for-bit (the
+    KMV batch-invariance contract: the k smallest of the union of
+    per-batch k-smallest == the k smallest overall). A single-batch
+    run can't observe this; the battery entry drains the file at
+    once."""
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark import Engine
+    from dbt_extrica_spark.extensions.sketch import theta_build
+    from dbt_extrica_spark.streaming import streaming_theta_maintenance
+
+    k = 8
+    src = tmp_path / "theta_in"
+    src.mkdir()
+    rows = []
+    for f in range(3):
+        # overlapping user sets across files: the merge must dedup
+        # hashes across batches, and each group exceeds k so real
+        # truncation happens per batch AND at the merge
+        part = [(f * 100 + i, (i * 7 + f) % 23, "a" if i % 2 else "b")
+                for i in range(30)]
+        spark.createDataFrame(
+            part, "event_id bigint, user_id bigint, grp string") \
+            .coalesce(1).write.mode("append").parquet(str(src / f"f{f}"))
+        rows += part
+    stream = (spark.readStream
+              .schema("event_id bigint, user_id bigint, grp string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    eng = Engine(spark)
+    try:
+        q = streaming_theta_maintenance(eng, stream, "theta_tbl",
+                                        "user_id", ["grp"], k=k)
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+        got = {(r.grp, r.h) for r in eng.table("theta_tbl").collect()}
+        batch = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, grp string")
+        exp = {(r.grp, r.h)
+               for r in theta_build(batch, "user_id", ["grp"],
+                                    k=k).collect()}
+        assert got == exp
+        # the table stays sketch-sized: <= k rows per group
+        sizes = {r.grp: r.n for r in eng.table("theta_tbl")
+                 .groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        assert all(n <= k for n in sizes.values())
+    finally:
+        eng.close()
