@@ -462,11 +462,14 @@ def theta_set_op(a: DataFrame, b: DataFrame, k: int,
         f"CAST(n_candidates AS DECIMAL(38,0)) * {1 << 64} div"
         f" (CAST(theta_h AS DECIMAL(38,0)) + {_THETA_HALF})")
     # global agg (not groupBy) so ZERO candidates still yields one row
-    # (n_candidates=0, est=0); theta_h is constant across candidate rows
-    # so min() is a deterministic pick, NULL when exact-mode or empty
+    # (n_candidates=0, est=0). theta_h comes from the 1-row STATS side,
+    # not the candidate rows — deriving it from candidates (min/first)
+    # would report NULL whenever the candidate set is empty, silently
+    # relabeling a sampled zero as exact mode (caught by the hypothesis
+    # property test: two full sketches with disjoint sample regions)
     return (cand.agg(F.count(F.lit(1)).cast("bigint")
-                     .alias("n_candidates"),
-                     F.min("theta_h").alias("theta_h"))
+                     .alias("n_candidates"))
+            .crossJoin(F.broadcast(stats))
             .select(
                 "n_candidates", "theta_h",
                 F.when(F.col("theta_h").isNull(), F.col("n_candidates"))

@@ -198,3 +198,54 @@ def test_connected_components_matches_union_find(edges):
     got = {r.id: r.component
            for r in dedup.connected_components(df).collect()}
     assert got == want
+
+
+@given(st.sets(st.integers(min_value=-10**9, max_value=10**9),
+               min_size=1, max_size=120),
+       st.sets(st.integers(min_value=-10**9, max_value=10**9),
+               min_size=1, max_size=120))
+@settings(max_examples=4, deadline=None)
+def test_theta_sketch_union_and_setops_match_replay(xs, ys):
+    """Theta/KMV invariants on arbitrary integer sets: (1) build equals
+    the pure-python k-smallest-xxh64 replay; (2) union of the two
+    sketches == sketch of the set union (the KMV mergeability that the
+    streaming maintenance relies on); (3) the intersect/difference
+    theta rule matches the replay, exact when neither side is full."""
+    from dbt_extrica_spark.extensions import sketch as sk
+    from dbt_extrica_spark.functions.xxh64 import xxh64_signed
+    from dbt_extrica_spark.session import get_spark
+
+    k = 16
+
+    def ref(vals):
+        return sorted({xxh64_signed(str(v).encode()) for v in vals})[:k]
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(
+        [(0, v) for v in xs] + [(1, v) for v in ys], "g int, item bigint")
+    built = sk.theta_build(df, "item", ["g"], k=k)
+    got: dict = {}
+    for r in built.collect():
+        got.setdefault(r.g, []).append(r.h)
+    assert {g: sorted(v) for g, v in got.items()} == \
+        {0: ref(xs), 1: ref(ys)}
+
+    un = sorted(r.h for r in sk.theta_union(built, [], k=k).collect())
+    assert un == ref(xs | ys)
+
+    a, b = ref(xs), ref(ys)
+    alive = [s[-1] for s in (a, b) if len(s) >= k]
+    th = min(alive) if alive else None
+    for op, pool in (("intersect", set(a) & set(b)),
+                     ("difference", set(a) - set(b))):
+        cand = {h for h in pool if th is None or h < th}
+        e = (len(cand) if th is None
+             else (len(cand) << 64) // (th + (1 << 63) + 1))
+        r = sk.theta_set_op(built.where("g = 0").select("h"),
+                            built.where("g = 1").select("h"),
+                            k=k, op=op).collect()[0]
+        assert (r.n_candidates, r.theta_h, r.est) == (len(cand), th, e)
+        if th is None:
+            # exact mode: the estimate IS the true overlap of the sets
+            true = len(xs & ys) if op == "intersect" else len(xs - ys)
+            assert r.est == true
