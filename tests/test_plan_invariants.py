@@ -83,11 +83,13 @@ INVARIANTS = {
     # BNLJ are the 1-row stats crossJoins (lint-allowlisted); no SMJ
     "sketch_heavy_hitters": dict(smj_max=0, bnlj_max=2, window_min=4),
     "sketch_heavy_bytes": dict(smj_max=0, bnlj_max=2, window_min=4),
-    # r12: theta sketch — the 7 BNLJ are the 1-row theta/exact stats
-    # crossJoins (contract apparatus); the operator itself is distinct +
-    # window / TakeOrderedAndProject, never an SMJ or cartesian
-    "sketch_theta_ops": dict(smj_max=0, bnlj_max=7, pushed_min=4,
-                             exchange_max=16),
+    # r12: theta sketch — the 11 BNLJ are the 1-row theta/exact stats
+    # crossJoins (contract apparatus; +2 per set-op after the
+    # empty-candidate theta fix routed theta through the stats side);
+    # the operator itself is distinct + window / TakeOrderedAndProject,
+    # never an SMJ or cartesian
+    "sketch_theta_ops": dict(smj_max=0, bnlj_max=11, pushed_min=4,
+                             exchange_max=20),
     # r12: per-key cap — both modes share ONE exchange each; rn <= cap
     # must stay a rank-truncated window (WindowGroupLimit is asserted in
     # the operator's unit test; node drift shows here as extra shuffles)
