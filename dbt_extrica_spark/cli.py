@@ -523,13 +523,11 @@ def _cmd_build(engine: Engine, mod, project: Project, args,
 
 
 def _cmd_ls(project: Project, args) -> int:
-    # dbt ls supports --output json|name|path|selector; only json is
-    # meaningful here (no file paths, no YAML selectors). Anything else
-    # must fail loudly — silently printing the human format would feed
-    # a CI pipeline garbage with exit code 0.
-    if args.output not in (None, "json"):
-        raise SystemExit(f"ls --output supports only 'json', got "
-                         f"{args.output!r}")
+    # --output validated in main() BEFORE the session is built: an
+    # argument typo must not cost a JVM + warehouse + source
+    # registration (dbt ls has name/path/selector formats; only json
+    # is emulated, and silently printing the human format would feed a
+    # CI pipeline garbage with exit code 0)
     chosen = project.select_nodes(args.select or None, args.exclude or None)
     as_json = args.output == "json"
     for level in project.topo_order():
@@ -688,6 +686,13 @@ def main(argv: list[str] | None = None,
     elif args.subcommand is not None and args.command != "run-operation":
         raise SystemExit(f"unexpected argument {args.subcommand!r} after "
                          f"{args.command!r}")
+    if args.command == "ls" and args.output not in (None, "json"):
+        # decidable right after parse_args — an argument typo must not
+        # cost a SparkSession/warehouse/source-registration first (dbt
+        # ls has name/path/selector formats; only json is emulated).
+        # --output stays a free string because docs uses it as a PATH.
+        raise SystemExit(f"ls --output supports only 'json', got "
+                         f"{args.output!r}")
     mod = _load_project_module(args.project, _parse_vars(args.vars))
     project = _project_from(mod)
     schema = args.schema or getattr(mod, "schema", None) or "analytics"

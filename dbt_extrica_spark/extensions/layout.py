@@ -56,6 +56,12 @@ def _fs_for(spark, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _is_data_file(name: str) -> bool:
+    """THE data-file naming convention (Spark writer part files) — the
+    one place it lives; every counter/guard below routes through it."""
+    return name.startswith("part-")
+
+
 def data_file_count(spark, path: str, recursive: bool = False) -> int:
     """Number of data files (part-*) under a dataset directory, via the
     Hadoop FileSystem API — works on any Spark-supported FS, not just
@@ -64,12 +70,37 @@ def data_file_count(spark, path: str, recursive: bool = False) -> int:
     fs, jpath = _fs_for(spark, path)
     if not recursive:
         return sum(1 for st in fs.listStatus(jpath)
-                   if st.getPath().getName().startswith("part-"))
+                   if _is_data_file(st.getPath().getName()))
     n, it = 0, fs.listFiles(jpath, True)
     while it.hasNext():
-        if it.next().getPath().getName().startswith("part-"):
+        if _is_data_file(it.next().getPath().getName()):
             n += 1
     return n
+
+
+def _part_file_counts(spark, path: str) -> tuple[int, int]:
+    """(top_level, nested) data-file counts from ONE recursive walk —
+    the compaction guard's single-LIST shape (object-store LISTs are
+    the dominant guard cost). Raises on a FILE input: a bare part-file
+    path would otherwise count as 'nested' relative to itself and
+    produce a misleading partitioned-root refusal."""
+    fs, jpath = _fs_for(spark, path)
+    if not fs.getFileStatus(jpath).isDirectory():
+        raise ValueError(
+            f"{path!r} is a single data FILE — pass its dataset "
+            f"directory")
+    root = fs.makeQualified(jpath).toUri().getPath()
+    top = nested = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if not _is_data_file(st.getPath().getName()):
+            continue
+        if st.getPath().getParent().toUri().getPath() == root:
+            top += 1
+        else:
+            nested += 1
+    return top, nested
 
 
 def compact_files(spark, path: str, format: str = "parquet",
@@ -111,25 +142,13 @@ def compact_files(spark, path: str, format: str = "parquet",
     if (target_rows_per_file is None) == (target_files is None):
         raise ValueError(
             "pass exactly one of target_rows_per_file / target_files")
-    # ONE recursive walk derives both counts (object-store LISTs are the
-    # dominant guard cost — don't pay a flat listStatus AND a tree walk).
-    # The partitioned-root refusal must match its promise: ANY data file
-    # below the top level means dt=*/ structure the swap would destroy —
-    # including the MIXED layout (some top-level part files plus
-    # partition subdirectories), which a top-level-only check would
-    # wave through.
-    fs0, jroot = _fs_for(spark, path)
-    root = fs0.makeQualified(jroot).toUri().getPath()
-    files_before = nested = 0
-    it0 = fs0.listFiles(jroot, True)
-    while it0.hasNext():
-        st = it0.next()
-        if not st.getPath().getName().startswith("part-"):
-            continue
-        if st.getPath().getParent().toUri().getPath() == root:
-            files_before += 1
-        else:
-            nested += 1
+    # ONE recursive walk derives both counts (_part_file_counts; don't
+    # pay a flat listStatus AND a tree walk). The partitioned-root
+    # refusal must match its promise: ANY data file below the top level
+    # means dt=*/ structure the swap would destroy — including the
+    # MIXED layout (some top-level part files plus partition
+    # subdirectories), which a top-level-only check would wave through.
+    files_before, nested = _part_file_counts(spark, path)
     if nested > 0:
         raise ValueError(
             f"compact_files: {path!r} looks like a partitioned "

@@ -165,6 +165,34 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str],
     )
 
 
+def _prior_commits_exist(engine, table_name: str) -> bool:
+    """True when the stream's checkpoint has already COMMITTED batches
+    into ``table_name``. At that point a missing durable table means it
+    was lost after the fact (e.g. a crash inside the overwrite swap's
+    rename window) — and the create-if-missing fallback would silently
+    re-baseline the table from the CURRENT batch alone, discarding all
+    previously accumulated state while the stream exits 0. Callers
+    raise instead: restore the table, or clear the checkpoint to
+    deliberately rebuild from scratch."""
+    import os
+
+    d = f"{engine.warehouse_dir}/_checkpoints/{table_name}/commits"
+    try:
+        return any(not n.startswith(".") for n in os.listdir(d))
+    except OSError:
+        return False
+
+
+def _require_table_or_fresh(engine, table_name: str) -> None:
+    if _prior_commits_exist(engine, table_name):
+        raise RuntimeError(
+            f"durable table {table_name!r} is missing but its stream "
+            f"checkpoint holds committed batches — refusing to "
+            f"re-baseline from one batch (that silently discards all "
+            f"prior state); restore the table or clear the checkpoint "
+            f"to rebuild from scratch")
+
+
 def _merge_upsert_callback(engine, table_name: str, unique_key,
                            dest_columns: list[str] | None,
                            null_safe_keys: bool = False):
@@ -186,6 +214,7 @@ def _merge_upsert_callback(engine, table_name: str, unique_key,
         existing = engine.catalog.get_relation(target)
         cols = dest_columns or batch_df.columns
         if existing is None:
+            _require_table_or_fresh(engine, table_name)
             batch_df.select(*cols).write.format("parquet").saveAsTable(
                 target.render_unquoted())
             return
@@ -306,6 +335,7 @@ def streaming_theta_maintenance(
         sk = theta_build(batch_df, item_col, group_cols, k=k)
         existing = engine.catalog.get_relation(target)
         if existing is None:
+            _require_table_or_fresh(engine, table_name)
             sk.write.format("parquet").saveAsTable(
                 target.render_unquoted())
             return

@@ -2195,6 +2195,14 @@ def test_compact_files_roundtrip_and_counts(spark, tmp_path):
         layout.data_file_count(spark, mixed_path)
     with pytest.raises(ValueError, match="partitioned"):
         layout.compact_files(spark, mixed_path, target_files=1)
+    # a direct part-FILE path gets a clear refusal, not a misleading
+    # partitioned-root error (the file's parent != itself under the
+    # single-walk guard)
+    import glob as _glob2
+
+    one_file = _glob2.glob(part_path + "/dt=0/part-*")[0]
+    with pytest.raises(ValueError, match="single data FILE"):
+        layout.compact_files(spark, one_file, target_files=1)
     # ... while each partition directory compacts fine
     stats3 = layout.compact_files(spark, part_path + "/dt=0",
                                   target_files=1)

@@ -455,3 +455,44 @@ def test_streaming_theta_maintenance_batch_invariant(spark, tmp_path):
         assert all(n <= k for n in sizes.values())
     finally:
         eng.close()
+
+
+def test_streaming_maintenance_refuses_rebaseline(spark, tmp_path):
+    """If the durable table vanishes while the checkpoint holds
+    committed batches (e.g. a crash inside the overwrite swap), the
+    create-if-missing fallback must RAISE, not silently re-baseline the
+    table from the current batch (which would discard all accumulated
+    state while the stream exits 0)."""
+    import pytest
+
+    from dbt_extrica_spark import Engine
+    from dbt_extrica_spark.streaming import streaming_theta_maintenance
+
+    src = tmp_path / "reb_in"
+    src.mkdir()
+    schema = "event_id bigint, user_id bigint, grp string"
+    spark.createDataFrame([(i, i % 7, "a") for i in range(20)], schema) \
+        .coalesce(1).write.parquet(str(src / "f0"))
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src) + "/*"))
+
+    eng = Engine(spark)
+    try:
+        q = streaming_theta_maintenance(eng, stream(), "reb_tbl",
+                                        "user_id", ["grp"], k=8)
+        assert q.awaitTermination(120)
+        assert eng.table("reb_tbl").count() > 0
+        # simulate the loss: table gone, checkpoint (with commits) kept
+        spark.sql(f"DROP TABLE {eng.schema}.reb_tbl")
+        spark.createDataFrame([(100 + i, i % 5, "b") for i in range(20)],
+                              schema) \
+            .coalesce(1).write.parquet(str(src / "f1"))
+        q2 = streaming_theta_maintenance(eng, stream(), "reb_tbl",
+                                         "user_id", ["grp"], k=8)
+        with pytest.raises(Exception, match="re-baseline"):
+            q2.awaitTermination(120)
+    finally:
+        eng.close()
