@@ -693,6 +693,12 @@ def main(argv: list[str] | None = None,
         # --output stays a free string because docs uses it as a PATH.
         raise SystemExit(f"ls --output supports only 'json', got "
                          f"{args.output!r}")
+    if args.favor_state and not args.defer:
+        # flag-combination validation belongs right after parse_args: it
+        # must not depend on what the state selector happens to match
+        # (an empty state:modified selection exits early above the old
+        # check site, silently accepting the invalid combination)
+        raise SystemExit("--favor-state requires --defer")
     mod = _load_project_module(args.project, _parse_vars(args.vars))
     project = _project_from(mod)
     schema = args.schema or getattr(mod, "schema", None) or "analytics"
@@ -745,8 +751,6 @@ def main(argv: list[str] | None = None,
             if own_session:
                 spark.stop()
             return 0
-    if args.favor_state and not args.defer:
-        raise SystemExit("--favor-state requires --defer")
     if args.defer:
         # dbt --defer: refs to models OUTSIDE the current selection
         # resolve to the state manifest's schema (prod), so a slim-CI

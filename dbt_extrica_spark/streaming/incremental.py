@@ -173,14 +173,22 @@ def _prior_commits_exist(engine, table_name: str) -> bool:
     re-baseline the table from the CURRENT batch alone, discarding all
     previously accumulated state while the stream exits 0. Callers
     raise instead: restore the table, or clear the checkpoint to
-    deliberately rebuild from scratch."""
-    import os
+    deliberately rebuild from scratch.
+
+    Probed through the Hadoop FileSystem API (the same ``_fs_for``
+    pattern as extensions/layout.py), NOT os.listdir: Engine accepts
+    any Spark-supported warehouse URI, and on HDFS/object stores a
+    local-only probe would return False — the guard would fail OPEN
+    exactly where the rename-window loss it protects against is most
+    likely."""
+    from ..extensions.layout import _fs_for
 
     d = f"{engine.warehouse_dir}/_checkpoints/{table_name}/commits"
-    try:
-        return any(not n.startswith(".") for n in os.listdir(d))
-    except OSError:
+    fs, jpath = _fs_for(engine.spark, d)
+    if not fs.exists(jpath):
         return False
+    return any(not st.getPath().getName().startswith(".")
+               for st in fs.listStatus(jpath))
 
 
 def _require_table_or_fresh(engine, table_name: str) -> None:
@@ -209,14 +217,23 @@ def _merge_upsert_callback(engine, table_name: str, unique_key,
     target = engine.relation(table_name, RelationType.Table)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         existing = engine.catalog.get_relation(target)
         cols = dest_columns or batch_df.columns
         if existing is None:
             _require_table_or_fresh(engine, table_name)
+            # create the table even from an EMPTY first batch: Spark
+            # commits the batch to the checkpoint log either way, so
+            # skipping creation would make the next non-empty batch
+            # read "commits present + table missing" — the exact
+            # signature of after-the-fact table loss — and refuse a
+            # perfectly fresh build (e.g. batch 0 fully filtered out
+            # upstream). The schema is known on an empty batch.
             batch_df.select(*cols).write.format("parquet").saveAsTable(
                 target.render_unquoted())
+            return
+        if not batch_df.take(1):
+            # empty batch into an EXISTING table: the merge is a no-op;
+            # skip the full atomic-swap rewrite it would otherwise cost
             return
         tgt_df = engine.spark.table(target.render_unquoted())
         result = merge_ops.merge_upsert(
@@ -330,15 +347,21 @@ def streaming_theta_maintenance(
     target = engine.relation(table_name, RelationType.Table)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        sk = theta_build(batch_df, item_col, group_cols, k=k)
         existing = engine.catalog.get_relation(target)
         if existing is None:
             _require_table_or_fresh(engine, table_name)
-            sk.write.format("parquet").saveAsTable(
-                target.render_unquoted())
+            # created even from an EMPTY first batch (theta_build of
+            # nothing = zero sketch rows, schema intact) — the batch
+            # commits to the checkpoint log regardless, and a skipped
+            # creation would trip the table-loss refusal on the next
+            # non-empty batch (see _merge_upsert_callback)
+            theta_build(batch_df, item_col, group_cols, k=k) \
+                .write.format("parquet").saveAsTable(
+                    target.render_unquoted())
             return
+        if not batch_df.take(1):
+            return
+        sk = theta_build(batch_df, item_col, group_cols, k=k)
         merged = theta_union(
             engine.spark.table(target.render_unquoted())
             .unionByName(sk), group_cols, k)

@@ -508,6 +508,14 @@ models = [
         # guard rails
         with pytest.raises(SystemExit, match="requires --defer"):
             run("run", "--favor-state")
+        # flag validation must NOT depend on selection results: an empty
+        # state:modified selection used to early-return 0 BEFORE the
+        # check, silently accepting the invalid combination
+        assert run("run", target=prod_dir) == 0  # fresh manifest, no edits
+        capsys.readouterr()
+        with pytest.raises(SystemExit, match="requires --defer"):
+            run("run", "--select", "state:modified", "--favor-state",
+                "--state", str(prod_dir))
         with pytest.raises(SystemExit, match="--defer needs --state"):
             run("run", "--defer")
         with pytest.raises(SystemExit, match="no manifest"):

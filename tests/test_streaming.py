@@ -496,3 +496,73 @@ def test_streaming_maintenance_refuses_rebaseline(spark, tmp_path):
             q2.awaitTermination(120)
     finally:
         eng.close()
+
+
+def test_streaming_empty_first_batch_not_refused(spark, tmp_path):
+    """An all-empty FIRST micro-batch must not poison the stream: Spark
+    commits the batch either way, so if creation were skipped the next
+    non-empty batch would read "commits present + table missing" and
+    trip the table-loss refusal on a perfectly fresh build. The fix
+    creates the (empty) table from batch 0's schema; batch 1 then
+    merges normally. Covers BOTH durable-table callbacks."""
+    from dbt_extrica_spark import Engine
+    from dbt_extrica_spark.streaming import (
+        streaming_incremental_merge, streaming_theta_maintenance,
+    )
+
+    src = tmp_path / "efb_in"
+    src.mkdir()
+    schema = "event_id bigint, user_id bigint, grp string, flag int"
+    # f0's rows are all filtered out upstream -> batch 0 is EMPTY;
+    # f1 carries the real rows (maxFilesPerTrigger=1 => 2 batches)
+    spark.createDataFrame([(i, i % 7, "a", 0) for i in range(10)], schema) \
+        .coalesce(1).write.parquet(str(src / "f0"))
+    import time
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    spark.createDataFrame([(100 + i, i % 5, "b", 1) for i in range(10)],
+                          schema) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+
+    def stream():
+        from pyspark.sql import functions as F
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src) + "/*")
+                .filter(F.col("flag") == 1))
+
+    eng = Engine(spark)
+    try:
+        q = streaming_incremental_merge(eng, stream(), "efb_merge",
+                                        "event_id")
+        assert q.awaitTermination(120)
+        assert eng.table("efb_merge").count() == 10
+
+        q2 = streaming_theta_maintenance(eng, stream(), "efb_theta",
+                                         "user_id", ["grp"], k=8)
+        assert q2.awaitTermination(120)
+        rows = eng.table("efb_theta").collect()
+        assert rows and all(r.grp == "b" for r in rows)
+    finally:
+        eng.close()
+
+
+def test_prior_commits_probe_uses_hadoop_fs(spark, tmp_path):
+    """_prior_commits_exist must see commits through the Hadoop
+    FileSystem API: a `file:` URI warehouse (any non-os.path FS) made
+    the old os.listdir probe OSError -> False, silently failing the
+    re-baseline guard OPEN on exactly the warehouses (HDFS/object
+    stores) where rename-window loss is most likely."""
+    from types import SimpleNamespace
+
+    from dbt_extrica_spark.streaming.incremental import _prior_commits_exist
+
+    wh = tmp_path / "wh"
+    commits = wh / "_checkpoints" / "tbl" / "commits"
+    commits.mkdir(parents=True)
+    eng = SimpleNamespace(spark=spark, warehouse_dir="file:" + str(wh))
+    assert _prior_commits_exist(eng, "tbl") is False  # dir exists, empty
+    (commits / ".crc-noise").write_text("x")
+    assert _prior_commits_exist(eng, "tbl") is False  # hidden-only
+    (commits / "0").write_text("v1")
+    assert _prior_commits_exist(eng, "tbl") is True
+    assert _prior_commits_exist(eng, "missing_tbl") is False
