@@ -6,6 +6,13 @@ Usage:
     python tools/freshness.py            # print the markdown table
     python tools/freshness.py --stale    # entries sorted stalest-first
                                          # (the window-rotation worklist)
+    python tools/freshness.py --splice   # rewrite COVERAGE.md in place:
+                                         # the freshness table AND the
+                                         # header's battery count (the
+                                         # r12 verdict found the count
+                                         # stale at 172 while the table
+                                         # said 189 — the script owns
+                                         # BOTH numbers now)
 
 For each battery entry the latest round whose CORRECTNESS file holds a row
 is reported with its verdict: ``green`` = rows+schema+hash all true (or
@@ -70,8 +77,54 @@ def freshness() -> list[tuple[str, str, bool]]:
             for name in battery.queries()]
 
 
+def _splice_coverage(rows) -> None:
+    """Rewrite COVERAGE.md's freshness table (from the `| Entry |` header
+    to the end of the table) and the header battery-count claim, from the
+    SAME registry the table was generated from."""
+    from dbt_extrica_spark import queries as battery
+
+    n = len(battery.queries())
+    path = os.path.join(REPO, "COVERAGE.md")
+    with open(path) as f:
+        lines = f.read().splitlines(keepends=True)
+
+    # header count: the one line claiming "N/N at sf0.01"
+    count_pat = re.compile(r"\d+/\d+ at sf0\.01")
+    hits = [i for i, ln in enumerate(lines[:20]) if count_pat.search(ln)]
+    assert len(hits) == 1, "COVERAGE.md header count line not found"
+    lines[hits[0]] = count_pat.sub(f"{n}/{n} at sf0.01", lines[hits[0]])
+
+    # current-round label in the freshness section prose
+    latest_round = max(r for r, _ in _rounds())
+    for i, ln in enumerate(lines):
+        m = re.search(r"CURRENT \(round-(\d+)\)", ln)
+        if m:
+            lines[i] = ln.replace(m.group(0),
+                                  f"CURRENT (round-{latest_round + 1})")
+
+    # table: header row through the last contiguous `|` row
+    starts = [i for i, ln in enumerate(lines)
+              if ln.startswith("| Entry | Last driver row |")]
+    assert len(starts) == 1, "freshness table header not found"
+    s = starts[0]
+    e = s + 1
+    while e < len(lines) and lines[e].startswith("|"):
+        e += 1
+    table = ["| Entry | Last driver row | In current window |\n",
+             "|---|---|---|\n"]
+    table += [f"| {name} | {evidence} | {'yes' if in_win else ''} |\n"
+              for name, evidence, in_win in rows]
+    with open(path, "w") as f:
+        f.write("".join(lines[:s] + table + lines[e:]))
+    print(f"COVERAGE.md spliced: {n}/{n} header count + "
+          f"{len(rows)}-row freshness table (window label r{latest_round + 1})")
+
+
 def main() -> None:
     rows = freshness()
+    if "--splice" in sys.argv:
+        _splice_coverage(rows)
+        return
     if "--stale" in sys.argv:
         def age(evidence: str) -> int:
             return -1 if evidence == "never" else int(
