@@ -65,11 +65,20 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only - set(qs):
+        # a typo'd subset name must fail loudly, not silently shrink the
+        # run while the summary still reads "passed"
+        print(f"unknown quer{'y' if len(only - set(qs)) == 1 else 'ies'}: "
+              f"{sorted(only - set(qs))}")
+        spark.stop()
+        return 2
     failed = []
+    ran = 0
     import time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -87,7 +96,7 @@ def main() -> int:
         if err:
             failed.append(name)
             print("      " + err.replace("\n", "\n      ")[:3000])
-    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    print(f"\n{ran - len(failed)}/{ran} passed")
     spark.stop()
     return 1 if failed else 0
 
