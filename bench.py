@@ -117,6 +117,12 @@ HEADLINE = [
     # entry carries exact countDistinct references for every scope, so
     # its wall is ~half verifier; the sketch itself is one distinct +
     # truncate pass (strictly cheaper than the gated MG line above).
+    # round 13: Bloom-accelerated exact blocklist anti-join — a pure
+    # operator line (the oracle is an external plain anti-join; no
+    # in-entry verifier). sketch_bloom_filter is deliberately NOT here:
+    # its output enumerates the per-row exact truth column (contract
+    # apparatus), and its probe cost is a strict subset of this line.
+    "dedup_bloom_blocklist",
 ]
 
 

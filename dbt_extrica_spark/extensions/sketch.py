@@ -474,3 +474,148 @@ def theta_set_op(a: DataFrame, b: DataFrame, k: int,
                 "n_candidates", "theta_h",
                 F.when(F.col("theta_h").isNull(), F.col("n_candidates"))
                 .otherwise(est_sampled).cast("bigint").alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: DETERMINISTIC mergeable MEMBERSHIP sketch (Bloom, CACM'70;
+# mergeability: bitwise OR of same-parameter filters is exactly the filter
+# of the union). Completes the mergeable-sketch family's membership axis:
+# CMS answers frequencies, HLL/theta distincts and set algebra, q-digest
+# quantiles, MG heavy hitters — a Bloom filter answers "is X in the set?"
+# with no false negatives and a bounded false-positive rate
+# (~(1 - e^(-kn/m))^k for n items, m bits, k hashes).
+#
+# The pipeline op this exists for at 100 TB: BLOCKLIST FILTERING. An
+# anti-join of a 100 TB corpus against a large blocklist shuffles the
+# corpus on the join key; the Bloom form broadcasts a megabyte-scale
+# bitmap and prunes map-side — only the (tiny) maybe-member candidate set
+# pays an exact join, and the final result is EXACT because Bloom has no
+# false negatives (bloom_blocklist_anti_join below).
+#
+# Determinism (the battery's oracle requirement): the hash family is the
+# CMS's md5-derived construction (first 8 hex chars -> int, seed appended
+# to the key), bit positions land in 63-BIT words (bit index 0..62 — the
+# sign bit is never set, so the bitmap replays verbatim in any engine
+# with md5 + integer bit ops; DuckDB raises on a signed 1<<63, Spark
+# wraps it — 63-bit words sidestep both). The sketch IS a table
+# (group..., word bigint, bits bigint), the repo's mergeable-sketch
+# convention: merge = word-wise bit_or, persist/ship like any rollup.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD = 63  # bits per bitmap word; see block comment
+
+
+def _bloom_pos_expr(item_col: str, seed: int, m_bits: int) -> str:
+    """Bit position of hash ``seed`` for an item — the CMS hash family
+    (_bucket_expr) verbatim, range [0, m_bits)."""
+    return _bucket_expr(item_col, seed, m_bits)
+
+
+def bloom_build(df: DataFrame, item_col: str, group_cols: list[str] | None
+                = None, m_bits: int = 1 << 20,
+                n_hashes: int = 5) -> DataFrame:
+    """Per-group Bloom filter over ``item_col`` (cast to string): returns
+    (group..., word bigint, bits bigint) — the SET bitmap words only
+    (sparse; absent word = all-zero). One projection + one partial-
+    aggregated shuffle on (group, word): at most
+    ceil(m_bits/63) * n_groups output rows regardless of input size."""
+    group_cols = group_cols or []
+    item = f"CAST({item_col} AS STRING)"
+    positions = df.select(
+        *group_cols,
+        F.explode(F.expr(
+            "array(" + ", ".join(_bloom_pos_expr(item, j, m_bits)
+                                 for j in range(n_hashes)) + ")"
+        )).alias("pos"))
+    return (positions
+            .select(*group_cols,
+                    F.expr(f"pos div {_BLOOM_WORD}").alias("word"),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                           f" CAST(pos % {_BLOOM_WORD} AS INT))")
+                    .alias("mask"))
+            .groupBy(*group_cols, "word")
+            .agg(F.expr("bit_or(mask)").alias("bits")))
+
+
+def bloom_union(sketches: DataFrame,
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Merge Bloom sketch tables built with the SAME (m_bits, n_hashes):
+    word-wise bitwise OR — exactly the filter of the union of the input
+    sets. Input is sketch-sized (<= ceil(m_bits/63) rows per sketch)."""
+    group_cols = group_cols or []
+    return (sketches.groupBy(*group_cols, "word")
+            .agg(F.expr("bit_or(bits)").alias("bits")))
+
+
+def bloom_contains(df: DataFrame, item_col: str, bloom: DataFrame,
+                   m_bits: int = 1 << 20, n_hashes: int = 5,
+                   result_col: str = "maybe_member") -> DataFrame:
+    """Append ``result_col`` (boolean): True iff EVERY hash position of
+    the item is set in the filter — i.e. "maybe in the set" (false
+    positives possible at the configured rate, false negatives never).
+
+    Scale shape: n_hashes BROADCAST hash joins on the word index — the
+    probe side never shuffles (the bitmap is <= ceil(m_bits/63) rows,
+    megabytes at m_bits = 2^24), so a 100 TB probe stays map-side.
+    MATERIALIZE the bitmap once before probing (localCheckpoint /
+    persist / a written table — the model-state convention): each hash
+    join broadcasts ``bloom``, and an unmaterialized build plan would
+    re-scan the blocklist n_hashes times (the per-join word alias
+    defeats exchange reuse)."""
+    item = f"CAST({item_col} AS STRING)"
+    out = df
+    checks = []
+    for j in range(n_hashes):
+        wcol, mcol, bcol = f"__w{j}", f"__m{j}", f"__b{j}"
+        out = (out
+               .withColumn(wcol, F.expr(
+                   f"({_bloom_pos_expr(item, j, m_bits)})"
+                   f" div {_BLOOM_WORD}"))
+               .withColumn(mcol, F.expr(
+                   f"shiftleft(CAST(1 AS BIGINT), CAST"
+                   f"(({_bloom_pos_expr(item, j, m_bits)})"
+                   f" % {_BLOOM_WORD} AS INT))"))
+               .join(F.broadcast(bloom.select(
+                   F.col("word").alias(wcol),
+                   F.col("bits").alias(bcol))),
+                   on=wcol, how="left"))
+        checks.append(F.col(bcol).isNotNull() &
+                      (F.col(bcol).bitwiseAND(F.col(mcol)) == F.col(mcol)))
+    member = checks[0]
+    for c in checks[1:]:
+        member = member & c
+    drop = [c for j in range(n_hashes) for c in (f"__w{j}", f"__m{j}",
+                                                 f"__b{j}")]
+    return out.withColumn(result_col, member).drop(*drop)
+
+
+def bloom_blocklist_anti_join(df: DataFrame, item_col: str,
+                              blocklist: DataFrame, block_col: str,
+                              m_bits: int = 1 << 20,
+                              n_hashes: int = 5) -> DataFrame:
+    """EXACT anti-join accelerated by a Bloom pre-filter: rows whose
+    item misses ANY hash bit are DEFINITELY clean (no false negatives)
+    and pass through map-side with zero shuffle; only the maybe-member
+    candidates — |true hits| + the false-positive sliver — pay the
+    exact anti-join against the blocklist. Result is bit-identical to a
+    plain LEFT ANTI JOIN (the battery oracle replays it as one), but at
+    100 TB the shuffle/broadcast volume drops from the corpus to the
+    candidate set."""
+    # built ONCE and checkpointed (sketch-sized model state, the
+    # theta/centroid convention): every word-probe join broadcasts the
+    # bitmap, and leaving it lazy would re-scan the blocklist once per
+    # hash AND once per output branch
+    bloom = bloom_build(blocklist.select(block_col), block_col,
+                        m_bits=m_bits, n_hashes=n_hashes) \
+        .localCheckpoint(eager=True)
+    flagged = bloom_contains(
+        df, item_col, bloom,
+        m_bits=m_bits, n_hashes=n_hashes, result_col="__maybe")
+    clean = flagged.where(~F.col("__maybe")).drop("__maybe")
+    maybe = flagged.where(F.col("__maybe")).drop("__maybe")
+    verified = maybe.join(
+        blocklist.select(F.col(block_col).alias("__bk")).distinct(),
+        on=F.col(item_col).cast("string").eqNullSafe(
+            F.col("__bk").cast("string")),
+        how="left_anti")
+    return clean.unionByName(verified)

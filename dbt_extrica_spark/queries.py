@@ -1085,6 +1085,115 @@ def sketch_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Bloom-filter gate: the bitmap construction is DETERMINISTIC (the
+# CMS md5 hash family, 63-bit words so the sign bit is never set), so
+# the oracle replays the ENTIRE filter — every bit position, word OR,
+# and membership probe — in plain DuckDB SQL. The output includes the
+# exact truth column, so the driver's value-hash equality also pins
+# the false-positive pattern bit-for-bit (and no-false-negatives comes
+# free: any is_member=true row must carry maybe_member=true or the
+# hashes diverge from the replay).
+_BLOOM_M, _BLOOM_NH = 1 << 12, 4
+
+
+def _bloom_duck() -> str:
+    m, nh, w = _BLOOM_M, _BLOOM_NH, 63
+    seeds = ", ".join(str(j) for j in range(nh))
+    mask = f"(CAST(1 AS BIGINT) << CAST(pos % {w} AS INT))"
+    return f"""
+WITH block AS (
+  SELECT DISTINCT o_custkey, CAST(o_custkey AS VARCHAR) AS item
+  FROM orders WHERE o_orderstatus = 'F' AND year(o_orderdate) <= 1996
+), seeds AS (SELECT unnest([{seeds}]) AS j),
+bpos AS (
+  SELECT CAST('0x' || substring(md5(item || '#' || j), 1, 8) AS BIGINT)
+         % {m} AS pos
+  FROM block, seeds
+), words AS (
+  SELECT pos // {w} AS word, bit_or({mask}) AS bits
+  FROM bpos GROUP BY 1
+), ppos AS (
+  SELECT c_custkey,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#' || j),
+              1, 8) AS BIGINT) % {m} AS pos
+  FROM customer, seeds
+), chk AS (
+  SELECT c_custkey,
+         bool_and(bits IS NOT NULL AND (bits & {mask}) = {mask})
+         AS maybe_member
+  FROM ppos LEFT JOIN words ON pos // {w} = word
+  GROUP BY c_custkey
+)
+SELECT c.c_custkey, chk.maybe_member,
+       (b.o_custkey IS NOT NULL) AS is_member
+FROM customer c
+JOIN chk ON chk.c_custkey = c.c_custkey
+LEFT JOIN block b ON b.o_custkey = c.c_custkey
+"""
+
+
+@q("sketch_bloom_filter", _bloom_duck)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom-filter membership sketch (sketch.bloom_build /
+    bloom_contains): the blocklist (customers with an early 'F' order)
+    becomes a <= ceil(m/63)-row bitmap table; every customer is probed
+    through n_hashes BROADCAST word-joins — the probe side never
+    shuffles, which is what makes a 100 TB blocklist scan map-side.
+    Output carries (maybe_member, is_member): the oracle replays the
+    bitmap bit-for-bit, so the false-positive pattern itself is gated,
+    not just the counts."""
+    from .extensions import sketch
+
+    _views(spark, sf_dir)
+    m, nh = _BLOOM_M, _BLOOM_NH
+    block = (spark.table("orders")
+             .where("o_orderstatus = 'F' AND year(o_orderdate) <= 1996")
+             .select("o_custkey").distinct())
+    bloom = sketch.bloom_build(block, "o_custkey", m_bits=m,
+                               n_hashes=nh).localCheckpoint(eager=True)
+    flagged = sketch.bloom_contains(
+        spark.table("customer").select("c_custkey"), "c_custkey", bloom,
+        m_bits=m, n_hashes=nh)
+    truth = (block.withColumnRenamed("o_custkey", "c_custkey")
+             .withColumn("is_member", F.lit(True)))
+    return (flagged.join(truth, on="c_custkey", how="left")
+            .select("c_custkey", "maybe_member",
+                    F.coalesce("is_member", F.lit(False))
+                    .alias("is_member")))
+
+
+_BLOOM_BLOCKLIST_DUCK = """
+WITH bad AS (
+  SELECT DISTINCT text FROM documents WHERE source IN ('src0', 'src1')
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.text = d.text)
+"""
+
+
+@q("dedup_bloom_blocklist", _BLOOM_BLOCKLIST_DUCK)
+def dedup_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT blocklist anti-join accelerated by a Bloom pre-filter
+    (sketch.bloom_blocklist_anti_join): documents whose text matches a
+    blocked source's text are removed. Rows missing ANY hash bit are
+    definitely clean (Bloom has no false negatives) and pass through
+    map-side; only the maybe-member sliver pays the exact anti-join —
+    so the oracle is a PLAIN anti-join, and equality holds regardless
+    of the false-positive rate. The 100 TB shape: corpus-sized
+    anti-join shuffle -> megabyte bitmap broadcast + candidate-sized
+    exact join."""
+    from .extensions import sketch
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    bad = (docs.where("source IN ('src0', 'src1')")
+           .select("text").distinct())
+    out = sketch.bloom_blocklist_anti_join(docs, "text", bad, "text",
+                                           m_bits=1 << 14, n_hashes=5)
+    return out.select("doc_id", "source")
+
+
 # triangle gate: the operator counts via degree ORIENTATION (each edge
 # directed low-(deg,id)-rank -> high, wedges closed by one equi-join);
 # the oracle counts the SAME value through the canonical-id-order

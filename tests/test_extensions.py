@@ -3105,3 +3105,42 @@ def test_cap_per_key_modes_and_plan(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "WindowGroupLimit" in plan
+
+
+def test_bloom_build_contains_and_union(spark):
+    """Bloom membership sketch: (1) no false negatives — every true
+    member probes maybe_member=true; (2) mergeability — the word-wise
+    OR of two shard filters equals the filter of the union, bit for
+    bit; (3) the blocklist anti-join is EXACT (equals the plain anti
+    join) regardless of the false-positive rate."""
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.extensions import sketch
+
+    m, nh = 1 << 10, 4  # small bitmap on purpose: force false positives
+    a = spark.range(0, 60).select(F.col("id").alias("item"))
+    b = spark.range(40, 120).select(F.col("id").alias("item"))
+    both = a.unionByName(b)
+
+    bloom_a = sketch.bloom_build(a, "item", m_bits=m, n_hashes=nh)
+    bloom_b = sketch.bloom_build(b, "item", m_bits=m, n_hashes=nh)
+    merged = sketch.bloom_union(bloom_a.unionByName(bloom_b))
+    direct = sketch.bloom_build(both, "item", m_bits=m, n_hashes=nh)
+    assert ({(r.word, r.bits) for r in merged.collect()}
+            == {(r.word, r.bits) for r in direct.collect()})
+
+    probe = spark.range(0, 400).select(F.col("id").alias("item"))
+    flagged = sketch.bloom_contains(
+        probe, "item", direct.localCheckpoint(eager=True),
+        m_bits=m, n_hashes=nh)
+    got = {r.item: r.maybe_member for r in flagged.collect()}
+    assert all(got[i] for i in range(120))  # no false negatives
+    fps = [i for i in range(120, 400) if got[i]]
+    assert len(fps) < 280  # not degenerate all-true
+
+    out = sketch.bloom_blocklist_anti_join(probe, "item", both, "item",
+                                           m_bits=m, n_hashes=nh)
+    want = {r.item for r in probe.join(
+        both.distinct(), on="item", how="left_anti").collect()}
+    assert {r.item for r in out.collect()} == want
+    assert set(out.columns) == set(probe.columns)

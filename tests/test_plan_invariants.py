@@ -95,6 +95,17 @@ INVARIANTS = {
     # the operator's unit test; node drift shows here as extra shuffles)
     "sample_cap_per_source": dict(smj_max=0, bnlj_max=0, window_min=2,
                                   exchange_max=2),
+    # r13: Bloom membership — the bitmap is checkpointed model state, so
+    # the lazy plan is exactly the probe: n_hashes+1 broadcast word/truth
+    # joins, ONE shuffle (the blocklist distinct), zero SMJ/BNLJ. A
+    # stray shuffle here means the probe side stopped being map-side.
+    "sketch_bloom_filter": dict(bhj_min=5, smj_max=0, bnlj_max=0,
+                                exchange_max=1, hashagg=2),
+    # r13: Bloom-accelerated exact anti-join — both output branches stay
+    # broadcast (2 x n_hashes probe joins + the candidate anti-join);
+    # the single exchange is the blocklist distinct
+    "dedup_bloom_blocklist": dict(bhj_min=11, smj_max=0, bnlj_max=0,
+                                  exchange_max=1),
 }
 
 

@@ -385,6 +385,58 @@ def main() -> None:
         sketch.qdigest_quantiles(merged, [0.5], bits=25)
         out[f"qdigest_{tag}_sec"] = round(time.time() - t0, 2)
 
+    # banded MinHash dedup at 1x and Nx TRUE pair mass (r12 verdict #5:
+    # the heaviest bench-line family had no ceiling gate): per-replica
+    # character ROTATION makes replicas mutually distinct (translate is
+    # a bijection on the 16-letter alphabet, so each replica keeps the
+    # corpus's intra-replica shingle structure — its true near-dup pairs
+    # replicate exactly Nx — while cross-replica shingles diverge), so
+    # this isolates the banded join's growth with pair mass, unlike the
+    # dup-saturated probes above which measure the collapse path.
+    for tag, r in (("x1", 1), (f"x{replicas}", replicas)):
+        big = dc
+        for i in range(1, r):
+            rot = alphabet[i:] + alphabet[:i]
+            big = big.unionByName(
+                dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                .withColumn("text", F.expr(
+                    f"translate(text, '{alphabet}', '{rot}')")))
+        t0 = time.time()
+        n_pairs = dedup.minhash_lsh_pairs(big, "doc_id", "text").count()
+        out[f"minhash_banded_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"minhash_banded_{tag}_pairs"] = n_pairs
+
+    # theta sketch build + union at 1x and Nx DISTINCT mass (r12 verdict
+    # #5): the replicated orderkeys are SHIFTED, so distinct-hash mass
+    # grows exactly Nx while every sketch stays <= k rows — build must
+    # scale like its distinct+per-group-window scan, and the global
+    # union stays sketch-sized (4 groups x k rows in) regardless of N.
+    for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
+        items = src_tbl.selectExpr("l_orderkey AS item",
+                                   "CAST(l_linenumber % 4 AS INT) AS g")
+        t0 = time.time()
+        sk_df = sketch.theta_build(items, "item", ["g"], k=4096)
+        sketch.theta_union(sk_df.select("h"), [], k=4096).count()
+        out[f"theta_{tag}_sec"] = round(time.time() - t0, 2)
+
+    # per-key contribution cap under DELIBERATE skew (r12 verdict #5:
+    # the WindowGroupLimit claim's stress case): ONE domain owns 50% of
+    # all rows. The rn <= cap filter must plan as map-side
+    # WindowGroupLimit partial top-k — without it every megadomain row
+    # lands in a single reducer task and the wall grows with the domain
+    # (x10 would read far super-linear), with it each map task prunes
+    # to cap rows before the exchange and x10 stays ~linear.
+    for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
+        skewed = src_tbl.selectExpr(
+            "l_orderkey * 10 + l_linenumber AS row_id",
+            "CASE WHEN l_orderkey % 2 = 0 THEN 'megadomain'"
+            " ELSE concat('site_', l_partkey % 1000) END AS domain",
+            "l_extendedprice AS score")
+        t0 = time.time()
+        sampling.cap_per_key(skewed, "row_id", "domain", cap=100,
+                             order_col="score").count()
+        out[f"cap_skew_{tag}_sec"] = round(time.time() - t0, 2)
+
     # ------------------------------------------------------------------
     # Ceiling gate (r11 verdict #5): the probes above are only evidence
     # if a scale CLIFF fails a recorded check. Each gate pins the
