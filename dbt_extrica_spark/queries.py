@@ -7743,84 +7743,82 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-11 window: (a) ALL 39 entries whose latest driver evidence is r7
-# (tools/freshness.py --stale at round-11 start — the round-10 verdict's
-# rotation demand, met exactly); (b) every entry whose code changed THIS
-# round — sketch_qdigest_rollup (rank-interval gate), graph_pagerank
-# (overflow guard), multimodal_decode_real (nonzero-AC progressive
-# family), source_json/orc_roundtrip (per-pid tempdir + checkpointed
-# aggregate), ann_ivf_pq_durable (per-pid db location) — and the FIVE
-# entries added this round (graph_triangles, sketch_heavy_hitters,
-# sketch_heavy_bytes, layout_compaction, source_csv_roundtrip):
-# never-gated entries outrank every rN backfill tier in staleness
-# priority. dedup_minhash and q_sessionize (r8 rows) were adjudicated
-# STANDALONE this round instead (quiet-host bands in NEXT.md). After
-# the r11 file lands no battery entry's latest driver row is older
-# than r8 except those two r8 rows and the r8 tier queued for r12.
-# Rotated OUT (all hold green r10 rows; the full local battery still
-# checks them every run): the r10 window — see COVERAGE.md.
+# Round-13 window: (a) the two NEW Bloom entries (never-gated outranks
+# every tier); (b) text_winnow — the only entry whose evidence predates
+# r9 (it yielded its r12 slot to the late streaming_theta_distinct; the
+# r12 verdict queued it first); (c) the three streaming-maintenance
+# entries whose shared callback code changed this round (r12 ADVICE
+# #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
+# 44 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (text_repetition, text_tfidf_terms, text_url_domains) waits for
+# r14 — all three hold green r9 rows and pass every local battery run.
+# Rotated OUT (all hold green r10-r12 rows; the full local battery
+# still checks them every run): the r12 window — see COVERAGE.md.
 # ==========================================================================
 
 _GATED_WINDOW = [
-    # (a) the one never-gated entry — first (r11 verdict #1)
-    "streaming_rollup_maintenance",
-    # (b) the 43 r8-stale entries (tools/freshness.py --stale at round
-    # start: nothing older than r8 remains)
-    "ann_ivf_full_probe",
-    "ann_ivf_index_query",
-    "dedup_keep_best",
-    "dedup_minhash",
-    "dedup_minhash_groups",
-    "embedding_label_stats",
-    "inc_merge_partitioned",
-    "inc_merge_update_cols",
-    "mat_table_contract",
-    "multimodal_audio_decode",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_tiles_chunks",
-    "multimodal_video_frames",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q1_pricing_summary",
-    "q20_excess_inventory",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q_explode_tokens",
-    "q_sessionize",
-    "sample_boundary",
-    "sample_deterministic",
-    "sample_hash_split",
-    "sample_stratified",
-    "shim_date_spine_month",
-    "sketch_count_min",
-    "snapshot_scd2",
-    "streaming_dedup",
-    "streaming_enrich",
+    # r13 rotation (r12 verdict #1): never-gated first — the two NEW
+    # Bloom entries
+    "sketch_bloom_filter",
+    "dedup_bloom_blocklist",
+    # the one entry whose evidence predates r9 (text_winnow yielded its
+    # r12 slot to the late streaming_theta_distinct; the verdict queued
+    # it first among the backfill)
+    "text_winnow",
+    # code changed this round (r12 ADVICE #1/#2: the durable-table
+    # callbacks' empty-first-batch creation + the Hadoop-FS commits
+    # probe live under all three streaming maintenance entries)
     "streaming_inc_merge",
-    "streaming_interval_join",
-    "streaming_sessionize",
-    "streaming_window_counts",
-    "text_bigram_logprob",
-    "text_chunks",
-    "text_fingerprint",
-    "text_language_id",
-    "text_stats",
-    "text_token_count",
-    "text_top_phrases",
-    # text_winnow yields its slot to streaming_theta_distinct
-    # (never-gated outranks the r8 tier); it rejoins the r13 rotation
-    # (c) code changed this round (r12 advice fixes): mg_build's raw
-    # weight guard (both MG entries), the CSV null-sentinel options,
-    # and compact_files' mixed-layout refusal
-    "sketch_heavy_hitters",
-    "sketch_heavy_bytes",
-    "source_csv_roundtrip",
-    "layout_compaction",
-    # (d) NEW this round (never-gated outranks any rN tier)
-    "sketch_theta_ops",
-    "sample_cap_per_source",
+    "streaming_rollup_maintenance",
     "streaming_theta_distinct",
+    # the 44 alphabetically-first of the 47 r9-tier entries
+    # (tools/freshness.py --stale at round start; the alphabetical tail
+    # — text_repetition, text_tfidf_terms, text_url_domains — waits for
+    # r14, all three green in every local battery run)
+    "ann_ivf_pq_recall",
+    "ann_ivf_topk",
+    "ann_pq_recall",
+    "ann_pq_topk",
+    "ann_recall_report",
+    "dedup_clusters",
+    "dedup_semantic_blocked",
+    "dedup_simhash",
+    "dedup_simhash_contract",
+    "dq_source_freshness",
+    "dq_unit_test",
+    "embedding_dequant_error",
+    "embedding_kmeans",
+    "embedding_mean_pool",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "inc_append",
+    "inc_delete_insert",
+    "inc_insert_overwrite",
+    "inc_merge",
+    "inc_microbatch_schema",
+    "inc_schema_evolution",
+    "mat_table",
+    "multimodal_resize",
+    "pipeline_clean_corpus",
+    "pipeline_joint_dedup",
+    "project_build",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "q_retention_cohorts",
+    "q_window_time_range",
+    "rollup_cascade_month",
+    "sample_alpha_mixture",
+    "sample_leakage_split",
+    "sample_mixture",
+    "sample_shuffle_shards",
+    "shim_datediff",
+    "sketch_hll_rollup",
+    "streaming_vector_admission",
+    "text_bm25_topk",
+    "text_boilerplate_lines",
+    "text_decontaminate",
+    "text_dup_spans",
+    "text_redact_pii",
 ]
 
 
