@@ -459,6 +459,29 @@ def main() -> None:
         #                         per-stage fixed overheads amortize into
         #                         x10 — linear would be 10x, a cliff >>10x)
         "blocked_cosine": 4.0,  # cell blocking; pairs grow with corpus
+        # r13 additions (r12 verdict #5), ceilings from the measured
+        # r13 envelope on a quiet host (loadavg_start 0.76):
+        "minhash_banded": 12.0,  # measured 7.77x for EXACTLY 10x true
+        #                          pair mass (256 -> 2560 pairs — the
+        #                          rotation replicas keep pair growth
+        #                          linear); banded candidates + exact
+        #                          verification are both pair-linear,
+        #                          so a ratio past ~linear (>12) means
+        #                          a quadratic candidate blowup
+        "theta": 8.0,           # measured 3.93x for 10x distinct mass
+        #                          (the x1 1.2s wall is overhead-heavy,
+        #                          so the ratio lands well under 10);
+        #                          build is one distinct + window scan,
+        #                          union is sketch-sized — a cliff here
+        #                          is a broken truncation fanout
+        "cap_skew": 2.5,        # measured 1.23x at 10x rows with ONE
+        #                          domain owning 50% of them — map-side
+        #                          WindowGroupLimit prunes to cap per
+        #                          task BEFORE the exchange, so the wall
+        #                          is nearly flat; losing the partial
+        #                          top-k sorts the whole megadomain in
+        #                          one reducer task and blows far past
+        #                          this
     }
     gates = {}
     for name, ceiling in gate_ceilings.items():
