@@ -1011,6 +1011,50 @@ def streaming_theta_distinct(spark: SparkSession,
                                  ["event_type"], k=_THETA_K)
 
 
+_STREAM_BLOOM_M, _STREAM_BLOOM_NH = 1 << 13, 4
+
+_STREAM_BLOOM_DUCK = f"""
+WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS j),
+pos AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#' || j),
+              1, 8) AS BIGINT) % {_STREAM_BLOOM_M} AS pos
+  FROM events, seeds WHERE user_id IS NOT NULL
+)
+SELECT event_type, pos // 63 AS word,
+       bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+FROM pos GROUP BY 1, 2
+"""
+
+
+@q("streaming_bloom_members", _STREAM_BLOOM_DUCK)
+def streaming_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous membership-sketch maintenance (streaming.
+    streaming_bloom_maintenance): each micro-batch's Bloom bitmap of
+    user_id per event_type is OR-merged into a durable bitmap table —
+    the live "ever seen?" set. OR is associative, commutative and
+    IDEMPOTENT, so the drained table must equal the batch bloom_build
+    bit-for-bit regardless of micro-batch boundaries (and would even
+    under at-least-once batch re-delivery); the oracle replays the
+    whole bitmap in plain SQL — a full-strength streaming oracle, the
+    theta-maintenance contract with an even stronger algebra."""
+    import shutil
+
+    from .streaming import read_event_stream, streaming_bloom_maintenance
+
+    eng = _engine(spark, sf_dir, "stream_bloom")
+    shutil.rmtree(f"{eng.warehouse_dir}/_checkpoints/stream_bloom",
+                  ignore_errors=True)
+    ev = (read_event_stream(spark, sf_dir)
+          .where("user_id IS NOT NULL"))
+    q_ = streaming_bloom_maintenance(eng, ev, "stream_bloom", "user_id",
+                                     ["event_type"],
+                                     m_bits=_STREAM_BLOOM_M,
+                                     n_hashes=_STREAM_BLOOM_NH)
+    q_.awaitTermination()
+    return eng.table("stream_bloom")
+
+
 @q("sketch_theta_ops", _theta_oracle)
 def sketch_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV distinct-count sketch with SET ALGEBRA
@@ -7743,24 +7787,26 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-13 window: (a) the two NEW Bloom entries (never-gated outranks
+# Round-13 window: (a) the three NEW Bloom entries (never-gated outranks
 # every tier); (b) text_winnow — the only entry whose evidence predates
 # r9 (it yielded its r12 slot to the late streaming_theta_distinct; the
 # r12 verdict queued it first); (c) the three streaming-maintenance
 # entries whose shared callback code changed this round (r12 ADVICE
 # #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 44 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (text_repetition, text_tfidf_terms, text_url_domains) waits for
-# r14 — all three hold green r9 rows and pass every local battery run.
+# 43 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (text_redact_pii, text_repetition, text_tfidf_terms,
+# text_url_domains) waits for r14 — all four hold green r9 rows and
+# pass every local battery run.
 # Rotated OUT (all hold green r10-r12 rows; the full local battery
 # still checks them every run): the r12 window — see COVERAGE.md.
 # ==========================================================================
 
 _GATED_WINDOW = [
-    # r13 rotation (r12 verdict #1): never-gated first — the two NEW
+    # r13 rotation (r12 verdict #1): never-gated first — the three NEW
     # Bloom entries
     "sketch_bloom_filter",
     "dedup_bloom_blocklist",
+    "streaming_bloom_members",
     # the one entry whose evidence predates r9 (text_winnow yielded its
     # r12 slot to the late streaming_theta_distinct; the verdict queued
     # it first among the backfill)
@@ -7771,10 +7817,11 @@ _GATED_WINDOW = [
     "streaming_inc_merge",
     "streaming_rollup_maintenance",
     "streaming_theta_distinct",
-    # the 44 alphabetically-first of the 47 r9-tier entries
+    # the 43 alphabetically-first of the 47 r9-tier entries
     # (tools/freshness.py --stale at round start; the alphabetical tail
-    # — text_repetition, text_tfidf_terms, text_url_domains — waits for
-    # r14, all three green in every local battery run)
+    # — text_redact_pii, text_repetition, text_tfidf_terms,
+    # text_url_domains — waits for r14, all four green in every local
+    # battery run)
     "ann_ivf_pq_recall",
     "ann_ivf_topk",
     "ann_pq_recall",
@@ -7818,7 +7865,6 @@ _GATED_WINDOW = [
     "text_boilerplate_lines",
     "text_decontaminate",
     "text_dup_spans",
-    "text_redact_pii",
 ]
 
 

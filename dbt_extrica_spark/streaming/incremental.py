@@ -342,6 +342,27 @@ def streaming_theta_maintenance(
 
     Returns the StreamingQuery (availableNow — callers await it)."""
     from ..extensions.sketch import theta_build, theta_union
+
+    return _start_sketch_maintenance(
+        engine, stream, table_name,
+        build=lambda df: theta_build(df, item_col, group_cols, k=k),
+        merge=lambda tbl, sk: theta_union(tbl.unionByName(sk),
+                                          group_cols, k))
+
+
+def _start_sketch_maintenance(engine, stream: DataFrame, table_name: str,
+                              build, merge) -> "object":
+    """Shared mergeable-sketch maintenance loop: per micro-batch,
+    ``build(batch_df)`` produces the batch's sketch table and
+    ``merge(durable_table_df, batch_sketch_df)`` folds it into the
+    durable table (atomic-swap committed). The create/refuse/empty
+    protocol is the one place it must live (a prior review caught it
+    triplicated): the table is created even from an EMPTY first batch
+    (the batch commits to the checkpoint log regardless, and a skipped
+    creation would trip the table-loss refusal on the next non-empty
+    batch); a missing table with prior commits REFUSES re-baseline;
+    empty later batches skip the rewrite (every sketch merge here is a
+    no-op on empty input)."""
     from ..relation import RelationType
 
     target = engine.relation(table_name, RelationType.Table)
@@ -350,31 +371,57 @@ def streaming_theta_maintenance(
         existing = engine.catalog.get_relation(target)
         if existing is None:
             _require_table_or_fresh(engine, table_name)
-            # created even from an EMPTY first batch (theta_build of
-            # nothing = zero sketch rows, schema intact) — the batch
-            # commits to the checkpoint log regardless, and a skipped
-            # creation would trip the table-loss refusal on the next
-            # non-empty batch (see _merge_upsert_callback)
-            theta_build(batch_df, item_col, group_cols, k=k) \
-                .write.format("parquet").saveAsTable(
-                    target.render_unquoted())
+            build(batch_df).write.format("parquet").saveAsTable(
+                target.render_unquoted())
             return
         if not batch_df.take(1):
             return
-        sk = theta_build(batch_df, item_col, group_cols, k=k)
-        merged = theta_union(
-            engine.spark.table(target.render_unquoted())
-            .unionByName(sk), group_cols, k)
+        merged = merge(engine.spark.table(target.render_unquoted()),
+                       build(batch_df))
         engine.overwrite_table_atomic(target, merged)
 
-    query = (
+    return (
         stream.writeStream.foreachBatch(upsert)
         .trigger(availableNow=True)
         .option("checkpointLocation",
                 f"{engine.warehouse_dir}/_checkpoints/{table_name}")
         .start()
     )
-    return query
+
+
+def streaming_bloom_maintenance(
+    engine,
+    stream: DataFrame,
+    table_name: str,
+    item_col: str,
+    group_cols: list[str],
+    m_bits: int = 1 << 13,
+    n_hashes: int = 4,
+) -> "object":
+    """CONTINUOUS membership-sketch maintenance: each micro-batch's
+    Bloom bitmap (extensions.sketch.bloom_build) is OR-merged into a
+    durable per-group bitmap table — the live blocklist/seen-set the
+    batch bloom operators probe, maintained without ever re-scanning
+    history ("have we EVER seen this user/URL for this event type?").
+
+    Bitwise OR is associative, commutative AND idempotent, so the
+    maintained table is BATCH-INVARIANT (equals bloom_build over the
+    fully-drained input bit-for-bit regardless of micro-batch
+    boundaries — the theta-maintenance oracle contract) and additionally
+    REPLAY-TOLERANT: an at-least-once re-delivered batch ORs to the
+    same bitmap. Merge cost is bitmap-bounded (<= ceil(m_bits/63) rows
+    per group per side); the durable table grows by groups, never by
+    rows seen.
+
+    Returns the StreamingQuery (availableNow — callers await it)."""
+    from ..extensions.sketch import bloom_build, bloom_union
+
+    return _start_sketch_maintenance(
+        engine, stream, table_name,
+        build=lambda df: bloom_build(df, item_col, group_cols,
+                                     m_bits=m_bits, n_hashes=n_hashes),
+        merge=lambda tbl, sk: bloom_union(tbl.unionByName(sk),
+                                          group_cols))
 
 
 def streaming_minhash_admission(

@@ -566,3 +566,54 @@ def test_prior_commits_probe_uses_hadoop_fs(spark, tmp_path):
     (commits / "0").write_text("v1")
     assert _prior_commits_exist(eng, "tbl") is True
     assert _prior_commits_exist(eng, "missing_tbl") is False
+
+
+def test_streaming_bloom_maintenance_batch_invariant(spark, tmp_path):
+    """Continuous Bloom-bitmap maintenance: with maxFilesPerTrigger=1
+    the durable bitmap is OR-merged across several micro-batches — the
+    final table must equal bloom_build over ALL rows bit-for-bit (OR is
+    associative/commutative/idempotent, so the maintained table is
+    batch-invariant AND replay-tolerant). Overlapping user sets across
+    files exercise the idempotent OR of already-set bits."""
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark import Engine
+    from dbt_extrica_spark.extensions.sketch import bloom_build
+    from dbt_extrica_spark.streaming import streaming_bloom_maintenance
+
+    m, nh = 1 << 10, 3
+    src = tmp_path / "bloom_in"
+    src.mkdir()
+    rows = []
+    for f in range(3):
+        part = [(f * 100 + i, (i * 7 + f) % 23, "a" if i % 2 else "b")
+                for i in range(30)]
+        spark.createDataFrame(
+            part, "event_id bigint, user_id bigint, grp string") \
+            .coalesce(1).write.mode("append").parquet(str(src / f"f{f}"))
+        rows += part
+    stream = (spark.readStream
+              .schema("event_id bigint, user_id bigint, grp string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    eng = Engine(spark)
+    try:
+        q = streaming_bloom_maintenance(eng, stream, "bloom_tbl",
+                                        "user_id", ["grp"],
+                                        m_bits=m, n_hashes=nh)
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+        got = {(r.grp, r.word, r.bits)
+               for r in eng.table("bloom_tbl").collect()}
+        batch = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, grp string")
+        exp = {(r.grp, r.word, r.bits)
+               for r in bloom_build(batch, "user_id", ["grp"],
+                                    m_bits=m, n_hashes=nh).collect()}
+        assert got == exp
+        # bitmap-bounded: <= ceil(m/63) rows per group
+        sizes = {r.grp: r.n for r in eng.table("bloom_tbl")
+                 .groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        assert all(n <= (m + 62) // 63 for n in sizes.values())
+    finally:
+        eng.close()
