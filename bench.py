@@ -127,6 +127,9 @@ HEADLINE = [
     # its output enumerates the per-row exact truth column (contract
     # apparatus), and its probe cost is a strict subset of this line.
     "dedup_bloom_blocklist",
+    # round 13: sorted-neighborhood blocking — pure operator line (rank
+    # + bucket join + levenshtein verify; oracle is external SQL)
+    "dedup_sorted_neighborhood",
 ]
 
 

@@ -1301,3 +1301,87 @@ def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,
         labeled.withColumn("keep", F.row_number().over(w) == 1)
         .select(F.col("id").alias(id_col), "component", "score", "keep")
     )
+
+
+def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key_col: str,
+                              window: int = 5,
+                              partitions: int | None = None) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernandez & Stolfo's
+    merge/purge method, SIGMOD'95): every pair of rows within ``window``
+    positions of each other in the total order by (key, id) — the THIRD
+    blocking family beside LSH bands (minhash_lsh_pairs) and cells
+    (cell_blocked_cosine_pairs), and the classic one for record linkage
+    where near-duplicates sort adjacently under a well-chosen key.
+
+    DETERMINISTIC and oracle-replayable: the sort key is totalized with
+    the id tie-break, so ranks — and therefore the candidate set — are
+    exactly `ROW_NUMBER() OVER (ORDER BY key, id)` with distance in
+    [1, window-1], verbatim SQL.
+
+    Scale shape (the reason this isn't one global window): the global
+    rank is a two-phase distributed prefix COUNT — the
+    pack_documents_global machinery with n_tokens = 1: range-partition
+    on (key, id), per-partition row_number (each task scans only its own
+    slice), per-partition counts (one row per partition — bounded model
+    state) prefix-summed on the driver and rejoined as a literal array.
+    Pairing is a bucket EQUI-join (bucket = rank div (window-1); a pair
+    at distance <= window-1 spans at most adjacent buckets, so the left
+    side explodes to 2 buckets and the join fans out O(window) per row)
+    — total work O(n * window), never all-pairs, widest stage
+    n/partitions rows. Returns (id_a, key_a, rank_a, id_b, key_b,
+    rank_b) with rank_a < rank_b."""
+    from pyspark.sql.window import Window
+
+    d = window - 1
+    if d < 1:
+        raise ValueError(f"window must be >= 2, got {window}")
+    base = df.select(F.col(id_col), F.col(key_col))
+    if partitions is not None:
+        if partitions < 1:
+            raise ValueError("partitions must be >= 1")
+        n_part = partitions
+    else:
+        try:
+            n_part = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except ValueError:  # e.g. 'auto' on AQE-managed platforms
+            n_part = df.sparkSession.sparkContext.defaultParallelism
+    sliced = (
+        base.repartitionByRange(n_part, F.col(key_col), F.col(id_col))
+        .sortWithinPartitions(F.col(key_col), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        # reify the partition assignment (pack_documents_global's note):
+        # __pid must not be recomputed under a different physical plan
+        # by the two downstream jobs
+        .localCheckpoint(eager=False)
+    )
+    counts = sliced.groupBy("__pid").count().collect()  # one row/partition
+    by_pid = {r["__pid"]: int(r["count"]) for r in counts}
+    prefix, acc = [], 0
+    for pid in range(max(by_pid) + 1 if by_pid else 0):
+        prefix.append(acc)
+        acc += by_pid.get(pid, 0)
+    if not prefix:
+        prefix = [0]
+    prefix_arr = F.array(*[F.lit(x).cast("bigint") for x in prefix])
+    w = Window.partitionBy("__pid").orderBy(F.col(key_col), F.col(id_col))
+    ranked = (
+        sliced.withColumn("__rn", F.row_number().over(w))
+        .withColumn("rank", (F.element_at(prefix_arr, F.col("__pid") + 1)
+                             + F.col("__rn")).cast("bigint"))
+        .drop("__pid", "__rn")
+    )
+    left = (ranked.select(F.col(id_col).alias("id_a"),
+                          F.col(key_col).alias("key_a"),
+                          F.col("rank").alias("rank_a"))
+            .withColumn("__jb", F.explode(F.array(
+                F.expr(f"rank_a div {d}"),
+                F.expr(f"rank_a div {d} + 1"))))
+    )
+    right = (ranked.select(F.col(id_col).alias("id_b"),
+                           F.col(key_col).alias("key_b"),
+                           F.col("rank").alias("rank_b"))
+             .withColumn("__jb", F.expr(f"rank_b div {d}")))
+    return (left.join(right, on="__jb")
+            .where((F.col("rank_b") - F.col("rank_a")).between(1, d))
+            .drop("__jb"))

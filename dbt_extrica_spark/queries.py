@@ -1238,6 +1238,46 @@ def dedup_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+_SNM_DUCK = """
+WITH keyed AS (
+  SELECT doc_id, substring(lower(trim(text)), 1, 40) AS k FROM documents
+), ranked AS (
+  SELECT doc_id, k, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r FROM keyed
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(levenshtein(a.k, b.k) AS BIGINT) AS lev
+  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 5
+)
+SELECT id_a, id_b, lev FROM pairs WHERE lev <= 10
+"""
+
+
+@q("dedup_sorted_neighborhood", _SNM_DUCK)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup candidates (dedup.
+    sorted_neighborhood_pairs — Hernandez & Stolfo merge/purge): rows
+    within 5 positions of each other in the total order by (normalized
+    40-char prefix, id), verified with Levenshtein <= 10 on the keys —
+    the third blocking family beside LSH bands and cells. The global
+    rank is the two-phase distributed prefix count (never a single-task
+    window); pairing is a bucket equi-join fanning out O(window) per
+    row. The oracle is the verbatim SQL ROW_NUMBER + distance self-join
+    — rank determinism comes from the id tie-break."""
+    from .extensions import dedup
+
+    _views(spark, sf_dir)
+    keyed = spark.table("documents").select(
+        "doc_id",
+        F.expr("substring(lower(trim(text)), 1, 40)").alias("snm_key"))
+    pairs = dedup.sorted_neighborhood_pairs(keyed, "doc_id", "snm_key",
+                                            window=6)
+    return (pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.levenshtein("key_a", "key_b").cast("bigint").alias("lev"))
+        .where("lev <= 10"))
+
+
 # triangle gate: the operator counts via degree ORIENTATION (each edge
 # directed low-(deg,id)-rank -> high, wedges closed by one equi-join);
 # the oracle counts the SAME value through the canonical-id-order
@@ -7787,16 +7827,16 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-13 window: (a) the three NEW Bloom entries (never-gated outranks
+# Round-13 window: (a) the four NEW entries (never-gated outranks
 # every tier); (b) text_winnow — the only entry whose evidence predates
 # r9 (it yielded its r12 slot to the late streaming_theta_distinct; the
 # r12 verdict queued it first); (c) the three streaming-maintenance
 # entries whose shared callback code changed this round (r12 ADVICE
 # #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 43 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (text_redact_pii, text_repetition, text_tfidf_terms,
-# text_url_domains) waits for r14 — all four hold green r9 rows and
-# pass every local battery run.
+# 42 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (text_dup_spans, text_redact_pii, text_repetition,
+# text_tfidf_terms, text_url_domains) waits for r14 — all five hold
+# green r9 rows and pass every local battery run.
 # Rotated OUT (all hold green r10-r12 rows; the full local battery
 # still checks them every run): the r12 window — see COVERAGE.md.
 # ==========================================================================
@@ -7807,6 +7847,7 @@ _GATED_WINDOW = [
     "sketch_bloom_filter",
     "dedup_bloom_blocklist",
     "streaming_bloom_members",
+    "dedup_sorted_neighborhood",
     # the one entry whose evidence predates r9 (text_winnow yielded its
     # r12 slot to the late streaming_theta_distinct; the verdict queued
     # it first among the backfill)
@@ -7817,11 +7858,11 @@ _GATED_WINDOW = [
     "streaming_inc_merge",
     "streaming_rollup_maintenance",
     "streaming_theta_distinct",
-    # the 43 alphabetically-first of the 47 r9-tier entries
+    # the 42 alphabetically-first of the 47 r9-tier entries
     # (tools/freshness.py --stale at round start; the alphabetical tail
-    # — text_redact_pii, text_repetition, text_tfidf_terms,
-    # text_url_domains — waits for r14, all four green in every local
-    # battery run)
+    # — text_dup_spans, text_redact_pii, text_repetition,
+    # text_tfidf_terms, text_url_domains — waits for r14, all five
+    # green in every local battery run)
     "ann_ivf_pq_recall",
     "ann_ivf_topk",
     "ann_pq_recall",
@@ -7864,7 +7905,6 @@ _GATED_WINDOW = [
     "text_bm25_topk",
     "text_boilerplate_lines",
     "text_decontaminate",
-    "text_dup_spans",
 ]
 
 

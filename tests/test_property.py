@@ -464,3 +464,30 @@ def test_bloom_matches_independent_md5_replay(block, probes):
                m_bits=m, n_hashes=nh).collect()}
     assert got == {x: member(x) for x in block | probes}
     assert all(got[x] for x in block)
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=0, max_size=6),
+                min_size=2, max_size=60),
+       st.integers(min_value=2, max_value=7))
+@settings(max_examples=3, deadline=None)
+def test_sorted_neighborhood_matches_window_replay(keys, window):
+    """SNM candidates on arbitrary keys (duplicates included — the id
+    tie-break must totalize the order): the distributed two-phase-rank
+    + bucket-join pair set must equal the pure-Python sliding-window
+    replay over the (key, id)-sorted order, for any window size."""
+    from dbt_extrica_spark.extensions import dedup
+    from dbt_extrica_spark.session import get_spark
+
+    rows = list(enumerate(keys))  # (id, key); ids unique, keys may dup
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    d = window - 1
+    want = {(order[i][0], order[j][0])
+            for i in range(len(order))
+            for j in range(i + 1, min(i + d + 1, len(order)))}
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(rows, "id int, k string")
+    got = {(r.id_a, r.id_b)
+           for r in dedup.sorted_neighborhood_pairs(
+               df, "id", "k", window=window, partitions=3).collect()}
+    assert got == want
