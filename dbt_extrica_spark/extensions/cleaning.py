@@ -283,6 +283,74 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
     return _seq_spans(out, seq_len)
 
 
+def global_running_sum(df: DataFrame, order_cols: list[str],
+                       weight_col: str | None = None,
+                       partitions: int | None = None,
+                       out_col: str = "__gsum") -> DataFrame:
+    """Two-phase distributed GLOBAL running sum of ``weight_col``
+    (None = 1 per row, i.e. the global RANK), inclusive of the current
+    row, in the total order by ``order_cols`` — the shared machinery
+    behind pack_documents_global and dedup.sorted_neighborhood_pairs
+    (one place, after a review found it duplicated):
+
+    1. ``repartitionByRange(order_cols)`` + sort-within-partitions:
+       partition i holds an order-contiguous slice, so (partition, row)
+       order IS the total order. The per-partition running sum is a
+       window partitioned BY the physical partition — every task scans
+       only its own slice, no global single-task stage.
+    2. Per-partition totals (one row per partition — bounded model
+       state, not data) are collected, prefix-summed on the driver, and
+       rejoined as a literal array indexed by partition id.
+
+    Callers needing an exclusive sum subtract the weight; callers
+    ordering by non-unique keys must include a tie-break column in
+    ``order_cols`` or the result is nondeterministic."""
+    if partitions is not None:
+        if partitions < 1:
+            raise ValueError("partitions must be >= 1")
+        n_part = partitions
+    else:
+        try:
+            n_part = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except ValueError:  # e.g. 'auto' on AQE-managed platforms
+            n_part = df.sparkSession.sparkContext.defaultParallelism
+    weight = (F.lit(1).cast("bigint") if weight_col is None
+              else F.col(weight_col).cast("bigint"))
+    sliced = (
+        df.withColumn("__w", weight)
+        .repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        # reify the partition assignment: __pid must not be recomputed
+        # under a different physical plan by the two downstream jobs.
+        # (blocks are freed by the ContextCleaner when the result is
+        # dropped — see similarity._km_base for the lifecycle note)
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        sliced.groupBy("__pid")
+        .agg(F.sum("__w").alias("t"))
+        .collect()  # one row per partition — bounded model state
+    )
+    by_pid = {r["__pid"]: int(r["t"]) for r in totals}
+    prefix, acc = [], 0
+    for pid in range(max(by_pid) + 1 if by_pid else 0):
+        prefix.append(acc)
+        acc += by_pid.get(pid, 0)
+    if not prefix:
+        prefix = [0]
+    prefix_arr = F.array(*[F.lit(x).cast("bigint") for x in prefix])
+    w = (Window.partitionBy("__pid")
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (sliced.withColumn(
+        out_col,
+        (F.element_at(prefix_arr, F.col("__pid") + 1)
+         + F.sum("__w").over(w)).cast("bigint"))
+        .drop("__pid", "__w"))
+
+
 def pack_documents_global(df: DataFrame, id_col: str, text_col: str,
                           seq_len: int = 2048,
                           partitions: int | None = None) -> DataFrame:
@@ -309,47 +377,12 @@ def pack_documents_global(df: DataFrame, id_col: str, text_col: str,
     session's shuffle parallelism. Same output contract as
     pack_documents: (id, n_tokens, offset, first_seq, last_seq)."""
     base = df.select(F.col(id_col), _pack_tokens(text_col).alias("n_tokens"))
-    if partitions is not None:
-        if partitions < 1:
-            raise ValueError("partitions must be >= 1")
-        n_part = partitions
-    else:
-        try:
-            n_part = int(df.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions"))
-        except ValueError:  # e.g. 'auto' on AQE-managed platforms
-            n_part = df.sparkSession.sparkContext.defaultParallelism
-    sliced = (
-        base.repartitionByRange(n_part, F.col(id_col))
-        .sortWithinPartitions(F.col(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        # reify the partition assignment: __pid must not be recomputed
-        # under a different physical plan by the two downstream jobs.
-        # (blocks are freed by the ContextCleaner when the result is
-        # dropped — see similarity._km_base for the lifecycle note)
-        .localCheckpoint(eager=False)
-    )
-    totals = (
-        sliced.groupBy("__pid")
-        .agg(F.sum("n_tokens").alias("t"))
-        .collect()  # one row per partition — bounded model state
-    )
-    by_pid = {r["__pid"]: int(r["t"]) for r in totals}
-    prefix, acc = [], 0
-    for pid in range(max(by_pid) + 1 if by_pid else 0):
-        prefix.append(acc)
-        acc += by_pid.get(pid, 0)
-    if not prefix:
-        prefix = [0]
-    prefix_arr = F.array(*[F.lit(x).cast("bigint") for x in prefix])
-    w = (Window.partitionBy("__pid").orderBy(F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = sliced.withColumn(
+    summed = global_running_sum(base, [id_col], "n_tokens", partitions)
+    out = summed.withColumn(
         "offset",
-        (F.element_at(prefix_arr, F.col("__pid") + 1)
-         + F.sum("n_tokens").over(w) - F.col("n_tokens"))
-        .cast("bigint"))
-    return _seq_spans(out, seq_len).drop("__pid")
+        (F.col("__gsum") - F.col("n_tokens")).cast("bigint")
+    ).drop("__gsum")
+    return _seq_spans(out, seq_len)
 
 
 def duplicated_spans(df: DataFrame, id_col: str, text_col: str,

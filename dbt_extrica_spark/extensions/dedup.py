@@ -1330,47 +1330,16 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key_col: str,
     — total work O(n * window), never all-pairs, widest stage
     n/partitions rows. Returns (id_a, key_a, rank_a, id_b, key_b,
     rank_b) with rank_a < rank_b."""
-    from pyspark.sql.window import Window
+    from .cleaning import global_running_sum
 
     d = window - 1
     if d < 1:
         raise ValueError(f"window must be >= 2, got {window}")
     base = df.select(F.col(id_col), F.col(key_col))
-    if partitions is not None:
-        if partitions < 1:
-            raise ValueError("partitions must be >= 1")
-        n_part = partitions
-    else:
-        try:
-            n_part = int(df.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions"))
-        except ValueError:  # e.g. 'auto' on AQE-managed platforms
-            n_part = df.sparkSession.sparkContext.defaultParallelism
-    sliced = (
-        base.repartitionByRange(n_part, F.col(key_col), F.col(id_col))
-        .sortWithinPartitions(F.col(key_col), F.col(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        # reify the partition assignment (pack_documents_global's note):
-        # __pid must not be recomputed under a different physical plan
-        # by the two downstream jobs
-        .localCheckpoint(eager=False)
-    )
-    counts = sliced.groupBy("__pid").count().collect()  # one row/partition
-    by_pid = {r["__pid"]: int(r["count"]) for r in counts}
-    prefix, acc = [], 0
-    for pid in range(max(by_pid) + 1 if by_pid else 0):
-        prefix.append(acc)
-        acc += by_pid.get(pid, 0)
-    if not prefix:
-        prefix = [0]
-    prefix_arr = F.array(*[F.lit(x).cast("bigint") for x in prefix])
-    w = Window.partitionBy("__pid").orderBy(F.col(key_col), F.col(id_col))
-    ranked = (
-        sliced.withColumn("__rn", F.row_number().over(w))
-        .withColumn("rank", (F.element_at(prefix_arr, F.col("__pid") + 1)
-                             + F.col("__rn")).cast("bigint"))
-        .drop("__pid", "__rn")
-    )
+    # global rank = the shared two-phase running COUNT (weight 1/row),
+    # totalized by the id tie-break
+    ranked = global_running_sum(base, [key_col, id_col], None,
+                                partitions, out_col="rank")
     left = (ranked.select(F.col(id_col).alias("id_a"),
                           F.col(key_col).alias("key_a"),
                           F.col("rank").alias("rank_a"))

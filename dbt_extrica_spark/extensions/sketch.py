@@ -549,10 +549,18 @@ def bloom_union(sketches: DataFrame,
 
 def bloom_contains(df: DataFrame, item_col: str, bloom: DataFrame,
                    m_bits: int = 1 << 20, n_hashes: int = 5,
-                   result_col: str = "maybe_member") -> DataFrame:
+                   result_col: str = "maybe_member",
+                   group_cols: list[str] | None = None) -> DataFrame:
     """Append ``result_col`` (boolean): True iff EVERY hash position of
     the item is set in the filter — i.e. "maybe in the set" (false
     positives possible at the configured rate, false negatives never).
+
+    ``group_cols`` probes a PER-GROUP bitmap table (e.g. the durable
+    table streaming_bloom_maintenance keeps): each probe row joins its
+    own group's words — the join key is (group..., word). Without it, a
+    grouped bitmap is REJECTED loudly: the same word index appears once
+    per group, so a word-only join would fan probe rows out and compute
+    membership from a mix of groups' bits.
 
     Scale shape: n_hashes BROADCAST hash joins on the word index — the
     probe side never shuffles (the bitmap is <= ceil(m_bits/63) rows,
@@ -562,6 +570,15 @@ def bloom_contains(df: DataFrame, item_col: str, bloom: DataFrame,
     join broadcasts ``bloom``, and an unmaterialized build plan would
     re-scan the blocklist n_hashes times (the per-join word alias
     defeats exchange reuse)."""
+    group_cols = group_cols or []
+    extra = set(bloom.columns) - {"word", "bits"} - set(group_cols)
+    if extra:
+        raise ValueError(
+            f"bloom table carries non-key columns {sorted(extra)}: pass "
+            f"group_cols=[...] so each probe row joins its own group's "
+            f"words, or filter the sketch to one group first — a "
+            f"word-only join against a grouped bitmap fans out and "
+            f"mixes groups' bits")
     item = f"CAST({item_col} AS STRING)"
     out = df
     checks = []
@@ -576,9 +593,10 @@ def bloom_contains(df: DataFrame, item_col: str, bloom: DataFrame,
                    f"(({_bloom_pos_expr(item, j, m_bits)})"
                    f" % {_BLOOM_WORD} AS INT))"))
                .join(F.broadcast(bloom.select(
+                   *group_cols,
                    F.col("word").alias(wcol),
                    F.col("bits").alias(bcol))),
-                   on=wcol, how="left"))
+                   on=[*group_cols, wcol], how="left"))
         checks.append(F.col(bcol).isNotNull() &
                       (F.col(bcol).bitwiseAND(F.col(mcol)) == F.col(mcol)))
     member = checks[0]

@@ -7833,13 +7833,20 @@ FROM lineitem GROUP BY l_returnflag
 # r12 verdict queued it first); (c) the three streaming-maintenance
 # entries whose shared callback code changed this round (r12 ADVICE
 # #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 42 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (text_dup_spans, text_redact_pii, text_repetition,
-# text_tfidf_terms, text_url_domains) waits for r14 — all five hold
-# green r9 rows and pass every local battery run.
+# 40 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (text_boilerplate_lines, text_decontaminate, text_dup_spans,
+# text_redact_pii, text_repetition, text_tfidf_terms, text_url_domains)
+# waits for r14 — all seven hold green r9 rows and pass every local
+# battery run.
 # Rotated OUT (all hold green r10-r12 rows; the full local battery
 # still checks them every run): the r12 window — see COVERAGE.md.
 # ==========================================================================
+
+# the round this window was rotated FOR — freshness.py --splice stamps
+# COVERAGE.md's "CURRENT (round-N)" label from here (deriving it from
+# the latest CORRECTNESS file mislabels by one as soon as this round's
+# driver evidence lands)
+_WINDOW_ROUND = 13
 
 _GATED_WINDOW = [
     # r13 rotation (r12 verdict #1): never-gated first — the three NEW
@@ -7858,11 +7865,18 @@ _GATED_WINDOW = [
     "streaming_inc_merge",
     "streaming_rollup_maintenance",
     "streaming_theta_distinct",
-    # the 42 alphabetically-first of the 47 r9-tier entries
+    # code changed this round (global_running_sum extraction — the
+    # shared two-phase prefix machinery pack_documents_global and
+    # sorted_neighborhood_pairs now both call; value-identical refactor,
+    # window slots per the code-changed policy regardless)
+    "text_pack_global",
+    "pipeline_pretrain_corpus",
+    # the 40 alphabetically-first of the 47 r9-tier entries
     # (tools/freshness.py --stale at round start; the alphabetical tail
-    # — text_dup_spans, text_redact_pii, text_repetition,
-    # text_tfidf_terms, text_url_domains — waits for r14, all five
-    # green in every local battery run)
+    # — text_boilerplate_lines, text_decontaminate, text_dup_spans,
+    # text_redact_pii, text_repetition, text_tfidf_terms,
+    # text_url_domains — waits for r14, all seven green in every local
+    # battery run)
     "ann_ivf_pq_recall",
     "ann_ivf_topk",
     "ann_pq_recall",
@@ -7903,8 +7917,6 @@ _GATED_WINDOW = [
     "sketch_hll_rollup",
     "streaming_vector_admission",
     "text_bm25_topk",
-    "text_boilerplate_lines",
-    "text_decontaminate",
 ]
 
 

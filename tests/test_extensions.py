@@ -3144,3 +3144,42 @@ def test_bloom_build_contains_and_union(spark):
         both.distinct(), on="item", how="left_anti").collect()}
     assert {r.item for r in out.collect()} == want
     assert set(out.columns) == set(probe.columns)
+
+
+def test_bloom_contains_grouped_bitmap(spark):
+    """Per-group bitmap probing (the streaming-maintained table shape):
+    with group_cols each probe row joins its own group's words —
+    verdicts must equal per-group ungrouped probes, with no row fanout;
+    WITHOUT group_cols a grouped bitmap is rejected loudly (a word-only
+    join would mix groups' bits)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.extensions import sketch
+
+    m, nh = 1 << 10, 3
+    rows = ([("a", i) for i in range(40)]
+            + [("b", i) for i in range(30, 90)])
+    df = spark.createDataFrame(rows, "grp string, item bigint")
+    grouped = sketch.bloom_build(df, "item", ["grp"], m_bits=m,
+                                 n_hashes=nh).localCheckpoint(eager=True)
+
+    probe = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(120)],
+        "grp string, item bigint")
+    got = sketch.bloom_contains(probe, "item", grouped, m_bits=m,
+                                n_hashes=nh, group_cols=["grp"])
+    res = {(r.grp, r.item): r.maybe_member for r in got.collect()}
+    assert len(res) == 240 and got.count() == 240  # no fanout
+    for g, members in (("a", range(40)), ("b", range(30, 90))):
+        single = sketch.bloom_contains(
+            probe.where(F.col("grp") == g).select("item"), "item",
+            grouped.where(F.col("grp") == g).select("word", "bits"),
+            m_bits=m, n_hashes=nh)
+        want = {r.item: r.maybe_member for r in single.collect()}
+        assert {i: res[(g, i)] for i in range(120)} == want
+        assert all(res[(g, i)] for i in members)  # no false negatives
+
+    with pytest.raises(ValueError, match="group_cols"):
+        sketch.bloom_contains(probe, "item", grouped, m_bits=m,
+                              n_hashes=nh)

@@ -94,13 +94,16 @@ def _splice_coverage(rows) -> None:
     assert len(hits) == 1, "COVERAGE.md header count line not found"
     lines[hits[0]] = count_pat.sub(f"{n}/{n} at sf0.01", lines[hits[0]])
 
-    # current-round label in the freshness section prose
-    latest_round = max(r for r, _ in _rounds())
+    # current-round label in the freshness section prose — stamped from
+    # the window's own identity (queries._WINDOW_ROUND), NOT from the
+    # latest CORRECTNESS file + 1: once this round's driver evidence
+    # lands, evidence-round + 1 would mislabel the unchanged window
+    window_round = battery._WINDOW_ROUND
     for i, ln in enumerate(lines):
         m = re.search(r"CURRENT \(round-(\d+)\)", ln)
         if m:
             lines[i] = ln.replace(m.group(0),
-                                  f"CURRENT (round-{latest_round + 1})")
+                                  f"CURRENT (round-{window_round})")
 
     # table: header row through the last contiguous `|` row
     starts = [i for i, ln in enumerate(lines)
@@ -117,7 +120,7 @@ def _splice_coverage(rows) -> None:
     with open(path, "w") as f:
         f.write("".join(lines[:s] + table + lines[e:]))
     print(f"COVERAGE.md spliced: {n}/{n} header count + "
-          f"{len(rows)}-row freshness table (window label r{latest_round + 1})")
+          f"{len(rows)}-row freshness table (window label r{window_round})")
 
 
 def main() -> None:
