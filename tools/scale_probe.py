@@ -461,13 +461,17 @@ def main() -> None:
         "blocked_cosine": 4.0,  # cell blocking; pairs grow with corpus
         # r13 additions (r12 verdict #5), ceilings from the measured
         # r13 envelope on a quiet host (loadavg_start 0.76):
-        "minhash_banded": 12.0,  # measured 7.77x for EXACTLY 10x true
-        #                          pair mass (256 -> 2560 pairs — the
+        "minhash_banded": 15.0,  # measured 7.77x (quiet host) and
+        #                          10.95x (loadavg 13 — the x1 side's
+        #                          ~6-9s wall carries most of the
+        #                          variance) for EXACTLY 10x true pair
+        #                          mass (256 -> 2560 pairs — the
         #                          rotation replicas keep pair growth
         #                          linear); banded candidates + exact
         #                          verification are both pair-linear,
-        #                          so a ratio past ~linear (>12) means
-        #                          a quadratic candidate blowup
+        #                          and a quadratic candidate blowup
+        #                          reads ~100x here, so 15 separates
+        #                          host noise from a real cliff
         "theta": 8.0,           # measured 3.93x for 10x distinct mass
         #                          (the x1 1.2s wall is overhead-heavy,
         #                          so the ratio lands well under 10);
