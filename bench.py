@@ -130,6 +130,10 @@ HEADLINE = [
     # round 13: sorted-neighborhood blocking — pure operator line (rank
     # + bucket join + levenshtein verify; oracle is external SQL)
     "dedup_sorted_neighborhood",
+    # round 13: ANALYZE-side statistics — both pure operator lines
+    # (oracles are external SQL replays)
+    "stats_equi_depth_histogram",
+    "dq_profile_table",
 ]
 
 

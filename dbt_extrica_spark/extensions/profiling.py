@@ -1,0 +1,106 @@
+"""[EXTENSION] Table statistics: equi-depth histograms and one-pass
+column profiling — the ANALYZE-side of the engine.
+
+Equi-depth histograms are what cost-based optimizers (Trino, Spark CBO)
+and skew diagnostics keep per column: B buckets holding (almost) equal
+ROW counts, so bucket width adapts to density and selectivity estimates
+stay honest under skew — exactly where equi-WIDTH histograms collapse.
+The build reuses the repo's two-phase distributed global rank
+(cleaning.global_running_sum): never a single-task window, so a 100 TB
+column ranks at n/partitions rows per task.
+
+Column profiling is the data-quality sweep a pipeline runs on every new
+source: per column — row count, nulls, exact distincts, min/max — in
+ONE stacked scan (column name becomes a row key), so profiling k
+columns costs one shuffle, not k jobs.
+
+Everything here is deterministic and SQL-replayable (the battery
+oracles are verbatim SQL), and each operator returns a DataFrame —
+stats ARE tables, persistable alongside the data they describe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def equi_depth_histogram(df: DataFrame, value_col: str, id_col: str,
+                         buckets: int = 10,
+                         partitions: int | None = None) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of ``value_col``: exactly
+    ``buckets`` buckets of near-equal row count (sizes differ by at most
+    one), each with its value range and exact distinct count. NULL
+    values are excluded (they carry no order); profile_columns reports
+    them.
+
+    Bucket assignment is DETERMINISTIC and replayable in plain SQL:
+    rank rows by (value, id) — the id tie-break totalizes duplicate
+    values — and bucket = (rank - 1) * B div n. (This spreads the
+    +/-1-row remainder evenly across buckets instead of front-loading
+    it like SQL NTILE; the oracle replays the formula itself, not
+    NTILE.) Duplicate values may therefore straddle a boundary — the
+    equi-depth contract is about bucket MASS, not value disjointness;
+    lo/hi ranges still nest monotonically.
+
+    Scale shape: ONE two-phase global rank (range partition +
+    per-partition window + a one-row-per-partition driver prefix — the
+    global_running_sum machinery) and ONE bucket-keyed aggregation.
+    Returns (bucket, n_rows, lo, hi, n_distinct) with bucket 0-based."""
+    from .cleaning import global_running_sum
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    base = (df.select(F.col(value_col).alias("v"), F.col(id_col).alias("i"))
+            .where(F.col("v").isNotNull()))
+    ranked = global_running_sum(base, ["v", "i"], None, partitions,
+                                out_col="__rank")
+    # total row count as a driver scalar (bounded model state — the
+    # rank subtree is lazily checkpointed inside global_running_sum, so
+    # this job materializes it and the main query below reuses it)
+    n = ranked.agg(F.max("__rank")).collect()[0][0] or 0
+    if n == 0:
+        return (ranked.select(
+            F.lit(0).alias("bucket"),
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.col("v").alias("lo"), F.col("v").alias("hi"),
+            F.lit(0).cast("bigint").alias("n_distinct"))
+            .limit(0))
+    return (ranked
+            .withColumn("bucket", F.expr(
+                f"CAST((__rank - 1) * {buckets} div {n} AS INT)"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.min("v").alias("lo"),
+                 F.max("v").alias("hi"),
+                 F.countDistinct("v").cast("bigint").alias("n_distinct")))
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass column profile: per column — total rows, nulls, exact
+    distinct non-null values, min/max (as strings, so heterogeneous
+    column types stack into one result table; numeric min/max therefore
+    follow STRING collation here — use equi_depth_histogram for typed
+    numeric ranges).
+
+    Scale shape: the columns STACK into (col_name, value) rows via one
+    explode — so profiling k columns is ONE scan + ONE aggregation
+    keyed on col_name (k groups), not k separate jobs over a 100 TB
+    table. Returns (col_name, n_rows, n_nulls, n_distinct, min_str,
+    max_str)."""
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    pairs = ", ".join(
+        f"named_struct('c', '{c}', 'v', CAST(`{c}` AS STRING))"
+        for c in columns)
+    stacked = df.select(
+        F.explode(F.expr(f"array({pairs})")).alias("cell"))
+    return (stacked
+            .select(F.col("cell.c").alias("col_name"),
+                    F.col("cell.v").alias("v"))
+            .groupBy("col_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum(F.col("v").isNull().cast("bigint"))
+                 .cast("bigint").alias("n_nulls"),
+                 F.countDistinct("v").cast("bigint").alias("n_distinct"),
+                 F.min("v").alias("min_str"),
+                 F.max("v").alias("max_str")))

@@ -1278,6 +1278,72 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("lev <= 10"))
 
 
+_HIST_B = 16
+
+_HIST_DUCK = f"""
+WITH base AS (
+  SELECT l_extendedprice AS v, l_orderkey * 8 + l_linenumber AS i
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, i) AS r FROM base
+), tot AS (SELECT COUNT(*) AS n FROM base)
+SELECT CAST((r - 1) * {_HIST_B} // n AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(v) AS lo, MAX(v) AS hi,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+FROM ranked, tot GROUP BY 1
+"""
+
+
+@q("stats_equi_depth_histogram", _HIST_DUCK)
+def stats_equi_depth_histogram(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (profiling.equi_depth_histogram): 16
+    near-equal-mass buckets over l_extendedprice with exact per-bucket
+    range and distinct count — the CBO/skew-diagnostic statistic.
+    Bucket = (rank-1)*B div n over the (value, id)-totalized order; the
+    rank is the shared two-phase distributed prefix count (never a
+    single-task window), so the oracle is the verbatim SQL ROW_NUMBER
+    replay of the same formula."""
+    from .extensions import profiling
+
+    _views(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.expr("l_orderkey * 8 + l_linenumber").alias("i"))
+    return profiling.equi_depth_histogram(li, "v", "i", buckets=_HIST_B)
+
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+_PROFILE_DUCK = ("WITH stacked AS (" + " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM customer"
+    for c in _PROFILE_COLS) + """)
+SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN 1 END), 0) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_str, MAX(v) AS max_str
+FROM stacked GROUP BY col_name
+""")
+
+
+@q("dq_profile_table", _PROFILE_DUCK)
+def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (profiling.profile_columns): per-column
+    row count, nulls, exact distincts, string-collation min/max over
+    customer — the data-quality sweep a pipeline runs on every new
+    source. The k columns STACK into (col_name, value) rows, so the
+    whole profile is one scan + one k-group aggregation, not k jobs;
+    only non-float columns are profiled here so the string casts are
+    engine-identical (doubles belong to the typed histogram entry)."""
+    from .extensions import profiling
+
+    _views(spark, sf_dir)
+    return profiling.profile_columns(spark.table("customer"),
+                                     _PROFILE_COLS)
+
+
 # triangle gate: the operator counts via degree ORIENTATION (each edge
 # directed low-(deg,id)-rank -> high, wedges closed by one equi-join);
 # the oracle counts the SAME value through the canonical-id-order
@@ -7827,16 +7893,17 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-13 window: (a) the four NEW entries (never-gated outranks
+# Round-13 window: (a) the six NEW entries (never-gated outranks
 # every tier); (b) text_winnow — the only entry whose evidence predates
 # r9 (it yielded its r12 slot to the late streaming_theta_distinct; the
 # r12 verdict queued it first); (c) the three streaming-maintenance
 # entries whose shared callback code changed this round (r12 ADVICE
 # #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 40 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (text_boilerplate_lines, text_decontaminate, text_dup_spans,
+# 38 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (streaming_vector_admission, text_bm25_topk,
+# text_boilerplate_lines, text_decontaminate, text_dup_spans,
 # text_redact_pii, text_repetition, text_tfidf_terms, text_url_domains)
-# waits for r14 — all seven hold green r9 rows and pass every local
+# waits for r14 — all nine hold green r9 rows and pass every local
 # battery run.
 # Rotated OUT (all hold green r10-r12 rows; the full local battery
 # still checks them every run): the r12 window — see COVERAGE.md.
@@ -7855,6 +7922,8 @@ _GATED_WINDOW = [
     "dedup_bloom_blocklist",
     "streaming_bloom_members",
     "dedup_sorted_neighborhood",
+    "stats_equi_depth_histogram",
+    "dq_profile_table",
     # the one entry whose evidence predates r9 (text_winnow yielded its
     # r12 slot to the late streaming_theta_distinct; the verdict queued
     # it first among the backfill)
@@ -7871,11 +7940,12 @@ _GATED_WINDOW = [
     # window slots per the code-changed policy regardless)
     "text_pack_global",
     "pipeline_pretrain_corpus",
-    # the 40 alphabetically-first of the 47 r9-tier entries
+    # the 38 alphabetically-first of the 47 r9-tier entries
     # (tools/freshness.py --stale at round start; the alphabetical tail
-    # — text_boilerplate_lines, text_decontaminate, text_dup_spans,
+    # — streaming_vector_admission, text_bm25_topk,
+    # text_boilerplate_lines, text_decontaminate, text_dup_spans,
     # text_redact_pii, text_repetition, text_tfidf_terms,
-    # text_url_domains — waits for r14, all seven green in every local
+    # text_url_domains — waits for r14, all nine green in every local
     # battery run)
     "ann_ivf_pq_recall",
     "ann_ivf_topk",
@@ -7915,8 +7985,6 @@ _GATED_WINDOW = [
     "sample_shuffle_shards",
     "shim_datediff",
     "sketch_hll_rollup",
-    "streaming_vector_admission",
-    "text_bm25_topk",
 ]
 
 

@@ -3183,3 +3183,21 @@ def test_bloom_contains_grouped_bitmap(spark):
     with pytest.raises(ValueError, match="group_cols"):
         sketch.bloom_contains(probe, "item", grouped, m_bits=m,
                               n_hashes=nh)
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from dbt_extrica_spark.extensions import profiling
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, None, 5.0), (4, "b", None)],
+        "k bigint, s string, d double")
+    got = {r.col_name: r for r in
+           profiling.profile_columns(df, ["k", "s", "d"]).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_nulls == 0
+    assert got["k"].n_distinct == 4
+    assert (got["k"].min_str, got["k"].max_str) == ("1", "4")
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert got["d"].n_nulls == 2 and got["d"].n_distinct == 1
+    import pytest
+    with pytest.raises(ValueError, match="non-empty"):
+        profiling.profile_columns(df, [])

@@ -106,6 +106,11 @@ INVARIANTS = {
     # the single exchange is the blocklist distinct
     "dedup_bloom_blocklist": dict(bhj_min=11, smj_max=0, bnlj_max=0,
                                   exchange_max=1),
+    # r13: one-pass column profile — ONE scan stacked into k column
+    # groups; the two exchanges are the countDistinct expand's
+    # partial/final pair. A third exchange means the stack stopped
+    # being single-scan.
+    "dq_profile_table": dict(smj_max=0, bnlj_max=0, exchange_max=2),
 }
 
 

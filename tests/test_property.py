@@ -491,3 +491,42 @@ def test_sorted_neighborhood_matches_window_replay(keys, window):
            for r in dedup.sorted_neighborhood_pairs(
                df, "id", "k", window=window, partitions=3).collect()}
     assert got == want
+
+
+@given(st.lists(st.integers(min_value=-50, max_value=50),
+                min_size=0, max_size=80),
+       st.integers(min_value=1, max_value=9))
+@settings(max_examples=3, deadline=None)
+def test_equi_depth_histogram_matches_replay(vals, buckets):
+    """Equi-depth histogram on arbitrary (duplicate-heavy) values:
+    bucket masses, ranges, and distinct counts must equal the
+    pure-Python replay of bucket = (rank-1)*B div n over the
+    (value, id)-totalized order; bucket sizes differ by at most one
+    and lo/hi nest monotonically."""
+    from dbt_extrica_spark.extensions import profiling
+    from dbt_extrica_spark.session import get_spark
+
+    rows = list(enumerate(vals))  # (id, value)
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    n = len(order)
+    want = {}
+    for r0, (i, v) in enumerate(order):
+        b = r0 * buckets // n
+        e = want.setdefault(b, [0, v, v, set()])
+        e[0] += 1
+        e[1] = min(e[1], v)
+        e[2] = max(e[2], v)
+        e[3].add(v)
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame([(v, i) for i, v in rows] or
+                               [(None, None)],
+                               "v int, i int")
+    got = {r.bucket: (r.n_rows, r.lo, r.hi, r.n_distinct)
+           for r in profiling.equi_depth_histogram(
+               df, "v", "i", buckets=buckets, partitions=3).collect()}
+    assert got == {b: (c, lo, hi, len(ds))
+                   for b, (c, lo, hi, ds) in want.items()}
+    if n:
+        sizes = [got[b][0] for b in sorted(got)]
+        assert max(sizes) - min(sizes) <= 1
