@@ -286,7 +286,8 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
 def global_running_sum(df: DataFrame, order_cols: list[str],
                        weight_col: str | None = None,
                        partitions: int | None = None,
-                       out_col: str = "__gsum") -> DataFrame:
+                       out_col: str = "__gsum",
+                       return_total: bool = False):
     """Two-phase distributed GLOBAL running sum of ``weight_col``
     (None = 1 per row, i.e. the global RANK), inclusive of the current
     row, in the total order by ``order_cols`` — the shared machinery
@@ -304,7 +305,26 @@ def global_running_sum(df: DataFrame, order_cols: list[str],
 
     Callers needing an exclusive sum subtract the weight; callers
     ordering by non-unique keys must include a tie-break column in
-    ``order_cols`` or the result is nondeterministic."""
+    ``order_cols`` or the result is nondeterministic. ``weight_col``
+    must be an INTEGRAL column (the per-partition totals and driver
+    prefix are exact integers; a float weight would silently truncate
+    per row) — non-integral types raise. ``return_total=True`` returns
+    (DataFrame, total) with the grand total the driver prefix already
+    computed — callers needing n must not pay another scan for it."""
+    reserved = {"__w", "__pid", out_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_running_sum: input columns {sorted(clash)} collide "
+            f"with the helper's working names (rename them, or pass a "
+            f"different out_col)")
+    if weight_col is not None:
+        dtype = dict(df.dtypes).get(weight_col)
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"global_running_sum: weight_col {weight_col!r} has type "
+                f"{dtype!r}; only integral weights keep the running sum "
+                f"exact (a float would silently truncate per row)")
     if partitions is not None:
         if partitions < 1:
             raise ValueError("partitions must be >= 1")
@@ -344,11 +364,12 @@ def global_running_sum(df: DataFrame, order_cols: list[str],
     w = (Window.partitionBy("__pid")
          .orderBy(*[F.col(c) for c in order_cols])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (sliced.withColumn(
+    out = (sliced.withColumn(
         out_col,
         (F.element_at(prefix_arr, F.col("__pid") + 1)
          + F.sum("__w").over(w)).cast("bigint"))
         .drop("__pid", "__w"))
+    return (out, acc) if return_total else out
 
 
 def pack_documents_global(df: DataFrame, id_col: str, text_col: str,

@@ -52,12 +52,10 @@ def equi_depth_histogram(df: DataFrame, value_col: str, id_col: str,
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     base = (df.select(F.col(value_col).alias("v"), F.col(id_col).alias("i"))
             .where(F.col("v").isNotNull()))
-    ranked = global_running_sum(base, ["v", "i"], None, partitions,
-                                out_col="__rank")
-    # total row count as a driver scalar (bounded model state — the
-    # rank subtree is lazily checkpointed inside global_running_sum, so
-    # this job materializes it and the main query below reuses it)
-    n = ranked.agg(F.max("__rank")).collect()[0][0] or 0
+    # the helper's driver prefix already knows the grand total — taking
+    # it back avoids a whole extra pass just to learn n (review finding)
+    ranked, n = global_running_sum(base, ["v", "i"], None, partitions,
+                                   out_col="__rank", return_total=True)
     if n == 0:
         return (ranked.select(
             F.lit(0).alias("bucket"),
@@ -89,6 +87,15 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     max_str)."""
     if not columns:
         raise ValueError("columns must be non-empty")
+    if len(set(columns)) != len(columns):
+        # duplicates would merge into one col_name group and silently
+        # double every count
+        raise ValueError(f"duplicate column names in {columns}")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        # also the injection guard: only names that literally exist in
+        # the schema ever reach the SQL text below
+        raise ValueError(f"columns not in the DataFrame: {missing}")
     pairs = ", ".join(
         f"named_struct('c', '{c}', 'v', CAST(`{c}` AS STRING))"
         for c in columns)

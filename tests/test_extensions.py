@@ -3201,3 +3201,41 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     import pytest
     with pytest.raises(ValueError, match="non-empty"):
         profiling.profile_columns(df, [])
+
+
+def test_global_running_sum_guards_and_total(spark):
+    """Shared-helper contract (second-review findings): float weights
+    raise (a per-row bigint cast would silently truncate), working-name
+    collisions raise (a caller's __w/__pid/out_col would be silently
+    overwritten and dropped), and return_total hands back the driver
+    prefix's grand total without another scan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.extensions.cleaning import global_running_sum
+
+    df = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("w"),
+        (F.col("id") / 2.0).alias("fw"))
+    out, total = global_running_sum(df, ["id"], "w", return_total=True)
+    rows = {r["id"]: r["__gsum"] for r in out.collect()}
+    assert total == sum(2 * i for i in range(10))
+    assert rows[0] == 0 and rows[9] == total
+    with pytest.raises(ValueError, match="integral"):
+        global_running_sum(df, ["id"], "fw")
+    with pytest.raises(ValueError, match="collide"):
+        global_running_sum(df.withColumnRenamed("w", "__w"), ["id"])
+    with pytest.raises(ValueError, match="collide"):
+        global_running_sum(df, ["id"], "w", out_col="fw")
+
+
+def test_profile_columns_rejects_bad_names(spark):
+    import pytest
+
+    from dbt_extrica_spark.extensions import profiling
+
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    with pytest.raises(ValueError, match="duplicate"):
+        profiling.profile_columns(df, ["k", "k"])
+    with pytest.raises(ValueError, match="not in the DataFrame"):
+        profiling.profile_columns(df, ["k", "nope'; --"])

@@ -99,6 +99,14 @@ def _splice_coverage(rows) -> None:
     # latest CORRECTNESS file + 1: once this round's driver evidence
     # lands, evidence-round + 1 would mislabel the unchanged window
     window_round = battery._WINDOW_ROUND
+    latest_evidence = max((r for r, _ in _rounds()), default=0)
+    if window_round < latest_evidence:
+        # the rotation for round N should carry _WINDOW_ROUND = N, which
+        # is never BEHIND the newest evidence file — being behind means
+        # someone rotated the window without bumping the constant
+        print(f"WARNING: queries._WINDOW_ROUND = r{window_round} is "
+              f"behind the newest CORRECTNESS file (r{latest_evidence})"
+              f" — did the rotation forget to bump it?")
     for i, ln in enumerate(lines):
         m = re.search(r"CURRENT \(round-(\d+)\)", ln)
         if m:
