@@ -134,6 +134,17 @@ HEADLINE = [
     # (oracles are external SQL replays)
     "stats_equi_depth_histogram",
     "dq_profile_table",
+    # round 13 late batch: all three are pure operator lines (oracles
+    # are external SQL replays; no in-entry verifier) — DLT priority
+    # sampling (grouped WindowGroupLimit + global TakeOrdered), PMI
+    # collocation mining (scan-side bigrams + two aggs), and the
+    # hypertable gapfill+locf (one corpus agg + metadata-scale grid)
+    "sample_priority_topk",
+    "text_collocations_pmi",
+    "ts_gapfill_locf",
+    # round 13 late batch: robust MAD outlier sweep — pure operator
+    # line (exact lower medians, one shuffle; oracle is external SQL)
+    "dq_outliers_mad",
 ]
 
 

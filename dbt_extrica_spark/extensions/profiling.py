@@ -73,6 +73,73 @@ def equi_depth_histogram(df: DataFrame, value_col: str, id_col: str,
                  F.countDistinct("v").cast("bigint").alias("n_distinct")))
 
 
+def mad_outliers(df: DataFrame, value_col: str, id_col: str,
+                 group_cols: list[str], k: float = 3.0,
+                 return_rows: bool = False) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation:
+    a row is an outlier when ``|v - median| > k * MAD`` — the
+    Hampel-filter rule that, unlike z-scores, no single extreme value
+    can poison (mean AND stddev both chase the outlier they are
+    supposed to catch; the median and MAD do not).
+
+    Both statistics are EXACT lower medians (percentile_disc(0.5): the
+    value at rank ceil(n/2) of the (value, id)-totalized order — an
+    integer rank selection, no interpolation arithmetic), so every
+    median, MAD, deviation, and flag replays verbatim in plain SQL.
+    NULL values are excluded (profile_columns reports them). A group
+    whose majority value repeats exactly has MAD 0 — then every
+    deviating row flags, the standard MAD degeneracy (use the
+    histogram's bucket ranges when that bites).
+
+    Returns per-group (group..., n, median, mad, n_outliers); with
+    ``return_rows=True`` instead returns the flagged rows
+    (group..., id, value, deviation).
+
+    Scale shape: ONE shuffle on the group key — both rank passes, both
+    median selections, and the flag are windows over the SAME
+    partitioning, so Catalyst plans a single exchange; the group-sized
+    summary aggregation reuses it. Rank-by-sort within a group is the
+    per-group sort every exact-median needs; for a single monster group
+    use equi_depth_histogram (two-phase global rank) instead."""
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    v = F.col(value_col).cast("double")
+    base = (df.select(*group_cols, F.col(id_col).alias("__i"),
+                      v.alias("__v"))
+            .where(F.col("__v").isNotNull()))
+    wg = Window.partitionBy(*group_cols)
+    w1 = wg.orderBy(F.col("__v").asc(), F.col("__i").asc())
+    mid = "(__n + 1) div 2"  # ceil(n/2): the lower-median rank
+    d = (base
+         .withColumn("__rn", F.row_number().over(w1))
+         .withColumn("__n", F.count(F.lit(1)).over(wg))
+         .withColumn("median", F.max(F.when(
+             F.expr(f"__rn = {mid}"), F.col("__v"))).over(wg))
+         .withColumn("__dev", F.abs(F.col("__v") - F.col("median"))))
+    w2 = wg.orderBy(F.col("__dev").asc(), F.col("__i").asc())
+    d = (d
+         .withColumn("__rn2", F.row_number().over(w2))
+         .withColumn("mad", F.max(F.when(
+             F.expr(f"__rn2 = {mid}"), F.col("__dev"))).over(wg))
+         .withColumn("__flag", F.col("__dev") > F.lit(float(k)) *
+                     F.col("mad")))
+    if return_rows:
+        return (d.where("__flag")
+                .select(*group_cols, F.col("__i").alias(id_col),
+                        F.col("__v").alias(value_col),
+                        F.col("__dev").alias("deviation")))
+    return (d.groupBy(*group_cols)
+            .agg(F.max("__n").cast("bigint").alias("n"),
+                 F.max("median").alias("median"),
+                 F.max("mad").alias("mad"),
+                 F.coalesce(F.sum(F.col("__flag").cast("bigint")),
+                            F.lit(0)).cast("bigint").alias("n_outliers")))
+
+
 def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """One-pass column profile: per column — total rows, nulls, exact
     distinct non-null values, min/max (as strings, so heterogeneous

@@ -192,6 +192,71 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
         w.isNotNull() & ((w >= 1.0) | ((w > 0.0) & (bucket < thr))))
 
 
+def priority_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
+                    group_cols: list[str] | None = None,
+                    salt: str = "") -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): keep the ``k`` rows
+    with the largest priority ``q = w / u``, where ``u`` is a uniform
+    (0, 1] draw — the weight-aware fixed-SIZE sample beside
+    weighted_sample's per-row rate filter (that one keeps a random
+    NUMBER of rows; a mixture builder usually needs exactly k), with
+    the standard subset-sum estimator attached: ``est_weight =
+    max(w, tau)`` (tau = the (k+1)-th priority, 0 when the population
+    has <= k rows) makes ``sum(est_weight)`` over any weight-subset an
+    unbiased estimate of that subset's true mass.
+
+    Deterministic like every sampler here: ``u = (h + 1) / 2^32`` with
+    ``h`` the first 8 md5 hex chars of ``salt || id`` — an exact-double
+    integer, so the priority is ONE correctly-rounded IEEE division and
+    replays bit-for-bit on any engine (no pow/ln, which differ in the
+    last ulp across libm implementations — the reason this is DLT
+    priority sampling and not Efraimidis–Spirakis u^(1/w) reservoir
+    sampling). Weights must be positive: NULL/<=0 raises in-scan (a
+    silently dropped row would skew the estimator, same policy as
+    mg_build's weight guard).
+
+    Returns the sampled rows + (priority, est_weight, sample_rank).
+
+    Scale shape: with ``group_cols``, one shuffle on the group key and
+    a rank-truncated window — InferWindowGroupLimit prunes each map
+    task to k+1 rows per group BEFORE the exchange. Without, a global
+    orderBy(...).limit(k+1) plans as TakeOrderedAndProject (per-task
+    top-(k+1) heaps, never a single-task sort); the follow-up window
+    ranks only the <= k+1 survivors."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    raw = F.col(weight_col)
+    w = raw.cast("double")
+    w = F.when(
+        raw.isNull() | (w <= 0.0),
+        F.expr("raise_error('priority_sample: weight_col must be "
+               "positive and non-null')").cast("double"),
+    ).otherwise(w)
+    h = F.conv(_bucket_expr(id_col, salt), 16, 10).cast("bigint")
+    prio = w / ((h + F.lit(1)).cast("double") / F.lit(float(_HEX_SPACE)))
+    order = [F.col("priority").desc(), F.col(id_col).asc()]
+    ranked = df.withColumn("priority", prio)
+    if group_cols:
+        wnd = Window.partitionBy(*group_cols).orderBy(*order)
+        ranked = (ranked.withColumn("sample_rank", F.row_number().over(wnd))
+                  .where(F.col("sample_rank") <= k + 1))
+        tau_w = Window.partitionBy(*group_cols)
+    else:
+        # global top-(k+1): TakeOrderedAndProject, then rank the tiny
+        # survivor set (<= k+1 rows — the 1-partition window is bounded)
+        ranked = ranked.orderBy(*order).limit(k + 1)
+        wnd = Window.orderBy(*order)
+        ranked = ranked.withColumn("sample_rank", F.row_number().over(wnd))
+        tau_w = Window.partitionBy()
+    tau = F.max(F.when(F.col("sample_rank") == k + 1,
+                       F.col("priority"))).over(tau_w)
+    return (ranked
+            .withColumn("est_weight",
+                        F.greatest(F.col(weight_col).cast("double"),
+                                   F.coalesce(tau, F.lit(0.0))))
+            .where(F.col("sample_rank") <= k))
+
+
 def cap_per_key(df: DataFrame, id_col: str, key_col: str, cap: int,
                 order_col: str | None = None, salt: str = "") -> DataFrame:
     """Per-key contribution cap: keep AT MOST ``cap`` rows per

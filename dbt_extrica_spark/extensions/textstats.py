@@ -329,6 +329,57 @@ def top_phrases(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def collocations(df: DataFrame, text_col: str,
+                 min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Corpus-wide collocation mining: top-``top_k`` adjacent word pairs
+    by pointwise-mutual-information LIFT ``p(xy) / (p(x) p(y)) =
+    c_xy * N / (c_x * c_y)`` — the association measure that surfaces
+    multiword expressions ("new york", "machine learning") which plain
+    count ranking (top_phrases) buries under frequent-word pairs. The
+    word2vec phrase-learning / NLTK collocation step of a corpus pass.
+
+    Ranking uses the RATIO, not log-PMI: the lift is two exact-double
+    products and one correctly-rounded IEEE division, bit-identical on
+    any engine, whereas ln() differs in the last ulp across libm
+    implementations (same determinism policy as tfidf's rank column).
+
+    Returns (w1, w2, pair_n, w1_n, w2_n, lift, rank) ordered by
+    (lift DESC, w1, w2), pairs with ``pair_n >= min_count`` only.
+
+    Scale shape: bigrams are built SCAN-SIDE (zip_with over two array
+    slices — no positional self-join), then one pair-keyed and one
+    word-keyed partial/final aggregation; the unigram joins hit the
+    (vocabulary-sized) count table, and the top-k is a
+    TakeOrderedAndProject. No all-pairs stage, no driver data."""
+    toks = (f"filter({_tokens(text_col)}, x -> x <> '')")
+    bigrams = ("zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)), "
+               "slice(__t, 2, greatest(size(__t) - 1, 0)), "
+               "(a, b) -> struct(a, b))")
+    staged = df.select(F.expr(toks).alias("__t"))
+    uni = (staged.select(F.explode("__t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    n_tokens = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    pairs = (staged.select(F.explode(F.expr(bigrams)).alias("__bg"))
+             .select(F.col("__bg.a").alias("w1"), F.col("__bg.b").alias("w2"))
+             .groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+             .where(F.col("pair_n") >= min_count))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("w1_n"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("w2_n"))
+    lift = ((F.col("pair_n").cast("double") * F.col("n").cast("double"))
+            / (F.col("w1_n").cast("double") * F.col("w2_n").cast("double")))
+    scored = (pairs.join(u1, "w1").join(u2, "w2")
+              .crossJoin(n_tokens)  # 1-row stats side
+              .select("w1", "w2", "pair_n", "w1_n", "w2_n",
+                      lift.alias("lift"))
+              .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+              .limit(top_k))
+    from pyspark.sql.window import Window
+    wnd = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn(
+        "rank", F.row_number().over(wnd).cast("int"))
+
+
 def wordlm_logprob(df: DataFrame, id_col: str, text_col: str,
                    train_df: DataFrame | None = None,
                    k_smooth: float = 1.0) -> DataFrame:

@@ -1,0 +1,91 @@
+"""[EXTENSION] Time-series gap filling — the hypertable-style
+``time_bucket_gapfill(...) + locf()`` surface (TimescaleDB semantics:
+a dense bucket grid per series key, missing buckets materialized, the
+last observed aggregate carried forward).
+
+Composition of built-in DataFrame ops only (no UDFs):
+
+1. ONE corpus-scale aggregation per (key, bucket) — the only pass that
+   touches the raw data;
+2. the dense grid = distinct keys x an exploded bucket ``sequence`` —
+   metadata-scale (keys x buckets rows), generated scan-side off the
+   aggregated keys, never off the corpus;
+3. a grid-sized left join + one ``last(..., ignorenulls=True)`` window
+   per key for the carry-forward.
+
+At 100 TB the raw table is read exactly once; everything after the
+aggregate is proportional to |keys| x |buckets|, which is the rollup's
+own output size. The window partitions on the series key — same key
+space as the join, no second corpus shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_BUCKETS = {"day", "hour", "week", "month"}
+
+_STEP = {"day": "interval 1 day", "hour": "interval 1 hour",
+         "week": "interval 7 day", "month": "interval 1 month"}
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    start: str,
+    end: str,
+    bucket: str = "day",
+    aggs: dict[str, F.Column] | None = None,
+    locf_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dense per-key time grid with last-observation-carried-forward.
+
+    ``aggs`` maps output column name -> aggregate Column evaluated per
+    (key, bucket) group (default: ``n = count(*)``). ``locf_cols`` names
+    the agg outputs to carry forward into gap buckets (default: all of
+    them); each gains a ``<name>_locf`` column. Every grid row also
+    carries ``filled`` (true = no source rows in that bucket). Gap
+    buckets read NULL for every raw agg column (coalesce to taste);
+    locf columns read the previous observed value, or NULL before the
+    first observation — TimescaleDB locf semantics.
+
+    ``start``/``end`` are inclusive ISO timestamps (explicit, like
+    TimescaleDB's gapfill arguments — deriving the range from the data
+    would make the output schema depend on which partitions happened to
+    arrive). Keys are the DISTINCT keys present in the aggregate; a key
+    with no rows anywhere has no series to fill.
+    """
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}, "
+                         f"got {bucket!r}")
+    aggs = dict(aggs) if aggs else {"n": F.count(F.lit(1)).cast("bigint")}
+    locf_cols = list(aggs) if locf_cols is None else list(locf_cols)
+    unknown = [c for c in locf_cols if c not in aggs]
+    if unknown:
+        raise ValueError(f"locf_cols not in aggs: {unknown}")
+
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    agg = (df.groupBy(F.col(key_col).alias("__k"), b)
+           .agg(*[v.alias(k) for k, v in aggs.items()]))
+
+    # dense grid: distinct keys x the bucket spine, exploded scan-side
+    # off the (tiny) key list — sequence() is end-INCLUSIVE, and start
+    # is snapped to its bucket so grid buckets align with date_trunc
+    spine = (f"sequence(date_trunc('{bucket}', timestamp'{start}'), "
+             f"timestamp'{end}', {_STEP[bucket]})")
+    grid = (agg.select(F.col("__k")).distinct()
+            .withColumn("bucket", F.explode(F.expr(spine))))
+
+    out = grid.join(agg, on=["__k", "bucket"], how="left")
+    w = (Window.partitionBy("__k").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = F.col(next(iter(aggs))).isNull().alias("filled")
+    cols = [F.col("__k").alias(key_col), F.col("bucket"), filled]
+    for name in aggs:
+        cols.append(F.col(name))
+    for name in locf_cols:
+        cols.append(F.last(F.col(name), ignorenulls=True).over(w)
+                    .alias(f"{name}_locf"))
+    return out.select(*cols)

@@ -1344,6 +1344,231 @@ def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      _PROFILE_COLS)
 
 
+# MAD outliers: both statistics are EXACT lower medians (integer rank
+# selection at ceil(n/2) of the (value, id)-totalized order — no
+# interpolation arithmetic), so median, MAD, deviations, and flags all
+# replay verbatim; dev and k*mad are single correctly-rounded IEEE ops.
+_MAD_DUCK = """
+WITH base AS (
+  SELECT event_type AS g, event_id AS i, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, i) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM base
+), m1 AS (
+  SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+              OVER (PARTITION BY g) AS med
+  FROM r1
+), r2 AS (
+  SELECT *, ABS(v - med) AS dev FROM m1
+), r3 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev, i) AS rn2
+  FROM r2
+), m2 AS (
+  SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+              OVER (PARTITION BY g) AS mad
+  FROM r3
+)
+SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+       MAX(med) AS median, MAX(mad) AS mad,
+       CAST(COALESCE(SUM(CASE WHEN dev > 3.0 * mad THEN 1 END), 0)
+            AS BIGINT) AS n_outliers
+FROM m2 GROUP BY g
+"""
+
+
+@q("dq_outliers_mad", _MAD_DUCK)
+def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (profiling.mad_outliers): per-event_type
+    exact lower median + median-absolute-deviation with the Hampel rule
+    |v - median| > 3*MAD — the outlier sweep a mean/stddev z-score
+    cannot do (both chase the outlier they are supposed to catch). One
+    shuffle: every window sits on the group partitioning. The oracle
+    replays both rank-selected medians, every deviation, and the flag
+    counts exactly."""
+    from .extensions import profiling
+
+    _views(spark, sf_dir)
+    return profiling.mad_outliers(spark.table("events"), "value",
+                                  "event_id", ["event_type"], k=3.0)
+
+
+# priority sampling: the oracle replays the DLT priority q = w / u with
+# u = (first-8-md5-hex + 1) / 2^32 — an exact-double integer, so the
+# priority is ONE correctly-rounded IEEE division and the doubles match
+# bit-for-bit across engines (no pow/ln — the reason the operator is
+# DLT and not Efraimidis-Spirakis). tau = the (k+1)-th priority feeds
+# the est_weight = max(w, tau) subset-sum estimator; both the grouped
+# (k=20 per o_orderpriority) and global (k=50) modes are gated.
+_PRIO_DUCK = """
+WITH pr AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS w,
+         CAST(o_totalprice AS DOUBLE) /
+           ((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1) / 4294967296.0) AS priority
+  FROM orders
+), grp AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY priority DESC, o_orderkey) AS r
+  FROM pr
+), gtau AS (
+  SELECT o_orderpriority, MAX(CASE WHEN r = 21 THEN priority END) AS tau
+  FROM grp GROUP BY 1
+), glb AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, o_orderkey) AS r
+  FROM pr
+), gltau AS (
+  SELECT MAX(CASE WHEN r = 51 THEN priority END) AS tau FROM glb
+)
+SELECT 'group' AS mode, g.o_orderpriority AS key, g.o_orderkey, g.priority,
+       GREATEST(g.w, COALESCE(t.tau, 0.0)) AS est_weight,
+       CAST(g.r AS INT) AS sample_rank
+FROM grp g JOIN gtau t USING (o_orderpriority) WHERE g.r <= 20
+UNION ALL
+SELECT 'global' AS mode, '' AS key, g.o_orderkey, g.priority,
+       GREATEST(g.w, COALESCE(t.tau, 0.0)) AS est_weight,
+       CAST(g.r AS INT) AS sample_rank
+FROM glb g CROSS JOIN gltau t WHERE g.r <= 50
+"""
+
+
+@q("sample_priority_topk", _PRIO_DUCK)
+def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (sampling.priority_sample, Duffield-Lund-
+    Thorup): the k highest-priority rows under q = w/u with the
+    est_weight = max(w, tau) subset-sum estimator — the fixed-SIZE
+    weighted sample beside weighted_sample's rate filter. Both modes
+    gated: per-group (k=20 per o_orderpriority; map-side
+    WindowGroupLimit) and global (k=50; TakeOrderedAndProject). The
+    oracle replays every hash, priority, tau, and estimator value
+    bit-for-bit — selection AND estimation are value-hash-gated."""
+    from .extensions import sampling
+
+    _views(spark, sf_dir)
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+
+    def shape(df, mode, key):
+        return df.select(
+            F.lit(mode).alias("mode"), key.alias("key"), "o_orderkey",
+            "priority", "est_weight", F.col("sample_rank").cast("int"))
+
+    grp = sampling.priority_sample(orders, "o_orderkey", "o_totalprice",
+                                   k=20, group_cols=["o_orderpriority"])
+    glb = sampling.priority_sample(orders, "o_orderkey", "o_totalprice",
+                                   k=50)
+    return shape(grp, "group", F.col("o_orderpriority")).unionAll(
+        shape(glb, "global", F.lit("")))
+
+
+# collocation lift: ranking uses the RATIO c_xy*N/(c_x*c_y) — two
+# exact-double products + one correctly-rounded division — never ln()
+# (libm last-ulp divergence; same policy as tfidf's rank). Tokens are
+# the tfidf convention: split on \s+, empties filtered.
+_PMI_DUCK = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), bi AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+), uni AS (
+  SELECT unnest(l) AS w FROM toks
+), uc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+), nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_n
+  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), scored AS (
+  SELECT bc.w1, bc.w2, bc.pair_n, u1.c AS w1_n, u2.c AS w2_n,
+         (CAST(bc.pair_n AS DOUBLE) * CAST(nt.n AS DOUBLE))
+           / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+  FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2
+  CROSS JOIN nt
+)
+SELECT w1, w2, pair_n, w1_n, w2_n, lift,
+       CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS INT) AS rank
+FROM scored QUALIFY rank <= 50
+"""
+
+
+@q("text_collocations_pmi", _PMI_DUCK)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (textstats.collocations): top-50 adjacent
+    word pairs by PMI lift c_xy*N/(c_x*c_y) with pair support >= 5 —
+    the multiword-expression discovery step (word2vec phrase learning)
+    that count ranking (text_top_phrases) buries under frequent-word
+    pairs. Bigrams are built scan-side (zip_with over slices, no
+    positional self-join); the oracle replays counts, lift doubles,
+    and the rank order exactly."""
+    _views(spark, sf_dir)
+    return textstats.collocations(spark.table("documents"), "text",
+                                  min_count=5, top_k=50)
+
+
+# gapfill grid is fixed [2024-01-01, 2024-02-10] so trailing buckets
+# past the data's max ts exercise the carry-forward tail; value > 195
+# keeps the series sparse enough to leave real day gaps at the oracle
+# scales. value_sum routes through DECIMAL(18,4) (order-free exact sum,
+# the rollup_hypertable convention).
+_GAPFILL_DUCK = """
+WITH agg AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+  FROM events WHERE value > 195 GROUP BY 1, 2
+), keys AS (
+  SELECT DISTINCT event_type FROM agg
+), spine AS (
+  SELECT g AS bucket
+  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-10',
+                       INTERVAL 1 DAY) t(g)
+), grid AS (
+  SELECT k.event_type, s.bucket FROM keys k CROSS JOIN spine s
+)
+SELECT g.event_type, CAST(g.bucket AS DATE) AS bucket,
+       a.n IS NULL AS filled,
+       COALESCE(a.n, 0) AS n,
+       last_value(a.value_sum IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum_locf
+FROM grid g LEFT JOIN agg a
+  ON a.event_type = g.event_type AND a.bucket = g.bucket
+"""
+
+
+@q("ts_gapfill_locf", _GAPFILL_DUCK)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill (timeseries.time_bucket_gapfill): dense
+    per-event_type day grid over a sparse series (value > 195) with
+    last-observation-carried-forward — the TimescaleDB
+    time_bucket_gapfill + locf surface. One corpus-scale aggregation;
+    the grid, join, and carry-forward window are all keys-x-buckets
+    metadata-scale. The oracle replays the grid, the filled flags, and
+    every locf value (NULL before a series' first observation)."""
+    from .extensions import timeseries
+
+    _views(spark, sf_dir)
+    ev = spark.table("events").where("value > 195")
+    out = timeseries.time_bucket_gapfill(
+        ev, "ts", "event_type",
+        start="2024-01-01 00:00:00", end="2024-02-10 00:00:00",
+        bucket="day",
+        aggs={"n": F.count(F.lit(1)).cast("bigint"),
+              "value_sum": F.sum(F.col("value").cast("decimal(18,4)"))
+              .cast("double")},
+        locf_cols=["value_sum"])
+    return out.select(
+        "event_type", F.col("bucket").cast("date").alias("bucket"),
+        "filled", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        "value_sum_locf")
+
+
 # triangle gate: the operator counts via degree ORIENTATION (each edge
 # directed low-(deg,id)-rank -> high, wedges closed by one equi-join);
 # the oracle counts the SAME value through the canonical-id-order
@@ -7893,18 +8118,22 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-13 window: (a) the six NEW entries (never-gated outranks
-# every tier); (b) text_winnow — the only entry whose evidence predates
-# r9 (it yielded its r12 slot to the late streaming_theta_distinct; the
+# Round-13 window: (a) the ten NEW entries (never-gated outranks
+# every tier — six from the main batch, four late-round:
+# sample_priority_topk, text_collocations_pmi, ts_gapfill_locf,
+# dq_outliers_mad);
+# (b) text_winnow — the only entry whose evidence predates r9 (it
+# yielded its r12 slot to the late streaming_theta_distinct; the
 # r12 verdict queued it first); (c) the three streaming-maintenance
 # entries whose shared callback code changed this round (r12 ADVICE
 # #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 38 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (streaming_vector_admission, text_bm25_topk,
+# 34 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (sample_mixture, sample_shuffle_shards, shim_datediff,
+# sketch_hll_rollup, streaming_vector_admission, text_bm25_topk,
 # text_boilerplate_lines, text_decontaminate, text_dup_spans,
 # text_redact_pii, text_repetition, text_tfidf_terms, text_url_domains)
-# waits for r14 — all nine hold green r9 rows and pass every local
-# battery run.
+# waits for r14 — all thirteen hold green r9 rows and pass every
+# local battery run.
 # Rotated OUT (all hold green r10-r12 rows; the full local battery
 # still checks them every run): the r12 window — see COVERAGE.md.
 # ==========================================================================
@@ -7916,8 +8145,13 @@ FROM lineitem GROUP BY l_returnflag
 _WINDOW_ROUND = 13
 
 _GATED_WINDOW = [
-    # r13 rotation (r12 verdict #1): never-gated first — the three NEW
-    # Bloom entries
+    # r13 rotation (r12 verdict #1): never-gated first — the three
+    # late-round NEW entries (priority sampling, PMI collocations,
+    # hypertable gapfill+locf), then the three NEW Bloom entries
+    "sample_priority_topk",
+    "text_collocations_pmi",
+    "ts_gapfill_locf",
+    "dq_outliers_mad",
     "sketch_bloom_filter",
     "dedup_bloom_blocklist",
     "streaming_bloom_members",
@@ -7940,13 +8174,9 @@ _GATED_WINDOW = [
     # window slots per the code-changed policy regardless)
     "text_pack_global",
     "pipeline_pretrain_corpus",
-    # the 38 alphabetically-first of the 47 r9-tier entries
+    # the 34 alphabetically-first of the 47 r9-tier entries
     # (tools/freshness.py --stale at round start; the alphabetical tail
-    # — streaming_vector_admission, text_bm25_topk,
-    # text_boilerplate_lines, text_decontaminate, text_dup_spans,
-    # text_redact_pii, text_repetition, text_tfidf_terms,
-    # text_url_domains — waits for r14, all nine green in every local
-    # battery run)
+    # waits for r14 — see the window comment above)
     "ann_ivf_pq_recall",
     "ann_ivf_topk",
     "ann_pq_recall",
@@ -7981,10 +8211,11 @@ _GATED_WINDOW = [
     "rollup_cascade_month",
     "sample_alpha_mixture",
     "sample_leakage_split",
-    "sample_mixture",
-    "sample_shuffle_shards",
-    "shim_datediff",
-    "sketch_hll_rollup",
+    # (sample_mixture, sample_shuffle_shards, shim_datediff,
+    # sketch_hll_rollup yielded their backfill slots to the four
+    # late-round NEW entries above — never-gated outranks the r9 tier;
+    # they rejoin the r14 backfill with the alphabetical tail, all
+    # green in every local battery run)
 ]
 
 

@@ -3239,3 +3239,128 @@ def test_profile_columns_rejects_bad_names(spark):
         profiling.profile_columns(df, ["k", "k"])
     with pytest.raises(ValueError, match="not in the DataFrame"):
         profiling.profile_columns(df, ["k", "nope'; --"])
+
+
+def test_priority_sample_rejects_bad_weights(spark):
+    """NULL / zero / negative weights raise in-scan (a silently dropped
+    row would skew the DLT estimator — same policy as mg_build)."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions import sampling
+
+    for w in (None, 0.0, -1.5):
+        df = spark.createDataFrame([(1, 2.0), (2, w)], "id int, w double")
+        with _pytest.raises(Exception, match="priority_sample"):
+            sampling.priority_sample(df, "id", "w", k=1).collect()
+    with _pytest.raises(ValueError, match="k must be"):
+        sampling.priority_sample(
+            spark.createDataFrame([(1, 1.0)], "id int, w double"),
+            "id", "w", k=0)
+
+
+def test_priority_sample_small_population_exact(spark):
+    """Population <= k: everything kept, tau = 0, est_weight = w exactly
+    (sum of est_weight == the true total mass — the estimator's
+    degenerate-exact case); WindowGroupLimit appears in the grouped
+    plan (the rn <= k+1 filter must stay a partial top-k)."""
+    from dbt_extrica_spark.extensions import sampling
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "x"), (2, 7.0, "x"), (3, 11.0, "y")],
+        "id int, w double, g string")
+    out = sampling.priority_sample(df, "id", "w", k=10,
+                                   group_cols=["g"])
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 3
+    assert all(r.est_weight == r.w for r in rows.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    glob = sampling.priority_sample(df, "id", "w", k=10)
+    assert sum(r.est_weight for r in glob.collect()) == 23.0
+    gplan = glob._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in gplan
+
+
+def test_time_bucket_gapfill_grid_and_locf(spark):
+    """Dense grid, filled flags, and locf carry-forward: gaps read the
+    last observed aggregate (NULL before a series' first observation,
+    carried past the data's max ts to the grid end); every key gets
+    every bucket; raw agg columns stay NULL in gaps."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions import timeseries
+
+    rows = [
+        # key "a": days 1 and 4 observed; 2, 3, 5 are gaps
+        (dt.datetime(2024, 3, 1, 5), "a", 10.0),
+        (dt.datetime(2024, 3, 1, 9), "a", 2.0),
+        (dt.datetime(2024, 3, 4, 1), "a", 7.0),
+        # key "b": first observation on day 3 -> days 1-2 locf NULL
+        (dt.datetime(2024, 3, 3, 12), "b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    out = timeseries.time_bucket_gapfill(
+        df, "ts", "k", start="2024-03-01 00:00:00",
+        end="2024-03-05 00:00:00", bucket="day",
+        aggs={"n": F.count(F.lit(1)).cast("bigint"),
+              "v_sum": F.sum(F.col("v").cast("decimal(18,4)"))
+              .cast("double")},
+        locf_cols=["v_sum"])
+    got = {(r.k, r.bucket.day): (r.filled, r.n, r.v_sum, r.v_sum_locf)
+           for r in out.collect()}
+    assert len(got) == 10  # 2 keys x 5 days, dense
+    assert got[("a", 1)] == (False, 2, 12.0, 12.0)
+    assert got[("a", 2)] == (True, None, None, 12.0)   # gap: locf
+    assert got[("a", 3)] == (True, None, None, 12.0)
+    assert got[("a", 4)] == (False, 1, 7.0, 7.0)
+    assert got[("a", 5)] == (True, None, None, 7.0)    # trailing fill
+    assert got[("b", 1)] == (True, None, None, None)   # before first obs
+    assert got[("b", 2)] == (True, None, None, None)
+    assert got[("b", 3)] == (False, 1, 1.0, 1.0)
+
+    with _pytest.raises(ValueError, match="bucket must be"):
+        timeseries.time_bucket_gapfill(df, "ts", "k",
+                                       start="2024-03-01", end="2024-03-05",
+                                       bucket="minute")
+    with _pytest.raises(ValueError, match="locf_cols not in aggs"):
+        timeseries.time_bucket_gapfill(
+            df, "ts", "k", start="2024-03-01", end="2024-03-05",
+            aggs={"n": F.count(F.lit(1))}, locf_cols=["nope"])
+
+
+def test_mad_outliers_rows_guards_and_plan(spark):
+    """return_rows yields exactly the flagged rows; guards reject bad
+    k / empty groups; the whole computation shares ONE shuffle (every
+    window sits on the group partitioning)."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions import profiling
+
+    # group x: median 5, MAD 1 -> 100.0 flags (dev 95 > 3); nulls dropped
+    rows = [(1, 4.0, "x"), (2, 5.0, "x"), (3, 6.0, "x"),
+            (4, 5.0, "x"), (5, 100.0, "x"), (6, None, "x"),
+            (7, 1.0, "y")]
+    df = spark.createDataFrame(rows, "i int, v double, g string")
+    summary = {r.g: (r.n, r.median, r.mad, r.n_outliers)
+               for r in profiling.mad_outliers(
+                   df, "v", "i", ["g"], k=3.0).collect()}
+    assert summary["x"] == (5, 5.0, 1.0, 1)
+    assert summary["y"] == (1, 1.0, 0.0, 0)  # singleton: exact, no flag
+
+    flagged = profiling.mad_outliers(df, "v", "i", ["g"], k=3.0,
+                                     return_rows=True).collect()
+    assert [(r.g, r.i, r.v, r.deviation) for r in flagged] == \
+        [("x", 5, 100.0, 95.0)]
+
+    with _pytest.raises(ValueError, match="k must be"):
+        profiling.mad_outliers(df, "v", "i", ["g"], k=0)
+    with _pytest.raises(ValueError, match="group_cols"):
+        profiling.mad_outliers(df, "v", "i", [])
+
+    out = profiling.mad_outliers(df, "v", "i", ["g"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # windows + agg

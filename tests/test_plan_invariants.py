@@ -111,6 +111,30 @@ INVARIANTS = {
     # partial/final pair. A third exchange means the stack stopped
     # being single-scan.
     "dq_profile_table": dict(smj_max=0, bnlj_max=0, exchange_max=2),
+    # r13 late batch: priority sampling — ONE corpus shuffle (the
+    # grouped-mode window partitioning); the rn <= k+1 filters must
+    # stay rank-truncated windows (2 WindowGroupLimit nodes, asserted
+    # in the operator's unit test) and the global mode must stay a
+    # TakeOrderedAndProject, never a global sort or SMJ
+    "sample_priority_topk": dict(smj_max=0, bnlj_max=0, exchange_max=1,
+                                 window_min=4),
+    # r13 late batch: PMI collocations — unigram-count joins must stay
+    # broadcast, the only BNLJ is the 1-row total-token crossJoin
+    # (lint-allowlisted), and the pair/unigram aggregations keep their
+    # partial/final pairs (10 HashAggregates, 5 shuffles)
+    "text_collocations_pmi": dict(bhj_min=2, smj_max=0, bnlj_max=1,
+                                  exchange_max=5, hashagg=10),
+    # r13 late batch: gapfill+locf — the sparse-series filter reaches
+    # BOTH scans (agg + keys), the grid join stays broadcast, and the
+    # whole fill is 2 shuffles (agg partial/final + the locf window)
+    "ts_gapfill_locf": dict(bhj_min=1, smj_max=0, bnlj_max=0,
+                            pushed_min=2, exchange_max=2, window_min=1),
+    # r13 late batch: MAD outliers — EVERY window (two rank passes,
+    # two median selections, group count) sits on the group
+    # partitioning, so the whole sweep is ONE shuffle + the summary
+    # agg pair; the not-null filter reaches the scan
+    "dq_outliers_mad": dict(smj_max=0, bnlj_max=0, pushed_min=1,
+                            exchange_max=1, window_min=5, hashagg=2),
 }
 
 

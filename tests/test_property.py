@@ -530,3 +530,120 @@ def test_equi_depth_histogram_matches_replay(vals, buckets):
     if n:
         sizes = [got[b][0] for b in sorted(got)]
         assert max(sizes) - min(sizes) <= 1
+
+
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=10 ** 6),
+                          st.sampled_from(["a", "b", "c"])),
+                min_size=0, max_size=60),
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=3, deadline=None)
+def test_priority_sample_matches_replay(rows_in, k):
+    """DLT priority sampling on arbitrary positive integer weights: the
+    grouped AND global selections, priorities, ranks, and est_weight
+    estimator values must equal a pure-Python replay bit-for-bit (the
+    priority is one correctly-rounded IEEE division off an exact-double
+    md5 integer, so == on floats is the right assertion, not approx)."""
+    import hashlib
+
+    from dbt_extrica_spark.extensions import sampling
+    from dbt_extrica_spark.session import get_spark
+
+    rows = [(i, w, g) for i, (w, g) in enumerate(rows_in)]
+
+    def prio(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return w / ((h + 1) / 2 ** 32)
+
+    def select(pop):  # pop = [(id, w)] -> {id: (prio, rank, est)}
+        ranked = sorted(pop, key=lambda t: (-prio(t[0], t[1]), t[0]))
+        tau = prio(*ranked[k]) if len(ranked) > k else 0.0
+        return {i: (prio(i, w), r + 1, max(float(w), tau))
+                for r, (i, w) in enumerate(ranked[:k])}
+
+    want_global = select([(i, w) for i, w, _ in rows])
+    want_group = {}
+    for g in {g for _, _, g in rows}:
+        for i, v in select([(i, w) for i, w, gg in rows if gg == g]).items():
+            want_group[i] = v
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(rows or [(None, None, None)],
+                               "id int, w int, g string")
+    if not rows:
+        df = df.where("id IS NOT NULL")
+    got_global = {r.id: (r.priority, r.sample_rank, r.est_weight)
+                  for r in sampling.priority_sample(
+                      df, "id", "w", k=k).collect()}
+    got_group = {r.id: (r.priority, r.sample_rank, r.est_weight)
+                 for r in sampling.priority_sample(
+                     df, "id", "w", k=k, group_cols=["g"]).collect()}
+    assert got_global == want_global
+    assert got_group == want_group
+
+
+@given(st.lists(st.lists(st.sampled_from(["ox", "fox", "box", "axe"]),
+                         min_size=0, max_size=8),
+                min_size=1, max_size=25),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=3, deadline=None)
+def test_collocations_match_replay(docs, min_count):
+    """PMI collocations on arbitrary tiny corpora: pair counts, unigram
+    counts, lift doubles, and the (lift DESC, w1, w2) rank order must
+    equal the pure-Python replay exactly (lift is products + one
+    division on exact doubles — bit-comparable)."""
+    from collections import Counter
+
+    from dbt_extrica_spark.extensions import textstats
+    from dbt_extrica_spark.session import get_spark
+
+    texts = [" ".join(d) for d in docs]
+    toks = [t.lower().strip().split() for t in texts]
+    uni = Counter(w for d in toks for w in d)
+    n = sum(uni.values())
+    pairs = Counter((d[i], d[i + 1]) for d in toks
+                    for i in range(len(d) - 1))
+    scored = [(w1, w2, c, uni[w1], uni[w2],
+               (float(c) * float(n)) / (float(uni[w1]) * float(uni[w2])))
+              for (w1, w2), c in pairs.items() if c >= min_count]
+    scored.sort(key=lambda t: (-t[5], t[0], t[1]))
+    want = [t + (r + 1,) for r, t in enumerate(scored[:10])]
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r.w1, r.w2, r.pair_n, r.w1_n, r.w2_n, r.lift, r.rank)
+           for r in textstats.collocations(
+               df, "text", min_count=min_count, top_k=10)
+           .orderBy("rank").collect()]
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(min_value=-100, max_value=100),
+                          st.sampled_from(["a", "b"])),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=3, deadline=None)
+def test_mad_outliers_matches_replay(rows_in, k):
+    """Per-group exact lower median + MAD + Hampel flags on arbitrary
+    integer values (duplicate-heavy — the id tie-break totalizes, and
+    MAD-0 degeneracy must replay too) vs a pure-Python replay."""
+    from dbt_extrica_spark.extensions import profiling
+    from dbt_extrica_spark.session import get_spark
+
+    rows = [(i, float(v), g) for i, (v, g) in enumerate(rows_in)]
+
+    want = {}
+    for g in {g for _, _, g in rows}:
+        vi = [(v, i) for i, v, gg in rows if gg == g]
+        # lower median: the value at rank ceil(n/2) of the (v, i) order
+        med = sorted(vi)[(len(vi) + 1) // 2 - 1][0]
+        devs = [(abs(v - med), i) for v, i in vi]
+        mad = sorted(devs)[(len(devs) + 1) // 2 - 1][0]
+        n_out = sum(1 for d, _ in devs if d > k * mad)
+        want[g] = (len(vi), med, mad, n_out)
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(rows, "i int, v double, g string")
+    got = {r.g: (r.n, r.median, r.mad, r.n_outliers)
+           for r in profiling.mad_outliers(
+               df, "v", "i", ["g"], k=float(k)).collect()}
+    assert got == want

@@ -100,6 +100,11 @@ BNLJ_OK = {
                                  # theta row, exact distinct counts);
                                  # the sketch itself is one distinct +
                                  # per-group window / global top-k
+    "text_collocations_pmi",     # r13: the BNLJ is the crossJoin of the
+                                 # 1-row total-token count onto the
+                                 # support-filtered pair rows (linear,
+                                 # one side is a single broadcast row);
+                                 # pair/unigram joins are equi
 }
 
 
