@@ -225,6 +225,21 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
     ranks only the <= k+1 survivors."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    ranked = df.withColumn("priority",
+                           _priority_expr(id_col, weight_col, salt))
+    if not group_cols:
+        # global top-(k+1): TakeOrderedAndProject, then rank the tiny
+        # survivor set (<= k+1 rows — the 1-partition window is bounded)
+        ranked = ranked.orderBy(F.col("priority").desc(),
+                                F.col(id_col).asc()).limit(k + 1)
+    return _rank_and_estimate(ranked, id_col, weight_col, k, group_cols)
+
+
+def _priority_expr(id_col: str, weight_col: str, salt: str) -> F.Column:
+    """The DLT priority q = w / u, u = (first-8-md5-hex + 1) / 2^32 —
+    one correctly-rounded IEEE division off exact-double operands, so
+    it replays bit-for-bit on any engine. Weights must be positive:
+    NULL/<=0 raises in-scan."""
     raw = F.col(weight_col)
     w = raw.cast("double")
     w = F.when(
@@ -233,28 +248,87 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
                "positive and non-null')").cast("double"),
     ).otherwise(w)
     h = F.conv(_bucket_expr(id_col, salt), 16, 10).cast("bigint")
-    prio = w / ((h + F.lit(1)).cast("double") / F.lit(float(_HEX_SPACE)))
+    return w / ((h + F.lit(1)).cast("double") / F.lit(float(_HEX_SPACE)))
+
+
+def _rank_and_estimate(ranked: DataFrame, id_col: str, weight_col: str,
+                       k: int, group_cols: list[str] | None) -> DataFrame:
+    """Shared selection/estimation tail: rank rows carrying a
+    ``priority`` column by (priority DESC, id), keep the top k, attach
+    est_weight = max(w, tau) with tau = the (k+1)-th priority (0 when
+    fewer than k+1 rows exist). Used by priority_sample directly and by
+    priority_sample_finalize over a maintained top-(k+1) state table —
+    ONE derivation, so batch and streaming cannot drift."""
     order = [F.col("priority").desc(), F.col(id_col).asc()]
-    ranked = df.withColumn("priority", prio)
     if group_cols:
         wnd = Window.partitionBy(*group_cols).orderBy(*order)
-        ranked = (ranked.withColumn("sample_rank", F.row_number().over(wnd))
-                  .where(F.col("sample_rank") <= k + 1))
         tau_w = Window.partitionBy(*group_cols)
     else:
-        # global top-(k+1): TakeOrderedAndProject, then rank the tiny
-        # survivor set (<= k+1 rows — the 1-partition window is bounded)
-        ranked = ranked.orderBy(*order).limit(k + 1)
         wnd = Window.orderBy(*order)
-        ranked = ranked.withColumn("sample_rank", F.row_number().over(wnd))
         tau_w = Window.partitionBy()
+    out = (ranked.withColumn("sample_rank", F.row_number().over(wnd))
+           .where(F.col("sample_rank") <= k + 1))
     tau = F.max(F.when(F.col("sample_rank") == k + 1,
                        F.col("priority"))).over(tau_w)
-    return (ranked
+    return (out
             .withColumn("est_weight",
                         F.greatest(F.col(weight_col).cast("double"),
                                    F.coalesce(tau, F.lit(0.0))))
             .where(F.col("sample_rank") <= k))
+
+
+def priority_state(df: DataFrame, id_col: str, weight_col: str, k: int,
+                   group_cols: list[str] | None = None,
+                   salt: str = "") -> DataFrame:
+    """MERGEABLE priority-sample state: the top-(k+1) rows per group by
+    (priority DESC, id), as (group..., id, weight, priority). Top-(k+1)
+    is BATCH-INVARIANT under union + re-truncation (any row among the
+    global top-(k+1) is necessarily among its own shard's top-(k+1) —
+    the theta-union argument), so per-shard/per-batch states folded
+    through :func:`priority_state_merge` equal the state built over all
+    rows at once, and :func:`priority_sample_finalize` on the merged
+    state equals :func:`priority_sample` on the full data bit-for-bit.
+    k+1 (not k) rows are kept so tau — the (k+1)-th priority the
+    estimator needs — survives the truncation."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    groups = list(group_cols or [])
+    d = df.withColumn("priority", _priority_expr(id_col, weight_col, salt))
+    sel = groups + [F.col(id_col),
+                    F.col(weight_col).cast("double").alias("weight"),
+                    F.col("priority")]
+    return _truncate_state(d.select(*sel), id_col, k, groups)
+
+
+def priority_state_merge(states: DataFrame, id_col: str, k: int,
+                         group_cols: list[str] | None = None) -> DataFrame:
+    """Fold a UNION of priority states back to top-(k+1) per group.
+    Exact duplicate rows (at-least-once re-delivery: same id, same
+    weight -> identical priority) collapse first, so the merge is
+    idempotent; the same id with a DIFFERENT weight is two candidate
+    rows — ids are assumed to be unique row identities upstream."""
+    return _truncate_state(states.dropDuplicates(), id_col, k,
+                           list(group_cols or []))
+
+
+def _truncate_state(d: DataFrame, id_col: str, k: int,
+                    groups: list[str]) -> DataFrame:
+    order = [F.col("priority").desc(), F.col(id_col).asc()]
+    wnd = (Window.partitionBy(*groups).orderBy(*order) if groups
+           else Window.orderBy(*order))
+    return (d.withColumn("__rn", F.row_number().over(wnd))
+            .where(F.col("__rn") <= k + 1).drop("__rn"))
+
+
+def priority_sample_finalize(state: DataFrame, id_col: str, k: int,
+                             group_cols: list[str] | None = None
+                             ) -> DataFrame:
+    """Derive the final sample (sample_rank <= k rows + est_weight)
+    from a maintained top-(k+1) state table — the read side of the
+    streaming maintenance loop. State tables are <= k+1 rows per group,
+    so the windows here are state-sized, never corpus-sized."""
+    return _rank_and_estimate(state, id_col, "weight", k,
+                              list(group_cols or []) or None)
 
 
 def cap_per_key(df: DataFrame, id_col: str, key_col: str, cap: int,

@@ -1011,6 +1011,71 @@ def streaming_theta_distinct(spark: SparkSession,
                                  ["event_type"], k=_THETA_K)
 
 
+# streaming priority sample: top-(k+1) state union + re-truncation is
+# batch-invariant (the theta argument), so the maintained table equals
+# the batch build bit-for-bit and the oracle is the PLAIN batch SQL
+# replay over all events — a full-strength oracle for a streaming
+# sample (every hash, priority, tau, estimator value, rank).
+_STREAM_PRIO_K = 20
+
+_STREAM_PRIO_DUCK = f"""
+WITH pr AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS weight,
+         CAST(value AS DOUBLE) /
+           ((CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1) / 4294967296.0) AS priority
+  FROM events WHERE value IS NOT NULL
+), grp AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY priority DESC, event_id) AS r
+  FROM pr
+), gtau AS (
+  SELECT event_type,
+         MAX(CASE WHEN r = {_STREAM_PRIO_K + 1} THEN priority END) AS tau
+  FROM grp GROUP BY 1
+)
+SELECT g.event_type, g.event_id, g.weight, g.priority,
+       GREATEST(g.weight, COALESCE(t.tau, 0.0)) AS est_weight,
+       CAST(g.r AS INT) AS sample_rank
+FROM grp g JOIN gtau t USING (event_type) WHERE g.r <= {_STREAM_PRIO_K}
+"""
+
+
+@q("streaming_priority_sample", _STREAM_PRIO_DUCK)
+def streaming_priority_sample(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Continuous weighted-sample maintenance (streaming.
+    streaming_priority_sample_maintenance): each micro-batch's
+    top-(k+1) DLT priority state is merged into a durable
+    <= k+1-rows-per-group table; top-(k+1) is BATCH-INVARIANT under
+    union + re-truncation, so the finalized sample (rank <= k rows +
+    the max(w, tau) estimator) read from the drained table must equal
+    the batch priority_sample over all events bit-for-bit no matter
+    how the stream was chopped — the oracle is the plain batch SQL
+    replay."""
+    import shutil
+
+    from .extensions import sampling
+    from .streaming import (read_event_stream,
+                            streaming_priority_sample_maintenance)
+
+    eng = _engine(spark, sf_dir, "stream_prio")
+    shutil.rmtree(f"{eng.warehouse_dir}/_checkpoints/stream_prio",
+                  ignore_errors=True)
+    ev = (read_event_stream(spark, sf_dir)
+          .where("value IS NOT NULL"))
+    q_ = streaming_priority_sample_maintenance(
+        eng, ev, "stream_prio", "event_id", "value", ["event_type"],
+        k=_STREAM_PRIO_K)
+    q_.awaitTermination()
+    out = sampling.priority_sample_finalize(
+        eng.table("stream_prio"), "event_id", k=_STREAM_PRIO_K,
+        group_cols=["event_type"])
+    return out.select("event_type", "event_id", "weight", "priority",
+                      "est_weight",
+                      F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
 _STREAM_BLOOM_M, _STREAM_BLOOM_NH = 1 << 13, 4
 
 _STREAM_BLOOM_DUCK = f"""
@@ -8118,22 +8183,22 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-13 window: (a) the ten NEW entries (never-gated outranks
-# every tier — six from the main batch, four late-round:
+# Round-13 window: (a) the eleven NEW entries (never-gated outranks
+# every tier — six from the main batch, five late-round:
 # sample_priority_topk, text_collocations_pmi, ts_gapfill_locf,
-# dq_outliers_mad);
+# dq_outliers_mad, streaming_priority_sample);
 # (b) text_winnow — the only entry whose evidence predates r9 (it
 # yielded its r12 slot to the late streaming_theta_distinct; the
 # r12 verdict queued it first); (c) the three streaming-maintenance
 # entries whose shared callback code changed this round (r12 ADVICE
 # #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 34 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (sample_mixture, sample_shuffle_shards, shim_datediff,
-# sketch_hll_rollup, streaming_vector_admission, text_bm25_topk,
-# text_boilerplate_lines, text_decontaminate, text_dup_spans,
-# text_redact_pii, text_repetition, text_tfidf_terms, text_url_domains)
-# waits for r14 — all thirteen hold green r9 rows and pass every
-# local battery run.
+# 33 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (sample_leakage_split, sample_mixture, sample_shuffle_shards,
+# shim_datediff, sketch_hll_rollup, streaming_vector_admission,
+# text_bm25_topk, text_boilerplate_lines, text_decontaminate,
+# text_dup_spans, text_redact_pii, text_repetition, text_tfidf_terms,
+# text_url_domains) waits for r14 — all fourteen hold green r9 rows
+# and pass every local battery run.
 # Rotated OUT (all hold green r10-r12 rows; the full local battery
 # still checks them every run): the r12 window — see COVERAGE.md.
 # ==========================================================================
@@ -8152,6 +8217,7 @@ _GATED_WINDOW = [
     "text_collocations_pmi",
     "ts_gapfill_locf",
     "dq_outliers_mad",
+    "streaming_priority_sample",
     "sketch_bloom_filter",
     "dedup_bloom_blocklist",
     "streaming_bloom_members",
@@ -8174,7 +8240,7 @@ _GATED_WINDOW = [
     # window slots per the code-changed policy regardless)
     "text_pack_global",
     "pipeline_pretrain_corpus",
-    # the 34 alphabetically-first of the 47 r9-tier entries
+    # the 33 alphabetically-first of the 47 r9-tier entries
     # (tools/freshness.py --stale at round start; the alphabetical tail
     # waits for r14 — see the window comment above)
     "ann_ivf_pq_recall",
@@ -8210,12 +8276,11 @@ _GATED_WINDOW = [
     "q_window_time_range",
     "rollup_cascade_month",
     "sample_alpha_mixture",
-    "sample_leakage_split",
-    # (sample_mixture, sample_shuffle_shards, shim_datediff,
-    # sketch_hll_rollup yielded their backfill slots to the four
-    # late-round NEW entries above — never-gated outranks the r9 tier;
-    # they rejoin the r14 backfill with the alphabetical tail, all
-    # green in every local battery run)
+    # (sample_leakage_split, sample_mixture, sample_shuffle_shards,
+    # shim_datediff, sketch_hll_rollup yielded their backfill slots to
+    # the five late-round NEW entries above — never-gated outranks the
+    # r9 tier; they rejoin the r14 backfill with the alphabetical
+    # tail, all green in every local battery run)
 ]
 
 

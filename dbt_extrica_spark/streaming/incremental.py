@@ -424,6 +424,45 @@ def streaming_bloom_maintenance(
                                           group_cols))
 
 
+def streaming_priority_sample_maintenance(
+    engine,
+    stream: DataFrame,
+    table_name: str,
+    id_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    k: int = 20,
+) -> "object":
+    """CONTINUOUS weighted-sample maintenance: each micro-batch's
+    top-(k+1) DLT priority state (extensions.sampling.priority_state)
+    is merged into a durable <= k+1-rows-per-group table — a live,
+    fixed-size, weight-aware sample of everything ever streamed
+    ("the k highest-quality documents per source so far"), with the
+    subset-sum estimator still attached at read time
+    (sampling.priority_sample_finalize), maintained without ever
+    re-scanning history.
+
+    Top-(k+1) selection is BATCH-INVARIANT under union + re-truncation
+    (any row among the global top-(k+1) priorities is necessarily among
+    its own batch's top-(k+1) — the theta-union argument), and the
+    priorities themselves are deterministic hash arithmetic, so the
+    maintained table equals priority_state over the fully-drained input
+    bit-for-bit regardless of micro-batch boundaries — the
+    full-strength streaming oracle contract — and exact-duplicate
+    re-delivery collapses in the merge (idempotent). Merge cost is
+    state-sized (<= k+1 rows per group per side).
+
+    Returns the StreamingQuery (availableNow — callers await it)."""
+    from ..extensions.sampling import priority_state, priority_state_merge
+
+    return _start_sketch_maintenance(
+        engine, stream, table_name,
+        build=lambda df: priority_state(df, id_col, weight_col, k=k,
+                                        group_cols=group_cols),
+        merge=lambda tbl, st: priority_state_merge(
+            tbl.unionByName(st), id_col, k, group_cols))
+
+
 def streaming_minhash_admission(
     doc_stream: DataFrame,
     hist_df: DataFrame,

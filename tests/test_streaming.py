@@ -617,3 +617,70 @@ def test_streaming_bloom_maintenance_batch_invariant(spark, tmp_path):
         assert all(n <= (m + 62) // 63 for n in sizes.values())
     finally:
         eng.close()
+
+
+def test_streaming_priority_sample_batch_invariant(spark, tmp_path):
+    """Continuous priority-sample maintenance: with maxFilesPerTrigger=1
+    the durable top-(k+1) state is merged across several micro-batches —
+    the final state AND the finalized sample (ranks + est_weight) must
+    equal the batch build over ALL rows bit-for-bit (top-(k+1) is
+    batch-invariant under union + re-truncation), a DUPLICATED file
+    (at-least-once re-delivery) must change nothing (idempotent merge),
+    and the table stays <= k+1 rows per group."""
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark import Engine
+    from dbt_extrica_spark.extensions.sampling import (
+        priority_sample, priority_sample_finalize, priority_state)
+    from dbt_extrica_spark.streaming import (
+        streaming_priority_sample_maintenance)
+
+    k = 5
+    src = tmp_path / "prio_in"
+    src.mkdir()
+    rows = []
+    for f in range(3):
+        # each group gets 10 rows per file -> 30 per group total, well
+        # past k+1 so real truncation happens per batch AND at merge
+        part = [(f * 100 + i, float((i * 13 + f * 7) % 29 + 1),
+                 "a" if i % 2 else "b") for i in range(20)]
+        spark.createDataFrame(
+            part, "id bigint, w double, grp string") \
+            .coalesce(1).write.mode("append").parquet(str(src / f"f{f}"))
+        rows += part
+    # re-deliver file 0 verbatim: the dropDuplicates in the merge must
+    # make this a no-op
+    spark.createDataFrame(
+        [r for r in rows if r[0] < 100],
+        "id bigint, w double, grp string") \
+        .coalesce(1).write.mode("append").parquet(str(src / "f0_redeliver"))
+    stream = (spark.readStream
+              .schema("id bigint, w double, grp string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    eng = Engine(spark)
+    try:
+        q = streaming_priority_sample_maintenance(
+            eng, stream, "prio_tbl", "id", "w", ["grp"], k=k)
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+        batch = spark.createDataFrame(rows, "id bigint, w double, grp string")
+        got_state = {(r.grp, r.id, r.weight, r.priority)
+                     for r in eng.table("prio_tbl").collect()}
+        exp_state = {(r.grp, r.id, r.weight, r.priority)
+                     for r in priority_state(batch, "id", "w", k=k,
+                                             group_cols=["grp"]).collect()}
+        assert got_state == exp_state
+        sizes = {r.grp: r.n for r in eng.table("prio_tbl")
+                 .groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        assert all(n <= k + 1 for n in sizes.values())
+        fin = {(r.grp, r.id, r.sample_rank, r.est_weight)
+               for r in priority_sample_finalize(
+                   eng.table("prio_tbl"), "id", k=k,
+                   group_cols=["grp"]).collect()}
+        exp_fin = {(r.grp, r.id, r.sample_rank, r.est_weight)
+                   for r in priority_sample(batch, "id", "w", k=k,
+                                            group_cols=["grp"]).collect()}
+        assert fin == exp_fin
+    finally:
+        eng.close()
