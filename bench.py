@@ -146,6 +146,11 @@ HEADLINE = [
     # round 13 late batch: robust MAD outlier sweep — pure operator
     # line (exact lower medians, one shuffle; oracle is external SQL)
     "dq_outliers_mad",
+    # round 13 late batch: exact-mode distributed gram matrix (the
+    # deterministic d^2-explode PCA-statistics build; oracle is
+    # external SQL — no in-entry verifier). The mapInPandas fast path
+    # is equivalence-tested in the unit suite.
+    "embedding_pca_gram",
 ]
 
 

@@ -1397,3 +1397,161 @@ def cross_cosine_pairs(
                 F.col("b.id").alias("hist_id"), "cosine")
         .dropDuplicates(["new_id", "hist_id"])
     )
+
+
+def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
+                ) -> DataFrame:
+    """Distributed Gram matrix: upper-triangle second moments
+    G[i][j] = sum over rows of v[i]*v[j] (j >= i), the per-dimension
+    sums S[i], and the row count n — everything PCA/whitening needs
+    (covariance = G/n - outer(S/n, S/n), assembled driver-side by
+    :func:`pca_train`). Returns (i, j, g, si, n) with si = S[i]
+    repeated on the i-diagonal block rows where j == i, NULL elsewhere
+    (one result table carries both statistics).
+
+    ``method='exact'``: each row explodes into its d(d+1)/2 upper-
+    triangle terms, each fixed-pointed as FLOOR(term * 1e12) (pure
+    deterministic IEEE arithmetic — the quantize_int8 convention) and
+    summed in DECIMAL(38,0) — order-independent, engine-exact, so the
+    whole matrix replays verbatim in SQL. The d^2 blowup caps the
+    practical dimension (~hundreds); it exists to be the ORACLE.
+
+    ``method='fast'``: per-partition numpy outer-product accumulation
+    via mapInPandas — one d x d float64 partial per partition, summed
+    at the end. The 100 TB path (no blowup: each partition emits d^2
+    numbers regardless of row count); float accumulation order varies
+    with partitioning, so it is equivalence-tested against 'exact'
+    within tolerance, not bit-gated (the streaming_vector_admission
+    exact/scale split)."""
+    if method == "exact":
+        # fixed-point terms: FLOOR(x * 1e12) is deterministic IEEE
+        # arithmetic (the quantize_int8 convention) — a double->DECIMAL
+        # cast instead would hit the engines' different tie-rounding
+        # (HALF_UP vs half-even) on the 12th decimal; per-term floors
+        # fit a BIGINT, the DECIMAL(38,0) sums are exact at any n
+        terms = (
+            "flatten(transform(sequence(0, size(__v) - 1), i -> "
+            "transform(sequence(i, size(__v) - 1), j -> struct("
+            "i AS i, j AS j, "
+            "CAST(FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE)"
+            " * CAST(element_at(__v, j + 1) AS DOUBLE) * 1e12)"
+            " AS DECIMAL(38,0)) AS p, "
+            "CAST(CASE WHEN j = i THEN"
+            " FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE) * 1e12) END"
+            " AS DECIMAL(38,0)) AS sv))))"
+        )
+        exploded = (df.select(F.col(vec_col).alias("__v"))
+                    .where(F.col("__v").isNotNull())
+                    .select(F.explode(F.expr(terms)).alias("t"))
+                    .select("t.i", "t.j", "t.p", "t.sv"))
+        return (exploded.groupBy("i", "j")
+                .agg((F.sum("p").cast("double") / F.lit(1e12)).alias("g"),
+                     (F.sum("sv").cast("double") / F.lit(1e12)).alias("si"),
+                     F.count(F.lit(1)).cast("bigint").alias("n")))
+    if method != "fast":
+        raise ValueError(f"method must be 'exact' or 'fast', "
+                         f"got {method!r}")
+
+    import numpy as np
+
+    def partials(batches):
+        acc = None
+        s = None
+        n = 0
+        for pdf in batches:
+            vs = np.asarray(
+                [v for v in pdf[vec_col] if v is not None],
+                dtype=np.float64)
+            if not len(vs):
+                continue
+            g = vs.T @ vs
+            acc = g if acc is None else acc + g
+            s = vs.sum(axis=0) if s is None else s + vs.sum(axis=0)
+            n += len(vs)
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame({
+            "i": iu.astype("int32"), "j": ju.astype("int32"),
+            "g": acc[iu, ju],
+            "si": [s[a] if a == b else None for a, b in zip(iu, ju)],
+            "n": np.full(len(iu), n, dtype="int64")})
+
+    # every partition emits every (i, j) cell with its own row count, so
+    # the per-cell sum of n IS the total row count
+    part = df.select(vec_col).mapInPandas(
+        partials, "i int, j int, g double, si double, n bigint")
+    return (part.groupBy("i", "j")
+            .agg(F.sum("g").alias("g"), F.sum("si").alias("si"),
+                 F.sum("n").cast("bigint").alias("n")))
+
+
+def pca_train(df: DataFrame, vec_col: str, n_components: int,
+              method: str = "fast") -> dict:
+    """Distributed PCA fit: ONE pass builds the Gram matrix + dimension
+    sums (:func:`gram_matrix`); the d x d covariance eigendecomposition
+    runs driver-side (numpy eigh — d^2 model state, the kmeans-centroid
+    pattern: the DATA never leaves the cluster, only the d(d+1)/2
+    statistics do). Returns {mean, components (n_components x d, rows =
+    leading eigenvectors), explained_variance, n} as plain lists.
+    Eigenvector sign is fixed deterministically (largest-|coefficient|
+    entry positive, ties to the lowest index)."""
+    import numpy as np
+
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    rows = gram_matrix(df, vec_col, method=method).collect()
+    if not rows:
+        raise ValueError("pca_train: no non-null vectors")
+    d = max(r.j for r in rows) + 1
+    if n_components > d:
+        raise ValueError(f"n_components {n_components} > dimension {d}")
+    n = rows[0].n
+    g = np.zeros((d, d))
+    s = np.zeros(d)
+    for r in rows:
+        g[r.i, r.j] = r.g
+        g[r.j, r.i] = r.g
+        if r.i == r.j:
+            s[r.i] = r.si
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)     # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T             # (c, d)
+    for ci in range(comps.shape[0]):     # deterministic sign
+        a = np.argmax(np.abs(comps[ci]))
+        if comps[ci, a] < 0:
+            comps[ci] = -comps[ci]
+    return {"mean": mu.tolist(), "components": comps.tolist(),
+            "explained_variance": vals[order].tolist(), "n": int(n)}
+
+
+def pca_project(df: DataFrame, id_col: str, vec_col: str,
+                model: dict) -> DataFrame:
+    """Project vectors onto a trained PCA basis: (id, pca) with
+    pca[c] = dot(v - mean, components[c]) — the dimensionality-
+    reduction / whitening-prep step ahead of clustering or semantic
+    dedup. The model ships inside the Arrow batch closure (d x c
+    doubles — broadcast-sized); numpy matmul per batch, no per-row
+    Python."""
+    import numpy as np
+
+    w = np.asarray(model["components"], dtype=np.float64)  # (c, d)
+    mu = np.asarray(model["mean"], dtype=np.float64)
+
+    def project(batches):
+        for pdf in batches:
+            vs = pdf[vec_col]
+            ok = vs.notna()
+            out = pd.DataFrame({
+                "id": pdf[id_col][ok],
+                "pca": [r.tolist() for r in
+                        (np.asarray(list(vs[ok]), dtype=np.float64) - mu)
+                        @ w.T] if ok.any() else [],
+            })
+            yield out.rename(columns={"id": id_col})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} bigint, pca array<double>")

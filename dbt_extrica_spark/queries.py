@@ -1409,6 +1409,52 @@ def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      _PROFILE_COLS)
 
 
+# PCA gram: every term is fixed-pointed as FLOOR(term * 1e12) — pure
+# deterministic IEEE arithmetic (the quantize_int8 convention; a
+# double->DECIMAL cast instead hits the engines' different
+# tie-rounding on the 12th decimal) — then summed in DECIMAL(38,0)
+# (order-free, exact at any n), so the full second-moment matrix +
+# dimension sums + count replay verbatim; these are exactly the
+# statistics pca_train assembles into the covariance driver-side.
+_PCA_GRAM_DUCK = """
+WITH e AS (
+  SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL
+), terms AS (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(FLOOR(CAST(v[ii.i + 1] AS DOUBLE) * CAST(v[jj.j + 1] AS DOUBLE)
+                    * 1e12) AS DECIMAL(38,0)) AS p,
+         CAST(CASE WHEN jj.j = ii.i
+                   THEN FLOOR(CAST(v[ii.i + 1] AS DOUBLE) * 1e12) END
+              AS DECIMAL(38,0)) AS sv
+  FROM e,
+       UNNEST(generate_series(0, len(v) - 1)) ii(i),
+       UNNEST(generate_series(0, len(v) - 1)) jj(j)
+  WHERE jj.j >= ii.i
+)
+SELECT i, j, CAST(SUM(p) AS DOUBLE) / 1e12 AS g,
+       CAST(SUM(sv) AS DOUBLE) / 1e12 AS si,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM terms GROUP BY 1, 2
+"""
+
+
+@q("embedding_pca_gram", _PCA_GRAM_DUCK)
+def embedding_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA statistics (similarity.gram_matrix, exact mode):
+    the upper-triangle second-moment matrix, per-dimension sums, and
+    row count over the embeddings corpus — everything pca_train needs
+    to assemble the covariance driver-side (the d^2-model-state kmeans
+    pattern: data never leaves the cluster). Fixed-point DECIMAL sums
+    are order-independent and engine-exact; the fast (mapInPandas
+    partial-gram) path is equivalence-tested against this mode in the
+    unit suite."""
+    from .extensions import similarity
+
+    _views(spark, sf_dir)
+    return similarity.gram_matrix(spark.table("embeddings"), "embedding",
+                                  method="exact")
+
+
 # MAD outliers: both statistics are EXACT lower medians (integer rank
 # selection at ceil(n/2) of the (value, id)-totalized order — no
 # interpolation arithmetic), so median, MAD, deviations, and flags all
@@ -8183,22 +8229,22 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-13 window: (a) the eleven NEW entries (never-gated outranks
-# every tier — six from the main batch, five late-round:
+# Round-13 window: (a) the twelve NEW entries (never-gated outranks
+# every tier — six from the main batch, six late-round:
 # sample_priority_topk, text_collocations_pmi, ts_gapfill_locf,
-# dq_outliers_mad, streaming_priority_sample);
+# dq_outliers_mad, streaming_priority_sample, embedding_pca_gram);
 # (b) text_winnow — the only entry whose evidence predates r9 (it
 # yielded its r12 slot to the late streaming_theta_distinct; the
 # r12 verdict queued it first); (c) the three streaming-maintenance
 # entries whose shared callback code changed this round (r12 ADVICE
 # #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 33 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (sample_leakage_split, sample_mixture, sample_shuffle_shards,
-# shim_datediff, sketch_hll_rollup, streaming_vector_admission,
-# text_bm25_topk, text_boilerplate_lines, text_decontaminate,
-# text_dup_spans, text_redact_pii, text_repetition, text_tfidf_terms,
-# text_url_domains) waits for r14 — all fourteen hold green r9 rows
-# and pass every local battery run.
+# 32 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (sample_alpha_mixture, sample_leakage_split, sample_mixture,
+# sample_shuffle_shards, shim_datediff, sketch_hll_rollup,
+# streaming_vector_admission, text_bm25_topk, text_boilerplate_lines,
+# text_decontaminate, text_dup_spans, text_redact_pii,
+# text_repetition, text_tfidf_terms, text_url_domains) waits for r14 —
+# all fifteen hold green r9 rows and pass every local battery run.
 # Rotated OUT (all hold green r10-r12 rows; the full local battery
 # still checks them every run): the r12 window — see COVERAGE.md.
 # ==========================================================================
@@ -8218,6 +8264,7 @@ _GATED_WINDOW = [
     "ts_gapfill_locf",
     "dq_outliers_mad",
     "streaming_priority_sample",
+    "embedding_pca_gram",
     "sketch_bloom_filter",
     "dedup_bloom_blocklist",
     "streaming_bloom_members",
@@ -8240,7 +8287,7 @@ _GATED_WINDOW = [
     # window slots per the code-changed policy regardless)
     "text_pack_global",
     "pipeline_pretrain_corpus",
-    # the 33 alphabetically-first of the 47 r9-tier entries
+    # the 32 alphabetically-first of the 47 r9-tier entries
     # (tools/freshness.py --stale at round start; the alphabetical tail
     # waits for r14 — see the window comment above)
     "ann_ivf_pq_recall",
@@ -8275,12 +8322,11 @@ _GATED_WINDOW = [
     "q_retention_cohorts",
     "q_window_time_range",
     "rollup_cascade_month",
-    "sample_alpha_mixture",
-    # (sample_leakage_split, sample_mixture, sample_shuffle_shards,
-    # shim_datediff, sketch_hll_rollup yielded their backfill slots to
-    # the five late-round NEW entries above — never-gated outranks the
-    # r9 tier; they rejoin the r14 backfill with the alphabetical
-    # tail, all green in every local battery run)
+    # (sample_alpha_mixture, sample_leakage_split, sample_mixture,
+    # sample_shuffle_shards, shim_datediff, sketch_hll_rollup yielded
+    # their backfill slots to the six late-round NEW entries above —
+    # never-gated outranks the r9 tier; they rejoin the r14 backfill
+    # with the alphabetical tail, all green in every local battery run)
 ]
 
 

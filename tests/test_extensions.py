@@ -3364,3 +3364,80 @@ def test_mad_outliers_rows_guards_and_plan(spark):
     out = profiling.mad_outliers(df, "v", "i", ["g"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2  # windows + agg
+
+
+def test_gram_matrix_exact_fast_and_pca(spark):
+    """gram_matrix exact == hand numpy exactly at fixed-point
+    granularity; fast (mapInPandas partials) ~= exact; pca_train
+    matches a direct numpy PCA on the same rows (components up to the
+    fixed deterministic sign, variances descending); pca_project
+    reconstructs the numpy projection and ignores NULL vectors."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions import similarity
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud so the spectrum is distinct
+    base = rng.randn(40, 4) * np.array([3.0, 1.5, 0.5, 0.1])
+    vecs = base @ np.linalg.qr(rng.randn(4, 4))[0]
+    rows = [(i, [float(np.float32(x)) for x in v])
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows + [(99, None)],
+                               "id bigint, v array<float>")
+
+    xs = np.asarray([r[1] for r in rows], dtype=np.float64)
+    exact = {(r.i, r.j): (r.g, r.si, r.n)
+             for r in similarity.gram_matrix(df, "v").collect()}
+    assert len(exact) == 10  # 4*5/2 upper triangle
+    for (i, j), (g, si, n) in exact.items():
+        assert n == 40
+        want = np.floor(
+            (xs[:, i] * xs[:, j]) * 1e12).sum() / 1e12
+        assert g == want
+        if i == j:
+            assert si == np.floor(xs[:, i] * 1e12).sum() / 1e12
+        else:
+            assert si is None
+
+    fast = {(r.i, r.j): (r.g, r.si, r.n)
+            for r in similarity.gram_matrix(
+                df.repartition(5), "v", method="fast").collect()}
+    assert set(fast) == set(exact)
+    for key in exact:
+        assert fast[key][2] == 40
+        assert abs(fast[key][0] - exact[key][0]) < 1e-6
+    with _pytest.raises(ValueError, match="method"):
+        similarity.gram_matrix(df, "v", method="nope")
+
+    model = similarity.pca_train(df, "v", n_components=2)
+    mu = xs.mean(axis=0)
+    cov = (xs - mu).T @ (xs - mu) / len(xs)
+    vals, eigv = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    np.testing.assert_allclose(model["mean"], mu, atol=1e-9)
+    np.testing.assert_allclose(
+        sorted(model["explained_variance"], reverse=True),
+        vals[order], atol=1e-6)
+    for ci, comp in enumerate(np.asarray(model["components"])):
+        ref = eigv[:, order[ci]]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        np.testing.assert_allclose(comp, ref, atol=1e-6)
+
+    proj = {r.id: np.asarray(r.pca)
+            for r in similarity.pca_project(df, "id", "v",
+                                            model).collect()}
+    assert 99 not in proj and len(proj) == 40
+    w = np.asarray(model["components"])
+    for i, v in enumerate(xs):
+        np.testing.assert_allclose(proj[i], (v - mu) @ w.T, atol=1e-9)
+    # variance concentrates on the leading component
+    p = np.asarray([proj[i] for i in range(40)])
+    assert p[:, 0].var() > p[:, 1].var()
+
+    with _pytest.raises(ValueError, match="n_components"):
+        similarity.pca_train(df, "v", n_components=0)
+    with _pytest.raises(ValueError, match="> dimension"):
+        similarity.pca_train(df, "v", n_components=9)

@@ -135,6 +135,12 @@ INVARIANTS = {
     # agg pair; the not-null filter reaches the scan
     "dq_outliers_mad": dict(smj_max=0, bnlj_max=0, pushed_min=1,
                             exchange_max=1, window_min=5, hashagg=2),
+    # r13 late batch: exact gram matrix — one scan, one Generate
+    # (the d^2 term explode), one partial/final aggregate pair on
+    # (i, j); the not-null filter reaches the scan. A second exchange
+    # means the explode stopped feeding a map-side partial agg.
+    "embedding_pca_gram": dict(smj_max=0, bnlj_max=0, pushed_min=1,
+                               exchange_max=1, hashagg=2),
 }
 
 
