@@ -437,6 +437,43 @@ def main() -> None:
                              order_col="score").count()
         out[f"cap_skew_{tag}_sec"] = round(time.time() - t0, 2)
 
+    # PMI collocations at 1x and Nx token mass (r13 late batch: the
+    # bigram explode + two aggregations family). The SAME rotation
+    # replicas as minhash_banded: translate is a bijection, so each
+    # replica contributes its own (rotated) vocabulary and bigram set —
+    # unigram and pair distinct mass both grow ~Nx alongside token
+    # mass, exercising the aggregation, not a degenerate hot key.
+    for tag, r in (("x1", 1), (f"x{replicas}", replicas)):
+        big = dc
+        for i in range(1, r):
+            rot = alphabet[i:] + alphabet[:i]
+            big = big.unionByName(
+                dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                .withColumn("text", F.expr(
+                    f"translate(text, '{alphabet}', '{rot}')")))
+        t0 = time.time()
+        textstats.collocations(big, "text", min_count=5,
+                               top_k=50).count()
+        out[f"collocations_{tag}_sec"] = round(time.time() - t0, 2)
+
+    from dbt_extrica_spark.extensions import profiling
+
+    # MAD outliers at 1x and Nx rows over a FIXED group count (7
+    # l_linenumber groups): the per-group rank sort is the documented
+    # cost model — each group sorts in its own task(s), so the wall
+    # grows ~linearly with rows-per-group (n log n sort term). This
+    # probe pins that the growth IS the documented linear-ish shape
+    # and not a cliff (e.g. a lost partitioning re-sorting per window).
+    for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
+        vals = src_tbl.selectExpr(
+            "l_orderkey * 10 + l_linenumber AS row_id",
+            "CAST(l_linenumber AS STRING) AS grp",
+            "l_extendedprice AS v")
+        t0 = time.time()
+        profiling.mad_outliers(vals, "v", "row_id", ["grp"],
+                               k=3.0).collect()
+        out[f"mad_{tag}_sec"] = round(time.time() - t0, 2)
+
     # ------------------------------------------------------------------
     # Ceiling gate (r11 verdict #5): the probes above are only evidence
     # if a scale CLIFF fails a recorded check. Each gate pins the
@@ -486,6 +523,24 @@ def main() -> None:
         #                          top-k sorts the whole megadomain in
         #                          one reducer task and blows far past
         #                          this
+        # r13 late-batch additions, ceilings from the measured warm
+        # envelope (loadavg ~0.5):
+        "collocations": 5.0,    # measured 1.6-1.8x warm for 10x token
+        #                          mass (rotation replicas: vocabulary
+        #                          and bigram distinct mass both grow
+        #                          ~10x; x1 ~0.8-1.2s carries fixed
+        #                          overhead) — bigram explode + two
+        #                          partial/final aggs are token-linear;
+        #                          a quadratic candidate/pair blowup
+        #                          reads >>10x here
+        "mad": 12.0,            # measured ~4-5x warm for 10x rows at
+        #                          FIXED group count — the documented
+        #                          per-group rank-sort model (n log n
+        #                          per group; x1 sub-second so overhead
+        #                          amortizes into x10). A lost window
+        #                          partitioning (each of the 5 windows
+        #                          re-sorting the corpus) multiplies
+        #                          the sort mass ~5x past this
     }
     gates = {}
     for name, ceiling in gate_ceilings.items():
