@@ -151,6 +151,10 @@ HEADLINE = [
     # external SQL — no in-entry verifier). The mapInPandas fast path
     # is equivalence-tested in the unit suite.
     "embedding_pca_gram",
+    # round 13 late batch: one-pass Pearson cov/corr matrix over four
+    # lineitem numerics (stacked gram + broadcast diagonal joins;
+    # oracle is an independently formulated per-pair SQL replay)
+    "stats_correlation_matrix",
 ]
 
 

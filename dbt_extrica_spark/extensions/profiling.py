@@ -73,6 +73,68 @@ def equi_depth_histogram(df: DataFrame, value_col: str, id_col: str,
                  F.countDistinct("v").cast("bigint").alias("n_distinct")))
 
 
+def correlation_matrix(df: DataFrame, columns: list[str],
+                       scale: float = 1e6) -> DataFrame:
+    """Pairwise Pearson covariance/correlation over numeric columns —
+    the ANALYZE-side dependence statistic (CBO selectivity of
+    correlated predicates, feature redundancy screening). ONE pass:
+    the k columns stack into a vector and run through
+    similarity.gram_matrix's exact fixed-point path, so the second
+    moments are order-independent DECIMAL sums; everything after is
+    single correctly-rounded IEEE ops (div, mul, sub, sqrt — sqrt IS
+    exactly rounded per IEEE-754, unlike ln/pow), so the whole matrix
+    replays verbatim in SQL.
+
+    Rows with ANY NULL among ``columns`` are excluded (complete-case
+    Pearson). A constant column has variance 0 -> its correlations are
+    NULL (not NaN — deterministic across engines). ``scale`` is the
+    fixed-point granularity: max|v_i * v_j| * scale must fit 2^63
+    (gram_matrix docs); 1e6 suits business numerics up to ~1e5.
+
+    Returns upper-triangle rows (col_i, col_j, n, cov, corr).
+
+    Scale shape: one scan + one (i, j)-keyed partial/final aggregation
+    (d(d+1)/2 groups) + joins against the d-row diagonal — everything
+    after the scan is statistics-sized."""
+    from .similarity import gram_matrix
+
+    if len(columns) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    if len(set(columns)) != len(columns):
+        raise ValueError(f"duplicate column names in {columns}")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in the DataFrame: {missing}")
+    complete = df.where(F.expr(" AND ".join(
+        f"`{c}` IS NOT NULL" for c in columns)))
+    base = complete.select(
+        F.array(*[F.col(c).cast("double") for c in columns]).alias("__v"))
+    # the gram result is referenced three times below (pairs + two
+    # diagonal sides) — checkpoint the d(d+1)/2-row statistics table so
+    # the corpus is scanned ONCE, not three times (the bloom-bitmap
+    # pattern: eager model state, lazy everything after)
+    g = gram_matrix(base, "__v", method="exact",
+                    scale=scale).localCheckpoint(eager=True)
+    nd = F.col("n").cast("double")
+    diag = (g.where("i = j")
+            .select(F.col("i").alias("d"),
+                    (F.col("si") / nd).alias("mu"),
+                    (F.col("g") / nd - (F.col("si") / nd)
+                     * (F.col("si") / nd)).alias("var")))
+    di, dj = diag.alias("di"), diag.alias("dj")
+    names = F.array(*[F.lit(c) for c in columns])
+    cov = F.col("g") / nd - F.col("di.mu") * F.col("dj.mu")
+    vv = F.col("di.var") * F.col("dj.var")
+    return (g.join(di, F.col("i") == F.col("di.d"))
+            .join(dj, F.col("j") == F.col("dj.d"))
+            .select(
+                F.element_at(names, F.col("i") + 1).alias("col_i"),
+                F.element_at(names, F.col("j") + 1).alias("col_j"),
+                F.col("n"),
+                cov.alias("cov"),
+                F.when(vv > 0, cov / F.sqrt(vv)).alias("corr")))
+
+
 def mad_outliers(df: DataFrame, value_col: str, id_col: str,
                  group_cols: list[str], k: float = 3.0,
                  return_rows: bool = False) -> DataFrame:

@@ -1400,7 +1400,7 @@ def cross_cosine_pairs(
 
 
 def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
-                ) -> DataFrame:
+                scale: float = 1e12) -> DataFrame:
     """Distributed Gram matrix: upper-triangle second moments
     G[i][j] = sum over rows of v[i]*v[j] (j >= i), the per-dimension
     sums S[i], and the row count n — everything PCA/whitening needs
@@ -1410,11 +1410,15 @@ def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
     (one result table carries both statistics).
 
     ``method='exact'``: each row explodes into its d(d+1)/2 upper-
-    triangle terms, each fixed-pointed as FLOOR(term * 1e12) (pure
+    triangle terms, each fixed-pointed as FLOOR(term * scale) (pure
     deterministic IEEE arithmetic — the quantize_int8 convention) and
     summed in DECIMAL(38,0) — order-independent, engine-exact, so the
     whole matrix replays verbatim in SQL. The d^2 blowup caps the
     practical dimension (~hundreds); it exists to be the ORACLE.
+    Pick ``scale`` so max|v_i * v_j| * scale < 2^63 (the per-term
+    FLOOR lands in a BIGINT; ANSI Spark raises loudly past it) —
+    1e12 suits unit-normalized embeddings, 1e6 suits raw business
+    numerics up to ~1e5.
 
     ``method='fast'``: per-partition numpy outer-product accumulation
     via mapInPandas — one d x d float64 partial per partition, summed
@@ -1429,15 +1433,16 @@ def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
         # cast instead would hit the engines' different tie-rounding
         # (HALF_UP vs half-even) on the 12th decimal; per-term floors
         # fit a BIGINT, the DECIMAL(38,0) sums are exact at any n
+        sc = repr(float(scale))
         terms = (
             "flatten(transform(sequence(0, size(__v) - 1), i -> "
             "transform(sequence(i, size(__v) - 1), j -> struct("
             "i AS i, j AS j, "
             "CAST(FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE)"
-            " * CAST(element_at(__v, j + 1) AS DOUBLE) * 1e12)"
+            f" * CAST(element_at(__v, j + 1) AS DOUBLE) * {sc})"
             " AS DECIMAL(38,0)) AS p, "
             "CAST(CASE WHEN j = i THEN"
-            " FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE) * 1e12) END"
+            f" FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE) * {sc}) END"
             " AS DECIMAL(38,0)) AS sv))))"
         )
         exploded = (df.select(F.col(vec_col).alias("__v"))
@@ -1445,8 +1450,10 @@ def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
                     .select(F.explode(F.expr(terms)).alias("t"))
                     .select("t.i", "t.j", "t.p", "t.sv"))
         return (exploded.groupBy("i", "j")
-                .agg((F.sum("p").cast("double") / F.lit(1e12)).alias("g"),
-                     (F.sum("sv").cast("double") / F.lit(1e12)).alias("si"),
+                .agg((F.sum("p").cast("double")
+                      / F.lit(float(scale))).alias("g"),
+                     (F.sum("sv").cast("double")
+                      / F.lit(float(scale))).alias("si"),
                      F.count(F.lit(1)).cast("bigint").alias("n")))
     if method != "fast":
         raise ValueError(f"method must be 'exact' or 'fast', "

@@ -1455,6 +1455,63 @@ def embedding_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   method="exact")
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_duck() -> str:
+    """Independent SQL replay of the correlation matrix: explicit
+    per-pair fixed-point sums (a DIFFERENT formulation of the same
+    spec than the operator's stacked-array gram path) + the same
+    single-rounding formula chain (div, mul, sub, sqrt — all exactly
+    rounded IEEE ops, so doubles match bit-for-bit)."""
+    cols = _CORR_COLS
+    cs = [f"CAST({c} AS DOUBLE) AS c{i}" for i, c in enumerate(cols)]
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in range(len(cols)):
+        sums.append(
+            f"CAST(SUM(CAST(FLOOR(c{i} * 1000000.0) AS DECIMAL(38,0)))"
+            f" AS DOUBLE) / 1000000.0 AS s{i}")
+        for j in range(i, len(cols)):
+            sums.append(
+                f"CAST(SUM(CAST(FLOOR(c{i} * c{j} * 1000000.0)"
+                f" AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS g{i}_{j}")
+    rows = []
+    for i, ci in enumerate(cols):
+        for j in range(i, len(cols)):
+            var_i = f"(g{i}_{i} / nd - (s{i} / nd) * (s{i} / nd))"
+            var_j = f"(g{j}_{j} / nd - (s{j} / nd) * (s{j} / nd))"
+            cov = f"(g{i}_{j} / nd - (s{i} / nd) * (s{j} / nd))"
+            rows.append(
+                f"SELECT '{ci}' AS col_i, '{cols[j]}' AS col_j, n,"
+                f" {cov} AS cov,"
+                f" CASE WHEN {var_i} * {var_j} > 0"
+                f" THEN {cov} / sqrt({var_i} * {var_j}) END AS corr"
+                f" FROM stats")
+    return (f"WITH base AS (SELECT {', '.join(cs)} FROM lineitem"
+            f" WHERE {notnull}),\n"
+            f"stats AS (SELECT {', '.join(sums)},"
+            f" CAST(COUNT(*) AS DOUBLE) AS nd FROM base)\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+@q("stats_correlation_matrix", _corr_duck())
+def stats_correlation_matrix(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Pairwise Pearson covariance/correlation
+    (profiling.correlation_matrix): the ANALYZE-side dependence
+    statistic over lineitem's four numerics in ONE stacked-gram pass
+    (fixed-point DECIMAL second moments at scale 1e6, then only
+    exactly-rounded IEEE ops — sqrt included — so every cov/corr
+    double replays bit-for-bit against an INDEPENDENTLY formulated
+    per-pair SQL oracle)."""
+    from .extensions import profiling
+
+    _views(spark, sf_dir)
+    return profiling.correlation_matrix(spark.table("lineitem"),
+                                        _CORR_COLS, scale=1e6)
+
+
 # MAD outliers: both statistics are EXACT lower medians (integer rank
 # selection at ceil(n/2) of the (value, id)-totalized order — no
 # interpolation arithmetic), so median, MAD, deviations, and flags all
@@ -8229,22 +8286,24 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-13 window: (a) the twelve NEW entries (never-gated outranks
-# every tier — six from the main batch, six late-round:
+# Round-13 window: (a) the thirteen NEW entries (never-gated outranks
+# every tier — six from the main batch, seven late-round:
 # sample_priority_topk, text_collocations_pmi, ts_gapfill_locf,
-# dq_outliers_mad, streaming_priority_sample, embedding_pca_gram);
+# dq_outliers_mad, streaming_priority_sample, embedding_pca_gram,
+# stats_correlation_matrix);
 # (b) text_winnow — the only entry whose evidence predates r9 (it
 # yielded its r12 slot to the late streaming_theta_distinct; the
 # r12 verdict queued it first); (c) the three streaming-maintenance
 # entries whose shared callback code changed this round (r12 ADVICE
 # #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 32 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (sample_alpha_mixture, sample_leakage_split, sample_mixture,
-# sample_shuffle_shards, shim_datediff, sketch_hll_rollup,
-# streaming_vector_admission, text_bm25_topk, text_boilerplate_lines,
-# text_decontaminate, text_dup_spans, text_redact_pii,
-# text_repetition, text_tfidf_terms, text_url_domains) waits for r14 —
-# all fifteen hold green r9 rows and pass every local battery run.
+# 31 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (rollup_cascade_month, sample_alpha_mixture,
+# sample_leakage_split, sample_mixture, sample_shuffle_shards,
+# shim_datediff, sketch_hll_rollup, streaming_vector_admission,
+# text_bm25_topk, text_boilerplate_lines, text_decontaminate,
+# text_dup_spans, text_redact_pii, text_repetition, text_tfidf_terms,
+# text_url_domains) waits for r14 — all sixteen hold green r9 rows
+# and pass every local battery run.
 # Rotated OUT (all hold green r10-r12 rows; the full local battery
 # still checks them every run): the r12 window — see COVERAGE.md.
 # ==========================================================================
@@ -8265,6 +8324,7 @@ _GATED_WINDOW = [
     "dq_outliers_mad",
     "streaming_priority_sample",
     "embedding_pca_gram",
+    "stats_correlation_matrix",
     "sketch_bloom_filter",
     "dedup_bloom_blocklist",
     "streaming_bloom_members",
@@ -8287,7 +8347,7 @@ _GATED_WINDOW = [
     # window slots per the code-changed policy regardless)
     "text_pack_global",
     "pipeline_pretrain_corpus",
-    # the 32 alphabetically-first of the 47 r9-tier entries
+    # the 31 alphabetically-first of the 47 r9-tier entries
     # (tools/freshness.py --stale at round start; the alphabetical tail
     # waits for r14 — see the window comment above)
     "ann_ivf_pq_recall",
@@ -8321,12 +8381,12 @@ _GATED_WINDOW = [
     "q_approx_quantiles",
     "q_retention_cohorts",
     "q_window_time_range",
-    "rollup_cascade_month",
-    # (sample_alpha_mixture, sample_leakage_split, sample_mixture,
-    # sample_shuffle_shards, shim_datediff, sketch_hll_rollup yielded
-    # their backfill slots to the six late-round NEW entries above —
-    # never-gated outranks the r9 tier; they rejoin the r14 backfill
-    # with the alphabetical tail, all green in every local battery run)
+    # (rollup_cascade_month, sample_alpha_mixture, sample_leakage_split,
+    # sample_mixture, sample_shuffle_shards, shim_datediff,
+    # sketch_hll_rollup yielded their backfill slots to the seven
+    # late-round NEW entries above — never-gated outranks the r9 tier;
+    # they rejoin the r14 backfill with the alphabetical tail, all
+    # green in every local battery run)
 ]
 
 

@@ -3441,3 +3441,44 @@ def test_gram_matrix_exact_fast_and_pca(spark):
         similarity.pca_train(df, "v", n_components=0)
     with _pytest.raises(ValueError, match="> dimension"):
         similarity.pca_train(df, "v", n_components=9)
+
+
+def test_correlation_matrix_semantics_and_guards(spark):
+    """Pearson matrix vs numpy on complete rows: NULL rows dropped,
+    constant column yields NULL corr (not NaN), self-correlation ~1,
+    sign tracks the planted relationships; guards reject bad input."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions import profiling
+
+    rng = np.random.RandomState(3)
+    x = rng.uniform(1, 100, 50)
+    rows = [(float(a), float(2.0 * a + rng.uniform(0, 5)),
+             float(-a + rng.uniform(0, 10)), 7.0) for a in x]
+    df = spark.createDataFrame(rows + [(None, 1.0, 1.0, 7.0)],
+                               "a double, b double, c double, k double")
+    got = {(r.col_i, r.col_j): (r.n, r.cov, r.corr)
+           for r in profiling.correlation_matrix(
+               df, ["a", "b", "c", "k"]).collect()}
+    assert len(got) == 10
+    assert all(v[0] == 50 for v in got.values())  # NULL row dropped
+
+    arr = np.asarray(rows)
+    ref = np.corrcoef(arr[:, :3].T)
+    for (i, ci), (j, cj) in [((0, "a"), (1, "b")), ((0, "a"), (2, "c")),
+                             ((1, "b"), (2, "c"))]:
+        assert abs(got[(ci, cj)][2] - ref[i, j]) < 1e-6
+    assert abs(got[("a", "a")][2] - 1.0) < 1e-9
+    # constant column: variance 0 -> corr NULL, cov ~0
+    assert got[("a", "k")][2] is None
+    assert abs(got[("k", "k")][1]) < 1e-6
+    assert got[("a", "b")][2] > 0.99 and got[("a", "c")][2] < -0.9
+
+    with _pytest.raises(ValueError, match=">= 2"):
+        profiling.correlation_matrix(df, ["a"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        profiling.correlation_matrix(df, ["a", "a"])
+    with _pytest.raises(ValueError, match="not in the DataFrame"):
+        profiling.correlation_matrix(df, ["a", "nope"])
