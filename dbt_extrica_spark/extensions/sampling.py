@@ -314,8 +314,12 @@ def priority_state_merge(states: DataFrame, id_col: str, k: int,
 def _truncate_state(d: DataFrame, id_col: str, k: int,
                     groups: list[str]) -> DataFrame:
     order = [F.col("priority").desc(), F.col(id_col).asc()]
-    wnd = (Window.partitionBy(*groups).orderBy(*order) if groups
-           else Window.orderBy(*order))
+    if not groups:
+        # global: no ranks are needed here, so orderBy + limit plans as
+        # TakeOrderedAndProject (per-task top-(k+1) heaps) — a global
+        # row_number window would sort everything in ONE task
+        return d.orderBy(*order).limit(k + 1)
+    wnd = Window.partitionBy(*groups).orderBy(*order)
     return (d.withColumn("__rn", F.row_number().over(wnd))
             .where(F.col("__rn") <= k + 1).drop("__rn"))
 

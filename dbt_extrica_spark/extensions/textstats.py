@@ -356,8 +356,13 @@ def collocations(df: DataFrame, text_col: str,
                "slice(__t, 2, greatest(size(__t) - 1, 0)), "
                "(a, b) -> struct(a, b))")
     staged = df.select(F.expr(toks).alias("__t"))
+    # the unigram count table is referenced three times below (both
+    # join sides + the total) — checkpoint the vocabulary-sized result
+    # so the corpus is scanned once for unigrams and once for bigrams,
+    # not once per reference (a lazy plan re-derives the subtree 3x)
     uni = (staged.select(F.explode("__t").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+           .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+           .localCheckpoint(eager=True))
     n_tokens = uni.agg(F.sum("c").cast("bigint").alias("n"))
     pairs = (staged.select(F.explode(F.expr(bigrams)).alias("__bg"))
              .select(F.col("__bg.a").alias("w1"), F.col("__bg.b").alias("w2"))

@@ -67,8 +67,12 @@ def time_bucket_gapfill(
         raise ValueError(f"locf_cols not in aggs: {unknown}")
 
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    # the rollup feeds BOTH the key list and the grid join — checkpoint
+    # the keys-x-buckets-sized result so the corpus aggregates once,
+    # not once per reference
     agg = (df.groupBy(F.col(key_col).alias("__k"), b)
-           .agg(*[v.alias(k) for k, v in aggs.items()]))
+           .agg(*[v.alias(k) for k, v in aggs.items()])
+           .localCheckpoint(eager=True))
 
     # dense grid: distinct keys x the bucket spine, exploded scan-side
     # off the (tiny) key list — sequence() is end-INCLUSIVE, and start

@@ -118,17 +118,20 @@ INVARIANTS = {
     # TakeOrderedAndProject, never a global sort or SMJ
     "sample_priority_topk": dict(smj_max=0, bnlj_max=0, exchange_max=1,
                                  window_min=4),
-    # r13 late batch: PMI collocations — unigram-count joins must stay
-    # broadcast, the only BNLJ is the 1-row total-token crossJoin
-    # (lint-allowlisted), and the pair/unigram aggregations keep their
-    # partial/final pairs (10 HashAggregates, 5 shuffles)
+    # r13 late batch: PMI collocations — the unigram table is
+    # checkpointed (one corpus scan for unigrams, one lazy for
+    # bigrams); unigram joins must stay broadcast, the only BNLJ is
+    # the 1-row total-token crossJoin (lint-allowlisted), and the
+    # bigram aggregation keeps its partial/final pair
     "text_collocations_pmi": dict(bhj_min=2, smj_max=0, bnlj_max=1,
-                                  exchange_max=5, hashagg=10),
-    # r13 late batch: gapfill+locf — the sparse-series filter reaches
-    # BOTH scans (agg + keys), the grid join stays broadcast, and the
-    # whole fill is 2 shuffles (agg partial/final + the locf window)
+                                  exchange_max=2, hashagg=4),
+    # r13 late batch: gapfill+locf — the rollup is checkpointed (one
+    # eager corpus aggregation feeds keys AND the grid join; the
+    # sparse-series pushdown happens in that eager phase), the grid
+    # join stays broadcast, and the lazy fill is ONE shuffle (the
+    # locf window)
     "ts_gapfill_locf": dict(bhj_min=1, smj_max=0, bnlj_max=0,
-                            pushed_min=2, exchange_max=2, window_min=1),
+                            exchange_max=1, window_min=1),
     # r13 late batch: MAD outliers — EVERY window (two rank passes,
     # two median selections, group count) sits on the group
     # partitioning, so the whole sweep is ONE shuffle + the summary
