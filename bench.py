@@ -146,11 +146,12 @@ HEADLINE = [
     # round 13 late batch: robust MAD outlier sweep — pure operator
     # line (exact lower medians, one shuffle; oracle is external SQL)
     "dq_outliers_mad",
-    # round 13 late batch: exact-mode distributed gram matrix (the
-    # deterministic d^2-explode PCA-statistics build; oracle is
-    # external SQL — no in-entry verifier). The mapInPandas fast path
-    # is equivalence-tested in the unit suite.
-    "embedding_pca_gram",
+    # embedding_pca_gram is deliberately NOT here: its exact mode is
+    # the ORACLE apparatus (d^2-explode + DECIMAL sums exist to be
+    # SQL-replayable); the production path is the mapInPandas
+    # partial-gram fast mode, benched as embedding_pca_gram_fast
+    # below (the ann_ivf_topk_raw split).
+    "embedding_pca_gram_fast",
     # round 13 late batch: one-pass Pearson cov/corr matrix over four
     # lineitem numerics (stacked gram + broadcast diagonal joins;
     # oracle is an independently formulated per-pair SQL replay)
@@ -171,7 +172,22 @@ def _ann_ivf_topk_raw(spark, sf_dir: str):
                                n_cells=16, nprobe=3)
 
 
-BENCH_ONLY = {"ann_ivf_topk_raw": _ann_ivf_topk_raw}
+def _embedding_pca_gram_fast(spark, sf_dir: str):
+    """Bench-only raw-operator shape: the mapInPandas partial-gram
+    FAST path over the same embeddings corpus the embedding_pca_gram
+    battery contract covers in exact mode — so the headline tracks the
+    production operator, not the d^2-explode oracle apparatus. NOT a
+    battery entry (float accumulation order varies with partitioning);
+    correctness is gated by embedding_pca_gram's exact oracle plus the
+    fast~=exact equivalence unit test."""
+    from dbt_extrica_spark.extensions import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.gram_matrix(emb, "embedding", method="fast")
+
+
+BENCH_ONLY = {"ann_ivf_topk_raw": _ann_ivf_topk_raw,
+              "embedding_pca_gram_fast": _embedding_pca_gram_fast}
 
 
 def _loadavg_gate(max_load: float, wait_sec: float) -> dict:

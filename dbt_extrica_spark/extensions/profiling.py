@@ -77,27 +77,33 @@ def correlation_matrix(df: DataFrame, columns: list[str],
                        scale: float = 1e6) -> DataFrame:
     """Pairwise Pearson covariance/correlation over numeric columns —
     the ANALYZE-side dependence statistic (CBO selectivity of
-    correlated predicates, feature redundancy screening). ONE pass:
-    the k columns stack into a vector and run through
-    similarity.gram_matrix's exact fixed-point path, so the second
-    moments are order-independent DECIMAL sums; everything after is
-    single correctly-rounded IEEE ops (div, mul, sub, sqrt — sqrt IS
-    exactly rounded per IEEE-754, unlike ln/pow), so the whole matrix
-    replays verbatim in SQL.
+    correlated predicates, feature redundancy screening). ONE pass,
+    NO row blowup: the d(d+1)/2 pair products, d sums, and the count
+    are d(d+1)/2 + d + 1 aggregate EXPRESSIONS over the scan (a
+    stacked-explode gram would multiply the corpus by d^2 rows first —
+    the first bench cut of this operator did, and paid 6x for it);
+    each term fixed-points as FLOOR(term * scale) (deterministic IEEE,
+    the quantize_int8 convention) and sums in DECIMAL(38,0)
+    (order-free, exact at any n); everything after is single
+    correctly-rounded IEEE ops (div, mul, sub, sqrt — sqrt IS exactly
+    rounded per IEEE-754, unlike ln/pow), so the whole matrix replays
+    verbatim in SQL.
 
     Rows with ANY NULL among ``columns`` are excluded (complete-case
     Pearson). A constant column has variance 0 -> its correlations are
     NULL (not NaN — deterministic across engines). ``scale`` is the
     fixed-point granularity: max|v_i * v_j| * scale must fit 2^63
-    (gram_matrix docs); 1e6 suits business numerics up to ~1e5.
+    (ANSI Spark raises loudly past it); 1e6 suits business numerics up
+    to ~1e5.
 
     Returns upper-triangle rows (col_i, col_j, n, cov, corr).
 
-    Scale shape: one scan + one (i, j)-keyed partial/final aggregation
-    (d(d+1)/2 groups) + joins against the d-row diagonal — everything
-    after the scan is statistics-sized."""
-    from .similarity import gram_matrix
-
+    Scale shape: one scan + one partial/final aggregation to a single
+    stats row; the pair reshape explodes THAT row. The expression
+    count grows O(d^2) — fine for the tens-of-columns ANALYZE case;
+    for wide embedding vectors use similarity.gram_matrix (stacked
+    explode scales in d, and its fast mode avoids the blowup
+    entirely)."""
     if len(columns) < 2:
         raise ValueError("correlation_matrix needs >= 2 columns")
     if len(set(columns)) != len(columns):
@@ -107,32 +113,37 @@ def correlation_matrix(df: DataFrame, columns: list[str],
         raise ValueError(f"columns not in the DataFrame: {missing}")
     complete = df.where(F.expr(" AND ".join(
         f"`{c}` IS NOT NULL" for c in columns)))
-    base = complete.select(
-        F.array(*[F.col(c).cast("double") for c in columns]).alias("__v"))
-    # the gram result is referenced three times below (pairs + two
-    # diagonal sides) — checkpoint the d(d+1)/2-row statistics table so
-    # the corpus is scanned ONCE, not three times (the bloom-bitmap
-    # pattern: eager model state, lazy everything after)
-    g = gram_matrix(base, "__v", method="exact",
-                    scale=scale).localCheckpoint(eager=True)
+    sc = float(scale)
+
+    def fx(expr: F.Column) -> F.Column:
+        return (F.sum(F.floor(expr * F.lit(sc)).cast("decimal(38,0)"))
+                .cast("double") / F.lit(sc))
+
+    cd = {c: F.col(c).cast("double") for c in columns}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, ci in enumerate(columns):
+        aggs.append(fx(cd[ci]).alias(f"s{i}"))
+        for j in range(i, len(columns)):
+            aggs.append(fx(cd[ci] * cd[columns[j]]).alias(f"g{i}_{j}"))
+    stats = complete.agg(*aggs)
     nd = F.col("n").cast("double")
-    diag = (g.where("i = j")
-            .select(F.col("i").alias("d"),
-                    (F.col("si") / nd).alias("mu"),
-                    (F.col("g") / nd - (F.col("si") / nd)
-                     * (F.col("si") / nd)).alias("var")))
-    di, dj = diag.alias("di"), diag.alias("dj")
-    names = F.array(*[F.lit(c) for c in columns])
-    cov = F.col("g") / nd - F.col("di.mu") * F.col("dj.mu")
-    vv = F.col("di.var") * F.col("dj.var")
-    return (g.join(di, F.col("i") == F.col("di.d"))
-            .join(dj, F.col("j") == F.col("dj.d"))
-            .select(
-                F.element_at(names, F.col("i") + 1).alias("col_i"),
-                F.element_at(names, F.col("j") + 1).alias("col_j"),
-                F.col("n"),
+    rows = []
+    for i, ci in enumerate(columns):
+        mu_i = F.col(f"s{i}") / nd
+        var_i = F.col(f"g{i}_{i}") / nd - mu_i * mu_i
+        for j in range(i, len(columns)):
+            mu_j = F.col(f"s{j}") / nd
+            var_j = F.col(f"g{j}_{j}") / nd - mu_j * mu_j
+            cov = F.col(f"g{i}_{j}") / nd - mu_i * mu_j
+            vv = var_i * var_j
+            rows.append(F.struct(
+                F.lit(ci).alias("col_i"),
+                F.lit(columns[j]).alias("col_j"),
+                F.col("n").alias("n"),
                 cov.alias("cov"),
                 F.when(vv > 0, cov / F.sqrt(vv)).alias("corr")))
+    return (stats.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))
 
 
 def mad_outliers(df: DataFrame, value_col: str, id_col: str,

@@ -144,12 +144,14 @@ INVARIANTS = {
     # means the explode stopped feeding a map-side partial agg.
     "embedding_pca_gram": dict(smj_max=0, bnlj_max=0, pushed_min=1,
                                exchange_max=1, hashagg=2),
-    # r13 late batch: correlation matrix — the gram statistics are
-    # checkpointed (ONE corpus scan, eager), so the lazy plan is just
-    # the two broadcast diagonal joins over the d(d+1)/2-row table;
-    # any shuffle here means the statistics stopped being broadcast
-    "stats_correlation_matrix": dict(bhj_min=2, smj_max=0, bnlj_max=0,
-                                     exchange_max=0),
+    # r13 late batch: correlation matrix — NO row blowup: the pair
+    # products are aggregate EXPRESSIONS, so the plan is one scan +
+    # one partial/final pair to a single stats row (the Generate is
+    # the 1-row pair reshape); the not-null filter reaches the scan.
+    # A Generate BELOW the aggregate or a second exchange means the
+    # d^2 explode came back.
+    "stats_correlation_matrix": dict(smj_max=0, bnlj_max=0, hashagg=2,
+                                     exchange_max=1, pushed_min=1),
 }
 
 
