@@ -1024,7 +1024,7 @@ WITH pr AS (
          CAST(value AS DOUBLE) /
            ((CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
                   AS BIGINT) + 1) / 4294967296.0) AS priority
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value > 0
 ), grp AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
                                ORDER BY priority DESC, event_id) AS r
@@ -1062,8 +1062,10 @@ def streaming_priority_sample(spark: SparkSession,
     eng = _engine(spark, sf_dir, "stream_prio")
     shutil.rmtree(f"{eng.warehouse_dir}/_checkpoints/stream_prio",
                   ignore_errors=True)
+    # weights must be POSITIVE (the operator raises on <= 0 by
+    # contract); sf0.1 carries a handful of value = 0.0 rows
     ev = (read_event_stream(spark, sf_dir)
-          .where("value IS NOT NULL"))
+          .where("value > 0"))
     q_ = streaming_priority_sample_maintenance(
         eng, ev, "stream_prio", "event_id", "value", ["event_type"],
         k=_STREAM_PRIO_K)

@@ -484,7 +484,15 @@ def main() -> None:
     # replica counts record the ratios but skip the verdict.
     gate_ceilings = {
         # measured r11 envelope -> ceiling
-        "pagerank": 3.0,        # 1.7x for 9.7x edges (per-iter join linear)
+        "pagerank": 4.5,        # 1.7-3.0x for 9.7x edges (per-iter join
+        #                          linear). Widened from 3.0 in r13: the
+        #                          quiet-host envelope crept to 2.7-3.0
+        #                          (x1 ~4s carries fixed overhead, so the
+        #                          ratio is x1-noise-sensitive) and an
+        #                          in-chain run at loadavg ~16 right
+        #                          after the bench read 4.06 — the quiet
+        #                          re-run read 2.74. A per-iteration
+        #                          join cliff reads ~10x here.
         "qdigest": 3.0,         # 1.7-2.0x for 10x groups+rows
         "ivf_pq_build": 3.0,    # 1.8x for 10x corpus
         "ivf_pq_query": 2.0,    # flat (1.03x) — postings pruned by nprobe
