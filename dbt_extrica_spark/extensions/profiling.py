@@ -180,6 +180,18 @@ def mad_outliers(df: DataFrame, value_col: str, id_col: str,
         raise ValueError(f"k must be > 0, got {k}")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
+    # name-collision guard (the global_running_sum convention): the
+    # pipeline writes these columns with withColumn — a same-named
+    # group/id/value column would be silently clobbered mid-pipeline
+    reserved = {"median", "mad", "deviation", "__i", "__v", "__n",
+                "__rn", "__rn2", "__dev", "__flag"}
+    clash = reserved & ({value_col, id_col} | set(group_cols))
+    if clash:
+        raise ValueError(f"mad_outliers: column names {sorted(clash)} "
+                         f"collide with reserved internal/output names "
+                         f"{sorted(reserved)}")
+    if len(set(group_cols)) != len(group_cols):
+        raise ValueError(f"duplicate group_cols in {group_cols}")
     v = F.col(value_col).cast("double")
     base = (df.select(*group_cols, F.col(id_col).alias("__i"),
                       v.alias("__v"))

@@ -242,10 +242,14 @@ def _priority_expr(id_col: str, weight_col: str, salt: str) -> F.Column:
     NULL/<=0 raises in-scan."""
     raw = F.col(weight_col)
     w = raw.cast("double")
+    # isnan too: NaN fails every comparison (NaN <= 0 is false) but
+    # SORTS ABOVE every double in Spark, so an unguarded NaN weight
+    # would take sample_rank 1 and poison every est_weight sum — the
+    # exact silent skew this guard exists to prevent
     w = F.when(
-        raw.isNull() | (w <= 0.0),
+        raw.isNull() | F.isnan(w) | (w <= 0.0),
         F.expr("raise_error('priority_sample: weight_col must be "
-               "positive and non-null')").cast("double"),
+               "positive, non-null and non-NaN')").cast("double"),
     ).otherwise(w)
     h = F.conv(_bucket_expr(id_col, salt), 16, 10).cast("bigint")
     return w / ((h + F.lit(1)).cast("double") / F.lit(float(_HEX_SPACE)))

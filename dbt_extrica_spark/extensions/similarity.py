@@ -1427,6 +1427,23 @@ def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
     with partitioning, so it is equivalence-tested against 'exact'
     within tolerance, not bit-gated (the streaming_vector_admission
     exact/scale split)."""
+    # whole-NULL vectors are excluded (no observation); a vector with
+    # a NULL ELEMENT or zero length is malformed input and RAISES —
+    # exact mode would otherwise silently sum fewer terms than n
+    # counts (biased covariance), fast mode would emit NULL cells, and
+    # an empty vector crashes sequence(0,-1) mid-plan (all three
+    # reproduced by a review)
+    vt = df.schema[vec_col].dataType.simpleString()
+    bad = (f"size({vec_col}) < 1 OR "
+           f"exists({vec_col}, x -> x IS NULL)")
+    checked = F.when(
+        F.expr(bad),
+        F.expr("raise_error('gram_matrix: vectors must be non-empty "
+               f"with non-null elements') ").cast(vt),
+    ).otherwise(F.col(vec_col))
+    df = df.where(F.col(vec_col).isNotNull()).select(
+        *[c for c in df.columns if c != vec_col],
+        checked.alias(vec_col))
     if method == "exact":
         # fixed-point terms: FLOOR(x * 1e12) is deterministic IEEE
         # arithmetic (the quantize_int8 convention) — a double->DECIMAL
@@ -1560,5 +1577,6 @@ def pca_project(df: DataFrame, id_col: str, vec_col: str,
             })
             yield out.rename(columns={"id": id_col})
 
+    idt = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        project, f"{id_col} bigint, pca array<double>")
+        project, f"{id_col} {idt}, pca array<double>")

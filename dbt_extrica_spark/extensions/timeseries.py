@@ -57,10 +57,28 @@ def time_bucket_gapfill(
     arrive). Keys are the DISTINCT keys present in the aggregate; a key
     with no rows anywhere has no series to fill.
     """
+    import datetime as _dt
+
     if bucket not in _BUCKETS:
         raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}, "
                          f"got {bucket!r}")
+    # validate up front (the profile_columns convention): only
+    # parsed-and-reformatted ISO timestamps ever reach the SQL text,
+    # and a reversed range fails HERE, not inside sequence() at runtime
+    try:
+        t0, t1 = (_dt.datetime.fromisoformat(x) for x in (start, end))
+    except ValueError as exc:
+        raise ValueError(f"start/end must be ISO timestamps: {exc}")
+    if t0 > t1:
+        raise ValueError(f"start {start!r} is after end {end!r}")
+    start, end = t0.isoformat(sep=" "), t1.isoformat(sep=" ")
     aggs = dict(aggs) if aggs else {"n": F.count(F.lit(1)).cast("bigint")}
+    reserved = {"__k", "__cnt", "bucket", "filled"}
+    clash = sorted(reserved & set(aggs)) + sorted(
+        f"{c}_locf" for c in aggs if f"{c}_locf" in aggs)
+    if clash:
+        raise ValueError(f"agg names {clash} collide with gapfill's "
+                         f"reserved columns {sorted(reserved)}")
     locf_cols = list(aggs) if locf_cols is None else list(locf_cols)
     unknown = [c for c in locf_cols if c not in aggs]
     if unknown:
@@ -70,8 +88,13 @@ def time_bucket_gapfill(
     # the rollup feeds BOTH the key list and the grid join — checkpoint
     # the keys-x-buckets-sized result so the corpus aggregates once,
     # not once per reference
+    # __cnt drives the filled flag: an observed bucket whose user
+    # aggregate is legitimately NULL (e.g. max over all-NULL values)
+    # must NOT read as a gap (a review reproduced locf carrying the
+    # previous bucket's value over an observed one)
     agg = (df.groupBy(F.col(key_col).alias("__k"), b)
-           .agg(*[v.alias(k) for k, v in aggs.items()])
+           .agg(*[v.alias(k) for k, v in aggs.items()],
+                F.count(F.lit(1)).alias("__cnt"))
            .localCheckpoint(eager=True))
 
     # dense grid: distinct keys x the bucket spine, exploded scan-side
@@ -85,7 +108,7 @@ def time_bucket_gapfill(
     out = grid.join(agg, on=["__k", "bucket"], how="left")
     w = (Window.partitionBy("__k").orderBy("bucket")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = F.col(next(iter(aggs))).isNull().alias("filled")
+    filled = F.col("__cnt").isNull().alias("filled")
     cols = [F.col("__k").alias(key_col), F.col("bucket"), filled]
     for name in aggs:
         cols.append(F.col(name))

@@ -3482,3 +3482,77 @@ def test_correlation_matrix_semantics_and_guards(spark):
         profiling.correlation_matrix(df, ["a", "a"])
     with _pytest.raises(ValueError, match="not in the DataFrame"):
         profiling.correlation_matrix(df, ["a", "nope"])
+
+
+def test_r13_review_guards(spark):
+    """Pinning tests for the late-r13 review findings: gapfill filled
+    flag on NULL-aggregate observed buckets + start/end validation,
+    priority NaN-weight raise, gram_matrix NULL-element/empty-vector
+    raise, pca_project non-bigint ids, mad_outliers name collisions."""
+    import datetime as dt
+    import math
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.extensions import (profiling, sampling,
+                                              similarity, timeseries)
+
+    # 1. an observed bucket whose aggregate is legitimately NULL is NOT
+    # a gap: filled=False and locf does NOT carry the previous value
+    rows = [(dt.datetime(2024, 3, 1, 5), "a", 1.0),
+            (dt.datetime(2024, 3, 2, 5), "a", None)]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    out = {r.bucket.day: (r.filled, r.m_locf)
+           for r in timeseries.time_bucket_gapfill(
+               df, "ts", "k", start="2024-03-01", end="2024-03-03",
+               aggs={"m": F.max("v")}).collect()}
+    assert out[1] == (False, 1.0)
+    assert out[2] == (False, 1.0)   # observed, not filled; locf carries
+    assert out[3] == (True, 1.0)    # the real gap
+    # start/end validation: malformed and reversed ranges fail UP FRONT
+    with _pytest.raises(ValueError, match="ISO timestamps"):
+        timeseries.time_bucket_gapfill(df, "ts", "k",
+                                       start="x') --", end="2024-03-03")
+    with _pytest.raises(ValueError, match="after end"):
+        timeseries.time_bucket_gapfill(df, "ts", "k",
+                                       start="2024-03-09", end="2024-03-03")
+
+    # 2. NaN weight raises (it would otherwise SORT FIRST and poison
+    # the estimator)
+    dfn = spark.createDataFrame([(1, 2.0), (2, float("nan"))],
+                                "id int, w double")
+    with _pytest.raises(Exception, match="priority_sample"):
+        sampling.priority_sample(dfn, "id", "w", k=1).collect()
+
+    # 3. gram_matrix: NULL element and empty vector raise; whole-NULL
+    # vectors are still just excluded
+    ok = spark.createDataFrame([(1, [1.0, 2.0]), (2, None)],
+                               "id int, v array<double>")
+    assert similarity.gram_matrix(ok, "v").count() == 3
+    for bad in ([(1, [1.0, None])], [(1, [])]):
+        dfb = spark.createDataFrame(bad, "id int, v array<double>")
+        with _pytest.raises(Exception, match="gram_matrix"):
+            similarity.gram_matrix(dfb, "v").collect()
+        with _pytest.raises(Exception, match="gram_matrix"):
+            similarity.gram_matrix(dfb, "v", method="fast").collect()
+
+    # 4. pca_project keeps a non-bigint id column
+    sdf = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [1.0, 1.0])],
+        "doc string, v array<double>")
+    model = similarity.pca_train(sdf, "v", n_components=1)
+    got = {r.doc: r.pca for r in
+           similarity.pca_project(sdf, "doc", "v", model).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert all(not math.isnan(p[0]) for p in got.values())
+
+    # 5. mad_outliers rejects reserved-name collisions and dup groups
+    dmm = spark.createDataFrame([(1, 2.0, "x")],
+                                "i int, median double, g string")
+    with _pytest.raises(ValueError, match="collide with reserved"):
+        profiling.mad_outliers(dmm, "median", "i", ["g"])
+    dg = spark.createDataFrame([(1, 2.0, "x")], "i int, v double, g string")
+    with _pytest.raises(ValueError, match="duplicate group_cols"):
+        profiling.mad_outliers(dg, "v", "i", ["g", "g"])
