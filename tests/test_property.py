@@ -647,3 +647,93 @@ def test_mad_outliers_matches_replay(rows_in, k):
            for r in profiling.mad_outliers(
                df, "v", "i", ["g"], k=float(k)).collect()}
     assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(min_value=-1000, max_value=1000),
+                          st.integers(min_value=-1000, max_value=1000),
+                          st.integers(min_value=-1000, max_value=1000)),
+                min_size=2, max_size=40))
+@settings(max_examples=3, deadline=None)
+def test_correlation_matrix_matches_replay(rows_in):
+    """Correlation matrix on arbitrary integer triples vs a pure-Python
+    replay of the exact fixed-point pipeline (FLOOR(term*scale) sums,
+    then the single-rounding formula chain) — float == assertions, not
+    approx, because every op is exactly rounded."""
+    import math
+
+    from dbt_extrica_spark.extensions import profiling
+    from dbt_extrica_spark.session import get_spark
+
+    sc = 1e6
+    rows = [(float(a), float(b), float(c)) for a, b, c in rows_in]
+    cols = ["a", "b", "c"]
+    n = len(rows)
+
+    def fx_sum(vals):
+        return float(sum(math.floor(v * sc) for v in vals)) / sc
+
+    s = {i: fx_sum([r[i] for r in rows]) for i in range(3)}
+    g = {(i, j): fx_sum([r[i] * r[j] for r in rows])
+         for i in range(3) for j in range(i, 3)}
+    want = {}
+    nd = float(n)
+    for i in range(3):
+        mu_i = s[i] / nd
+        var_i = g[(i, i)] / nd - mu_i * mu_i
+        for j in range(i, 3):
+            mu_j = s[j] / nd
+            var_j = g[(j, j)] / nd - mu_j * mu_j
+            cov = g[(i, j)] / nd - mu_i * mu_j
+            vv = var_i * var_j
+            corr = cov / math.sqrt(vv) if vv > 0 else None
+            want[(cols[i], cols[j])] = (n, cov, corr)
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r.col_i, r.col_j): (r.n, r.cov, r.corr)
+           for r in profiling.correlation_matrix(df, cols).collect()}
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=9),   # day-1
+                          st.sampled_from(["a", "b"]),
+                          st.integers(min_value=1, max_value=50)),
+                min_size=1, max_size=30))
+@settings(max_examples=3, deadline=None)
+def test_gapfill_locf_matches_replay(rows_in):
+    """Gapfill+locf on arbitrary sparse day series vs a pure-Python
+    replay: dense grid per observed key, filled flags from bucket
+    emptiness, counts, and the carry-forward (None before the first
+    observation)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.extensions import timeseries
+    from dbt_extrica_spark.session import get_spark
+
+    rows = [(dt.datetime(2024, 5, 1 + d, 12), k, float(v))
+            for d, k, v in rows_in]
+    days = list(range(1, 11))
+    want = {}
+    for key in {k for _, k, _ in rows}:
+        last = None
+        for day in days:
+            obs = [v for ts, k, v in rows if k == key and ts.day == day]
+            n = len(obs)
+            vsum = float(sum(obs)) if obs else None
+            if obs:
+                last = vsum
+            want[(key, day)] = (n == 0, n, vsum, last)
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    out = timeseries.time_bucket_gapfill(
+        df, "ts", "k", start="2024-05-01", end="2024-05-10",
+        aggs={"n": F.count(F.lit(1)).cast("bigint"),
+              "vsum": F.sum(F.col("v").cast("decimal(18,4)"))
+              .cast("double")},
+        locf_cols=["vsum"])
+    got = {(r.k, r.bucket.day): (r.filled, r.n or 0, r.vsum, r.vsum_locf)
+           for r in out.collect()}
+    assert got == {k: (f, n, v, l) for k, (f, n, v, l) in want.items()}
