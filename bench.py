@@ -118,10 +118,10 @@ HEADLINE = [
     # its wall is ~half verifier; the sketch itself is one distinct +
     # truncate pass (strictly cheaper than the gated MG line above).
     # streaming_bloom_members / streaming_theta_distinct /
-    # streaming_priority_sample are NOT here: streaming maintenance
-    # entries pay checkpoint + micro-batch drain apparatus; their
-    # operator cost is bitmap/sketch/state-bounded by construction
-    # (unit-test-pinned sizes).
+    # streaming_priority_sample / streaming_pca_gram are NOT here:
+    # streaming maintenance entries pay checkpoint + micro-batch drain
+    # apparatus; their operator cost is bitmap/sketch/state-bounded by
+    # construction (unit-test-pinned sizes).
     # round 13: Bloom-accelerated exact blocklist anti-join — a pure
     # operator line (the oracle is an external plain anti-join; no
     # in-entry verifier). sketch_bloom_filter is deliberately NOT here:

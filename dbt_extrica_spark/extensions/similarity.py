@@ -1427,12 +1427,18 @@ def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
     with partitioning, so it is equivalence-tested against 'exact'
     within tolerance, not bit-gated (the streaming_vector_admission
     exact/scale split)."""
+    if method == "exact":
+        # gram_state carries the shared malformed-input guard
+        return gram_finalize(gram_state(df, vec_col, scale=scale),
+                             scale=scale)
+    if method != "fast":
+        raise ValueError(f"method must be 'exact' or 'fast', "
+                         f"got {method!r}")
     # whole-NULL vectors are excluded (no observation); a vector with
     # a NULL ELEMENT or zero length is malformed input and RAISES —
-    # exact mode would otherwise silently sum fewer terms than n
-    # counts (biased covariance), fast mode would emit NULL cells, and
-    # an empty vector crashes sequence(0,-1) mid-plan (all three
-    # reproduced by a review)
+    # fast mode would otherwise emit NULL cells (and exact mode a
+    # biased covariance — its guard lives in gram_state); all
+    # reproduced by a review
     vt = df.schema[vec_col].dataType.simpleString()
     bad = (f"size({vec_col}) < 1 OR "
            f"exists({vec_col}, x -> x IS NULL)")
@@ -1444,37 +1450,6 @@ def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
     df = df.where(F.col(vec_col).isNotNull()).select(
         *[c for c in df.columns if c != vec_col],
         checked.alias(vec_col))
-    if method == "exact":
-        # fixed-point terms: FLOOR(x * 1e12) is deterministic IEEE
-        # arithmetic (the quantize_int8 convention) — a double->DECIMAL
-        # cast instead would hit the engines' different tie-rounding
-        # (HALF_UP vs half-even) on the 12th decimal; per-term floors
-        # fit a BIGINT, the DECIMAL(38,0) sums are exact at any n
-        sc = repr(float(scale))
-        terms = (
-            "flatten(transform(sequence(0, size(__v) - 1), i -> "
-            "transform(sequence(i, size(__v) - 1), j -> struct("
-            "i AS i, j AS j, "
-            "CAST(FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE)"
-            f" * CAST(element_at(__v, j + 1) AS DOUBLE) * {sc})"
-            " AS DECIMAL(38,0)) AS p, "
-            "CAST(CASE WHEN j = i THEN"
-            f" FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE) * {sc}) END"
-            " AS DECIMAL(38,0)) AS sv))))"
-        )
-        exploded = (df.select(F.col(vec_col).alias("__v"))
-                    .where(F.col("__v").isNotNull())
-                    .select(F.explode(F.expr(terms)).alias("t"))
-                    .select("t.i", "t.j", "t.p", "t.sv"))
-        return (exploded.groupBy("i", "j")
-                .agg((F.sum("p").cast("double")
-                      / F.lit(float(scale))).alias("g"),
-                     (F.sum("sv").cast("double")
-                      / F.lit(float(scale))).alias("si"),
-                     F.count(F.lit(1)).cast("bigint").alias("n")))
-    if method != "fast":
-        raise ValueError(f"method must be 'exact' or 'fast', "
-                         f"got {method!r}")
 
     import numpy as np
 
@@ -1509,6 +1484,67 @@ def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
     return (part.groupBy("i", "j")
             .agg(F.sum("g").alias("g"), F.sum("si").alias("si"),
                  F.sum("n").cast("bigint").alias("n")))
+
+
+def gram_state(df: DataFrame, vec_col: str,
+               scale: float = 1e12) -> DataFrame:
+    """MERGEABLE fixed-point gram state: (i, j, p, sv, n) with p/sv the
+    DECIMAL(38,0) sums of FLOOR(term * scale) and n the row count —
+    gram_matrix's exact mode BEFORE the final divide. Fixed-point terms
+    (not double->DECIMAL casts — the engines tie-round the 12th decimal
+    differently) sum exactly in any order, so per-shard/per-batch
+    states folded through :func:`gram_state_merge` equal the state
+    built over all rows at once BIT-FOR-BIT — the streaming-
+    maintenance contract (integer addition is associative and
+    commutative; nothing here depends on batching). The same input
+    guard as gram_matrix applies (empty / NULL-element vectors raise;
+    whole-NULL vectors are excluded)."""
+    vt = df.schema[vec_col].dataType.simpleString()
+    bad = (f"size({vec_col}) < 1 OR "
+           f"exists({vec_col}, x -> x IS NULL)")
+    checked = F.when(
+        F.expr(bad),
+        F.expr("raise_error('gram_matrix: vectors must be non-empty "
+               "with non-null elements') ").cast(vt),
+    ).otherwise(F.col(vec_col))
+    sc = repr(float(scale))
+    terms = (
+        "flatten(transform(sequence(0, size(__v) - 1), i -> "
+        "transform(sequence(i, size(__v) - 1), j -> struct("
+        "i AS i, j AS j, "
+        "CAST(FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE)"
+        f" * CAST(element_at(__v, j + 1) AS DOUBLE) * {sc})"
+        " AS DECIMAL(38,0)) AS p, "
+        "CAST(CASE WHEN j = i THEN"
+        f" FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE) * {sc}) END"
+        " AS DECIMAL(38,0)) AS sv))))"
+    )
+    exploded = (df.where(F.col(vec_col).isNotNull())
+                .select(checked.alias("__v"))
+                .select(F.explode(F.expr(terms)).alias("t"))
+                .select("t.i", "t.j", "t.p", "t.sv"))
+    return (exploded.groupBy("i", "j")
+            .agg(F.sum("p").alias("p"), F.sum("sv").alias("sv"),
+                 F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+def gram_state_merge(states: DataFrame) -> DataFrame:
+    """Fold a UNION of gram states: element-wise DECIMAL sums per
+    (i, j) cell — exact, order-free, batch-invariant."""
+    return (states.groupBy("i", "j")
+            .agg(F.sum("p").alias("p"), F.sum("sv").alias("sv"),
+                 F.sum("n").cast("bigint").alias("n")))
+
+
+def gram_finalize(state: DataFrame, scale: float = 1e12) -> DataFrame:
+    """Divide a gram state down to gram_matrix's (i, j, g, si, n)
+    output — the read side of the streaming maintenance loop. The
+    state is d(d+1)/2 rows; this is statistics-sized work."""
+    return state.select(
+        "i", "j",
+        (F.col("p").cast("double") / F.lit(float(scale))).alias("g"),
+        (F.col("sv").cast("double") / F.lit(float(scale))).alias("si"),
+        "n")
 
 
 def pca_train(df: DataFrame, vec_col: str, n_components: int,

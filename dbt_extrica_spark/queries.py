@@ -1514,6 +1514,31 @@ def stats_correlation_matrix(spark: SparkSession,
                                         _CORR_COLS, scale=1e6)
 
 
+@q("streaming_pca_gram", _PCA_GRAM_DUCK)
+def streaming_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous model-statistics maintenance (streaming.
+    streaming_gram_maintenance): each micro-batch's fixed-point gram
+    state is element-wise DECIMAL-summed into a durable d(d+1)/2-row
+    table. Integer addition is associative and commutative, so the
+    drained state — finalized through gram_finalize — must equal the
+    batch gram_matrix BIT-FOR-BIT no matter how the stream was
+    chopped; the oracle is therefore the SAME verbatim SQL replay the
+    batch entry uses (the strongest oracle in the streaming family:
+    plain exact algebra, no top-k invariance argument needed)."""
+    import shutil
+
+    from .extensions import similarity
+    from .streaming import read_embedding_stream, streaming_gram_maintenance
+
+    eng = _engine(spark, sf_dir, "stream_gram")
+    shutil.rmtree(f"{eng.warehouse_dir}/_checkpoints/stream_gram",
+                  ignore_errors=True)
+    emb = read_embedding_stream(spark, sf_dir)
+    q_ = streaming_gram_maintenance(eng, emb, "stream_gram", "embedding")
+    q_.awaitTermination()
+    return similarity.gram_finalize(eng.table("stream_gram"))
+
+
 # MAD outliers: both statistics are EXACT lower medians (integer rank
 # selection at ceil(n/2) of the (value, id)-totalized order — no
 # interpolation arithmetic), so median, MAD, deviations, and flags all
@@ -8288,24 +8313,24 @@ FROM lineitem GROUP BY l_returnflag
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-13 window: (a) the thirteen NEW entries (never-gated outranks
-# every tier — six from the main batch, seven late-round:
+# Round-13 window: (a) the fourteen NEW entries (never-gated outranks
+# every tier — six from the main batch, eight late-round:
 # sample_priority_topk, text_collocations_pmi, ts_gapfill_locf,
 # dq_outliers_mad, streaming_priority_sample, embedding_pca_gram,
-# stats_correlation_matrix);
+# stats_correlation_matrix, streaming_pca_gram);
 # (b) text_winnow — the only entry whose evidence predates r9 (it
 # yielded its r12 slot to the late streaming_theta_distinct; the
 # r12 verdict queued it first); (c) the three streaming-maintenance
 # entries whose shared callback code changed this round (r12 ADVICE
 # #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 31 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (rollup_cascade_month, sample_alpha_mixture,
-# sample_leakage_split, sample_mixture, sample_shuffle_shards,
-# shim_datediff, sketch_hll_rollup, streaming_vector_admission,
-# text_bm25_topk, text_boilerplate_lines, text_decontaminate,
-# text_dup_spans, text_redact_pii, text_repetition, text_tfidf_terms,
-# text_url_domains) waits for r14 — all sixteen hold green r9 rows
-# and pass every local battery run.
+# 30 alphabetically-first of the 47 r9-tier entries. The alphabetical
+# tail (q_window_time_range, rollup_cascade_month,
+# sample_alpha_mixture, sample_leakage_split, sample_mixture,
+# sample_shuffle_shards, shim_datediff, sketch_hll_rollup,
+# streaming_vector_admission, text_bm25_topk, text_boilerplate_lines,
+# text_decontaminate, text_dup_spans, text_redact_pii,
+# text_repetition, text_tfidf_terms, text_url_domains) waits for r14 —
+# all seventeen hold green r9 rows and pass every local battery run.
 # Rotated OUT (all hold green r10-r12 rows; the full local battery
 # still checks them every run): the r12 window — see COVERAGE.md.
 # ==========================================================================
@@ -8327,6 +8352,7 @@ _GATED_WINDOW = [
     "streaming_priority_sample",
     "embedding_pca_gram",
     "stats_correlation_matrix",
+    "streaming_pca_gram",
     "sketch_bloom_filter",
     "dedup_bloom_blocklist",
     "streaming_bloom_members",
@@ -8349,7 +8375,7 @@ _GATED_WINDOW = [
     # window slots per the code-changed policy regardless)
     "text_pack_global",
     "pipeline_pretrain_corpus",
-    # the 31 alphabetically-first of the 47 r9-tier entries
+    # the 30 alphabetically-first of the 47 r9-tier entries
     # (tools/freshness.py --stale at round start; the alphabetical tail
     # waits for r14 — see the window comment above)
     "ann_ivf_pq_recall",
@@ -8382,13 +8408,12 @@ _GATED_WINDOW = [
     "q_approx_distinct",
     "q_approx_quantiles",
     "q_retention_cohorts",
-    "q_window_time_range",
-    # (rollup_cascade_month, sample_alpha_mixture, sample_leakage_split,
-    # sample_mixture, sample_shuffle_shards, shim_datediff,
-    # sketch_hll_rollup yielded their backfill slots to the seven
-    # late-round NEW entries above — never-gated outranks the r9 tier;
-    # they rejoin the r14 backfill with the alphabetical tail, all
-    # green in every local battery run)
+    # (q_window_time_range, rollup_cascade_month, sample_alpha_mixture,
+    # sample_leakage_split, sample_mixture, sample_shuffle_shards,
+    # shim_datediff, sketch_hll_rollup yielded their backfill slots to
+    # the eight late-round NEW entries above — never-gated outranks the
+    # r9 tier; they rejoin the r14 backfill with the alphabetical tail,
+    # all green in every local battery run)
 ]
 
 

@@ -463,6 +463,39 @@ def streaming_priority_sample_maintenance(
             tbl.unionByName(st), id_col, k, group_cols))
 
 
+def streaming_gram_maintenance(
+    engine,
+    stream: DataFrame,
+    table_name: str,
+    vec_col: str,
+    scale: float = 1e12,
+) -> "object":
+    """CONTINUOUS model-statistics maintenance: each micro-batch's
+    fixed-point gram state (extensions.similarity.gram_state — the
+    DECIMAL(38,0) second-moment/sum/count cells) is element-wise summed
+    into a durable d(d+1)/2-row table — live PCA/covariance statistics
+    over everything ever streamed, without re-scanning history
+    (pca_train-shaped finalization any time via gram_finalize).
+
+    The strongest invariance in the streaming family: integer addition
+    is associative AND commutative, so the maintained state equals
+    gram_state over the fully-drained input BIT-FOR-BIT regardless of
+    micro-batch boundaries — no truncation argument needed (theta/
+    priority rely on top-k invariance; this is plain exact algebra).
+    NOT re-delivery-idempotent (a re-summed batch double-counts —
+    unlike the Bloom OR); exactly-once delivery comes from the
+    checkpointed file source, same as the rollup maintenance. Merge
+    cost is statistics-sized (d(d+1)/2 rows per side).
+
+    Returns the StreamingQuery (availableNow — callers await it)."""
+    from ..extensions.similarity import gram_state, gram_state_merge
+
+    return _start_sketch_maintenance(
+        engine, stream, table_name,
+        build=lambda df: gram_state(df, vec_col, scale=scale),
+        merge=lambda tbl, st: gram_state_merge(tbl.unionByName(st)))
+
+
 def streaming_minhash_admission(
     doc_stream: DataFrame,
     hist_df: DataFrame,

@@ -684,3 +684,50 @@ def test_streaming_priority_sample_batch_invariant(spark, tmp_path):
         assert fin == exp_fin
     finally:
         eng.close()
+
+
+def test_streaming_gram_maintenance_batch_invariant(spark, tmp_path):
+    """Continuous gram-statistics maintenance: with maxFilesPerTrigger=1
+    the durable fixed-point state is element-wise summed across several
+    micro-batches — the final state must equal gram_state over ALL rows
+    bit-for-bit (integer addition is associative/commutative; no
+    truncation argument needed), finalize must equal the batch
+    gram_matrix, and the table stays d(d+1)/2 rows."""
+    from dbt_extrica_spark import Engine
+    from dbt_extrica_spark.extensions.similarity import (
+        gram_finalize, gram_matrix, gram_state)
+    from dbt_extrica_spark.streaming import streaming_gram_maintenance
+
+    src = tmp_path / "gram_in"
+    src.mkdir()
+    rows = []
+    for f in range(3):
+        part = [(f * 100 + i,
+                 [float(i % 5) + f, float((i * 3) % 7), -1.0 + i * 0.25])
+                for i in range(8)]
+        spark.createDataFrame(
+            part, "id bigint, v array<double>") \
+            .coalesce(1).write.mode("append").parquet(str(src / f"f{f}"))
+        rows += part
+    stream = (spark.readStream
+              .schema("id bigint, v array<double>")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    eng = Engine(spark)
+    try:
+        q = streaming_gram_maintenance(eng, stream, "gram_tbl", "v")
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+        batch = spark.createDataFrame(rows, "id bigint, v array<double>")
+        got_state = {(r.i, r.j): (r.p, r.sv, r.n)
+                     for r in eng.table("gram_tbl").collect()}
+        exp_state = {(r.i, r.j): (r.p, r.sv, r.n)
+                     for r in gram_state(batch, "v").collect()}
+        assert got_state == exp_state
+        assert len(got_state) == 6  # 3*4/2 upper triangle
+        fin = {(r.i, r.j): (r.g, r.si, r.n)
+               for r in gram_finalize(eng.table("gram_tbl")).collect()}
+        exp_fin = {(r.i, r.j): (r.g, r.si, r.n)
+                   for r in gram_matrix(batch, "v").collect()}
+        assert fin == exp_fin
+    finally:
+        eng.close()
