@@ -225,6 +225,15 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
     ranks only the <= k+1 survivors."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # same reserved-name collision policy as mad_outliers (an advisor
+    # finding): withColumn would silently CLOBBER an input column named
+    # 'priority' (and if that column were weight_col, the estimator
+    # would then read priorities as weights)
+    clash = {"priority", "sample_rank", "est_weight"} & set(df.columns)
+    if clash:
+        raise ValueError(f"priority_sample: input columns {sorted(clash)} "
+                         "collide with reserved output names "
+                         "['priority', 'sample_rank', 'est_weight']")
     ranked = df.withColumn("priority",
                            _priority_expr(id_col, weight_col, salt))
     if not group_cols:
@@ -297,6 +306,18 @@ def priority_state(df: DataFrame, id_col: str, weight_col: str, k: int,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     groups = list(group_cols or [])
+    # the state schema is (group..., id, weight, priority): an id or
+    # group column named 'weight'/'priority' would emit duplicate
+    # column names (same advisor finding as priority_sample's guard)
+    clash = {"priority", "weight"} & ({id_col} | set(groups))
+    if weight_col == "priority":
+        # withColumn('priority', ...) lands before the weight select,
+        # so a weight_col named 'priority' would read the priorities
+        clash.add("priority")
+    if clash:
+        raise ValueError(f"priority_state: id/group columns {sorted(clash)} "
+                         "collide with the state's reserved "
+                         "['weight', 'priority'] columns")
     d = df.withColumn("priority", _priority_expr(id_col, weight_col, salt))
     sel = groups + [F.col(id_col),
                     F.col(weight_col).cast("double").alias("weight"),

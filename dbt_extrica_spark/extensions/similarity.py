@@ -1434,22 +1434,7 @@ def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
     if method != "fast":
         raise ValueError(f"method must be 'exact' or 'fast', "
                          f"got {method!r}")
-    # whole-NULL vectors are excluded (no observation); a vector with
-    # a NULL ELEMENT or zero length is malformed input and RAISES —
-    # fast mode would otherwise emit NULL cells (and exact mode a
-    # biased covariance — its guard lives in gram_state); all
-    # reproduced by a review
-    vt = df.schema[vec_col].dataType.simpleString()
-    bad = (f"size({vec_col}) < 1 OR "
-           f"exists({vec_col}, x -> x IS NULL)")
-    checked = F.when(
-        F.expr(bad),
-        F.expr("raise_error('gram_matrix: vectors must be non-empty "
-               f"with non-null elements') ").cast(vt),
-    ).otherwise(F.col(vec_col))
-    df = df.where(F.col(vec_col).isNotNull()).select(
-        *[c for c in df.columns if c != vec_col],
-        checked.alias(vec_col))
+    df = _checked_vectors(df, vec_col)
 
     import numpy as np
 
@@ -1486,6 +1471,35 @@ def gram_matrix(df: DataFrame, vec_col: str, method: str = "exact",
                  F.sum("n").cast("bigint").alias("n")))
 
 
+def _checked_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Shared malformed-input guard for the gram/PCA family (ONE copy —
+    gram_matrix's fast branch and gram_state both use it, so the two
+    paths cannot drift): whole-NULL vectors are excluded (no
+    observation); an empty vector or a NULL ELEMENT raises in-scan
+    (fast mode would otherwise emit NULL cells, exact mode a biased
+    covariance); a vector whose length differs from the first observed
+    row's dimension ALSO raises — mixed-dimension input would otherwise
+    emit per-(i, j) counts that disagree and a silently wrong,
+    row-order-dependent covariance out of pca_train (an advisor
+    finding). The dimension pin costs one limit-1 scan (model-state
+    sized), same class as kmeans' centroid collect."""
+    df = df.where(F.col(vec_col).isNotNull())
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim_check = (f" OR size({vec_col}) != {int(first['d'])}"
+                 if first is not None else "")
+    vt = df.schema[vec_col].dataType.simpleString()
+    bad = (f"size({vec_col}) < 1 OR "
+           f"exists({vec_col}, x -> x IS NULL){dim_check}")
+    checked = F.when(
+        F.expr(bad),
+        F.expr("raise_error('gram_matrix: vectors must be non-empty "
+               "with non-null elements and one shared dimension')"
+               ).cast(vt),
+    ).otherwise(F.col(vec_col))
+    return df.select(*[c for c in df.columns if c != vec_col],
+                     checked.alias(vec_col))
+
+
 def gram_state(df: DataFrame, vec_col: str,
                scale: float = 1e12) -> DataFrame:
     """MERGEABLE fixed-point gram state: (i, j, p, sv, n) with p/sv the
@@ -1496,17 +1510,10 @@ def gram_state(df: DataFrame, vec_col: str,
     states folded through :func:`gram_state_merge` equal the state
     built over all rows at once BIT-FOR-BIT — the streaming-
     maintenance contract (integer addition is associative and
-    commutative; nothing here depends on batching). The same input
-    guard as gram_matrix applies (empty / NULL-element vectors raise;
-    whole-NULL vectors are excluded)."""
-    vt = df.schema[vec_col].dataType.simpleString()
-    bad = (f"size({vec_col}) < 1 OR "
-           f"exists({vec_col}, x -> x IS NULL)")
-    checked = F.when(
-        F.expr(bad),
-        F.expr("raise_error('gram_matrix: vectors must be non-empty "
-               "with non-null elements') ").cast(vt),
-    ).otherwise(F.col(vec_col))
+    commutative; nothing here depends on batching). The shared
+    :func:`_checked_vectors` guard applies (empty / NULL-element /
+    mixed-dimension vectors raise; whole-NULL vectors are excluded)."""
+    df = _checked_vectors(df, vec_col)
     sc = repr(float(scale))
     terms = (
         "flatten(transform(sequence(0, size(__v) - 1), i -> "
@@ -1519,8 +1526,7 @@ def gram_state(df: DataFrame, vec_col: str,
         f" FLOOR(CAST(element_at(__v, i + 1) AS DOUBLE) * {sc}) END"
         " AS DECIMAL(38,0)) AS sv))))"
     )
-    exploded = (df.where(F.col(vec_col).isNotNull())
-                .select(checked.alias("__v"))
+    exploded = (df.select(F.col(vec_col).alias("__v"))
                 .select(F.explode(F.expr(terms)).alias("t"))
                 .select("t.i", "t.j", "t.p", "t.sv"))
     return (exploded.groupBy("i", "j")
@@ -1567,6 +1573,16 @@ def pca_train(df: DataFrame, vec_col: str, n_components: int,
     d = max(r.j for r in rows) + 1
     if n_components > d:
         raise ValueError(f"n_components {n_components} > dimension {d}")
+    # every (i, j) cell must carry the SAME count — a merged state that
+    # mixed vector dimensions would disagree here, and n = rows[0].n
+    # off an arbitrary cell would be nondeterministic (advisor finding;
+    # _checked_vectors pins the dimension in-scan, this is the
+    # belt-and-braces check for states merged from foreign shards)
+    counts = {r.n for r in rows}
+    if len(counts) != 1:
+        raise ValueError("pca_train: per-cell counts disagree "
+                         f"({sorted(counts)[:4]}...) — the gram state "
+                         "mixes vector dimensions")
     n = rows[0].n
     g = np.zeros((d, d))
     s = np.zeros(d)

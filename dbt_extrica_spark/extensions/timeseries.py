@@ -55,7 +55,8 @@ def time_bucket_gapfill(
     TimescaleDB's gapfill arguments — deriving the range from the data
     would make the output schema depend on which partitions happened to
     arrive). Keys are the DISTINCT keys present in the aggregate; a key
-    with no rows anywhere has no series to fill.
+    with no rows anywhere has no series to fill. Rows with a NULL
+    ``ts_col`` are excluded up front (no bucket to land in).
     """
     import datetime as _dt
 
@@ -74,11 +75,15 @@ def time_bucket_gapfill(
     start, end = t0.isoformat(sep=" "), t1.isoformat(sep=" ")
     aggs = dict(aggs) if aggs else {"n": F.count(F.lit(1)).cast("bigint")}
     reserved = {"__k", "__cnt", "bucket", "filled"}
-    clash = sorted(reserved & set(aggs)) + sorted(
+    # key_col lands verbatim in the output beside 'bucket'/'filled', so
+    # a key named either yields duplicate output columns (ambiguous
+    # downstream selects — an advisor finding); ts_col is rejected on
+    # the same set for symmetry (it feeds the reserved 'bucket')
+    clash = sorted(reserved & (set(aggs) | {key_col, ts_col})) + sorted(
         f"{c}_locf" for c in aggs if f"{c}_locf" in aggs)
     if clash:
-        raise ValueError(f"agg names {clash} collide with gapfill's "
-                         f"reserved columns {sorted(reserved)}")
+        raise ValueError(f"agg/key/ts names {clash} collide with "
+                         f"gapfill's reserved columns {sorted(reserved)}")
     locf_cols = list(aggs) if locf_cols is None else list(locf_cols)
     unknown = [c for c in locf_cols if c not in aggs]
     if unknown:
@@ -92,6 +97,10 @@ def time_bucket_gapfill(
     # aggregate is legitimately NULL (e.g. max over all-NULL values)
     # must NOT read as a gap (a review reproduced locf carrying the
     # previous bucket's value over an observed one)
+    # NULL-timestamp rows have no bucket to land in: filter them
+    # EXPLICITLY (they used to fall out silently at the grid join via
+    # NULL-never-equals — same outcome, now stated; an advisor finding)
+    df = df.where(F.col(ts_col).isNotNull())
     agg = (df.groupBy(F.col(key_col).alias("__k"), b)
            .agg(*[v.alias(k) for k, v in aggs.items()],
                 F.count(F.lit(1)).alias("__cnt"))

@@ -3500,7 +3500,9 @@ def test_r13_review_guards(spark):
                                               similarity, timeseries)
 
     # 1. an observed bucket whose aggregate is legitimately NULL is NOT
-    # a gap: filled=False and locf does NOT carry the previous value
+    # a gap: filled=False, while locf STILL carries the last non-null
+    # value over it (TimescaleDB locf semantics) — only the filled
+    # flag distinguishes the observed-NULL bucket from a true gap
     rows = [(dt.datetime(2024, 3, 1, 5), "a", 1.0),
             (dt.datetime(2024, 3, 2, 5), "a", None)]
     df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
@@ -3556,3 +3558,96 @@ def test_r13_review_guards(spark):
     dg = spark.createDataFrame([(1, 2.0, "x")], "i int, v double, g string")
     with _pytest.raises(ValueError, match="duplicate group_cols"):
         profiling.mad_outliers(dg, "v", "i", ["g", "g"])
+
+
+def test_r14_advice_guards(spark):
+    """Pin the round-14 ADVICE fixes: mixed-dimension vectors raise in
+    the gram/PCA family (scan-side pin + pca_train n-consistency),
+    priority_sample/priority_state reject reserved-name collisions,
+    gapfill rejects key/ts names on its reserved set and excludes
+    NULL-timestamp rows explicitly."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.extensions import (sampling, similarity,
+                                              timeseries)
+
+    # 1. mixed vector dimensions raise in BOTH gram modes (the scan
+    # guard pins the first observed dimension) — previously exact mode
+    # emitted per-cell counts that disagree and pca_train built a
+    # silently wrong covariance off an arbitrary cell's n
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "id int, v array<double>")
+    with _pytest.raises(Exception, match="shared dimension|gram_matrix"):
+        similarity.gram_matrix(mixed, "v").collect()
+    with _pytest.raises(Exception, match="shared dimension|gram_matrix"):
+        similarity.gram_matrix(mixed, "v", method="fast").collect()
+    with _pytest.raises(Exception, match="shared dimension|gram_matrix"):
+        similarity.pca_train(mixed, "v", n_components=1)
+
+    # pca_train's belt-and-braces check: a foreign state whose cells
+    # disagree on n raises instead of picking rows[0].n arbitrarily
+    orig = similarity.gram_matrix
+    try:
+        bad_state = spark.createDataFrame(
+            [(0, 0, 1.0, 1.0, 3), (0, 1, 1.0, None, 2),
+             (1, 1, 1.0, 1.0, 3)],
+            "i int, j int, g double, si double, n bigint")
+        similarity.gram_matrix = lambda *a, **k: bad_state
+        with _pytest.raises(ValueError, match="per-cell counts disagree"):
+            similarity.pca_train(mixed, "v", n_components=1)
+    finally:
+        similarity.gram_matrix = orig
+
+    # single-dimension input still works end-to-end after the guard
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "id int, v array<double>")
+    assert similarity.gram_matrix(ok, "v").count() == 3
+    m = similarity.pca_train(ok, "v", n_components=1)
+    assert m["n"] == 2
+
+    # 2. priority_sample: reserved output names collide loudly instead
+    # of being clobbered by withColumn
+    for col in ("priority", "sample_rank", "est_weight"):
+        dfp = spark.createDataFrame([(1, 2.0, 5.0)],
+                                    f"id int, w double, {col} double")
+        with _pytest.raises(ValueError, match="collide with reserved"):
+            sampling.priority_sample(dfp, "id", "w", k=1)
+    # weight_col named 'priority' would read priorities as weights
+    dfq = spark.createDataFrame([(1, 2.0)], "id int, priority double")
+    with _pytest.raises(ValueError, match="collide with reserved"):
+        sampling.priority_sample(dfq, "id", "priority", k=1)
+    with _pytest.raises(ValueError, match="reserved"):
+        sampling.priority_state(dfq, "id", "priority", k=1)
+    dfg = spark.createDataFrame([(1, 2.0, "x")],
+                                "id int, w double, weight string")
+    with _pytest.raises(ValueError, match="reserved"):
+        sampling.priority_state(dfg, "id", "w", k=1, group_cols=["weight"])
+    # clean input still samples
+    dfc = spark.createDataFrame([(i, float(i)) for i in range(1, 6)],
+                                "id int, w double")
+    assert sampling.priority_sample(dfc, "id", "w", k=2).count() == 2
+
+    # 3. gapfill rejects key_col/ts_col on the reserved set
+    rows = [(dt.datetime(2024, 3, 1, 5), "a", 1.0),
+            (None, "a", 9.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    with _pytest.raises(ValueError, match="reserved"):
+        timeseries.time_bucket_gapfill(
+            df.withColumnRenamed("k", "bucket"), "ts", "bucket",
+            start="2024-03-01", end="2024-03-02")
+    with _pytest.raises(ValueError, match="reserved"):
+        timeseries.time_bucket_gapfill(
+            df.withColumnRenamed("ts", "filled"), "filled", "k",
+            start="2024-03-01", end="2024-03-02")
+    # NULL-timestamp rows are excluded: the grid equals the one built
+    # without them (the 9.0 value never surfaces anywhere)
+    out = timeseries.time_bucket_gapfill(
+        df, "ts", "k", start="2024-03-01", end="2024-03-02",
+        aggs={"m": F.max("v")}).collect()
+    assert sorted((r.bucket.day, r.filled, r.m) for r in out) == [
+        (1, False, 1.0), (2, True, None)]
