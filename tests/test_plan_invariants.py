@@ -152,6 +152,25 @@ INVARIANTS = {
     # d^2 explode came back.
     "stats_correlation_matrix": dict(smj_max=0, bnlj_max=0, hashagg=2,
                                      exchange_max=1, pushed_min=1),
+    # r14 (verdict #6): sorted-neighborhood blocking — the global rank
+    # must stay the TWO-PHASE distributed prefix count (per-partition
+    # rank window + offset window = 2 Window nodes over 2 exchanges;
+    # a refactor to a single global ROW_NUMBER window would read
+    # window_min=1 and sort the corpus in ONE task), and the
+    # neighbor pairing must stay the bucket equi-join (broadcast at
+    # battery scale), never an SMJ/BNLJ all-pairs
+    "dedup_sorted_neighborhood": dict(smj_max=0, bnlj_max=0,
+                                      exchange_max=2, window_min=2,
+                                      bhj_min=1),
+    # r14 (verdict #6): equi-depth histogram — the shared two-phase
+    # rank keeps its single per-partition Window (the offset pass is
+    # arithmetic, not a second window) and the per-bucket stats keep
+    # their partial/final aggregate pairs; a fourth exchange or any
+    # SMJ means the rank degraded to a global sort or the bucket agg
+    # stopped combining map-side
+    "stats_equi_depth_histogram": dict(smj_max=0, bnlj_max=0,
+                                       exchange_max=3, window_min=1,
+                                       hashagg=4),
 }
 
 
