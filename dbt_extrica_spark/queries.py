@@ -5977,7 +5977,14 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with watermarks, the time-bounded condition lets Spark expire join
     state and emit append-mode — the canonical Structured Streaming
     two-stream shape the engine was missing. availableNow == batch join
-    (the oracle)."""
+    (the oracle). State partitioning is sized to the stream's rate
+    (200k rows/batch here -> 8 partitions, ~25k rows each): the r14
+    cause-hunt attributed this line's drift to the FIXED per-batch
+    state-store load/commit (4 stores/partition x partitions x 2
+    batches — the empty watermark-advance batch pays it in full), and
+    the checkpoint pins the count for the stream's life, so sizing it
+    deliberately IS the production posture — a 100 TB-rate stream sizes
+    it up for the same reason this sizes it down."""
     from .streaming import (read_event_stream, run_available_now,
                             stream_stream_interval_join)
 
@@ -5987,7 +5994,8 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join(views, buys, key="user_id",
                                          interval="2 hours",
                                          watermark="1 hour")
-    out = run_available_now(joined, output_mode="append")
+    out = run_available_now(joined, output_mode="append",
+                            state_partitions=8)
     return out.select(
         "user_id",
         F.col("l_event_id"), F.col("l_ts"), F.col("l_value"),

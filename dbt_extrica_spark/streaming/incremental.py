@@ -87,16 +87,41 @@ def windowed_counts(stream: DataFrame, window: str = "1 day",
     )
 
 
-def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(result: DataFrame, output_mode: str = "complete",
+                      state_partitions: int | None = None) -> DataFrame:
     """Execute a streaming DataFrame as a one-shot catch-up batch into a
-    memory sink; returns the sink contents as a batch DataFrame."""
+    memory sink; returns the sink contents as a batch DataFrame.
+
+    ``state_partitions`` right-sizes the STATE partitioning for stateful
+    streams: stateful operators always partition their state stores on
+    ``spark.sql.shuffle.partitions`` as read at query start, and the
+    checkpoint pins that count for the stream's whole life — so sizing
+    it to the stream's rate is a deliberate deployment decision, not a
+    tunable-later knob (the Spark docs call this out for exactly that
+    reason). The cost model that makes it matter: EVERY micro-batch
+    pays a fixed per-state-store load/commit (a stream-stream join
+    keeps 4 stores per partition), including the empty watermark-advance
+    batch availableNow appends — an r14 cause-hunt measured that empty
+    batch at 3.7-6.2s for a 200k-row join at 32 partitions and ~0.8s at
+    8, with identical results. Size it to rows-per-batch (tens of
+    thousands of rows per partition), exactly as you would size it UP
+    for a high-rate production stream. The session conf is restored
+    after the stream terminates; results never depend on it."""
+    spark = result.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    query = (
-        result.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    )
-    query.awaitTermination()
-    return result.sparkSession.table(name)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(int(state_partitions)))
+        query = (
+            result.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(name)
 
 
 def stream_stream_interval_join(
