@@ -921,7 +921,13 @@ def ngram_jaccard_pairs(
     pairs still reads ``df`` for the true gram sets, so results are
     identical. Hashed (int64) arrays are the right thing to persist —
     columnar-caching the string gram arrays measured ~2.5s of pure
-    cache-build at sf0.1.
+    cache-build at sf0.1. Because candidates form ONLY among
+    ``hashed_grams`` ids and per-doc grams are doc-local, ``df`` here
+    may be any superset with the cheapest lineage (e.g. the raw table
+    instead of a filtered view of it) — the confirm re-scan is
+    broadcast-filtered to the passing ids either way, and a lighter
+    lineage keeps the whole upstream pipeline from re-executing under
+    it (the r14 confirm-stage collapse: 4.5s -> 2.6s at sf0.1).
     """
     t = float(threshold)
     if hashed_grams is not None and prefix_filter:
