@@ -156,6 +156,17 @@ HEADLINE = [
     # lineitem numerics (stacked gram + broadcast diagonal joins;
     # oracle is an independently formulated per-pair SQL replay)
     "stats_correlation_matrix",
+    # round 14: exact Mann-Whitney AUC (two-phase prefix over distinct
+    # scores), chi-square drift (reference-quantile buckets), AMS F2
+    # sketch + estimate, interpolation gapfill, chi-square term
+    # selection, and RAKE keywords — the streaming AMS line stays
+    # outside like the other sketch-maintenance entries
+    "eval_auc",
+    "dq_drift_chi2",
+    "sketch_ams_f2",
+    "ts_gapfill_interpolate",
+    "text_chi2_terms",
+    "text_rake_keywords",
 ]
 
 

@@ -1,3 +1,5 @@
-from . import dedup, similarity, textstats, multimodal, pipeline
+from . import (dedup, evaluation, multimodal, pipeline, profiling,
+               similarity, textstats, timeseries)
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal", "pipeline"]
+__all__ = ["dedup", "evaluation", "multimodal", "pipeline", "profiling",
+           "similarity", "textstats", "timeseries"]

@@ -1,0 +1,97 @@
+"""[EXTENSION] Model-evaluation metrics over cluster-scale score tables.
+
+The quality-classifier loop (extensions/classify.py) and any
+learned-filter pipeline need their eval metrics to run WHERE the scores
+are — a 100 TB corpus scored by a quality model produces a score table
+far too large to collect, and ROC-AUC is THE threshold-free metric those
+pipelines track.
+
+Design rules, same as the rest of the repo:
+
+- EXACT, not sampled: AUC here is the exact Mann-Whitney U statistic
+  (ties counted half), not a trapezoid over binned thresholds.
+- Integer-exact until the last op: the numerator accumulates as
+  2*U = sum(pos_c * (2 * cum_neg_below + neg_c_at)) in DECIMAL(38,0),
+  so the only floating-point operation in the whole metric is ONE
+  correctly-rounded IEEE division — the result replays bit-for-bit in
+  any engine (the priority-sampling convention; no pow/ln anywhere).
+- No global sort: the global mode ranks the DISTINCT-score table with
+  the shared two-phase prefix machinery (cleaning.global_running_sum —
+  range partition + per-partition window + a one-row-per-partition
+  driver prefix), so no single task ever sees more than its slice.
+  The grouped mode partitions its windows by the group key instead —
+  the per-segment eval shape (AUC per language, per source, per day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str,
+            group_cols: list[str] | None = None,
+            partitions: int | None = None) -> DataFrame:
+    """Exact ROC-AUC (area under the ROC curve) of ``score_col`` against
+    the binary ``label_col`` — equivalently the Mann-Whitney statistic
+    P(score_pos > score_neg) + 0.5 * P(score_pos = score_neg).
+
+    Labels must be 0/1 (NULL label or score rows raise in-scan — a
+    silently dropped row would bias the metric, the priority-sample
+    policy). Returns one row (``auc``, ``n_pos``, ``n_neg``) — or one
+    per group with ``group_cols`` — with ``auc`` NULL when a side is
+    empty (single-class input has no ranking to score).
+
+    Exactness: group by distinct score first (pos_c, neg_c per score),
+    prefix-sum the negatives in score order, then
+    2*U = sum(pos_c * (2 * cum_neg_below + neg_c_at)) — every term an
+    exact integer (DECIMAL(38,0) against the 1e12-row worst case) —
+    and auc = 2U / (2 * n_pos * n_neg), one IEEE division.
+
+    Scale shape: ONE corpus aggregation to the distinct-score table,
+    then either the two-phase global prefix (global mode — never a
+    1-task window) or group-partitioned windows (grouped mode), then
+    one statistics-sized aggregation. The corpus is scanned once."""
+    from .cleaning import global_running_sum
+
+    groups = list(group_cols or [])
+    reserved = {"auc", "n_pos", "n_neg", "__s", "__y", "__posc", "__negc",
+                "__cumn", "__u2"}
+    clash = reserved & set(groups)
+    if clash:
+        raise ValueError(f"roc_auc: group columns {sorted(clash)} collide "
+                         f"with reserved working/output names")
+    y = F.col(label_col).cast("bigint")
+    checked = F.when(
+        F.col(score_col).isNull() | y.isNull() | ~y.isin(0, 1),
+        F.expr("raise_error('roc_auc: score_col must be non-null and "
+               "label_col must be 0/1 non-null')").cast("bigint"),
+    ).otherwise(y)
+    per_score = (df.select(*groups,
+                           F.col(score_col).alias("__s"),
+                           checked.alias("__y"))
+                 .groupBy(*groups, "__s")
+                 .agg(F.sum("__y").cast("bigint").alias("__posc"),
+                      (F.count(F.lit(1)) - F.sum("__y"))
+                      .cast("bigint").alias("__negc")))
+    if groups:
+        w = (Window.partitionBy(*groups).orderBy("__s")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = per_score.withColumn(
+            "__cumn", F.sum("__negc").over(w))
+    else:
+        # distinct scores are unique rows, so the order is already total
+        cum = global_running_sum(per_score, ["__s"], "__negc",
+                                 partitions, out_col="__cumn")
+    # inclusive prefix -> "strictly below" = cum - at; ties count half:
+    # pos_c * (2*below + at) keeps everything integral (2*U)
+    u2 = (F.col("__posc").cast("decimal(38,0)")
+          * (2 * (F.col("__cumn") - F.col("__negc")) + F.col("__negc")))
+    out = (cum.groupBy(*groups)
+           .agg(F.sum(u2).alias("__u2"),
+                F.sum("__posc").cast("bigint").alias("n_pos"),
+                F.sum("__negc").cast("bigint").alias("n_neg")))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__u2").cast("double")
+        / (2.0 * F.col("n_pos") * F.col("n_neg")))
+    return out.select(*groups, auc.alias("auc"), "n_pos", "n_neg")

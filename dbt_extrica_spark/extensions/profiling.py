@@ -21,7 +21,7 @@ stats ARE tables, persistable alongside the data they describe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def equi_depth_histogram(df: DataFrame, value_col: str, id_col: str,
@@ -263,3 +263,84 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
                  F.countDistinct("v").cast("bigint").alias("n_distinct"),
                  F.min("v").alias("min_str"),
                  F.max("v").alias("max_str")))
+
+
+def chi2_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+               id_col: str, buckets: int = 10,
+               partitions: int | None = None) -> DataFrame:
+    """Two-sample distribution-drift detector: bucket both tables on the
+    REFERENCE's equi-depth quantile boundaries and score the shift with
+    the chi-square homogeneity statistic — the monitoring check a
+    pipeline runs when a new crawl/snapshot arrives ("does this month's
+    value distribution still look like the corpus the model was tuned
+    on?"). Chi-square rather than PSI deliberately: PSI needs ln(),
+    which differs in the last ulp across libm implementations, while
+    chi-square is pure +-*/ off exact integer counts — the statistic
+    replays bit-for-bit in any engine (the correlation_matrix
+    convention) and ranks drifts identically.
+
+    Boundaries: breakpoint i (i = 1..B-1) is the reference value at
+    global rank ceil(i*n/B), found by the shared two-phase distributed
+    rank (never a 1-task sort) and collected as B-1 literals (model
+    state). Bucket(x) = #{breakpoints < x} for BOTH tables — buckets
+    are value intervals, so duplicates never straddle and the rule is
+    one scan-side expression over a literal array.
+
+    Returns one row per bucket (bucket, ref_n, cur_n, ref_frac,
+    cur_frac, chi2_part); sum(chi2_part) is the statistic with B-1
+    degrees of freedom. NULL values carry no position and are excluded
+    (profile_columns reports them).
+
+    Scale shape: one two-phase rank over the reference + ONE aggregation
+    per table (bucket assignment is scan-side) + a B-row reshape."""
+    from .cleaning import global_running_sum
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    base = (ref.select(F.col(value_col).alias("v"),
+                       F.col(id_col).alias("i"))
+            .where(F.col("v").isNotNull()))
+    ranked, n = global_running_sum(base, ["v", "i"], None, partitions,
+                                   out_col="__rank", return_total=True)
+    if n == 0:
+        raise ValueError("chi2_drift: reference has no non-null values")
+    ks = sorted({-(-i * n // buckets) for i in range(1, buckets)})  # ceil
+    bps = [r["v"] for r in
+           (ranked.where(F.col("__rank").isin(ks))
+            .groupBy("v").agg(F.min("__rank").alias("r"))
+            .orderBy("r").collect())]  # <= B-1 rows — model state
+    vt = ref.schema[value_col].dataType.simpleString()
+    arr = F.array(*[F.lit(b).cast(vt) for b in bps])
+    bucket = F.size(F.filter(arr, lambda b: b < F.col("v")))
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.col(value_col).alias("v"))
+                .where(F.col("v").isNotNull())
+                .select(bucket.alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(name)))
+
+    spine = (ref.sparkSession.range(len(bps) + 1)
+             .select(F.col("id").cast("int").alias("bucket")))
+    both = (spine
+            .join(counts(ref, "ref_n"), on="bucket", how="left")
+            .join(counts(cur, "cur_n"), on="bucket", how="left")
+            .select("bucket",
+                    F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+                    F.coalesce("cur_n", F.lit(0)).alias("cur_n")))
+    # the chi-square arithmetic needs the grand totals on every row —
+    # a window over <= B rows (statistics-sized, never corpus)
+    w = Window.partitionBy()
+    rt = F.sum("ref_n").over(w).cast("double")
+    ct = F.sum("cur_n").over(w).cast("double")
+    bt = (F.col("ref_n") + F.col("cur_n")).cast("double")
+    nn = rt + ct
+    e_ref = bt * rt / nn
+    e_cur = bt * ct / nn
+    part = ((F.col("ref_n") - e_ref) * (F.col("ref_n") - e_ref) / e_ref
+            + (F.col("cur_n") - e_cur) * (F.col("cur_n") - e_cur) / e_cur)
+    return both.select(
+        "bucket", "ref_n", "cur_n",
+        (F.col("ref_n") / rt).alias("ref_frac"),
+        (F.col("cur_n") / ct).alias("cur_frac"),
+        F.when(bt > 0, part).otherwise(F.lit(0.0)).alias("chi2_part"))

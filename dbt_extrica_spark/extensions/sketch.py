@@ -637,3 +637,128 @@ def bloom_blocklist_anti_join(df: DataFrame, item_col: str,
             F.col("__bk").cast("string")),
         how="left_anti")
     return clean.unionByName(verified)
+
+
+# --- AMS / Tug-of-War second-moment (F2) sketch ---------------------------
+# AMS (Alon-Matias-Szegedy, STOC'96): r independent +-1 estimators; each
+# keeps z_d = sum over the stream of sign_d(item), and E[z^2] = F2 =
+# sum over distinct keys of count^2 — the SELF-JOIN SIZE, the statistic
+# a cost-based optimizer wants before committing to a join order and the
+# skew-detection scalar ("how concentrated is this key column?"). The
+# sketch is LINEAR (z vectors add), so it merges by plain summation and
+# maintains under streaming with bit-for-bit batch-invariance (the gram
+# argument: integer addition is associative/commutative). Signs come
+# from the CMS md5 hash-family convention (first 8 hex chars -> int,
+# block seed appended to the item), bit-sliced 32 estimators per hash,
+# so every z replays verbatim in any engine with md5 — the property
+# the battery oracle checks cell by cell.
+
+
+def _ams_hash_expr(item_col: str, block: int) -> str:
+    """One md5-derived 32-bit word per BLOCK of 32 estimators — each
+    estimator's sign is one BIT of the word, so r estimators cost
+    ceil(r/32) md5 calls per row, not r (the first cut hashed once per
+    estimator and the md5s were ~4x the whole operator's runtime)."""
+    return (
+        f"CAST(conv(substring(md5(concat({item_col}, '@', {block})), 1, 8),"
+        f" 16, 10) AS BIGINT)"
+    )
+
+
+def ams_build(df: DataFrame, item_col: str,
+              group_cols: list[str] | None = None,
+              r: int = 16) -> DataFrame:
+    """Build the AMS F2 sketch: (group..., d, z) with d in 0..r-1 and
+    z_d = sum of sign_d(item) — r bigint cells per group, regardless of
+    row count. NULL items raise in-scan (a silently dropped row would
+    bias every estimator the same direction as the priority-sample
+    skew this repo's guards exist to prevent).
+
+    Scale shape: ceil(r/32) md5 words per row (32 signs bit-sliced per
+    word), the r sign sums as aggregate EXPRESSIONS over one scan (no
+    per-row explode — map-side combine collapses each task to ONE row
+    per group before the shuffle), and the (d, z) reshape explodes only
+    the statistics row."""
+    if r < 1:
+        raise ValueError(f"r must be >= 1, got {r}")
+    groups = list(group_cols or [])
+    clash = {"d", "z", "__it"} & set(groups)
+    if clash:
+        raise ValueError(f"ams_build: group columns {sorted(clash)} "
+                         "collide with the sketch's (d, z) cells")
+    it = F.when(
+        F.col(item_col).isNull(),
+        F.expr("raise_error('ams_build: item_col must be non-null')")
+        .cast("string"),
+    ).otherwise(F.col(item_col).cast("string"))
+    blocks = (r + 31) // 32
+    hash_cols = [F.expr(_ams_hash_expr("__it", b)).alias(f"__h{b}")
+                 for b in range(blocks)]
+    # NO row blowup (the correlation_matrix convention): the r sign
+    # sums are r aggregate EXPRESSIONS over one scan — an explode to
+    # (row x r) cells first was 2.4x slower at sf0.1 — and only the
+    # one-row-per-group statistics result reshapes to (d, z) cells
+    aggs = [F.sum(F.expr(
+        f"((__h{d // 32} div {1 << (d % 32)}) % 2) * 2 - 1"))
+        .cast("bigint").alias(f"__z{d}") for d in range(r)]
+    stats = (df.select(*groups, it.alias("__it"))
+             .select(*groups, *hash_cols)
+             .groupBy(*groups)
+             .agg(*aggs))
+    pairs = ", ".join(
+        f"named_struct('d', {d}, 'z', __z{d})" for d in range(r))
+    return (stats.select(*groups,
+                         F.explode(F.expr(f"array({pairs})")).alias("c"))
+            .select(*groups, F.col("c.d").alias("d"),
+                    F.col("c.z").alias("z")))
+
+
+def ams_merge(states: DataFrame,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Fold a UNION of AMS sketches: element-wise z sums per (group, d)
+    — exact, order-free, batch-invariant (the sketch is linear)."""
+    groups = list(group_cols or [])
+    return (states.groupBy(*groups, "d")
+            .agg(F.sum("z").cast("bigint").alias("z")))
+
+
+def ams_f2_estimate(sketch: DataFrame,
+                    group_cols: list[str] | None = None,
+                    means: int = 4) -> DataFrame:
+    """Median-of-means F2 estimate off an AMS sketch: the r estimators
+    split into ``means`` contiguous groups (g = d div (r/means)), each
+    group's z^2 sum is exact DECIMAL arithmetic, and the estimate is
+    the LOWER MEDIAN of the group sums divided by the group size — one
+    IEEE division total, so the estimate replays bit-for-bit (the
+    mad_outliers median convention: integer rank selection, no
+    interpolation). Returns (group..., f2_est, r).
+
+    Everything here is statistics-sized (r rows per group in, one row
+    per group out)."""
+    groups = list(group_cols or [])
+    if means < 1:
+        raise ValueError(f"means must be >= 1, got {means}")
+    from pyspark.sql import Window
+
+    r_w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    sized = sketch.withColumn("__r", F.count(F.lit(1)).over(r_w))
+    per_g = (sized
+             .withColumn("__g", F.expr(
+                 f"CASE WHEN __r < {means} THEN raise_error("
+                 f"'ams_f2_estimate: sketch has fewer than means={means} "
+                 f"estimators') ELSE d div (__r div {means}) END"))
+             .groupBy(*groups, "__g")
+             .agg(F.sum(F.col("z").cast("decimal(38,0)")
+                        * F.col("z")).alias("ss"),
+                  F.count(F.lit(1)).alias("gsz"),
+                  F.max("__r").alias("__r")))
+    ordw = (Window.partitionBy(*groups) if groups
+            else Window.partitionBy()).orderBy("ss", "__g")
+    ranked = (per_g
+              .withColumn("__rn", F.row_number().over(ordw))
+              .withColumn("__ng", F.count(F.lit(1)).over(r_w)))
+    return (ranked.where(
+        F.col("__rn") == F.expr("CAST(floor((__ng + 1) / 2) AS INT)"))
+        .select(*groups,
+                (F.col("ss").cast("double") / F.col("gsz")).alias("f2_est"),
+                F.col("__r").cast("int").alias("r")))

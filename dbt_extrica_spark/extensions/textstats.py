@@ -1000,3 +1000,150 @@ def bpe_segment(df: DataFrame, id_col: str, text_col: str,
     ).select(
         "id", "tokens", F.size("tokens").cast("int").alias("n_tokens"),
     )
+
+
+def chi2_terms(df: DataFrame, id_col: str, text_col: str, label_col: str,
+               top_t: int = 10, min_df: int = 2) -> DataFrame:
+    """Chi-square term-label association: for every (term, label) pair,
+    the chi-square statistic of the 2x2 presence contingency table
+    (docs of this label containing the term vs. everything else) — THE
+    classic feature-selection ranking for training a quality/domain
+    classifier over a labeled corpus slice (pick the top-t most
+    label-discriminative vocabulary before fitting classify.py's
+    model), and the "what vocabulary shifted?" diagnostic between
+    corpus snapshots.
+
+    Presence-based (a doc counts once per term — list_distinct), so
+    a = docs with term & label, b = docs with term & other labels,
+    c = label docs without term, d = the rest; chi2 =
+    N*(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)). The counts are exact
+    integers and the statistic is +-*/ over their double casts — every
+    op correctly-rounded IEEE, bit-replayable in SQL (no ln; this is
+    the chi2_drift convention). Ties rank deterministically
+    (chi2 DESC, term ASC).
+
+    Returns (label, term, a, term_df, label_df, chi2) — the top ``top_t``
+    per label among terms with document frequency >= ``min_df``.
+
+    Scale shape: one scan explodes DISTINCT terms per doc; one shuffle
+    on (term, label) aggregates a; term totals reduce off the same
+    term key; label totals and N are label-cardinality/1-row broadcast
+    aggregates; the top-t window is map-side rank-truncated
+    (InferWindowGroupLimit) on the label key."""
+    from pyspark.sql.window import Window
+
+    if top_t < 1:
+        raise ValueError(f"top_t must be >= 1, got {top_t}")
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(label_col).alias("label"),
+                      F.expr(f"array_distinct(filter({_tokens(text_col)},"
+                             f" x -> x != ''))").alias("__t"))
+            .where(F.col("label").isNotNull()))
+    # tl is vocabulary x labels sized — checkpoint it (the collocations
+    # convention) so term_df derives from it instead of re-scanning and
+    # re-exploding the corpus; lab_tot is label-cardinality sized and
+    # feeds both the join and the N total (N = sum of label counts, so
+    # the grand total costs no third corpus scan). Two corpus scans
+    # total: the explode and the label count.
+    tl = (base.select("label", F.explode("__t").alias("term"))
+          .groupBy("term", "label")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+          .localCheckpoint(eager=True))
+    term_tot = (tl.groupBy("term")
+                .agg(F.sum("a").cast("bigint").alias("term_df")))
+    lab_tot = (base.groupBy("label")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("label_df"))
+               .localCheckpoint(eager=True))
+    n_docs = lab_tot.select(F.sum("label_df").cast("bigint").alias("__n"))
+    j = (tl.join(term_tot.where(F.col("term_df") >= min_df), on="term")
+         .join(F.broadcast(lab_tot), on="label")
+         .crossJoin(F.broadcast(n_docs)))
+    a = F.col("a").cast("double")
+    b = (F.col("term_df") - F.col("a")).cast("double")
+    c = (F.col("label_df") - F.col("a")).cast("double")
+    d = (F.col("__n") - F.col("term_df") - F.col("label_df")
+         + F.col("a")).cast("double")
+    n = F.col("__n").cast("double")
+    num = (a * d - b * c)
+    chi2 = F.when(
+        (a + b > 0) & (c + d > 0) & (a + c > 0) & (b + d > 0),
+        n * num * num / ((a + b) * (c + d) * (a + c) * (b + d)))
+    w = Window.partitionBy("label").orderBy(F.desc("chi2"), F.asc("term"))
+    return (j.withColumn("chi2", chi2)
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= top_t)
+            .select("label", "term", "a", "term_df", "label_df", "chi2"))
+
+
+def rake_keywords(df: DataFrame, id_col: str, text_col: str,
+                  stopwords: tuple[str, ...] | None = None,
+                  top_t: int = 3) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal runs of content words between stopwords/punctuation;
+    each word scores degree/frequency over the whole corpus (degree =
+    total length of phrases it appears in — rewards words that travel
+    in longer collocations), and a phrase scores the sum of its words'
+    scores. The unsupervised keyword/topic signal beside tfidf_terms
+    (which needs no stopword list but ranks single terms only).
+
+    Determinism: a sum of double ratios would be partition-order
+    dependent, so word scores fix-point FIRST —
+    ``(degree * 1000000) div freq`` is ONE exact integer division per
+    word — and phrase scores sum those integers (order-free, the
+    correlation_matrix convention), reported as score/1e6. Phrase
+    splitting is two regexp passes (punctuation -> boundary, then
+    ``\\b(stop|words)\\b`` -> '|') that replay identically on RE2/Java
+    regex; ties rank (score DESC, phrase ASC).
+
+    Returns the top ``top_t`` DISTINCT phrases per doc as
+    (doc_id, phrase, n_words, score).
+
+    Scale shape: phrases and words are scan-side expressions; ONE
+    vocabulary-keyed shuffle builds word stats; the score join reuses
+    the word key; the per-doc re-aggregation and rank-truncated top-t
+    window share the doc key. No Python, no collect."""
+    from pyspark.sql.window import Window
+
+    if top_t < 1:
+        raise ValueError(f"top_t must be >= 1, got {top_t}")
+    stops = tuple(stopwords) if stopwords is not None else STOPWORDS["en"]
+    if not stops:
+        raise ValueError("rake_keywords needs a non-empty stopword list")
+    alt = "|".join(sorted(stops))
+    # punctuation is a phrase BOUNDARY (canonical RAKE), not whitespace
+    clean = (f"regexp_replace(lower({text_col}), "
+             f"'[^a-z0-9\\\\s]+', '|')")
+    marked = f"regexp_replace({clean}, '\\\\b({alt})\\\\b', '|')"
+    phrases = (f"filter(transform(split({marked}, '\\\\|'), "
+               f"x -> trim(regexp_replace(x, '\\\\s+', ' '))), "
+               f"x -> x != '')")
+    ph = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.expr(phrases)).alias("phrase"))
+          .withColumn("words", F.expr("split(phrase, ' ')"))
+          .withColumn("n_words", F.size("words")))
+    # word stats over the corpus: freq = occurrences, degree = sum of
+    # the containing phrase's length per occurrence (the RAKE degree,
+    # self-co-occurrence included)
+    wstats = (ph.select(F.explode("words").alias("word"), "n_words")
+              .groupBy("word")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("freq"),
+                   F.sum("n_words").cast("bigint").alias("degree")))
+    wscore = wstats.select(
+        "word",
+        F.expr("(degree * 1000000) div freq").alias("score_fp"))
+    scored = (ph.select("doc_id", "phrase", "n_words",
+                        F.explode("words").alias("word"))
+              .join(wscore, on="word")
+              .groupBy("doc_id", "phrase", "n_words")
+              .agg((F.sum(F.col("score_fp").cast("decimal(38,0)"))
+                    .cast("double") / 1e6).alias("score")))
+    # identical phrases within a doc collapse to one candidate (same
+    # score by construction); rank is map-side truncated on doc_id
+    dedup = (scored.groupBy("doc_id", "phrase")
+             .agg(F.max("n_words").cast("int").alias("n_words"),
+                  F.max("score").alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                             F.asc("phrase"))
+    return (dedup.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= top_t)
+            .select("doc_id", "phrase", "n_words", "score"))

@@ -39,6 +39,7 @@ def time_bucket_gapfill(
     bucket: str = "day",
     aggs: dict[str, F.Column] | None = None,
     locf_cols: list[str] | None = None,
+    interpolate_cols: list[str] | None = None,
 ) -> DataFrame:
     """Dense per-key time grid with last-observation-carried-forward.
 
@@ -49,7 +50,17 @@ def time_bucket_gapfill(
     carries ``filled`` (true = no source rows in that bucket). Gap
     buckets read NULL for every raw agg column (coalesce to taste);
     locf columns read the previous observed value, or NULL before the
-    first observation — TimescaleDB locf semantics.
+    first observation — TimescaleDB locf semantics. ``interpolate_cols``
+    names agg outputs to LINEARLY interpolate instead (TimescaleDB
+    ``interpolate()``): each gains ``<name>_interp`` = the agg value
+    where it is non-NULL, else prev + (next - prev) * (t - t_prev) /
+    (t_next - t_prev) between the NEAREST non-NULL aggregate values
+    (NULL-aggregate buckets — gap or observed — interpolate alike), and
+    NULL outside the observed range. The arithmetic is subtraction /
+    multiplication / ONE division over exact epoch-second integers and
+    the agg doubles — every op correctly-rounded IEEE, so the filled
+    series replays bit-for-bit in SQL (the correlation_matrix
+    convention; no splines, which would need transcendentals).
 
     ``start``/``end`` are inclusive ISO timestamps (explicit, like
     TimescaleDB's gapfill arguments — deriving the range from the data
@@ -85,9 +96,15 @@ def time_bucket_gapfill(
         raise ValueError(f"agg/key/ts names {clash} collide with "
                          f"gapfill's reserved columns {sorted(reserved)}")
     locf_cols = list(aggs) if locf_cols is None else list(locf_cols)
-    unknown = [c for c in locf_cols if c not in aggs]
+    interpolate_cols = list(interpolate_cols or [])
+    unknown = [c for c in locf_cols if c not in aggs] + [
+        c for c in interpolate_cols if c not in aggs]
     if unknown:
-        raise ValueError(f"locf_cols not in aggs: {unknown}")
+        raise ValueError(f"locf/interpolate cols not in aggs: {unknown}")
+    iclash = sorted({f"{c}_interp" for c in interpolate_cols} & set(aggs))
+    if iclash:
+        raise ValueError(f"agg names {iclash} collide with generated "
+                         "_interp output columns")
 
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
     # the rollup feeds BOTH the key list and the grid join — checkpoint
@@ -124,4 +141,21 @@ def time_bucket_gapfill(
     for name in locf_cols:
         cols.append(F.last(F.col(name), ignorenulls=True).over(w)
                     .alias(f"{name}_locf"))
+    # interpolation windows sit on the SAME key partitioning as the
+    # locf window and the grid join — still one metadata-scale shuffle
+    wp = (Window.partitionBy("__k").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wn = (Window.partitionBy("__k").orderBy("bucket")
+          .rowsBetween(1, Window.unboundedFollowing))
+    t = F.unix_timestamp("bucket").cast("double")
+    for name in interpolate_cols:
+        v = F.col(name).cast("double")
+        obs_t = F.when(v.isNotNull(), F.unix_timestamp("bucket"))
+        pv = F.last(v, ignorenulls=True).over(wp)
+        pt = F.last(obs_t, ignorenulls=True).over(wp).cast("double")
+        nv = F.first(v, ignorenulls=True).over(wn)
+        nt = F.first(obs_t, ignorenulls=True).over(wn).cast("double")
+        interp = F.coalesce(
+            v, pv + (nv - pv) * ((t - pt) / (nt - pt)))
+        cols.append(interp.alias(f"{name}_interp"))
     return out.select(*cols)

@@ -8312,6 +8312,473 @@ FROM lineitem GROUP BY l_returnflag
 """)
 
 
+
+
+# --- round-14 additions ----------------------------------------------------
+
+# Exact ROC-AUC: the Mann-Whitney numerator 2*U accumulates as exact
+# integers (pos_c * (2*neg_below + neg_at) per distinct score), so the
+# only float op either engine performs is the final division — the
+# oracle replays the identical algebra through a window prefix.
+_AUC_DUCK = """
+WITH base AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS s,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+), g AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS posc,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS negc
+  FROM base GROUP BY s
+), c AS (
+  SELECT posc, negc,
+         COALESCE(SUM(negc) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g
+)
+SELECT CAST(SUM(posc * (2 * below + negc)) AS DOUBLE)
+       / (2.0 * SUM(posc) * SUM(negc)) AS auc,
+       CAST(SUM(posc) AS BIGINT) AS n_pos,
+       CAST(SUM(negc) AS BIGINT) AS n_neg
+FROM c
+"""
+
+
+@q("eval_auc", _AUC_DUCK)
+def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ROC-AUC (evaluation.roc_auc): score = the first
+    embedding dimension, label = (label >= 5) — the threshold-free
+    classifier metric computed WHERE the scores live. Global mode runs
+    the distinct-score prefix through the shared two-phase rank (never
+    a 1-task window); the numerator is exact integer algebra
+    (ties-count-half Mann-Whitney), so the metric's single IEEE
+    division replays bit-for-bit."""
+    from .extensions import evaluation
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where(
+        "embedding IS NOT NULL AND label IS NOT NULL")
+    scored = emb.select(
+        F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("s"),
+        F.expr("CASE WHEN label >= 5 THEN 1 ELSE 0 END").alias("y"))
+    return evaluation.roc_auc(scored, "s", "y")
+
+
+_AUC_GROUPED_DUCK = """
+WITH base AS (
+  SELECT vec_id % 3 AS seg, CAST(embedding[1] AS DOUBLE) AS s,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+), g AS (
+  SELECT seg, s, CAST(SUM(y) AS BIGINT) AS posc,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS negc
+  FROM base GROUP BY seg, s
+), c AS (
+  SELECT seg, posc, negc,
+         COALESCE(SUM(negc) OVER (PARTITION BY seg ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g
+)
+SELECT seg,
+       CAST(SUM(posc * (2 * below + negc)) AS DOUBLE)
+       / (2.0 * SUM(posc) * SUM(negc)) AS auc,
+       CAST(SUM(posc) AS BIGINT) AS n_pos,
+       CAST(SUM(negc) AS BIGINT) AS n_neg
+FROM c GROUP BY seg
+"""
+
+
+@q("eval_auc_grouped", _AUC_GROUPED_DUCK)
+def eval_auc_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ROC-AUC (evaluation.roc_auc with group_cols) — the
+    sliced-eval shape ("AUC per language / source / day"): the prefix
+    windows partition on the segment key, so the whole eval is ONE
+    corpus aggregation + segment-local windows."""
+    from .extensions import evaluation
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where(
+        "embedding IS NOT NULL AND label IS NOT NULL")
+    scored = emb.select(
+        (F.col("vec_id") % 3).alias("seg"),
+        F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("s"),
+        F.expr("CASE WHEN label >= 5 THEN 1 ELSE 0 END").alias("y"))
+    return evaluation.roc_auc(scored, "s", "y", group_cols=["seg"])
+
+
+# Drift detector: breakpoints = reference values at ranks
+# ceil(i*n/B) (exact integer ceil), bucket = #breakpoints < value,
+# chi-square homogeneity over the B x 2 table — all counts exact
+# integers, the statistic pure +-*/ (no ln, unlike PSI), so every
+# fraction and chi2 contribution replays bit-for-bit.
+_DRIFT_SPLIT = "TIMESTAMP '2024-01-15 00:00:00'"
+_DRIFT_B = 10
+
+_DRIFT_DUCK = f"""
+WITH ref AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_id AS i FROM events
+  WHERE ts < {_DRIFT_SPLIT} AND value IS NOT NULL
+), cur AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE ts >= {_DRIFT_SPLIT} AND value IS NOT NULL
+), rk AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, i) AS r FROM ref
+), tot AS (SELECT COUNT(*) AS n FROM ref),
+ks AS (
+  SELECT (i * n + {_DRIFT_B} - 1) // {_DRIFT_B} AS k
+  FROM generate_series(1, {_DRIFT_B} - 1) t(i), tot
+), bp AS (
+  SELECT DISTINCT v FROM rk WHERE r IN (SELECT k FROM ks)
+), nb AS (SELECT COUNT(*) AS m FROM bp),
+rc AS (
+  SELECT (SELECT COUNT(*) FROM bp WHERE bp.v < ref.v) AS bucket,
+         COUNT(*) AS ref_n
+  FROM ref GROUP BY 1
+), cc AS (
+  SELECT (SELECT COUNT(*) FROM bp WHERE bp.v < cur.v) AS bucket,
+         COUNT(*) AS cur_n
+  FROM cur GROUP BY 1
+), spine AS (
+  SELECT CAST(g AS INT) AS bucket
+  FROM generate_series(0, 10 - 1) t(g), nb WHERE g <= m
+), bb AS (
+  SELECT s.bucket,
+         CAST(COALESCE(rc.ref_n, 0) AS BIGINT) AS ref_n,
+         CAST(COALESCE(cc.cur_n, 0) AS BIGINT) AS cur_n
+  FROM spine s LEFT JOIN rc ON rc.bucket = s.bucket
+  LEFT JOIN cc ON cc.bucket = s.bucket
+), tots AS (
+  SELECT bucket, ref_n, cur_n,
+         CAST(SUM(ref_n) OVER () AS DOUBLE) AS rt,
+         CAST(SUM(cur_n) OVER () AS DOUBLE) AS ct,
+         CAST(ref_n + cur_n AS DOUBLE) AS bt
+  FROM bb
+)
+SELECT bucket, ref_n, cur_n,
+       ref_n / rt AS ref_frac, cur_n / ct AS cur_frac,
+       CASE WHEN bt > 0 THEN
+         (ref_n - bt * rt / (rt + ct)) * (ref_n - bt * rt / (rt + ct))
+           / (bt * rt / (rt + ct))
+         + (cur_n - bt * ct / (rt + ct)) * (cur_n - bt * ct / (rt + ct))
+           / (bt * ct / (rt + ct))
+       ELSE 0.0 END AS chi2_part
+FROM tots
+"""
+
+
+@q("dq_drift_chi2", _DRIFT_DUCK)
+def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (profiling.chi2_drift): the first
+    half of January is the reference, the second half the current
+    snapshot; both bucket on the REFERENCE's equi-depth boundaries
+    (two-phase rank, B-1 collected breakpoint literals) and the shift
+    scores as the chi-square homogeneity statistic — chosen over PSI
+    because it needs no ln() and therefore replays bit-for-bit."""
+    from .extensions import profiling
+
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    ref = ev.where(f"ts < {_DRIFT_SPLIT}")
+    cur = ev.where(f"ts >= {_DRIFT_SPLIT}")
+    return profiling.chi2_drift(ref, cur, "value", "event_id",
+                                buckets=_DRIFT_B)
+
+
+# AMS/Tug-of-War F2: z cells replay verbatim off md5 low bits; the
+# median-of-means estimate is integer rank selection over exact
+# DECIMAL squares; the exact F2 joins in as a second derivation.
+_AMS_R = 32
+_AMS_MEANS = 4
+
+_AMS_BASE = """
+base AS (
+  SELECT event_type AS g, CAST(user_id AS VARCHAR) AS it FROM events
+  WHERE user_id IS NOT NULL
+), cells AS (
+  SELECT g, CAST(d AS INT) AS d,
+         CAST(SUM(((CAST('0x' || substring(md5(it || '@' || (d // 32)),
+                          1, 8) AS BIGINT)
+                    // (1::BIGINT << CAST(d % 32 AS INT))) % 2) * 2 - 1)
+              AS BIGINT) AS z
+  FROM base, generate_series(0, {r_max}) t(d) GROUP BY 1, 2
+)"""
+
+_AMS_DUCK = ("WITH " + _AMS_BASE.format(r_max=_AMS_R - 1) + f""",
+per_g AS (
+  SELECT g, d // ({_AMS_R} // {_AMS_MEANS}) AS g2,
+         SUM(CAST(z AS HUGEINT) * z) AS ss, COUNT(*) AS gsz
+  FROM cells GROUP BY 1, 2
+), ranked AS (
+  SELECT g, ss, gsz,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY ss, g2) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS ng
+  FROM per_g
+), est AS (
+  SELECT g, CAST(ss AS DOUBLE) / gsz AS f2_est FROM ranked
+  WHERE rn = (ng + 1) // 2
+), exact AS (
+  SELECT g, CAST(SUM(c * c) AS BIGINT) AS f2_exact
+  FROM (SELECT g, it, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY g, it) GROUP BY g
+)
+SELECT est.g AS event_type, f2_est, {_AMS_R} AS r, f2_exact
+FROM est JOIN exact ON est.g = exact.g
+""")
+
+
+@q("sketch_ams_f2", _AMS_DUCK)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch (sketch.ams_build / ams_f2_estimate):
+    per event_type, the median-of-means F2 estimate off 32 +-1
+    estimators beside the exact self-join size — the join-size /
+    key-concentration statistic a CBO consults before picking a join
+    order. The oracle replays every estimator cell from md5 low bits
+    AND the exact F2 independently."""
+    from .extensions import sketch as sk
+
+    _views(spark, sf_dir)
+    ev = spark.table("events").where("user_id IS NOT NULL")
+    st = sk.ams_build(ev, "user_id", group_cols=["event_type"], r=_AMS_R)
+    est = sk.ams_f2_estimate(st, group_cols=["event_type"],
+                             means=_AMS_MEANS)
+    exact = (ev.groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .groupBy("event_type")
+             .agg(F.sum(F.col("c") * F.col("c")).cast("bigint")
+                  .alias("f2_exact")))
+    return est.join(exact, on="event_type").select(
+        "event_type", "f2_est", F.col("r").cast("int").alias("r"),
+        "f2_exact")
+
+
+_AMS_STREAM_DUCK = ("WITH " + _AMS_BASE.format(r_max=_AMS_R - 1) + """
+SELECT g AS event_type, d, z FROM cells
+""")
+
+
+@q("streaming_ams_f2", _AMS_STREAM_DUCK)
+def streaming_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous F2-statistics maintenance (streaming.
+    streaming_ams_maintenance): each micro-batch's AMS sketch is
+    element-wise summed into a durable r-rows-per-group table. The
+    sketch is LINEAR, so this carries the gram-maintenance invariance:
+    the drained table equals ams_build over all data BIT-FOR-BIT
+    regardless of batching — the oracle is the same verbatim cell
+    replay the batch entry uses."""
+    import shutil
+
+    from .streaming import read_event_stream, streaming_ams_maintenance
+
+    eng = _engine(spark, sf_dir, "stream_ams")
+    shutil.rmtree(f"{eng.warehouse_dir}/_checkpoints/stream_ams",
+                  ignore_errors=True)
+    ev = read_event_stream(spark, sf_dir).where("user_id IS NOT NULL")
+    q_ = streaming_ams_maintenance(eng, ev, "stream_ams", "user_id",
+                                   group_cols=["event_type"], r=_AMS_R)
+    q_.awaitTermination()
+    return eng.table("stream_ams").select(
+        F.col("event_type"), F.col("d").cast("int").alias("d"), "z")
+
+
+# Linear interpolation gapfill: prev/next non-NULL aggregate values +
+# their epoch seconds via IGNORE NULLS windows; the fill is
+# subtraction/multiplication/one division — exactly-rounded IEEE, so
+# every interpolated double replays.
+_GAPFILL_INTERP_DUCK = """
+WITH agg AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+         COUNT(*) AS cnt
+  FROM events WHERE value > 195 GROUP BY 1, 2
+), keys AS (SELECT DISTINCT event_type FROM agg),
+spine AS (
+  SELECT g AS bucket
+  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-10',
+                       INTERVAL 1 DAY) t(g)
+), grid AS (SELECT k.event_type, s.bucket FROM keys k CROSS JOIN spine s),
+j AS (
+  SELECT g.event_type, g.bucket, a.value_sum, a.cnt
+  FROM grid g LEFT JOIN agg a
+    ON a.event_type = g.event_type AND a.bucket = g.bucket
+), w AS (
+  SELECT event_type, bucket, cnt, value_sum,
+         CAST(epoch(bucket) AS DOUBLE) AS t,
+         last_value(value_sum IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         CAST(last_value(CASE WHEN value_sum IS NOT NULL
+                              THEN epoch(bucket) END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS DOUBLE) AS pt,
+         first_value(value_sum IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         CAST(first_value(CASE WHEN value_sum IS NOT NULL
+                               THEN epoch(bucket) END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS DOUBLE) AS nt
+  FROM j
+)
+SELECT event_type, CAST(bucket AS DATE) AS bucket,
+       cnt IS NULL AS filled,
+       COALESCE(value_sum, pv + (nv - pv) * ((t - pt) / (nt - pt)))
+         AS value_sum_interp
+FROM w
+"""
+
+
+@q("ts_gapfill_interpolate", _GAPFILL_INTERP_DUCK)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill with LINEAR interpolation
+    (timeseries.time_bucket_gapfill interpolate_cols) — the TimescaleDB
+    interpolate() surface beside locf: gap buckets read
+    prev + (next - prev) * (t - t_prev)/(t_next - t_prev) between the
+    nearest observed aggregate values, NULL outside the observed range.
+    Same single-shuffle shape as the locf entry (all windows share the
+    key partitioning); the arithmetic is exactly-rounded IEEE over
+    epoch-second integers, so the oracle replays every filled double."""
+    from .extensions import timeseries
+
+    _views(spark, sf_dir)
+    ev = spark.table("events").where("value > 195")
+    out = timeseries.time_bucket_gapfill(
+        ev, "ts", "event_type",
+        start="2024-01-01 00:00:00", end="2024-02-10 00:00:00",
+        bucket="day",
+        aggs={"value_sum": F.sum(F.col("value").cast("decimal(18,4)"))
+              .cast("double")},
+        locf_cols=[], interpolate_cols=["value_sum"])
+    return out.select(
+        "event_type", F.col("bucket").cast("date").alias("bucket"),
+        "filled", "value_sum_interp")
+
+
+# Chi-square term-label association: presence counts are exact
+# integers; the statistic is +-*/ over their double casts.
+_CHI2_TERMS_DUCK = """
+WITH base AS (
+  SELECT doc_id, lang AS label,
+         list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           x -> x <> '')) AS t
+  FROM documents WHERE lang IS NOT NULL
+), ex AS (
+  SELECT label, unnest(t) AS term FROM base
+), tl AS (
+  SELECT label, term, CAST(COUNT(*) AS BIGINT) AS a
+  FROM ex GROUP BY label, term
+), tt AS (
+  SELECT term, CAST(SUM(a) AS BIGINT) AS term_df FROM tl GROUP BY term
+), lt AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS label_df
+  FROM base GROUP BY label
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+scored AS (
+  SELECT tl.label, tl.term, tl.a, tt.term_df, lt.label_df,
+         CASE WHEN CAST(tt.term_df AS DOUBLE) > 0
+               AND CAST(n - tt.term_df AS DOUBLE) > 0
+               AND CAST(lt.label_df AS DOUBLE) > 0
+               AND CAST(n - lt.label_df AS DOUBLE) > 0
+         THEN CAST(n AS DOUBLE)
+              * (CAST(tl.a AS DOUBLE)
+                   * CAST(n - tt.term_df - lt.label_df + tl.a AS DOUBLE)
+                 - CAST(tt.term_df - tl.a AS DOUBLE)
+                   * CAST(lt.label_df - tl.a AS DOUBLE))
+              * (CAST(tl.a AS DOUBLE)
+                   * CAST(n - tt.term_df - lt.label_df + tl.a AS DOUBLE)
+                 - CAST(tt.term_df - tl.a AS DOUBLE)
+                   * CAST(lt.label_df - tl.a AS DOUBLE))
+              / (CAST(tt.term_df AS DOUBLE)
+                 * CAST(n - tt.term_df AS DOUBLE)
+                 * CAST(lt.label_df AS DOUBLE)
+                 * CAST(n - lt.label_df AS DOUBLE))
+         END AS chi2
+  FROM tl JOIN tt USING (term) JOIN lt USING (label), nd
+  WHERE tt.term_df >= 3
+)
+SELECT label, term, a, term_df, label_df, chi2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY chi2 DESC, term) AS rn
+  FROM scored) WHERE rn <= 5
+"""
+
+
+@q("text_chi2_terms", _CHI2_TERMS_DUCK)
+def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term-label feature selection (textstats.chi2_terms):
+    the top 5 most language-discriminative terms per lang over the
+    documents corpus — the vocabulary-selection step before fitting a
+    quality/domain classifier. Counts are exact presence integers and
+    the statistic pure IEEE +-*/, so the oracle replays every chi2
+    value; note (a+b)(c+d)(a+c)(b+d) algebraically equals
+    term_df * (n-term_df) * label_df * (n-label_df), which is how the
+    independently-written oracle computes it."""
+    from .extensions import textstats
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return textstats.chi2_terms(docs, "doc_id", "text", "lang",
+                                top_t=5, min_df=3)
+
+
+
+
+# RAKE: phrase splitting is two regexp passes that replay on RE2/Java
+# alike; word scores fix-point as (degree*1000000) div freq (one exact
+# integer division), so phrase-score sums are order-free integers.
+_RAKE_STOPALT = "and|for|in|is|of|that|the|to|was|with"
+
+_RAKE_DUCK = f"""
+WITH ph AS (
+  SELECT doc_id, p AS phrase, string_split(p, ' ') AS words
+  FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(
+      regexp_split_to_array(
+        regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9\\s]+', '|', 'g'),
+          '\\b({_RAKE_STOPALT})\\b', '|', 'g'),
+        '\\|'),
+      x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+      x -> x <> '')) AS p
+    FROM documents)
+), sized AS (
+  SELECT doc_id, phrase, CAST(len(words) AS INT) AS n_words, words FROM ph
+), ws AS (
+  SELECT word, (SUM(n_words) * 1000000) // COUNT(*) AS score_fp
+  FROM (SELECT unnest(words) AS word, n_words FROM sized) GROUP BY word
+), ps AS (
+  SELECT doc_id, phrase, n_words,
+         CAST(SUM(score_fp) AS DOUBLE) / 1e6 AS score
+  FROM (SELECT doc_id, phrase, n_words, unnest(words) AS word
+        FROM sized) e
+  JOIN ws USING (word) GROUP BY 1, 2, 3
+), dd AS (
+  SELECT doc_id, phrase, CAST(MAX(n_words) AS INT) AS n_words,
+         MAX(score) AS score
+  FROM ps GROUP BY 1, 2
+)
+SELECT doc_id, phrase, n_words, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, phrase) AS rn
+  FROM dd) WHERE rn <= 3
+"""
+
+
+@q("text_rake_keywords", _RAKE_DUCK)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (textstats.rake_keywords): top 3 stopword-
+    delimited phrases per document by summed degree/frequency word
+    scores — the unsupervised keyword signal beside tfidf_terms. Word
+    scores fix-point before summing (order-free), so the oracle replays
+    every phrase score exactly."""
+    from .extensions import textstats
+
+    _views(spark, sf_dir)
+    return textstats.rake_keywords(spark.table("documents"),
+                                   "doc_id", "text", top_t=3)
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02/r04 all contain

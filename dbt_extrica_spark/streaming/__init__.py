@@ -4,7 +4,8 @@ from .incremental import (
     windowed_counts, run_available_now, sessionize_stateful,
     stream_stream_interval_join,
     streaming_incremental_merge, streaming_minhash_admission,
-    streaming_bloom_maintenance, streaming_gram_maintenance,
+    streaming_ams_maintenance, streaming_bloom_maintenance,
+    streaming_gram_maintenance,
     streaming_priority_sample_maintenance,
     streaming_rollup_maintenance, streaming_theta_maintenance,
     streaming_vector_admission,
@@ -17,7 +18,8 @@ __all__ = [
     "run_available_now", "sessionize_stateful",
     "stream_stream_interval_join",
     "streaming_incremental_merge", "streaming_minhash_admission",
-    "streaming_bloom_maintenance", "streaming_gram_maintenance",
+    "streaming_ams_maintenance", "streaming_bloom_maintenance",
+    "streaming_gram_maintenance",
     "streaming_priority_sample_maintenance",
     "streaming_rollup_maintenance", "streaming_theta_maintenance",
     "streaming_vector_admission",

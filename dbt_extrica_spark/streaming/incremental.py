@@ -890,3 +890,34 @@ def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30,
                          else GroupStateTimeout.NoTimeout),
         )
     )
+
+
+def streaming_ams_maintenance(
+    engine,
+    stream: DataFrame,
+    table_name: str,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    r: int = 64,
+) -> "object":
+    """CONTINUOUS self-join-size (F2) statistics maintenance: each
+    micro-batch's AMS sketch (extensions.sketch.ams_build — r +-1
+    estimator sums per group) is element-wise summed into a durable
+    r-rows-per-group table, so "how concentrated is this key column?"
+    (skew detection, join-size estimation via ams_f2_estimate) is
+    answerable at any moment without re-scanning history.
+
+    The AMS sketch is LINEAR, so this inherits the gram-maintenance
+    invariance — integer addition is associative and commutative, and
+    the maintained table equals ams_build over the fully-drained input
+    BIT-FOR-BIT regardless of micro-batch boundaries. Same honest
+    caveat as gram: addition is NOT re-delivery-idempotent; exactly-once
+    comes from the checkpointed source, not the merge.
+
+    Returns the StreamingQuery (availableNow — callers await it)."""
+    from ..extensions.sketch import ams_build, ams_merge
+
+    return _start_sketch_maintenance(
+        engine, stream, table_name,
+        build=lambda df: ams_build(df, item_col, group_cols, r=r),
+        merge=lambda tbl, sk: ams_merge(tbl.unionByName(sk), group_cols))

@@ -3651,3 +3651,224 @@ def test_r14_advice_guards(spark):
         aggs={"m": F.max("v")}).collect()
     assert sorted((r.bucket.day, r.filled, r.m) for r in out) == [
         (1, False, 1.0), (2, True, None)]
+
+
+def test_roc_auc_semantics(spark):
+    """Exact AUC vs an all-pairs brute force (ties half), grouped mode,
+    single-class NULL, and the guard raises."""
+    import random
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.evaluation import roc_auc
+
+    random.seed(7)
+    rows = [(random.choice([0.1, 0.3, 0.5, 0.7, 0.9]),
+             random.randint(0, 1), random.choice("ab"))
+            for _ in range(200)]
+
+    def brute(rs):
+        pos = [s for s, y, _ in rs if y == 1]
+        neg = [s for s, y, _ in rs if y == 0]
+        u = sum(1.0 if p > n else 0.5 if p == n else 0.0
+                for p in pos for n in neg)
+        return u / (len(pos) * len(neg))
+
+    df = spark.createDataFrame(rows, "s double, y int, g string")
+    got = roc_auc(df, "s", "y").collect()[0]
+    assert got.auc == brute(rows)
+    assert got.n_pos + got.n_neg == 200
+    by_g = {r.g: r.auc for r in
+            roc_auc(df, "s", "y", group_cols=["g"]).collect()}
+    for g in "ab":
+        assert by_g[g] == brute([r for r in rows if r[2] == g])
+    one = spark.createDataFrame([(0.5, 1)], "s double, y int")
+    assert roc_auc(one, "s", "y").collect()[0].auc is None
+    with _pytest.raises(Exception, match="roc_auc"):
+        roc_auc(spark.createDataFrame([(0.5, 2)], "s double, y int"),
+                "s", "y").collect()
+    with _pytest.raises(Exception, match="roc_auc"):
+        roc_auc(spark.createDataFrame([(None, 1)], "s double, y int"),
+                "s", "y").collect()
+    with _pytest.raises(ValueError, match="reserved"):
+        roc_auc(df.withColumnRenamed("g", "auc"), "s", "y",
+                group_cols=["auc"])
+
+
+def test_chi2_drift_matches_replay(spark):
+    """chi2_drift vs a pure-Python replay of the breakpoint rule and the
+    chi-square arithmetic; self-drift is exactly 0; guards raise."""
+    import math
+    import random
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.profiling import chi2_drift
+
+    random.seed(3)
+    ref = [(i, random.gauss(0, 1)) for i in range(500)]
+    cur = [(i, random.gauss(0.4, 1.2)) for i in range(300)]
+    rdf = spark.createDataFrame(ref, "i int, v double")
+    cdf = spark.createDataFrame(cur, "i int, v double")
+    out = chi2_drift(rdf, cdf, "v", "i", buckets=5).collect()
+
+    vs = sorted(v for _, v in ref)
+    n, B = len(vs), 5
+    bps = sorted({vs[-(-i * n // B) - 1] for i in range(1, B)})
+
+    def b(x):
+        return sum(1 for p in bps if p < x)
+
+    rc = Counter(b(v) for _, v in ref)
+    cc = Counter(b(v) for _, v in cur)
+    rt, ct = sum(rc.values()), sum(cc.values())
+    assert {r.bucket: (r.ref_n, r.cur_n) for r in out} == \
+        {k: (rc[k], cc[k]) for k in range(len(bps) + 1)}
+    chi = 0.0
+    for k in range(len(bps) + 1):
+        bt = rc[k] + cc[k]
+        if bt == 0:
+            continue
+        er, ec = bt * rt / (rt + ct), bt * ct / (rt + ct)
+        chi += (rc[k] - er) ** 2 / er + (cc[k] - ec) ** 2 / ec
+    assert math.isclose(sum(r.chi2_part for r in out), chi,
+                        rel_tol=1e-12)
+    assert sum(r.chi2_part for r in
+               chi2_drift(rdf, rdf, "v", "i", buckets=5).collect()) == 0.0
+    with _pytest.raises(ValueError, match="buckets"):
+        chi2_drift(rdf, cdf, "v", "i", buckets=1)
+    empty = spark.createDataFrame([], "i int, v double")
+    with _pytest.raises(ValueError, match="no non-null"):
+        chi2_drift(empty, cdf, "v", "i")
+
+
+def test_ams_sketch_replay_merge_and_estimate(spark):
+    """AMS cells vs an independent hashlib-md5 replay; merge is
+    bit-exact under arbitrary splits; the estimate is the lower median
+    of group mean squares; guards raise."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions import sketch as sk
+
+    random.seed(11)
+    items = [random.choice([f"k{j}" for j in range(30)])
+             for _ in range(1000)]
+    df = spark.createDataFrame([(x, i % 3) for i, x in enumerate(items)],
+                               "item string, b int")
+
+    def sign(item, d):
+        h = int(hashlib.md5(f"{item}@{d // 32}".encode())
+                .hexdigest()[:8], 16)
+        return ((h >> (d % 32)) % 2) * 2 - 1
+
+    want = {d: sum(sign(x, d) for x in items) for d in range(16)}
+    st = sk.ams_build(df, "item", r=16)
+    assert {r.d: r.z for r in st.collect()} == want
+
+    merged = sk.ams_merge(
+        sk.ams_build(df.where("b = 0"), "item", r=16)
+        .unionByName(sk.ams_build(df.where("b = 1"), "item", r=16))
+        .unionByName(sk.ams_build(df.where("b = 2"), "item", r=16)))
+    assert {r.d: r.z for r in merged.collect()} == want
+
+    est = sk.ams_f2_estimate(st, means=4).collect()[0]
+    gs = 4
+    sums = sorted(sum(want[d] ** 2 for d in range(g * gs, (g + 1) * gs))
+                  for g in range(4))
+    assert est.f2_est == sums[(4 + 1) // 2 - 1] / gs
+    assert est.r == 16
+    # estimator is unbiased around the true F2 (loose sanity band)
+    f2 = sum(c * c for c in Counter(items).values())
+    assert 0.05 * f2 < est.f2_est < 20 * f2
+
+    with _pytest.raises(Exception, match="ams_build"):
+        sk.ams_build(spark.createDataFrame([(None,)], "item string"),
+                     "item", r=4).collect()
+    with _pytest.raises(ValueError, match="r must be"):
+        sk.ams_build(df, "item", r=0)
+    with _pytest.raises(Exception, match="fewer than means"):
+        sk.ams_f2_estimate(sk.ams_build(df, "item", r=2),
+                           means=4).collect()
+
+
+def test_gapfill_interpolate_semantics(spark):
+    """Linear interpolation: exact fills between observations, NULL
+    outside the observed range, observed buckets keep their value, and
+    the validation guards raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.extensions import timeseries
+
+    rows = [(dt.datetime(2024, 3, 1, 5), "a", 2.0),
+            (dt.datetime(2024, 3, 4, 5), "a", 8.0),
+            (dt.datetime(2024, 3, 2, 5), "b", 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    out = {(r.k, r.bucket.day): r.m_interp
+           for r in timeseries.time_bucket_gapfill(
+               df, "ts", "k", start="2024-03-01", end="2024-03-05",
+               aggs={"m": F.max("v")}, locf_cols=[],
+               interpolate_cols=["m"]).collect()}
+    assert out[("a", 1)] == 2.0 and out[("a", 4)] == 8.0
+    assert out[("a", 2)] == 4.0 and out[("a", 3)] == 6.0
+    assert out[("a", 5)] is None           # beyond the last observation
+    assert out[("b", 1)] is None and out[("b", 3)] is None
+    with _pytest.raises(ValueError, match="locf/interpolate"):
+        timeseries.time_bucket_gapfill(
+            df, "ts", "k", start="2024-03-01", end="2024-03-02",
+            aggs={"m": F.max("v")}, interpolate_cols=["nope"])
+    with _pytest.raises(ValueError, match="_interp"):
+        timeseries.time_bucket_gapfill(
+            df, "ts", "k", start="2024-03-01", end="2024-03-02",
+            aggs={"m": F.max("v"), "m_interp": F.min("v")},
+            interpolate_cols=["m"])
+
+
+def test_chi2_terms_hand_computed(spark):
+    """chi2_terms against a hand-computed 2x2 cell and the presence
+    (not frequency) contingency contract."""
+    from dbt_extrica_spark.extensions.textstats import chi2_terms
+
+    rows = [(1, "the cat sat on the mat", "en"),
+            (2, "the dog ate the cat", "en"),
+            (3, "le chat et le chien", "fr"),
+            (4, "le chien mange", "fr"),
+            (5, "cat dog cat dog", "en")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = {(r.label, r.term): r for r in
+           chi2_terms(df, "doc_id", "text", "lang",
+                      top_t=3, min_df=1).collect()}
+    # 'le' x fr: a=2, b=0, c=0, d=3, N=5 -> 5*(2*3)^2/(2*3*2*3) = 5
+    r = out[("fr", "le")]
+    assert (r.a, r.term_df, r.label_df, r.chi2) == (2, 2, 2, 5.0)
+    # presence: 'cat' appears twice in doc 5 but counts one doc
+    assert out[("en", "cat")].a == 3
+
+
+def test_rake_keywords_canonical(spark):
+    """RAKE on the canonical Rose et al. abstract sentence: punctuation
+    bounds phrases ('equations, strict' must split) and 'linear
+    diophantine equations' scores exactly 9.0 — each word has freq 1
+    and degree 3 on this slice, matching the figure-1 score in the RAKE
+    paper."""
+    from dbt_extrica_spark.extensions.textstats import rake_keywords
+
+    rows = [(2, "Criteria of compatibility of a system of linear "
+                "Diophantine equations, strict inequations, and "
+                "nonstrict inequations are considered.")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.phrase: (r.n_words, r.score)
+           for r in rake_keywords(df, "doc_id", "text", top_t=4).collect()}
+    assert got["linear diophantine equations"] == (3, 9.0)
+    assert got["strict inequations"] == (2, 5.0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stopword"):
+        rake_keywords(df, "doc_id", "text", stopwords=())

@@ -171,6 +171,39 @@ INVARIANTS = {
     "stats_equi_depth_histogram": dict(smj_max=0, bnlj_max=0,
                                        exchange_max=3, window_min=1,
                                        hashagg=4),
+    # r14: exact AUC — ONE corpus aggregation to the distinct-score
+    # table, then the two-phase prefix (global) or group windows; a
+    # third exchange means the prefix degraded to extra shuffles
+    "eval_auc": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                     window_min=1, hashagg=2),
+    "eval_auc_grouped": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                             window_min=1, hashagg=4, pushed_min=1),
+    # r14: chi-square drift — two-phase rank over the reference + one
+    # aggregation per table; bucket assignment must stay a scan-side
+    # literal-array expression (any join for it would add exchanges)
+    "dq_drift_chi2": dict(smj_max=0, bnlj_max=0, exchange_max=3,
+                          bhj_min=2, window_min=1, hashagg=4,
+                          pushed_min=2),
+    # r14: AMS F2 — NO row blowup: the r sign sums are aggregate
+    # expressions over one scan (one partial/final pair to a 1-row
+    # stats group, the Generate reshapes it), plus the exact-F2 side's
+    # own pairs; estimate windows are statistics-sized, joins broadcast
+    "sketch_ams_f2": dict(smj_max=0, bnlj_max=0, exchange_max=3,
+                          bhj_min=1, window_min=3, hashagg=8,
+                          pushed_min=2),
+    # r14: interpolation gapfill — same one-shuffle shape as
+    # ts_gapfill_locf (checkpointed rollup, broadcast grid join, all
+    # windows on the key partitioning)
+    "ts_gapfill_interpolate": dict(smj_max=0, bnlj_max=0, exchange_max=1,
+                                   bhj_min=1, window_min=1, hashagg=2),
+    # r14: chi2 terms — tl/lab_tot are checkpointed (vocab/label-sized),
+    # the only BNLJ is the 1-row N crossJoin, top-t is rank-truncated
+    "text_chi2_terms": dict(smj_max=0, bnlj_max=1, exchange_max=3,
+                            bhj_min=2, window_min=1, hashagg=4),
+    # r14: RAKE — vocabulary-keyed word stats + doc-keyed rescore; the
+    # word-score join stays broadcast (vocab-sized), top-t truncated
+    "text_rake_keywords": dict(smj_max=0, bnlj_max=0, exchange_max=4,
+                               bhj_min=1, window_min=1, hashagg=6),
 }
 
 

@@ -842,3 +842,45 @@ def test_gram_state_merge_bit_equality(rows_in):
                                   "b int, v array<double>"))
         with _pytest.raises(Exception, match="gram_matrix"):
             similarity.gram_state(poisoned, "v").collect()
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=2),
+                          st.text(alphabet="abcxyz019", min_size=1,
+                                  max_size=6)),
+                min_size=1, max_size=60))
+@settings(max_examples=3, deadline=None)
+def test_ams_matches_hashlib_replay_and_merges(rows_in):
+    """AMS F2 sketch on arbitrary string multisets: (1) every estimator
+    cell equals an INDEPENDENT hashlib-md5 replay; (2) per-batch
+    sketches folded through ams_merge equal the full build bit-for-bit
+    (linearity); (3) the median-of-means estimate replays from the
+    cells by the documented lower-median rule."""
+    import hashlib
+
+    from dbt_extrica_spark.extensions import sketch as sk
+    from dbt_extrica_spark.session import get_spark
+
+    r, means = 8, 2
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(rows_in, "b int, item string")
+
+    def sign(item, d):
+        h = int(hashlib.md5(f"{item}@{d // 32}".encode())
+                .hexdigest()[:8], 16)
+        return ((h >> (d % 32)) % 2) * 2 - 1
+
+    want = {d: sum(sign(x, d) for _, x in rows_in) for d in range(r)}
+    st_ = sk.ams_build(df, "item", r=r)
+    assert {row.d: row.z for row in st_.collect()} == want
+
+    parts = [sk.ams_build(df.where(f"b = {i}"), "item", r=r)
+             for i in range(3)]
+    merged = sk.ams_merge(parts[0].unionByName(parts[1])
+                          .unionByName(parts[2]))
+    assert {row.d: row.z for row in merged.collect()} == want
+
+    gs = r // means
+    sums = sorted(sum(want[d] ** 2 for d in range(g * gs, (g + 1) * gs))
+                  for g in range(means))
+    est = sk.ams_f2_estimate(st_, means=means).collect()[0]
+    assert est.f2_est == sums[(means + 1) // 2 - 1] / gs

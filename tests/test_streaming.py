@@ -731,3 +731,42 @@ def test_streaming_gram_maintenance_batch_invariant(spark, tmp_path):
         assert fin == exp_fin
     finally:
         eng.close()
+
+
+def test_streaming_ams_maintenance_batch_invariant(spark, tmp_path):
+    """Continuous AMS F2-statistics maintenance: with maxFilesPerTrigger=1
+    the durable estimator sums fold across several micro-batches — the
+    final table must equal ams_build over ALL rows bit-for-bit (the
+    sketch is linear; integer addition argument, same as gram), and the
+    f2 estimate read off the maintained state must equal the batch
+    estimate exactly."""
+    from dbt_extrica_spark import Engine
+    from dbt_extrica_spark.extensions.sketch import (ams_build,
+                                                     ams_f2_estimate)
+    from dbt_extrica_spark.streaming import streaming_ams_maintenance
+
+    src = tmp_path / "ams_in"
+    src.mkdir()
+    rows = []
+    for f in range(3):
+        part = [(f * 100 + i, f"key{(i * 7 + f) % 9}") for i in range(20)]
+        spark.createDataFrame(part, "id bigint, k string") \
+            .coalesce(1).write.mode("append").parquet(str(src / f"f{f}"))
+        rows += part
+    stream = (spark.readStream
+              .schema("id bigint, k string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    eng = Engine(spark)
+    try:
+        q = streaming_ams_maintenance(eng, stream, "ams_tbl", "k", r=8)
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+        batch = spark.createDataFrame(rows, "id bigint, k string")
+        got = {r.d: r.z for r in eng.table("ams_tbl").collect()}
+        want = {r.d: r.z for r in ams_build(batch, "k", r=8).collect()}
+        assert got == want and len(got) == 8
+        est_s = ams_f2_estimate(eng.table("ams_tbl")).collect()[0]
+        est_b = ams_f2_estimate(ams_build(batch, "k", r=8)).collect()[0]
+        assert (est_s.f2_est, est_s.r) == (est_b.f2_est, est_b.r)
+    finally:
+        eng.close()

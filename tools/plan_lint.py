@@ -39,6 +39,7 @@ BNLJ_OK = {
     "q_scalar_subquery",         # the scalar-subquery pattern itself
     "text_bm25_topk",            # 1-row corpus stats broadcast
     "text_tfidf_terms",          # 1-row N (corpus size) broadcast
+    "text_chi2_terms",           # 1-row N (corpus size) broadcast
     "ann_brp_recall",            # 1-row recall contract aggregate
     "ann_pq_recall",             # 1-row recall contract aggregate
     "ann_recall_report",         # 1-row recall contract aggregate
