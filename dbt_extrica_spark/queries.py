@@ -8788,107 +8788,79 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-13 window: (a) the fourteen NEW entries (never-gated outranks
-# every tier — six from the main batch, eight late-round:
-# sample_priority_topk, text_collocations_pmi, ts_gapfill_locf,
-# dq_outliers_mad, streaming_priority_sample, embedding_pca_gram,
-# stats_correlation_matrix, streaming_pca_gram);
-# (b) text_winnow — the only entry whose evidence predates r9 (it
-# yielded its r12 slot to the late streaming_theta_distinct; the
-# r12 verdict queued it first); (c) the three streaming-maintenance
-# entries whose shared callback code changed this round (r12 ADVICE
-# #1/#2: empty-first-batch creation + Hadoop-FS commits probe); (d) the
-# 30 alphabetically-first of the 47 r9-tier entries. The alphabetical
-# tail (q_window_time_range, rollup_cascade_month,
-# sample_alpha_mixture, sample_leakage_split, sample_mixture,
-# sample_shuffle_shards, shim_datediff, sketch_hll_rollup,
-# streaming_vector_admission, text_bm25_topk, text_boilerplate_lines,
-# text_decontaminate, text_dup_spans, text_redact_pii,
-# text_repetition, text_tfidf_terms, text_url_domains) waits for r14 —
-# all seventeen hold green r9 rows and pass every local battery run.
-# Rotated OUT (all hold green r10-r12 rows; the full local battery
-# still checks them every run): the r12 window — see COVERAGE.md.
-# ==========================================================================
-
-# the round this window was rotated FOR — freshness.py --splice stamps
-# COVERAGE.md's "CURRENT (round-N)" label from here (deriving it from
-# the latest CORRECTNESS file mislabels by one as soon as this round's
-# driver evidence lands)
-_WINDOW_ROUND = 13
+# Round-14 window: (a) the eight NEW entries (never-gated outranks
+# every tier: eval_auc, eval_auc_grouped, dq_drift_chi2,
+# sketch_ams_f2, streaming_ams_f2, ts_gapfill_interpolate,
+# text_chi2_terms, text_rake_keywords); (b) the ENTIRE 17-entry
+# r9-evidence tier (r13 verdict #1 — clearing it in one rotation);
+# (c) the seven entries whose code changed this round (the gram/PCA
+# dimension guard under embedding_pca_gram + streaming_pca_gram, the
+# priority reserved-name guards under sample_priority_topk +
+# streaming_priority_sample, the gapfill key/ts validation + NULL-ts
+# filter under ts_gapfill_locf, the state-partition sizing under
+# streaming_interval_join, and the confirm-stage collapse under
+# pipeline_clean_corpus); (d) the 18 alphabetically-first of the
+# 45-entry r10 tier. Rotated OUT (all hold green r10-r13 rows; the
+# full local battery still checks them every run): the r13 window —
+# see COVERAGE.md.
+_WINDOW_ROUND = 14
 
 _GATED_WINDOW = [
-    # r13 rotation (r12 verdict #1): never-gated first — the three
-    # late-round NEW entries (priority sampling, PMI collocations,
-    # hypertable gapfill+locf), then the three NEW Bloom entries
-    "sample_priority_topk",
-    "text_collocations_pmi",
-    "ts_gapfill_locf",
-    "dq_outliers_mad",
-    "streaming_priority_sample",
+    # (a) never-gated r14 entries
+    "eval_auc",
+    "eval_auc_grouped",
+    "dq_drift_chi2",
+    "sketch_ams_f2",
+    "streaming_ams_f2",
+    "ts_gapfill_interpolate",
+    "text_chi2_terms",
+    "text_rake_keywords",
+    # (b) the whole r9 evidence tier (17 — the freshness tool's
+    # --stale list at round start, verbatim)
+    "q_window_time_range",
+    "rollup_cascade_month",
+    "sample_alpha_mixture",
+    "sample_leakage_split",
+    "sample_mixture",
+    "sample_shuffle_shards",
+    "shim_datediff",
+    "sketch_hll_rollup",
+    "streaming_vector_admission",
+    "text_bm25_topk",
+    "text_boilerplate_lines",
+    "text_decontaminate",
+    "text_dup_spans",
+    "text_redact_pii",
+    "text_repetition",
+    "text_tfidf_terms",
+    "text_url_domains",
+    # (c) code changed this round (see the window comment)
     "embedding_pca_gram",
-    "stats_correlation_matrix",
     "streaming_pca_gram",
-    "sketch_bloom_filter",
-    "dedup_bloom_blocklist",
-    "streaming_bloom_members",
-    "dedup_sorted_neighborhood",
-    "stats_equi_depth_histogram",
-    "dq_profile_table",
-    # the one entry whose evidence predates r9 (text_winnow yielded its
-    # r12 slot to the late streaming_theta_distinct; the verdict queued
-    # it first among the backfill)
-    "text_winnow",
-    # code changed this round (r12 ADVICE #1/#2: the durable-table
-    # callbacks' empty-first-batch creation + the Hadoop-FS commits
-    # probe live under all three streaming maintenance entries)
-    "streaming_inc_merge",
-    "streaming_rollup_maintenance",
-    "streaming_theta_distinct",
-    # code changed this round (global_running_sum extraction — the
-    # shared two-phase prefix machinery pack_documents_global and
-    # sorted_neighborhood_pairs now both call; value-identical refactor,
-    # window slots per the code-changed policy regardless)
-    "text_pack_global",
-    "pipeline_pretrain_corpus",
-    # the 30 alphabetically-first of the 47 r9-tier entries
-    # (tools/freshness.py --stale at round start; the alphabetical tail
-    # waits for r14 — see the window comment above)
-    "ann_ivf_pq_recall",
-    "ann_ivf_topk",
-    "ann_pq_recall",
-    "ann_pq_topk",
-    "ann_recall_report",
-    "dedup_clusters",
-    "dedup_semantic_blocked",
-    "dedup_simhash",
-    "dedup_simhash_contract",
-    "dq_source_freshness",
-    "dq_unit_test",
-    "embedding_dequant_error",
-    "embedding_kmeans",
-    "embedding_mean_pool",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "inc_append",
-    "inc_delete_insert",
-    "inc_insert_overwrite",
-    "inc_merge",
-    "inc_microbatch_schema",
-    "inc_schema_evolution",
-    "mat_table",
-    "multimodal_resize",
+    "sample_priority_topk",
+    "streaming_priority_sample",
+    "ts_gapfill_locf",
+    "streaming_interval_join",
     "pipeline_clean_corpus",
-    "pipeline_joint_dedup",
-    "project_build",
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    "q_retention_cohorts",
-    # (q_window_time_range, rollup_cascade_month, sample_alpha_mixture,
-    # sample_leakage_split, sample_mixture, sample_shuffle_shards,
-    # shim_datediff, sketch_hll_rollup yielded their backfill slots to
-    # the eight late-round NEW entries above — never-gated outranks the
-    # r9 tier; they rejoin the r14 backfill with the alphabetical tail,
-    # all green in every local battery run)
+    # (d) the 18 alphabetically-first r10-tier entries
+    "ann_brp_recall",
+    "ann_cosine_topk",
+    "catalog_columns",
+    "dedup_minhash_incremental",
+    "mat_mview_refresh",
+    "mat_view",
+    "project_dag_run",
+    "project_lineage",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q7_volume_by_nation_year",
+    "q_cube",
+    "q_events_lag",
+    "q_funnel",
+    "q_grouping_sets",
 ]
 
 
