@@ -474,6 +474,65 @@ def main() -> None:
                                k=3.0).collect()
         out[f"mad_{tag}_sec"] = round(time.time() - t0, 2)
 
+    from dbt_extrica_spark.extensions import evaluation
+
+    # exact AUC at 1x and Nx rows with GROWING distinct-score mass
+    # (score folds the shifted orderkey in, so the distinct-score table
+    # the two-phase rank touches grows ~Nx alongside the corpus): the
+    # cost model is one corpus aggregation + a distinct-score-sized
+    # prefix — both linear; a cliff here is the prefix degenerating to
+    # a single-task sort over the score table.
+    for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
+        scored = src_tbl.selectExpr(
+            "CAST(l_orderkey % 97 AS DOUBLE) + l_extendedprice AS s",
+            "CAST(l_linenumber % 2 AS INT) AS y")
+        t0 = time.time()
+        evaluation.roc_auc(scored, "s", "y").collect()
+        out[f"auc_{tag}_sec"] = round(time.time() - t0, 2)
+
+    # chi-square drift at 1x and Nx rows (reference = even orderkeys,
+    # current = odd): the reference-side two-phase rank and both
+    # bucket-count aggregations grow Nx; the breakpoint collect stays
+    # B-1 rows. A cliff is the rank losing its range partitioning.
+    for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
+        basev = src_tbl.selectExpr(
+            "l_orderkey * 10 + l_linenumber AS i",
+            "CAST(l_orderkey % 89 AS DOUBLE) + l_extendedprice AS v",
+            "l_orderkey % 2 = 0 AS is_ref")
+        t0 = time.time()
+        profiling.chi2_drift(basev.where("is_ref"),
+                             basev.where("NOT is_ref"),
+                             "v", "i", buckets=10).collect()
+        out[f"drift_{tag}_sec"] = round(time.time() - t0, 2)
+
+    # AMS F2 sketch at 1x and Nx rows (shifted orderkeys: distinct mass
+    # grows Nx, the sketch stays r rows per group): the r sign sums are
+    # aggregate expressions over one scan — the wall must track the
+    # scan+md5 mass linearly; a cliff is the reshape exploding per-row.
+    for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
+        items = src_tbl.selectExpr("l_orderkey AS item",
+                                   "CAST(l_linenumber % 4 AS INT) AS g")
+        t0 = time.time()
+        st_ = sketch.ams_build(items, "item", ["g"], r=32)
+        sketch.ams_f2_estimate(st_, ["g"], means=4).collect()
+        out[f"ams_{tag}_sec"] = round(time.time() - t0, 2)
+
+    # RAKE at 1x and Nx token mass (the rotation replicas again:
+    # vocabulary and phrase distinct mass grow ~Nx): phrase split is
+    # scan-side, word stats one vocabulary-keyed agg, rescore one
+    # doc-keyed agg + rank-truncated window — all token-linear.
+    for tag, r in (("x1", 1), (f"x{replicas}", replicas)):
+        big = dc
+        for i in range(1, r):
+            rot = alphabet[i:] + alphabet[:i]
+            big = big.unionByName(
+                dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                .withColumn("text", F.expr(
+                    f"translate(text, '{alphabet}', '{rot}')")))
+        t0 = time.time()
+        textstats.rake_keywords(big, "doc_id", "text", top_t=3).count()
+        out[f"rake_{tag}_sec"] = round(time.time() - t0, 2)
+
     # ------------------------------------------------------------------
     # Ceiling gate (r11 verdict #5): the probes above are only evidence
     # if a scale CLIFF fails a recorded check. Each gate pins the
@@ -541,6 +600,26 @@ def main() -> None:
         #                          partial/final aggs are token-linear;
         #                          a quadratic candidate/pair blowup
         #                          reads >>10x here
+        # r14 additions, ceilings from the measured envelope (quiet
+        # host, loadavg ~1):
+        "auc": 4.0,             # measured 1.57x for 10x rows AND 10x
+        #                          distinct-score mass — one corpus agg
+        #                          + a distinct-score prefix, both
+        #                          linear; the prefix degenerating to a
+        #                          1-task sort reads >>4x
+        "drift": 4.5,           # measured 1.68x for 10x rows (ref-side
+        #                          two-phase rank + two bucket aggs all
+        #                          linear; breakpoint collect stays B-1)
+        "ams": 3.0,             # measured 1.04x (!) for 10x rows — the
+        #                          r sign sums are aggregate
+        #                          expressions, so the wall is scan+md5
+        #                          mass over 32 cores; a per-row explode
+        #                          regression reads several x here
+        "rake": 6.0,            # measured 2.71x for 10x token mass
+        #                          (rotation replicas: vocabulary and
+        #                          phrase mass both grow ~10x; x1 ~2.2s
+        #                          carries fixed overhead) — scan-side
+        #                          split + two keyed aggs, token-linear
         "mad": 12.0,            # measured ~4-5x warm for 10x rows at
         #                          FIXED group count — the documented
         #                          per-group rank-sort model (n log n
