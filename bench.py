@@ -167,6 +167,13 @@ HEADLINE = [
     "ts_gapfill_interpolate",
     "text_chi2_terms",
     "text_rake_keywords",
+    # round 14 batch 2: per-series OLS trend, calibration curve,
+    # Simpson mixture diversity, OOV quality scoring, FS record linkage
+    "ts_trend_ols",
+    "eval_calibration",
+    "stats_diversity_simpson",
+    "text_oov_rate",
+    "link_fellegi_sunter",
 ]
 
 

@@ -95,3 +95,63 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str,
         F.col("__u2").cast("double")
         / (2.0 * F.col("n_pos") * F.col("n_neg")))
     return out.select(*groups, auc.alias("auc"), "n_pos", "n_neg")
+
+
+def calibration_curve(df: DataFrame, score_col: str, label_col: str,
+                      buckets: int = 10, scale: float = 1e9,
+                      partitions: int | None = None) -> DataFrame:
+    """Reliability diagram / calibration table: bucket predictions on
+    the score's own equi-depth quantile boundaries and report each
+    bucket's observed positive rate beside its mean score — THE
+    diagnostic for "does a 0.9 from this quality classifier mean 90%?",
+    the companion to :func:`roc_auc` (which is calibration-blind).
+
+    Boundaries use the chi2_drift rule: breakpoint i = the score at
+    global rank ceil(i*n/B) (shared two-phase rank, B-1 collected
+    literals), bucket(s) = #breakpoints < s. Counts are exact integers;
+    mean_score accumulates as FLOOR(score * scale) in DECIMAL(38,0)
+    (order-free) so both output doubles are single IEEE divisions —
+    bit-replayable. Labels must be 0/1 non-null (raises in-scan, the
+    roc_auc guard).
+
+    Returns (bucket, n, n_pos, pos_rate, mean_score).
+
+    Scale shape: one two-phase rank + ONE aggregation over one scan."""
+    from .cleaning import global_running_sum
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    y = F.col(label_col).cast("bigint")
+    checked = F.when(
+        F.col(score_col).isNull() | y.isNull() | ~y.isin(0, 1),
+        F.expr("raise_error('calibration_curve: score_col must be "
+               "non-null and label_col must be 0/1 non-null')")
+        .cast("bigint"),
+    ).otherwise(y)
+    base = df.select(F.col(score_col).cast("double").alias("__s"),
+                     checked.alias("__y"))
+    ranked, n = global_running_sum(
+        base.select("__s", "__y"), ["__s", "__y"], None, partitions,
+        out_col="__rank", return_total=True)
+    if n == 0:
+        raise ValueError("calibration_curve: no rows")
+    ks = sorted({-(-i * n // buckets) for i in range(1, buckets)})
+    bps = [r["__s"] for r in
+           (ranked.where(F.col("__rank").isin(ks))
+            .groupBy("__s").agg(F.min("__rank").alias("r"))
+            .orderBy("r").collect())]
+    arr = F.array(*[F.lit(b).cast("double") for b in bps])
+    sc = float(scale)
+    return (base
+            .select(F.size(F.filter(arr, lambda b: b < F.col("__s")))
+                    .alias("bucket"), "__s", "__y")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("__y").cast("bigint").alias("n_pos"),
+                 F.sum(F.floor(F.col("__s") * F.lit(sc))
+                       .cast("decimal(38,0)")).alias("__ssum"))
+            .select("bucket", "n", "n_pos",
+                    (F.col("n_pos").cast("double")
+                     / F.col("n").cast("double")).alias("pos_rate"),
+                    (F.col("__ssum").cast("double") / F.lit(sc)
+                     / F.col("n").cast("double")).alias("mean_score")))

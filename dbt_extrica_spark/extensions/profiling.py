@@ -344,3 +344,47 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, value_col: str,
         (F.col("ref_n") / rt).alias("ref_frac"),
         (F.col("cur_n") / ct).alias("cur_frac"),
         F.when(bt > 0, part).otherwise(F.lit(0.0)).alias("chi2_part"))
+
+
+def diversity_simpson(df: DataFrame, cat_col: str,
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """Simpson diversity of a categorical column per group — the
+    data-mixture balance statistic ("is this corpus slice dominated by
+    one source/domain?") a pretraining-mixture builder tracks beside
+    cap_per_key's enforcement knob. Simpson rather than Shannon
+    deliberately: Shannon entropy needs ln() (libm last-ulp divergence),
+    while Simpson's index is pure integer products + one division —
+    bit-replayable (the chi2_drift convention) and ranks imbalance the
+    same way.
+
+    Returns (group..., n, n_categories, simpson, gini_simpson,
+    effective_categories): simpson = sum(c_i^2)/n^2 = P(two draws land
+    in the same category), gini_simpson = 1 - simpson, and
+    effective_categories = n^2/sum(c_i^2) (inverse Simpson — "this mix
+    behaves like K equally-sized sources"). NULL categories carry no
+    identity and are excluded.
+
+    Scale shape: one (group, category)-keyed aggregation + one
+    group-keyed reduction of the (tiny) per-category counts — the
+    second aggregation is vocabulary-sized, never corpus-sized."""
+    groups = list(group_cols or [])
+    reserved = {"n", "n_categories", "simpson", "gini_simpson",
+                "effective_categories", "__c", "__cat"}
+    clash = reserved & (set(groups) | {cat_col})
+    if clash:
+        raise ValueError(f"diversity_simpson: columns {sorted(clash)} "
+                         "collide with reserved working/output names")
+    counts = (df.where(F.col(cat_col).isNotNull())
+              .groupBy(*groups, F.col(cat_col).alias("__cat"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
+    agg = (counts.groupBy(*groups)
+           .agg(F.sum("__c").cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+                F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__c"))
+                .alias("__ss")))
+    n2 = F.col("n").cast("double") * F.col("n").cast("double")
+    ss = F.col("__ss").cast("double")
+    return agg.select(*groups, "n", "n_categories",
+                      (ss / n2).alias("simpson"),
+                      (F.lit(1.0) - ss / n2).alias("gini_simpson"),
+                      (n2 / ss).alias("effective_categories"))

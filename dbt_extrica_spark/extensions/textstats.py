@@ -1147,3 +1147,52 @@ def rake_keywords(df: DataFrame, id_col: str, text_col: str,
     return (dedup.withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") <= top_t)
             .select("doc_id", "phrase", "n_words", "score"))
+
+
+def ngram_oov_rate(df: DataFrame, id_col: str, text_col: str,
+                   reference: DataFrame, ref_text_col: str = "text",
+                   n: int = 3, min_count: int = 2) -> DataFrame:
+    """Out-of-vocabulary n-gram rate against a REFERENCE corpus: the
+    fraction of each document's distinct character n-grams that never
+    (or too rarely) appear in the reference — the cheap,
+    division-deterministic stand-in for reference-LM perplexity scoring
+    (the CCNet-style "does this text look like my trusted corpus?"
+    quality gate; actual perplexity needs ln(), which this repo's
+    oracle policy forbids — the OOV rate ranks junk the same direction
+    with integer counts and ONE IEEE division per doc).
+
+    Vocabulary = the reference's distinct lowercased n-grams with
+    document frequency >= ``min_count`` (hapax noise excluded). Scoring
+    is presence-based over each doc's DISTINCT n-grams, so length does
+    not inflate the rate. Returns (doc_id, n_grams, n_oov, oov_rate);
+    a doc too short for one n-gram yields its (shorter) whole text as
+    the single gram — the shingle-floor convention.
+
+    Scale shape: one reference scan -> vocabulary aggregation (gram-
+    keyed); one corpus scan -> exploded doc grams; ONE gram-keyed left
+    join (co-partitioned with the vocab aggregation) + a doc-keyed
+    count. No collect — the vocabulary stays distributed."""
+    from .dedup import _shingle_expr
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    vocab = (reference
+             .select(F.explode(F.expr(_shingle_expr(
+                 f"lower({ref_text_col})", n))).alias("gram"))
+             .groupBy("gram")
+             .agg(F.count(F.lit(1)).alias("__df"))
+             .where(F.col("__df") >= min_count)
+             .select("gram"))
+    grams = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.expr(_shingle_expr(
+                           f"lower({text_col})", n))).alias("gram")))
+    return (grams
+            .join(vocab.withColumn("__in", F.lit(1)), on="gram",
+                  how="left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_oov"))
+            .select("doc_id", "n_grams", "n_oov",
+                    (F.col("n_oov").cast("double")
+                     / F.col("n_grams").cast("double")).alias("oov_rate")))

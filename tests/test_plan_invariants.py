@@ -204,6 +204,30 @@ INVARIANTS = {
     # word-score join stays broadcast (vocab-sized), top-t truncated
     "text_rake_keywords": dict(smj_max=0, bnlj_max=0, exchange_max=4,
                                bhj_min=1, window_min=1, hashagg=6),
+    # r14 batch 2: OLS trend — daily rollup pair + the statistics pair,
+    # nothing else (closed-form sums; no windows, no joins)
+    "ts_trend_ols": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                         hashagg=4),
+    # r14 batch 2: calibration — breakpoints collected as literals
+    # (the rank phase is eager), so the lazy plan is ONE scan + one
+    # partial/final pair with the bucket expression scan-side
+    "eval_calibration": dict(smj_max=0, bnlj_max=0, exchange_max=1,
+                             hashagg=2, pushed_min=1),
+    # r14 batch 2: Simpson diversity — (group, category) pair + the
+    # group reduction pair; the second agg is vocabulary-sized
+    "stats_diversity_simpson": dict(smj_max=0, bnlj_max=0,
+                                    exchange_max=2, hashagg=4,
+                                    pushed_min=1),
+    # r14 batch 2: OOV rate — vocabulary agg pair + per-doc count pair,
+    # ONE gram-keyed broadcast join (vocab broadcast at battery scale;
+    # a shuffle join at corpus scale is the same two exchanges)
+    "text_oov_rate": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                          hashagg=4, bhj_min=1),
+    # r14 batch 2: FS linkage — equality blocking + two record joins,
+    # ALL broadcast at battery scale, zero shuffles, zero SMJ/BNLJ;
+    # the score is scan-side literal-ratio arithmetic
+    "link_fellegi_sunter": dict(smj_max=0, bnlj_max=0, exchange_max=0,
+                                bhj_min=3, pushed_min=4),
 }
 
 
