@@ -174,6 +174,9 @@ HEADLINE = [
     "stats_diversity_simpson",
     "text_oov_rate",
     "link_fellegi_sunter",
+    # round 14: bucketed co-located join — the write-once/join-forever
+    # strategy line (pays two bucketed writes + the shuffle-free join)
+    "layout_bucketed_join",
 ]
 
 

@@ -9022,6 +9022,54 @@ def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper=15.0, lower=0.3)
 
 
+
+
+# Bucketed co-located join: two tables bucketed identically on the join
+# key plan a SortMergeJoin with NO Exchange under either side (the
+# bucketed scans ARE the distribution) — the unit test pins that plan;
+# the oracle checks the VALUES via the plain join+aggregate.
+_BUCKETED_DUCK = """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+@q("layout_bucketed_join", _BUCKETED_DUCK)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join (layout.write_bucketed): orders
+    and lineitem are both written bucketed 8 ways on the order key,
+    so the fact-fact join plans as a SortMergeJoin whose children are
+    the bucketed scans — ZERO join-side Exchange (pinned by
+    test_bucketed_join_is_shuffle_free); the only shuffle left is the
+    final aggregation pair. THE co-located-join strategy for repeated
+    100 TB fact-fact joins: pay the shuffle once at write time, never
+    again per query. The hint forces the merge join so the demo cannot
+    silently degrade to a broadcast at battery scale."""
+    from .extensions import layout
+
+    _views(spark, sf_dir)
+    eng = _engine(spark, sf_dir, "bkt_orders", "bkt_lineitem")
+    ords = spark.table("orders").select("o_orderkey", "o_orderstatus")
+    li = spark.table("lineitem").select("l_orderkey", "l_extendedprice")
+    layout.write_bucketed(
+        ords, eng.relation("bkt_orders").render_unquoted(),
+        ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    layout.write_bucketed(
+        li, eng.relation("bkt_lineitem").render_unquoted(),
+        ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    a = eng.table("bkt_lineitem").hint("merge")
+    b = eng.table("bkt_orders")
+    return (a.join(b, on=[a.l_orderkey == b.o_orderkey])
+            .groupBy("o_orderstatus")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02/r04 all contain
@@ -9031,10 +9079,12 @@ def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-14 window: (a) the eight NEW entries (never-gated outranks
-# every tier: eval_auc, eval_auc_grouped, dq_drift_chi2,
+# Round-14 window: (a) the FOURTEEN new entries (never-gated outranks
+# every tier — first batch: eval_auc, eval_auc_grouped, dq_drift_chi2,
 # sketch_ams_f2, streaming_ams_f2, ts_gapfill_interpolate,
-# text_chi2_terms, text_rake_keywords); (b) the ENTIRE 17-entry
+# text_chi2_terms, text_rake_keywords; second batch: ts_trend_ols,
+# eval_calibration, stats_diversity_simpson, text_oov_rate,
+# link_fellegi_sunter, layout_bucketed_join); (b) the ENTIRE 17-entry
 # r9-evidence tier (r13 verdict #1 — clearing it in one rotation);
 # (c) the seven entries whose code changed this round (the gram/PCA
 # dimension guard under embedding_pca_gram + streaming_pca_gram, the
@@ -9042,14 +9092,16 @@ def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming_priority_sample, the gapfill key/ts validation + NULL-ts
 # filter under ts_gapfill_locf, the state-partition sizing under
 # streaming_interval_join, and the confirm-stage collapse under
-# pipeline_clean_corpus); (d) the 18 alphabetically-first of the
-# 45-entry r10 tier. Rotated OUT (all hold green r10-r13 rows; the
+# pipeline_clean_corpus); (d) the 12 alphabetically-first of the
+# 45-entry r10 tier (six slots yielded to the later never-gated
+# batches; the tail rejoins the r15 backfill). Rotated OUT (all hold green r10-r13 rows; the
 # full local battery still checks them every run): the r13 window —
 # see COVERAGE.md.
 _WINDOW_ROUND = 14
 
 _GATED_WINDOW = [
     # (a) never-gated r14 entries
+    "layout_bucketed_join",
     "ts_trend_ols",
     "eval_calibration",
     "stats_diversity_simpson",
@@ -9090,8 +9142,8 @@ _GATED_WINDOW = [
     "ts_gapfill_locf",
     "streaming_interval_join",
     "pipeline_clean_corpus",
-    # (d) the 13 alphabetically-first r10-tier entries (five slots
-    # yielded to the batch-2 never-gated entries; the tail rejoins the
+    # (d) the 12 alphabetically-first r10-tier entries (six slots
+    # yielded to the later never-gated batches; the tail rejoins the
     # r15 backfill)
     "ann_brp_recall",
     "ann_cosine_topk",
@@ -9105,7 +9157,6 @@ _GATED_WINDOW = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q3_top_orders",
-    "q5_region_revenue",
 ]
 
 

@@ -4008,3 +4008,40 @@ def test_fellegi_sunter_score_semantics(spark):
                              upper=1, lower=2)
     with _pytest.raises(ValueError, match="block columns"):
         equality_blocking_pairs(df, "id", [])
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """write_bucketed: two tables bucketed identically on the join key
+    plan a SortMergeJoin with ZERO Exchange anywhere in the join
+    subtree (the bucketed scans ARE the distribution), and the bucketed
+    result equals the plain shuffle join row-for-row. Also the guards."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions import layout
+
+    rows_a = [(i, f"s{i % 7}") for i in range(500)]
+    rows_b = [(i % 300, float(i)) for i in range(900)]
+    a = spark.createDataFrame(rows_a, "k bigint, status string")
+    b = spark.createDataFrame(rows_b, "k bigint, v double")
+    layout.write_bucketed(a, "bkt_a_test", ["k"], 4, sort_cols=["k"])
+    layout.write_bucketed(
+        b.withColumnRenamed("k", "bk"), "bkt_b_test", ["bk"], 4,
+        sort_cols=["bk"])
+    try:
+        ta = spark.table("bkt_a_test").hint("merge")
+        tb = spark.table("bkt_b_test")
+        joined = ta.join(tb, on=[ta.k == tb.bk])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # the co-located contract
+        got = sorted((r.k, r.status, r.v) for r in joined.collect())
+        want = sorted((ra[0], ra[1], rb[1]) for ra in rows_a
+                      for rb in rows_b if ra[0] == rb[0])
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a_test")
+        spark.sql("DROP TABLE IF EXISTS bkt_b_test")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        layout.write_bucketed(a, "x", ["k"], 0)
+    with _pytest.raises(ValueError, match="not in the DataFrame"):
+        layout.write_bucketed(a, "x", ["nope"], 4)
