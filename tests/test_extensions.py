@@ -3326,7 +3326,7 @@ def test_time_bucket_gapfill_grid_and_locf(spark):
         timeseries.time_bucket_gapfill(df, "ts", "k",
                                        start="2024-03-01", end="2024-03-05",
                                        bucket="minute")
-    with _pytest.raises(ValueError, match="locf_cols not in aggs"):
+    with _pytest.raises(ValueError, match="cols not in aggs"):
         timeseries.time_bucket_gapfill(
             df, "ts", "k", start="2024-03-01", end="2024-03-05",
             aggs={"n": F.count(F.lit(1))}, locf_cols=["nope"])

@@ -79,7 +79,7 @@ def main() -> int:
                                "/root/testdata/sf0.01"])
     ok &= step("pytest", [sys.executable, "-m", "pytest", "tests/",
                           "-q", "--tb=line"], tail=2)
-    ok &= step("bench", [sys.executable, "bench.py"], tail=1)
+    ok &= step("bench", [sys.executable, "bench.py"], tail=2)
     ok &= step("probe", [sys.executable, "tools/scale_probe.py", "10"],
                tail=1)
 
