@@ -306,13 +306,23 @@ def decode_video_numpy(content: bytes):
         return None
     w = h = None
     chroma = "420"
-    for tag in content[len(magic):nl].split(b" "):
-        if tag[:1] == b"W":
-            w = int(tag[1:])
-        elif tag[:1] == b"H":
-            h = int(tag[1:])
-        elif tag[:1] == b"C":
-            chroma = tag[1:].decode()
+    # a corrupted header tag is malformed input, not a crash: the
+    # totality contract (one corrupt blob must not abort a mapInPandas
+    # partition) — hypothesis found int(b'16!H16') raising here
+    try:
+        for tag in content[len(magic):nl].split(b" "):
+            if tag[:1] == b"W":
+                w = int(tag[1:])
+            elif tag[:1] == b"H":
+                h = int(tag[1:])
+            elif tag[:1] == b"C":
+                chroma = tag[1:].decode()
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if w is not None and (w < 1 or w > 1 << 20):
+        return None
+    if h is not None and (h < 1 or h > 1 << 20):
+        return None
     # C420 variants (jpeg/paldv/mpeg2) share the plane layout; C422/C444
     # must match exactly
     base = "420" if chroma.startswith("420") else chroma
