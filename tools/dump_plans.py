@@ -129,6 +129,19 @@ def main() -> None:
         "expression — no extra shuffle beyond the CC join)":
             lambda: battery.queries()["sample_leakage_split"](
                 spark, sf_dir),
+        "layout_bucketed_join (co-located fact-fact join: SortMergeJoin "
+        "over bucketed scans — ZERO join-side Exchange; the only "
+        "shuffle is the final aggregation pair)":
+            lambda: battery.queries()["layout_bucketed_join"](
+                spark, sf_dir),
+        "eval_auc (exact Mann-Whitney AUC: one corpus agg to the "
+        "distinct-score table + the two-phase prefix — never a "
+        "single-task sort)":
+            lambda: battery.queries()["eval_auc"](spark, sf_dir),
+        "sketch_ams_f2 (AMS F2: the r sign sums are aggregate "
+        "EXPRESSIONS over one scan — no per-row explode; the Generate "
+        "reshapes only the statistics row)":
+            lambda: battery.queries()["sketch_ams_f2"](spark, sf_dir),
     }
     jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     out = ["# PLANS — formatted physical plans at sf0.1 (evidence)",
