@@ -61,8 +61,12 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str,
         raise ValueError(f"roc_auc: group columns {sorted(clash)} collide "
                          f"with reserved working/output names")
     y = F.col(label_col).cast("bigint")
+    # Guard the RAW column before the bigint cast (mg_build's
+    # raw-before-cast rule): a fractional label like 0.9 truncates to 0
+    # and would silently pass a post-cast isin(0,1) check.
+    rd = F.col(label_col).cast("double")
     checked = F.when(
-        F.col(score_col).isNull() | y.isNull() | ~y.isin(0, 1),
+        F.col(score_col).isNull() | rd.isNull() | ~rd.isin(0.0, 1.0),
         F.expr("raise_error('roc_auc: score_col must be non-null and "
                "label_col must be 0/1 non-null')").cast("bigint"),
     ).otherwise(y)
@@ -122,8 +126,10 @@ def calibration_curve(df: DataFrame, score_col: str, label_col: str,
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     y = F.col(label_col).cast("bigint")
+    # Raw-before-cast label guard — see roc_auc.
+    rd = F.col(label_col).cast("double")
     checked = F.when(
-        F.col(score_col).isNull() | y.isNull() | ~y.isin(0, 1),
+        F.col(score_col).isNull() | rd.isNull() | ~rd.isin(0.0, 1.0),
         F.expr("raise_error('calibration_curve: score_col must be "
                "non-null and label_col must be 0/1 non-null')")
         .cast("bigint"),

@@ -25,8 +25,15 @@ def morton_key(cols: list[str], bits: int = 16) -> F.Column:
     deterministic expression). bits * len(cols) must fit a signed 64-bit
     key (<= 62 enforced)."""
     n = len(cols)
-    assert n >= 2, "z-ordering needs at least two dimensions"
-    assert bits * n <= 62, "interleaved key must fit in a signed BIGINT"
+    # ValueError, not assert (the repo guard convention): under
+    # ``python -O`` asserts vanish and bits*n > 62 would silently
+    # overflow the signed BIGINT key, corrupting the z-order
+    if n < 2:
+        raise ValueError("z-ordering needs at least two dimensions")
+    if bits * n > 62:
+        raise ValueError(
+            f"interleaved key needs {bits * n} bits for {n} columns x "
+            f"{bits} bits — must fit a signed BIGINT (<= 62)")
     parts = " | ".join(
         f"(((CAST(`{c}` AS BIGINT) >> i) & 1L) << (i * {n} + {j}))"
         for j, c in enumerate(cols)

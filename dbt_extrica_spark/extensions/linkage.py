@@ -92,7 +92,9 @@ def fellegi_sunter_score(
 
 
 def equality_blocking_pairs(records: DataFrame, id_col: str,
-                            block_cols: list[str]) -> DataFrame:
+                            block_cols: list[str],
+                            max_block_size: int | None = None,
+                            oversize: str = "raise") -> DataFrame:
     """Plain equality blocking: candidate pairs = all (id_a < id_b)
     within each ``block_cols`` group — the fourth, simplest blocking
     family beside LSH bands / semantic cells / sorted neighborhood,
@@ -100,12 +102,61 @@ def equality_blocking_pairs(records: DataFrame, id_col: str,
     Rows with a NULL in any block column generate no candidates (no
     block identity). The pair count is sum over blocks of k*(k-1)/2 —
     choose block columns so blocks stay small; the join is one
-    block-keyed equi-join, never a cartesian."""
+    block-keyed equi-join, never a cartesian.
+
+    ``max_block_size`` guards the quadratic fanout (the skew story: ONE
+    block holding 30% of a 100 TB corpus is 4.5% of all-pairs — the
+    exact blowup blocking exists to prevent). When set, per-block
+    counts come from one block-keyed aggregation (key-sized, shares the
+    join's shuffle key) and blocks larger than the cap follow
+    ``oversize``:
+
+    - ``'raise'`` (default): raise_error IN-SCAN on the first oversized
+      block — the silently-degraded-recall failure mode is opt-in only;
+    - ``'cap'``: deterministically keep the ``max_block_size`` records
+      with the smallest (xxhash64(id), id) per oversized block — a
+      hash-uniform, rerun-stable subsample. The row_number window sorts
+      each block in one task, but its input is the narrow (id, block)
+      projection and the oversized block is precisely what was about to
+      fan out k^2 pairs — an O(k log k) sort of ids strictly undercuts
+      the O(k^2) explosion it prevents.
+    """
     if not block_cols:
         raise ValueError("equality_blocking_pairs needs block columns")
+    if oversize not in ("raise", "cap"):
+        raise ValueError(f"oversize must be 'raise' or 'cap', "
+                         f"got {oversize!r}")
+    if max_block_size is not None and max_block_size < 1:
+        raise ValueError(f"max_block_size must be >= 1, "
+                         f"got {max_block_size}")
     base = records.select(F.col(id_col).alias("__id"), *block_cols)
     for c in block_cols:
         base = base.where(F.col(c).isNotNull())
+    if max_block_size is not None:
+        if oversize == "raise":
+            sizes = (base.groupBy(*block_cols)
+                     .agg(F.count(F.lit(1)).alias("__bn")))
+            # the guard lives in a FILTER (not a dropped projection —
+            # Catalyst would prune an unused raise_error column away)
+            guard = F.when(
+                F.col("__bn") > max_block_size,
+                F.expr(
+                    "raise_error(concat('equality_blocking_pairs: a "
+                    f"block exceeds max_block_size={int(max_block_size)}"
+                    " (n=', CAST(__bn AS STRING), ') — widen the block "
+                    "key or pass oversize=cap'))").isNull(),
+            ).otherwise(F.lit(True))
+            base = (base.join(sizes, on=block_cols)
+                    .where(guard)
+                    .drop("__bn"))
+        else:
+            from pyspark.sql.window import Window
+            w = (Window.partitionBy(*block_cols)
+                 .orderBy(F.xxhash64(F.col("__id").cast("string")),
+                          F.col("__id")))
+            base = (base.withColumn("__r", F.row_number().over(w))
+                    .where(F.col("__r") <= max_block_size)
+                    .drop("__r"))
     a = base.select(F.col("__id").alias("id_a"),
                     *[F.col(c).alias(f"__ba_{c}") for c in block_cols])
     b = base.select(F.col("__id").alias("id_b"),

@@ -1168,24 +1168,33 @@ def ngram_oov_rate(df: DataFrame, id_col: str, text_col: str,
     a doc too short for one n-gram yields its (shorter) whole text as
     the single gram — the shingle-floor convention.
 
-    Scale shape: one reference scan -> vocabulary aggregation (gram-
-    keyed); one corpus scan -> exploded doc grams; ONE gram-keyed left
-    join (co-partitioned with the vocab aggregation) + a doc-keyed
-    count. No collect — the vocabulary stays distributed."""
+    Scale shape: one reference scan -> vocabulary aggregation; one
+    corpus scan -> exploded doc grams; ONE key-shuffled left join
+    (co-partitioned with the vocab aggregation) + a doc-keyed count.
+    No collect — the vocabulary stays distributed. Both sides hash the
+    gram to an 8-byte xxhash64 key SCAN-SIDE (the clean_corpus trick),
+    so the vocabulary shuffle and the membership join move fixed-width
+    bigints, not n-char strings — presence semantics are hash-safe
+    (a cross-gram collision folds two grams into one vocabulary slot;
+    at 64 bits that is birthday-negligible against any real gram
+    population, and the direction of error is conservative for a
+    quality gate: a colliding OOV gram reads as in-vocabulary)."""
     from .dedup import _shingle_expr
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     vocab = (reference
-             .select(F.explode(F.expr(_shingle_expr(
-                 f"lower({ref_text_col})", n))).alias("gram"))
+             .select(F.explode(F.expr(
+                 f"transform({_shingle_expr(f'lower({ref_text_col})', n)},"
+                 f" s -> xxhash64(s))")).alias("gram"))
              .groupBy("gram")
              .agg(F.count(F.lit(1)).alias("__df"))
              .where(F.col("__df") >= min_count)
              .select("gram"))
     grams = (df.select(F.col(id_col).alias("doc_id"),
-                       F.explode(F.expr(_shingle_expr(
-                           f"lower({text_col})", n))).alias("gram")))
+                       F.explode(F.expr(
+                           f"transform({_shingle_expr(f'lower({text_col})', n)},"
+                           f" s -> xxhash64(s))")).alias("gram")))
     return (grams
             .join(vocab.withColumn("__in", F.lit(1)), on="gram",
                   how="left")

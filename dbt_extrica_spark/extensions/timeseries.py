@@ -147,10 +147,23 @@ def time_bucket_gapfill(
           .rowsBetween(Window.unboundedPreceding, -1))
     wn = (Window.partitionBy("__k").orderBy("bucket")
           .rowsBetween(1, Window.unboundedFollowing))
-    t = F.unix_timestamp("bucket").cast("double")
+
+    # CALENDAR-field epoch, not instant epoch: unix_timestamp() is
+    # session-timezone dependent — across a DST transition day buckets
+    # sit 82800/90000 s apart as instants while the DuckDB oracle's
+    # naive epoch() yields uniform 86400 s days, skewing (t-pt)/(nt-pt)
+    # (an advisor finding). Rebuilding t from the LOCAL calendar fields
+    # (date + wall-clock time-of-day) is invariant to the session tz
+    # and matches naive-timestamp epoch arithmetic exactly.
+    def naive_epoch(c: str) -> F.Column:
+        return (F.datediff(F.col(c), F.lit("1970-01-01"))
+                .cast("bigint") * 86400
+                + F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c))
+
+    t = naive_epoch("bucket").cast("double")
     for name in interpolate_cols:
         v = F.col(name).cast("double")
-        obs_t = F.when(v.isNotNull(), F.unix_timestamp("bucket"))
+        obs_t = F.when(v.isNotNull(), naive_epoch("bucket"))
         pv = F.last(v, ignorenulls=True).over(wp)
         pt = F.last(obs_t, ignorenulls=True).over(wp).cast("double")
         nv = F.first(v, ignorenulls=True).over(wn)

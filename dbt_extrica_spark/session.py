@@ -45,12 +45,26 @@ class Profile:
     threads: int = 4
     session_properties: dict[str, Any] = field(default_factory=dict)
     prepared_statements_enabled: bool = True  # reference: connections.py:24
-    # accepted-and-ignored parity fields
+    # accepted-and-ignored parity fields — the full reference credential
+    # surface (reference: connections.py:84-99 field list, 283-295 usage;
+    # impersonation_user is read via getattr at 284-286), so a reference
+    # profiles.yml dict constructs a Profile verbatim
     host: str | None = None
     port: int | None = None
     username: str | None = None
     password: str | None = None
     http_scheme: str = "https"
+    database: str | None = None
+    user: str | None = None
+    impersonation_user: str | None = None
+    jwt_token: str | None = None
+    refresh_token: str | None = None
+    client_tags: list[str] | None = None
+    roles: dict[str, str] | None = None
+    http_headers: dict[str, str] | None = None
+    cert: str | None = None
+    retries: int | None = None
+    timezone: str | None = None
 
 
 class AuthStub:

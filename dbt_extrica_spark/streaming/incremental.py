@@ -106,10 +106,25 @@ def run_available_now(result: DataFrame, output_mode: str = "complete",
     8, with identical results. Size it to rows-per-batch (tens of
     thousands of rows per partition), exactly as you would size it UP
     for a high-rate production stream. The session conf is restored
-    after the stream terminates; results never depend on it."""
+    after the stream terminates (UNSET again if it was never explicitly
+    set, so a default-valued session stays default-valued); results
+    never depend on it.
+
+    Concurrency hazard (session-global conf): while the stream runs,
+    any OTHER query planned in the SAME SparkSession inherits the
+    (possibly tiny) ``state_partitions`` value for its own shuffles.
+    This helper is a one-shot catch-up runner — drive it from a
+    single-query context, or give concurrent work its own session
+    (``spark.newSession()`` shares the ConfigMap in classic mode, so a
+    genuinely separate SparkSession is the safe isolation)."""
     spark = result.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    # conf.get falls back to the DEFAULT when unset — distinguish the
+    # two so restore puts back "unset", not a pinned explicit default
+    try:
+        prior = spark.conf.get("spark.sql.shuffle.partitions", None)
+    except Exception:  # pragma: no cover - conf API variance
+        prior = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions",
@@ -120,7 +135,11 @@ def run_available_now(result: DataFrame, output_mode: str = "complete",
         )
         query.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior)
+        if state_partitions is not None:
+            if prior is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
 
 

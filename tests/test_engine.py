@@ -198,3 +198,39 @@ def test_unit_test_unmocked_ref_raises(engine):
     model = Model("ut_missing", sql="SELECT * FROM {ref:absent}")
     with pytest.raises((ValueError, EngineError), match="no mock"):
         run_unit_test(engine, model, {}, ([], "x int"))
+
+
+def test_profile_reference_parity_fields():
+    """r14 verdict #5: a reference-shaped profiles.yml dict (the FULL
+    ExtricaJwtCredentials surface — reference connections.py:84-99
+    fields, 283-295 usage incl. the getattr'd impersonation_user)
+    constructs a Profile verbatim; the four r14-flagged fields are
+    accepted-and-ignored."""
+    from dbt_extrica_spark.session import Profile
+
+    ref_profile = {
+        "host": "extrica.example.com",
+        "port": 443,
+        "username": "svc@example.com",
+        "password": "secret",
+        "database": "mycatalog",
+        "schema": "analytics",
+        "threads": 8,
+        "user": "svc",
+        "impersonation_user": "batch_runner",
+        "jwt_token": "tok",
+        "refresh_token": "rtok",
+        "client_tags": ["etl"],
+        "roles": {"system": "admin"},
+        "http_headers": {"X-Trace": "1"},
+        "session_properties": {"query_max_run_time": "2h"},
+        "prepared_statements_enabled": False,
+        "cert": "/etc/ssl/ca.pem",
+        "retries": 5,
+        "timezone": "UTC",
+    }
+    p = Profile(**ref_profile)
+    assert p.impersonation_user == "batch_runner"
+    assert p.cert == "/etc/ssl/ca.pem"
+    assert p.retries == 5 and p.timezone == "UTC"
+    assert p.http_scheme == "https"  # reference hardcodes HTTPS

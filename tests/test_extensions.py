@@ -4045,3 +4045,85 @@ def test_bucketed_join_is_shuffle_free(spark):
         layout.write_bucketed(a, "x", ["k"], 0)
     with _pytest.raises(ValueError, match="not in the DataFrame"):
         layout.write_bucketed(a, "x", ["nope"], 4)
+
+
+def test_r15_advice_guards(spark):
+    """Pin the round-15 ADVICE fixes: fractional labels raise BEFORE the
+    bigint cast in roc_auc/calibration_curve, morton_key raises
+    ValueError (not assert) on bad shapes, interpolation timestamps are
+    session-timezone invariant across a DST transition, and
+    equality_blocking_pairs raises/caps oversized blocks by contract."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.extensions import (evaluation, layout, linkage,
+                                              timeseries)
+
+    # 1. a fractional label (0.9 -> bigint 0) used to pass the post-cast
+    # isin(0,1) guard silently; the raw-before-cast check raises
+    frac = spark.createDataFrame(
+        [(0.2, 0.0), (0.8, 1.0), (0.5, 0.9)], "s double, y double")
+    with _pytest.raises(Exception, match="roc_auc"):
+        evaluation.roc_auc(frac, "s", "y").collect()
+    with _pytest.raises(Exception, match="calibration_curve"):
+        evaluation.calibration_curve(frac, "s", "y", buckets=2).collect()
+    # clean 0/1 labels (int-typed) still work through the double guard
+    ok = spark.createDataFrame(
+        [(0.2, 0), (0.8, 1), (0.5, 1), (0.1, 0)], "s double, y int")
+    assert evaluation.roc_auc(ok, "s", "y").collect()[0].auc == 1.0
+
+    # 2. morton_key guard convention: ValueError, alive under -O
+    with _pytest.raises(ValueError, match="two dimensions"):
+        layout.morton_key(["a"])
+    with _pytest.raises(ValueError, match="BIGINT"):
+        layout.morton_key(["a", "b", "c"], bits=21)
+
+    # 3. interpolation is timezone invariant: across the US spring-
+    # forward day (2024-03-10) day buckets are 23/25 h apart as
+    # INSTANTS, but the calendar-field epoch keeps uniform 86400 s
+    # steps, so a 0->3 ramp interpolates to exactly 1.0 / 2.0
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # timestamps parsed FROM STRINGS inside SQL so the session tz
+        # (not the Python process tz) interprets the wall-clock values
+        df = spark.sql("""
+            SELECT to_timestamp(c0) AS ts, c1 AS k, c2 AS v FROM VALUES
+              ('2024-03-09 00:30:00', 'k', 0.0d),
+              ('2024-03-12 00:30:00', 'k', 3.0d) AS t(c0, c1, c2)""")
+        out = timeseries.time_bucket_gapfill(
+            df, "ts", "k", start="2024-03-09", end="2024-03-12",
+            aggs={"m": F.max("v")}, locf_cols=[],
+            interpolate_cols=["m"]).collect()
+        got = {r.bucket.day: r.m_interp for r in out}
+        assert got == {9: 0.0, 10: 1.0, 11: 2.0, 12: 3.0}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)
+
+    # 4. equality_blocking_pairs oversize contract: one block holding
+    # ~30% of records raises under the default policy, caps (hash-
+    # deterministically) under oversize='cap', and small blocks pass
+    # through either way untouched
+    rows = [(i, "hot") for i in range(30)] + [
+        (100 + i, f"b{i}") for i in range(70)]
+    recs = spark.createDataFrame(rows, "id bigint, blk string")
+    with _pytest.raises(Exception, match="max_block_size"):
+        linkage.equality_blocking_pairs(
+            recs, "id", ["blk"], max_block_size=10).collect()
+    capped = linkage.equality_blocking_pairs(
+        recs, "id", ["blk"], max_block_size=10, oversize="cap")
+    rows_c = capped.collect()
+    assert len(rows_c) == 45  # C(10,2); singleton blocks yield no pairs
+    # deterministic: same subsample on rerun
+    assert sorted((r.id_a, r.id_b) for r in capped.collect()) == \
+        sorted((r.id_a, r.id_b) for r in rows_c)
+    # under the cap nothing changes vs the uncapped pairs
+    small = linkage.equality_blocking_pairs(
+        recs, "id", ["blk"], max_block_size=30)
+    assert small.count() == 30 * 29 // 2
+    with _pytest.raises(ValueError, match="oversize"):
+        linkage.equality_blocking_pairs(recs, "id", ["blk"],
+                                        max_block_size=5, oversize="drop")

@@ -884,3 +884,58 @@ def test_ams_matches_hashlib_replay_and_merges(rows_in):
                   for g in range(means))
     est = sk.ams_f2_estimate(st_, means=means).collect()[0]
     assert est.f2_est == sums[(means + 1) // 2 - 1] / gs
+
+
+@given(st.lists(st.tuples(st.integers(min_value=-50, max_value=50),
+                          st.integers(min_value=-50, max_value=50)),
+                min_size=2, max_size=25)
+       .filter(lambda ps: len({x for x, _ in ps}) >= 2))
+@settings(max_examples=4, deadline=None)
+def test_trend_ols_matches_numpy_property(pts):
+    """r14 verdict #6: trend_ols vs numpy.polyfit on adversarial inputs
+    — arbitrary integer series (integer x/y keep the 1e6 fixed-point
+    sums EXACT, so the closed forms must agree with numpy to float
+    noise), PLUS the forced degeneracies: a constant-x series and a
+    single-point series must yield NULL slope/intercept/r2 (dx = 0 has
+    no line to fit), and a constant-y series NULL r2 — deterministic
+    NULLs, never NaN. All four series evaluate in ONE batched pass
+    (grouped mode)."""
+    import math
+
+    import numpy as np
+
+    from dbt_extrica_spark.extensions.timeseries import trend_ols
+    from dbt_extrica_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    rows = [("var", float(x), float(y)) for x, y in pts]
+    rows += [("cx", 3.0, float(y)) for _, y in pts[:5]]    # constant x
+    rows += [("one", 4.0, 9.0)]                            # single point
+    # constant y over ALL drawn x's (>= 2 distinct by the filter — a
+    # prefix slice could be accidentally constant-x and flip the case)
+    rows += [("cy", float(x), 7.0) for x, _ in pts]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in trend_ols(df, "x", "y", ["g"]).collect()}
+
+    xs = np.array([x for x, _ in pts], dtype=float)
+    ys = np.array([y for _, y in pts], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert math.isclose(got["var"].slope, slope,
+                        rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(got["var"].intercept, intercept,
+                        rel_tol=1e-9, abs_tol=1e-9)
+    # r2 against the direct definition (guard the constant-y draw)
+    if len(set(ys.tolist())) > 1:
+        pred = slope * xs + intercept
+        ss_res = float(((ys - pred) ** 2).sum())
+        ss_tot = float(((ys - ys.mean()) ** 2).sum())
+        assert math.isclose(got["var"].r2, 1.0 - ss_res / ss_tot,
+                            rel_tol=1e-9, abs_tol=1e-9)
+    else:
+        assert got["var"].r2 is None
+
+    assert (got["cx"].slope is None and got["cx"].intercept is None
+            and got["cx"].r2 is None)
+    assert (got["one"].slope is None and got["one"].intercept is None
+            and got["one"].r2 is None)
+    assert got["cy"].slope == 0.0 and got["cy"].r2 is None

@@ -770,3 +770,27 @@ def test_streaming_ams_maintenance_batch_invariant(spark, tmp_path):
         assert (est_s.f2_est, est_s.r) == (est_b.f2_est, est_b.r)
     finally:
         eng.close()
+
+
+def test_run_available_now_restores_shuffle_conf(spark):
+    """r15 ADVICE: the state_partitions override restores the session's
+    spark.sql.shuffle.partitions to its PRIOR explicit value — and back
+    to UNSET (default) when it was never explicitly set."""
+    register_sources(spark, SF)
+    stream = read_event_stream(spark, SF)
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "12")
+        run_available_now(windowed_counts(stream, "1 day", "1 hour"),
+                          state_partitions=4)
+        assert spark.conf.get(key) == "12"
+        spark.conf.unset(key)
+        run_available_now(windowed_counts(stream, "1 day", "1 hour"),
+                          state_partitions=4)
+        assert spark.conf.get(key, None) is None
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
