@@ -161,3 +161,146 @@ def calibration_curve(df: DataFrame, score_col: str, label_col: str,
                      / F.col("n").cast("double")).alias("pos_rate"),
                     (F.col("__ssum").cast("double") / F.lit(sc)
                      / F.col("n").cast("double")).alias("mean_score")))
+
+
+def classification_report(df: DataFrame, pred_col: str, label_col: str,
+                          group_cols: list[str] | None = None) -> DataFrame:
+    """Per-class confusion statistics for a multiclass classifier:
+    one row per observed class with ``n_true`` (support), ``n_pred``
+    (times predicted), ``tp``, and precision / recall / f1 — the
+    companion to :func:`roc_auc` for HARD predictions (quality-tier
+    labels, language ids, topic buckets).
+
+    Exactness: tp / n_true / n_pred are exact integers off ONE
+    aggregation; precision = tp/n_pred, recall = tp/n_true and
+    f1 = 2*tp/(n_true + n_pred) are each a single IEEE division
+    (the harmonic mean simplifies to that form — no intermediate
+    precision*recall product to de-round), so every double replays
+    verbatim in SQL. A class never predicted has NULL precision
+    (0/0 is undefined, not 0 — deterministic NULL, the trend_ols
+    convention); f1 is NULL only when tp, n_true and n_pred are all
+    unreachable (n_true + n_pred = 0 cannot occur for an emitted row).
+    NULL predictions or labels raise in-scan (a dropped row would
+    inflate every per-class rate).
+
+    The class set = distinct values of label UNION prediction, so a
+    hallucinated class (predicted but never true) still surfaces with
+    recall NULL — the row a monitoring gate needs to see.
+
+    Returns (group..., class, n_true, n_pred, tp, precision, recall,
+    f1).
+
+    Scale shape: one scan -> one (group, label, pred) aggregation
+    (map-side combined), then two class-keyed re-aggregations of the
+    statistics table — everything after the first agg is
+    classes^2-bounded, never data-sized."""
+    groups = list(group_cols or [])
+    reserved = {"class", "n_true", "n_pred", "tp", "precision", "recall",
+                "f1", "__p", "__y"}
+    clash = reserved & set(groups)
+    if clash:
+        raise ValueError(f"classification_report: group columns "
+                         f"{sorted(clash)} collide with reserved names")
+    p = F.col(pred_col).cast("string")
+    y = F.col(label_col).cast("string")
+    checked = F.when(
+        p.isNull() | y.isNull(),
+        F.expr("raise_error('classification_report: pred_col and "
+               "label_col must be non-null')").cast("string"),
+    ).otherwise(p)
+    cells = (df.select(*groups, checked.alias("__p"), y.alias("__y"))
+             .groupBy(*groups, "__p", "__y")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    by_true = (cells.groupBy(*groups, F.col("__y").alias("class"))
+               .agg(F.sum("n").cast("bigint").alias("n_true"),
+                    F.sum(F.when(F.col("__p") == F.col("__y"),
+                                 F.col("n")).otherwise(F.lit(0)))
+                    .cast("bigint").alias("tp")))
+    by_pred = (cells.groupBy(*groups, F.col("__p").alias("class"))
+               .agg(F.sum("n").cast("bigint").alias("n_pred")))
+    out = (by_true.join(by_pred, on=groups + ["class"], how="full")
+           .select(*groups, "class",
+                   F.coalesce("n_true", F.lit(0)).alias("n_true"),
+                   F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+                   F.coalesce("tp", F.lit(0)).alias("tp")))
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("tp").cast("double") / F.col("n_pred"))
+    rec = F.when(F.col("n_true") > 0,
+                 F.col("tp").cast("double") / F.col("n_true"))
+    f1 = (2.0 * F.col("tp").cast("double")
+          / (F.col("n_true") + F.col("n_pred")))
+    return out.select(*groups, "class", "n_true", "n_pred", "tp",
+                      prec.alias("precision"), rec.alias("recall"),
+                      f1.alias("f1"))
+
+
+# LCM(1..20): every 1/rank precision term at k <= 20 is exact in this
+# fixed-point base, so the AP sum is order-free integer arithmetic.
+_RANK_LCM = 232792560
+
+
+def rank_metrics(df: DataFrame, query_col: str, rank_col: str,
+                 rel_col: str, k: int = 10) -> DataFrame:
+    """Per-query ranked-retrieval metrics over a (query, rank,
+    relevant) table — the offline eval for the repo's ANN / BM25 / TF-IDF
+    retrieval operators: precision@k, reciprocal rank (MRR's per-query
+    term) and average precision (MAP's per-query term), truncated at
+    ``k``.
+
+    Exactness: ranks must be 1..n unique per query (validated in-scan —
+    a duplicated rank silently double-counts a position). AP's
+    precision-at-hit terms cum_rel(r)/r are accumulated as exact
+    integers in base LCM(1..20) (every denominator r <= k <= 20 divides
+    it), so the sum is order-free and ap = sum / (LCM * n_rel_at_k) is
+    ONE IEEE division; rr = 1/first_hit_rank and p_at_k = hits/k are
+    single divisions too. Queries with no relevant result in the top-k
+    read ap/rr NULL (nothing to rank), p_at_k = 0.
+
+    Returns (query, n_rel_k, p_at_k, rr, ap).
+
+    Scale shape: one scan filtered to rank <= k, one query-partitioned
+    window for the cumulative hit count (k rows per query), one
+    query-keyed aggregation. Never data-sized beyond queries x k."""
+    if not (1 <= k <= 20):
+        raise ValueError(f"k must be in 1..20 (the exact-LCM bound), "
+                         f"got {k}")
+    rel = F.col(rel_col).cast("bigint")
+    r = F.col(rank_col).cast("bigint")
+    checked = F.when(
+        r.isNull() | rel.isNull() | ~rel.isin(0, 1) | (r < 1),
+        F.expr("raise_error('rank_metrics: rank must be a positive "
+               "integer and rel 0/1, both non-null')").cast("bigint"),
+    ).otherwise(rel)
+    top = (df.select(F.col(query_col).alias("query"),
+                     r.alias("__r"), checked.alias("__rel"))
+           .where(F.col("__r") <= k))
+    w = (Window.partitionBy("query").orderBy("__r")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dup = F.when(
+        F.count(F.lit(1)).over(
+            Window.partitionBy("query", "__r")) > 1,
+        F.expr("raise_error('rank_metrics: duplicate rank within a "
+               "query')").cast("bigint"),
+    ).otherwise(F.sum("__rel").over(w))
+    scored = top.withColumn("__cum", dup)
+    # LCM div r is EXACT integer division (every r <= k divides the
+    # LCM), so the AP numerator never leaves integer arithmetic
+    ap_term = F.when(
+        F.col("__rel") == 1,
+        (F.col("__cum") * F.expr(f"{_RANK_LCM}L div __r"))
+        .cast("decimal(38,0)"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    first_hit = F.min(F.when(F.col("__rel") == 1, F.col("__r")))
+    agg = (scored.groupBy("query")
+           .agg(F.sum("__rel").cast("bigint").alias("n_rel_k"),
+                F.sum(ap_term).alias("__apn"),
+                first_hit.alias("__fh")))
+    return agg.select(
+        "query", "n_rel_k",
+        (F.col("n_rel_k").cast("double") / float(k)).alias("p_at_k"),
+        F.when(F.col("__fh").isNotNull(),
+               1.0 / F.col("__fh").cast("double")).alias("rr"),
+        F.when(F.col("n_rel_k") > 0,
+               F.col("__apn").cast("double")
+               / (float(_RANK_LCM) * F.col("n_rel_k").cast("double")))
+        .alias("ap"))

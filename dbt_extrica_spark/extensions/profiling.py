@@ -388,3 +388,182 @@ def diversity_simpson(df: DataFrame, cat_col: str,
                       (ss / n2).alias("simpson"),
                       (F.lit(1.0) - ss / n2).alias("gini_simpson"),
                       (n2 / ss).alias("effective_categories"))
+
+
+def ks_test(ref: DataFrame, cur: DataFrame, value_col: str,
+            partitions: int | None = None) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the binning-free
+    companion to :func:`chi2_drift`: D = max over observed values of
+    |ECDF_ref(v) - ECDF_cur(v)|, sensitive to location/shape shifts a
+    fixed bucketing can smear. Use chi2 for the per-bucket diagnosis,
+    KS for the single sharpest number.
+
+    Exactness: with n_r/n_c the sample sizes, D's candidate at value v
+    is |cum_ref(v) * n_c - cum_cur(v) * n_r| / (n_r * n_c) — the
+    numerator is an exact integer per distinct value, the max is an
+    integer max, and the statistic is ONE IEEE division at the end, so
+    it replays bit-for-bit in any engine (the chi2_drift convention —
+    and the reason this is the classical D rather than a p-value: the
+    asymptotic p needs exp()). NULLs carry no position and are
+    excluded (profile_columns reports them).
+
+    Returns one row: (d_stat, at_value, n_ref, n_cur) with ``at_value``
+    the SMALLEST value attaining the max (deterministic tie-break).
+
+    Scale shape: one aggregation per table to distinct-value counts, a
+    full outer merge on value, the shared two-phase global prefix for
+    both cumulative counts (never a 1-task window), one max-of-struct
+    reduction. Everything after the first aggs is distinct-values-sized.
+    """
+    from .cleaning import global_running_sum
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.col(value_col).alias("v"))
+                .where(F.col("v").isNotNull())
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(name)))
+
+    merged = (counts(ref, "__rc").join(counts(cur, "__cc"),
+                                       on="v", how="full")
+              .select("v",
+                      F.coalesce("__rc", F.lit(0)).alias("__rc"),
+                      F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    # grand totals fall out of the driver prefix the two-phase rank
+    # already computes — literals, never a global one-task window
+    ranked, n_r = global_running_sum(merged, ["v"], "__rc", partitions,
+                                     out_col="__cumr", return_total=True)
+    ranked, n_c = global_running_sum(ranked, ["v"], "__cc", partitions,
+                                     out_col="__cumc", return_total=True)
+    num = F.abs(F.col("__cumr") * F.lit(int(n_c))
+                - F.col("__cumc") * F.lit(int(n_r)))
+    best = (ranked
+            .select(num.alias("__num"), F.col("v"))
+            .agg(F.max("__num").alias("__m"),
+                 F.min_by(
+                     F.col("v"),
+                     F.struct((-F.col("__num")).alias("a"),
+                              F.col("v").alias("b"))).alias("at_value")))
+    d = (F.col("__m").cast("double") / float(n_r * n_c)
+         if (n_r > 0 and n_c > 0)
+         else F.lit(None).cast("double"))  # a side is empty: no ECDF
+    return best.select(
+        d.alias("d_stat"), "at_value",
+        F.lit(int(n_r)).cast("bigint").alias("n_ref"),
+        F.lit(int(n_c)).cast("bigint").alias("n_cur"))
+
+
+# Benford expected first-digit shares: log10(1 + 1/d) PRECOMPUTED as
+# literals (repr-exact doubles) — the ln-free way to ship the law's
+# constants into both engines identically.
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829993, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit profile against Benford's law — the
+    classic anomaly screen for machine-generated / fabricated numeric
+    columns (amounts, counts, sizes): naturally occurring multi-scale
+    magnitudes follow P(d) = log10(1 + 1/d); fabricated ones rarely do.
+
+    The digit comes from the INTEGER rendering: values with
+    floor(|v|) >= 1 contribute the first character of the BIGINT cast
+    (bigint-to-string is identical across engines; double-to-string is
+    NOT — scientific-notation thresholds differ, so sub-1 values are
+    out of scope by contract and excluded, as are NULLs and zeros).
+    Benford screening applies to magnitude-spanning positives anyway.
+
+    Returns 9 rows (digit, n, share, expected, dev) with
+    dev = share - expected; counts exact integers, share ONE division,
+    expected a literal — every double replays (chi2_drift convention).
+    The chi-square-style statistic is sum over digits of
+    n_total * dev^2 / expected if a single number is wanted — left to
+    the caller since a 9-row cross-digit sum would be order-sensitive.
+
+    Scale shape: one scan-side digit expression + ONE 9-group
+    aggregation; the digit spine join is 9 rows."""
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.substring(
+        F.floor(v).cast("bigint").cast("string"), 1, 1).cast("int")
+    counted = (df.where(F.col(value_col).isNotNull() & (v >= 1.0))
+               .select(digit.alias("digit"))
+               .groupBy("digit")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    spine = (df.sparkSession.range(1, 10)
+             .select(F.col("id").cast("int").alias("digit")))
+    expected = F.element_at(
+        F.array(*[F.lit(BENFORD_P[d]) for d in range(1, 10)]),
+        F.col("digit"))
+    w = Window.partitionBy()
+    total = F.sum(F.coalesce("n", F.lit(0))).over(w)
+    share = F.when(total > 0,
+                   F.coalesce("n", F.lit(0)).cast("double")
+                   / total.cast("double"))
+    return (spine.join(counted, on="digit", how="left")
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+                    share.alias("share"),
+                    expected.alias("expected"),
+                    (share - expected).alias("dev")))
+
+
+def welch_ttest(ref: DataFrame, cur: DataFrame, value_col: str,
+                scale: float = 1e6) -> DataFrame:
+    """Two-sample Welch t-test statistic (unequal variances — the
+    default any modern stats package recommends over Student's t) on a
+    numeric column of two table snapshots: the mean-shift significance
+    screen beside :func:`ks_test` (shape) and :func:`chi2_drift`
+    (bucket mix). Reports the t statistic and the Welch-Satterthwaite
+    degrees of freedom; the p-value needs the t CDF (incomplete beta —
+    transcendental), so thresholds are on |t| by contract, exactly as
+    the chi2 entry thresholds on the statistic.
+
+    Exactness (the trend_ols convention): each side's n / sum /
+    sum-of-squares accumulate as FLOOR(term * scale) DECIMAL(38,0) —
+    order-free — and t = (m1 - m2) / sqrt(v1/n1 + v2/n2) plus the
+    Welch-Satterthwaite df are FIXED chains of correctly-rounded IEEE
+    ops (sqrt included), so both doubles replay verbatim in SQL.
+    Variances use the n-1 sample denominator; a side with n < 2 or
+    zero combined variance yields NULL t/df (no test). NULLs excluded.
+
+    Returns one row: (n_ref, n_cur, mean_ref, mean_cur, t_stat, df).
+
+    Scale shape: ONE aggregation per table (map-side combined,
+    statistics out), a 1x1 cross join of the two statistic rows."""
+    sc = float(scale)
+
+    def stats(df: DataFrame, tag: str) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        fx = lambda e: (F.sum(F.floor(e * F.lit(sc))  # noqa: E731
+                              .cast("decimal(38,0)")))
+        return (df.where(x.isNotNull())
+                .agg(F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+                     fx(x).alias(f"__s_{tag}"),
+                     fx(x * x).alias(f"__ss_{tag}")))
+
+    both = stats(ref, "ref").crossJoin(stats(cur, "cur"))
+
+    def side(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"__s_{tag}").cast("double") / F.lit(sc)
+        ss = F.col(f"__ss_{tag}").cast("double") / F.lit(sc)
+        m = s / n
+        # sample variance, n-1 denominator
+        var = F.when(F.col(f"n_{tag}") > 1, (ss - n * m * m) / (n - 1.0))
+        return n, m, var
+
+    n1, m1, v1 = side("ref")
+    n2, m2, v2 = side("cur")
+    se2 = v1 / n1 + v2 / n2
+    t = F.when(se2 > 0, (m1 - m2) / F.sqrt(se2))
+    dof = F.when(
+        se2 > 0,
+        (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                       + (v2 / n2) * (v2 / n2) / (n2 - 1.0)))
+    return both.select(
+        "n_ref", "n_cur", m1.alias("mean_ref"), m2.alias("mean_cur"),
+        t.alias("t_stat"), dof.alias("df"))

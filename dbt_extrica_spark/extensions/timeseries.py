@@ -228,3 +228,193 @@ def trend_ols(df: DataFrame, x_col: str, y_col: str,
     r2 = F.when((dx > 0) & (dy > 0), cov * cov / (dx * dy))
     return stats.select(*groups, "n", slope.alias("slope"),
                         intercept.alias("intercept"), r2.alias("r2"))
+
+
+def acf(df: DataFrame, key_col: str, order_col: str, value_col: str,
+        max_lag: int = 5, scale: float = 1e6) -> DataFrame:
+    """Per-series sample autocorrelation function at lags 1..``max_lag``
+    — the seasonality / persistence diagnostic a monitoring rollup
+    keeps beside :func:`trend_ols` (TimescaleDB pairs stats_agg with it;
+    statsmodels calls it acf): r_k = sum_{t<=n-k}((x_t - m)(x_{t+k} - m))
+    / sum((x_t - m)^2) with m the series mean.
+
+    Exactness (the trend_ols convention): the lag cross-sums A_k =
+    sum(x_t * x_{t+k}) and the edge sums B_k = sum_{t<=n-k} x_t,
+    C_k = sum_{t>k} x_t accumulate as FLOOR(term * scale) in
+    DECIMAL(38,0) — order-free — alongside the series' n / S / SS; the
+    closed form r_k = (A_k - m*(B_k + C_k) + (n-k)*m^2) / (SS - n*m^2)
+    is then a FIXED chain of IEEE ops (m = S/n computed once), so every
+    double replays verbatim in SQL. A constant series (zero variance)
+    yields NULL acf — deterministic, not NaN. Rows with NULL value are
+    excluded BEFORE lagging (complete-case in the compacted order, the
+    statsmodels treatment of explicitly-dropped missings); series
+    shorter than k+1 rows yield no row for lag k.
+
+    Returns (key, lag, n, acf).
+
+    Scale shape: ONE key-partitioned window shuffle produces all
+    max_lag lead columns at once (same partitioning for every lag),
+    then one key-keyed aggregation emits the statistics row; the
+    (key, lag) reshape explodes only statistics. Never data x lag."""
+    from pyspark.sql.window import Window
+
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    sc = float(scale)
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy("__k").orderBy("__o")
+    base = (df.where(x.isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.col(order_col).alias("__o"), x.alias("__x")))
+    for k in range(1, max_lag + 1):
+        base = base.withColumn(f"__l{k}", F.lead("__x", k).over(w))
+
+    def fx(expr: F.Column) -> F.Column:
+        return F.sum(F.when(
+            expr.isNotNull(),
+            F.floor(expr * F.lit(sc)).cast("decimal(38,0)"))
+            .otherwise(F.lit(0).cast("decimal(38,0)")))
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n"),
+            fx(F.col("__x")).alias("__s"),
+            fx(F.col("__x") * F.col("__x")).alias("__ss")]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}")
+        aggs += [
+            fx(F.col("__x") * lk).alias(f"__a{k}"),
+            fx(F.when(lk.isNotNull(), F.col("__x"))).alias(f"__b{k}"),
+            fx(lk).alias(f"__c{k}"),
+            F.sum(lk.isNotNull().cast("bigint")).alias(f"__n{k}"),
+        ]
+    stats = base.groupBy("__k").agg(*aggs)
+    nd = F.col("n").cast("double")
+    m = (F.col("__s").cast("double") / F.lit(sc)) / nd
+    denom = F.col("__ss").cast("double") / F.lit(sc) - nd * m * m
+    rows = []
+    for k in range(1, max_lag + 1):
+        numer = (F.col(f"__a{k}").cast("double") / F.lit(sc)
+                 - m * ((F.col(f"__b{k}").cast("double") / F.lit(sc))
+                        + (F.col(f"__c{k}").cast("double") / F.lit(sc)))
+                 + F.col(f"__n{k}").cast("double") * m * m)
+        rows.append(F.struct(
+            F.lit(k).alias("lag"),
+            F.col(f"__n{k}").alias("pairs"),
+            F.when(denom > 0, numer / denom).alias("acf")))
+    exploded = (stats.select(F.col("__k").alias(key_col), "n",
+                             F.explode(F.array(*rows)).alias("c"))
+                .where(F.col("c.pairs") > 0))
+    return exploded.select(key_col, F.col("c.lag").alias("lag"), "n",
+                           F.col("c.acf").alias("acf"))
+
+
+def cusum_changepoint(df: DataFrame, key_col: str, order_col: str,
+                      value_col: str, scale: float = 1e6) -> DataFrame:
+    """Per-series CUSUM changepoint scan (Page 1954 / the standard
+    offline mean-shift screen): S_t = sum_{i<=t}(x_i - m) with m the
+    series mean; the changepoint estimate is the position maximizing
+    |S_t| and the score is max|S_t| scaled by the series' dispersion —
+    the "did this metric's level shift, and where?" monitor beside
+    :func:`trend_ols` (drift) and :func:`acf` (seasonality).
+
+    Exactness: prefix sums accumulate the FLOOR(x * scale) fixed-point
+    integers (order-free per prefix; the per-key window is a
+    deterministic total order on (order, value)), S_t = P_t - t*(T/n)
+    with T the exact total, and the reported ``stat`` =
+    max|S_t| / sqrt(n * msd) where msd = SS/n - m^2 — sqrt is
+    correctly-rounded IEEE, so the score replays verbatim (the
+    Welch-t convention). Constant series score NULL (no dispersion,
+    nothing to shift). NULL values are excluded up front.
+
+    Returns (key, n, cp_pos, cp_order, max_abs_cusum, stat) — cp_pos
+    the 1-based position of the max (earliest on ties: deterministic),
+    cp_order that row's order value.
+
+    Scale shape: one key-partitioned window (prefix position + prefix
+    sum share it), one key aggregation with max_by for the argmax —
+    two key-keyed exchanges total, no collect."""
+    from pyspark.sql.window import Window
+
+    sc = float(scale)
+    x = F.col(value_col).cast("double")
+    base = (df.where(x.isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.col(order_col).alias("__o"),
+                    F.floor(x * F.lit(sc)).cast("decimal(38,0)")
+                    .alias("__xf"),
+                    F.floor(x * x * F.lit(sc)).cast("decimal(38,0)")
+                    .alias("__xxf")))
+    w = (Window.partitionBy("__k").orderBy("__o", "__xf")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = (base
+           .withColumn("__t", F.count(F.lit(1)).over(w))
+           .withColumn("__p", F.sum("__xf").over(w)))
+    # the integer argmax |S_t| = |P_t*n - t*T|/(scale*n) needs the
+    # series totals on every row — aggregate the (key-sized) totals and
+    # rejoin over the SAME key partitioning (clearing the /n keeps the
+    # argmax comparison exact-integer)
+    tot = (pre.groupBy("__k")
+           .agg(F.max("__t").cast("bigint").alias("n"),
+                F.sum("__xf").alias("__tot"),
+                F.sum("__xxf").alias("__sstot")))
+    scored = (pre.join(tot, on="__k")
+              .withColumn("__dev", F.abs(
+                  F.col("__p") * F.col("n") - F.col("__t") * F.col("__tot"))))
+    best = (scored.groupBy("__k")
+            .agg(F.max("n").cast("bigint").alias("n"),
+                 F.max("__tot").alias("__tot"),
+                 F.max("__sstot").alias("__sstot"),
+                 F.max("__dev").alias("__mdev"),
+                 F.min_by(
+                     F.struct(F.col("__t").alias("pos"),
+                              F.col("__o").alias("ord")),
+                     F.struct((-F.col("__dev")).alias("a"),
+                              F.col("__t").alias("b"))).alias("__at")))
+    nd = F.col("n").cast("double")
+    m = (F.col("__tot").cast("double") / F.lit(sc)) / nd
+    msd = (F.col("__sstot").cast("double") / F.lit(sc)) / nd - m * m
+    # max|S_t| in value units: __mdev is scale*n*|S_t|
+    mdev = F.col("__mdev").cast("double") / F.lit(sc) / nd
+    stat = F.when(msd > 0, mdev / F.sqrt(nd * msd))
+    return best.select(
+        F.col("__k").alias(key_col), "n",
+        F.col("__at.pos").cast("bigint").alias("cp_pos"),
+        F.col("__at.ord").alias("cp_order"),
+        mdev.alias("max_abs_cusum"),
+        stat.alias("stat"))
+
+
+def ohlc_downsample(df: DataFrame, ts_col: str, key_col: str,
+                    value_col: str, bucket: str = "day") -> DataFrame:
+    """OHLC (open/high/low/close) downsample per series key and time
+    bucket — the candlestick rollup every tick/metric store ships
+    (TimescaleDB ohlc(), InfluxDB aggregateWindow): open = value at the
+    EARLIEST row in the bucket, close = at the LATEST, high/low = the
+    extremes.
+
+    Determinism: open/close tie-break on (ts, value) lexicographically
+    (min/max over a two-field struct — same-timestamp duplicates pick
+    the smaller/larger value), so the result is well-defined even on
+    tick data with collided timestamps; every output is an input value,
+    no arithmetic at all. NULL values and NULL timestamps are excluded.
+
+    Returns (key, bucket, n, open, high, low, close).
+
+    Scale shape: ONE aggregation over one scan — min/max of structs are
+    ordinary map-side-combinable aggregates; no window, no join."""
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}, "
+                         f"got {bucket!r}")
+    v = F.col(value_col).cast("double")
+    base = (df.where(v.isNotNull() & F.col(ts_col).isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+                    F.col(ts_col).alias("__ts"), v.alias("__v")))
+    return (base.groupBy(F.col("__k").alias(key_col), "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.min(F.struct("__ts", "__v")).alias("__o"),
+                 F.max("__v").alias("high"),
+                 F.min("__v").alias("low"),
+                 F.max(F.struct("__ts", "__v")).alias("__c"))
+            .select(key_col, "bucket", "n",
+                    F.col("__o.__v").alias("open"), "high", "low",
+                    F.col("__c.__v").alias("close")))
