@@ -9070,6 +9070,581 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
+# -- round-15 additions: drift/eval/timeseries/layout/CDC ------------------
+
+_KS_SPLIT = "TIMESTAMP '1998-01-01 00:00:00'"
+
+_KS_DUCK = f"""
+WITH r AS (
+  SELECT l_extendedprice AS v FROM lineitem
+  WHERE l_shipdate < {_KS_SPLIT} AND l_extendedprice IS NOT NULL
+), c AS (
+  SELECT l_extendedprice AS v FROM lineitem
+  WHERE l_shipdate >= {_KS_SPLIT} AND l_extendedprice IS NOT NULL
+), rc AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY v
+), cc AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY v
+), m AS (
+  SELECT COALESCE(rc.v, cc.v) AS v, COALESCE(rc.n, 0) AS rn,
+         COALESCE(cc.n, 0) AS cn
+  FROM rc FULL OUTER JOIN cc ON rc.v = cc.v
+), p AS (
+  SELECT v, SUM(rn) OVER (ORDER BY v) AS cr,
+         SUM(cn) OVER (ORDER BY v) AS cu FROM m
+), t AS (
+  SELECT CAST(SUM(rn) AS BIGINT) AS nr, CAST(SUM(cn) AS BIGINT) AS nc
+  FROM m
+), s AS (
+  SELECT p.v, ABS(p.cr * t.nc - p.cu * t.nr) AS num FROM p, t
+)
+SELECT CAST(MAX(s.num) AS DOUBLE) / CAST(t.nr * t.nc AS DOUBLE) AS d_stat,
+       MIN(s.v) FILTER (WHERE s.num = (SELECT MAX(num) FROM s))
+         AS at_value,
+       t.nr AS n_ref, t.nc AS n_cur
+FROM s, t GROUP BY t.nr, t.nc
+"""
+
+
+@q("dq_ks_test", _KS_DUCK)
+def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic
+    (profiling.ks_test): pre-1998 vs post-1998 lineitem prices — the
+    binning-free companion to dq_drift_chi2. D's numerator is an exact
+    integer max over the distinct-value ECDF merge (two-phase global
+    prefix, never a 1-task window); ONE IEEE division at the end, so
+    the statistic replays bit-for-bit."""
+    from .extensions import profiling
+
+    _views(spark, sf_dir)
+    li = spark.table("lineitem")
+    split = "1998-01-01"
+    return profiling.ks_test(
+        li.where(f"l_shipdate < TIMESTAMP '{split}'"),
+        li.where(f"l_shipdate >= TIMESTAMP '{split}'"),
+        "l_extendedprice")
+
+
+_BENFORD_DUCK = """
+WITH v AS (
+  SELECT CAST(FLOOR(ABS(CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS iv
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND ABS(CAST(o_totalprice AS DOUBLE)) >= 1.0
+), d AS (
+  SELECT CAST(substring(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY 1
+), e(digit, expected) AS (VALUES
+  (1, 0.3010299956639812e0), (2, 0.17609125905568124e0),
+  (3, 0.12493873660829993e0), (4, 0.09691001300805642e0),
+  (5, 0.07918124604762482e0), (6, 0.06694678963061322e0),
+  (7, 0.05799194697768673e0), (8, 0.05115252244738129e0),
+  (9, 0.04575749056067514e0)
+), j AS (
+  SELECT e.digit, COALESCE(d.n, 0) AS n, e.expected
+  FROM e LEFT JOIN d ON d.digit = e.digit
+), t AS (SELECT SUM(n) AS total FROM j)
+SELECT j.digit, CAST(j.n AS BIGINT) AS n,
+       CASE WHEN t.total > 0
+            THEN CAST(j.n AS DOUBLE) / CAST(t.total AS DOUBLE) END
+         AS share,
+       j.expected,
+       (CASE WHEN t.total > 0
+             THEN CAST(j.n AS DOUBLE) / CAST(t.total AS DOUBLE) END
+        - j.expected) AS dev
+FROM j, t
+"""
+
+
+@q("dq_benford", _BENFORD_DUCK)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit Benford profile (profiling.benford_digits)
+    over order totals — the fabricated-numbers anomaly screen. The
+    digit comes from the BIGINT rendering (engine-identical, unlike
+    double-to-string); expected shares are precomputed log10(1+1/d)
+    literals, so no transcendental ever evaluates in-engine."""
+    from .extensions import profiling
+
+    _views(spark, sf_dir)
+    return profiling.benford_digits(spark.table("orders"), "o_totalprice")
+
+
+_WELCH_DUCK = f"""
+WITH r AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  WHERE l_shipdate < {_KS_SPLIT} AND l_extendedprice IS NOT NULL
+), c AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  WHERE l_shipdate >= {_KS_SPLIT} AND l_extendedprice IS NOT NULL
+), sr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(v * 100.0) AS DECIMAL(38,0))) AS s,
+         SUM(CAST(FLOOR((v * v) * 100.0) AS DECIMAL(38,0))) AS ss
+  FROM r
+), sc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(v * 100.0) AS DECIMAL(38,0))) AS s,
+         SUM(CAST(FLOOR((v * v) * 100.0) AS DECIMAL(38,0))) AS ss
+  FROM c
+), z AS (
+  SELECT sr.n AS n_ref, sc.n AS n_cur,
+         (CAST(sr.s AS DOUBLE) / 100.0) / CAST(sr.n AS DOUBLE) AS m1,
+         (CAST(sc.s AS DOUBLE) / 100.0) / CAST(sc.n AS DOUBLE) AS m2,
+         ((CAST(sr.ss AS DOUBLE) / 100.0)
+          - CAST(sr.n AS DOUBLE)
+            * ((CAST(sr.s AS DOUBLE) / 100.0) / CAST(sr.n AS DOUBLE))
+            * ((CAST(sr.s AS DOUBLE) / 100.0) / CAST(sr.n AS DOUBLE)))
+           / (CAST(sr.n AS DOUBLE) - 1.0) AS v1,
+         ((CAST(sc.ss AS DOUBLE) / 100.0)
+          - CAST(sc.n AS DOUBLE)
+            * ((CAST(sc.s AS DOUBLE) / 100.0) / CAST(sc.n AS DOUBLE))
+            * ((CAST(sc.s AS DOUBLE) / 100.0) / CAST(sc.n AS DOUBLE)))
+           / (CAST(sc.n AS DOUBLE) - 1.0) AS v2
+  FROM sr, sc
+)
+SELECT n_ref, n_cur, m1 AS mean_ref, m2 AS mean_cur,
+       CASE WHEN v1 / CAST(n_ref AS DOUBLE) + v2 / CAST(n_cur AS DOUBLE) > 0
+            THEN (m1 - m2)
+                 / sqrt(v1 / CAST(n_ref AS DOUBLE)
+                        + v2 / CAST(n_cur AS DOUBLE)) END AS t_stat,
+       CASE WHEN v1 / CAST(n_ref AS DOUBLE) + v2 / CAST(n_cur AS DOUBLE) > 0
+            THEN ((v1 / CAST(n_ref AS DOUBLE) + v2 / CAST(n_cur AS DOUBLE))
+                  * (v1 / CAST(n_ref AS DOUBLE) + v2 / CAST(n_cur AS DOUBLE)))
+                 / ((v1 / CAST(n_ref AS DOUBLE)) * (v1 / CAST(n_ref AS DOUBLE))
+                      / (CAST(n_ref AS DOUBLE) - 1.0)
+                    + (v2 / CAST(n_cur AS DOUBLE)) * (v2 / CAST(n_cur AS DOUBLE))
+                      / (CAST(n_cur AS DOUBLE) - 1.0)) END AS df
+FROM z
+"""
+
+
+@q("stats_welch_ttest", _WELCH_DUCK)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic (profiling.welch_ttest): did the
+    mean lineitem price shift across the 1998 split? Fixed-point sums
+    (scale 100 keeps price*price*scale inside double-exact range), then
+    a fixed chain of IEEE ops incl. one sqrt — t and the
+    Welch-Satterthwaite df both replay bit-for-bit."""
+    from .extensions import profiling
+
+    _views(spark, sf_dir)
+    li = spark.table("lineitem").where("l_extendedprice IS NOT NULL")
+    split = "1998-01-01"
+    return profiling.welch_ttest(
+        li.where(f"l_shipdate < TIMESTAMP '{split}'"),
+        li.where(f"l_shipdate >= TIMESTAMP '{split}'"),
+        "l_extendedprice", scale=100.0)
+
+
+_F1_DUCK = """
+WITH base AS (
+  SELECT CAST(CASE WHEN ABS(CAST(embedding[1] AS DOUBLE)) < 0.1
+              THEN (label + 1) % 10 ELSE label END AS VARCHAR) AS p,
+         CAST(label AS VARCHAR) AS y
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+), cells AS (
+  SELECT p, y, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY p, y
+), bt AS (
+  SELECT y AS class, CAST(SUM(n) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN p = y THEN n ELSE 0 END) AS BIGINT) AS tp
+  FROM cells GROUP BY y
+), bp AS (
+  SELECT p AS class, CAST(SUM(n) AS BIGINT) AS n_pred
+  FROM cells GROUP BY p
+), j AS (
+  SELECT COALESCE(bt.class, bp.class) AS class,
+         COALESCE(bt.n_true, 0) AS n_true,
+         COALESCE(bp.n_pred, 0) AS n_pred,
+         COALESCE(bt.tp, 0) AS tp
+  FROM bt FULL OUTER JOIN bp ON bt.class = bp.class
+)
+SELECT class, n_true, n_pred, tp,
+       CASE WHEN n_pred > 0
+            THEN CAST(tp AS DOUBLE) / n_pred END AS precision,
+       CASE WHEN n_true > 0
+            THEN CAST(tp AS DOUBLE) / n_true END AS recall,
+       2.0 * CAST(tp AS DOUBLE) / (n_true + n_pred) AS f1
+FROM j
+"""
+
+
+@q("eval_f1_multiclass", _F1_DUCK)
+def eval_f1_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (evaluation.classification_report):
+    a synthetic classifier over embeddings (errs exactly when the first
+    dimension is small) against the true label — the hard-prediction
+    eval beside eval_auc. Counts are one aggregation; every rate is a
+    single IEEE division."""
+    from .extensions import evaluation
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings").where(
+        "embedding IS NOT NULL AND label IS NOT NULL")
+    scored = emb.select(
+        F.expr("CASE WHEN ABS(CAST(element_at(embedding, 1) AS DOUBLE)) "
+               "< 0.1 THEN (label + 1) % 10 ELSE label END").alias("p"),
+        F.col("label").alias("y"))
+    return evaluation.classification_report(scored, "p", "y")
+
+
+_RANK_K = 10
+
+_RANKM_DUCK = f"""
+WITH ranked AS (
+  SELECT l_suppkey AS query,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+           AS rnk,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS rel
+  FROM lineitem
+), top AS (
+  SELECT query, rnk, rel,
+         SUM(rel) OVER (PARTITION BY query ORDER BY rnk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ranked WHERE rnk <= {_RANK_K}
+), agg AS (
+  SELECT query, CAST(SUM(rel) AS BIGINT) AS n_rel_k,
+         SUM(CASE WHEN rel = 1
+             THEN CAST(cum * (232792560 // rnk) AS DECIMAL(38,0))
+             ELSE CAST(0 AS DECIMAL(38,0)) END) AS apn,
+         MIN(CASE WHEN rel = 1 THEN rnk END) AS fh
+  FROM top GROUP BY query
+)
+SELECT query, n_rel_k,
+       CAST(n_rel_k AS DOUBLE) / {float(_RANK_K)} AS p_at_k,
+       CASE WHEN fh IS NOT NULL THEN 1.0 / CAST(fh AS DOUBLE) END AS rr,
+       CASE WHEN n_rel_k > 0
+            THEN CAST(apn AS DOUBLE)
+                 / (232792560.0 * CAST(n_rel_k AS DOUBLE)) END AS ap
+FROM agg
+"""
+
+
+@q("eval_rank_metrics", _RANKM_DUCK)
+def eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ranked-retrieval metrics (evaluation.rank_metrics):
+    each supplier's lineitems ranked by price (deterministic
+    (price desc, orderkey, linenumber) total order), relevance =
+    returned flag — P@10, reciprocal rank, and average precision with
+    the AP sum in exact LCM(1..20) fixed point, so every metric
+    replays."""
+    from .extensions import evaluation
+    from pyspark.sql.window import Window as W
+
+    _views(spark, sf_dir)
+    li = spark.table("lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"),
+        F.asc("l_linenumber"))
+    ranked = li.select(
+        F.col("l_suppkey").alias("qid"),
+        F.row_number().over(w).alias("rnk"),
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")
+        .alias("rel"))
+    return (evaluation.rank_metrics(ranked, "qid", "rnk", "rel",
+                                    k=_RANK_K)
+            .withColumnRenamed("query", "query"))
+
+
+def _acf_series_sql() -> str:
+    """Daily event counts per type — the shared series both ts_acf and
+    ts_cusum replay on (counts: integer-exact, no sum-of-doubles)."""
+    return ("SELECT event_type AS k, date_trunc('day', ts) AS b, "
+            "CAST(COUNT(*) AS DOUBLE) AS x FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1, 2")
+
+
+_ACF_LAGS = 5
+
+
+def _acf_duck() -> str:
+    sc = "1000000.0"
+    lead_cols = ", ".join(
+        f"LEAD(x, {k}) OVER (PARTITION BY k ORDER BY b) AS x{k}"
+        for k in range(1, _ACF_LAGS + 1))
+    per_lag_aggs = []
+    for k in range(1, _ACF_LAGS + 1):
+        per_lag_aggs.append(
+            f"SUM(CASE WHEN x{k} IS NOT NULL THEN CAST(FLOOR((x * x{k}) "
+            f"* {sc}) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) "
+            f"END) AS a{k}, "
+            f"SUM(CASE WHEN x{k} IS NOT NULL THEN CAST(FLOOR(x * {sc}) "
+            f"AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) "
+            f"AS b{k}, "
+            f"SUM(CASE WHEN x{k} IS NOT NULL THEN CAST(FLOOR(x{k} * {sc}) "
+            f"AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) "
+            f"AS c{k}, "
+            f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n{k}")
+    unions = []
+    for k in range(1, _ACF_LAGS + 1):
+        unions.append(f"""
+SELECT k AS event_type, {k} AS lag, n,
+       CASE WHEN (CAST(ss AS DOUBLE) / {sc}
+                  - CAST(n AS DOUBLE)
+                    * ((CAST(s AS DOUBLE) / {sc}) / CAST(n AS DOUBLE))
+                    * ((CAST(s AS DOUBLE) / {sc}) / CAST(n AS DOUBLE)))
+                 > 0
+            THEN (CAST(a{k} AS DOUBLE) / {sc}
+                  - ((CAST(s AS DOUBLE) / {sc}) / CAST(n AS DOUBLE))
+                    * ((CAST(b{k} AS DOUBLE) / {sc})
+                       + (CAST(c{k} AS DOUBLE) / {sc}))
+                  + CAST(n{k} AS DOUBLE)
+                    * ((CAST(s AS DOUBLE) / {sc}) / CAST(n AS DOUBLE))
+                    * ((CAST(s AS DOUBLE) / {sc}) / CAST(n AS DOUBLE)))
+                 / (CAST(ss AS DOUBLE) / {sc}
+                    - CAST(n AS DOUBLE)
+                      * ((CAST(s AS DOUBLE) / {sc}) / CAST(n AS DOUBLE))
+                      * ((CAST(s AS DOUBLE) / {sc}) / CAST(n AS DOUBLE)))
+            END AS acf
+FROM stats WHERE n{k} > 0""")
+    return f"""
+WITH series AS ({_acf_series_sql()}),
+laged AS (SELECT k, x, {lead_cols} FROM series),
+stats AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(x * {sc}) AS DECIMAL(38,0))) AS s,
+         SUM(CAST(FLOOR((x * x) * {sc}) AS DECIMAL(38,0))) AS ss,
+         {', '.join(per_lag_aggs)}
+  FROM laged GROUP BY k
+)
+{' UNION ALL '.join(unions)}
+"""
+
+
+@q("ts_acf", _acf_duck)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1..5 (timeseries.acf) over
+    daily event counts per type — the seasonality/persistence monitor
+    beside ts_trend_ols. One key-partitioned window produces all lag
+    leads; closed forms off order-free fixed-point sums, so every
+    coefficient replays bit-for-bit."""
+    from .extensions import timeseries
+
+    _views(spark, sf_dir)
+    series = (spark.table("events").where("ts IS NOT NULL")
+              .groupBy(F.col("event_type"),
+                       F.date_trunc("day", F.col("ts")).alias("b"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    return timeseries.acf(series, "event_type", "b", "x",
+                          max_lag=_ACF_LAGS)
+
+
+_CUSUM_DUCK = """
+WITH series AS (
+  SELECT event_type AS k, CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), base AS (
+  SELECT k, b, CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)) AS xf,
+         CAST(FLOOR((x * x) * 1000000.0) AS DECIMAL(38,0)) AS xxf
+  FROM series
+), pre AS (
+  SELECT k, b, xf, xxf,
+         CAST(COUNT(*) OVER w AS BIGINT) AS t,
+         SUM(xf) OVER w AS p
+  FROM base WINDOW w AS (PARTITION BY k ORDER BY b, xf
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT k, CAST(MAX(t) AS BIGINT) AS n, SUM(xf) AS tt, SUM(xxf) AS sst
+  FROM pre GROUP BY k
+), scored AS (
+  SELECT pre.k, pre.b, pre.t, tot.n, tot.tt, tot.sst,
+         ABS(pre.p * tot.n - pre.t * tot.tt) AS dev
+  FROM pre JOIN tot ON pre.k = tot.k
+), best AS (
+  SELECT k, n, tt, sst, t, b, dev,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY dev DESC, t ASC)
+           AS rn
+  FROM scored
+)
+SELECT k AS event_type, n, CAST(t AS BIGINT) AS cp_pos, b AS cp_order,
+       CAST(dev AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+         AS max_abs_cusum,
+       CASE WHEN (CAST(sst AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+                 - ((CAST(tt AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
+                   * ((CAST(tt AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
+                 > 0
+            THEN (CAST(dev AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE)
+                        * ((CAST(sst AS DOUBLE) / 1000000.0)
+                             / CAST(n AS DOUBLE)
+                           - ((CAST(tt AS DOUBLE) / 1000000.0)
+                                / CAST(n AS DOUBLE))
+                             * ((CAST(tt AS DOUBLE) / 1000000.0)
+                                  / CAST(n AS DOUBLE)))) END AS stat
+FROM best WHERE rn = 1
+"""
+
+
+@q("ts_cusum", _CUSUM_DUCK)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM changepoint scan (timeseries.cusum_changepoint)
+    over daily event counts — "did this metric's level shift, and
+    where?". The argmax compares exact integers (|P_t*n - t*T| clears
+    the divisions), ties break earliest; score and position replay
+    verbatim."""
+    from .extensions import timeseries
+
+    _views(spark, sf_dir)
+    series = (spark.table("events").where("ts IS NOT NULL")
+              .groupBy(F.col("event_type"),
+                       F.date_trunc("day", F.col("ts")).alias("b"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    return timeseries.cusum_changepoint(series, "event_type", "b", "x")
+
+
+_OHLC_DUCK = """
+WITH b AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS bucket, ts,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), q AS (
+  SELECT k, bucket, v,
+         ROW_NUMBER() OVER (PARTITION BY k, bucket ORDER BY ts, v)
+           AS ra,
+         ROW_NUMBER() OVER (PARTITION BY k, bucket
+           ORDER BY ts DESC, v DESC) AS rd
+  FROM b
+)
+SELECT k AS event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(CASE WHEN ra = 1 THEN v END) AS open,
+       MAX(v) AS high, MIN(v) AS low,
+       MAX(CASE WHEN rd = 1 THEN v END) AS close
+FROM q GROUP BY k, bucket
+"""
+
+
+@q("ts_ohlc", _OHLC_DUCK)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsample (timeseries.ohlc_downsample) of event
+    values per type — the candlestick rollup (TimescaleDB ohlc()).
+    Open/close tie-break on (ts, value) via struct min/max, so the
+    result is exact input values off ONE aggregation — no window, no
+    join, no arithmetic."""
+    from .extensions import timeseries
+
+    _views(spark, sf_dir)
+    return timeseries.ohlc_downsample(
+        spark.table("events"), "ts", "event_type", "value",
+        bucket="hour")
+
+
+_HILBERT_BITS = 4
+
+
+def _hilbert_duck() -> str:
+    from .extensions.layout import hilbert_d2_py
+
+    n = 1 << _HILBERT_BITS
+    vals = ", ".join(
+        f"({x}, {y}, {hilbert_d2_py(_HILBERT_BITS, x, y)})"
+        for x in range(n) for y in range(n))
+    return f"""
+WITH m(x, y, d) AS (VALUES {vals}),
+p AS (
+  SELECT p_partkey,
+         CAST(p_size % {n} AS BIGINT) AS hx,
+         CAST(CAST(FLOOR(p_retailprice) AS BIGINT) % {n} AS BIGINT)
+           AS hy
+  FROM part
+)
+SELECT p.p_partkey, p.hx, p.hy, CAST(m.d AS BIGINT) AS hkey
+FROM p JOIN m ON m.x = p.hx AND m.y = p.hy
+"""
+
+
+@q("layout_hilbert", _hilbert_duck)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key (layout.hilbert_key_2d) over bucketed
+    part dimensions (size x price, 4 bits each) — the tighter-locality
+    successor to layout_zorder: no quadrant-boundary jumps, so
+    contiguous key ranges cover compact rectangles and zone maps prune
+    2-D range predicates harder. The unrolled bitwise walk is pure
+    codegen; the oracle replays the pinned pure-Python twin as a
+    256-row lookup."""
+    from .extensions import layout
+
+    _views(spark, sf_dir)
+    n = 1 << _HILBERT_BITS
+    base = spark.table("part").select(
+        "p_partkey",
+        (F.col("p_size").cast("bigint") % n).alias("hx"),
+        (F.floor(F.col("p_retailprice")).cast("bigint") % n).alias("hy"))
+    return layout.hilbert_key_2d(base, "hx", "hy", _HILBERT_BITS,
+                                 key_col="hkey")
+
+
+_CDC_SPLIT = "TIMESTAMP '1998-01-01 00:00:00'"
+
+_CDC_DUCK = f"""
+WITH tgt AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderdate < {_CDC_SPLIT}
+), band AS (
+  SELECT * FROM orders WHERE o_orderdate >= {_CDC_SPLIT}
+), changes AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+         'U' AS op, 1 AS seq, o_orderstatus
+  FROM band
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D', 2, CAST(NULL AS VARCHAR)
+  FROM band WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice, 'I', 1, 'N'
+  FROM band WHERE o_orderkey % 5 = 0
+), ranked AS (
+  SELECT *, CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END AS rk,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey
+           ORDER BY seq DESC, CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1
+                              ELSE 0 END DESC) AS rn
+  FROM changes
+), win AS (SELECT * FROM ranked WHERE rn = 1)
+SELECT o_orderkey, o_totalprice, o_orderstatus FROM tgt
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM win)
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus FROM win WHERE rk < 2
+"""
+
+
+@q("inc_cdc_apply", _CDC_DUCK)
+def inc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (merge.apply_cdc — the APPLY CHANGES shape):
+    pre-1998 orders as the target, a synthetic I/U/D changelog from the
+    post-1998 band (updates reprice, every third key then deletes at a
+    later seq, every fifth key inserts under a fresh key). Latest
+    change per key wins by (seq, D>U>I); delete-then-absent replays are
+    no-ops — the at-least-once property. One max_by aggregation + one
+    anti-join."""
+    from .operators.merge import apply_cdc
+
+    _views(spark, sf_dir)
+    orders = spark.table("orders")
+    split = "1998-01-01"
+    tgt = (orders.where(f"o_orderdate < TIMESTAMP '{split}'")
+           .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    band = orders.where(f"o_orderdate >= TIMESTAMP '{split}'")
+    upd = band.select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"), "o_orderstatus")
+    dele = (band.where("o_orderkey % 3 = 0")
+            .select("o_orderkey",
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                    F.lit("D").alias("op"), F.lit(2).alias("seq"),
+                    F.lit(None).cast("string").alias("o_orderstatus")))
+    ins = (band.where("o_orderkey % 5 = 0")
+           .select((-F.col("o_orderkey")).alias("o_orderkey"),
+                   "o_totalprice", F.lit("I").alias("op"),
+                   F.lit(1).alias("seq"),
+                   F.lit("N").alias("o_orderstatus")))
+    changes = upd.unionByName(dele).unionByName(ins)
+    return apply_cdc(tgt, changes, "o_orderkey",
+                     dest_columns=["o_orderkey", "o_totalprice",
+                                   "o_orderstatus"])
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02/r04 all contain

@@ -4127,3 +4127,223 @@ def test_r15_advice_guards(spark):
     with _pytest.raises(ValueError, match="oversize"):
         linkage.equality_blocking_pairs(recs, "id", ["blk"],
                                         max_block_size=5, oversize="drop")
+
+
+def test_ks_test_semantics(spark):
+    """Identical samples D=0; disjoint D=1; hand case with the
+    smallest-value tie-break; the sizes land as literals."""
+    from dbt_extrica_spark.extensions.profiling import ks_test
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    r = ks_test(a, a, "v").collect()[0]
+    assert (r.d_stat, r.n_ref, r.n_cur) == (0.0, 10, 10)
+    b = spark.createDataFrame([(float(i + 100),) for i in range(5)],
+                              "v double")
+    r = ks_test(a, b, "v").collect()[0]
+    assert r.d_stat == 1.0 and r.at_value == 9.0
+    # hand case: ref {1,2,3,4}, cur {3,4,5,6}: max gap at v=2 (2/4 - 0)
+    c = spark.createDataFrame([(v,) for v in [1.0, 2.0, 3.0, 4.0]],
+                              "v double")
+    d = spark.createDataFrame([(v,) for v in [3.0, 4.0, 5.0, 6.0]],
+                              "v double")
+    r = ks_test(c, d, "v").collect()[0]
+    assert r.d_stat == 0.5 and r.at_value == 2.0
+    # NULLs excluded, not counted
+    e = spark.createDataFrame([(1.0,), (None,)], "v double")
+    assert ks_test(e, e, "v").collect()[0].n_ref == 1
+
+
+def test_benford_digits_semantics(spark):
+    """Hand-computed digit shares; sub-1 / zero / NULL / negative-
+    magnitude handling per contract."""
+    from dbt_extrica_spark.extensions.profiling import (BENFORD_P,
+                                                        benford_digits)
+
+    rows = [(123.4,), (19.0,), (1.5,), (250.0,), (0.7,), (None,),
+            (-34.0,), (0.0,), (9000.0,)]
+    out = {r.digit: r for r in benford_digits(
+        spark.createDataFrame(rows, "v double"), "v").collect()}
+    assert len(out) == 9
+    # digits: 123->1, 19->1, 1.5->1, 250->2, -34->3, 9000->9
+    assert out[1].n == 3 and out[2].n == 1 and out[3].n == 1
+    assert out[9].n == 1 and out[4].n == 0
+    assert out[1].share == 3.0 / 6.0
+    assert out[1].expected == BENFORD_P[1]
+    assert out[1].dev == 3.0 / 6.0 - BENFORD_P[1]
+    assert out[4].share == 0.0
+
+
+def test_classification_report_semantics(spark):
+    """Per-class confusion stats incl. the hallucinated-class row; NULL
+    pred raises; grouped mode splits correctly."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.evaluation import (
+        classification_report)
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"),
+            ("d", "d")]
+    df = spark.createDataFrame(rows, "p string, y string")
+    got = {r["class"]: r for r in
+           classification_report(df, "p", "y").collect()}
+    assert (got["b"].n_true, got["b"].n_pred, got["b"].tp) == (3, 2, 2)
+    assert got["b"].precision == 1.0 and got["b"].recall == 2.0 / 3.0
+    assert got["b"].f1 == 2.0 * 2.0 / 5.0
+    # hallucinated class: predicted once, never true
+    assert (got["c"].n_true, got["c"].n_pred) == (0, 1)
+    assert got["c"].precision == 0.0 and got["c"].recall is None
+    bad = spark.createDataFrame([("a", None)], "p string, y string")
+    with _pytest.raises(Exception, match="classification_report"):
+        classification_report(bad, "p", "y").collect()
+    with _pytest.raises(ValueError, match="collide"):
+        classification_report(df.withColumnRenamed("y", "tp"),
+                              "p", "tp", group_cols=["tp"])
+
+
+def test_rank_metrics_semantics(spark):
+    """Hand-computed AP/RR/P@k; duplicate ranks raise; invalid rel and
+    k bounds raise."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.evaluation import rank_metrics
+
+    df = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 0), (1, 3, 1), (2, 1, 0), (2, 2, 0)],
+        "q int, rank int, rel int")
+    got = {r.query: r for r in
+           rank_metrics(df, "q", "rank", "rel", k=3).collect()}
+    # ap = 5/6 as ONE division (the naive (1 + 2/3)/2 float chain is a
+    # ulp below the correctly-rounded single-division value)
+    lcm = 232792560
+    assert got[1].ap == (1 * lcm + 2 * (lcm // 3)) / (lcm * 2.0)
+    assert got[1].rr == 1.0 and got[1].p_at_k == 2.0 / 3.0
+    assert got[2].ap is None and got[2].rr is None and got[2].p_at_k == 0.0
+    dup = spark.createDataFrame([(1, 1, 1), (1, 1, 0)],
+                                "q int, rank int, rel int")
+    with _pytest.raises(Exception, match="duplicate rank"):
+        rank_metrics(dup, "q", "rank", "rel", k=3).collect()
+    frac = spark.createDataFrame([(1, 1, 2)], "q int, rank int, rel int")
+    with _pytest.raises(Exception, match="rank_metrics"):
+        rank_metrics(frac, "q", "rank", "rel", k=3).collect()
+    with _pytest.raises(ValueError, match="1..20"):
+        rank_metrics(df, "q", "rank", "rel", k=21)
+
+
+def test_acf_matches_numpy(spark):
+    """Sample ACF vs the direct numpy formula on integer series; short
+    series emit no row for infeasible lags; constant series NULL."""
+    import numpy as np
+
+    from dbt_extrica_spark.extensions.timeseries import acf
+
+    xs = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 5.0, 8.0]
+    rows = [("a", i, x) for i, x in enumerate(xs)]
+    rows += [("short", 0, 1.0), ("short", 1, 2.0)]
+    rows += [("const", i, 4.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    out = acf(df, "k", "o", "v", max_lag=3).collect()
+    got = {(r.k, r.lag): r.acf for r in out}
+    x = np.array(xs)
+    m, den = x.mean(), ((x - x.mean()) ** 2).sum()
+    for k in range(1, 4):
+        want = ((x[:-k] - m) * (x[k:] - m)).sum() / den
+        assert abs(got[("a", k)] - want) < 1e-6
+    assert ("short", 2) not in got and ("short", 1) in got
+    assert got[("const", 1)] is None
+
+
+def test_cusum_changepoint_semantics(spark):
+    """Level shift localizes at the segment boundary; earliest tie wins;
+    constant series scores NULL."""
+    from dbt_extrica_spark.extensions.timeseries import cusum_changepoint
+
+    rows = [("s", i, 0.0) for i in range(5)]
+    rows += [("s", 5 + i, 10.0) for i in range(5)]
+    rows += [("c", i, 2.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    got = {r.k: r for r in cusum_changepoint(df, "k", "o", "v").collect()}
+    s = got["s"]
+    assert (s.cp_pos, s.cp_order, s.max_abs_cusum) == (5, 4, 25.0)
+    assert abs(s.stat - 25.0 / (10 * 25.0) ** 0.5) < 1e-12
+    assert got["c"].stat is None and got["c"].max_abs_cusum == 0.0
+
+
+def test_ohlc_downsample_semantics(spark):
+    """Open/close pick by (ts, value) incl. the collided-timestamp
+    tie-break; NULLs excluded; bucket validation raises."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.timeseries import ohlc_downsample
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = [("k", t0, 5.0), ("k", t0, 4.0),               # tie: open=4
+            ("k", dt.datetime(2024, 1, 1, 16), 8.0),
+            ("k", dt.datetime(2024, 1, 1, 16), 9.0),      # tie: close=9
+            ("k", dt.datetime(2024, 1, 1, 12), 2.0),
+            ("k", None, 99.0), ("k", t0, None)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = ohlc_downsample(df, "ts", "k", "v").collect()[0]
+    assert (r.n, r.open, r.high, r.low, r.close) == (5, 4.0, 9.0, 2.0, 9.0)
+    with _pytest.raises(ValueError, match="bucket"):
+        ohlc_downsample(df, "ts", "k", "v", bucket="minute")
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """t and Welch-Satterthwaite df vs the direct numpy formulas; n<2
+    or zero variance yields NULLs."""
+    import numpy as np
+
+    from dbt_extrica_spark.extensions.profiling import welch_ttest
+
+    x1 = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    x2 = [4.0, 5.0, 6.0, 7.0, 9.0]
+    a = spark.createDataFrame([(v,) for v in x1], "v double")
+    b = spark.createDataFrame([(v,) for v in x2], "v double")
+    r = welch_ttest(a, b, "v").collect()[0]
+    a1, a2 = np.array(x1), np.array(x2)
+    v1, v2 = a1.var(ddof=1), a2.var(ddof=1)
+    se2 = v1 / 6 + v2 / 5
+    assert abs(r.t_stat - (a1.mean() - a2.mean()) / np.sqrt(se2)) < 1e-12
+    assert abs(r.df - se2 ** 2 / ((v1 / 6) ** 2 / 5
+                                  + (v2 / 5) ** 2 / 4)) < 1e-12
+    single = spark.createDataFrame([(3.0,)], "v double")
+    r = welch_ttest(single, b, "v").collect()[0]
+    assert r.t_stat is None and r.df is None
+    const = spark.createDataFrame([(2.0,), (2.0,)], "v double")
+    r = welch_ttest(const, const, "v").collect()[0]
+    assert r.t_stat is None
+
+
+def test_hilbert_key_matches_twin_and_guards(spark):
+    """Spark walk == the pinned pure-Python twin on the full 8x8 grid;
+    bijective; consecutive keys are unit grid steps (the locality
+    property z-order lacks); out-of-range and reserved-name guards."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.layout import (hilbert_d2_py,
+                                                     hilbert_key_2d)
+
+    bits, n = 3, 8
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {(r.x, r.y): r.hkey for r in
+           hilbert_key_2d(df, "x", "y", bits).collect()}
+    assert got == {(x, y): hilbert_d2_py(bits, x, y) for x, y in rows}
+    inv = {d: xy for xy, d in got.items()}
+    assert sorted(inv) == list(range(n * n))
+    assert all(abs(inv[d][0] - inv[d + 1][0])
+               + abs(inv[d][1] - inv[d + 1][1]) == 1
+               for d in range(n * n - 1))
+    with _pytest.raises(Exception, match="hilbert_key_2d"):
+        hilbert_key_2d(spark.createDataFrame([(8, 0)], "x int, y int"),
+                       "x", "y", bits).collect()
+    with _pytest.raises(Exception, match="hilbert_key_2d"):
+        hilbert_key_2d(spark.createDataFrame([(None, 0)], "x int, y int"),
+                       "x", "y", bits).collect()
+    with _pytest.raises(ValueError, match="bits"):
+        hilbert_key_2d(df, "x", "y", 0)
+    with _pytest.raises(ValueError, match="collide"):
+        hilbert_key_2d(df.withColumnRenamed("y", "hkey"), "x", "hkey",
+                       bits)

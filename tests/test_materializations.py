@@ -1155,3 +1155,41 @@ def test_select_nodes_graph_operators():
     import pytest as _pytest
     with _pytest.raises(KeyError, match="unknown model"):
         p.select_nodes("+nope")
+
+
+def test_apply_cdc_semantics(spark):
+    """CDC apply: latest-by-seq wins, D>U>I at equal seq, delete-absent
+    is a no-op (at-least-once replay), re-applying the batch is
+    idempotent; guards raise on bad ops / missing columns / op-seq in
+    dest columns."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.operators.merge import apply_cdc
+
+    tgt = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                "id int, v string")
+    ch = spark.createDataFrame(
+        [(2, "b2", "U", 10), (2, "b3", "U", 11), (3, None, "D", 5),
+         (4, "d", "I", 1), (5, "e", "I", 2), (5, None, "D", 2),
+         (9, None, "D", 1)],
+        "id int, v string, op string, seq int")
+    out = apply_cdc(tgt, ch, "id")
+    want = [(1, "a"), (2, "b3"), (4, "d")]
+    assert sorted((r.id, r.v) for r in out.collect()) == want
+    # idempotent replay: applying the same batch to the result again
+    # converges (the at-least-once property)
+    again = apply_cdc(out, ch, "id")
+    assert sorted((r.id, r.v) for r in again.collect()) == want
+    bad = spark.createDataFrame([(1, "x", "Z", 1)],
+                                "id int, v string, op string, seq int")
+    with _pytest.raises(Exception, match="apply_cdc"):
+        apply_cdc(tgt, bad, "id").collect()
+    nullk = spark.createDataFrame([(None, "x", "U", 1)],
+                                  "id int, v string, op string, seq int")
+    with _pytest.raises(Exception, match="apply_cdc"):
+        apply_cdc(tgt, nullk, "id").collect()
+    with _pytest.raises(ValueError, match="missing columns"):
+        apply_cdc(tgt, ch.drop("v"), "id")
+    with _pytest.raises(ValueError, match="must not be dest"):
+        apply_cdc(tgt.withColumn("op", tgt.v), ch, "id",
+                  dest_columns=["id", "v", "op"])

@@ -208,6 +208,50 @@ INVARIANTS = {
     # nothing else (closed-form sums; no windows, no joins)
     "ts_trend_ols": dict(smj_max=0, bnlj_max=0, exchange_max=2,
                          hashagg=4),
+    # r15: exact KS — the distinct-value ECDF merge feeds the shared
+    # two-phase prefix; extra shuffles mean the prefix degraded
+    "dq_ks_test": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                       window_min=1),
+    # r15: Benford — one 9-group aggregation pair + the 9-row spine
+    # broadcast; the share window is statistics-sized
+    "dq_benford": dict(smj_max=0, bnlj_max=0, exchange_max=2, bhj_min=1,
+                       hashagg=2, window_min=1, pushed_min=1),
+    # r15: Welch t — one stats aggregation pair per side to 1-row
+    # results; the BNLJ is their 1x1 crossJoin (lint-allowlisted)
+    "stats_welch_ttest": dict(smj_max=0, bnlj_max=1, exchange_max=2,
+                              hashagg=4, pushed_min=2),
+    # r15: classification report — everything after the first
+    # (group, pred, label) aggregation is classes-sized; the one SMJ is
+    # the full-outer class-spine join (full outer can't broadcast, and
+    # both sides are statistics tables)
+    "eval_f1_multiclass": dict(smj_max=1, bnlj_max=0, exchange_max=4,
+                               hashagg=8, pushed_min=2),
+    # r15: rank metrics — rank <= k must stay rank-TRUNCATED
+    # (WindowGroupLimit pairs show as extra Window nodes), cum-hit and
+    # dup-guard windows share the query partitioning, one agg pair
+    "eval_rank_metrics": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                              window_min=3, hashagg=2),
+    # r15: ACF — ONE key window produces all lag leads; the lag sums
+    # are aggregate expressions (one pair); Generate reshapes only the
+    # statistics row. A third exchange means per-lag re-shuffling.
+    "ts_acf": dict(smj_max=0, bnlj_max=0, exchange_max=2, window_min=1,
+                   hashagg=4, pushed_min=1),
+    # r15: CUSUM — prefix windows share one key shuffle, totals rejoin
+    # by broadcast, argmax is an aggregation (never a global sort)
+    "ts_cusum": dict(smj_max=0, bnlj_max=0, exchange_max=4,
+                     window_min=2, bhj_min=1, pushed_min=2),
+    # r15: OHLC — ONE aggregation pair over one scan (struct min/max
+    # aggregates sort-based but map-side combinable); no window/join
+    "ts_ohlc": dict(smj_max=0, bnlj_max=0, exchange_max=1,
+                    pushed_min=1),
+    # r15: Hilbert key — pure codegen bitwise walk: ZERO exchanges,
+    # zero joins; any node appearing here means the walk left the scan
+    "layout_hilbert": dict(smj_max=0, bnlj_max=0, exchange_max=0),
+    # r15: CDC apply — ONE winners aggregation pair + the broadcast
+    # anti-join; extra shuffles mean the changelog stopped combining
+    # map-side or the anti-join de-broadcast
+    "inc_cdc_apply": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                          bhj_min=1, pushed_min=2),
     # r14 batch 2: calibration — breakpoints collected as literals
     # (the rank phase is eager), so the lazy plan is ONE scan + one
     # partial/final pair with the bucket expression scan-side

@@ -53,6 +53,7 @@ BNLJ_OK = {
     "dedup_semantic_incremental",  # 1-row contract aggregate
     "pipeline_text_cluster",     # silhouette-style 1-row stats join
     "dq_source_freshness",       # pinned-clock 1-row threshold join
+    "stats_welch_ttest",         # 1-row stats x 1-row stats crossJoin
     # deliberate ALL-PAIRS shapes (first full-battery sweep, r8):
     "q_theta_join",              # non-equi theta join IS the tested semantics
     "dedup_embedding_cosine",    # exact all-pairs baseline (quadratic
