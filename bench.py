@@ -177,6 +177,21 @@ HEADLINE = [
     # round 14: bucketed co-located join — the write-once/join-forever
     # strategy line (pays two bucketed writes + the shuffle-free join)
     "layout_bucketed_join",
+    # round 15: all ten are pure operator lines (oracles are external
+    # SQL / pinned-twin replays; no in-entry verifier) — exact KS drift,
+    # Benford digit profile, Welch t, per-class confusion report,
+    # ranked-retrieval metrics, ACF, CUSUM changepoint, OHLC rollup,
+    # Hilbert layout key, CDC changelog apply
+    "dq_ks_test",
+    "dq_benford",
+    "stats_welch_ttest",
+    "eval_f1_multiclass",
+    "eval_rank_metrics",
+    "ts_acf",
+    "ts_cusum",
+    "ts_ohlc",
+    "layout_hilbert",
+    "inc_cdc_apply",
 ]
 
 

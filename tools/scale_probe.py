@@ -533,6 +533,70 @@ def main() -> None:
         textstats.rake_keywords(big, "doc_id", "text", top_t=3).count()
         out[f"rake_{tag}_sec"] = round(time.time() - t0, 2)
 
+    from dbt_extrica_spark.extensions import linkage
+    from dbt_extrica_spark.operators.merge import apply_cdc
+
+    # r15 (r14 verdict #4): equality blocking under DELIBERATE skew —
+    # ONE block ('hot') owns 30% of all records, small blocks hold ~20.
+    # Uncapped, hot-block pairs grow N^2 (x10 reads ~100x); with
+    # max_block_size the hot block truncates to C(cap,2) pairs and the
+    # wall tracks the linear small-block mass. The cap's row_number
+    # sort of the hot block is O(k log k) ids — strictly cheaper than
+    # the k^2 fanout it prevents.
+    cu = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    cu_big = cu
+    for i in range(1, replicas):
+        cu_big = cu_big.unionByName(
+            cu.withColumn("c_custkey", F.col("c_custkey") + i * 10_000_000))
+    for tag, src_tbl in (("x1", cu), (f"x{replicas}", cu_big)):
+        recs = src_tbl.selectExpr(
+            "c_custkey AS id",
+            "CASE WHEN c_custkey % 10 < 3 THEN 'hot'"
+            " ELSE concat('b_', CAST(c_custkey div 20 AS STRING)) END"
+            " AS blk")
+        t0 = time.time()
+        out[f"linkage_skew_{tag}_pairs"] = linkage.equality_blocking_pairs(
+            recs, "id", ["blk"], max_block_size=500,
+            oversize="cap").count()
+        out[f"linkage_skew_{tag}_sec"] = round(time.time() - t0, 2)
+
+    # r15: exact two-sample KS at 1x and Nx rows with growing
+    # distinct-value mass (the chi2_drift probe's score shape): two
+    # count aggregations + the two-phase prefix over the merged
+    # distinct table — all linear; a cliff is the prefix degenerating
+    # to a one-task sort of the distinct-value table.
+    for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
+        basev = src_tbl.selectExpr(
+            "CAST(l_orderkey % 89 AS DOUBLE) + l_extendedprice AS v",
+            "l_orderkey % 2 = 0 AS is_ref")
+        t0 = time.time()
+        profiling.ks_test(basev.where("is_ref"),
+                          basev.where("NOT is_ref"), "v").collect()
+        out[f"ks_{tag}_sec"] = round(time.time() - t0, 2)
+
+    # r15: CDC apply at 1x and Nx change mass (targets/changes split on
+    # orderkey parity, deletes every third changed key): ONE winners
+    # aggregation + one anti-join, both key-linear; a cliff is the
+    # winners agg losing map-side combine or the anti-join widening to
+    # a sort-merge over the whole target.
+    for tag, src_tbl in (("x1", od), (f"x{replicas}", od_big)):
+        tgt = src_tbl.where("o_orderkey % 2 = 0").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus")
+        band = src_tbl.where("o_orderkey % 2 = 1")
+        upd = band.select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("U").alias("op"), F.lit(1).alias("seq"),
+            "o_orderstatus")
+        dele = band.where("o_orderkey % 3 = 0").select(
+            "o_orderkey",
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("D").alias("op"), F.lit(2).alias("seq"),
+            F.lit(None).cast("string").alias("o_orderstatus"))
+        t0 = time.time()
+        apply_cdc(tgt, upd.unionByName(dele), "o_orderkey").count()
+        out[f"cdc_{tag}_sec"] = round(time.time() - t0, 2)
+
     # ------------------------------------------------------------------
     # Ceiling gate (r11 verdict #5): the probes above are only evidence
     # if a scale CLIFF fails a recorded check. Each gate pins the
@@ -620,6 +684,18 @@ def main() -> None:
         #                          phrase mass both grow ~10x; x1 ~2.2s
         #                          carries fixed overhead) — scan-side
         #                          split + two keyed aggs, token-linear
+        # r15 additions, ceilings from the measured envelope (quiet
+        # host): each ~2-3x the measured ratio
+        "linkage_skew": 3.0,    # measured 0.83x (x1 carries warmup) for
+        #                          10x records with a 30%-hot block —
+        #                          the cap bounds hot pairs at C(500,2)
+        #                          so growth is small-block-linear; an
+        #                          uncapped hot block reads ~100x here
+        "ks": 4.0,              # measured 1.36x for 10x rows AND 10x
+        #                          distinct mass — two count aggs + the
+        #                          two-phase prefix, all linear
+        "cdc": 3.0,             # measured 1.16x for 10x change mass —
+        #                          winners agg + broadcast anti-join
         "mad": 12.0,            # measured ~4-5x warm for 10x rows at
         #                          FIXED group count — the documented
         #                          per-group rank-sort model (n log n
