@@ -9654,84 +9654,78 @@ def inc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries). The table in COVERAGE.md is regenerated by tools/freshness.py
 # from the actual CORRECTNESS_r*.json records.
 #
-# Round-14 window: (a) the FOURTEEN new entries (never-gated outranks
-# every tier — first batch: eval_auc, eval_auc_grouped, dq_drift_chi2,
-# sketch_ams_f2, streaming_ams_f2, ts_gapfill_interpolate,
-# text_chi2_terms, text_rake_keywords; second batch: ts_trend_ols,
-# eval_calibration, stats_diversity_simpson, text_oov_rate,
-# link_fellegi_sunter, layout_bucketed_join); (b) the ENTIRE 17-entry
-# r9-evidence tier (r13 verdict #1 — clearing it in one rotation);
-# (c) the seven entries whose code changed this round (the gram/PCA
-# dimension guard under embedding_pca_gram + streaming_pca_gram, the
-# priority reserved-name guards under sample_priority_topk +
-# streaming_priority_sample, the gapfill key/ts validation + NULL-ts
-# filter under ts_gapfill_locf, the state-partition sizing under
-# streaming_interval_join, and the confirm-stage collapse under
-# pipeline_clean_corpus); (d) the 12 alphabetically-first of the
-# 45-entry r10 tier (six slots yielded to the later never-gated
-# batches; the tail rejoins the r15 backfill). Rotated OUT (all hold green r10-r13 rows; the
-# full local battery still checks them every run): the r13 window —
-# see COVERAGE.md.
-_WINDOW_ROUND = 14
+# Round-15 window: (a) the TEN new entries (never-gated outranks every
+# tier); (b) the ENTIRE 33-entry r10 evidence tier (r14 verdict #1 —
+# the stalest remaining tier, cleared in one rotation: after this
+# window lands no entry's newest driver evidence predates r11);
+# (c) the seven entries whose operator code changed this round (listed
+# at the (c) marker below). Rotated OUT (all hold green r11-r14 rows;
+# the full local battery still checks them every run): the r14 window
+# — see COVERAGE.md.
+_WINDOW_ROUND = 15
 
 _GATED_WINDOW = [
-    # (a) never-gated r14 entries
-    "layout_bucketed_join",
-    "ts_trend_ols",
-    "eval_calibration",
-    "stats_diversity_simpson",
-    "text_oov_rate",
-    "link_fellegi_sunter",
+    # (a) never-gated r15 entries (never-gated outranks every tier)
+    "dq_ks_test",
+    "dq_benford",
+    "stats_welch_ttest",
+    "eval_f1_multiclass",
+    "eval_rank_metrics",
+    "ts_acf",
+    "ts_cusum",
+    "ts_ohlc",
+    "layout_hilbert",
+    "inc_cdc_apply",
+    # (b) the ENTIRE 33-entry r10 evidence tier (r14 verdict #1 —
+    # the freshness tool's --stale r10 list at round start, verbatim;
+    # clearing it in one rotation leaves no pre-r11 evidence anywhere)
+    "q5_region_revenue",
+    "q7_volume_by_nation_year",
+    "q_cube",
+    "q_events_lag",
+    "q_funnel",
+    "q_grouping_sets",
+    "q_json_access",
+    "q_multi_distinct",
+    "q_not_in_null_semantics",
+    "q_percentiles",
+    "q_pivot",
+    "q_rollup",
+    "q_scalar_subquery",
+    "q_semi_anti",
+    "q_setops",
+    "q_setops_all",
+    "q_theta_join",
+    "q_unpivot",
+    "q_window_navigation",
+    "q_window_rank",
+    "shim_anyvalue_boolor",
+    "shim_arrays",
+    "shim_date_spine_day",
+    "shim_dateadd_trunc",
+    "shim_listagg",
+    "shim_string_fns",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "source_orc_roundtrip",
+    "streaming_admission",
+    "text_bpe_pretokenize",
+    "text_bpe_train",
+    "text_remove_dup_spans",
+    # (c) the seven entries whose operator code changed this round:
+    # the raw-before-cast label guard (eval_auc, eval_auc_grouped,
+    # eval_calibration), the calendar-epoch interpolation fix
+    # (ts_gapfill_interpolate), the hashed-gram OOV join
+    # (text_oov_rate), the blocking-cap parameter on the linkage
+    # family (link_fellegi_sunter), and the morton ValueError guards
+    # (layout_zorder)
     "eval_auc",
     "eval_auc_grouped",
-    "dq_drift_chi2",
-    "sketch_ams_f2",
-    "streaming_ams_f2",
+    "eval_calibration",
     "ts_gapfill_interpolate",
-    "text_chi2_terms",
-    "text_rake_keywords",
-    # (b) the whole r9 evidence tier (17 — the freshness tool's
-    # --stale list at round start, verbatim)
-    "q_window_time_range",
-    "rollup_cascade_month",
-    "sample_alpha_mixture",
-    "sample_leakage_split",
-    "sample_mixture",
-    "sample_shuffle_shards",
-    "shim_datediff",
-    "sketch_hll_rollup",
-    "streaming_vector_admission",
-    "text_bm25_topk",
-    "text_boilerplate_lines",
-    "text_decontaminate",
-    "text_dup_spans",
-    "text_redact_pii",
-    "text_repetition",
-    "text_tfidf_terms",
-    "text_url_domains",
-    # (c) code changed this round (see the window comment)
-    "embedding_pca_gram",
-    "streaming_pca_gram",
-    "sample_priority_topk",
-    "streaming_priority_sample",
-    "ts_gapfill_locf",
-    "streaming_interval_join",
-    "pipeline_clean_corpus",
-    # (d) the 12 alphabetically-first r10-tier entries (six slots
-    # yielded to the later never-gated batches; the tail rejoins the
-    # r15 backfill)
-    "ann_brp_recall",
-    "ann_cosine_topk",
-    "catalog_columns",
-    "dedup_minhash_incremental",
-    "mat_mview_refresh",
-    "mat_view",
-    "project_dag_run",
-    "project_lineage",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q3_top_orders",
+    "text_oov_rate",
+    "link_fellegi_sunter",
+    "layout_zorder",
 ]
 
 
