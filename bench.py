@@ -192,6 +192,11 @@ HEADLINE = [
     "ts_ohlc",
     "layout_hilbert",
     "inc_cdc_apply",
+    # round 15 batch 2: grid-blocked spatial radius join, seasonal
+    # decomposition (streaming_cdc_apply stays outside like the other
+    # foreachBatch maintenance entries — checkpoint apparatus)
+    "geo_radius_join",
+    "ts_decompose",
 ]
 
 

@@ -418,3 +418,96 @@ def ohlc_downsample(df: DataFrame, ts_col: str, key_col: str,
             .select(key_col, "bucket", "n",
                     F.col("__o.__v").alias("open"), "high", "low",
                     F.col("__c.__v").alias("close")))
+
+
+def decompose_seasonal(df: DataFrame, key_col: str, order_col: str,
+                       value_col: str, period: int,
+                       scale: float = 1e6) -> DataFrame:
+    """Classical additive seasonal decomposition per series —
+    x = trend + seasonal + residual (the moving-average method every
+    stats package ships as its default decompose; STL's loess needs
+    iterative weighted regressions and is out of the replayable-SQL
+    envelope by design):
+
+    - ``trend`` = centered moving average over ``period`` rows (period
+      ODD and >= 3 enforced — the even case needs the 2xMA half-weight
+      trick and a deterministic replacement exists by just picking the
+      odd neighbor); NULL where the window is incomplete (series
+      edges);
+    - ``seasonal`` = per-phase mean of the detrended values (phase =
+      0-based row position mod period), CENTERED by subtracting the
+      mean of the phase means so seasonals sum to ~0 (the classical
+      identifiability convention);
+    - ``residual`` = x - trend - seasonal (NULL wherever trend is).
+
+    Exactness: every mean is a fixed-point FLOOR(term * scale)
+    DECIMAL(38,0) sum (order-free) followed by ONE division chain in a
+    fixed order, so all three components replay bit-for-bit in SQL
+    (the trend_ols convention). Rows with NULL values are excluded up
+    front (complete-case; the row-position phase is assigned AFTER
+    exclusion so the seasonal grid stays dense).
+
+    Returns (key, order, x, phase, trend, seasonal, residual).
+
+    Scale shape: one key-partitioned window shuffle (row position +
+    moving sum + count share it), one (key, phase)-keyed aggregation
+    (p rows per key — statistics-sized), a key-sized window for the
+    centering, one broadcast-shaped join back. The corpus shuffles
+    once."""
+    from pyspark.sql.window import Window
+
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be an odd integer >= 3, "
+                         f"got {period}")
+    half = period // 2
+    sc = float(scale)
+    x = F.col(value_col).cast("double")
+    base = (df.where(x.isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.col(order_col).alias("__o"), x.alias("__x")))
+    wo = Window.partitionBy("__k").orderBy("__o")
+    wt = wo.rowsBetween(-half, half)
+    xf = F.floor(F.col("__x") * F.lit(sc)).cast("decimal(38,0)")
+    pre = (base
+           .withColumn("__rn", F.row_number().over(wo))
+           .withColumn("__wc", F.count(F.lit(1)).over(wt))
+           .withColumn("__ws", F.sum(xf).over(wt)))
+    trend = F.when(
+        F.col("__wc") == period,
+        (F.col("__ws").cast("double") / F.lit(sc)) / float(period))
+    pre = (pre.withColumn("trend", trend)
+           .withColumn("__ph", (F.col("__rn") - 1) % period)
+           .withColumn("__det", F.col("__x") - F.col("trend")))
+    det_f = F.when(
+        F.col("__det").isNotNull(),
+        F.floor(F.col("__det") * F.lit(sc)).cast("decimal(38,0)"))
+    smeans = (pre.groupBy("__k", "__ph")
+              .agg(F.sum(det_f).alias("__ds"),
+                   F.sum(F.col("__det").isNotNull().cast("bigint"))
+                   .alias("__dn")))
+    smean = F.when(
+        F.col("__dn") > 0,
+        (F.col("__ds").cast("double") / F.lit(sc))
+        / F.col("__dn").cast("double"))
+    smeans = smeans.select("__k", "__ph", smean.alias("__sm"))
+    # centering over the <= period phase means — a key-sized window
+    wk = Window.partitionBy("__k")
+    sm_f = F.when(F.col("__sm").isNotNull(),
+                  F.floor(F.col("__sm") * F.lit(sc)).cast("decimal(38,0)"))
+    centered = (smeans
+                .withColumn("__gs", F.sum(sm_f).over(wk))
+                .withColumn("__gn", F.sum(
+                    F.col("__sm").isNotNull().cast("bigint")).over(wk))
+                .select("__k", "__ph",
+                        (F.col("__sm")
+                         - (F.col("__gs").cast("double") / F.lit(sc))
+                         / F.col("__gn").cast("double"))
+                        .alias("seasonal")))
+    out = pre.join(centered, on=["__k", "__ph"], how="left")
+    return out.select(
+        F.col("__k").alias(key_col), F.col("__o").alias(order_col),
+        F.col("__x").alias(value_col),
+        F.col("__ph").cast("int").alias("phase"),
+        "trend", "seasonal",
+        (F.col("__x") - F.col("trend") - F.col("seasonal"))
+        .alias("residual"))

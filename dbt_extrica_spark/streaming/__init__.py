@@ -3,6 +3,7 @@ from .incremental import (
     read_embedding_stream, read_event_stream,
     windowed_counts, run_available_now, sessionize_stateful,
     stream_stream_interval_join,
+    streaming_cdc_apply,
     streaming_incremental_merge, streaming_minhash_admission,
     streaming_ams_maintenance, streaming_bloom_maintenance,
     streaming_gram_maintenance,

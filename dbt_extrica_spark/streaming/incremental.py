@@ -315,6 +315,115 @@ def streaming_incremental_merge(
     return query
 
 
+def _cdc_apply_callback(engine, table_name: str, unique_key,
+                        op_col: str, seq_col: str,
+                        dest_columns: list[str]):
+    """foreachBatch closure for streaming CDC apply: each micro-batch's
+    changelog slice folds into the target through merge.apply_cdc-style
+    winner selection, with a persisted ``__cdc_seq`` column making live
+    rows SEQ-AWARE — a batch winner older than the stored seq is
+    ignored, so cross-batch out-of-order UPSERTS and re-delivered
+    batches are both no-ops (at-least-once + per-key-unordered-upsert
+    safety). Deletes remove the row AND its seq memory — an upsert
+    older than an already-applied delete would re-insert, so DELETES
+    still need per-key in-order delivery (the standard
+    no-tombstone contract; Debezium/Kafka per-key partitions provide
+    it). The first non-empty batch creates the table."""
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import _key_list
+    from ..relation import RelationType
+
+    keys = _key_list(unique_key)
+    target = engine.relation(table_name, RelationType.Table)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cols = list(dest_columns)
+        op = F.upper(F.col(op_col).cast("string"))
+        key_null = None
+        for k in keys:
+            cnd = F.col(k).isNull()
+            key_null = cnd if key_null is None else (key_null | cnd)
+        checked = F.when(
+            key_null | F.col(seq_col).isNull() | ~op.isin("I", "U", "D"),
+            F.expr("raise_error('streaming_cdc_apply: op must be I/U/D "
+                   "and key/seq non-null')").cast("int"),
+        ).otherwise(F.when(op == "D", 2).when(op == "U", 1).otherwise(0))
+        winners = (batch_df
+                   .withColumn("__rk", checked)
+                   .groupBy(*[F.col(k) for k in keys])
+                   .agg(F.max(F.struct(
+                       F.col(seq_col).cast("bigint").alias("s"),
+                       F.col("__rk").alias("r"),
+                       F.struct(*[F.col(c) for c in cols]).alias("row"),
+                   )).alias("__w"))
+                   .select(*keys, F.col("__w.s").alias("__cdc_seq"),
+                           F.col("__w.r").alias("__rk"),
+                           *[F.col(f"__w.row.`{c}`").alias(c)
+                             for c in cols if c not in keys]))
+        existing = engine.catalog.get_relation(target)
+        if existing is None:
+            _require_table_or_fresh(engine, table_name)
+            fresh = (winners.where(F.col("__rk") < 2)
+                     .select(*cols, "__cdc_seq"))
+            fresh.write.format("parquet").saveAsTable(
+                target.render_unquoted())
+            return
+        if not batch_df.take(1):
+            return
+        tgt_df = engine.spark.table(target.render_unquoted())
+        # seq-aware: only winners STRICTLY newer than the stored seq
+        # apply (equal seq = already applied — idempotent re-delivery)
+        stored = tgt_df.select(*keys,
+                               F.col("__cdc_seq").alias("__old_seq"))
+        fresh_w = (winners.join(stored, on=keys, how="left")
+                   .where(F.col("__old_seq").isNull()
+                          | (F.col("__cdc_seq") > F.col("__old_seq"))))
+        kept = tgt_df.join(fresh_w.select(*keys), on=keys,
+                           how="left_anti")
+        upserts = (fresh_w.where(F.col("__rk") < 2)
+                   .select(*cols, "__cdc_seq"))
+        engine.overwrite_table_atomic(
+            target, kept.select(*cols, "__cdc_seq").unionByName(upserts))
+
+    return apply_batch
+
+
+def streaming_cdc_apply(
+    engine,
+    change_stream: DataFrame,
+    table_name: str,
+    unique_key,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    dest_columns: list[str] | None = None,
+) -> "object":
+    """Streaming CDC changelog apply — the APPLY CHANGES INTO surface
+    (Delta Live Tables apply_changes, Debezium sink): every micro-batch
+    of I/U/D change rows folds into an engine table keeping each key's
+    latest change by ``seq_col`` (D > U > I at equal seq), with the
+    applied seq persisted per row (``__cdc_seq``) so out-of-order and
+    re-delivered UPSERTS across batches are ignored — see
+    _cdc_apply_callback for the exact delivery contract. The batch twin
+    is operators/merge.apply_cdc; under availableNow with in-order
+    deletes the final table equals the batch apply.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    if dest_columns is None:
+        dest_columns = [c for c in change_stream.columns
+                        if c not in (op_col, seq_col)]
+    query = (
+        change_stream.writeStream.foreachBatch(
+            _cdc_apply_callback(engine, table_name, unique_key,
+                                op_col, seq_col, dest_columns))
+        .trigger(availableNow=True)
+        .option("checkpointLocation",
+                f"{engine.warehouse_dir}/_checkpoints/{table_name}")
+        .start()
+    )
+    return query
+
+
 def streaming_rollup_maintenance(
     engine,
     stream: DataFrame,

@@ -4347,3 +4347,59 @@ def test_hilbert_key_matches_twin_and_guards(spark):
     with _pytest.raises(ValueError, match="collide"):
         hilbert_key_2d(df.withColumnRenamed("y", "hkey"), "x", "hkey",
                        bits)
+
+
+def test_radius_join_matches_brute_force(spark):
+    """Grid-blocked pairs == all-pairs filtered, incl. cross-cell pairs;
+    each pair exactly once; guards raise."""
+    import random
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.spatial import radius_join
+
+    random.seed(7)
+    pts = [(i, random.uniform(-1, 1), random.uniform(-1, 1))
+           for i in range(200)]
+    df = spark.createDataFrame(pts, "id int, x double, y double")
+    r = 0.15
+    rows = radius_join(df, "id", "x", "y", r).collect()
+    got = {(q.id_a, q.id_b) for q in rows}
+    assert len(got) == len(rows)  # exactly once
+    want = {(a, b)
+            for i, (a, xa, ya) in enumerate(pts)
+            for b, xb, yb in pts[i + 1:]
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r}
+    assert got == want and len(got) > 0
+    with _pytest.raises(ValueError, match="radius"):
+        radius_join(df, "id", "x", "y", 0.0)
+    withnull = spark.createDataFrame([(1, None, 0.0)],
+                                     "id int, x double, y double")
+    with _pytest.raises(Exception, match="radius_join"):
+        radius_join(withnull, "id", "x", "y", 1.0).collect()
+
+
+def test_decompose_seasonal_recovers_components(spark):
+    """Linear trend + period-7 seasonal decomposes exactly (MA of a
+    linear is the line; centered per-phase means recover the centered
+    season; residual 0); edges NULL; period validation raises."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.timeseries import decompose_seasonal
+
+    season = [3.0, -1.0, 0.0, 2.0, -2.0, -1.0, -1.0]
+    rows = [("a", t, 0.5 * t + season[t % 7]) for t in range(42)]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    out = decompose_seasonal(df, "k", "o", "v", period=7).collect()
+    mid = [r for r in out if r.trend is not None]
+    assert max(abs(r.trend - 0.5 * r.o) for r in mid) < 1e-9
+    m = sum(season) / 7
+    got_season = {r.phase: r.seasonal for r in out}
+    assert max(abs(got_season[p] - (season[p] - m))
+               for p in range(7)) < 1e-9
+    assert max(abs(r.residual) for r in mid) < 1e-9
+    by_o = sorted(out, key=lambda r: r.o)
+    assert all(by_o[i].trend is None for i in (0, 1, 2, -1, -2, -3))
+    for bad in (4, 1, 2):
+        with _pytest.raises(ValueError, match="odd"):
+            decompose_seasonal(df, "k", "o", "v", period=bad)

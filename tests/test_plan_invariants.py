@@ -252,6 +252,18 @@ INVARIANTS = {
     # map-side or the anti-join de-broadcast
     "inc_cdc_apply": dict(smj_max=0, bnlj_max=0, exchange_max=2,
                           bhj_min=1, pushed_min=2),
+    # r15 batch 2: grid-blocked radius join — candidates from 3x3
+    # neighbor cells via ONE cell equi-join (broadcast at battery
+    # scale, ZERO shuffles); the Generate is the constant 9x offset
+    # fanout. Any SMJ/BNLJ here means the blocking degraded to
+    # all-pairs.
+    "geo_radius_join": dict(smj_max=0, bnlj_max=0, exchange_max=0,
+                            bhj_min=1, pushed_min=1),
+    # r15 batch 2: seasonal decomposition — the rn/moving-average
+    # windows share one key shuffle, phase means one aggregation, the
+    # centering windows are phase-table-sized, the join back broadcast
+    "ts_decompose": dict(smj_max=0, bnlj_max=0, exchange_max=4,
+                         window_min=3, bhj_min=1, pushed_min=1),
     # r14 batch 2: calibration — breakpoints collected as literals
     # (the rank phase is eager), so the lazy plan is ONE scan + one
     # partial/final pair with the bucket expression scan-side

@@ -794,3 +794,40 @@ def test_run_available_now_restores_shuffle_conf(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_streaming_cdc_callback_seq_aware(spark, tmp_path):
+    """The CDC foreachBatch callback is seq-aware across batches: an
+    out-of-order OLDER upsert arriving in a later batch is ignored,
+    re-delivering a batch is a no-op, deletes remove rows, and the
+    applied seq persists per row."""
+    from pyspark.sql import functions as F
+
+    from dbt_extrica_spark.engine import Engine
+    from dbt_extrica_spark.streaming.incremental import _cdc_apply_callback
+
+    eng = Engine(spark, schema=f"cdc_t_{tmp_path.name.lower()}",
+                 warehouse_dir=str(tmp_path))
+    cb = _cdc_apply_callback(eng, "t", "id", "op", "seq", ["id", "v"])
+
+    b1 = spark.createDataFrame(
+        [(1, "a", "I", 10), (2, "b", "I", 10), (3, "c", "I", 10)],
+        "id int, v string, op string, seq int")
+    cb(b1, 0)
+    b2 = spark.createDataFrame(
+        [(1, "a2", "U", 20), (3, None, "D", 20)],
+        "id int, v string, op string, seq int")
+    cb(b2, 1)
+    got = {(r.id, r.v, r["__cdc_seq"])
+           for r in eng.table("t").collect()}
+    assert got == {(1, "a2", 20), (2, "b", 10)}
+    # out-of-order OLDER upsert for key 1 must be ignored
+    b3 = spark.createDataFrame([(1, "stale", "U", 15)],
+                               "id int, v string, op string, seq int")
+    cb(b3, 2)
+    assert {(r.id, r.v) for r in eng.table("t").collect()} == {
+        (1, "a2"), (2, "b")}
+    # re-delivering batch 2 verbatim is a no-op (equal seq skipped)
+    cb(b2, 3)
+    assert {(r.id, r.v) for r in eng.table("t").collect()} == {
+        (1, "a2"), (2, "b")}
