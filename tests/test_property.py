@@ -939,3 +939,81 @@ def test_trend_ols_matches_numpy_property(pts):
     assert (got["one"].slope is None and got["one"].intercept is None
             and got["one"].r2 is None)
     assert got["cy"].slope == 0.0 and got["cy"].r2 is None
+
+
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=8),    # key
+                          st.sampled_from(["I", "U", "D"]),
+                          st.integers(min_value=0, max_value=30),   # seq
+                          st.integers(min_value=0, max_value=99)),  # payload
+                min_size=1, max_size=30),
+       st.lists(st.tuples(st.integers(min_value=1, max_value=8),
+                          st.integers(min_value=0, max_value=99)),
+                max_size=6, unique_by=lambda t: t[0]))
+@settings(max_examples=4, deadline=None)
+def test_apply_cdc_matches_dict_replay(changes, target_rows):
+    """apply_cdc on arbitrary changelogs == a pure-Python dict replay of
+    the documented winner rule (max (seq, D>U>I, row) per key; winning
+    D removes, winning I/U upserts, delete-of-absent no-op), and
+    re-applying the same batch to the RESULT converges (at-least-once
+    idempotence)."""
+    from dbt_extrica_spark.operators.merge import apply_cdc
+    from dbt_extrica_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    tgt = spark.createDataFrame(target_rows or [(99, 0)], "id int, v int")
+    if not target_rows:
+        tgt = tgt.where("id < 0")  # empty target with a schema
+    ch = spark.createDataFrame(changes, "id int, op string, seq int, v int")
+    # dict replay of the winner rule — ranks mirror the operator's
+    rank = {"D": 2, "U": 1, "I": 0}
+    winners = {}
+    for k, op, s, v in changes:
+        cand = (s, rank[op], v)
+        if k not in winners or cand > winners[k]:
+            winners[k] = cand
+    state = dict(target_rows)
+    for k, (s, r, v) in winners.items():
+        if r == 2:
+            state.pop(k, None)
+        else:
+            state[k] = v
+    want = sorted(state.items())
+
+    out = apply_cdc(tgt, ch, "id", dest_columns=["id", "v"])
+    got = sorted((r.id, r.v) for r in out.collect())
+    assert got == want
+    # idempotent replay
+    again = apply_cdc(out, ch, "id", dest_columns=["id", "v"])
+    assert sorted((r.id, r.v) for r in again.collect()) == want
+
+
+@given(st.lists(st.integers(min_value=-20, max_value=20), min_size=1,
+                max_size=40),
+       st.lists(st.integers(min_value=-20, max_value=20), min_size=1,
+                max_size=40))
+@settings(max_examples=4, deadline=None)
+def test_ks_test_matches_ecdf_replay(xs, ys):
+    """ks_test on arbitrary integer multisets == the direct ECDF
+    definition (exact fractions via integer cross-products), including
+    the smallest-attaining-value tie-break."""
+    from fractions import Fraction
+
+    from dbt_extrica_spark.extensions.profiling import ks_test
+    from dbt_extrica_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    a = spark.createDataFrame([(float(v),) for v in xs], "v double")
+    b = spark.createDataFrame([(float(v),) for v in ys], "v double")
+    r = ks_test(a, b, "v").collect()[0]
+    n1, n2 = len(xs), len(ys)
+    vals = sorted(set(xs) | set(ys))
+    best, at = Fraction(-1), None
+    for v in vals:
+        d = abs(Fraction(sum(1 for x in xs if x <= v), n1)
+                - Fraction(sum(1 for y in ys if y <= v), n2))
+        if d > best:
+            best, at = d, v
+    assert r.d_stat == best.numerator * n1 * n2 // best.denominator \
+        / float(n1 * n2)
+    assert r.at_value == float(at)
+    assert (r.n_ref, r.n_cur) == (n1, n2)
