@@ -197,6 +197,10 @@ HEADLINE = [
     # foreachBatch maintenance entries — checkpoint apparatus)
     "geo_radius_join",
     "ts_decompose",
+    # round 15 batch 3: labeling-QA agreement + embedding-centroid
+    # drift — both pure operator lines
+    "eval_cohens_kappa",
+    "dq_embedding_drift",
 ]
 
 

@@ -304,3 +304,64 @@ def rank_metrics(df: DataFrame, query_col: str, rank_col: str,
                F.col("__apn").cast("double")
                / (float(_RANK_LCM) * F.col("n_rel_k").cast("double")))
         .alias("ap"))
+
+
+def cohens_kappa(df: DataFrame, pred_col: str, label_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two raters /
+    a classifier and gold labels: kappa = (p_o - p_e) / (1 - p_e) with
+    p_o the observed agreement rate and p_e the expected-by-chance rate
+    from the marginals. THE inter-annotator metric a labeling pipeline
+    tracks before trusting a quality-classifier training set (raw
+    agreement rewards majority-class collusion; kappa doesn't).
+
+    Exactness: off the same one-aggregation confusion cells as
+    :func:`classification_report` — n, the diagonal sum, and the
+    marginal product sum sum_c(n_pred_c * n_true_c) are exact integers
+    (DECIMAL(38,0) for the product sum), p_o = diag/n and
+    p_e = prodsum/n^2 are each ONE division, and kappa is a fixed
+    (p_o - p_e) / (1 - p_e) chain — every double replays verbatim.
+    Perfect chance-agreement (p_e = 1: both sides constant and equal)
+    yields NULL kappa (the 0/0 case — deterministic, not NaN). NULL
+    pred/label raises in-scan (the classification_report guard).
+
+    Returns one row: (n, p_o, p_e, kappa).
+
+    Scale shape: one (pred, label) aggregation (map-side combined,
+    classes^2 rows out), one classes-keyed re-aggregation pair, one
+    statistics-row finish."""
+    p = F.col(pred_col).cast("string")
+    y = F.col(label_col).cast("string")
+    checked = F.when(
+        p.isNull() | y.isNull(),
+        F.expr("raise_error('cohens_kappa: pred_col and label_col "
+               "must be non-null')").cast("string"),
+    ).otherwise(p)
+    # the cells table feeds totals, both marginals AND the product sum —
+    # checkpoint it (classes^2 rows, model state) so the corpus
+    # aggregates ONCE, not once per downstream reference (the
+    # chi2_terms convention)
+    cells = (df.select(checked.alias("__p"), y.alias("__y"))
+             .groupBy("__p", "__y")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+             .localCheckpoint(eager=True))
+    # marginals per class on the cells table (classes^2 rows)
+    by_true = (cells.groupBy(F.col("__y").alias("c"))
+               .agg(F.sum("n").cast("bigint").alias("n_true")))
+    by_pred = (cells.groupBy(F.col("__p").alias("c"))
+               .agg(F.sum("n").cast("bigint").alias("n_pred")))
+    marg = (by_true.join(by_pred, on="c", how="full")
+            .select((F.coalesce("n_true", F.lit(0))
+                     .cast("decimal(38,0)")
+                     * F.coalesce("n_pred", F.lit(0))).alias("__pr")))
+    totals = cells.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__p") == F.col("__y"), F.col("n"))
+              .otherwise(F.lit(0))).cast("bigint").alias("__diag"))
+    prod = marg.agg(F.sum("__pr").alias("__ps"))
+    both = totals.crossJoin(prod)
+    nd = F.col("n").cast("double")
+    po = F.col("__diag").cast("double") / nd
+    pe = F.col("__ps").cast("double") / (nd * nd)
+    kappa = F.when(pe < 1.0, (po - pe) / (1.0 - pe))
+    return both.select("n", po.alias("p_o"), pe.alias("p_e"),
+                       kappa.alias("kappa"))

@@ -567,3 +567,86 @@ def welch_ttest(ref: DataFrame, cur: DataFrame, value_col: str,
     return both.select(
         "n_ref", "n_cur", m1.alias("mean_ref"), m2.alias("mean_cur"),
         t.alias("t_stat"), dof.alias("df"))
+
+
+def embedding_drift(ref: DataFrame, cur: DataFrame, vec_col: str,
+                    scale: float = 1e9) -> DataFrame:
+    """Embedding-distribution drift between two snapshots: the cosine
+    similarity of the two MEAN vectors plus both mean-vector norms —
+    the cheap first-line monitor for "did the embedding model or the
+    corpus shift under my ANN index?" (a centroid move is the failure
+    mode that silently rots IVF cell assignments). Deliberately
+    centroid-based: a full covariance drift is gram-matrix territory
+    (similarity.gram_matrix) — this is the per-ingest cheap check.
+
+    Exactness: per-dimension sums accumulate FLOOR(x * scale) in
+    DECIMAL(38,0) (order-free) via ONE posexplode aggregation per side;
+    the d-dimensional dot/norm reductions then run over the (d-row)
+    statistics join in DECIMAL, and cosine = dot / (sqrt(nref) *
+    sqrt(ncur)) is a fixed IEEE chain — every double replays. Vector
+    dimensions are pinned in-scan (the gram_matrix guard — a
+    mixed-dimension corpus poisons the build loudly, never silently).
+    A zero mean vector on either side yields NULL cosine.
+
+    Returns one row: (n_ref, n_cur, dim, cosine, norm_ref, norm_cur).
+
+    Scale shape: one scan + one dimension-keyed aggregation per side
+    (d rows out — model state), a d-row join, a 1-row finish."""
+    sc = float(scale)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(vec_col)
+        checked = F.when(
+            v.isNull() | (F.size(v) == 0),
+            F.expr(f"raise_error('embedding_drift: {vec_col} must be "
+                   "non-null and non-empty')").cast("int"),
+        ).otherwise(F.size(v))
+        base = (df.select(checked.alias("__d"),
+                          F.posexplode(v).alias("__i", "__x"))
+                .select("__d", "__i",
+                        F.floor(F.col("__x").cast("double") * F.lit(sc))
+                        .cast("decimal(38,0)").alias("__xf")))
+        dims = (base.groupBy("__i")
+                .agg(F.sum("__xf").alias(f"__s_{tag}"),
+                     F.count(F.lit(1)).cast("bigint").alias(f"__n_{tag}"),
+                     F.min("__d").alias("__dmin"),
+                     F.max("__d").alias("__dmax")))
+        guard = F.when(
+            F.col("__dmin") != F.col("__dmax"),
+            F.expr(f"raise_error('embedding_drift: {vec_col} has mixed "
+                   "vector dimensions')").cast("bigint"),
+        ).otherwise(F.col(f"__n_{tag}"))
+        return dims.select("__i", f"__s_{tag}",
+                           guard.alias(f"__n_{tag}"))
+
+    # FULL join: a dimension present on one side only means the two
+    # snapshots have different vector dimensionalities — raise, never
+    # silently truncate the dot product to the shared prefix
+    j = side(ref, "r").join(side(cur, "c"), on="__i", how="full")
+    mismatch = F.when(
+        F.col("__s_r").isNull() | F.col("__s_c").isNull(),
+        F.expr("raise_error('embedding_drift: ref and cur vector "
+               "dimensions differ')").cast("decimal(38,0)"),
+    ).otherwise(F.col("__s_r"))
+    j = j.select(F.col("__i"), mismatch.alias("__s_r"),
+                 "__n_r", "__s_c", "__n_c")
+    # per-dimension means in DECIMAL-exact numerators: mean_i = s_i / n;
+    # fold the /n and /scale into the final chain so the reductions
+    # stay integer sums
+    agg = j.agg(
+        F.max("__n_r").alias("n_ref"), F.max("__n_c").alias("n_cur"),
+        F.count(F.lit(1)).cast("int").alias("dim"),
+        F.sum(F.col("__s_r") * F.col("__s_c")).alias("__dot"),
+        F.sum(F.col("__s_r") * F.col("__s_r")).alias("__rr"),
+        F.sum(F.col("__s_c") * F.col("__s_c")).alias("__cc"))
+    cosine = F.when(
+        (F.col("__rr") > 0) & (F.col("__cc") > 0),
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__rr").cast("double"))
+           * F.sqrt(F.col("__cc").cast("double"))))
+    norm_r = (F.sqrt(F.col("__rr").cast("double"))
+              / F.lit(sc) / F.col("n_ref").cast("double"))
+    norm_c = (F.sqrt(F.col("__cc").cast("double"))
+              / F.lit(sc) / F.col("n_cur").cast("double"))
+    return agg.select("n_ref", "n_cur", "dim", cosine.alias("cosine"),
+                      norm_r.alias("norm_ref"), norm_c.alias("norm_cur"))

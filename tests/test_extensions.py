@@ -4403,3 +4403,62 @@ def test_decompose_seasonal_recovers_components(spark):
     for bad in (4, 1, 2):
         with _pytest.raises(ValueError, match="odd"):
             decompose_seasonal(df, "k", "o", "v", period=bad)
+
+
+def test_cohens_kappa_semantics(spark):
+    """Classic 2x2 hand case; perfect agreement = 1; constant-equal
+    raters NULL (p_e = 1); NULL input raises."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.evaluation import cohens_kappa
+
+    rows = ([("a", "a")] * 20 + [("a", "b")] * 5
+            + [("b", "a")] * 10 + [("b", "b")] * 15)
+    r = cohens_kappa(spark.createDataFrame(rows, "p string, y string"),
+                     "p", "y").collect()[0]
+    po, pe = 35 / 50, (25 * 30 + 25 * 20) / 2500
+    assert r.p_o == po and r.p_e == pe
+    assert r.kappa == (po - pe) / (1 - pe)
+    perfect = spark.createDataFrame([("a", "a"), ("b", "b")],
+                                    "p string, y string")
+    assert cohens_kappa(perfect, "p", "y").collect()[0].kappa == 1.0
+    const = spark.createDataFrame([("a", "a"), ("a", "a")],
+                                  "p string, y string")
+    assert cohens_kappa(const, "p", "y").collect()[0].kappa is None
+    bad = spark.createDataFrame([("a", None)], "p string, y string")
+    with _pytest.raises(Exception, match="cohens_kappa"):
+        cohens_kappa(bad, "p", "y").collect()
+
+
+def test_embedding_drift_semantics(spark):
+    """Identical-direction snapshots cosine 1, orthogonal 0; mixed
+    dimensions WITHIN a side and ACROSS sides both raise; zero side
+    NULL cosine; norms are mean-vector norms."""
+    import math
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.profiling import embedding_drift
+
+    a = spark.createDataFrame([(i, [1.0, 2.0, 3.0]) for i in range(10)],
+                              "id int, v array<double>")
+    b = spark.createDataFrame([(i, [2.0, 4.0, 6.0]) for i in range(4)],
+                              "id int, v array<double>")
+    r = embedding_drift(a, b, "v").collect()[0]
+    assert r.cosine == 1.0 and (r.n_ref, r.n_cur, r.dim) == (10, 4, 3)
+    assert abs(r.norm_ref - math.sqrt(14.0)) < 1e-6
+    assert abs(r.norm_cur - 2 * math.sqrt(14.0)) < 1e-6
+    c = spark.createDataFrame([(0, [1.0, 0.0])], "id int, v array<double>")
+    d = spark.createDataFrame([(0, [0.0, 1.0])], "id int, v array<double>")
+    assert embedding_drift(c, d, "v").collect()[0].cosine == 0.0
+    z = spark.createDataFrame([(0, [0.0, 0.0])], "id int, v array<double>")
+    assert embedding_drift(c, z, "v").collect()[0].cosine is None
+    mixed = spark.createDataFrame([(0, [1.0]), (1, [1.0, 2.0])],
+                                  "id int, v array<double>")
+    with _pytest.raises(Exception, match="mixed"):
+        embedding_drift(mixed, c, "v").collect()
+    with _pytest.raises(Exception, match="dimensions differ"):
+        embedding_drift(a, c, "v").collect()
+    empty = spark.createDataFrame([(0, [])], "id int, v array<double>")
+    with _pytest.raises(Exception, match="embedding_drift"):
+        embedding_drift(empty, c, "v").collect()

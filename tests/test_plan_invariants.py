@@ -264,6 +264,17 @@ INVARIANTS = {
     # centering windows are phase-table-sized, the join back broadcast
     "ts_decompose": dict(smj_max=0, bnlj_max=0, exchange_max=4,
                          window_min=3, bhj_min=1, pushed_min=1),
+    # r15 batch 3: Cohen's kappa — the confusion cells are checkpointed
+    # (ONE corpus aggregation; everything after is classes-sized); the
+    # SMJ is the statistics-sized full-outer marginal spine, the BNLJ
+    # the 1x1 totals crossJoin (lint-allowlisted)
+    "eval_cohens_kappa": dict(smj_max=1, bnlj_max=1, exchange_max=4,
+                              hashagg=8),
+    # r15 batch 3: embedding-centroid drift — one posexplode
+    # aggregation per side to d statistics rows; the SMJ is the d-row
+    # full-outer dimension join (model-state-sized)
+    "dq_embedding_drift": dict(smj_max=1, bnlj_max=0, exchange_max=3,
+                               pushed_min=1),
     # r14 batch 2: calibration — breakpoints collected as literals
     # (the rank phase is eager), so the lazy plan is ONE scan + one
     # partial/final pair with the bucket expression scan-side
