@@ -142,6 +142,20 @@ def main() -> None:
         "EXPRESSIONS over one scan — no per-row explode; the Generate "
         "reshapes only the statistics row)":
             lambda: battery.queries()["sketch_ams_f2"](spark, sf_dir),
+        # r15 showcases
+        "layout_hilbert (Hilbert walk: pure codegen bitwise rounds — "
+        "ZERO exchanges, zero joins, one scan projection)":
+            lambda: battery.queries()["layout_hilbert"](spark, sf_dir),
+        "geo_radius_join (grid-blocked spatial join: 9x scan-side "
+        "neighbor fanout + ONE cell equi-join, broadcast at this "
+        "scale — all-pairs never happens)":
+            lambda: battery.queries()["geo_radius_join"](spark, sf_dir),
+        "ts_acf (one key window produces ALL lag leads; the lag sums "
+        "are aggregate expressions — one partial/final pair)":
+            lambda: battery.queries()["ts_acf"](spark, sf_dir),
+        "inc_cdc_apply (CDC winners as ONE max_by aggregation pair + a "
+        "broadcast anti-join — no window sort over the changelog)":
+            lambda: battery.queries()["inc_cdc_apply"](spark, sf_dir),
     }
     jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     out = ["# PLANS — formatted physical plans at sf0.1 (evidence)",
