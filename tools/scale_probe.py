@@ -694,8 +694,18 @@ def main() -> None:
         "ks": 4.0,              # measured 1.36x for 10x rows AND 10x
         #                          distinct mass — two count aggs + the
         #                          two-phase prefix, all linear
-        "cdc": 3.0,             # measured 1.16x for 10x change mass —
-        #                          winners agg + broadcast anti-join
+        "cdc": 5.0,             # measured 1.16x (standalone calibration,
+        #                          x1 2.3s) and 3.62x (r15 chain, where a
+        #                          hot session read x1 at 0.78s — the
+        #                          pagerank x1-noise pattern: the x1 wall
+        #                          is fixed-overhead-dominated, so the
+        #                          ratio swings with session warmth while
+        #                          x10 stayed 2.7-2.8s both times) for
+        #                          10x change mass — winners agg +
+        #                          broadcast anti-join are key-linear; a
+        #                          real cliff (anti-join to full-target
+        #                          SMJ, winners losing map-side combine)
+        #                          reads >>10x here
         "mad": 12.0,            # measured ~4-5x warm for 10x rows at
         #                          FIXED group count — the documented
         #                          per-group rank-sort model (n log n
