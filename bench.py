@@ -201,6 +201,8 @@ HEADLINE = [
     # drift — both pure operator lines
     "eval_cohens_kappa",
     "dq_embedding_drift",
+    # round 15 batch 4: rolling z-score anomaly bands (pure operator)
+    "ts_zscore_anomaly",
 ]
 
 

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def radius_join(df: DataFrame, id_col: str, x_col: str, y_col: str,
-                radius: float) -> DataFrame:
+                radius: float, max_cell_size: int | None = None,
+                oversize: str = "raise") -> DataFrame:
     """All point pairs within Euclidean ``radius`` in the 2-D plane —
     via grid blocking, never a cross join: cell(p) = (floor(x/r),
     floor(y/r)); one side explodes to its 3x3 cell neighborhood
@@ -39,11 +40,23 @@ def radius_join(df: DataFrame, id_col: str, x_col: str, y_col: str,
     Scale shape: one scan per side (same input), a 9x fanout on the
     probe side, ONE cell-keyed equi-join + a scan-side filter. Pair
     cost is sum over cells of |cell| * |3x3 neighborhood| — the grid
-    analog of the linkage blocking families; a pathological point
-    concentration is the equality_blocking_pairs max_block_size story
-    and should be pre-capped the same way."""
+    analog of the linkage blocking families, and ``max_cell_size``
+    guards the same quadratic failure (a pathological point
+    concentration — every delivery pinned to one depot coordinate —
+    makes one cell all-pairs): per-cell counts come from one
+    cell-keyed aggregation (shares the join's key space) and cells
+    past the cap follow ``oversize``: ``'raise'`` (default — silently
+    degraded recall is opt-in only) or ``'cap'`` (keep the cap-many
+    points with smallest (xxhash64(id), id) per cell — hash-uniform,
+    rerun-stable; the equality_blocking_pairs contract verbatim)."""
     if not (radius > 0):
         raise ValueError(f"radius must be > 0, got {radius}")
+    if oversize not in ("raise", "cap"):
+        raise ValueError(f"oversize must be 'raise' or 'cap', "
+                         f"got {oversize!r}")
+    if max_cell_size is not None and max_cell_size < 1:
+        raise ValueError(f"max_cell_size must be >= 1, "
+                         f"got {max_cell_size}")
     r = float(radius)
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -54,6 +67,34 @@ def radius_join(df: DataFrame, id_col: str, x_col: str, y_col: str,
     ).otherwise(x)
     base = df.select(F.col(id_col).alias("__id"),
                      checked_x.alias("__x"), y.alias("__y"))
+    if max_cell_size is not None:
+        cell_cols = [F.floor(F.col("__x") / F.lit(r)).cast("bigint")
+                     .alias("__gcx"),
+                     F.floor(F.col("__y") / F.lit(r)).cast("bigint")
+                     .alias("__gcy")]
+        keyed = base.select("__id", "__x", "__y", *cell_cols)
+        if oversize == "raise":
+            sizes = (keyed.groupBy("__gcx", "__gcy")
+                     .agg(F.count(F.lit(1)).alias("__cn")))
+            guard = F.when(
+                F.col("__cn") > max_cell_size,
+                F.expr(
+                    "raise_error(concat('radius_join: a grid cell "
+                    f"exceeds max_cell_size={int(max_cell_size)}"
+                    " (n=', CAST(__cn AS STRING), ') — shrink the "
+                    "radius or pass oversize=cap'))").isNull(),
+            ).otherwise(F.lit(True))
+            base = (keyed.join(sizes, on=["__gcx", "__gcy"])
+                    .where(guard)
+                    .select("__id", "__x", "__y"))
+        else:
+            from pyspark.sql.window import Window
+            w = (Window.partitionBy("__gcx", "__gcy")
+                 .orderBy(F.xxhash64(F.col("__id").cast("string")),
+                          F.col("__id")))
+            base = (keyed.withColumn("__r", F.row_number().over(w))
+                    .where(F.col("__r") <= max_cell_size)
+                    .select("__id", "__x", "__y"))
     cx = F.floor(F.col("__x") / F.lit(r)).cast("bigint")
     cy = F.floor(F.col("__y") / F.lit(r)).cast("bigint")
     offsets = F.array(*[

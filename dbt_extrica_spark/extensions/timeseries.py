@@ -511,3 +511,67 @@ def decompose_seasonal(df: DataFrame, key_col: str, order_col: str,
         "trend", "seasonal",
         (F.col("__x") - F.col("trend") - F.col("seasonal"))
         .alias("residual"))
+
+
+def zscore_anomalies(df: DataFrame, key_col: str, order_col: str,
+                     value_col: str, window: int = 7, k: float = 3.0,
+                     scale: float = 1e6) -> DataFrame:
+    """Rolling z-score anomaly flags per series — the classic
+    "is this point k sigmas off its own recent level?" monitor
+    (Datadog/Grafana anomaly bands, the online twin of
+    :func:`cusum_changepoint`'s offline scan): z_t = (x_t - m_t) / s_t
+    with m_t/s_t the mean / sample stddev of the TRAILING ``window``
+    PRIOR points (the current point is excluded — an anomaly must not
+    mask itself by inflating its own baseline).
+
+    Exactness (the trend_ols convention): the rolling sums accumulate
+    FLOOR(x * scale) fixed-point integers over the window frame
+    (order-free within the frame), m/s/z are a fixed chain of exactly
+    rounded IEEE ops (one sqrt); z is NULL until ``window`` prior
+    points exist and when the trailing window has zero variance (a
+    flat baseline has no sigma to score against — deterministic NULL,
+    and a level JUMP off a flat baseline is cusum/gapfill territory).
+    Rows with NULL values are excluded up front (complete-case; the
+    trailing frame is over OBSERVED points, the Hampel convention).
+
+    Returns (key, order, x, mean, std, z, is_anomaly).
+
+    Scale shape: ONE key-partitioned window shuffle (both rolling sums
+    and the count share the frame), scan-side arithmetic after — the
+    corpus shuffles once, no join."""
+    from pyspark.sql.window import Window
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if not (k > 0):
+        raise ValueError(f"k must be > 0, got {k}")
+    sc = float(scale)
+    x = F.col(value_col).cast("double")
+    base = (df.where(x.isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.col(order_col).alias("__o"), x.alias("__x")))
+    xf = F.floor(F.col("__x") * F.lit(sc)).cast("decimal(38,0)")
+    xxf = F.floor(F.col("__x") * F.col("__x") * F.lit(sc)) \
+        .cast("decimal(38,0)")
+    wt = (Window.partitionBy("__k").orderBy("__o")
+          .rowsBetween(-window, -1))
+    pre = (base
+           .withColumn("__wc", F.count(F.lit(1)).over(wt))
+           .withColumn("__ws", F.sum(xf).over(wt))
+           .withColumn("__wss", F.sum(xxf).over(wt)))
+    nd = F.lit(float(window))
+    m = (F.col("__ws").cast("double") / F.lit(sc)) / nd
+    # sample variance over the window, n-1 denominator (the Welch
+    # convention)
+    var = ((F.col("__wss").cast("double") / F.lit(sc)) - nd * m * m) \
+        / (nd - 1.0)
+    full = F.col("__wc") == window
+    z = F.when(full & (var > 0), (F.col("__x") - m) / F.sqrt(var))
+    return pre.select(
+        F.col("__k").alias(key_col), F.col("__o").alias(order_col),
+        F.col("__x").alias(value_col),
+        F.when(full, m).alias("mean"),
+        F.when(full & (var > 0), F.sqrt(var)).alias("std"),
+        z.alias("z"),
+        F.when(full & (var > 0), F.abs(z) > F.lit(float(k)))
+        .alias("is_anomaly"))

@@ -9918,6 +9918,60 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding")
 
 
+
+_ZSCORE_DUCK = """
+WITH series AS (
+  SELECT event_type AS k, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+           AS b,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), pre AS (
+  SELECT k, b, x,
+         COUNT(*) OVER wt AS wc,
+         SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) OVER wt AS ws,
+         SUM(CAST(FLOOR((x * x) * 1000000.0) AS DECIMAL(38,0))) OVER wt
+           AS wss
+  FROM series
+  WINDOW wt AS (PARTITION BY k ORDER BY b
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT k, b, x, wc,
+         (CAST(ws AS DOUBLE) / 1000000.0) / 24.0 AS m,
+         ((CAST(wss AS DOUBLE) / 1000000.0)
+          - 24.0 * ((CAST(ws AS DOUBLE) / 1000000.0) / 24.0)
+            * ((CAST(ws AS DOUBLE) / 1000000.0) / 24.0)) / (24.0 - 1.0)
+           AS var
+  FROM pre
+)
+SELECT k AS event_type, b, x,
+       CASE WHEN wc = 24 THEN m END AS mean,
+       CASE WHEN wc = 24 AND var > 0 THEN sqrt(var) END AS std,
+       CASE WHEN wc = 24 AND var > 0 THEN (x - m) / sqrt(var) END AS z,
+       CASE WHEN wc = 24 AND var > 0
+            THEN ABS((x - m) / sqrt(var)) > 3.0 END AS is_anomaly
+FROM z
+"""
+
+
+@q("ts_zscore_anomaly", _ZSCORE_DUCK)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (timeseries.zscore_anomalies):
+    hourly event counts per type scored against the mean/stddev of the
+    24 PRIOR hours (the point excludes itself — an anomaly must not
+    inflate its own baseline) — the online monitoring twin of
+    ts_cusum's offline scan. Rolling sums are fixed-point over ONE
+    key-partitioned window; z replays bit-for-bit."""
+    from .extensions import timeseries
+
+    _views(spark, sf_dir)
+    series = (spark.table("events").where("ts IS NOT NULL")
+              .groupBy(F.col("event_type"),
+                       F.date_trunc("hour", F.col("ts")).alias("b"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    return timeseries.zscore_anomalies(series, "event_type", "b", "x",
+                                       window=24, k=3.0)
+
+
 # ==========================================================================
 # Registry ordering — the driver's correctness gate records the FIRST 50
 # registered entries only (observed: CORRECTNESS_r01/r02/r04 all contain

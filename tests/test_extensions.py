@@ -4462,3 +4462,59 @@ def test_embedding_drift_semantics(spark):
     empty = spark.createDataFrame([(0, [])], "id int, v array<double>")
     with _pytest.raises(Exception, match="embedding_drift"):
         embedding_drift(empty, c, "v").collect()
+
+
+def test_zscore_anomalies_semantics(spark):
+    """Trailing-window z excludes the current point (a spike scores off
+    the clean prior window, then dilutes the next window rather than
+    masking itself); warm-up rows NULL; flat window NULL; guards."""
+    import statistics
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.timeseries import zscore_anomalies
+
+    xs = [10.0, 11.0, 9.0, 10.0, 12.0, 10.0, 11.0, 50.0, 10.0]
+    df = spark.createDataFrame([("a", i, v) for i, v in enumerate(xs)],
+                               "k string, o int, v double")
+    out = {r.o: r for r in
+           zscore_anomalies(df, "k", "o", "v", window=5, k=3.0).collect()}
+    assert all(out[i].z is None for i in range(5))  # warm-up
+    w = xs[2:7]
+    m, sd = sum(w) / 5, statistics.stdev(w)
+    assert abs(out[7].z - (50.0 - m) / sd) < 1e-9
+    assert out[7].is_anomaly is True
+    assert out[8].is_anomaly is False  # the spike inflates the window
+    flat = spark.createDataFrame([("f", i, 5.0) for i in range(8)],
+                                 "k string, o int, v double")
+    assert all(r.z is None for r in
+               zscore_anomalies(flat, "k", "o", "v", window=5).collect())
+    with _pytest.raises(ValueError, match="window"):
+        zscore_anomalies(df, "k", "o", "v", window=1)
+    with _pytest.raises(ValueError, match="k must be"):
+        zscore_anomalies(df, "k", "o", "v", window=5, k=0.0)
+
+
+def test_radius_join_cell_cap_contract(spark):
+    """One cell holding a point pile raises under the default policy,
+    caps deterministically under oversize='cap', and under-cap inputs
+    pass through unchanged (the equality_blocking_pairs contract)."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.spatial import radius_join
+
+    rows = [(i, 0.05, 0.05) for i in range(30)] + [
+        (100 + i, 10.0 + 3 * i, 10.0 + 3 * i) for i in range(20)]
+    pts = spark.createDataFrame(rows, "id int, x double, y double")
+    with _pytest.raises(Exception, match="max_cell_size"):
+        radius_join(pts, "id", "x", "y", 0.5, max_cell_size=10).count()
+    capped = radius_join(pts, "id", "x", "y", 0.5, max_cell_size=10,
+                         oversize="cap")
+    got = sorted((r.id_a, r.id_b) for r in capped.collect())
+    assert len(got) == 45  # C(10,2); isolated points yield none
+    assert got == sorted((r.id_a, r.id_b) for r in capped.collect())
+    ok = radius_join(pts, "id", "x", "y", 0.5, max_cell_size=30)
+    assert ok.count() == 30 * 29 // 2
+    with _pytest.raises(ValueError, match="oversize"):
+        radius_join(pts, "id", "x", "y", 0.5, max_cell_size=5,
+                    oversize="drop")

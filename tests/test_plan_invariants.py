@@ -275,6 +275,11 @@ INVARIANTS = {
     # full-outer dimension join (model-state-sized)
     "dq_embedding_drift": dict(smj_max=1, bnlj_max=0, exchange_max=3,
                                pushed_min=1),
+    # r15 batch 4: rolling z-score — the rollup pair + ONE key window
+    # shuffle (count + both rolling sums share the trailing frame);
+    # scan-side arithmetic after, no join
+    "ts_zscore_anomaly": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                              window_min=1, hashagg=2, pushed_min=1),
     # r14 batch 2: calibration — breakpoints collected as literals
     # (the rank phase is eager), so the lazy plan is ONE scan + one
     # partial/final pair with the bucket expression scan-side
