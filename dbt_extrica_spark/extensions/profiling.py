@@ -476,6 +476,12 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     NOT — scientific-notation thresholds differ, so sub-1 values are
     out of scope by contract and excluded, as are NULLs and zeros).
     Benford screening applies to magnitude-spanning positives anyway.
+    Magnitudes at or above 2^63 are ALSO out of contract and filtered
+    EXPLICITLY (|v| < 9.223372036854776e18): without the filter the
+    non-ANSI bigint cast would NULL them Spark-side (silently dropping
+    the row from counts AND total) while an ANSI oracle engine errors
+    on the same cast — the explicit shared filter keeps both engines
+    on the identical row set.
 
     Returns 9 rows (digit, n, share, expected, dev) with
     dev = share - expected; counts exact integers, share ONE division,
@@ -489,7 +495,10 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     v = F.abs(F.col(value_col).cast("double"))
     digit = F.substring(
         F.floor(v).cast("bigint").cast("string"), 1, 1).cast("int")
-    counted = (df.where(F.col(value_col).isNotNull() & (v >= 1.0))
+    # 2^63 as a double — the first magnitude the bigint cast cannot
+    # represent; see the contract note in the docstring
+    counted = (df.where(F.col(value_col).isNotNull() & (v >= 1.0)
+                        & (v < F.lit(9.223372036854776e18)))
                .select(digit.alias("digit"))
                .groupBy("digit")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n")))

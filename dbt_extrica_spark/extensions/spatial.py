@@ -23,8 +23,11 @@ def radius_join(df: DataFrame, id_col: str, x_col: str, y_col: str,
                 radius: float, max_cell_size: int | None = None,
                 oversize: str = "raise") -> DataFrame:
     """All point pairs within Euclidean ``radius`` in the 2-D plane —
-    via grid blocking, never a cross join: cell(p) = (floor(x/r),
-    floor(y/r)); one side explodes to its 3x3 cell neighborhood
+    via grid blocking, never a cross join: cell(p) = (floor(x/c),
+    floor(y/c)) with cell side c = r*(1+1e-9) — inflated so 3x3
+    adjacency holds under FLOATING-POINT division, not just real
+    arithmetic (see the margin argument at the ``cell`` binding
+    below); one side explodes to its 3x3 cell neighborhood
     (scan-side, 9 rows per point — constant fanout), the other keeps
     its own cell, and the equi-join on the neighbor cell generates each
     unordered candidate pair EXACTLY once (the probe side's own cell is
@@ -58,6 +61,17 @@ def radius_join(df: DataFrame, id_col: str, x_col: str, y_col: str,
         raise ValueError(f"max_cell_size must be >= 1, "
                          f"got {max_cell_size}")
     r = float(radius)
+    # Cell side is r inflated by 1e-9 RELATIVE — adjacency must hold in
+    # FLOATING POINT, not just real arithmetic: a pair passing the
+    # computed d2 <= r*r predicate has true |dx| <= r*(1 + ~1e-13 of
+    # accumulated fp error), so |dx|/cell <= (1+1e-13)/(1+1e-9) < 1
+    # with ~1e-9 relative margin — orders of magnitude wider than the
+    # one-ulp (~1e-16) rounding of the x/cell division, so the two
+    # floor()s can never land more than one cell apart and the 3x3
+    # neighborhood provably covers every predicate-passing pair. The
+    # exact-distance predicate below is UNCHANGED (still r*r), so the
+    # inflation only relaxes candidate generation, never the result.
+    cell = r * (1.0 + 1e-9)
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     checked_x = F.when(
@@ -68,9 +82,9 @@ def radius_join(df: DataFrame, id_col: str, x_col: str, y_col: str,
     base = df.select(F.col(id_col).alias("__id"),
                      checked_x.alias("__x"), y.alias("__y"))
     if max_cell_size is not None:
-        cell_cols = [F.floor(F.col("__x") / F.lit(r)).cast("bigint")
+        cell_cols = [F.floor(F.col("__x") / F.lit(cell)).cast("bigint")
                      .alias("__gcx"),
-                     F.floor(F.col("__y") / F.lit(r)).cast("bigint")
+                     F.floor(F.col("__y") / F.lit(cell)).cast("bigint")
                      .alias("__gcy")]
         keyed = base.select("__id", "__x", "__y", *cell_cols)
         if oversize == "raise":
@@ -95,8 +109,8 @@ def radius_join(df: DataFrame, id_col: str, x_col: str, y_col: str,
             base = (keyed.withColumn("__r", F.row_number().over(w))
                     .where(F.col("__r") <= max_cell_size)
                     .select("__id", "__x", "__y"))
-    cx = F.floor(F.col("__x") / F.lit(r)).cast("bigint")
-    cy = F.floor(F.col("__y") / F.lit(r)).cast("bigint")
+    cx = F.floor(F.col("__x") / F.lit(cell)).cast("bigint")
+    cy = F.floor(F.col("__y") / F.lit(cell)).cast("bigint")
     offsets = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)])

@@ -30,6 +30,37 @@ def _key_list(unique_key: str | list[str]) -> list[str]:
     return [unique_key] if isinstance(unique_key, str) else list(unique_key)
 
 
+def _require_sequence_type(df: DataFrame, seq_col: str, where: str,
+                           integral_only: bool = False) -> None:
+    """CDC sequence columns must order as sequences: a string seq sorts
+    lexicographically ('10' < '2') and silently elects the WRONG winner
+    — the kind of divergence that never heals, so it is a type error,
+    not a runtime guard. Batch accepts any numeric / timestamp / date
+    (winners compare in the native type); the streaming twin passes
+    ``integral_only=True`` because it persists ``__cdc_seq`` as bigint
+    and a fractional or sub-second-timestamp seq would collapse
+    distinct sequence numbers under that cast (1.5 and 1.2 both -> 1 —
+    'already applied', silently dropped)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[seq_col].dataType
+    if integral_only:
+        ok = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                             T.LongType))
+        want = "an integral (byte/short/int/long)"
+    else:
+        ts_types = (T.TimestampType, T.DateType)
+        if hasattr(T, "TimestampNTZType"):
+            ts_types = ts_types + (T.TimestampNTZType,)
+        ok = isinstance(dt, (T.NumericType,) + ts_types)
+        want = "a numeric, timestamp, or date"
+    if not ok:
+        raise TypeError(
+            f"{where}: seq column {seq_col!r} has type "
+            f"{dt.simpleString()}; it must be {want} type — other "
+            f"types (e.g. string) do not order as sequence numbers")
+
+
 def _join_condition(keys: list[str],
                     incremental_predicates: list[str] | None,
                     null_safe: bool = False):
@@ -295,7 +326,13 @@ def apply_cdc(
       a no-op (idempotent replay — at-least-once delivery of a
       changelog segment must not error);
     - ops outside {I,U,D} and NULL keys/seq raise in-scan (a silently
-      dropped change is a divergence that never heals).
+      dropped change is a divergence that never heals);
+    - ``seq_col`` must carry a numeric / timestamp / date type —
+      winners order by seq in its NATIVE type, so a string seq would
+      sort lexicographically ('10' < '2') and silently pick the wrong
+      winner; a non-orderable-as-sequence type raises up front (the
+      streaming twin enforces the stricter integral contract because
+      it persists ``__cdc_seq`` as bigint).
 
     Exactly-once not required: re-applying the same batch is a no-op
     (max-by is idempotent), the at-least-once property streaming
@@ -322,6 +359,7 @@ def apply_cdc(
     if op_col in cols or seq_col in cols:
         raise ValueError(f"apply_cdc: op/seq columns ({op_col!r}, "
                          f"{seq_col!r}) must not be dest columns")
+    _require_sequence_type(changes, seq_col, "apply_cdc")
     op = F.upper(F.col(op_col).cast("string"))
     key_null = None
     for k in keys:

@@ -9131,6 +9131,7 @@ WITH v AS (
   FROM orders
   WHERE o_totalprice IS NOT NULL
     AND ABS(CAST(o_totalprice AS DOUBLE)) >= 1.0
+    AND ABS(CAST(o_totalprice AS DOUBLE)) < 9.223372036854776e18
 ), d AS (
   SELECT CAST(substring(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(COUNT(*) AS BIGINT) AS n

@@ -353,6 +353,10 @@ def _cdc_apply_callback(engine, table_name: str, unique_key,
                    .withColumn("__rk", checked)
                    .groupBy(*[F.col(k) for k in keys])
                    .agg(F.max(F.struct(
+                       # lossless: streaming_cdc_apply validates seq as
+                       # integral up front, so this widening can never
+                       # yield NULL (a silently-NULL __cdc_seq would
+                       # make '__cdc_seq > __old_seq' drop changes)
                        F.col(seq_col).cast("bigint").alias("s"),
                        F.col("__rk").alias("r"),
                        F.struct(*[F.col(c) for c in cols]).alias("row"),
@@ -409,6 +413,17 @@ def streaming_cdc_apply(
     deletes the final table equals the batch apply.
 
     Returns the started StreamingQuery (availableNow trigger)."""
+    from ..operators.merge import _require_sequence_type
+
+    # Integral-only here (stricter than the batch twin's numeric/
+    # timestamp contract): __cdc_seq persists as bigint, and a
+    # fractional seq would collapse distinct sequence numbers under
+    # that cast — 1.5 and 1.2 both become 1, compare equal to the
+    # stored seq, and the change is silently dropped as 'already
+    # applied'. Validated on the STREAM schema so a bad pipeline fails
+    # at wiring time, not mid-stream inside a micro-batch.
+    _require_sequence_type(change_stream, seq_col, "streaming_cdc_apply",
+                           integral_only=True)
     if dest_columns is None:
         dest_columns = [c for c in change_stream.columns
                         if c not in (op_col, seq_col)]

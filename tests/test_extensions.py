@@ -4518,3 +4518,50 @@ def test_radius_join_cell_cap_contract(spark):
     with _pytest.raises(ValueError, match="oversize"):
         radius_join(pts, "id", "x", "y", 0.5, max_cell_size=5,
                     oversize="drop")
+
+
+def test_radius_join_cap_boundary_duplicate_coords(spark):
+    """Cap interplay with DUPLICATE coordinates exactly at the cap
+    boundary: N points sharing one exact coordinate pass untouched at
+    max_cell_size=N (all C(N,2) zero-distance pairs emitted), raise at
+    N-1, and under oversize='cap' keep exactly cap points (C(cap,2)
+    pairs) with a rerun-stable selection."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.spatial import radius_join
+
+    n = 12
+    pts = spark.createDataFrame([(i, 0.25, 0.25) for i in range(n)],
+                                "id int, x double, y double")
+    at_cap = radius_join(pts, "id", "x", "y", 0.1, max_cell_size=n)
+    rows = at_cap.collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r.dist == 0.0 for r in rows)
+    with _pytest.raises(Exception, match="max_cell_size"):
+        radius_join(pts, "id", "x", "y", 0.1, max_cell_size=n - 1).count()
+    capped = radius_join(pts, "id", "x", "y", 0.1, max_cell_size=n - 1,
+                         oversize="cap")
+    got = sorted((r.id_a, r.id_b) for r in capped.collect())
+    assert len(got) == (n - 1) * (n - 2) // 2
+    assert got == sorted((r.id_a, r.id_b) for r in capped.collect())
+
+
+def test_apply_cdc_rejects_string_seq(spark):
+    """apply_cdc validates the seq type up front: a string seq sorts
+    lexicographically ('10' < '2') and would silently elect the wrong
+    winner, so it is a TypeError, not a runtime guard; numeric and
+    timestamp seq types pass."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.operators.merge import apply_cdc
+
+    tgt = spark.createDataFrame([(1, "a")], "id int, v string")
+    ch_str = spark.createDataFrame([(1, "b", "U", "2"), (1, "c", "U", "10")],
+                                   "id int, v string, op string, seq string")
+    with _pytest.raises(TypeError, match="seq"):
+        apply_cdc(tgt, ch_str, "id")
+    ch_ts = spark.createDataFrame(
+        [(1, "b", "U", 2.0), (1, "c", "U", 10.0)],
+        "id int, v string, op string, seq double")
+    got = {(r.id, r.v) for r in apply_cdc(tgt, ch_ts, "id").collect()}
+    assert got == {(1, "c")}

@@ -831,3 +831,53 @@ def test_streaming_cdc_callback_seq_aware(spark, tmp_path):
     cb(b2, 3)
     assert {(r.id, r.v) for r in eng.table("t").collect()} == {
         (1, "a2"), (2, "b")}
+
+
+def test_streaming_cdc_callback_empty_first_batch(spark, tmp_path):
+    """An EMPTY first micro-batch still creates the target table (with
+    the full schema incl. __cdc_seq) — availableNow catch-up runs over
+    a drained source must leave a queryable table, not a missing one —
+    and the next non-empty batch folds into it normally."""
+    from dbt_extrica_spark.engine import Engine
+    from dbt_extrica_spark.streaming.incremental import _cdc_apply_callback
+
+    eng = Engine(spark, schema=f"cdc_e_{tmp_path.name.lower()}",
+                 warehouse_dir=str(tmp_path))
+    cb = _cdc_apply_callback(eng, "t", "id", "op", "seq", ["id", "v"])
+
+    empty = spark.createDataFrame([], "id int, v string, op string, seq int")
+    cb(empty, 0)
+    tbl = eng.table("t")
+    assert tbl.count() == 0
+    assert set(tbl.columns) == {"id", "v", "__cdc_seq"}
+    b1 = spark.createDataFrame([(1, "a", "I", 10), (2, "b", "I", 11)],
+                               "id int, v string, op string, seq int")
+    cb(b1, 1)
+    assert {(r.id, r.v, r["__cdc_seq"])
+            for r in eng.table("t").collect()} == {(1, "a", 10),
+                                                   (2, "b", 11)}
+
+
+def test_streaming_cdc_rejects_non_integral_seq(spark, tmp_path):
+    """streaming_cdc_apply validates the seq column type at wiring time:
+    __cdc_seq persists as bigint, so a string seq (lexicographic order)
+    or a fractional seq (distinct values collapse under the cast) is a
+    TypeError before any batch runs — mirroring the batch twin's
+    numeric/timestamp contract."""
+    import pytest as _pytest
+
+    from dbt_extrica_spark.engine import Engine
+    from dbt_extrica_spark.streaming.incremental import streaming_cdc_apply
+
+    eng = Engine(spark, schema=f"cdc_v_{tmp_path.name.lower()}",
+                 warehouse_dir=str(tmp_path))
+    base = (spark.readStream.format("rate").option("rowsPerSecond", "1")
+            .load())
+    as_str = base.selectExpr("value AS id", "'x' AS v", "'I' AS op",
+                             "CAST(value AS STRING) AS seq")
+    with _pytest.raises(TypeError, match="seq"):
+        streaming_cdc_apply(eng, as_str, "t", "id")
+    as_double = base.selectExpr("value AS id", "'x' AS v", "'I' AS op",
+                                "CAST(value AS DOUBLE) AS seq")
+    with _pytest.raises(TypeError, match="integral"):
+        streaming_cdc_apply(eng, as_double, "t", "id")
