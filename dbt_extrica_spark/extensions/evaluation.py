@@ -163,6 +163,54 @@ def calibration_curve(df: DataFrame, score_col: str, label_col: str,
                      / F.col("n").cast("double")).alias("mean_score")))
 
 
+def matthews_corr(df: DataFrame, pred_col: str, label_col: str) -> DataFrame:
+    """Matthews correlation coefficient for a BINARY classifier — the
+    single-number confusion summary that stays honest under class
+    imbalance (accuracy and F1 both saturate when one class dominates;
+    MCC is the full fourfold point correlation): the recommended
+    headline metric for quality-filter classifiers where the "bad"
+    class is rare.
+
+    MCC = (TP*TN - FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+
+    Exactness: the four cells are exact bigint counts off ONE
+    aggregation; numerator and denominator are FIXED chains of IEEE
+    ops on the double-cast cells (cast FIRST — cell products pass 2^63
+    on a 100 TB corpus; each product/subtraction is then one
+    correctly-rounded op), sqrt is exactly rounded, so the double
+    replays verbatim in SQL. A zero denominator (any margin empty)
+    yields NULL mcc — deterministic, never NaN (the roc_auc
+    convention). Both columns validate RAW-before-cast as strict 0/1
+    non-null in-scan (a fractional 0.9 must raise, not truncate).
+
+    Returns one row: (n, tp, tn, fp, fn, mcc).
+
+    Scale shape: one scan, ONE map-side-combinable aggregation — four
+    conditional counts; nothing after it exceeds one row."""
+    def checked01(col: str, what: str) -> F.Column:
+        raw = F.col(col).cast("double")
+        return F.when(
+            raw.isNull() | ~raw.isin(0.0, 1.0),
+            F.expr(f"raise_error('matthews_corr: {what} must be 0/1 "
+                   "non-null')").cast("bigint"),
+        ).otherwise(F.col(col).cast("bigint"))
+
+    p, y = checked01(pred_col, "pred_col"), checked01(label_col,
+                                                     "label_col")
+    cells = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((p == 1) & (y == 1)).cast("bigint")).alias("tp"),
+        F.sum(((p == 0) & (y == 0)).cast("bigint")).alias("tn"),
+        F.sum(((p == 1) & (y == 0)).cast("bigint")).alias("fp"),
+        F.sum(((p == 0) & (y == 1)).cast("bigint")).alias("fn"))
+    tp, tn = F.col("tp").cast("double"), F.col("tn").cast("double")
+    fp, fn = F.col("fp").cast("double"), F.col("fn").cast("double")
+    num = tp * tn - fp * fn
+    den2 = ((tp + fp) * (tp + fn)) * ((tn + fp) * (tn + fn))
+    mcc = F.when(den2 > 0, num / F.sqrt(den2))
+    return cells.select("n", "tp", "tn", "fp", "fn", mcc.alias("mcc"))
+
+
 def classification_report(df: DataFrame, pred_col: str, label_col: str,
                           group_cols: list[str] | None = None) -> DataFrame:
     """Per-class confusion statistics for a multiclass classifier:

@@ -578,6 +578,139 @@ def welch_ttest(ref: DataFrame, cur: DataFrame, value_col: str,
         t.alias("t_stat"), dof.alias("df"))
 
 
+def mannwhitney_u(ref: DataFrame, cur: DataFrame, value_col: str,
+                  partitions: int | None = None) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) — the
+    RANK-based mean-shift screen beside :func:`welch_ttest` (moments)
+    and :func:`ks_test` (shape): robust to outliers and monotone
+    transforms, the standard recommendation when the metric is skewed
+    (latencies, prices, token counts). Reports U for the ref side and
+    the tie-corrected normal-approximation z; the p-value needs the
+    normal CDF (erf — transcendental), so thresholds are on |z| by
+    contract, the welch_ttest convention. No continuity correction
+    (documented contract — scipy's default 0.5 shift is a presentation
+    choice the caller can apply to z's numerator).
+
+    Exactness: with average ranks, 2*R_ref = sum over distinct values
+    of n_ref(v) * (2*below(v) + c(v) + 1) — an exact integer off the
+    shared two-phase prefix (below = combined count before v, c =
+    combined count at v); the tie term T = sum(c^3 - c) is integral
+    too; both accumulate as DECIMAL(38,0). Then 2*U = 2*R_ref -
+    n_r*(n_r+1), var = n_r*n_c*(N(N-1)(N+1) - T) / (12*N*(N-1)), and
+    z = (U - n_r*n_c/2)/sqrt(var) is a FIXED chain of correctly-rounded
+    IEEE ops — both doubles replay verbatim in SQL while the integer
+    parts stay below 2^53 (the exact-double envelope; at larger scales
+    the statistic is still deterministic per engine). All-tied samples
+    (var = 0) and an empty side yield NULL u/z. NULLs are excluded.
+
+    Returns one row: (n_ref, n_cur, u_stat, z).
+
+    Scale shape: one count aggregation per table to distinct-value
+    counts, a full outer merge, the shared two-phase prefix (never a
+    1-task window), ONE statistics reduction — everything after the
+    first aggs is distinct-values-sized (the ks_test shape)."""
+    from .cleaning import global_running_sum
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.col(value_col).alias("v"))
+                .where(F.col("v").isNotNull())
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(name)))
+
+    merged = (counts(ref, "__rc").join(counts(cur, "__cc"),
+                                       on="v", how="full")
+              .select("v",
+                      F.coalesce("__rc", F.lit(0)).alias("__rc"),
+                      F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    c = F.col("__rc") + F.col("__cc")
+    ranked, n_r = global_running_sum(merged, ["v"], "__rc", partitions,
+                                     out_col="__cumr", return_total=True)
+    ranked, n_c = global_running_sum(ranked, ["v"], "__cc", partitions,
+                                     out_col="__cumc", return_total=True)
+    below = F.col("__cumr") + F.col("__cumc") - c
+    stats = ranked.agg(
+        F.sum((F.col("__rc") * (2 * below + c + 1))
+              .cast("decimal(38,0)")).alias("__r2"),
+        F.sum((c * c * c - c).cast("decimal(38,0)")).alias("__t"))
+    n1, n2 = int(n_r), int(n_c)
+    nn = n1 + n2
+    if n1 == 0 or n2 == 0:
+        u = F.lit(None).cast("double")
+        z = F.lit(None).cast("double")
+    else:
+        # 2*U stays integral (DECIMAL); every division below is one
+        # IEEE op in a fixed order
+        u2 = F.col("__r2") - F.lit(n1 * (n1 + 1))
+        u = u2.cast("double") / F.lit(2.0)
+        var = (F.lit(float(n1) * float(n2))
+               * ((F.lit(nn * (nn - 1)).cast("decimal(38,0)")
+                   * F.lit(nn + 1) - F.col("__t")).cast("double"))
+               / F.lit(12.0 * nn * (nn - 1)))
+        z = F.when(var > 0,
+                   (u2.cast("double") - F.lit(float(n1) * float(n2)))
+                   / F.lit(2.0) / F.sqrt(var))
+    return stats.select(
+        F.lit(n1).cast("bigint").alias("n_ref"),
+        F.lit(n2).cast("bigint").alias("n_cur"),
+        u.alias("u_stat"), z.alias("z"))
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str,
+              scale: float = 1e12) -> DataFrame:
+    """Cramér's V association between two CATEGORICAL columns — the
+    [0, 1]-normalized chi-square the profiling family needs beside
+    :func:`chi2_drift` (numeric drift) and :func:`benford_digits`
+    (digit mix): "are source and language independent?", "does the
+    quality tier depend on the crawl?" — the screen for redundant
+    or leaking categorical features.
+
+    chi2 uses the observed-cells-only identity chi2 = N*(S - 1) with
+    S = sum over observed cells of n_ij^2/(r_i*c_j) — zero cells
+    contribute exactly their expected mass through the -1, so only the
+    distinct observed pairs are ever materialized. Each cell term is
+    one IEEE division of exact counts (cast to double FIRST — r*c can
+    pass 2^63 on a 100 TB corpus); terms accumulate as
+    FLOOR(term * scale) DECIMAL(38,0) — order-free, so chi2 and
+    V = sqrt(chi2 / (N * min(R-1, C-1))) replay bit-for-bit in SQL
+    (the fixed-point convention; the floor grid means a
+    near-independence chi2 can read a hair below 0 — clamped to 0 so
+    sqrt stays real, documented). NULL categories are excluded (they
+    are a missingness fact, not a level — profile_columns reports
+    them); single-level inputs (min(R-1, C-1) = 0) yield NULL v.
+
+    Returns one row: (n, levels_a, levels_b, chi2, v).
+
+    Scale shape: ONE (a, b)-keyed count aggregation (distinct-pairs
+    out), marginals re-aggregated FROM the cells (statistics-sized),
+    two broadcast-shaped joins back onto the cells, one 1-row
+    reduction. The corpus is scanned once."""
+    sc = float(scale)
+    base = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+            .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    rows_m = base.groupBy("__a").agg(F.sum("__n").alias("__r"))
+    cols_m = base.groupBy("__b").agg(F.sum("__n").alias("__c"))
+    joined = base.join(rows_m, on="__a").join(cols_m, on="__b")
+    term = (F.col("__n").cast("double") * F.col("__n").cast("double")
+            / (F.col("__r").cast("double") * F.col("__c").cast("double")))
+    agg = joined.agg(
+        F.sum(F.floor(term * F.lit(sc)).cast("decimal(38,0)"))
+        .alias("__s"),
+        F.sum("__n").cast("decimal(38,0)").alias("__nn"),
+        F.countDistinct("__a").cast("bigint").alias("levels_a"),
+        F.countDistinct("__b").cast("bigint").alias("levels_b"))
+    nd = F.col("__nn").cast("double")
+    s = F.col("__s").cast("double") / F.lit(sc)
+    chi2 = F.greatest(nd * (s - F.lit(1.0)), F.lit(0.0))
+    dmin = F.when(F.col("levels_a") < F.col("levels_b"),
+                  F.col("levels_a")).otherwise(F.col("levels_b")) - 1
+    v = F.when((dmin > 0) & (F.col("__nn") > 0),
+               F.sqrt(chi2 / (nd * dmin.cast("double"))))
+    return agg.select(
+        F.col("__nn").cast("bigint").alias("n"),
+        "levels_a", "levels_b", chi2.alias("chi2"), v.alias("v"))
+
+
 def embedding_drift(ref: DataFrame, cur: DataFrame, vec_col: str,
                     scale: float = 1e9) -> DataFrame:
     """Embedding-distribution drift between two snapshots: the cosine

@@ -575,3 +575,79 @@ def zscore_anomalies(df: DataFrame, key_col: str, order_col: str,
         z.alias("z"),
         F.when(full & (var > 0), F.abs(z) > F.lit(float(k)))
         .alias("is_anomaly"))
+
+
+def ewma(df: DataFrame, key_col: str, order_col: str, value_col: str,
+         alpha: float = 0.5, window: int = 16) -> DataFrame:
+    """Per-series exponentially weighted moving average over a sliding
+    ``window`` of trailing points — the standard smoother a monitoring
+    rollup keeps beside :func:`zscore_anomalies` (bands) and
+    :func:`trend_ols` (drift): recent points dominate, old points
+    decay geometrically.
+
+    Semantics: the recursion y = (1-a)*y_prev + a*x REPLAYED over the
+    trailing ``window`` points only, initialized at the window's
+    oldest point (the pandas ``ewm(adjust=False)`` update with a
+    bounded restart) — for rows earlier than a full window the
+    recursion starts at the series head, so the first row is exactly
+    x_0. Truncation is the scale contract: true EWMA is inherently
+    sequential state; the trailing-window replay bounds every row's
+    dependence at ``window`` lags while the dropped tail carries
+    weight (1-a)^window (~1e-5 at the defaults) — the same
+    window-bounding argument as zscore_anomalies.
+
+    Exactness: the closed form is y_t = sum_j w_j * lag_j(x) with
+    PRECOMPUTED Python-float weights (w_j = a*(1-a)^j for trailing
+    lags, (1-a)^j for the window-opening lag), evaluated as ONE fixed
+    left-to-right chain of correctly-rounded IEEE ops per row — the
+    weights ship to SQL as repr-exact literals, so every double
+    replays verbatim in any engine (the Benford-literal convention:
+    no transcendental ever evaluates in-engine).
+
+    NULL values raise in-scan (a silently skipped point would shift
+    every later lag — resample/gapfill first, the zscore contract).
+
+    Returns (key, order, x, ewma).
+
+    Scale shape: ONE key-partitioned window shuffle serves every lag
+    (pure codegen lead/lag columns — no per-lag pass, no explode);
+    rows never leave their key partition."""
+    from pyspark.sql.window import Window
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    a = float(alpha)
+    # w_tail[j]: weight of lag j when it is NOT the oldest point in
+    # scope; w_open[j]: weight when lag j opens the (possibly partial)
+    # window — the recursion's initialization lands there.
+    w_tail = [a * (1.0 - a) ** j for j in range(window)]
+    w_open = [(1.0 - a) ** j for j in range(window)]
+    x = F.col(value_col).cast("double")
+    checked = F.when(
+        x.isNull(),
+        F.expr(f"raise_error('ewma: {value_col} must be non-null — "
+               "gapfill first')").cast("double"),
+    ).otherwise(x)
+    w = Window.partitionBy("__k").orderBy("__o")
+    base = (df.select(F.col(key_col).alias("__k"),
+                      F.col(order_col).alias("__o"),
+                      checked.alias("__x"))
+            .withColumn("__rn", F.row_number().over(w)))
+    for j in range(1, window):
+        base = base.withColumn(f"__l{j}", F.lag("__x", j).over(w))
+    # opening lag index = min(rn - 1, window - 1); fixed j-ascending
+    # summation order so both engines add in the same sequence
+    open_j = F.least(F.col("__rn") - 1, F.lit(window - 1))
+    total = None
+    for j in range(window):
+        xj = F.col("__x") if j == 0 else F.col(f"__l{j}")
+        wj = F.when(open_j == j, F.lit(w_open[j])).otherwise(
+            F.lit(w_tail[j]))
+        term = F.when(xj.isNull(), F.lit(0.0)).otherwise(wj * xj)
+        total = term if total is None else total + term
+    return base.select(F.col("__k").alias(key_col),
+                       F.col("__o").alias(order_col),
+                       F.col("__x").alias("x"),
+                       total.alias("ewma"))

@@ -317,18 +317,36 @@ def streaming_incremental_merge(
 
 def _cdc_apply_callback(engine, table_name: str, unique_key,
                         op_col: str, seq_col: str,
-                        dest_columns: list[str]):
+                        dest_columns: list[str],
+                        tombstones: bool = False,
+                        tombstone_retention_batches: int | None = None):
     """foreachBatch closure for streaming CDC apply: each micro-batch's
     changelog slice folds into the target through merge.apply_cdc-style
     winner selection, with a persisted ``__cdc_seq`` column making live
     rows SEQ-AWARE — a batch winner older than the stored seq is
     ignored, so cross-batch out-of-order UPSERTS and re-delivered
     batches are both no-ops (at-least-once + per-key-unordered-upsert
-    safety). Deletes remove the row AND its seq memory — an upsert
-    older than an already-applied delete would re-insert, so DELETES
-    still need per-key in-order delivery (the standard
-    no-tombstone contract; Debezium/Kafka per-key partitions provide
-    it). The first non-empty batch creates the table."""
+    safety). Without tombstones, deletes remove the row AND its seq
+    memory — an upsert older than an already-applied delete would
+    re-insert, so DELETES then need per-key in-order delivery (the
+    standard no-tombstone contract; Debezium/Kafka per-key partitions
+    provide it). The first non-empty batch creates the table.
+
+    ``tombstones=True`` closes that gap (the Delta Live Tables APPLY
+    CHANGES retention model): a winning delete persists (key,
+    __cdc_seq, __cdc_batch) in a side table ``<name>__tombstones``,
+    and the stored seq a later batch compares against is the GREATEST
+    of the live row's and the tombstone's — so a late out-of-order
+    upsert OLDER than an applied delete is ignored instead of
+    re-inserting, making the final state invariant to how the
+    changelog was sliced into batches (it always equals the batch
+    apply_cdc of the full log). ``tombstone_retention_batches=K``
+    expires a tombstone K micro-batches after it was written (None =
+    keep forever); an upsert NEWER than the tombstone clears it and
+    re-inserts the key — a legitimate reincarnation, not a late
+    straggler. Crash between the two table writes re-applies the
+    batch's deletes on re-delivery (stored seq reads NULL again) —
+    idempotent, converges to the same state."""
     from pyspark.sql import functions as F
 
     from ..operators.merge import _key_list
@@ -336,6 +354,8 @@ def _cdc_apply_callback(engine, table_name: str, unique_key,
 
     keys = _key_list(unique_key)
     target = engine.relation(table_name, RelationType.Table)
+    ts_target = engine.relation(f"{table_name}__tombstones",
+                                RelationType.Table)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         cols = list(dest_columns)
@@ -372,6 +392,13 @@ def _cdc_apply_callback(engine, table_name: str, unique_key,
                      .select(*cols, "__cdc_seq"))
             fresh.write.format("parquet").saveAsTable(
                 target.render_unquoted())
+            if tombstones:
+                (winners.where(F.col("__rk") == 2)
+                 .select(*keys, "__cdc_seq",
+                         F.lit(int(batch_id)).cast("bigint")
+                         .alias("__cdc_batch"))
+                 .write.format("parquet")
+                 .saveAsTable(ts_target.render_unquoted()))
             return
         if not batch_df.take(1):
             return
@@ -380,13 +407,58 @@ def _cdc_apply_callback(engine, table_name: str, unique_key,
         # apply (equal seq = already applied — idempotent re-delivery)
         stored = tgt_df.select(*keys,
                                F.col("__cdc_seq").alias("__old_seq"))
+        ts_df = None
+        if tombstones:
+            if engine.catalog.get_relation(ts_target) is None:
+                raise RuntimeError(
+                    f"streaming_cdc_apply: target {table_name!r} exists "
+                    f"but its tombstone table is missing — tombstones "
+                    f"must be enabled from the table's creation (a "
+                    f"mid-stream switch has no delete memory to "
+                    f"compare against)")
+            ts_df = engine.spark.table(ts_target.render_unquoted())
+            if tombstone_retention_batches is not None:
+                # expiry applies AT READ: a tombstone written at batch
+                # W stops blocking from batch W + retention on — the
+                # same filter then persists the pruned table below
+                ts_df = ts_df.where(
+                    F.col("__cdc_batch")
+                    > F.lit(int(batch_id)
+                            - int(tombstone_retention_batches)))
+            # the stored seq is the GREATEST of the live row's and the
+            # tombstone's — a delete's memory outlives the row it
+            # removed, which is exactly what blocks the late upsert
+            stored = (stored.join(
+                ts_df.select(*keys, F.col("__cdc_seq").alias("__ts_seq")),
+                on=keys, how="full")
+                .select(*keys,
+                        F.greatest("__old_seq", "__ts_seq")
+                        .alias("__old_seq")))
         fresh_w = (winners.join(stored, on=keys, how="left")
                    .where(F.col("__old_seq").isNull()
                           | (F.col("__cdc_seq") > F.col("__old_seq"))))
+        if tombstones:
+            # materialize the applied winners BEFORE any overwrite:
+            # both table writes below are staged lazily, and fresh_w
+            # reads the OLD tombstone table — without the checkpoint
+            # the target's staging write would re-derive it AFTER the
+            # tombstone swap and filter against the wrong stored seqs
+            fresh_w = fresh_w.localCheckpoint(eager=True)
         kept = tgt_df.join(fresh_w.select(*keys), on=keys,
                            how="left_anti")
         upserts = (fresh_w.where(F.col("__rk") < 2)
                    .select(*cols, "__cdc_seq"))
+        if tombstones:
+            # applied winners replace the key's tombstone: a delete
+            # writes a new one, an upsert clears it (reincarnation)
+            kept_ts = ts_df.join(fresh_w.select(*keys), on=keys,
+                                 how="left_anti")
+            new_ts = (fresh_w.where(F.col("__rk") == 2)
+                      .select(*keys, "__cdc_seq",
+                              F.lit(int(batch_id)).cast("bigint")
+                              .alias("__cdc_batch")))
+            engine.overwrite_table_atomic(
+                ts_target, kept_ts.unionByName(new_ts))
         engine.overwrite_table_atomic(
             target, kept.select(*cols, "__cdc_seq").unionByName(upserts))
 
@@ -401,6 +473,8 @@ def streaming_cdc_apply(
     op_col: str = "op",
     seq_col: str = "seq",
     dest_columns: list[str] | None = None,
+    tombstones: bool = False,
+    tombstone_retention_batches: int | None = None,
 ) -> "object":
     """Streaming CDC changelog apply — the APPLY CHANGES INTO surface
     (Delta Live Tables apply_changes, Debezium sink): every micro-batch
@@ -412,8 +486,22 @@ def streaming_cdc_apply(
     is operators/merge.apply_cdc; under availableNow with in-order
     deletes the final table equals the batch apply.
 
+    ``tombstones=True`` persists delete memory in a
+    ``<table>__tombstones`` side table so the final state equals the
+    batch apply REGARDLESS of delete ordering across batches — see
+    _cdc_apply_callback; ``tombstone_retention_batches`` bounds that
+    table (the DLT retention knob).
+
     Returns the started StreamingQuery (availableNow trigger)."""
     from ..operators.merge import _require_sequence_type
+
+    if tombstone_retention_batches is not None:
+        if not tombstones:
+            raise ValueError("tombstone_retention_batches requires "
+                             "tombstones=True")
+        if tombstone_retention_batches < 1:
+            raise ValueError(f"tombstone_retention_batches must be >= 1,"
+                             f" got {tombstone_retention_batches}")
 
     # Integral-only here (stricter than the batch twin's numeric/
     # timestamp contract): __cdc_seq persists as bigint, and a
@@ -430,7 +518,10 @@ def streaming_cdc_apply(
     query = (
         change_stream.writeStream.foreachBatch(
             _cdc_apply_callback(engine, table_name, unique_key,
-                                op_col, seq_col, dest_columns))
+                                op_col, seq_col, dest_columns,
+                                tombstones=tombstones,
+                                tombstone_retention_batches=(
+                                    tombstone_retention_batches)))
         .trigger(availableNow=True)
         .option("checkpointLocation",
                 f"{engine.warehouse_dir}/_checkpoints/{table_name}")

@@ -4565,3 +4565,149 @@ def test_apply_cdc_rejects_string_seq(spark):
         "id int, v string, op string, seq double")
     got = {(r.id, r.v) for r in apply_cdc(tgt, ch_ts, "id").collect()}
     assert got == {(1, "c")}
+
+
+def test_mannwhitney_u_matches_rank_replay(spark):
+    """mannwhitney_u on a tied sample == the textbook average-rank
+    computation (exact-fraction replay incl. the tie-corrected
+    variance); all-tied samples NULL z; empty side NULL u/z."""
+    import math
+    from fractions import Fraction
+
+    from dbt_extrica_spark.extensions.profiling import mannwhitney_u
+
+    xs = [1, 2, 2, 3, 5, 5, 5, 9]
+    ys = [2, 4, 5, 6, 6, 10]
+    a = spark.createDataFrame([(float(v),) for v in xs], "v double")
+    b = spark.createDataFrame([(float(v),) for v in ys], "v double")
+    r = mannwhitney_u(a, b, "v").collect()[0]
+    assert (r.n_ref, r.n_cur) == (len(xs), len(ys))
+
+    # average-rank replay in exact fractions
+    allv = sorted(xs + ys)
+    n1, n2 = len(xs), len(ys)
+    nn = n1 + n2
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = Fraction(i + 1 + j, 2)  # mean of ranks i+1..j
+        i = j
+    r1 = sum(ranks[v] for v in xs)
+    u1 = r1 - Fraction(n1 * (n1 + 1), 2)
+    assert r.u_stat == float(u1)
+    ties = {}
+    for v in allv:
+        ties[v] = ties.get(v, 0) + 1
+    t = sum(c ** 3 - c for c in ties.values())
+    var = (float(n1) * float(n2)
+           * float(nn * (nn - 1) * (nn + 1) - t)
+           / (12.0 * nn * (nn - 1)))
+    want_z = (float(u1) - float(n1) * float(n2) / 2.0) / math.sqrt(var)
+    assert math.isclose(r.z, want_z, rel_tol=1e-12)
+
+    const = spark.createDataFrame([(7.0,)] * 5, "v double")
+    r2 = mannwhitney_u(const, const, "v").collect()[0]
+    assert r2.z is None and r2.u_stat is not None
+    empty = spark.createDataFrame([], "v double")
+    r3 = mannwhitney_u(a, empty, "v").collect()[0]
+    assert r3.u_stat is None and r3.z is None and r3.n_cur == 0
+
+
+def test_cramers_v_semantics(spark):
+    """Perfect association V = 1; exact independence V = 0; a single
+    level on either side NULL; NULL categories excluded."""
+    from dbt_extrica_spark.extensions.profiling import cramers_v
+
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 10 + [("b", "y")] * 15, "p string, q string")
+    r = cramers_v(perfect, "p", "q").collect()[0]
+    assert (r.n, r.levels_a, r.levels_b) == (25, 2, 2)
+    assert r.v == 1.0
+
+    indep = spark.createDataFrame(
+        [("a", "x")] * 6 + [("a", "y")] * 2
+        + [("b", "x")] * 3 + [("b", "y")] * 1, "p string, q string")
+    r2 = cramers_v(indep, "p", "q").collect()[0]
+    assert abs(r2.chi2) < 1e-9 and abs(r2.v) < 1e-6
+
+    single = spark.createDataFrame([("a", "x"), ("a", "y")],
+                                   "p string, q string")
+    assert cramers_v(single, "p", "q").collect()[0].v is None
+
+    withnull = spark.createDataFrame(
+        [("a", "x"), (None, "y"), ("b", None), ("b", "y")],
+        "p string, q string")
+    assert cramers_v(withnull, "p", "q").collect()[0].n == 2
+
+
+def test_matthews_corr_semantics(spark):
+    """Hand 2x2 case == the closed form; perfect/inverted predictors hit
+    +-1; a degenerate margin NULL; fractional labels raise
+    (raw-before-cast)."""
+    import math
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.evaluation import matthews_corr
+
+    rows = ([(1, 1)] * 20 + [(0, 0)] * 15 + [(1, 0)] * 5 + [(0, 1)] * 10)
+    r = matthews_corr(spark.createDataFrame(rows, "p int, y int"),
+                      "p", "y").collect()[0]
+    assert (r.tp, r.tn, r.fp, r.fn) == (20, 15, 5, 10)
+    num = 20.0 * 15.0 - 5.0 * 10.0
+    den = math.sqrt((25.0 * 30.0) * (20.0 * 25.0))
+    assert math.isclose(r.mcc, num / den, rel_tol=1e-12)
+    perfect = spark.createDataFrame([(1, 1), (0, 0)], "p int, y int")
+    assert matthews_corr(perfect, "p", "y").collect()[0].mcc == 1.0
+    inverted = spark.createDataFrame([(1, 0), (0, 1)], "p int, y int")
+    assert matthews_corr(inverted, "p", "y").collect()[0].mcc == -1.0
+    onesided = spark.createDataFrame([(1, 1), (1, 0)], "p int, y int")
+    assert matthews_corr(onesided, "p", "y").collect()[0].mcc is None
+    frac = spark.createDataFrame([(0.9, 1.0)], "p double, y double")
+    with _pytest.raises(Exception, match="matthews_corr"):
+        matthews_corr(frac, "p", "y").collect()
+
+
+def test_ewma_matches_recursion_replay(spark):
+    """ewma == the pandas adjust=False recursion replayed over the
+    trailing window; first row = x_0; alpha=1 is the identity; NULL
+    value and parameter guards raise."""
+    import math
+
+    import pytest as _pytest
+
+    from dbt_extrica_spark.extensions.timeseries import ewma
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([("a", i, v) for i, v in enumerate(xs)],
+                               "k string, o int, v double")
+    w, a = 4, 0.5
+    out = {r.o: r.ewma for r in
+           ewma(df, "k", "o", "v", alpha=a, window=w).collect()}
+
+    def replay(t):
+        lo = max(0, t - w + 1)
+        y = xs[lo]
+        for i in range(lo + 1, t + 1):
+            y = (1 - a) * y + a * xs[i]
+        return y
+
+    for t in range(len(xs)):
+        assert math.isclose(out[t], replay(t), rel_tol=1e-12), t
+    assert out[0] == xs[0]
+
+    ident = {r.o: r.ewma for r in
+             ewma(df, "k", "o", "v", alpha=1.0, window=4).collect()}
+    assert all(ident[t] == xs[t] for t in range(len(xs)))
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma(df, "k", "o", "v", alpha=0.0)
+    with _pytest.raises(ValueError, match="window"):
+        ewma(df, "k", "o", "v", window=1)
+    withnull = spark.createDataFrame([("a", 0, None), ("a", 1, 2.0)],
+                                     "k string, o int, v double")
+    with _pytest.raises(Exception, match="ewma"):
+        ewma(withnull, "k", "o", "v").collect()

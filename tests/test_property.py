@@ -1017,3 +1017,130 @@ def test_ks_test_matches_ecdf_replay(xs, ys):
         / float(n1 * n2)
     assert r.at_value == float(at)
     assert (r.n_ref, r.n_cur) == (n1, n2)
+
+
+@given(st.lists(st.integers(min_value=-50, max_value=50), min_size=2,
+                max_size=25))
+@settings(max_examples=4, deadline=None)
+def test_acf_matches_numpy_property(vals):
+    """r15 verdict #6: acf vs a direct numpy replay on arbitrary integer
+    series (integer values keep the 1e6 fixed-point cross-sums EXACT,
+    so the closed forms must agree with the textbook definition to
+    float noise), PLUS the forced degeneracies: a constant series
+    yields NULL acf at every lag (zero variance), a single-point series
+    yields NO lag rows (pairs = 0), and a NULL-riddled copy of the
+    drawn series (a None interleaved after every value) must produce
+    BIT-IDENTICAL acf to the dense copy — complete-case compaction
+    before lagging, the statsmodels missing='drop' treatment. All four
+    series evaluate in ONE batched pass."""
+    import math
+
+    import numpy as np
+
+    from dbt_extrica_spark.extensions.timeseries import acf
+    from dbt_extrica_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    max_lag = 4
+    rows = [("var", i, float(v)) for i, v in enumerate(vals)]
+    rows += [("nulls", i, None if v is None else float(v))
+             for i, v in enumerate(
+                 [x for v in vals for x in (None, v)])]
+    rows += [("konst", i, 7.0) for i in range(6)]
+    rows += [("one", 0, 3.0)]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    got = {}
+    for r in acf(df, "k", "o", "v", max_lag=max_lag).collect():
+        got.setdefault(r.k, {})[r.lag] = r
+
+    x = np.array(vals, dtype=float)
+    n = len(x)
+    m = x.mean()
+    denom = float(((x - m) ** 2).sum())
+    for k in range(1, max_lag + 1):
+        if n - k <= 0:
+            assert k not in got.get("var", {})
+            continue
+        r = got["var"][k]
+        assert r.n == n and r.lag == k
+        want = float(((x[:-k] - m) * (x[k:] - m)).sum()) / denom \
+            if denom > 0 else None
+        if want is None:
+            assert r.acf is None
+        else:
+            assert math.isclose(r.acf, want, rel_tol=1e-9, abs_tol=1e-9)
+        # NULL-compaction: bit-identical to the dense series
+        assert got["nulls"][k].acf == r.acf
+    assert all(r.acf is None for r in got["konst"].values())
+    assert len(got["konst"]) == max_lag  # pairs exist, acf NULL
+    assert "one" not in got  # no lag has a pair
+
+
+@given(st.integers(min_value=-20, max_value=20),   # slope in halves
+       st.integers(min_value=-50, max_value=50),   # intercept
+       st.sampled_from([3, 5, 7]),                 # odd period
+       st.data())
+@settings(max_examples=4, deadline=None)
+def test_decompose_seasonal_exact_recovery_property(a2, b, p, data):
+    """r15 verdict #6: decompose_seasonal on RANDOM linear+seasonal
+    synthetics — x_t = (a2/2)*t + b + s[t mod p] with a random integer
+    season s — recovers trend = line + mean(s), seasonal = centered
+    season, residual = 0 EXACTLY (to fixed-point noise) on every
+    full-window row, including series whose final cycle is PARTIAL
+    (length 3p + extra, extra < p — the missing-phase tail), where the
+    per-phase means average different numbers of points per phase."""
+    import math
+
+    from dbt_extrica_spark.extensions.timeseries import decompose_seasonal
+    from dbt_extrica_spark.session import get_spark
+
+    season = data.draw(st.lists(
+        st.integers(min_value=-30, max_value=30), min_size=p, max_size=p))
+    extra = data.draw(st.integers(min_value=0, max_value=p - 1))
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    a = a2 / 2.0
+    n = 3 * p + extra
+    rows = [("g", t, a * t + b + season[t % p]) for t in range(n)]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    out = {r.o: r for r in
+           decompose_seasonal(df, "k", "o", "v", period=p).collect()}
+    assert len(out) == n
+    h = p // 2
+    sm = sum(season) / p
+    for t in range(n):
+        r = out[t]
+        assert r.phase == t % p
+        if t < h or t >= n - h:
+            assert r.trend is None and r.residual is None
+        else:
+            assert math.isclose(r.trend, a * t + b + sm,
+                                rel_tol=1e-9, abs_tol=1e-9)
+            assert math.isclose(r.residual, 0.0, abs_tol=1e-6)
+        assert math.isclose(r.seasonal, season[t % p] - sm,
+                            rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(st.integers(min_value=1, max_value=8), st.data())
+@settings(max_examples=4, deadline=None)
+def test_hilbert_spark_matches_python_twin_property(bits, data):
+    """r15 verdict #6: the Spark unrolled-bitwise hilbert_key_2d equals
+    the pinned pure-Python twin on RANDOM frames at every bit width
+    1..8 (the unit test pins one width on a fixed grid; the property
+    walks the width parameter and adversarial coordinates incl. the
+    corners and the anti-diagonal)."""
+    from dbt_extrica_spark.extensions.layout import (hilbert_d2_py,
+                                                     hilbert_key_2d)
+    from dbt_extrica_spark.session import get_spark
+
+    nmax = (1 << bits) - 1
+    coords = data.draw(st.lists(
+        st.tuples(st.integers(min_value=0, max_value=nmax),
+                  st.integers(min_value=0, max_value=nmax)),
+        min_size=1, max_size=20))
+    coords += [(0, 0), (nmax, nmax), (0, nmax), (nmax, 0)]
+    coords = list(dict.fromkeys(coords))
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(coords, "x int, y int")
+    got = {(r.x, r.y): r.hkey
+           for r in hilbert_key_2d(df, "x", "y", bits).collect()}
+    assert got == {(x, y): hilbert_d2_py(bits, x, y) for x, y in coords}

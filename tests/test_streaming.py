@@ -858,6 +858,75 @@ def test_streaming_cdc_callback_empty_first_batch(spark, tmp_path):
                                                    (2, "b", 11)}
 
 
+def test_streaming_cdc_tombstones_block_late_upserts(spark, tmp_path):
+    """With tombstones=True a delete's memory outlives the row: a LATER
+    batch carrying an OLDER upsert for a deleted key is ignored (the
+    no-tombstone contract's one gap), an upsert NEWER than the delete
+    reincarnates the key and clears its tombstone, and expired
+    tombstones (retention) stop blocking."""
+    from dbt_extrica_spark.engine import Engine
+    from dbt_extrica_spark.streaming.incremental import _cdc_apply_callback
+
+    eng = Engine(spark, schema=f"cdc_ts_{tmp_path.name.lower()}",
+                 warehouse_dir=str(tmp_path))
+    cb = _cdc_apply_callback(eng, "t", "id", "op", "seq", ["id", "v"],
+                             tombstones=True)
+
+    sch = "id int, v string, op string, seq int"
+    cb(spark.createDataFrame(
+        [(1, "a", "I", 10), (2, "b", "I", 10), (3, "c", "I", 10)],
+        sch), 0)
+    # batch 1 deletes keys 1 and 3 at seq 20
+    cb(spark.createDataFrame(
+        [(1, None, "D", 20), (3, None, "D", 20)], sch), 1)
+    assert {(r.id, r.v) for r in eng.table("t").collect()} == {(2, "b")}
+    ts = {(r.id, r["__cdc_seq"])
+          for r in eng.table("t__tombstones").collect()}
+    assert ts == {(1, 20), (3, 20)}
+    # batch 2: LATE OLDER upsert for deleted key 1 — must stay dead
+    # (the no-tombstone twin would re-insert it); NEWER upsert for
+    # deleted key 3 — legitimate reincarnation, tombstone cleared
+    cb(spark.createDataFrame(
+        [(1, "stale", "U", 15), (3, "reborn", "U", 30)], sch), 2)
+    assert {(r.id, r.v) for r in eng.table("t").collect()} == {
+        (2, "b"), (3, "reborn")}
+    assert {(r.id,) for r in eng.table("t__tombstones").collect()} == {
+        (1,)}
+    # re-delivering batch 1 is a no-op: key 1's delete equals its
+    # tombstone seq (not strictly newer), key 3's delete (seq 20) is
+    # older than the reborn live row (seq 30) — both filtered
+    cb(spark.createDataFrame(
+        [(1, None, "D", 20), (3, None, "D", 20)], sch), 3)
+    assert {(r.id, r.v) for r in eng.table("t").collect()} == {
+        (2, "b"), (3, "reborn")}
+
+
+def test_streaming_cdc_tombstone_retention_expires(spark, tmp_path):
+    """tombstone_retention_batches=K drops a tombstone K batches after
+    it was written — a late older upsert arriving AFTER expiry
+    re-inserts (the documented retention trade-off), while one arriving
+    within retention stays blocked."""
+    from dbt_extrica_spark.engine import Engine
+    from dbt_extrica_spark.streaming.incremental import _cdc_apply_callback
+
+    eng = Engine(spark, schema=f"cdc_tr_{tmp_path.name.lower()}",
+                 warehouse_dir=str(tmp_path))
+    cb = _cdc_apply_callback(eng, "t", "id", "op", "seq", ["id", "v"],
+                             tombstones=True,
+                             tombstone_retention_batches=2)
+    sch = "id int, v string, op string, seq int"
+    cb(spark.createDataFrame([(1, "a", "I", 10)], sch), 0)
+    cb(spark.createDataFrame([(1, None, "D", 20)], sch), 1)
+    # within retention (batch 2 - written batch 1 < 2): still blocked
+    cb(spark.createDataFrame([(1, "stale", "U", 15)], sch), 2)
+    assert eng.table("t").count() == 0
+    # batch 3: the batch-1 tombstone expires (3 - 1 >= 2); the same
+    # stale upsert now lands — the documented retention trade-off
+    cb(spark.createDataFrame([(1, "stale", "U", 15)], sch), 3)
+    assert {(r.id, r.v) for r in eng.table("t").collect()} == {
+        (1, "stale")}
+
+
 def test_streaming_cdc_rejects_non_integral_seq(spark, tmp_path):
     """streaming_cdc_apply validates the seq column type at wiring time:
     __cdc_seq persists as bigint, so a string seq (lexicographic order)

@@ -14,6 +14,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def warm2(fn) -> float:
+    """Warm min-of-2 wall for every GATED probe side (r15 verdict #3).
+
+    The ratio gates measure ALGORITHMIC growth, but a single-shot wall
+    folds in whatever the session happened to be at that moment: a hot
+    x1 denominator deflated by earlier probes (the r13 pagerank and r15
+    cdc widenings — x1 read 0.78s in-chain vs 2.3s calibrated), or an
+    x10 first-run paying JIT/page-cache/GC transients (the r15
+    graph_triangles hunt: fresh-session same-code walls 39.3 / 20.9 /
+    20.5s with ONE distinct post-AQE plan fingerprint and bit-identical
+    counts — the spread was entirely first-run warmup, not plan
+    variance; tools/triangles_hunt.py). Running each side twice and
+    keeping the faster wall measures both sides at their reproducible
+    warm floor, so the ratio is warm/warm every run regardless of
+    session history — the fix the verdict asked for instead of a third
+    ceiling widening."""
+    t0 = time.time()
+    fn()
+    w1 = time.time() - t0
+    t0 = time.time()
+    fn()
+    w2 = time.time() - t0
+    return round(min(w1, w2), 2)
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     from dbt_extrica_spark.session import get_spark
@@ -139,13 +164,13 @@ def main() -> None:
                 .withColumn("embedding", F.expr(
                     f"transform(sequence(0, {dim - 1}),"
                     f" j -> embedding[(j + {i}) % {dim}])")))
-        t0 = time.time()
-        n_pairs = similarity.cell_blocked_cosine_pairs(
-            emb_big, "vec_id", "embedding", 0.35,
-            n_cells=16 * r, nprobe=2,
-        ).count()
-        out[f"blocked_cosine_x{r}_sec"] = round(time.time() - t0, 2)
-        out[f"blocked_cosine_x{r}_pairs"] = n_pairs
+        res = {}
+        out[f"blocked_cosine_x{r}_sec"] = warm2(
+            lambda: res.update(n=similarity.cell_blocked_cosine_pairs(
+                emb_big, "vec_id", "embedding", 0.35,
+                n_cells=16 * r, nprobe=2,
+            ).count()))
+        out[f"blocked_cosine_x{r}_pairs"] = res["n"]
 
     # distributed exact k-means: per-iteration cost is one assignment scan
     # + one (cid, dim)-keyed aggregation — both linear in rows; driver
@@ -158,11 +183,10 @@ def main() -> None:
                 .withColumn("embedding", F.expr(
                     f"transform(sequence(0, {dim - 1}),"
                     f" j -> embedding[(j + {i}) % {dim}])")))
-        t0 = time.time()
-        similarity.kmeans_lloyd(emb_big, "vec_id", "embedding",
-                                k=8, iters=3).select(
-            F.count(F.lit(1))).collect()
-        out[f"kmeans_x{r}_sec"] = round(time.time() - t0, 2)
+        out[f"kmeans_x{r}_sec"] = warm2(
+            lambda: similarity.kmeans_lloyd(emb_big, "vec_id", "embedding",
+                                            k=8, iters=3).select(
+                F.count(F.lit(1))).collect())
 
     # word-bigram LM: the training explode+shuffle is the cost (tfidf
     # shape); scoring joins against the vocabulary-sized count table
@@ -191,10 +215,9 @@ def main() -> None:
                 dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
                 .withColumn("text", F.concat(F.lit(f"rep{i} "),
                                              F.col("text"))))
-        t0 = time.time()
-        pipeline.pretrain_corpus(dc_r, "doc_id", "text").select(
-            F.count(F.lit(1))).collect()
-        out[f"pretrain_corpus_x{r}_sec"] = round(time.time() - t0, 2)
+        out[f"pretrain_corpus_x{r}_sec"] = warm2(
+            lambda: pipeline.pretrain_corpus(dc_r, "doc_id", "text").select(
+                F.count(F.lit(1))).collect())
 
     # BPE training: the corpus pass is paid once; the merge loop must NOT
     # be dominated by per-merge Spark job launches. strategy='delta' runs
@@ -345,9 +368,9 @@ def main() -> None:
         e = src_tbl.where("l_quantity > 10").selectExpr(
             "l_orderkey % 9700 AS src", "l_partkey % 8900 AS dst")
         out[f"pagerank_{tag}_edges"] = e.distinct().count()
-        t0 = time.time()
-        analytics.pagerank(e, "src", "dst", iterations=3).count()
-        out[f"pagerank_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"pagerank_{tag}_sec"] = warm2(
+            lambda: analytics.pagerank(e, "src", "dst",
+                                       iterations=3).count())
 
     # triangle counting at 1x and Nx edge mass AT CONSTANT DENSITY
     # (r11): the node-space modulus scales with the replicas (prime, so
@@ -361,10 +384,11 @@ def main() -> None:
                               (f"x{replicas}", li_big, 199999)):
         e = src_tbl.where("l_quantity > 10").selectExpr(
             f"l_orderkey % {mod} AS u", f"l_partkey % {mod} AS v")
-        t0 = time.time()
-        row = analytics.triangle_count(e, "u", "v").collect()[0]
-        out[f"triangles_{tag}_sec"] = round(time.time() - t0, 2)
-        out[f"triangles_{tag}_count"] = int(row.n_triangles)
+        res = {}
+        out[f"triangles_{tag}_sec"] = warm2(
+            lambda: res.update(
+                row=analytics.triangle_count(e, "u", "v").collect()[0]))
+        out[f"triangles_{tag}_count"] = int(res["row"].n_triangles)
 
     # q-digest rollup at 1x and Nx group count (r11 verdict #5): build is
     # one applyInPandas pass over groups, merge is node-sum + ONE
@@ -379,11 +403,12 @@ def main() -> None:
             "CAST(l_orderkey div 10000000 AS INT) AS rep")
         out[f"qdigest_{tag}_groups"] = \
             vals.select(*gcols).distinct().count()
-        t0 = time.time()
-        dig = sketch.qdigest_build(vals, "cents", gcols, k=1024, bits=25)
-        merged = sketch.qdigest_merge(dig, k=1024, bits=25)
-        sketch.qdigest_quantiles(merged, [0.5], bits=25)
-        out[f"qdigest_{tag}_sec"] = round(time.time() - t0, 2)
+        def qdigest_fn():
+            dig = sketch.qdigest_build(vals, "cents", gcols, k=1024,
+                                       bits=25)
+            merged = sketch.qdigest_merge(dig, k=1024, bits=25)
+            sketch.qdigest_quantiles(merged, [0.5], bits=25)
+        out[f"qdigest_{tag}_sec"] = warm2(qdigest_fn)
 
     # banded MinHash dedup at 1x and Nx TRUE pair mass (r12 verdict #5:
     # the heaviest bench-line family had no ceiling gate): per-replica
@@ -401,10 +426,11 @@ def main() -> None:
                 dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
                 .withColumn("text", F.expr(
                     f"translate(text, '{alphabet}', '{rot}')")))
-        t0 = time.time()
-        n_pairs = dedup.minhash_lsh_pairs(big, "doc_id", "text").count()
-        out[f"minhash_banded_{tag}_sec"] = round(time.time() - t0, 2)
-        out[f"minhash_banded_{tag}_pairs"] = n_pairs
+        res = {}
+        out[f"minhash_banded_{tag}_sec"] = warm2(
+            lambda: res.update(n=dedup.minhash_lsh_pairs(
+                big, "doc_id", "text").count()))
+        out[f"minhash_banded_{tag}_pairs"] = res["n"]
 
     # theta sketch build + union at 1x and Nx DISTINCT mass (r12 verdict
     # #5): the replicated orderkeys are SHIFTED, so distinct-hash mass
@@ -414,10 +440,10 @@ def main() -> None:
     for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
         items = src_tbl.selectExpr("l_orderkey AS item",
                                    "CAST(l_linenumber % 4 AS INT) AS g")
-        t0 = time.time()
-        sk_df = sketch.theta_build(items, "item", ["g"], k=4096)
-        sketch.theta_union(sk_df.select("h"), [], k=4096).count()
-        out[f"theta_{tag}_sec"] = round(time.time() - t0, 2)
+        def theta_fn():
+            sk_df = sketch.theta_build(items, "item", ["g"], k=4096)
+            sketch.theta_union(sk_df.select("h"), [], k=4096).count()
+        out[f"theta_{tag}_sec"] = warm2(theta_fn)
 
     # per-key contribution cap under DELIBERATE skew (r12 verdict #5:
     # the WindowGroupLimit claim's stress case): ONE domain owns 50% of
@@ -432,10 +458,10 @@ def main() -> None:
             "CASE WHEN l_orderkey % 2 = 0 THEN 'megadomain'"
             " ELSE concat('site_', l_partkey % 1000) END AS domain",
             "l_extendedprice AS score")
-        t0 = time.time()
-        sampling.cap_per_key(skewed, "row_id", "domain", cap=100,
-                             order_col="score").count()
-        out[f"cap_skew_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"cap_skew_{tag}_sec"] = warm2(
+            lambda: sampling.cap_per_key(skewed, "row_id", "domain",
+                                         cap=100,
+                                         order_col="score").count())
 
     # PMI collocations at 1x and Nx token mass (r13 late batch: the
     # bigram explode + two aggregations family). The SAME rotation
@@ -451,10 +477,9 @@ def main() -> None:
                 dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
                 .withColumn("text", F.expr(
                     f"translate(text, '{alphabet}', '{rot}')")))
-        t0 = time.time()
-        textstats.collocations(big, "text", min_count=5,
-                               top_k=50).count()
-        out[f"collocations_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"collocations_{tag}_sec"] = warm2(
+            lambda: textstats.collocations(big, "text", min_count=5,
+                                           top_k=50).count())
 
     from dbt_extrica_spark.extensions import profiling
 
@@ -469,10 +494,9 @@ def main() -> None:
             "l_orderkey * 10 + l_linenumber AS row_id",
             "CAST(l_linenumber AS STRING) AS grp",
             "l_extendedprice AS v")
-        t0 = time.time()
-        profiling.mad_outliers(vals, "v", "row_id", ["grp"],
-                               k=3.0).collect()
-        out[f"mad_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"mad_{tag}_sec"] = warm2(
+            lambda: profiling.mad_outliers(vals, "v", "row_id", ["grp"],
+                                           k=3.0).collect())
 
     from dbt_extrica_spark.extensions import evaluation
 
@@ -486,9 +510,8 @@ def main() -> None:
         scored = src_tbl.selectExpr(
             "CAST(l_orderkey % 97 AS DOUBLE) + l_extendedprice AS s",
             "CAST(l_linenumber % 2 AS INT) AS y")
-        t0 = time.time()
-        evaluation.roc_auc(scored, "s", "y").collect()
-        out[f"auc_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"auc_{tag}_sec"] = warm2(
+            lambda: evaluation.roc_auc(scored, "s", "y").collect())
 
     # chi-square drift at 1x and Nx rows (reference = even orderkeys,
     # current = odd): the reference-side two-phase rank and both
@@ -499,11 +522,10 @@ def main() -> None:
             "l_orderkey * 10 + l_linenumber AS i",
             "CAST(l_orderkey % 89 AS DOUBLE) + l_extendedprice AS v",
             "l_orderkey % 2 = 0 AS is_ref")
-        t0 = time.time()
-        profiling.chi2_drift(basev.where("is_ref"),
-                             basev.where("NOT is_ref"),
-                             "v", "i", buckets=10).collect()
-        out[f"drift_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"drift_{tag}_sec"] = warm2(
+            lambda: profiling.chi2_drift(basev.where("is_ref"),
+                                         basev.where("NOT is_ref"),
+                                         "v", "i", buckets=10).collect())
 
     # AMS F2 sketch at 1x and Nx rows (shifted orderkeys: distinct mass
     # grows Nx, the sketch stays r rows per group): the r sign sums are
@@ -512,10 +534,10 @@ def main() -> None:
     for tag, src_tbl in (("x1", li), (f"x{replicas}", li_big)):
         items = src_tbl.selectExpr("l_orderkey AS item",
                                    "CAST(l_linenumber % 4 AS INT) AS g")
-        t0 = time.time()
-        st_ = sketch.ams_build(items, "item", ["g"], r=32)
-        sketch.ams_f2_estimate(st_, ["g"], means=4).collect()
-        out[f"ams_{tag}_sec"] = round(time.time() - t0, 2)
+        def ams_fn():
+            st_ = sketch.ams_build(items, "item", ["g"], r=32)
+            sketch.ams_f2_estimate(st_, ["g"], means=4).collect()
+        out[f"ams_{tag}_sec"] = warm2(ams_fn)
 
     # RAKE at 1x and Nx token mass (the rotation replicas again:
     # vocabulary and phrase distinct mass grow ~Nx): phrase split is
@@ -529,9 +551,9 @@ def main() -> None:
                 dc.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
                 .withColumn("text", F.expr(
                     f"translate(text, '{alphabet}', '{rot}')")))
-        t0 = time.time()
-        textstats.rake_keywords(big, "doc_id", "text", top_t=3).count()
-        out[f"rake_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"rake_{tag}_sec"] = warm2(
+            lambda: textstats.rake_keywords(big, "doc_id", "text",
+                                            top_t=3).count())
 
     from dbt_extrica_spark.extensions import linkage
     from dbt_extrica_spark.operators.merge import apply_cdc
@@ -554,11 +576,12 @@ def main() -> None:
             "CASE WHEN c_custkey % 10 < 3 THEN 'hot'"
             " ELSE concat('b_', CAST(c_custkey div 20 AS STRING)) END"
             " AS blk")
-        t0 = time.time()
-        out[f"linkage_skew_{tag}_pairs"] = linkage.equality_blocking_pairs(
-            recs, "id", ["blk"], max_block_size=500,
-            oversize="cap").count()
-        out[f"linkage_skew_{tag}_sec"] = round(time.time() - t0, 2)
+        res = {}
+        out[f"linkage_skew_{tag}_sec"] = warm2(
+            lambda: res.update(n=linkage.equality_blocking_pairs(
+                recs, "id", ["blk"], max_block_size=500,
+                oversize="cap").count()))
+        out[f"linkage_skew_{tag}_pairs"] = res["n"]
 
     # r15: exact two-sample KS at 1x and Nx rows with growing
     # distinct-value mass (the chi2_drift probe's score shape): two
@@ -569,10 +592,10 @@ def main() -> None:
         basev = src_tbl.selectExpr(
             "CAST(l_orderkey % 89 AS DOUBLE) + l_extendedprice AS v",
             "l_orderkey % 2 = 0 AS is_ref")
-        t0 = time.time()
-        profiling.ks_test(basev.where("is_ref"),
-                          basev.where("NOT is_ref"), "v").collect()
-        out[f"ks_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"ks_{tag}_sec"] = warm2(
+            lambda: profiling.ks_test(basev.where("is_ref"),
+                                      basev.where("NOT is_ref"),
+                                      "v").collect())
 
     # r15: CDC apply at 1x and Nx change mass (targets/changes split on
     # orderkey parity, deletes every third changed key): ONE winners
@@ -593,9 +616,9 @@ def main() -> None:
             F.lit(None).cast("double").alias("o_totalprice"),
             F.lit("D").alias("op"), F.lit(2).alias("seq"),
             F.lit(None).cast("string").alias("o_orderstatus"))
-        t0 = time.time()
-        apply_cdc(tgt, upd.unionByName(dele), "o_orderkey").count()
-        out[f"cdc_{tag}_sec"] = round(time.time() - t0, 2)
+        out[f"cdc_{tag}_sec"] = warm2(
+            lambda: apply_cdc(tgt, upd.unionByName(dele),
+                              "o_orderkey").count())
 
     # ------------------------------------------------------------------
     # Ceiling gate (r11 verdict #5): the probes above are only evidence
