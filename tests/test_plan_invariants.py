@@ -300,6 +300,23 @@ INVARIANTS = {
     # the score is scan-side literal-ratio arithmetic
     "link_fellegi_sunter": dict(smj_max=0, bnlj_max=0, exchange_max=0,
                                 bhj_min=3, pushed_min=4),
+    # r16: Mann-Whitney — the visible plan is post-checkpoint (the
+    # shared two-phase prefix materializes the ranked distinct-value
+    # table): one prefix window + ONE statistics aggregation pair
+    "stats_mannwhitney": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                              window_min=1, hashagg=2),
+    # r16: Cramér's V — cells checkpointed (zero parquet scans in the
+    # returned plan); marginals re-aggregate the cells, the two level
+    # counts are 1-row crossJoins (allowlisted BNLJ, welch pattern)
+    "dq_cramers_v": dict(smj_max=0, exchange_max=7, bhj_min=2),
+    # r16: MCC — one scan, ONE aggregation pair, nothing else
+    "eval_mcc": dict(smj_max=0, bnlj_max=0, exchange_max=1,
+                     hashagg=2, pushed_min=1),
+    # r16: EWMA — the hourly rollup aggregation pair + ONE key window
+    # serving every lag column; a per-lag window re-sort reads here as
+    # extra Sort/Window nodes
+    "ts_ewma": dict(smj_max=0, bnlj_max=0, exchange_max=2,
+                    window_min=1, hashagg=2, pushed_min=1),
 }
 
 

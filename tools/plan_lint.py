@@ -55,6 +55,8 @@ BNLJ_OK = {
     "dq_source_freshness",       # pinned-clock 1-row threshold join
     "stats_welch_ttest",         # 1-row stats x 1-row stats crossJoin
     "eval_cohens_kappa",         # 1-row totals x 1-row prodsum crossJoin
+    "dq_cramers_v",              # 1-row cell stats x 1-row level counts
+                                 # (welch pattern; cells checkpointed)
     # deliberate ALL-PAIRS shapes (first full-battery sweep, r8):
     "q_theta_join",              # non-equi theta join IS the tested semantics
     "dedup_embedding_cosine",    # exact all-pairs baseline (quadratic

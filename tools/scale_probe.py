@@ -643,7 +643,15 @@ def main() -> None:
         "ivf_pq_build": 3.0,    # 1.8x for 10x corpus
         "ivf_pq_query": 2.0,    # flat (1.03x) — postings pruned by nprobe
         "triangles": 7.0,       # 4.1x at constant density (wedge mass
-        #                         grows with avg degree; naive is ~100x)
+        #                         grows with avg degree; naive is ~100x).
+        #                         r16: the r15 27.5/31.5/45.3s x10
+        #                         instability was pinned to first-run
+        #                         JIT/page-cache transients (identical
+        #                         post-AQE plan fingerprints and counts
+        #                         across fresh-session trials,
+        #                         tools/triangles_hunt.py); warm2 floors
+        #                         it at 19-22s and the ORIGINAL ceiling
+        #                         holds (measured 4.69 on a loaded host)
         "kmeans": 3.5,          # linear scans; x1 carries fixed overhead
         "pretrain_corpus": 6.0,  # five linear stages + global prefix sum;
         #                         measured 4.05x (x1 is a ~1s baseline, so
@@ -717,18 +725,18 @@ def main() -> None:
         "ks": 4.0,              # measured 1.36x for 10x rows AND 10x
         #                          distinct mass — two count aggs + the
         #                          two-phase prefix, all linear
-        "cdc": 5.0,             # measured 1.16x (standalone calibration,
-        #                          x1 2.3s) and 3.62x (r15 chain, where a
-        #                          hot session read x1 at 0.78s — the
-        #                          pagerank x1-noise pattern: the x1 wall
-        #                          is fixed-overhead-dominated, so the
-        #                          ratio swings with session warmth while
-        #                          x10 stayed 2.7-2.8s both times) for
-        #                          10x change mass — winners agg +
-        #                          broadcast anti-join are key-linear; a
+        "cdc": 3.0,             # RESTORED from the r15 widening to 5.0
+        #                          (r15 verdict #3): under warm2 the x1
+        #                          floor is ~0.46s — pure fixed overhead,
+        #                          so even warm/warm ratios swing 3-4x on
+        #                          a ~2s x10 wall. The ratio gate keeps
+        #                          the tight ceiling and the x10 ABSOLUTE
+        #                          band below shields the known
+        #                          tiny-denominator false positive: a
         #                          real cliff (anti-join to full-target
         #                          SMJ, winners losing map-side combine)
-        #                          reads >>10x here
+        #                          blows the absolute wall too; flat x10
+        #                          (1.7-2.8s across r15-r16) never does
         "mad": 12.0,            # measured ~4-5x warm for 10x rows at
         #                          FIXED group count — the documented
         #                          per-group rank-sort model (n log n
@@ -737,6 +745,19 @@ def main() -> None:
         #                          partitioning (each of the 5 windows
         #                          re-sorting the corpus) multiplies
         #                          the sort mass ~5x past this
+    }
+    # x10 ABSOLUTE wall bands (r15 verdict #3, the offered alternative)
+    # for gates whose x1 side is a sub-second fixed-overhead floor: the
+    # ratio there swings 3-4x between warm sessions while the x10 wall
+    # stays flat, so a ratio breach with the x10 wall INSIDE its quiet
+    # band (~3x the warm2-measured x10) is the known tiny-denominator
+    # false positive, not a cliff — recorded as ok with abs_shield:
+    # true so the record shows which check carried the verdict. A real
+    # cliff moves the absolute wall far past the band and still fails.
+    abs_bands = {
+        "cdc": 6.0,           # warm2 x10 1.7-2.8s across r15-r16
+        "linkage_skew": 4.0,  # warm2 x10 0.9-1.1s; x1 floor ~0.32s
+        "rake": 15.0,         # warm2 x10 5.5-6.4s; x1 floor ~1.1s
     }
     gates = {}
     for name, ceiling in gate_ceilings.items():
@@ -748,9 +769,19 @@ def main() -> None:
         # ceilings are calibrated for the x10 envelope only — at any
         # other replica count record the ratio but mark the verdict
         # SKIPPED (not 'ok': an unevaluated gate must not read as a pass)
-        gates[name] = {"ratio": ratio, "max": ceiling,
-                       "gate": ("skipped" if replicas != 10 else
-                                "ok" if ratio <= ceiling else "fail")}
+        if replicas != 10:
+            verdict = "skipped"
+        elif ratio <= ceiling:
+            verdict = "ok"
+        elif name in abs_bands and b <= abs_bands[name]:
+            verdict = "ok"
+        else:
+            verdict = "fail"
+        gates[name] = {"ratio": ratio, "max": ceiling, "gate": verdict}
+        if name in abs_bands:
+            gates[name]["x10_abs_max"] = abs_bands[name]
+            gates[name]["abs_shield"] = (ratio > ceiling
+                                         and verdict == "ok")
     # admission must stay FLAT across rounds (O(batch), not O(history))
     probes = out.get("admission_probe_secs") or []
     if len(probes) >= 3:
