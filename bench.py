@@ -203,6 +203,14 @@ HEADLINE = [
     "dq_embedding_drift",
     # round 15 batch 4: rolling z-score anomaly bands (pure operator)
     "ts_zscore_anomaly",
+    # round 16: rank-sum shift screen, categorical association,
+    # Matthews correlation, sliding-window EWMA — all pure operator
+    # lines (streaming_cdc_tombstones stays outside like the other
+    # foreachBatch maintenance entries — checkpoint apparatus)
+    "stats_mannwhitney",
+    "dq_cramers_v",
+    "eval_mcc",
+    "ts_ewma",
 ]
 
 
