@@ -1144,3 +1144,115 @@ def test_hilbert_spark_matches_python_twin_property(bits, data):
     got = {(r.x, r.y): r.hkey
            for r in hilbert_key_2d(df, "x", "y", bits).collect()}
     assert got == {(x, y): hilbert_d2_py(bits, x, y) for x, y in coords}
+
+
+@given(st.lists(st.integers(min_value=-15, max_value=15), min_size=1,
+                max_size=30),
+       st.lists(st.integers(min_value=-15, max_value=15), min_size=1,
+                max_size=30))
+@settings(max_examples=4, deadline=None)
+def test_mannwhitney_matches_rank_replay_property(xs, ys):
+    """mannwhitney_u on arbitrary tied integer multisets == the
+    exact-fraction average-rank replay (U bit-exact, z to float noise
+    with the tie-corrected variance); an all-tied draw yields NULL z."""
+    import math
+    from fractions import Fraction
+
+    from dbt_extrica_spark.extensions.profiling import mannwhitney_u
+    from dbt_extrica_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    a = spark.createDataFrame([(float(v),) for v in xs], "v double")
+    b = spark.createDataFrame([(float(v),) for v in ys], "v double")
+    r = mannwhitney_u(a, b, "v").collect()[0]
+    n1, n2 = len(xs), len(ys)
+    nn = n1 + n2
+    allv = sorted(xs + ys)
+    ranks, i = {}, 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = Fraction(i + 1 + j, 2)
+        i = j
+    u1 = sum(ranks[v] for v in xs) - Fraction(n1 * (n1 + 1), 2)
+    assert r.u_stat == float(u1)
+    t = sum(c ** 3 - c for c in
+            (allv.count(v) for v in set(allv)))
+    varnum = nn * (nn - 1) * (nn + 1) - t
+    if varnum == 0:
+        assert r.z is None
+    else:
+        var = (float(n1) * float(n2) * float(varnum)
+               / (12.0 * nn * (nn - 1)))
+        want = ((float(u1) - float(n1) * float(n2) / 2.0)
+                / math.sqrt(var))
+        assert math.isclose(r.z, want, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                          st.integers(min_value=0, max_value=2)),
+                min_size=1, max_size=60))
+@settings(max_examples=4, deadline=None)
+def test_cramers_v_matches_chi2_replay_property(pairs):
+    """cramers_v on arbitrary two-column categorical draws == the
+    direct expected-counts chi-square (to the 1e-12 fixed-point grid),
+    V in [0, 1], and the single-level degeneracy yields NULL."""
+    import math
+    from collections import Counter
+
+    from dbt_extrica_spark.extensions.profiling import cramers_v
+    from dbt_extrica_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame([(f"a{x}", f"b{y}") for x, y in pairs],
+                               "p string, q string")
+    r = cramers_v(df, "p", "q").collect()[0]
+    n = len(pairs)
+    cells = Counter(pairs)
+    rt = Counter(x for x, _ in pairs)
+    ct = Counter(y for _, y in pairs)
+    chi2 = sum((cells.get((x, y), 0) - rt[x] * ct[y] / n) ** 2
+               / (rt[x] * ct[y] / n)
+               for x in rt for y in ct)
+    assert (r.n, r.levels_a, r.levels_b) == (n, len(rt), len(ct))
+    # the operator floors per-cell terms on a 1e-12 grid — bound the
+    # drift by cells/1e12 * n plus float noise
+    assert math.isclose(r.chi2, chi2, rel_tol=1e-6,
+                        abs_tol=1e-6 + n * len(cells) * 1e-12)
+    dmin = min(len(rt), len(ct)) - 1
+    if dmin == 0:
+        assert r.v is None
+    else:
+        assert 0.0 <= r.v <= 1.0 + 1e-12
+        assert math.isclose(r.v, math.sqrt(chi2 / (n * dmin)),
+                            rel_tol=1e-6, abs_tol=1e-6)
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=1),
+                          st.integers(min_value=0, max_value=1)),
+                min_size=1, max_size=50))
+@settings(max_examples=4, deadline=None)
+def test_matthews_corr_matches_formula_property(pairs):
+    """matthews_corr on arbitrary 0/1 draws == the direct fourfold
+    formula; NULL exactly when a margin is empty; |mcc| <= 1."""
+    import math
+
+    from dbt_extrica_spark.extensions.evaluation import matthews_corr
+    from dbt_extrica_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(pairs, "p int, y int")
+    r = matthews_corr(df, "p", "y").collect()[0]
+    tp = sum(1 for p, y in pairs if p == 1 and y == 1)
+    tn = sum(1 for p, y in pairs if p == 0 and y == 0)
+    fp = sum(1 for p, y in pairs if p == 1 and y == 0)
+    fn = sum(1 for p, y in pairs if p == 0 and y == 1)
+    assert (r.tp, r.tn, r.fp, r.fn) == (tp, tn, fp, fn)
+    den2 = ((tp + fp) * (tp + fn)) * ((tn + fp) * (tn + fn))
+    if den2 == 0:
+        assert r.mcc is None
+    else:
+        want = (tp * tn - fp * fn) / math.sqrt(den2)
+        assert math.isclose(r.mcc, want, rel_tol=1e-12)
+        assert abs(r.mcc) <= 1.0 + 1e-12

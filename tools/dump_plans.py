@@ -156,6 +156,12 @@ def main() -> None:
         "inc_cdc_apply (CDC winners as ONE max_by aggregation pair + a "
         "broadcast anti-join — no window sort over the changelog)":
             lambda: battery.queries()["inc_cdc_apply"](spark, sf_dir),
+        "eval_mcc (one scan, ONE map-side-combinable aggregation pair "
+        "to four exact confusion cells — nothing else)":
+            lambda: battery.queries()["eval_mcc"](spark, sf_dir),
+        "ts_ewma (one key window serves every unrolled lag column — "
+        "pure codegen weight chain, no per-lag pass)":
+            lambda: battery.queries()["ts_ewma"](spark, sf_dir),
     }
     jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     out = ["# PLANS — formatted physical plans at sf0.1 (evidence)",
