@@ -1256,3 +1256,64 @@ def test_matthews_corr_matches_formula_property(pairs):
         want = (tp * tn - fp * fn) / math.sqrt(den2)
         assert math.isclose(r.mcc, want, rel_tol=1e-12)
         assert abs(r.mcc) <= 1.0 + 1e-12
+
+
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=6),     # key
+                          st.sampled_from(["I", "U", "D"]),
+                          st.integers(min_value=0, max_value=40),    # seq
+                          st.integers(min_value=0, max_value=99)),   # payload
+                min_size=1, max_size=16,
+                unique_by=lambda t: (t[0], t[2])),
+       st.randoms(use_true_random=False))
+@settings(max_examples=3, deadline=None)
+def test_streaming_cdc_tombstones_order_invariant(changes, rng):
+    """THE tombstone contract, property-tested: fold an arbitrary
+    changelog (unique (key, seq) — cross-batch equal seqs are genuinely
+    order-dependent and excluded by the delivery contract) through the
+    foreachBatch callback under a RANDOM partition into batches in a
+    RANDOM order — the final table must equal the one-shot batch
+    apply_cdc of the whole log, deletes included, regardless of
+    slicing. Without tombstones this holds only for in-order deletes;
+    with them it must hold always."""
+    import tempfile
+
+    from dbt_extrica_spark.engine import Engine
+    from dbt_extrica_spark.session import get_spark
+    from dbt_extrica_spark.streaming.incremental import _cdc_apply_callback
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    shuffled = list(changes)
+    rng.shuffle(shuffled)
+    n_batches = rng.randint(1, min(4, len(shuffled)))
+    bounds = sorted(rng.sample(range(1, len(shuffled)), n_batches - 1)
+                    if n_batches > 1 else [])
+    batches, prev = [], 0
+    for b in bounds + [len(shuffled)]:
+        batches.append(shuffled[prev:b])
+        prev = b
+
+    with tempfile.TemporaryDirectory() as tmp:
+        eng = Engine(spark,
+                     schema=f"cdc_pi_{tmp.rsplit('/', 1)[-1].lower()}",
+                     warehouse_dir=tmp)
+        cb = _cdc_apply_callback(eng, "t", "id", "op", "seq", ["id", "v"],
+                                 tombstones=True)
+        sch = "id int, v int, op string, seq int"
+        for i, batch in enumerate(batches):
+            cb(spark.createDataFrame(
+                [(k, p, o, q) for k, o, q, p in batch], sch), i)
+        got = {(r.id, r.v, r["__cdc_seq"])
+               for r in eng.table("t").collect()}
+        eng.catalog.drop_schema(eng.relation("t").schema)
+
+    # pure-Python global winner replay (max seq per key; unique seqs,
+    # so no rank tie-break is ever exercised)
+    want = set()
+    bykey: dict[int, tuple] = {}
+    for k, o, q, p in changes:
+        if k not in bykey or q > bykey[k][1]:
+            bykey[k] = (o, q, p)
+    for k, (o, q, p) in bykey.items():
+        if o != "D":
+            want.add((k, p, q))
+    assert got == want

@@ -7,11 +7,21 @@ Each trial below runs the EXACT probe workload (tools/scale_probe.py
 triangles section, x10 side) in a FRESH SparkSession, so long-session
 JVM/memory state — the prime suspect, since the probe script runs ~40
 operators before triangles — cannot leak in. Per trial we record the
-wall, the executed-plan fingerprint (operator tree shape, post-AQE),
-and shuffle spill metrics. A second variant pins
-spark.sql.shuffle.partitions to probe the AQE-coalesce hypothesis.
+wall and the executed-plan fingerprint (operator tree shape, post-AQE).
+A second variant pins AQE partition coalescing off to probe the
+plan-variance hypothesis.
 
-Usage: python tools/triangles_hunt.py [trials] [--mode=fresh|pinned|hot]
+VERDICT (r16, recorded): on a quiet host (loadavg 0.84) three trials
+read 39.27 / 20.90 / 20.49s with ONE distinct plan fingerprint (806
+nodes) and bit-identical counts (263429); an immediate re-invocation
+read 27.15 / 22.02. The spread is FIRST-RUN warmup — JIT compilation
+plus OS page cache (the pre-count is parquet-metadata-only and never
+touches data pages) — NOT AQE plan variance and NOT the operator. The
+fix is measurement-side: tools/scale_probe.py warm2 (min-of-2 on every
+gated side), after which the x10 wall floors at 19-22s and the
+ORIGINAL 7.0 ratio ceiling holds (measured 4.69 on a loaded host).
+
+Usage: python tools/triangles_hunt.py [trials] [--mode=fresh|pinned]
 """
 
 from __future__ import annotations
@@ -61,17 +71,9 @@ def one_trial(mode: str) -> dict:
     row = res.collect()[0]
     wall = round(time.time() - t0, 2)
 
-    sc = spark.sparkContext
-    tracker = sc.statusTracker()
-    # total spill across the app via the REST-free route: sum stage infos
-    jsc = sc._jsc.sc()
-    spill_disk = 0
-    for sid in tracker.getJobIdsForGroup() or []:
-        pass  # job-level metrics not exposed; use executor memoryMetrics
-    status = jsc.getExecutorMemoryStatus().size()
     fp = plan_fingerprint(res)
     out = {"mode": mode, "wall": wall, "count": int(row.n_triangles),
-           "executors": status, "fingerprint_len": len(fp.split("/")),
+           "fingerprint_len": len(fp.split("/")),
            "fingerprint": fp}
     spark.stop()
     return out
