@@ -639,11 +639,15 @@ def mannwhitney_u(ref: DataFrame, cur: DataFrame, value_col: str,
         z = F.lit(None).cast("double")
     else:
         # 2*U stays integral (DECIMAL); every division below is one
-        # IEEE op in a fixed order
-        u2 = F.col("__r2") - F.lit(n1 * (n1 + 1))
+        # IEEE op in a fixed order. Integer literals enter as DECIMAL
+        # FACTORS (n1 * (n1+1) as one Python int would overflow the
+        # bigint literal at ~3e9 rows; each factor alone fits to 9.2e18
+        # and the decimal product is exact)
+        u2 = (F.col("__r2")
+              - F.lit(n1).cast("decimal(38,0)") * F.lit(n1 + 1))
         u = u2.cast("double") / F.lit(2.0)
         var = (F.lit(float(n1) * float(n2))
-               * ((F.lit(nn * (nn - 1)).cast("decimal(38,0)")
+               * ((F.lit(nn).cast("decimal(38,0)") * F.lit(nn - 1)
                    * F.lit(nn + 1) - F.col("__t")).cast("double"))
                / F.lit(12.0 * nn * (nn - 1)))
         z = F.when(var > 0,
