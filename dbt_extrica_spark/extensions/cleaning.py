@@ -288,11 +288,30 @@ def global_running_sum(df: DataFrame, order_cols: list[str],
                        partitions: int | None = None,
                        out_col: str = "__gsum",
                        return_total: bool = False):
-    """Two-phase distributed GLOBAL running sum of ``weight_col``
-    (None = 1 per row, i.e. the global RANK), inclusive of the current
-    row, in the total order by ``order_cols`` — the shared machinery
-    behind pack_documents_global and dedup.sorted_neighborhood_pairs
-    (one place, after a review found it duplicated):
+    """Single-weight wrapper over :func:`global_running_sums` — kept as
+    the public name every call site uses; see that function for the
+    two-phase machinery. Returns ``df`` (or ``(df, total)``)."""
+    out, totals = global_running_sums(df, order_cols, [weight_col],
+                                      partitions, [out_col])
+    return (out, totals[0]) if return_total else out
+
+
+def global_running_sums(df: DataFrame, order_cols: list[str],
+                        weight_cols: list[str | None],
+                        partitions: int | None = None,
+                        out_cols: list[str] | None = None):
+    """Two-phase distributed GLOBAL running sums of each column in
+    ``weight_cols`` (None = 1 per row, i.e. the global RANK), inclusive
+    of the current row, in the total order by ``order_cols`` — the
+    shared machinery behind pack_documents_global and
+    dedup.sorted_neighborhood_pairs (one place, after a review found it
+    duplicated). K weights share ONE range shuffle, ONE reified slice
+    and ONE per-partition-totals collect (the r16 optimization: ks_test
+    and mannwhitney_u previously paid the whole pipeline twice for
+    their two cumulative counts); all K window sums run over the same
+    per-partition frame, so the physical plan carries a single Window
+    node. Always returns ``(df, totals)`` with one grand total per
+    weight:
 
     1. ``repartitionByRange(order_cols)`` + sort-within-partitions:
        partition i holds an order-contiguous slice, so (partition, row)
@@ -305,26 +324,37 @@ def global_running_sum(df: DataFrame, order_cols: list[str],
 
     Callers needing an exclusive sum subtract the weight; callers
     ordering by non-unique keys must include a tie-break column in
-    ``order_cols`` or the result is nondeterministic. ``weight_col``
-    must be an INTEGRAL column (the per-partition totals and driver
-    prefix are exact integers; a float weight would silently truncate
-    per row) — non-integral types raise. ``return_total=True`` returns
-    (DataFrame, total) with the grand total the driver prefix already
-    computed — callers needing n must not pay another scan for it."""
-    reserved = {"__w", "__pid", out_col}
+    ``order_cols`` or the result is nondeterministic. Every named
+    weight must be an INTEGRAL column (the per-partition totals and
+    driver prefix are exact integers; a float weight would silently
+    truncate per row) — non-integral types raise. The returned totals
+    are the grand totals the driver prefix already computed — callers
+    needing n must not pay another scan for it."""
+    k = len(weight_cols)
+    if k < 1:
+        raise ValueError("global_running_sums: need at least one weight")
+    if out_cols is None:
+        out_cols = ["__gsum" if i == 0 else f"__gsum{i}" for i in range(k)]
+    if len(out_cols) != k or len(set(out_cols)) != k:
+        raise ValueError("global_running_sums: out_cols must match "
+                         "weight_cols 1:1 with no duplicates")
+    wnames = ["__w" if i == 0 else f"__w{i}" for i in range(k)]
+    reserved = {"__pid", *wnames, *out_cols}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
             f"global_running_sum: input columns {sorted(clash)} collide "
             f"with the helper's working names (rename them, or pass a "
             f"different out_col)")
-    if weight_col is not None:
-        dtype = dict(df.dtypes).get(weight_col)
-        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+    dtypes = dict(df.dtypes)
+    for wc in weight_cols:
+        if wc is not None and dtypes.get(wc) not in (
+                "tinyint", "smallint", "int", "bigint"):
             raise ValueError(
-                f"global_running_sum: weight_col {weight_col!r} has type "
-                f"{dtype!r}; only integral weights keep the running sum "
-                f"exact (a float would silently truncate per row)")
+                f"global_running_sum: weight_col {wc!r} has type "
+                f"{dtypes.get(wc)!r}; only integral weights keep the "
+                f"running sum exact (a float would silently truncate "
+                f"per row)")
     if partitions is not None:
         if partitions < 1:
             raise ValueError("partitions must be >= 1")
@@ -335,10 +365,13 @@ def global_running_sum(df: DataFrame, order_cols: list[str],
                 "spark.sql.shuffle.partitions"))
         except ValueError:  # e.g. 'auto' on AQE-managed platforms
             n_part = df.sparkSession.sparkContext.defaultParallelism
-    weight = (F.lit(1).cast("bigint") if weight_col is None
-              else F.col(weight_col).cast("bigint"))
+    work = df
+    for wn, wc in zip(wnames, weight_cols):
+        weight = (F.lit(1).cast("bigint") if wc is None
+                  else F.col(wc).cast("bigint"))
+        work = work.withColumn(wn, weight)
     sliced = (
-        df.withColumn("__w", weight)
+        work
         .repartitionByRange(n_part, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
@@ -350,26 +383,32 @@ def global_running_sum(df: DataFrame, order_cols: list[str],
     )
     totals = (
         sliced.groupBy("__pid")
-        .agg(F.sum("__w").alias("t"))
+        .agg(*[F.sum(wn).alias(f"t{i}") for i, wn in enumerate(wnames)])
         .collect()  # one row per partition — bounded model state
     )
-    by_pid = {r["__pid"]: int(r["t"]) for r in totals}
-    prefix, acc = [], 0
-    for pid in range(max(by_pid) + 1 if by_pid else 0):
-        prefix.append(acc)
-        acc += by_pid.get(pid, 0)
-    if not prefix:
-        prefix = [0]
-    prefix_arr = F.array(*[F.lit(x).cast("bigint") for x in prefix])
+    max_pid = max((r["__pid"] for r in totals), default=-1)
+    accs: list[int] = []
+    out = sliced
     w = (Window.partitionBy("__pid")
          .orderBy(*[F.col(c) for c in order_cols])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = (sliced.withColumn(
-        out_col,
-        (F.element_at(prefix_arr, F.col("__pid") + 1)
-         + F.sum("__w").over(w)).cast("bigint"))
-        .drop("__pid", "__w"))
-    return (out, acc) if return_total else out
+    for i, (wn, oc) in enumerate(zip(wnames, out_cols)):
+        by_pid = {r["__pid"]: int(r[f"t{i}"]) for r in totals
+                  if r[f"t{i}"] is not None}
+        prefix, acc = [], 0
+        for pid in range(max_pid + 1):
+            prefix.append(acc)
+            acc += by_pid.get(pid, 0)
+        if not prefix:
+            prefix = [0]
+        prefix_arr = F.array(*[F.lit(x).cast("bigint") for x in prefix])
+        out = out.withColumn(
+            oc,
+            (F.element_at(prefix_arr, F.col("__pid") + 1)
+             + F.sum(wn).over(w)).cast("bigint"))
+        accs.append(acc)
+    out = out.drop("__pid", *wnames)
+    return out, accs
 
 
 def pack_documents_global(df: DataFrame, id_col: str, text_col: str,

@@ -120,7 +120,12 @@ def calibration_curve(df: DataFrame, score_col: str, label_col: str,
 
     Returns (bucket, n, n_pos, pos_rate, mean_score).
 
-    Scale shape: one two-phase rank + ONE aggregation over one scan."""
+    Scale shape: one two-phase rank + ONE aggregation over the rank
+    phase's reified slice — the corpus is scanned ONCE (r16: the final
+    aggregation previously re-derived ``base`` from the source, paying
+    a second corpus scan and a second evaluation of the label guard;
+    it now reads the checkpointed ranked table the breakpoint pass
+    already materialized)."""
     from .cleaning import global_running_sum
 
     if buckets < 2:
@@ -148,7 +153,7 @@ def calibration_curve(df: DataFrame, score_col: str, label_col: str,
             .orderBy("r").collect())]
     arr = F.array(*[F.lit(b).cast("double") for b in bps])
     sc = float(scale)
-    return (base
+    return (ranked
             .select(F.size(F.filter(arr, lambda b: b < F.col("__s")))
                     .alias("bucket"), "__s", "__y")
             .groupBy("bucket")

@@ -390,6 +390,26 @@ def diversity_simpson(df: DataFrame, cat_col: str,
                       (n2 / ss).alias("effective_categories"))
 
 
+def _tagged_value_counts(ref: DataFrame, cur: DataFrame,
+                         value_col: str) -> DataFrame:
+    """(v, __rc, __cc) distinct-value counts of both tables via ONE
+    tagged-union aggregation — the shared first phase of ks_test and
+    mannwhitney_u. Value-identical to the former per-table groupBy +
+    full outer merge (rows NULL on one side coalesced to 0), but with
+    a single shuffle and no join stage."""
+    tagged = (ref.select(F.col(value_col).alias("v"),
+                         F.lit(1).cast("bigint").alias("__isr"))
+              .where(F.col("v").isNotNull())
+              .unionByName(
+                  cur.select(F.col(value_col).alias("v"),
+                             F.lit(0).cast("bigint").alias("__isr"))
+                  .where(F.col("v").isNotNull())))
+    return (tagged.groupBy("v")
+            .agg(F.sum("__isr").cast("bigint").alias("__rc"),
+                 (F.count(F.lit(1)) - F.sum("__isr"))
+                 .cast("bigint").alias("__cc")))
+
+
 def ks_test(ref: DataFrame, cur: DataFrame, value_col: str,
             partitions: int | None = None) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic — the binning-free
@@ -410,30 +430,21 @@ def ks_test(ref: DataFrame, cur: DataFrame, value_col: str,
     Returns one row: (d_stat, at_value, n_ref, n_cur) with ``at_value``
     the SMALLEST value attaining the max (deterministic tie-break).
 
-    Scale shape: one aggregation per table to distinct-value counts, a
-    full outer merge on value, the shared two-phase global prefix for
-    both cumulative counts (never a 1-task window), one max-of-struct
-    reduction. Everything after the first aggs is distinct-values-sized.
+    Scale shape: a tagged union of both tables into ONE distinct-value
+    count aggregation (one shuffle instead of two groupBys plus a full
+    outer merge — the r16 optimization), then the shared two-phase
+    global prefix computing BOTH cumulative counts off one range
+    shuffle (never a 1-task window), one max-of-struct reduction.
+    Everything after the first agg is distinct-values-sized.
     """
-    from .cleaning import global_running_sum
+    from .cleaning import global_running_sums
 
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        return (df.select(F.col(value_col).alias("v"))
-                .where(F.col("v").isNotNull())
-                .groupBy("v")
-                .agg(F.count(F.lit(1)).cast("bigint").alias(name)))
-
-    merged = (counts(ref, "__rc").join(counts(cur, "__cc"),
-                                       on="v", how="full")
-              .select("v",
-                      F.coalesce("__rc", F.lit(0)).alias("__rc"),
-                      F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    merged = _tagged_value_counts(ref, cur, value_col)
     # grand totals fall out of the driver prefix the two-phase rank
     # already computes — literals, never a global one-task window
-    ranked, n_r = global_running_sum(merged, ["v"], "__rc", partitions,
-                                     out_col="__cumr", return_total=True)
-    ranked, n_c = global_running_sum(ranked, ["v"], "__cc", partitions,
-                                     out_col="__cumc", return_total=True)
+    ranked, (n_r, n_c) = global_running_sums(
+        merged, ["v"], ["__rc", "__cc"], partitions,
+        out_cols=["__cumr", "__cumc"])
     num = F.abs(F.col("__cumr") * F.lit(int(n_c))
                 - F.col("__cumc") * F.lit(int(n_r)))
     best = (ranked
@@ -605,28 +616,19 @@ def mannwhitney_u(ref: DataFrame, cur: DataFrame, value_col: str,
 
     Returns one row: (n_ref, n_cur, u_stat, z).
 
-    Scale shape: one count aggregation per table to distinct-value
-    counts, a full outer merge, the shared two-phase prefix (never a
-    1-task window), ONE statistics reduction — everything after the
-    first aggs is distinct-values-sized (the ks_test shape)."""
-    from .cleaning import global_running_sum
+    Scale shape: a tagged union of both tables into ONE distinct-value
+    count aggregation (one shuffle instead of two groupBys plus a full
+    outer merge — the r16 optimization), then the shared two-phase
+    prefix computing BOTH cumulative counts off one range shuffle
+    (never a 1-task window), ONE statistics reduction — everything
+    after the first agg is distinct-values-sized (the ks_test shape)."""
+    from .cleaning import global_running_sums
 
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        return (df.select(F.col(value_col).alias("v"))
-                .where(F.col("v").isNotNull())
-                .groupBy("v")
-                .agg(F.count(F.lit(1)).cast("bigint").alias(name)))
-
-    merged = (counts(ref, "__rc").join(counts(cur, "__cc"),
-                                       on="v", how="full")
-              .select("v",
-                      F.coalesce("__rc", F.lit(0)).alias("__rc"),
-                      F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    merged = _tagged_value_counts(ref, cur, value_col)
     c = F.col("__rc") + F.col("__cc")
-    ranked, n_r = global_running_sum(merged, ["v"], "__rc", partitions,
-                                     out_col="__cumr", return_total=True)
-    ranked, n_c = global_running_sum(ranked, ["v"], "__cc", partitions,
-                                     out_col="__cumc", return_total=True)
+    ranked, (n_r, n_c) = global_running_sums(
+        merged, ["v"], ["__rc", "__cc"], partitions,
+        out_cols=["__cumr", "__cumc"])
     below = F.col("__cumr") + F.col("__cumc") - c
     stats = ranked.agg(
         F.sum((F.col("__rc") * (2 * below + c + 1))
@@ -749,7 +751,13 @@ def embedding_drift(ref: DataFrame, cur: DataFrame, vec_col: str,
     Returns one row: (n_ref, n_cur, dim, cosine, norm_ref, norm_cur).
 
     Scale shape: one scan + one dimension-keyed aggregation per side
-    (d rows out — model state), a d-row join, a 1-row finish."""
+    (d rows out — model state), a d-row join, a 1-row finish.
+    (r16 note: a single-aggregation rewrite — d per-dimension sums as
+    aggregate expressions + a 1x1 stats crossJoin, the welch pattern —
+    was built and MEASURED SLOWER on the battery line, 1.30s -> 2.91s
+    warm-min: the 3·d-term DECIMAL expression chains dominate planning/
+    codegen while the posexplode's d-group shuffle is already partial-
+    aggregated map-side. Kept the explode shape deliberately.)"""
     sc = float(scale)
 
     def side(df: DataFrame, tag: str) -> DataFrame:

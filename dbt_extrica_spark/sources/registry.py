@@ -116,6 +116,20 @@ def read_table(spark: SparkSession, path: str, format: str = "parquet",
     return reader.format(fmt).load(path)
 
 
+# Registration memo: (session id, prefix, tables) -> (sf_dir, registered
+# views). Re-registering the SAME sf_dir on the same session is a no-op —
+# ``spark.read.parquet`` pays file listing + footer schema inference in the
+# JVM on every call (measured 0.1-0.5s for the 10-table set, paid once per
+# battery query before this memo), and the temp views it would recreate are
+# byte-identical. This caches METADATA ONLY (lazy DataFrames/views — every
+# query action still scans the parquet files); a different sf_dir on the
+# same session re-registers and replaces the memo entry, so switching scale
+# factors mid-session (check_oracle, tests) behaves exactly as before. A
+# sentinel tableExists probe guards against dropped views / recycled ids.
+_REGISTERED: dict[tuple[int, str, tuple[str, ...]],
+                  tuple[str, dict[str, DataFrame]]] = {}
+
+
 def register_sources(
     spark: SparkSession,
     sf_dir: str,
@@ -124,8 +138,18 @@ def register_sources(
 ) -> dict[str, DataFrame]:
     """Register every test table under ``sf_dir`` as a temp view.
 
-    Idempotent and cheap (no data read until a query runs).
+    Idempotent and cheap (no data read until a query runs); repeated calls
+    with the same (session, sf_dir) are memoized metadata-only no-ops.
     """
+    key = (id(spark), prefix, tuple(tables))
+    memo = _REGISTERED.get(key)
+    if memo is not None and memo[0] == sf_dir and memo[1]:
+        sentinel = prefix + next(iter(memo[1]))
+        try:
+            if spark.catalog.tableExists(sentinel):
+                return memo[1]
+        except Exception:
+            pass  # session gone/recycled — fall through and re-register
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -134,4 +158,5 @@ def register_sources(
         df = read_parquet_table(spark, path)
         df.createOrReplaceTempView(prefix + name)
         out[name] = df
+    _REGISTERED[key] = (sf_dir, out)
     return out

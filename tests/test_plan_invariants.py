@@ -272,7 +272,8 @@ INVARIANTS = {
                               hashagg=8),
     # r15 batch 3: embedding-centroid drift — one posexplode
     # aggregation per side to d statistics rows; the SMJ is the d-row
-    # full-outer dimension join (model-state-sized)
+    # full-outer dimension join (model-state-sized). (r16: a
+    # single-agg rewrite measured SLOWER — see the operator docstring.)
     "dq_embedding_drift": dict(smj_max=1, bnlj_max=0, exchange_max=3,
                                pushed_min=1),
     # r15 batch 4: rolling z-score — the rollup pair + ONE key window
@@ -280,11 +281,14 @@ INVARIANTS = {
     # scan-side arithmetic after, no join
     "ts_zscore_anomaly": dict(smj_max=0, bnlj_max=0, exchange_max=2,
                               window_min=1, hashagg=2, pushed_min=1),
-    # r14 batch 2: calibration — breakpoints collected as literals
-    # (the rank phase is eager), so the lazy plan is ONE scan + one
-    # partial/final pair with the bucket expression scan-side
+    # r14 batch 2, reshaped r16: calibration — breakpoints collected as
+    # literals (the rank phase is eager), and the final aggregation now
+    # reads the rank phase's CHECKPOINTED slice (one corpus scan total,
+    # so no parquet scan — hence no pushed-filter pin — appears in the
+    # returned plan): one partial/final pair with the bucket expression
+    # scan-side over the reified rows
     "eval_calibration": dict(smj_max=0, bnlj_max=0, exchange_max=1,
-                             hashagg=2, pushed_min=1),
+                             hashagg=2),
     # r14 batch 2: Simpson diversity — (group, category) pair + the
     # group reduction pair; the second agg is vocabulary-sized
     "stats_diversity_simpson": dict(smj_max=0, bnlj_max=0,
