@@ -5580,11 +5580,20 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpg_prog_ac = (multimodal.synthetic_media_jpeg_prog_ac(
         spark, n=24, side=16)
         .withColumn("media_id", F.col("media_id") + 21000))
+    # coalesce the 10-family union to the session parallelism before the
+    # decode: each createDataFrame fixture carries defaultParallelism
+    # partitions, so the raw union runs 10x that many near-empty
+    # ArrowEvalPython tasks (guide §2.2 task-overhead shape; measured
+    # r16: 10.3s -> 2.9s decode on the 280-row union at local[32]).
+    # coalesce (not repartition) — a narrow merge, no shuffle; the
+    # decode work itself still spreads across every core.
+    par = spark.sparkContext.defaultParallelism
     return multimodal.decode_stats(
         ppm.unionByName(bmp).unionByName(png)
         .unionByName(jpg_gray).unionByName(jpg_rgb).unionByName(gif)
         .unionByName(tif).unionByName(jpg_prog_gray)
-        .unionByName(jpg_prog_rgb).unionByName(jpg_prog_ac))
+        .unionByName(jpg_prog_rgb).unionByName(jpg_prog_ac)
+        .coalesce(par))
 
 
 # resize oracle: nearest-neighbor at 16 -> 8 samples the even source
@@ -5638,7 +5647,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(b"\xff\xd8\xff\xee not decodable").cast("binary")
         .alias("content"),
         "mime", "width", "height", "duration_ms")
-    media = ppm.unionByName(png).unionByName(opaque)
+    # narrow-merge the 3-way fixture union to the session parallelism
+    # before the two Python passes (the decode_real coalesce rationale)
+    media = (ppm.unionByName(png).unionByName(opaque)
+             .coalesce(spark.sparkContext.defaultParallelism))
     resized = multimodal.resize_images(media, 8, 8)
     stats = multimodal.decode_stats(resized.drop("decoded"))
     # the passthrough row keeps its original (undecodable) content: its
