@@ -1151,10 +1151,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("ocomp"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
@@ -1166,16 +1167,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         # step above, label paths halve every round -> O(log diameter)
         # rounds instead of O(diameter). The jump table is the label table
         # itself (tiny: one row per node appearing in a pair).
-        jump = new_labels.select(F.col("id").alias("jid"),
-                                 F.col("component").alias("jcomp"))
+        jump = stepped.select(F.col("id").alias("jid"),
+                              F.col("component").alias("jcomp"))
+        final_comp = F.least(
+            F.col("component"),
+            F.coalesce(F.col("jcomp"), F.col("component")),
+        )
         new_labels = (
-            new_labels.join(jump, new_labels.component == jump.jid, "left")
+            stepped.join(jump, stepped.component == jump.jid, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("jcomp"), F.col("component")),
-                ).alias("component"),
+                final_comp.alias("component"),
+                # convergence flag computed IN the round's own pass:
+                # comparing against the pre-step label here replaces the
+                # old per-round labels-vs-new_labels shuffle join whose
+                # only purpose was this comparison (both sides non-null:
+                # labels init component = id)
+                (final_comp != F.col("ocomp")).alias("chg"),
             )
         )
         # checkpoint EVERY round: persist alone leaves the logical plan
@@ -1185,10 +1193,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         # lineage; the label table is tiny at any scale (one row per
         # node that appears in a duplicate pair).
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            labels.alias("o").join(new_labels.alias("n"), on="id")
-            .where(F.expr("o.component != n.component")).limit(1).count()
-        )
+        changed = new_labels.where("chg").limit(1).count()
         # the superseded round is fully consumed (new_labels checkpointed
         # eagerly, changed-probe done): release its storage NOW instead of
         # waiting for driver GC — unpersist covers the round-0 persist,
