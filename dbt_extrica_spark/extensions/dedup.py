@@ -1103,7 +1103,8 @@ def release_local_checkpoint(df: DataFrame) -> None:
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         local_threshold: int = 100_000) -> DataFrame:
     """Cluster near-dup PAIRS into components: (id, component) where
     component = the minimum id reachable through the pair graph. The step a
     dedup pipeline needs after pair generation — keep one doc per component.
@@ -1124,12 +1125,56 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     ``stats``: pass a dict to receive {"rounds": N} — the number of
     label-propagation rounds executed before convergence (tools/
     cc_probe.py uses it to show rounds grow ~log(diameter) while wall
-    per round stays flat as the pair mass scales).
+    per round stays flat as the pair mass scales); the local fast path
+    reports rounds=0.
+
+    ``local_threshold``: pair sets at or under this many raw rows are
+    solved with a driver-local union-find over the collected pair list
+    instead of the distributed loop — each distributed round costs
+    several join/shuffle stages plus a checkpoint, pure fixed overhead
+    when the whole graph is a few MB, and the fast path also skips the
+    union+distinct edge build entirely (union-find is insensitive to
+    duplicate/self pairs). The collect is bounded by the threshold
+    (~10 MB of driver tuples at the default) — the same
+    bounded-model-state contract as the k-means/PQ collects. Output is
+    identical (min reachable id per node; union-find keeps the minimum
+    root; property-tested against the distributed path). Pass 0 to
+    disable (always iterate — the convergence-guard and probe tools do
+    this to exercise the distributed loop).
     """
+    pairs_sel = pairs.select("id_a", "id_b")
+    if local_threshold:
+        pairs_sel = pairs_sel.persist()
+        n_pairs = pairs_sel.count()
+        if n_pairs <= local_threshold:
+            rows = pairs_sel.collect()
+            pairs_sel.unpersist()
+            parent: dict = {}
+
+            def _find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                ra, rb = _find(r[0]), _find(r[1])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            if stats is not None:
+                stats["rounds"] = 0
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = pairs.schema["id_a"].dataType
+            schema = StructType([StructField("id", id_type, True),
+                                 StructField("component", id_type, True)])
+            return pairs.sparkSession.createDataFrame(
+                [(n, _find(n)) for n in parent], schema)
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                  F.col("id_a").alias("dst")))
+        pairs_sel.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+        .unionByName(pairs_sel.select(F.col("id_b").alias("src"),
+                                      F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
@@ -1139,6 +1184,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     # iteration re-execute the full (possibly expensive) pairs subtree
     # (measured 8x wall on a deep pair plan).
     edges.count()
+    if local_threshold:
+        pairs_sel.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -240,7 +240,11 @@ def joint_dedup(
         emb_pairs = dedup.embedding_cosine_pairs(
             embeddings, vec_id_col, vec_col, threshold=cosine_threshold
         ).select("id_a", "id_b")
-    pairs = text_pairs.unionByName(emb_pairs).distinct()
+    # no .distinct() here: connected_components dedupes edges itself in
+    # the distributed path and the union-find fast path is insensitive to
+    # duplicate pairs — a distinct at this level is one full pair shuffle
+    # for nothing
+    pairs = text_pairs.unionByName(emb_pairs)
     # connected_components materializes the pair set eagerly, so the
     # mapping cache is consumed here; safe to release after
     comp = dedup.connected_components(pairs)

@@ -255,13 +255,19 @@ def test_connected_components_transitive(spark):
 
 
 def test_connected_components_long_chain(spark):
-    # chain 0-1-2-...-9 requires multiple propagation rounds
+    # chain 0-1-2-...-9 requires multiple propagation rounds; run it
+    # through BOTH the driver-local union-find fast path (default) and
+    # the distributed loop (local_threshold=0) — identical labels
     pairs = spark.sql(
         "SELECT x AS id_a, x + 1 AS id_b FROM"
         " (SELECT explode(sequence(0, 8)) AS x)")
     comp = {r.id: r.component
             for r in dedup.connected_components(pairs).collect()}
     assert set(comp.values()) == {0} and len(comp) == 10
+    dist = {r.id: r.component
+            for r in dedup.connected_components(
+                pairs, local_threshold=0).collect()}
+    assert dist == comp
 
 
 def test_auto_bands_midpoints():
@@ -527,17 +533,20 @@ def test_connected_components_pointer_jumping_and_guard(spark):
     import pytest as _pytest
 
     # a 200-node chain has diameter 200: plain min-propagation needs ~200
-    # rounds, pointer jumping converges in O(log n) — 12 rounds suffice
+    # rounds, pointer jumping converges in O(log n) — 12 rounds suffice.
+    # local_threshold=0 forces the DISTRIBUTED loop (the default would
+    # solve this tiny graph driver-side and never iterate)
     pairs = spark.sql(
         "SELECT x AS id_a, x + 1 AS id_b FROM"
         " (SELECT explode(sequence(0, 199)) AS x)")
     comp = {r.id: r.component
-            for r in dedup.connected_components(pairs, max_iter=12).collect()}
+            for r in dedup.connected_components(
+                pairs, max_iter=12, local_threshold=0).collect()}
     assert set(comp.values()) == {0} and len(comp) == 201
     # an impossible budget must raise (silent partial labels would break
     # leakage_safe_split's no-straddle guarantee), never return quietly
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=1)
+        dedup.connected_components(pairs, max_iter=1, local_threshold=0)
 
 
 def test_wordlm_junk_scores_high_and_oov_exact(spark):

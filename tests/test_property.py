@@ -195,9 +195,16 @@ def test_connected_components_matches_union_find(edges):
 
     spark = get_spark(master="local[4]", shuffle_partitions=4)
     df = spark.createDataFrame(edges, "id_a INT, id_b INT")
+    # local_threshold=0 exercises the DISTRIBUTED pointer-jumping loop
+    # against the reference; the default exercises the driver-local
+    # union-find fast path — both must match the reference exactly
     got = {r.id: r.component
-           for r in dedup.connected_components(df).collect()}
+           for r in dedup.connected_components(
+               df, local_threshold=0).collect()}
     assert got == want
+    got_local = {r.id: r.component
+                 for r in dedup.connected_components(df).collect()}
+    assert got_local == want
 
 
 @given(st.sets(st.integers(min_value=-10**9, max_value=10**9),
