@@ -411,9 +411,12 @@ def global_running_sums(df: DataFrame, order_cols: list[str],
     return out, accs
 
 
-def pack_documents_global(df: DataFrame, id_col: str, text_col: str,
+def pack_documents_global(df: DataFrame, id_col: str,
+                          text_col: str | None,
                           seq_len: int = 2048,
-                          partitions: int | None = None) -> DataFrame:
+                          partitions: int | None = None,
+                          keep_cols: tuple[str, ...] = (),
+                          tokens_col: str | None = None) -> DataFrame:
     """Global sequence packing WITHOUT the single-task window: the
     running token offset over the whole corpus in stable ``id`` order,
     computed as a two-phase distributed prefix sum —
@@ -435,8 +438,19 @@ def pack_documents_global(df: DataFrame, id_col: str, text_col: str,
     corpus/partitions rows instead of the whole corpus in one task — the
     100 TB path for global packing. ``partitions=None`` keeps the
     session's shuffle parallelism. Same output contract as
-    pack_documents: (id, n_tokens, offset, first_seq, last_seq)."""
-    base = df.select(F.col(id_col), _pack_tokens(text_col).alias("n_tokens"))
+    pack_documents: (id, n_tokens, offset, first_seq, last_seq), plus any
+    ``keep_cols`` carried through verbatim — riding the prefix sum's own
+    range shuffle costs a few bytes per row and saves the caller a whole
+    attach-join back onto the corpus afterwards. ``tokens_col`` names an
+    already-computed token count (``text_col`` is then unused): the range
+    partitioner samples its input before shuffling it, i.e. evaluates the
+    input pipeline TWICE — a caller staging (id, n_tokens) cheaply avoids
+    re-tokenizing the corpus for the sampling pass."""
+    count = (_pack_tokens(text_col) if tokens_col is None
+             else F.col(tokens_col).cast("int"))
+    base = df.select(F.col(id_col),
+                     *[F.col(c) for c in keep_cols],
+                     count.alias("n_tokens"))
     summed = global_running_sum(base, [id_col], "n_tokens", partitions)
     out = summed.withColumn(
         "offset",

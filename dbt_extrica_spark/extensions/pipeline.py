@@ -306,6 +306,10 @@ def pretrain_corpus(
                                keep_cols=(source_col, "clean_text"))
         .where("passes_gopher")
         .select(id_col, source_col, "clean_text")
+        # exact_dedup scans its input twice (keepers aggregation + the
+        # semi-join probe side); staged once, the C4+Gopher string gates
+        # run once instead of twice per document
+        .localCheckpoint(eager=False)
     )
     # reify the cleaned, deduped corpus ONCE: DSIR reads it three times
     # (two count jobs + scoring) and packing twice more — without this,
@@ -314,18 +318,30 @@ def pretrain_corpus(
     # intermediate table between cleaning and model-based selection.
     deduped = (dedup.exact_dedup(quality, id_col, ["clean_text"])
                .localCheckpoint(eager=False))
-    weights = selection.dsir_logweights(
-        deduped, deduped.where(F.col(source_col) == target_source),
-        id_col, "clean_text", k=dsir_k)
-    kept = (
-        deduped.join(weights.withColumnRenamed("id", id_col)
-                     .select(id_col, "log_weight"), on=id_col)
+    # ONE tagged count job learns both DSIR models (the target corpus is
+    # a row-filter of the deduped corpus), and the weight is attached as
+    # a COLUMN on the corpus itself — the former (id -> weight) join and
+    # the final packed-to-weights join were both pure attach-joins whose
+    # shuffles carried nothing the corpus didn't already have. The weight
+    # now rides the packer's own range shuffle via keep_cols.
+    lrs = selection.dsir_logratios_within(
+        deduped, F.col(source_col) == F.lit(target_source),
+        "clean_text", k=dsir_k)
+    # stage the tiny scored table (id, weight, token count) ONCE: the
+    # packer's range partitioner samples its input before shuffling it,
+    # so an unstaged pipeline would pay the DSIR fold and the tokenizer
+    # twice per row
+    scored = (
+        deduped.select(
+            F.col(id_col),
+            selection.dsir_score_col(lrs, "clean_text", k=dsir_k)
+            .alias("log_weight"),
+            cleaning._pack_tokens("clean_text").alias("__n_tok"))
         .where(F.col("log_weight") >= float(dsir_cutoff))
+        .localCheckpoint(eager=False)
     )
     packed = cleaning.pack_documents_global(
-        kept, id_col, "clean_text", seq_len=seq_len)
-    return (
-        packed.join(kept.select(id_col, "log_weight"), on=id_col)
-        .select(id_col, "log_weight", "n_tokens", "offset",
-                "first_seq", "last_seq")
-    )
+        scored, id_col, None, seq_len=seq_len,
+        keep_cols=("log_weight",), tokens_col="__n_tok")
+    return packed.select(id_col, "log_weight", "n_tokens", "offset",
+                         "first_seq", "last_seq")

@@ -69,14 +69,37 @@ def _bucket_counts(df: DataFrame, text_col: str, k: int,
     return {int(r["b"]): int(r["c"]) for r in rows}
 
 
-def dsir_logratios(target: DataFrame, raw: DataFrame, text_col: str,
-                   k: int = 1024, bigrams: bool = True) -> list[Decimal]:
-    """The learned DSIR model: per-bucket
-    ``log p_target(b) - log p_raw(b)`` under Laplace(+1) smoothing,
-    quantized to 12 decimal places (HALF_UP) so downstream sums are exact
-    decimal arithmetic. Two distributed count jobs; k-entry result."""
-    tc = _bucket_counts(target, text_col, k, bigrams)
-    rc = _bucket_counts(raw, text_col, k, bigrams)
+def _bucket_counts_tagged(
+        df: DataFrame, target_pred, text_col: str, k: int,
+        bigrams: bool) -> tuple[dict[int, int], dict[int, int]]:
+    """BOTH models' per-bucket counts in ONE explode+groupBy pass when the
+    target corpus is a row-filter of the raw corpus: ``c`` counts every
+    occurrence, ``ct`` conditionally counts occurrences from rows
+    satisfying ``target_pred`` — value-identical to two `_bucket_counts`
+    calls on (df.where(pred), df) but the corpus is scanned, exploded and
+    shuffled once instead of twice. A NULL predicate row counts toward
+    raw only, exactly as ``where`` would drop it from the target side."""
+    pred = target_pred if isinstance(target_pred, F.Column) \
+        else F.expr(target_pred)
+    rows = (
+        df.select(pred.cast("boolean").alias("__t"),
+                  F.explode(F.expr(_feats_expr(text_col, bigrams)))
+                  .alias("f"))
+        .select("__t",
+                F.expr(f"CAST(pmod(xxhash64(f), {k}) AS INT)").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.sum(F.when(F.col("__t"), F.lit(1)).otherwise(F.lit(0)))
+             .alias("ct"))
+        .collect()
+    )
+    tc = {int(r["b"]): int(r["ct"]) for r in rows if int(r["ct"]) != 0}
+    rc = {int(r["b"]): int(r["c"]) for r in rows}
+    return tc, rc
+
+
+def _logratios_from_counts(tc: dict[int, int], rc: dict[int, int],
+                           k: int) -> list[Decimal]:
     t_tot = sum(tc.values()) + k
     r_tot = sum(rc.values()) + k
     out = []
@@ -87,36 +110,94 @@ def dsir_logratios(target: DataFrame, raw: DataFrame, text_col: str,
     return out
 
 
-def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
+def dsir_logratios(target: DataFrame, raw: DataFrame, text_col: str,
+                   k: int = 1024, bigrams: bool = True) -> list[Decimal]:
+    """The learned DSIR model: per-bucket
+    ``log p_target(b) - log p_raw(b)`` under Laplace(+1) smoothing,
+    quantized to 12 decimal places (HALF_UP) so downstream sums are exact
+    decimal arithmetic. Two distributed count jobs; k-entry result."""
+    tc = _bucket_counts(target, text_col, k, bigrams)
+    rc = _bucket_counts(raw, text_col, k, bigrams)
+    return _logratios_from_counts(tc, rc, k)
+
+
+def dsir_logratios_within(corpus: DataFrame, target_pred, text_col: str,
+                          k: int = 1024,
+                          bigrams: bool = True) -> list[Decimal]:
+    """`dsir_logratios` for the common case where the target corpus is
+    ``corpus.where(target_pred)``: ONE tagged count job instead of two
+    full corpus scans. Exact-integer counts, so the k log-ratios are
+    bit-identical to the two-scan path."""
+    tc, rc = _bucket_counts_tagged(corpus, target_pred, text_col, k,
+                                   bigrams)
+    return _logratios_from_counts(tc, rc, k)
+
+
+def _fold_expr(lrs: list[Decimal], feats_sql: str, k: int) -> str:
+    """The literal-path scoring expression: a sequential DECIMAL fold of
+    logratio[bucket(f)] over the feature array ``feats_sql`` (a SQL
+    fragment — a staged column name or the inline feature expression)."""
+    arr = "array(" + ", ".join(
+        f"CAST('{lr}' AS DECIMAL(20,12))" for lr in lrs) + ")"
+    return (
+        f"aggregate({feats_sql}, CAST(0 AS DECIMAL(28,12)), (acc, f) ->"
+        f" CAST(acc + element_at({arr},"
+        f" CAST(pmod(xxhash64(f), {k}) AS INT) + 1)"
+        f" AS DECIMAL(28,12)))"
+    )
+
+
+def dsir_score_col(lrs: list[Decimal], text_col: str, k: int,
+                   bigrams: bool = True) -> F.Column:
+    """The per-document log weight as a COLUMN over the corpus itself —
+    lets a caller that already holds the corpus attach the score without
+    the (id -> weight) join that `dsir_logweights` + join would cost.
+    Literal path only: past the literal budget the caller needs the
+    broadcast-join shape of `dsir_logweights`."""
+    if k > _LR_LITERAL_BUDGET:
+        raise ValueError(
+            f"dsir_score_col is the literal path; k={k} exceeds the "
+            f"literal budget {_LR_LITERAL_BUDGET} — use dsir_logweights")
+    return F.expr(
+        _fold_expr(lrs, _feats_expr(text_col, bigrams), k)).cast("double")
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame | None, id_col: str,
                     text_col: str, k: int = 1024,
-                    bigrams: bool = True) -> DataFrame:
+                    bigrams: bool = True,
+                    target_predicate=None) -> DataFrame:
     """Per-document DSIR log importance weight over the raw corpus:
     ``sum over n-gram occurrences of logratio[bucket(ngram)]``.
 
-    Calling is EAGER (two count jobs learn the k-bucket model); scoring
+    Calling is EAGER (the count jobs learn the k-bucket model); scoring
     itself is one scan with a sequential decimal fold per row — exact,
     partitioning-independent. Returns (id, n_feats, log_weight DOUBLE);
     the weight is a finite 12-dp decimal rendered as double, so it is
-    bit-identical across engines."""
-    lrs = dsir_logratios(target, raw, text_col, k=k, bigrams=bigrams)
+    bit-identical across engines.
+
+    ``target_predicate`` (Column or SQL string): when the target corpus
+    is ``raw.where(target_predicate)``, pass the predicate instead of a
+    ``target`` DataFrame — the two model-count jobs fuse into ONE tagged
+    pass over the corpus, with bit-identical counts and weights."""
+    if target_predicate is not None:
+        if target is not None:
+            raise ValueError(
+                "dsir_logweights: pass target OR target_predicate")
+        lrs = dsir_logratios_within(raw, target_predicate, text_col,
+                                    k=k, bigrams=bigrams)
+    else:
+        lrs = dsir_logratios(target, raw, text_col, k=k, bigrams=bigrams)
     # stage the feature array: referenced by both the count and the fold/
     # explode, and Catalyst does no CSE across lambda expressions
     staged = raw.select(
         F.col(id_col).alias("id"),
         F.expr(_feats_expr(text_col, bigrams)).alias("__feats"))
     if k <= _LR_LITERAL_BUDGET:
-        arr = "array(" + ", ".join(
-            f"CAST('{lr}' AS DECIMAL(20,12))" for lr in lrs) + ")"
-        fold = (
-            f"aggregate(__feats, CAST(0 AS DECIMAL(28,12)), (acc, f) ->"
-            f" CAST(acc + element_at({arr},"
-            f" CAST(pmod(xxhash64(f), {k}) AS INT) + 1)"
-            f" AS DECIMAL(28,12)))"
-        )
         return staged.select(
             "id",
             F.expr("size(__feats)").cast("int").alias("n_feats"),
-            F.expr(fold).cast("double").alias("log_weight"),
+            F.expr(_fold_expr(lrs, "__feats", k))
+            .cast("double").alias("log_weight"),
         )
     # broadcast path: per-bucket decimal sums are order-independent, so
     # the join+groupBy result equals the sequential fold exactly

@@ -8157,8 +8157,10 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir)
     docs = spark.table("documents")
-    target = docs.where("source = 'src0'")
-    return selection.dsir_logweights(docs, target, "doc_id", "text", k=64)
+    # the target corpus is a row-filter of the raw corpus: the predicate
+    # form fuses the two model-count scans into one tagged pass (r16)
+    return selection.dsir_logweights(docs, None, "doc_id", "text", k=64,
+                                     target_predicate="source = 'src0'")
 
 
 # Incremental-ingest semantic dedup: new batch vs history only. Contract

@@ -973,6 +973,66 @@ def test_dsir_literal_and_broadcast_paths_agree(spark, monkeypatch):
     assert len(lit_path) == docs.count()
 
 
+def test_dsir_target_predicate_matches_two_df_path(spark):
+    """The one-pass tagged count path (target_predicate=) must be
+    bit-identical to the classic (target, raw) two-scan path — including
+    NULL-predicate rows, which count toward raw only (as where() would
+    drop them from the target side)."""
+    from dbt_extrica_spark.extensions import selection
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").where("doc_id < 80")
+    extra = spark.createDataFrame(
+        [(9001, None, "tail words here"), (9002, "src1", None)],
+        "doc_id bigint, source string, text string")
+    docs = base.select("doc_id", "source", "text").unionByName(extra)
+    classic = {r.id: (r.n_feats, r.log_weight) for r in
+               selection.dsir_logweights(
+                   docs, docs.where("source = 'src0'"),
+                   "doc_id", "text", k=32).collect()}
+    tagged = {r.id: (r.n_feats, r.log_weight) for r in
+              selection.dsir_logweights(
+                  docs, None, "doc_id", "text", k=32,
+                  target_predicate="source = 'src0'").collect()}
+    import pytest
+
+    assert classic == tagged
+    with pytest.raises(ValueError):
+        selection.dsir_logweights(
+            docs, docs.where("source = 'src0'"), "doc_id", "text",
+            k=32, target_predicate="source = 'src0'")
+    # dsir_score_col is the same literal fold as a corpus column
+    lrs = selection.dsir_logratios_within(
+        docs, "source = 'src0'", "text", k=32)
+    col_path = {r.doc_id: r.w for r in docs.select(
+        "doc_id", selection.dsir_score_col(lrs, "text", k=32)
+        .alias("w")).collect()}
+    assert col_path == {i: lw for i, (_, lw) in classic.items()}
+
+
+def test_pack_documents_global_tokens_col_and_keep_cols(spark):
+    """Precomputed tokens_col + keep_cols must reproduce the text-path
+    packing exactly, with the carried column attached verbatim."""
+    from dbt_extrica_spark.extensions import cleaning
+
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").where("doc_id < 120"))
+    via_text = {r.doc_id: (r.n_tokens, r.offset, r.first_seq, r.last_seq)
+                for r in cleaning.pack_documents_global(
+                    docs, "doc_id", "text", seq_len=64).collect()}
+    staged = docs.select(
+        "doc_id", F.length("text").alias("extra"),
+        cleaning._pack_tokens("text").alias("__n_tok"))
+    out = cleaning.pack_documents_global(
+        staged, "doc_id", None, seq_len=64,
+        keep_cols=("extra",), tokens_col="__n_tok").collect()
+    assert {r.doc_id: (r.n_tokens, r.offset, r.first_seq, r.last_seq)
+            for r in out} == via_text
+    lens = {r.doc_id: r.extra for r in staged.collect()}
+    assert all(r.extra == lens[r.doc_id] for r in out)
+
+
 def test_dsir_select_prefers_target_like_docs(spark):
     from dbt_extrica_spark.extensions import selection
 
