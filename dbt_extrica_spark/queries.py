@@ -5894,11 +5894,17 @@ FROM events GROUP BY 1, 2
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermark+window aggregate executed as an
     availableNow catch-up batch — result equals the batch GROUP BY, so the
-    oracle is plain SQL."""
+    oracle is plain SQL. State stores are sized to the stream's rate
+    (the streaming_interval_join posture, r14 cause-hunt: every
+    micro-batch pays a fixed per-state-store load/commit, so the store
+    count is a deliberate deployment decision — a production-rate stream
+    sizes it UP for the same reason this sizes it down); results never
+    depend on it."""
     from .streaming import read_event_stream, run_available_now, windowed_counts
 
     stream = read_event_stream(spark, sf_dir)
-    return run_available_now(windowed_counts(stream, "1 day", "1 hour"))
+    return run_available_now(windowed_counts(stream, "1 day", "1 hour"),
+                             state_partitions=8)
 
 
 # continuous-aggregate maintenance: update-mode window counts merged
