@@ -316,9 +316,15 @@ def minhash_lsh_pairs(
             .unionByName(cand.select(F.col("id_b").alias("id")))
             .distinct()
         )
+        # persist: sh feeds BOTH sides of the pair join below — without the
+        # cache its subtree (scan + broadcast semi-join + the expensive
+        # per-row shingle projection) executes twice, once per side (the
+        # ngram_jaccard_pairs garr precedent; measured ~1s of the verify
+        # stage at sf0.1)
         sh = (
             work.join(F.broadcast(cand_ids), on="id", how="left_semi")
             .select("id", char_shingles("text", k).alias("sh"))
+            .persist()
         )
         pairs = (
             cand.join(sh.withColumnRenamed("sh", "sh_a"),
@@ -347,6 +353,7 @@ def minhash_lsh_pairs(
         banded.unpersist()
         if verify:
             cand.unpersist()
+            sh.unpersist()
         mapping.unpersist()
         return out_pairs, out_membership
 
@@ -357,6 +364,7 @@ def minhash_lsh_pairs(
     banded.unpersist()
     if verify:
         cand.unpersist()
+        sh.unpersist()
     if mapping is not None:
         mapping.unpersist()
     return out
