@@ -764,18 +764,23 @@ def minhash_incremental_pairs(
     if not verify:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
     cand = cand.persist()
+    # _spread BEFORE the shingle projection: the semi-joined text side
+    # inherits the parquet scan's (possibly single) split, which would
+    # serialize the per-row shingling onto one core — the band-table path
+    # already spreads for the same reason (measured: the new-side shingle
+    # pass alone was 2.2-3.4s single-split vs ~0.3s spread at sf0.1)
     sh_new = (
-        new_df.select(F.col(id_col).alias("id_new"),
-                      F.col(text_col).alias("text"))
-        .join(F.broadcast(cand.select("id_new").distinct()),
-              on="id_new", how="left_semi")
+        _spread(new_df.select(F.col(id_col).alias("id_new"),
+                              F.col(text_col).alias("text"))
+                .join(F.broadcast(cand.select("id_new").distinct()),
+                      on="id_new", how="left_semi"))
         .select("id_new", char_shingles("text", k).alias("sh_a"))
     )
     sh_hist = (
-        hist_df.select(F.col(id_col).alias("id_hist"),
-                       F.col(text_col).alias("text"))
-        .join(F.broadcast(cand.select("id_hist").distinct()),
-              on="id_hist", how="left_semi")
+        _spread(hist_df.select(F.col(id_col).alias("id_hist"),
+                               F.col(text_col).alias("text"))
+                .join(F.broadcast(cand.select("id_hist").distinct()),
+                      on="id_hist", how="left_semi"))
         .select("id_hist", char_shingles("text", k).alias("sh_b"))
     )
     # |A∪B| = |A|+|B|-|A∩B| on the already-distinct shingle arrays —
