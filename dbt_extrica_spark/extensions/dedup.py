@@ -1019,10 +1019,14 @@ def ngram_jaccard_pairs(
         # the cache its subtree (scan + broadcast semi-join + shingle) would
         # execute twice, and the per-row shingle projection is the expensive
         # part (measured ~1.5s per extra execution at sf0.1)
+        # semi-join BEFORE _spread: the confirm set is tiny (passing-pair
+        # docs only), so the broadcast filter must run at the scan and the
+        # round-robin spread move only the survivors — spreading first
+        # would shuffle the whole corpus to then discard almost all of it
         garr = (
             _spread(df.select(F.col(id_col).alias("id"),
-                              F.col(text_col).alias("text")))
-            .join(F.broadcast(pass_ids), on="id", how="left_semi")
+                              F.col(text_col).alias("text"))
+                    .join(F.broadcast(pass_ids), on="id", how="left_semi"))
             .select("id", _tokens_col("text").alias("__toks"))
             .select("id", word_ngrams_from_tokens("__toks", n).alias("g"))
             .withColumn("n_g", F.size("g"))
