@@ -280,8 +280,13 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     convention) and ranks drifts identically.
 
     Boundaries: breakpoint i (i = 1..B-1) is the reference value at
-    global rank ceil(i*n/B), found by the shared two-phase distributed
-    rank (never a 1-task sort) and collected as B-1 literals (model
+    global rank ceil(i*n/B). The value at any global rank depends only
+    on the VALUE HISTOGRAM (the id tie-break orders rows within equal
+    values, never across them), so the rank pass runs over distinct
+    values: one map-side-combinable count aggregation, then the shared
+    two-phase prefix over the (vocabulary-sized) counts — the ks_test
+    shape. The value at rank k is the v whose cumulative span
+    (cum - c, cum] contains k; collected as B-1 literals (model
     state). Bucket(x) = #{breakpoints < x} for BOTH tables — buckets
     are value intervals, so duplicates never straddle and the rule is
     one scan-side expression over a literal array.
@@ -291,24 +296,37 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     degrees of freedom. NULL values carry no position and are excluded
     (profile_columns reports them).
 
-    Scale shape: one two-phase rank over the reference + ONE aggregation
-    per table (bucket assignment is scan-side) + a B-row reshape."""
+    Scale shape: one value-count aggregation + one distinct-values-sized
+    two-phase prefix over the reference + ONE aggregation per table
+    (bucket assignment is scan-side) + a B-row reshape. (Before r16 the
+    prefix ranked every reference ROW — a corpus-sized range shuffle,
+    sort and localCheckpoint to learn B-1 order statistics; the
+    histogram route moves and reifies only distinct values, and the
+    scan prunes to the value column alone.)"""
     from .cleaning import global_running_sum
 
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
-    base = (ref.select(F.col(value_col).alias("v"),
-                       F.col(id_col).alias("i"))
-            .where(F.col("v").isNotNull()))
-    ranked, n = global_running_sum(base, ["v", "i"], None, partitions,
-                                   out_col="__rank", return_total=True)
+    counts = (ref.select(F.col(value_col).alias("v"))
+              .where(F.col("v").isNotNull())
+              .groupBy("v")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
+    ranked, n = global_running_sum(counts, ["v"], "__c", partitions,
+                                   out_col="__cum", return_total=True)
     if n == 0:
         raise ValueError("chi2_drift: reference has no non-null values")
     ks = sorted({-(-i * n // buckets) for i in range(1, buckets)})  # ceil
+    ks_arr = F.array(*[F.lit(int(x)).cast("bigint") for x in ks])
+    # value at rank k = the v with cum - c < k <= cum; a v spanning
+    # several breakpoints is still ONE boundary literal (the old
+    # row-rank path merged such duplicates through its groupBy(v)), and
+    # ordering by v equals ordering by first covered rank
     bps = [r["v"] for r in
-           (ranked.where(F.col("__rank").isin(ks))
-            .groupBy("v").agg(F.min("__rank").alias("r"))
-            .orderBy("r").collect())]  # <= B-1 rows — model state
+           (ranked.where(F.exists(
+                ks_arr,
+                lambda k: (k > F.col("__cum") - F.col("__c"))
+                & (k <= F.col("__cum"))))
+            .select("v").orderBy("v").collect())]  # <= B-1 rows
     vt = ref.schema[value_col].dataType.simpleString()
     arr = F.array(*[F.lit(b).cast(vt) for b in bps])
     bucket = F.size(F.filter(arr, lambda b: b < F.col("v")))
