@@ -296,6 +296,11 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     degrees of freedom. NULL values carry no position and are excluded
     (profile_columns reports them).
 
+    ``id_col`` is accepted and IGNORED since r16: the histogram route
+    derives boundaries from the value distribution alone, so the old
+    row-rank tie-break column is no longer consulted. Kept in the
+    signature for API compatibility with pre-r16 callers.
+
     Scale shape: one value-count aggregation + one distinct-values-sized
     two-phase prefix over the reference + ONE aggregation per table
     (bucket assignment is scan-side) + a B-row reshape. (Before r16 the
@@ -307,11 +312,11 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, value_col: str,
 
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
-    counts = (ref.select(F.col(value_col).alias("v"))
-              .where(F.col("v").isNotNull())
-              .groupBy("v")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
-    ranked, n = global_running_sum(counts, ["v"], "__c", partitions,
+    vcounts = (ref.select(F.col(value_col).alias("v"))
+               .where(F.col("v").isNotNull())
+               .groupBy("v")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
+    ranked, n = global_running_sum(vcounts, ["v"], "__c", partitions,
                                    out_col="__cum", return_total=True)
     if n == 0:
         raise ValueError("chi2_drift: reference has no non-null values")

@@ -249,6 +249,22 @@ def materialize_view(engine: "Engine", model: "Model",
 # incremental materialization (A5-A8)
 # --------------------------------------------------------------------------
 
+# How materialize_incremental stages the batch before the strategy
+# branches ("checkpoint_bcast" / "persist" / None) — see the comment at
+# the staging site; a module constant so the r17 A/B probe can flip it
+# inside one session. Interleaved A/B (r17, sf0.1, local[32], 2 runs x 4
+# reps): inc_merge_partitioned None 2.56-3.2s / persist 2.44 /
+# checkpoint_bcast 2.18-2.21; inc_merge 1.00 / 1.00 / 0.92.
+_BATCH_STAGING = "checkpoint_bcast"
+# checkpoint_bcast broadcasts the staged batch EXPLICITLY (localCheckpoint
+# strips size statistics, so without the hint the planner degrades every
+# branch to sort-merge joins — the r16 revert). The hint is guarded by a
+# row cap: a batch this size at ~100B-1KB/row stays far under the 8 GB /
+# 512M-row broadcast-relation cap, while a genuinely large batch falls
+# back to persist staging, whose materialized InMemoryRelation gives the
+# planner ACCURATE stats to choose broadcast vs shuffle on its own.
+_STAGE_BCAST_ROW_CAP = 4_000_000
+
 VALID_STRATEGIES = ("default", "append", "merge", "delete+insert",
                     "microbatch", "insert_overwrite")
 # impl.py:80-81 (+ dbt 1.9 microbatch, dbt-spark insert_overwrite)
@@ -344,6 +360,7 @@ def materialize_incremental(engine: "Engine", model: "Model",
             f"CREATE TABLE {tmp.render()} USING PARQUET AS {sql}"
         )
 
+    staged = None
     try:
         engine.catalog.expand_target_column_types(tmp, target)
         dest_columns = process_schema_changes(engine, on_schema_change, tmp, target)
@@ -352,17 +369,47 @@ def materialize_incremental(engine: "Engine", model: "Model",
                             engine.catalog.get_columns_in_relation(target)]
 
         predicates = config.get("predicates") or config.get("incremental_predicates")
-        # NOTE (r16, tried and reverted): staging the batch with
-        # localCheckpoint to stop the temp VIEW re-running its SELECT per
-        # strategy branch makes everything SLOWER — a checkpointed
+        # Stage the batch ONCE (guide §5 caching/lineage): the temp VIEW's
+        # SELECT otherwise re-evaluates on every strategy-branch action —
+        # the duplicate-key probe, each join arm of the merge rewrite, the
+        # partition-scope probes (27 actions on inc_merge_partitioned).
+        # r16 tried localCheckpoint here and REVERTED it: a checkpointed
         # DataFrame is an ExistingRDD with no size statistics, so the
-        # planner stops broadcasting the (small) batch and every branch
-        # degrades to a sort-merge join (measured 2.2 -> 5.2s, 27 jobs ->
-        # 493 tasks on inc_merge_partitioned). The view re-scan is the
-        # cheaper side of that trade at every scale: the batch SELECT is
-        # pruned/pushed parquet, while the lost broadcasts shuffle the
-        # whole target.
+        # planner stopped broadcasting the (small) batch and every branch
+        # degraded to a sort-merge join (measured 2.2 -> 5.2s). persist
+        # does not have that failure mode — an eagerly materialized
+        # InMemoryRelation carries ACCURATE post-materialization size
+        # statistics, so the planner still broadcasts a genuinely small
+        # batch and still shuffles a genuinely large one (no forced-
+        # broadcast OOM hazard at scale). Paired unpersist in the finally
+        # below — nothing outlives the operator. _BATCH_STAGING is the
+        # measurement knob: "persist" (default) / "checkpoint_bcast" (the
+        # r16-verdict suggestion: localCheckpoint + explicit broadcast
+        # hint) / None (the pre-r17 re-scan behavior).
         src_df = engine.spark.table(tmp.render_unquoted())
+        # only the merge strategy re-evaluates a view-typed batch (the
+        # probe + three join arms + scope probes); append/insert_overwrite
+        # evaluate it exactly once and delete+insert already materializes
+        # a tmp TABLE — staging those would only add a copy
+        stage_here = ttype == "view" and strategy == "merge" and unique_key
+        if _BATCH_STAGING == "checkpoint_bcast" and stage_here:
+            from pyspark.sql import functions as _F
+
+            ck = src_df.localCheckpoint(eager=False)
+            if ck.count() <= _STAGE_BCAST_ROW_CAP:  # count materializes ck
+                src_df = _F.broadcast(ck)
+            else:
+                # large batch: give the planner real stats instead of a
+                # forced broadcast (persist + materialize -> accurate
+                # InMemoryRelation sizeInBytes; broadcast vs shuffle is
+                # its call again)
+                staged = ck.persist()
+                staged.count()
+                src_df = staged
+        elif _BATCH_STAGING == "persist" and stage_here:
+            staged = src_df.persist()
+            staged.count()  # materialize now: one evaluation + real stats
+            src_df = staged
         tgt_df = engine.spark.table(target.render_unquoted())
 
         scoped = bool(partition_by) and all(
@@ -449,6 +496,8 @@ def materialize_incremental(engine: "Engine", model: "Model",
                 )
                 engine.overwrite_table_atomic(target, result)
     finally:
+        if staged is not None:
+            staged.unpersist()
         tmp_existing = engine.catalog.get_relation(tmp)
         if tmp_existing is not None:
             engine.catalog.drop_relation(tmp_existing)

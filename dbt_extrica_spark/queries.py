@@ -5717,8 +5717,13 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("media_id", F.col("media_id") + 2000))
     mono24 = (multimodal.synthetic_audio_real(spark, n=16, bits=24)
               .withColumn("media_id", F.col("media_id") + 4000))
+    # narrow-merge the 3-way fixture union to the session parallelism
+    # before the Python boundary (the decode_real coalesce rationale:
+    # each createDataFrame fixture carries defaultParallelism partitions,
+    # so the raw union runs 3x that many near-empty mapInPandas tasks)
     return multimodal.audio_stats(
-        mono.unionByName(stereo).unionByName(mono24))
+        mono.unionByName(stereo).unionByName(mono24)
+        .coalesce(spark.sparkContext.defaultParallelism))
 
 
 # Video counterpart: per-frame luma/chroma sums from the GENERATOR's
@@ -5763,7 +5768,11 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.synthetic_video_real(spark, n=8, side=8,
                                             n_frames=6)
-    return multimodal.extract_frames(media, every_n=2)
+    # the 8-row fixture arrives spread over defaultParallelism
+    # createDataFrame partitions — all but 8 of them EMPTY, each still
+    # paying a mapInPandas task launch; narrow-merge to the row count so
+    # every Python task decodes exactly one video (guide §2.2/§4)
+    return multimodal.extract_frames(media.coalesce(8), every_n=2)
 
 
 @q("multimodal_features", _mm_features_oracle())

