@@ -86,6 +86,12 @@ def main() -> None:
 
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    # write timestamps as annotated int64 micros, NOT the INT96 legacy
+    # default: INT96 reads back as timestamp[ns] in the footer probe and
+    # the source boundary would mis-apply the ns->us repair to a column
+    # Spark already surfaces as TIMESTAMP
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
     os.makedirs(args.out_dir, exist_ok=True)
     for name in list(KEYS) + list(COPY_ONLY):
         src = os.path.join(args.src, f"{name}.parquet")
@@ -99,9 +105,34 @@ def main() -> None:
         n = 1 if name in COPY_ONLY else args.replicas
         big = replicate(df, name, n)
         dst = os.path.join(args.out_dir, f"{name}.parquet")
-        # a handful of ~100MB-target files; the scaled sf is still small
-        big.repartition(max(2, min(16, n))).write.mode("overwrite") \
-            .parquet(dst)
+        if name == "events":
+            # events must be a single FILE (testdata layout): the
+            # streaming readers glob `<sf_dir>/events.parquet` as a file
+            # name, and a directory of part files never matches. Small
+            # (~4 MB) row groups keep the single file's scan parallel —
+            # a byte-range split still consumes whole row groups, so the
+            # default 128 MB group would serialize the scan to one task.
+            import glob
+            import shutil
+
+            tmp_dir = dst + "__stage"
+            big.coalesce(1).write.mode("overwrite") \
+                .option("parquet.block.size", 4 * 1024 * 1024) \
+                .parquet(tmp_dir)
+            (part,) = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            elif os.path.exists(dst):
+                os.remove(dst)
+            shutil.move(part, dst)
+            shutil.rmtree(tmp_dir)
+        else:
+            # batch-read tables: a directory of ~10 part files reads
+            # identically to a file path and keeps scans parallel even
+            # for small corpora (documents is ~6 MB at 10x — one row
+            # group would serialize every corpus scan)
+            big.repartition(max(2, min(16, n))).write.mode("overwrite") \
+                .parquet(dst)
         print(f"wrote {dst}: {spark.read.parquet(dst).count()} rows")
     spark.stop()
 
