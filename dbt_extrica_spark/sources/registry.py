@@ -144,15 +144,21 @@ def register_sources(
     key = (id(spark), prefix, tuple(tables))
     memo = _REGISTERED.get(key)
     if memo is not None and memo[0] == sf_dir and memo[1]:
+        # ONE sentinel probe, deliberately not all views (r17 measured:
+        # tableExists is ~3.3 ms/py4j round trip, so probing all 10
+        # views costs 22 ms per memo hit — ~13 s across the 102-line
+        # bench, erasing a third of the r16 memo win; a single
+        # listTables RPC is worse still, 353 ms). Contract instead: a
+        # caller must drop source views ALL-or-none (drop the sentinel
+        # too and the memo re-registers — tested). A subset drop that
+        # spares the sentinel fails LOUDLY on first use of the dropped
+        # view (TABLE_OR_VIEW_NOT_FOUND) — a heal-on-next-call gap,
+        # never silent wrongness, because a temp view recreated under
+        # the same name satisfies the probe no matter how many views it
+        # checks.
+        sentinel = prefix + next(iter(memo[1]))
         try:
-            # probe EVERY memoized view, not one sentinel: a caller that
-            # drops a subset of views while keeping the first one would
-            # otherwise read a stale memo (r16 verdict item 5). Each probe
-            # is a driver-local catalog lookup (~1 ms); the memo still
-            # skips the expensive part (JVM file listing + footer schema
-            # inference per table).
-            if all(spark.catalog.tableExists(prefix + name)
-                   for name in memo[1]):
+            if spark.catalog.tableExists(sentinel):
                 return memo[1]
         except Exception:
             pass  # session gone/recycled — fall through and re-register
