@@ -1248,7 +1248,20 @@ def _km_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ContextCleaner once the returned DataFrame is no longer referenced
     (catalog.clearCache does NOT cover checkpoint blocks) — long-lived
     callers looping over corpora should drop result references rather
-    than accumulate them."""
+    than accumulate them.
+
+    NOTE (r17, tried and reverted): _spread-ing the slice before the
+    checkpoint — the sf0.1 corpus arrives as ONE scan split, so every
+    iteration runs single-task (8 jobs / 11 tasks total) — measured
+    SLOWER, 3.77 -> 4.25s warm-min interleaved: the line is
+    job-round-bound (driver collect per iteration), not CPU-bound, so
+    the round-robin shuffle plus 32-task scheduling per iteration costs
+    more than the serialized fold saves. The arithmetic is
+    partitioning-independent (order-free DECIMAL sums, per-row
+    assignment, orderBy(id) seeds), so the revert is about time, not
+    correctness; at 100 TB the input arrives multi-split and iterations
+    parallelize without help (SCALE_r17.json: kmeans 8c/32c = 1.13 on
+    the 10x multi-split replica)."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return base.localCheckpoint(eager=False)
 
